@@ -1,0 +1,344 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.io.Tables
+import graft.ops.Ops
+import graft.proc.SqlStepRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The verification query surface: one named query per operator (SURVEY.md §2
+ * inventory + §2.12 extension ops), each paired with equivalent ANSI SQL the
+ * driver executes in DuckDB over the same parquet tables (`SparkEntry`).
+ *
+ * Determinism rules (SURVEY.md §5.2): fixed literal windows inside fixture
+ * date ranges, no wall-clock, exact integer/decimal math wherever a value is
+ * compared (double sums only behind explicit per-row decimal casts), ties in
+ * top-k broken by id in both engines.
+ */
+object Queries {
+
+  // ---- fixed literal windows (inside fixture ranges; FIXTURES.md) ----
+  /** lineitem reload window (raw-datetime BETWEEN path, P3). */
+  val LiFrom: LocalDate = LocalDate.of(1998, 1, 1)
+  val LiTo: LocalDate = LocalDate.of(1998, 1, 7)
+  private val liStartLit = "TIMESTAMP '1998-01-01 00:00:00.000'"
+  private val liEndLit = "TIMESTAMP '1998-01-07 23:59:59.997'"
+  /** orders window (CAST-AS-DATE path, P4). */
+  val OrdFrom: LocalDate = LocalDate.of(1998, 3, 1)
+  val OrdTo: LocalDate = LocalDate.of(1998, 3, 31)
+  /** events incremental-update window. */
+  val EvFrom: LocalDate = LocalDate.of(2024, 1, 5)
+  val EvTo: LocalDate = LocalDate.of(2024, 1, 9)
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def customer(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
+  private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** events + deterministic synthetic `update_ts` (no update-date column in
+    * the fixtures — FIXTURES.md): `ts + (event_id % 7) days`. */
+  private def eventsWithUpdateTs(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("update_ts",
+      expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))
+
+  private val evCte =
+    """WITH ev AS (SELECT event_id, ts, ts + (event_id % 7) * INTERVAL 1 DAY AS update_ts FROM events)"""
+  private val changedKeysSql =
+    """SELECT event_id FROM ev
+      | WHERE CAST(update_ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+      |   AND event_id NOT IN (SELECT event_id FROM ev
+      |                         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09')""".stripMargin
+
+  /** events projection with ts truncated to microseconds on the DuckDB side
+    * (our Spark reader already yields micro-precision TIMESTAMP_NTZ). */
+  private val evCols = "event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props"
+
+  /** The registered SQL transformation steps (sproc analog, O1). */
+  val Steps = new SqlStepRegistry(Map(
+    "daily_order_stats" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  FROM orders
+        | WHERE o_orderdate BETWEEN TIMESTAMP '{start_ts}' AND TIMESTAMP '{end_ts}'
+        | GROUP BY CAST(o_orderdate AS DATE)""".stripMargin))
+
+  // =========================================================================
+  // queries — (SparkSession, sfDir) => DataFrame
+  // =========================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / predicates / projections (§2.1, §2.2) ----
+    "s1_full_scan" -> ((s, d) => customer(s, d)),
+    "s2_window_scan" -> ((s, d) => Ops.windowScan(li(s, d), "l_shipdate", LiFrom, LiTo)),
+    "p1_drop_audit" -> ((s, d) =>
+      Ops.dropAudit(li(s, d)
+        .withColumn("ID", col("l_orderkey") * 10 + col("l_linenumber"))
+        .withColumn("Insert_DateTime", lit(java.time.LocalDateTime.of(2024, 1, 1, 0, 0))))),
+    "p2_key_projection" -> ((s, d) => orders(s, d).select("o_orderkey")),
+    "p4_cast_date_window" -> ((s, d) =>
+      orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))),
+    "p5_key_membership" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))),
+
+    // ---- joins / set ops: the sync pipeline semantics (§2.3, §2.7) ----
+    "j1_changed_keys" -> ((s, d) => {
+      val ev = eventsWithUpdateTs(s, d)
+      Ops.changedKeys(ev, "event_id", "ts", "update_ts", EvFrom, EvTo)
+    }),
+    "j2_keyed_fetch" -> ((s, d) => {
+      val ev = eventsWithUpdateTs(s, d)
+      val changed = Ops.changedKeys(ev, "event_id", "ts", "update_ts", EvFrom, EvTo)
+      Ops.keyedFetch(events(s, d), "event_id", changed)
+    }),
+    "a3_keyed_delete" -> ((s, d) => {
+      val ev = eventsWithUpdateTs(s, d)
+      val changed = Ops.changedKeys(ev, "event_id", "ts", "update_ts", EvFrom, EvTo)
+      Ops.keyedDelete(events(s, d), "event_id", changed)
+    }),
+    "a4_upsert" -> ((s, d) => {
+      val ev = eventsWithUpdateTs(s, d)
+      val changed = Ops.changedKeys(ev, "event_id", "ts", "update_ts", EvFrom, EvTo)
+      // target = state loaded through the window end; source = rows as later modified
+      val target = events(s, d).filter(to_date(col("ts")) <= lit(EvTo))
+      val source = events(s, d).withColumn("value", col("value") + 1)
+      Ops.upsert(target, source, "event_id", changed)
+    }),
+    "a5_window_reload" -> ((s, d) => {
+      // flagship: stale target (loaded only to 1998-12-31) refreshed for the window
+      val target = li(s, d).filter(col("l_shipdate") < lit(java.time.LocalDateTime.of(1999, 1, 1, 0, 0)))
+      Ops.windowedReload(target, li(s, d), "l_shipdate", LiFrom, LiTo)
+    }),
+    "a2_truncate_reload" -> ((s, d) => Ops.truncateReload(part(s, d))),
+
+    // ---- sproc analog (§2.9 O1) ----
+    "o1_sql_step" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      Steps.run(s, "daily_order_stats", OrdFrom, OrdTo)
+    }),
+
+    // ---- general analytics the extension surface builds on (§2.12) ----
+    "q1_pricing_summary" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      li(s, d).filter(col("l_shipdate") <= lit(java.time.LocalDateTime.of(1998, 9, 1, 0, 0)))
+        .groupBy("l_returnflag", "l_linestatus")
+        // exact decimal math end-to-end; no final rounding cast (Spark rounds
+        // HALF_UP, DuckDB differs on exact .xx5 — keep the full-scale sum)
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(price).as("sum_base_price"),
+          sum(price * (lit(BigDecimal(1)) - disc)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    "join_enrich_orders" -> ((s, d) =>
+      orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")),
+    "window_topk_per_segment" -> ((s, d) => {
+      val j = orders(s, d).join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+    }),
+    "agg_events_daily" -> ((s, d) =>
+      events(s, d).groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))),
+    "distinct_counts" -> ((s, d) =>
+      events(s, d).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))),
+    "json_extract_props" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // ---- text analysis (§2.12) ----
+    "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+
+    // ---- dedup (§2.12) ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), Seq("lang", "source"), "doc_id")),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)),
+
+    // ---- similarity search (§2.12) ----
+    "sim_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "sim_ann_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // ---- multimodal plumbing (§2.12) ----
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.withSyntheticMedia(docs(s, d)))
+        .toDF().select(col("id"), col("nBytes").as("n_bytes"),
+          col("headByte").as("head_byte"), col("frameCount").as("frame_count"))),
+    "mm_frame_counts" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.withSyntheticMedia(docs(s, d)), 32, 2)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_frames")))
+  )
+
+  // =========================================================================
+  // DuckDB oracles — same column names, deterministic values
+  // =========================================================================
+
+  private val trigramCte =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+      |s AS (SELECT doc_id,
+      |             CASE WHEN len(tk) >= 3
+      |                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+      |                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |                  ELSE [array_to_string(tk, ' ')] END AS sh
+      |        FROM t)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""$trigramCte,
+       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             len(list_intersect(a.sh, b.sh))::DOUBLE
+       |               / len(list_distinct(a.sh || b.sh)) AS jaccard
+       |        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s1_full_scan" -> "SELECT * FROM customer",
+    "s2_window_scan" ->
+      s"SELECT * FROM lineitem WHERE l_shipdate BETWEEN $liStartLit AND $liEndLit",
+    "p1_drop_audit" -> "SELECT * FROM lineitem",
+    "p2_key_projection" -> "SELECT o_orderkey FROM orders",
+    "p4_cast_date_window" ->
+      "SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-03-01' AND DATE '1998-03-31'",
+    "p5_key_membership" ->
+      "SELECT * FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)",
+    "j1_changed_keys" -> s"$evCte $changedKeysSql",
+    "j2_keyed_fetch" ->
+      s"$evCte SELECT $evCols FROM events WHERE event_id IN ($changedKeysSql)",
+    "a3_keyed_delete" ->
+      s"$evCte SELECT $evCols FROM events WHERE event_id NOT IN ($changedKeysSql)",
+    "a4_upsert" ->
+      s"""$evCte,
+         |changed AS ($changedKeysSql),
+         |target AS (SELECT $evCols FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-09'),
+         |src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value + 1 AS value, props FROM events)
+         |SELECT * FROM target WHERE event_id NOT IN (SELECT event_id FROM changed)
+         |UNION ALL
+         |SELECT * FROM src WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    "a5_window_reload" ->
+      s"""SELECT * FROM lineitem
+         | WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+         |   AND l_shipdate NOT BETWEEN $liStartLit AND $liEndLit
+         |UNION ALL
+         |SELECT * FROM lineitem WHERE l_shipdate BETWEEN $liStartLit AND $liEndLit""".stripMargin,
+    "a2_truncate_reload" -> "SELECT * FROM part",
+    "o1_sql_step" -> Steps.sqlFor("daily_order_stats", OrdFrom, OrdTo),
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |       count(*) AS count_order
+        |  FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "join_enrich_orders" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        | WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-03-01' AND DATE '1998-03-31'""".stripMargin,
+    "window_topk_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |    FROM orders JOIN customer ON o_custkey = c_custkey) x
+        | WHERE rn <= 3""".stripMargin,
+    "agg_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  FROM events GROUP BY 1, 2""".stripMargin,
+    "distinct_counts" ->
+      "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types FROM events",
+    "json_extract_props" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |       len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |       len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct_tokens
+        |  FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars_obs,
+        |                  regexp_split_to_array(text, '\s+') AS tk FROM documents)
+        |SELECT doc_id, len(tk) AS n_tokens, n_chars_obs,
+        |       list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) AS avg_token_len,
+        |       len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))::DOUBLE / len(tk) AS stopword_ratio,
+        |       len(tk) < 30 AS short_doc
+        |  FROM t""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+        |sc AS (SELECT doc_id,
+        |         len(list_filter(tk, x -> list_contains(['the','a','and','is','of'], x))) AS s_en,
+        |         len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+        |         len(list_filter(tk, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+        |         len(list_filter(tk, x -> list_contains(['el','los','y','es','una'], x))) AS s_es,
+        |         len(list_filter(tk, x -> list_contains(['的','是','了','在','和'], x))) AS s_zh
+        |    FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |            WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |            WHEN s_es >= s_zh THEN 'es'
+        |            ELSE 'zh' END AS pred_lang,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN s_en
+        |            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN s_de
+        |            WHEN s_fr >= s_es AND s_fr >= s_zh THEN s_fr
+        |            WHEN s_es >= s_zh THEN s_es
+        |            ELSE s_zh END AS marker_hits
+        |  FROM sc""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
+        |  FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |    FROM documents) x WHERE rn = 1""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+    "sim_topk" ->
+      """SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                      c.vec_id) AS rn
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |   WHERE q.vec_id < 10) x
+        | WHERE rn <= 5""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+        |       ascii(substr(text, 1, 1)) AS head_byte,
+        |       octet_length(encode(text)) // ((doc_id % 64 + 16) * (doc_id % 48 + 16)) AS frame_count
+        |  FROM documents""".stripMargin,
+    "mm_frame_counts" ->
+      "SELECT doc_id AS id, greatest(octet_length(encode(text)) // 64, 1) AS n_frames FROM documents"
+    // no oracle (rows-only driver check): dedup_simhash (xxhash64 not available
+    // in DuckDB), sim_ann_lsh (approximate by design; recall vs exact covered
+    // in SimilaritySpec)
+  )
+}

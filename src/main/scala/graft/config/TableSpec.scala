@@ -1,0 +1,106 @@
+package graft.config
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Configured-table model and classification.
+ *
+ * Mirrors the reference's five-field table record parsed from the `Tables`
+ * config section (`BulkCopyManager.cs:87-98`) and the classification into
+ * phase lists (`BulkCopyManager.cs:100-104`).
+ */
+final case class TableSpec(
+    tableName: String,
+    tableType: String,
+    dateColumn: Option[String] = None,
+    updateDateColumn: Option[String] = None,
+    primaryKey: Option[String] = None) {
+  def typeLower: String = tableType.trim.toLowerCase
+}
+
+/** Phase lists in the reference's dispatch order (`BulkCopyManager.cs:107-197`):
+  * sprocs (sequential, abort-on-error), copy+update facts (sequential),
+  * plain facts (sequential), dims (parallel). `historical` is classified by
+  * the reference but never dispatched (`:104` vs `:107-197`) — we keep the
+  * list so a runner can warn instead of silently dropping it. */
+final case class Classified(
+    sprocs: Seq[TableSpec],
+    copyUpdate: Seq[TableSpec],
+    facts: Seq[TableSpec],
+    dims: Seq[TableSpec],
+    historical: Seq[TableSpec])
+
+final case class EngineConfig(
+    sourceSchema: String,
+    targetSchema: String,
+    scheduleMode: Option[String],
+    dateFrom: Option[String],
+    dateTo: Option[String],
+    tables: Seq[TableSpec])
+
+object TableSpec {
+
+  /** Classification per `BulkCopyManager.cs:100-104`:
+    *  - fact with BOTH update_date_column and primary_key → copy+update
+    *  - fact otherwise                                    → plain fact copy
+    *  - dim                                               → truncate+reload
+    *  - sproc                                             → stored-proc phase
+    *  - historical with update_date_column                → dead list (never run)
+    * Type comparison is case-insensitive like the reference's string equals.
+    */
+  def classify(specs: Seq[TableSpec]): Classified = Classified(
+    sprocs = specs.filter(_.typeLower == "sproc"),
+    copyUpdate = specs.filter(s =>
+      s.typeLower == "fact" && s.updateDateColumn.exists(_.nonEmpty) && s.primaryKey.exists(_.nonEmpty)),
+    facts = specs.filter(s =>
+      s.typeLower == "fact" && !(s.updateDateColumn.exists(_.nonEmpty) && s.primaryKey.exists(_.nonEmpty))),
+    dims = specs.filter(_.typeLower == "dim"),
+    historical = specs.filter(s => s.typeLower == "historical" && s.updateDateColumn.exists(_.nonEmpty)))
+}
+
+object EngineConfig {
+
+  /**
+   * Load an `appsettings.json`-shaped config file:
+   * {{{
+   * { "SourceSchema": "...", "TargetSchema": "...", "ScheduleMode": "daily",
+   *   "DateFrom": "2024-01-01", "DateTo": "2024-01-02",
+   *   "Tables": [ { "table_name": "...", "table_type": "fact",
+   *                 "date_column": "...", "update_date_column": "...",
+   *                 "primary_key": "..." } ] }
+   * }}}
+   * Parsed with Spark's JSON reader (multiLine) — no extra dependency.
+   */
+  def load(spark: SparkSession, path: String): EngineConfig = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.option("multiLine", "true").json(path)
+    val row = df.head()
+    def optStr(name: String): Option[String] =
+      if (!df.columns.contains(name)) None
+      else Option(row.getAs[Any](name)).map(_.toString).filter(_.nonEmpty)
+    val tables: Seq[TableSpec] =
+      if (!df.columns.contains("Tables")) Seq.empty
+      else {
+        val tdf = df.select(org.apache.spark.sql.functions.explode(col("Tables")).as("t")).select("t.*")
+        val cols = tdf.columns.toSet
+        tdf.collect().toSeq.map { r =>
+          def f(n: String): Option[String] =
+            if (!cols.contains(n)) None else Option(r.getAs[Any](n)).map(_.toString).filter(_.nonEmpty)
+          TableSpec(
+            tableName = f("table_name").getOrElse(
+              throw new IllegalArgumentException("table_name is required for every Tables entry")),
+            tableType = f("table_type").getOrElse("fact"),
+            dateColumn = f("date_column"),
+            updateDateColumn = f("update_date_column"),
+            primaryKey = f("primary_key"))
+        }
+      }
+    EngineConfig(
+      sourceSchema = optStr("SourceSchema").getOrElse("src"),
+      targetSchema = optStr("TargetSchema").getOrElse("tgt"),
+      scheduleMode = optStr("ScheduleMode"),
+      dateFrom = optStr("DateFrom"),
+      dateTo = optStr("DateTo"),
+      tables = tables)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines (SURVEY.md §2.12):
+ * exact key dedup, exact n-gram Jaccard similarity join (prefix-filtered),
+ * MinHash+LSH near-dup detection, and SimHash. All shuffles are on
+ * shingle/band/bucket keys — the natural partitioning for a cluster run —
+ * and no operator ever materializes pairs that cannot pass the threshold
+ * (prefix filtering / band blocking), which is what keeps the pair space
+ * tractable when the corpus is 10^9 documents instead of 10^3.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-`idCol` row per duplicate-key group
+    * (deterministic winner, unlike `dropDuplicates`). Hash shuffle on the
+    * key columns; map-side combine-free but single pass. */
+  def exact(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles per document: `(id, shingles, sz)`.
+    * Documents shorter than `n` tokens contribute their whole token string
+    * as a single shingle. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(t) >= n,
+        array_distinct(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", t)))
+    docs.select(col(idCol), grams.as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+  }
+
+  /** Exact Jaccard over two distinct shingle arrays — integer-over-integer
+    * division, bit-identical with the DuckDB oracle's
+    * `len(list_intersect)/len(list_distinct(a||b))`. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /**
+   * Exact n-gram Jaccard similarity self-join: all pairs `(doc_a < doc_b)`
+   * with `J(shingles_a, shingles_b) >= threshold`.
+   *
+   * Scale path = **prefix filtering** (the AllPairs/PPJoin family, public
+   * literature): order every document's shingles by global document
+   * frequency (rarest first, ties by shingle text — one global total order),
+   * keep only the first `sz − ceil(threshold·sz) + 1` shingles as the
+   * "prefix", and generate candidates only from prefix collisions. Any pair
+   * with Jaccard ≥ threshold must collide on at least one prefix shingle, so
+   * the join is exact while candidate generation touches a small fraction of
+   * the inverted index. Candidates are then verified with the exact Jaccard.
+   *
+   * Shuffles: shingle-frequency count, prefix re-sort, candidate join —
+   * all keyed on shingle/doc id; no cross join anywhere.
+   */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val exploded = sets.select(col(idCol), explode(col("shingles")).as("s"))
+    val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    // global canonical order: (df asc, shingle asc); prefix length per doc
+    val ordered = exploded.join(freq, "s")
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .select(col(idCol),
+        transform(col("ranked"), r => r.getField("s")).as("ordered"))
+    val prefixed = ordered
+      .withColumn("plen",
+        (size(col("ordered")) - ceil(lit(threshold) * size(col("ordered"))) + 1).cast("int"))
+      .select(col(idCol), explode(slice(col("ordered"), lit(1), col("plen"))).as("s"))
+    val left = prefixed.select(col(idCol).as("doc_a"), col("s"))
+    val right = prefixed.select(col(idCol).as("doc_b"), col("s"))
+    val candidates = left.join(right, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * MinHash + LSH near-dup candidate generation with exact verification.
+   *
+   * Signature: `numHashes` min-hashes per document, hash family
+   * `h_i(s) = xxhash64(i, s)` (independent seeds via the leading literal).
+   * Banding: `bands` bands of `numHashes/bands` rows; documents colliding in
+   * any band become candidates; candidates are verified with exact Jaccard so
+   * the output contains no false positives (recall is governed by the band
+   * curve `1−(1−t^r)^b` — with 64 hashes / 16 bands ≈ 0.9998 at t = 0.8).
+   *
+   * One shuffle to aggregate signatures, one per-band bucket join on
+   * `(band, bucket-hash)` — no pair ever forms outside a shared bucket.
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val exploded = sets.select(col(idCol), explode(col("shingles")).as("s"))
+    val minAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    val sigs = exploded.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { j =>
+      val slice = (0 until rows).map(r => col(s"m${j * rows + r}"))
+      struct(lit(j).as("band"), hash(slice: _*).as("bucket")).as(s"bk$j")
+    }
+    val buckets = sigs.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(j => col(s"bk$j")): _*)).as("bk"))
+    val l = buckets.select(col(idCol).as("doc_a"), col("bk"))
+    val r = buckets.select(col(idCol).as("doc_b"), col("bk"))
+    val candidates = l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens: bit k of the
+    * fingerprint is the sign of `Σ_tokens (±1)` where the token votes +1 if
+    * bit k of `xxhash64(token)` is set. Pure aggregation — one shuffle. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tk"))
+      .withColumn("h", xxhash64(col("tk")))
+    val votes = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$k")
+    }
+    val agg = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map { k =>
+      when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ `maxBits` over the 64-bit
+    * fingerprints. Banding on 4 × 16-bit segments: any pair within hamming 3
+    * must agree on at least one segment (pigeonhole), so candidates form
+    * only inside segment buckets; then the exact popcount filter runs on
+    * candidates only. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxBits: Int = 3): DataFrame = {
+    require(maxBits <= 3, "4x16-bit banding guarantees recall only up to hamming distance 3")
+    val fps = simhash(docs, idCol, textCol)
+    val segs = (0 until 4).map(j =>
+      struct(lit(j).as("seg"), shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("val")).as(s"sg$j"))
+    val buckets = fps.select(col(idCol) +: col("simhash") +: segs: _*)
+      .select(col(idCol), col("simhash"), explode(array((0 until 4).map(j => col(s"sg$j")): _*)).as("sg"))
+    val l = buckets.select(col(idCol).as("doc_a"), col("simhash").as("fp_a"), col("sg"))
+    val r = buckets.select(col(idCol).as("doc_b"), col("simhash").as("fp_b"), col("sg"))
+    l.join(r, Seq("sg")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxBits)
+  }
+}

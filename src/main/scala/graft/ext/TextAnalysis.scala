@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines
+ * (SURVEY.md §2.12): token counting, quality scoring, language ID, document
+ * fingerprinting. Everything is built from codegen'd `functions._` /
+ * higher-order array functions — no UDFs — so the whole pipeline stays
+ * inside whole-stage codegen and scales linearly with no shuffle at all
+ * (pure per-row map; the parquet scan is the only I/O).
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenizer shared by all ops (and mirrored by the DuckDB
+    * oracles as `regexp_split_to_array(text, '\s+')`). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token statistics per document: count + distinct count. */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"))
+  }
+
+  /** Stopword set for quality scoring — a small fixed English function-word
+    * list (public-domain common words). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+  /**
+   * Quality scores per document. All ratios are exact integer-over-integer
+   * double divisions, so Spark and the DuckDB oracle produce bit-identical
+   * results (no rounding fudge needed):
+   *  - `n_tokens`, `n_chars_obs` (observed length),
+   *  - `avg_token_len` = sum(len(token))/n_tokens,
+   *  - `stopword_ratio` = stopword tokens / tokens,
+   *  - `short_doc` = fewer than `minTokens` tokens (quality flag).
+   */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minTokens: Int = 30): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("double")
+    val sw = typedLit(Stopwords)
+    docs.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      length(col(textCol)).as("n_chars_obs"),
+      (aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x).cast("double") / nTok)
+        .as("avg_token_len"),
+      (size(filter(t, x => array_contains(sw, x))).cast("double") / nTok).as("stopword_ratio"),
+      (size(t) < minTokens).as("short_doc"))
+  }
+
+  /** Marker words for the n-gram/stopword language-ID heuristic. Scores are
+    * marker-token counts; prediction is the argmax with a fixed tie-break
+    * order (en, de, fr, es, zh). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "is", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Language identification: count marker-word hits per language, predict
+    * the argmax (ties resolved in [[LangMarkers]] order). One projection —
+    * no shuffle, no UDF. */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(t, x => array_contains(typedLit(words), x)))
+    }
+    // argmax with first-wins tie-break: fold a (bestScore, bestLang) struct
+    val best = scores.tail.foldLeft(struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    docs.select(
+      col(idCol),
+      best.getField("l").as("pred_lang"),
+      best.getField("s").as("marker_hits"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — a
+    * normalization-stable document signature (token order and duplication
+    * insensitive). Useful as a cheap exact-dedup key at scale. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fingerprint"))
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import java.time.LocalDate
+
+import graft.time.Windows
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's copy/sync capability surface re-expressed as pure
+ * `DataFrame → DataFrame` transformations (SURVEY.md §2). Nothing here
+ * collects to the driver; every operator is a distributed expression, so the
+ * same code paths hold on a 1000-executor cluster:
+ *
+ *  - changed keys stay a DataFrame and are broadcast-joined when small
+ *    (fixes the reference's driver-side key list, `TableUpdateService.cs:99-103`);
+ *  - window predicates are simple column comparisons so Catalyst pushes them
+ *    into the parquet/JDBC scan (`PushedFilters`);
+ *  - no per-2000-key batching (`TableUpdateService.cs:110-114`) — a single
+ *    semi/anti join replaces the loop.
+ */
+object Ops {
+
+  /** Audit columns the target manages itself; every copy drops them
+    * case-insensitively (`TableCopyService.cs:152-161`). */
+  val AuditColumns: Seq[String] = Seq("Id", "insert_datetime")
+
+  /** P1 — star projection minus audit columns, case-insensitive
+    * (`TableCopyService.cs:156-157`). Relies on Spark's default
+    * case-insensitive resolution for exact names but also handles arbitrary
+    * casing explicitly so `ID`/`Insert_DateTime` are dropped too. */
+  def dropAudit(df: DataFrame): DataFrame = {
+    val lower = AuditColumns.map(_.toLowerCase)
+    val doomed = df.columns.filter(c => lower.contains(c.toLowerCase))
+    if (doomed.isEmpty) df else df.drop(doomed.toIndexedSeq: _*)
+  }
+
+  /** P3 — raw-datetime BETWEEN over the reference's exact day bounds
+    * (start-of-day .. next-day − 3 ms, `TableCopyService.cs:108-112,127-133`). */
+  def windowPredicate(dateCol: String, from: LocalDate, to: LocalDate): Column =
+    col(dateCol).between(lit(Windows.dayStart(from)), lit(Windows.dayEnd(to)))
+
+  /** P4 — the update path's different compare: `CAST(col AS DATE) BETWEEN`
+    * (`TableUpdateService.cs:84,87`). Kept deliberately asymmetric with P3
+    * (SURVEY.md §7.4.4). */
+  def datePredicate(dateCol: String, from: LocalDate, to: LocalDate): Column =
+    to_date(col(dateCol)).between(lit(from), lit(to))
+
+  /** S2 — date-windowed scan (`SELECT * WHERE dateCol BETWEEN`,
+    * `TableCopyService.cs:127-138`). */
+  def windowScan(source: DataFrame, dateCol: String, from: LocalDate, to: LocalDate): DataFrame =
+    source.filter(windowPredicate(dateCol, from, to))
+
+  /** A1 — windowed delete = keep the complement of the window
+    * (`DELETE … WHERE dateCol BETWEEN`, `TableCopyService.cs:106-117`). */
+  def windowDelete(target: DataFrame, dateCol: String, from: LocalDate, to: LocalDate): DataFrame =
+    target.filter(!windowPredicate(dateCol, from, to))
+
+  /** A5 — windowed reload: one transaction's delete+copy
+    * (`TableCopyService.cs:89-170`) as a single expression:
+    * `target ∖ window ∪ (source ∩ window minus audit cols)`.
+    * Publish via `TableStore.atomicOverwrite` for the transactional part. */
+  def windowedReload(target: DataFrame, source: DataFrame, dateCol: String,
+      from: LocalDate, to: LocalDate): DataFrame =
+    windowDelete(target, dateCol, from, to)
+      .unionByName(dropAudit(windowScan(source, dateCol, from, to)))
+
+  /** A2 — dim truncate-and-reload (`TRUNCATE TABLE` + full copy,
+    * `TableCopyService.cs:94-101,125-126`): the post-state is simply the
+    * source minus audit columns. */
+  def truncateReload(source: DataFrame): DataFrame = dropAudit(source)
+
+  /** J1 — changed-key discovery: keys modified in the window but NOT created
+    * in it (`TableUpdateService.cs:81-88`). The reference's `NOT IN (subquery)`
+    * is `left_anti` here; they agree because primary keys are non-null
+    * (SQL `NOT IN` returns empty if the subquery yields any NULL — documented
+    * SURVEY.md §7.4.3). Both sides are single-column projections so the join
+    * is cheap and broadcastable. */
+  def changedKeys(source: DataFrame, pk: String, dateCol: String, updateCol: String,
+      from: LocalDate, to: LocalDate): DataFrame = {
+    val modified = source.filter(datePredicate(updateCol, from, to)).select(pk)
+    val created = source.filter(datePredicate(dateCol, from, to)).select(pk)
+    modified.join(created, Seq(pk), "left_anti")
+  }
+
+  /** A3 — keyed delete (`DELETE WHERE pk IN (batch)`,
+    * `TableUpdateService.cs:117-128`) without the 2000-key batching. */
+  def keyedDelete(target: DataFrame, pk: String, keys: DataFrame): DataFrame =
+    target.join(keys, Seq(pk), "left_anti")
+
+  /** S3/J2 — re-fetch source rows whose key is in the changed set
+    * (`SELECT * WHERE pk IN (batch)`, `TableUpdateService.cs:131-138`). */
+  def keyedFetch(source: DataFrame, pk: String, keys: DataFrame): DataFrame =
+    source.join(keys, Seq(pk), "left_semi")
+
+  /** A4 — upsert: replace target rows for changed keys with fresh source rows
+    * (`TableUpdateService.cs:108-166`). The changed-key side is typically
+    * tiny relative to the table — broadcast it so neither the target nor the
+    * source shuffles. */
+  def upsert(target: DataFrame, source: DataFrame, pk: String, changed: DataFrame): DataFrame = {
+    val keys = broadcast(changed.select(pk).distinct())
+    keyedDelete(target, pk, keys)
+      .unionByName(dropAudit(keyedFetch(source, pk, keys)))
+  }
+
+  /** Full incremental-update step (entry point C, SURVEY.md §3.3):
+    * discover changed keys on the source, then upsert them into the target. */
+  def incrementalUpdate(target: DataFrame, source: DataFrame, pk: String,
+      dateCol: String, updateCol: String, from: LocalDate, to: LocalDate): DataFrame =
+    upsert(target, source, pk, changedKeys(source, pk, dateCol, updateCol, from, to))
+}

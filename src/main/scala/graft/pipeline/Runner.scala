@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import java.time.{LocalDate, LocalDateTime}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+import graft.config.{EngineConfig, TableSpec}
+import graft.ledger.Ledger
+import graft.ops.Ops
+import graft.proc.SqlStepRegistry
+import graft.store.TableStore
+import graft.time.Windows
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Outcome of one table's processing (per-table error isolation, O5). */
+final case class TableResult(table: String, process: String, rows: Option[Long], error: Option[Throwable]) {
+  def ok: Boolean = error.isEmpty
+}
+
+/**
+ * Pipeline driver — the analog of `BulkCopyManager.Run`
+ * (`BulkCopyManager.cs:100-197`): derive the window, classify tables, then
+ * dispatch in the reference's phase order:
+ *
+ *  1. SQL steps (sprocs), sequential; a failure ABORTS the run (`:114-134`),
+ *  2. copy+update facts: windowed reload, then incremental update, sequential (`:137-163`),
+ *  3. plain facts: windowed reload (append if no date column), sequential (`:166-179`),
+ *  4. dims: truncate+reload, in parallel (`Parallel.ForEach`, `:181-195`).
+ *
+ * Copy/update failures are caught per table and recorded in the ledger; the
+ * run continues (`TableCopyService.cs:178-205`). `historical` specs are never
+ * dispatched by the reference (`BulkCopyManager.cs:104` vs `:107-197`) — we
+ * surface them as explicit warnings instead of silence.
+ *
+ * Scale posture: phases submit independent Spark jobs (dims concurrently from
+ * multiple threads — the Spark scheduler interleaves them across the
+ * cluster); within each table the reload/upsert is one distributed plan, so
+ * parallelism is both inter-table (threads) and intra-table (partitions).
+ */
+final class Runner(
+    spark: SparkSession,
+    source: TableStore,
+    target: TableStore,
+    ledger: Ledger,
+    steps: SqlStepRegistry = new SqlStepRegistry(Map.empty),
+    clock: () => LocalDateTime = () => LocalDateTime.now()) {
+
+  private val log = org.apache.log4j.Logger.getLogger(getClass)
+
+  def run(cfg: EngineConfig): Seq[TableResult] = {
+    val window = Windows.derive(cfg.scheduleMode, clock(), Windows.ConfigWindow(cfg.dateFrom, cfg.dateTo))
+    val classified = TableSpec.classify(cfg.tables)
+    classified.historical.foreach(h =>
+      log.warn(s"table '${h.tableName}' has type 'historical' — classified but never dispatched " +
+        "(reference parity, BulkCopyManager.cs:104); skipping"))
+
+    val sprocResults = classified.sprocs.map(runStep(_, window)) // throws on failure (abort-run)
+    val copyUpdate = classified.copyUpdate.flatMap { spec =>
+      val c = runIsolated(spec, "Fact Copy", window)(copyTable(spec, window, truncate = false))
+      val u = runIsolated(spec, "Table Update", window)(updateTable(spec, window))
+      Seq(c, u)
+    }
+    val facts = classified.facts.map(spec =>
+      runIsolated(spec, "Fact Copy", window)(copyTable(spec, window, truncate = false)))
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dims = Await.result(
+      Future.traverse(classified.dims)(spec => Future(
+        runIsolated(spec, "Dim Copy", window)(copyTable(spec, window, truncate = true)))),
+      Duration.Inf)
+    sprocResults ++ copyUpdate ++ facts ++ dims
+  }
+
+  /** Phase-1 SQL step: window may be overridden at dispatch time by the
+    * midnight re-check (`BulkCopyManager.cs:116-126`). Failures rethrow. */
+  private def runStep(spec: TableSpec, window: (LocalDate, LocalDate)): TableResult = {
+    val (from, to) = Windows.sprocOverride(window, clock())
+    val rec = ledger.start(spec.tableName, "Sproc",
+      Some((from.toString, to.toString)))
+    Try(steps.run(spark, spec.tableName, from, to)) match {
+      case Success(_) =>
+        ledger.finish(rec, "Completed", None)
+        TableResult(spec.tableName, "Sproc", None, None)
+      case Failure(e) =>
+        ledger.finish(rec, "Failed", None, Some(e.toString))
+        throw e // reference parity: sproc failure aborts the whole run
+    }
+  }
+
+  private def runIsolated(spec: TableSpec, process: String, window: (LocalDate, LocalDate))(
+      body: => Long): TableResult = {
+    val rec = ledger.start(spec.tableName, process,
+      Some((window._1.toString, window._2.toString)),
+      spec.dateColumn, spec.updateDateColumn, spec.primaryKey)
+    Try(body) match {
+      case Success(rows) =>
+        ledger.finish(rec, "Completed", Some(rows))
+        TableResult(spec.tableName, process, Some(rows), None)
+      case Failure(e) =>
+        log.error(s"${spec.tableName} $process failed", e)
+        ledger.finish(rec, "Failed", None, Some(e.toString))
+        TableResult(spec.tableName, process, None, Some(e))
+    }
+  }
+
+  /** Entry point B analog (`TableCopyService.CopyTable`, SURVEY.md §3.2). */
+  private def copyTable(spec: TableSpec, window: (LocalDate, LocalDate), truncate: Boolean): Long = {
+    val src = Ops.dropAudit(source.read(spec.tableName))
+    val (from, to) = window
+    if (truncate) {
+      val fresh = Ops.truncateReload(src)
+      target.atomicOverwrite(spec.tableName, fresh)
+      target.read(spec.tableName).count()
+    } else spec.dateColumn match {
+      case Some(dc) =>
+        val tgt = if (target.exists(spec.tableName)) target.read(spec.tableName)
+                  else src.limit(0)
+        target.atomicOverwrite(spec.tableName, Ops.windowedReload(tgt, src, dc, from, to))
+        target.read(spec.tableName).count()
+      case None =>
+        // no date column → warn + pure append (TableCopyService.cs:121)
+        log.warn(s"${spec.tableName}: no date_column — appending full source (reference parity)")
+        val n = src.count()
+        target.append(spec.tableName, src)
+        n
+    }
+  }
+
+  /** Entry point C analog (`TableUpdateService.UpdateTable`, SURVEY.md §3.3). */
+  private def updateTable(spec: TableSpec, window: (LocalDate, LocalDate)): Long = {
+    val (from, to) = window
+    val (pk, dc, uc) = (spec.primaryKey.get, spec.dateColumn.get, spec.updateDateColumn.get)
+    val src = source.read(spec.tableName)
+    val changed = Ops.changedKeys(src, pk, dc, uc, from, to).cache()
+    try {
+      val n = changed.count() // recordsCopied = changed-key count (TableUpdateService.cs:163)
+      if (n > 0) {
+        val tgt = target.read(spec.tableName)
+        target.atomicOverwrite(spec.tableName, Ops.upsert(tgt, src, pk, changed))
+      }
+      n
+    } finally changed.unpersist()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Directory-per-table parquet store with atomic publish.
+ *
+ * Stands in for the reference's target SQL Server database plus its
+ * delete+bulk-insert transaction (`TableCopyService.cs:89,170`): readers of a
+ * table must never observe a half-refreshed state. With no transactional
+ * table format on the classpath, atomicity comes from a write-temp-then-rename
+ * swap protocol on the filesystem (SURVEY.md §4.4):
+ *
+ *  1. write the new state to `<table>.tmp-<nonce>` (Spark job; crash here
+ *     leaves the current state untouched),
+ *  2. rename current `<table>` → `<table>.old-<nonce>` (atomic),
+ *  3. rename `<table>.tmp-<nonce>` → `<table>` (atomic publish),
+ *  4. delete the `.old` dir (best-effort cleanup).
+ *
+ * A crash between 2 and 3 is recovered by [[recover]]: if `<table>` is
+ * missing but an `.old` dir exists, the old state is renamed back. Stale
+ * `.tmp`/`.old` dirs never shadow the live directory because reads only ever
+ * target `<table>` exactly.
+ *
+ * At 100 TB the same protocol holds: the swap is two metadata operations
+ * regardless of data volume, and the expensive step (1) is a fully parallel
+ * distributed write.
+ */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(table: String): String = s"$root/$table"
+
+  def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
+
+  def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
+
+  /** Append rows (the reference's plain `SqlBulkCopy` append path,
+    * `TableCopyService.cs:121,144-170`). Not atomic across files; used for
+    * the ledger and pure-append facts. */
+  def append(table: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(tablePath(table))
+
+  /** Atomically replace the table's state with `df` (protocol above).
+    * `df` MAY be derived from the table's own current state — it is fully
+    * materialized into the temp dir before any rename touches the live dir. */
+  def atomicOverwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val live = new Path(tablePath(table))
+    val tmp = new Path(tablePath(table) + s".tmp-$nonce")
+    val old = new Path(tablePath(table) + s".old-$nonce")
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode("overwrite").parquet(tmp.toString)
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, old))
+      throw new java.io.IOException(s"atomicOverwrite: could not retire $live")
+    if (!fs.rename(tmp, live)) {
+      // roll back: restore the old state before failing
+      if (hadLive) fs.rename(old, live)
+      throw new java.io.IOException(s"atomicOverwrite: could not publish $tmp as $live")
+    }
+    if (hadLive) fs.delete(old, true)
+  }
+
+  /** Crash recovery: restore `<table>` from the newest `.old-` dir if the
+    * live dir is missing; drop stale `.tmp-`/`.old-` dirs. */
+  def recover(table: String): Unit = {
+    val live = new Path(tablePath(table))
+    val parent = new Path(root)
+    if (!fs.exists(parent)) return
+    val leftovers = fs.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$table.tmp-") || p.getName.startsWith(s"$table.old-"))
+    if (!fs.exists(live)) {
+      val olds = leftovers.filter(_.getName.startsWith(s"$table.old-")).sortBy(_.getName)
+      olds.lastOption.foreach(o => fs.rename(o, live))
+    }
+    leftovers.filter(p => fs.exists(p) && !(p == live)).foreach(fs.delete(_, true))
+  }
+}
