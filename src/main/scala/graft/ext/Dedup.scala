@@ -42,6 +42,53 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Shingle sets hashed to SORTED distinct `array<bigint>`. Tokens are
+    * hashed once (`xxhash64`), then each n-gram shingle is the hash of its
+    * n token hashes — no shingle strings are ever materialized, which makes
+    * this ~3× cheaper than hashing `concat_ws` shingles. All candidate
+    * generation and Jaccard verification runs on these: long keys shuffle
+    * and compare far cheaper than strings, and sortedness lets
+    * [[org.apache.spark.sql.graftx.SortedIntersectCount]] verify pairs in
+    * one codegen'd merge pass. Set semantics (and so Jaccard) are identical
+    * to string shingles modulo 64-bit collisions — negligible below ~2^32
+    * distinct shingles (birthday bound); switch to a 128-bit hash beyond. */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    // separate projection so token hashes are computed once, not per shingle
+    val tokenHashes = docs.select(col(idCol), transform(t, tok => xxhash64(tok)).as("th"))
+    val th = col("th")
+    val grams = when(size(th) >= n,
+        array_distinct(transform(sequence(lit(0), size(th) - n),
+          i => xxhash64((1 to n).map(k => element_at(th, i + lit(k))): _*))))
+      .otherwise(array(xxhash64(th)))
+    tokenHashes.select(col(idCol), array_sort(grams).as("hs"))
+      .withColumn("sz", size(col("hs")))
+  }
+
+  /** Jaccard from a sorted-merge intersection count: `c / (|a| + |b| − c)` —
+    * same integers as [[jaccard]], same exact double. */
+  private def jaccardFromCount(c: Column, sza: Column, szb: Column): Column =
+    c.cast("double") / (sza + szb - c).cast("double")
+
+  /**
+   * All id pairs `(doc_a < doc_b)` sharing a key: group ids per key (ONE
+   * shuffle) and expand pairs inside each posting list with higher-order
+   * functions — no self-join, so the (expensive) upstream plan that produced
+   * `(key, id)` is computed once instead of twice. Buckets here are
+   * blocking-scheme buckets (prefix shingles, LSH bands, SimHash segments),
+   * which are small by construction; a pathologically hot bucket would
+   * signal the blocking scheme itself needs tuning (more bands / longer
+   * prefixes), not this expansion.
+   */
+  def bucketPairs(keyed: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val expanded = keyed.groupBy(keyCol).agg(array_sort(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    expanded.select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
+  }
+
   /**
    * Exact n-gram Jaccard similarity self-join: all pairs `(doc_a < doc_b)`
    * with `J(shingles_a, shingles_b) >= threshold`.
@@ -60,10 +107,13 @@ object Dedup {
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val exploded = sets.select(col(idCol), explode(col("shingles")).as("s"))
+    // the sets feed candidate generation AND both verify sides — persist so
+    // the shingling subtree runs once, not three times
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sets.select(col(idCol), explode(col("hs")).as("s"))
     val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
-    // global canonical order: (df asc, shingle asc); prefix length per doc
+    // global canonical order: (df asc, hash asc); prefix length per doc
     val ordered = exploded.join(freq, "s")
       .groupBy(idCol)
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
@@ -73,15 +123,19 @@ object Dedup {
       .withColumn("plen",
         (size(col("ordered")) - ceil(lit(threshold) * size(col("ordered"))) + 1).cast("int"))
       .select(col(idCol), explode(slice(col("ordered"), lit(1), col("plen"))).as("s"))
-    val left = prefixed.select(col(idCol).as("doc_a"), col("s"))
-    val right = prefixed.select(col(idCol).as("doc_b"), col("s"))
-    val candidates = left.join(right, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    verifyPairs(bucketPairs(prefixed, "s", idCol), sets, idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the hashed
+    * shingle sets (codegen'd sorted-merge intersection). */
+  private def verifyPairs(candidates: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftx.VectorFunctions.sorted_intersect_count
+    val sa = sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val sb = sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     candidates.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("c", sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", jaccardFromCount(col("c"), col("sz_a"), col("sz_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -103,8 +157,11 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val exploded = sets.select(col(idCol), explode(col("shingles")).as("s"))
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sets.select(col(idCol), explode(col("hs")).as("s"))
+    // hash family h_i(s) = xxhash64(i, s) over the already-hashed shingle —
+    // 12 fixed-width bytes per evaluation instead of re-hashing the string
     val minAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
     val sigs = exploded.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until bands).map { j =>
@@ -113,16 +170,7 @@ object Dedup {
     }
     val buckets = sigs.select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(j => col(s"bk$j")): _*)).as("bk"))
-    val l = buckets.select(col(idCol).as("doc_a"), col("bk"))
-    val r = buckets.select(col(idCol).as("doc_b"), col("bk"))
-    val candidates = l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyPairs(bucketPairs(buckets, "bk", idCol), sets, idCol, threshold)
   }
 
   /** 64-bit SimHash per document over whitespace tokens: bit k of the
@@ -151,14 +199,13 @@ object Dedup {
     val fps = simhash(docs, idCol, textCol)
     val segs = (0 until 4).map(j =>
       struct(lit(j).as("seg"), shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("val")).as(s"sg$j"))
-    val buckets = fps.select(col(idCol) +: col("simhash") +: segs: _*)
-      .select(col(idCol), col("simhash"), explode(array((0 until 4).map(j => col(s"sg$j")): _*)).as("sg"))
-    val l = buckets.select(col(idCol).as("doc_a"), col("simhash").as("fp_a"), col("sg"))
-    val r = buckets.select(col(idCol).as("doc_b"), col("simhash").as("fp_b"), col("sg"))
-    l.join(r, Seq("sg")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
-      .distinct()
+    val buckets = fps.select(col(idCol) +: segs: _*)
+      .select(col(idCol), explode(array((0 until 4).map(j => col(s"sg$j")): _*)).as("sg"))
+    val fa = fps.select(col(idCol).as("doc_a"), col("simhash").as("fp_a"))
+    val fb = fps.select(col(idCol).as("doc_b"), col("simhash").as("fp_b"))
+    bucketPairs(buckets, "sg", idCol)
+      .join(fa, "doc_a").join(fb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(fp_a ^ fp_b)").as("hamming"))
       .filter(col("hamming") <= maxBits)
   }
 }
