@@ -179,7 +179,7 @@ object Queries {
       val e = emb(s, d)
       Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
-    "sim_ann_lsh" -> ((s, d) => {
+    "sim_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
@@ -338,7 +338,7 @@ object Queries {
     "mm_frame_counts" ->
       "SELECT doc_id AS id, greatest(octet_length(encode(text)) // 64, 1) AS n_frames FROM documents"
     // no oracle (rows-only driver check): dedup_simhash (xxhash64 not available
-    // in DuckDB), sim_ann_lsh (approximate by design; recall vs exact covered
+    // in DuckDB), sim_ann_ivf (approximate by design; recall vs exact covered
     // in SimilaritySpec)
   )
 }

@@ -57,42 +57,92 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
-  /** Deterministic random hyperplanes (seeded), as literal columns. */
-  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
+  /**
+   * Train an IVF coarse quantizer: k-means centroids over a bounded,
+   * deterministic sample of unit-normalized corpus vectors. The sample
+   * (≤ `sampleSize` rows) is the ONLY driver-side materialization — standard
+   * IVF practice (the quantizer is tiny; the index assignment stays fully
+   * distributed), so this holds at any corpus size.
+   */
+  private[ext] def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+      sampleSize: Int, seed: Long): Array[Array[Double]] = {
+    val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).length
+    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(transform(col("v"), x => x / col("n")).as("v"))
+      .orderBy(rand(seed)).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} smaller than nlist $nlist")
     val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    var centroids = rnd.shuffle(sample.toVector).take(nlist).map(_.clone()).toArray
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // spherical k-means: assign by max cosine, recenter, renormalize
+    for (_ <- 0 until 8) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bs = Double.MinValue
+        var c = 0
+        while (c < nlist) { val s = dotA(v, centroids(c)); if (s > bs) { bs = s; best = c }; c += 1 }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c)
+          val n = math.sqrt(dotA(m, m))
+          if (n == 0) centroids(c) else m.map(_ / n)
+        }
+      }.toArray
+    }
+    centroids
   }
 
-  /** Sign-LSH bucket id: bit p set iff `v · plane_p >= 0`. */
-  private def bucketOf(v: Column, ps: Seq[Array[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      when(dot(v, typedLit(p.toSeq)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** IVF list assignment: argmax of `vec_dot(v, centroid_c)` — `nlist`
+    * codegen'd dot products per row, no shuffle. Uses
+    * `array_position(scores, array_max(scores))` so the expression tree is
+    * LINEAR in `nlist` (a naive when-chain fold that embeds the accumulator
+    * in both branches is O(2^nlist) nodes and hangs codegen at nlist=16).
+    * Ties resolve to the first (lowest) list id. */
+  private def listAssignment(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = array(centroids.map(c => dot(v, typedLit(c.toSeq))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
 
   /**
-   * Approximate top-k via random-hyperplane LSH: corpus vectors are hashed
-   * into `2^nPlanes` buckets (the coarse inverted-file structure); each query
-   * probes its own bucket plus all hamming-1 neighbor buckets, and exact
-   * cosine re-ranks within the probed lists.
+   * Approximate top-k via IVF (inverted-file) search: a coarse quantizer
+   * (spherical k-means over a deterministic sample, [[trainCentroids]])
+   * partitions the corpus into `nlist` inverted lists; each query probes its
+   * `nprobe` nearest lists and exact cosine re-ranks within them.
    *
-   * At cluster scale the bucket assignment is a single narrow map, the
-   * probe join shuffles only on `bucket` (small keys), and each inverted
-   * list is a tiny fraction of the corpus — the classic IVF trade: recall
-   * (more probes) vs. cost (fewer). Recall vs. the exact [[topK]] is
-   * measured in `SimilaritySpec`.
+   * Scale shape: centroid training is bounded (sample-sized); list
+   * assignment is a narrow map over the corpus (`nlist` codegen'd dot
+   * products per vector); the probe join shuffles only on small `list` keys;
+   * each query scans ~`nprobe/nlist` of the corpus. Unlike random-hyperplane
+   * LSH, the quantizer adapts to the data's cluster structure, which is what
+   * rescues recall on weakly-clustered embeddings (measured vs. exact
+   * [[topK]] in `SimilaritySpec`).
    */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val ps = planes(corpus.select(col(vecCol)).head().getSeq[Float](0).length, nPlanes, seed)
+      k: Int, nlist: Int = 16, nprobe: Int = 6, sampleSize: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, nlist, sampleSize, seed)
     val c = unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
-      .withColumn("bucket", bucketOf(col("cv"), ps))
-    val q = unitized(queries, idCol, vecCol, "query_id", "qv")
-      .withColumn("b0", bucketOf(col("qv"), ps))
-    // multiprobe: own bucket + flip each bit once (hamming-1 neighbors)
-    val probes = array((lit(0L) +: (0 until nPlanes).map(i => shiftleft(lit(1L), i))): _*)
-    val probed = q.select(col("query_id"), col("qv"),
-      explode(transform(probes, m => col("b0").bitwiseXOR(m))).as("bucket"))
-    val scored = broadcast(probed).join(c, Seq("bucket"))
+      .withColumn("list", listAssignment(col("cv"), cents))
+    // per-query: nprobe nearest centroids, by sorting (−dot, list) pairs
+    val q0 = unitized(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("cd", array(cents.zipWithIndex.map { case (cent, i) =>
+        struct((-dot(col("qv"), typedLit(cent.toSeq))).as("nd"), lit(i).as("l"))
+      }: _*))
+    val probed = q0.select(col("query_id"), col("qv"),
+      explode(transform(slice(array_sort(col("cd")), 1, nprobe), p => p.getField("l"))).as("list"))
+    val scored = broadcast(probed).join(c, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

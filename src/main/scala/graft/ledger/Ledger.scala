@@ -42,6 +42,13 @@ final class Ledger(spark: SparkSession, store: TableStore, table: String = "tbl_
 
   private def ts(t: LocalDateTime): java.sql.Timestamp = java.sql.Timestamp.valueOf(t)
 
+  /** Ledger appends are serialized: the parallel-dims phase (O3) calls
+    * start/finish from multiple threads, and concurrent Spark write jobs into
+    * the same directory race on the FileOutputCommitter `_temporary` staging
+    * dir. The rows are single-record writes, so the lock costs nothing. */
+  private def appendLocked(df: org.apache.spark.sql.DataFrame): Unit =
+    this.synchronized { store.append(table, df) }
+
   /** Append the "In Progress" record; returns the runId used by [[finish]]. */
   def start(tableName: String, process: String, window: Option[(String, String)],
       dateColumn: Option[String] = None, updateDateColumn: Option[String] = None,
@@ -53,7 +60,7 @@ final class Ledger(spark: SparkSession, store: TableStore, table: String = "tbl_
       startDateParam = window.map(_._1), endDateParam = window.map(_._2),
       dateColumn = dateColumn, updateDateColumn = updateDateColumn, primaryKey = primaryKey,
       recordsCopied = None, errorMessage = None)
-    store.append(table, Seq(rec).toDF())
+    appendLocked(Seq(rec).toDF())
     rec
   }
 
@@ -61,7 +68,7 @@ final class Ledger(spark: SparkSession, store: TableStore, table: String = "tbl_
     * UPDATE on a new connection (`TableCopyService.cs:206-228`). */
   def finish(run: RunRecord, status: String, recordsCopied: Option[Long],
       errorMessage: Option[String] = None): Unit =
-    store.append(table, Seq(run.copy(
+    appendLocked(Seq(run.copy(
       seq = run.seq + 1, status = status, endTime = Some(ts(clock())),
       recordsCopied = recordsCopied, errorMessage = errorMessage)).toDF())
 

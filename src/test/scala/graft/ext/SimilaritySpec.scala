@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = graft.io.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+
+  test("vector_dot matches the interpreted higher-order-function result") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val native = df.select(org.apache.spark.sql.graftx.VectorFunctions.vec_dot(col("a"), col("b")))
+      .as[Double].head()
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    assert(native == 32.0 && hof == native)
+  }
+
+  test("sorted_intersect_count on sorted long arrays") {
+    val df = Seq((Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L))).toDF("a", "b")
+    val c = df.select(org.apache.spark.sql.graftx.VectorFunctions
+      .sorted_intersect_count(col("a"), col("b"))).as[Int].head()
+    assert(c == 2)
+  }
+
+  test("topK returns k neighbors per query, none self") {
+    val q = emb.filter(col("vec_id") < 5)
+    val got = Similarity.topK(emb, q, "vec_id", "embedding", 3)
+      .as[(Long, Long)].collect()
+    assert(got.length == 15)
+    assert(got.forall { case (a, b) => a != b })
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+  }
+
+  test("ANN (IVF, kmeans coarse quantizer) recall ≥ 0.6 vs exact top-5 at nprobe=6/16") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(emb, q, "vec_id", "embedding", 5)
+      .as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, q, "vec_id", "embedding", 5)
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall below 0.6")
+    // full-probe IVF degenerates to exact search
+    val full = Similarity.annTopK(emb, q, "vec_id", "embedding", 5, nlist = 16, nprobe = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("cosinePairs finds planted identical vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairs(df, "vec_id", "embedding", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token stats + quality on a known document") {
+    val df = Seq((1L, "the quick brown fox the end")).toDF("doc_id", "text")
+    val stats = TextAnalysis.tokenStats(df).as[(Long, Int, Int)].head()
+    assert(stats == ((1L, 6, 5)))
+    val q = TextAnalysis.quality(df).select("n_tokens", "stopword_ratio").as[(Int, Double)].head()
+    assert(q._1 == 6)
+    assert(q._2 == 2.0 / 6.0) // "the" twice
+  }
+
+  test("langId picks the marker-richest language with fixed tie-break") {
+    val df = Seq(
+      (1L, "the cat is on the mat"),
+      (2L, "der hund und die katze ist da"),
+      (3L, "zz yy xx")).toDF("doc_id", "text") // no markers → tie → 'en' first
+    val got = TextAnalysis.langId(df).select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "en")
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    val df = Seq((1L, "b a c a"), (2L, "c b a"), (3L, "c b a d")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df).as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("multimodal: synthetic media round-trips through partition-wise decode") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withSyntheticMedia(docs))
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(1L).nBytes == 11L)
+    assert(feats(1L).headByte == 'h'.toInt)
+    assert(feats(2L).nBytes == 0L && feats(2L).headByte == -1)
+    // checksum is the real CRC32 of the payload bytes
+    val crc = new java.util.zip.CRC32
+    crc.update("hello world".getBytes("UTF-8"))
+    assert(feats(1L).checksum == crc.getValue)
+  }
+
+  test("frame sampling yields ceil-ish windows over the payload") {
+    val docs = Seq((1L, "x" * 200)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.withSyntheticMedia(docs), 32, 2)
+    // 200 bytes / (32*2) = 3 full strides → frames 0,1,2
+    assert(frames.count() == 3)
+    assert(frames.agg(max(length(col("frame")))).head().getInt(0) <= 32)
+  }
+
+  test("SqlStepRegistry substitutes window placeholders") {
+    val reg = new graft.proc.SqlStepRegistry(Map(
+      "s" -> "SELECT TIMESTAMP '{start_ts}' AS a, TIMESTAMP '{end_ts}' AS b, DATE '{start_date}' AS c"))
+    val sql = reg.sqlFor("s", java.time.LocalDate.of(2024, 1, 5), java.time.LocalDate.of(2024, 1, 9))
+    assert(sql.contains("2024-01-05 00:00:00.000") && sql.contains("2024-01-09 23:59:59.997")
+      && sql.contains("DATE '2024-01-05'"))
+    assertThrows[NoSuchElementException](reg.sqlFor("nope", java.time.LocalDate.now(), java.time.LocalDate.now()))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import java.time.LocalDate
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val li = graft.io.Tables.load(spark, TestSpark.Sf0001, "lineitem")
+  private val from = LocalDate.of(1998, 1, 1)
+  private val to = LocalDate.of(1998, 1, 7)
+
+  test("dropAudit removes Id/insert_datetime case-insensitively (P1)") {
+    val df = Seq((1L, "x")).toDF("a", "b")
+      .withColumn("iD", lit(9L)).withColumn("INSERT_datetime", lit("t"))
+    assert(Ops.dropAudit(df).columns.toSeq == Seq("a", "b"))
+    // untouched when absent
+    assert(Ops.dropAudit(Seq((1, 2)).toDF("x", "y")).columns.toSeq == Seq("x", "y"))
+  }
+
+  test("window predicate: inclusive day start, inclusive day-end −3ms (P3/F3)") {
+    val rows = Seq(
+      ("start", "1998-01-01 00:00:00.000"),
+      ("just_before_start", "1997-12-31 23:59:59.999"),
+      ("end_997", "1998-01-07 23:59:59.997"),
+      ("end_998", "1998-01-07 23:59:59.998")
+    ).toDF("name", "s").withColumn("d", col("s").cast("timestamp_ntz"))
+    val in = rows.filter(Ops.windowPredicate("d", from, to)).select("name").as[String].collect().toSet
+    assert(in == Set("start", "end_997"))
+  }
+
+  test("windowed reload: conservation + idempotence + window refresh (A5)") {
+    val target = li.filter(col("l_shipdate") < lit(java.time.LocalDateTime.of(1999, 1, 1, 0, 0)))
+    val once = Ops.windowedReload(target, li, "l_shipdate", from, to)
+    // rows outside the window are exactly the target's outside-rows
+    val outsideBefore = target.filter(!Ops.windowPredicate("l_shipdate", from, to)).count()
+    assert(once.filter(!Ops.windowPredicate("l_shipdate", from, to)).count() == outsideBefore)
+    // rows inside the window are exactly the source's inside-rows
+    val insideSrc = li.filter(Ops.windowPredicate("l_shipdate", from, to)).count()
+    assert(once.filter(Ops.windowPredicate("l_shipdate", from, to)).count() == insideSrc)
+    // applying the reload twice equals applying once
+    val twice = Ops.windowedReload(once, li, "l_shipdate", from, to)
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("changedKeys = modified-in-window minus created-in-window (J1)") {
+    val src = Seq(
+      // pk, created, updated
+      (1L, "2024-01-02", "2024-01-06"), // modified in window, created before → changed
+      (2L, "2024-01-05", "2024-01-06"), // created in window → excluded
+      (3L, "2024-01-02", "2024-01-12"), // modified after window → excluded
+      (4L, "2024-01-01", "2024-01-09")  // changed (boundary end day)
+    ).toDF("pk", "c", "u")
+      .select(col("pk"), col("c").cast("timestamp_ntz").as("c"), col("u").cast("timestamp_ntz").as("u"))
+    val got = Ops.changedKeys(src, "pk", "c", "u", LocalDate.of(2024, 1, 5), LocalDate.of(2024, 1, 9))
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("upsert replaces changed keys, leaves others byte-identical (A4)") {
+    val target = Seq((1L, "old"), (2L, "keep")).toDF("pk", "v")
+    val source = Seq((1L, "new"), (2L, "ignored"), (3L, "fresh")).toDF("pk", "v")
+    val changed = Seq(1L, 3L).toDF("pk")
+    val got = Ops.upsert(target, source, "pk", changed).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "new"), (2L, "keep"), (3L, "fresh")))
+  }
+
+  test("keyedDelete/keyedFetch are anti/semi joins (A3/S3)") {
+    val t = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "v")
+    val keys = Seq(2L).toDF("pk")
+    assert(Ops.keyedDelete(t, "pk", keys).select("pk").as[Long].collect().toSet == Set(1L, 3L))
+    assert(Ops.keyedFetch(t, "pk", keys).select("pk").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("explain: window scan pushes the between-filter into the parquet scan") {
+    val plan = Ops.windowScan(li, "l_shipdate", from, to)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("IsNotNull(l_shipdate")),
+      s"no pushdown in plan:\n$plan")
+  }
+
+  test("explain: upsert broadcasts the changed-key side") {
+    val target = Seq((1L, "old")).toDF("pk", "v")
+    val source = Seq((1L, "new")).toDF("pk", "v")
+    val plan = Ops.upsert(target, source, "pk", Seq(1L).toDF("pk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"no broadcast join in plan:\n$plan")
+  }
+}

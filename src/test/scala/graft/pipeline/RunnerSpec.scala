@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.TestSpark
+import graft.config.{EngineConfig, TableSpec}
+import graft.ledger.Ledger
+import graft.ops.Ops
+import graft.proc.SqlStepRegistry
+import graft.store.TableStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val clock = () => LocalDateTime.of(2024, 6, 1, 12, 0)
+
+  private def setup() = {
+    val src = new TableStore(spark, Files.createTempDirectory("graft-src").toString)
+    val tgt = new TableStore(spark, Files.createTempDirectory("graft-tgt").toString)
+    val led = new Ledger(spark, tgt, clock = clock)
+    // fact table with a date column + audit columns the copy must drop
+    src.atomicOverwrite("fact_sales", Seq(
+      (1L, "2024-01-02 10:00:00", 10.0),
+      (2L, "2024-01-05 10:00:00", 20.0),
+      (3L, "2024-01-09 10:00:00", 30.0)
+    ).toDF("sale_id", "sold_at", "amount")
+      .withColumn("sold_at", col("sold_at").cast("timestamp_ntz"))
+      .withColumn("Id", col("sale_id") * 100)
+      .withColumn("insert_datetime", col("sold_at")))
+    // dim
+    src.atomicOverwrite("dim_color", Seq((1, "red"), (2, "blue")).toDF("color_id", "name"))
+    (src, tgt, led)
+  }
+
+  private def cfg(tables: TableSpec*) = EngineConfig(
+    sourceSchema = "src", targetSchema = "tgt", scheduleMode = None,
+    dateFrom = Some("2024-01-05"), dateTo = Some("2024-01-09"),
+    tables = tables)
+
+  test("full run: dim truncate-reload + fact window reload, audit cols dropped, ledger Completed") {
+    val (src, tgt, led) = setup()
+    val runner = new Runner(spark, src, tgt, led, clock = clock)
+    val results = runner.run(cfg(
+      TableSpec("fact_sales", "fact", dateColumn = Some("sold_at")),
+      TableSpec("dim_color", "dim"),
+      TableSpec("ghost", "historical", updateDateColumn = Some("u"))))
+    assert(results.forall(_.ok), results.mkString("; "))
+    // dim fully reloaded
+    assert(tgt.read("dim_color").count() == 2)
+    // fact: target had nothing; reload publishes the window rows only (2 and 3)
+    val fact = tgt.read("fact_sales")
+    assert(fact.select("sale_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(!fact.columns.map(_.toLowerCase).exists(Set("id", "insert_datetime")))
+    // ledger: every run has a Completed record
+    val led2 = led.latest.select("tableName", "status").as[(String, String)].collect().toSet
+    assert(led2 == Set(("fact_sales", "Completed"), ("dim_color", "Completed")))
+  }
+
+  test("copy+update: changed keys re-copied from source (entry point C)") {
+    val (src, tgt, led) = setup()
+    // source with created/updated cols: key 1 created before window, updated inside
+    src.atomicOverwrite("fact_upd", Seq(
+      (1L, "2024-01-02 08:00:00", "2024-01-06 08:00:00", "v2"),
+      (2L, "2024-01-06 08:00:00", "2024-01-06 09:00:00", "new"),
+      (3L, "2024-01-01 08:00:00", "2024-01-02 08:00:00", "old")
+    ).toDF("pk", "created_at", "updated_at", "payload")
+      .withColumn("created_at", col("created_at").cast("timestamp_ntz"))
+      .withColumn("updated_at", col("updated_at").cast("timestamp_ntz")))
+    // target holds stale copies of all three
+    tgt.atomicOverwrite("fact_upd", Seq(
+      (1L, "2024-01-02 08:00:00", "2024-01-02 08:00:00", "v1"),
+      (2L, "2024-01-06 08:00:00", "2024-01-06 08:00:00", "stale"),
+      (3L, "2024-01-01 08:00:00", "2024-01-02 08:00:00", "old")
+    ).toDF("pk", "created_at", "updated_at", "payload")
+      .withColumn("created_at", col("created_at").cast("timestamp_ntz"))
+      .withColumn("updated_at", col("updated_at").cast("timestamp_ntz")))
+    val runner = new Runner(spark, src, tgt, led, clock = clock)
+    val results = runner.run(cfg(TableSpec("fact_upd", "fact",
+      dateColumn = Some("created_at"), updateDateColumn = Some("updated_at"),
+      primaryKey = Some("pk"))))
+    assert(results.forall(_.ok), results.mkString("; "))
+    val after = tgt.read("fact_upd").select("pk", "payload").as[(Long, String)].collect().toMap
+    assert(after(1L) == "v2")   // changed key refreshed by the update step
+    assert(after(2L) == "new")  // created-in-window: refreshed by the copy step
+    assert(after(3L) == "old")  // untouched
+  }
+
+  test("per-table error isolation: one bad table doesn't stop the run (O5)") {
+    val (src, tgt, led) = setup()
+    val runner = new Runner(spark, src, tgt, led, clock = clock)
+    val results = runner.run(cfg(
+      TableSpec("does_not_exist", "dim"),
+      TableSpec("dim_color", "dim")))
+    assert(results.count(_.ok) == 1 && results.count(!_.ok) == 1)
+    assert(tgt.read("dim_color").count() == 2)
+    val statuses = led.latest.select("tableName", "status").as[(String, String)].collect().toSet
+    assert(statuses.contains(("does_not_exist", "Failed")))
+    assert(statuses.contains(("dim_color", "Completed")))
+  }
+
+  test("sproc failure aborts the run (O1 rethrow)") {
+    val (src, tgt, led) = setup()
+    val steps = new SqlStepRegistry(Map("boom" -> "SELECT * FROM nonexistent_table_xyz"))
+    val runner = new Runner(spark, src, tgt, led, steps, clock)
+    assertThrows[Exception] {
+      runner.run(cfg(TableSpec("boom", "sproc"), TableSpec("dim_color", "dim")))
+    }
+    // dim never ran: sprocs are phase 1 and abort everything
+    assert(!tgt.exists("dim_color"))
+  }
+
+  test("fact without date column appends (TableCopyService.cs:121 parity)") {
+    val (src, tgt, led) = setup()
+    val runner = new Runner(spark, src, tgt, led, clock = clock)
+    runner.run(cfg(TableSpec("dim_color", "fact"))) // no dateColumn → append path
+    runner.run(cfg(TableSpec("dim_color", "fact")))
+    assert(tgt.read("dim_color").count() == 4) // appended twice
+  }
+}

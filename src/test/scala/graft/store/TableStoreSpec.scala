@@ -1,0 +1,52 @@
+package graft.store
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("atomicOverwrite round-trips and replaces state") {
+    val store = freshStore()
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(store.read("t").count() == 2)
+    store.atomicOverwrite("t", Seq((9, "z")).toDF("k", "v"))
+    assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((9, "z")))
+  }
+
+  test("atomicOverwrite works when df derives from the table's own state") {
+    val store = freshStore()
+    store.atomicOverwrite("t", (1 to 10).toDF("k"))
+    val doubled = store.read("t").withColumn("k", org.apache.spark.sql.functions.col("k") * 2)
+    store.atomicOverwrite("t", doubled)
+    assert(store.read("t").as[Int].collect().sorted.toSeq == (1 to 10).map(_ * 2))
+  }
+
+  test("append accumulates files") {
+    val store = freshStore()
+    store.append("t", Seq(1).toDF("k"))
+    store.append("t", Seq(2).toDF("k"))
+    assert(store.read("t").count() == 2)
+  }
+
+  test("recover restores the old state after a crash between renames") {
+    val store = freshStore()
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    // simulate a crash after step 2 (live retired to .old, new state not yet published)
+    val root = new org.apache.hadoop.fs.Path(store.tablePath("t")).getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(store.tablePath("t")),
+      new org.apache.hadoop.fs.Path(store.tablePath("t") + ".old-deadbeef"))
+    assert(!store.exists("t"))
+    store.recover("t")
+    assert(store.exists("t") && store.read("t").count() == 1)
+    // leftover dirs cleaned
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.tablePath("t") + ".old-deadbeef")))
+  }
+}
