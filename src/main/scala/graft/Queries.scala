@@ -111,6 +111,8 @@ object Queries {
       val source = events(s, d).withColumn("value", col("value") + 1)
       Ops.upsert(target, source, "event_id", changed)
     }),
+    "a1_window_delete" -> ((s, d) =>
+      Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
       // flagship: stale target (loaded only to 1998-12-31) refreshed for the window
       val target = li(s, d).filter(col("l_shipdate") < lit(java.time.LocalDateTime.of(1999, 1, 1, 0, 0)))
@@ -238,6 +240,8 @@ object Queries {
          |SELECT * FROM target WHERE event_id NOT IN (SELECT event_id FROM changed)
          |UNION ALL
          |SELECT * FROM src WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    "a1_window_delete" ->
+      s"SELECT * FROM lineitem WHERE l_shipdate NOT BETWEEN $liStartLit AND $liEndLit",
     "a5_window_reload" ->
       s"""SELECT * FROM lineitem
          | WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -276,7 +280,8 @@ object Queries {
     "text_token_stats" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(text, '\s+')) AS n_tokens,
-        |       len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct_tokens
+        |       len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_bpe
         |  FROM documents""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars_obs,

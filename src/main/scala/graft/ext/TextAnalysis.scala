@@ -17,13 +17,20 @@ object TextAnalysis {
     * oracles as `regexp_split_to_array(text, '\s+')`). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Token statistics per document: count + distinct count. */
+  /** BPE-ish sub-word tokenizer: word runs OR single non-word-non-space
+    * characters — the usual pre-tokenization regex shape of BPE vocabularies
+    * (punctuation splits off as its own token). */
+  val BpeIshPattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+  /** Token statistics per document: whitespace count, distinct count, and
+    * the BPE-ish regex token count. */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
     docs.select(
       col(idCol),
       size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_distinct_tokens"))
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeIshPattern), lit(0))).as("n_tokens_bpe"))
   }
 
   /** Stopword set for quality scoring — a small fixed English function-word

@@ -9,9 +9,9 @@ class TextMultimodalSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("token stats + quality on a known document") {
-    val df = Seq((1L, "the quick brown fox the end")).toDF("doc_id", "text")
-    val stats = TextAnalysis.tokenStats(df).as[(Long, Int, Int)].head()
-    assert(stats == ((1L, 6, 5)))
+    val df = Seq((1L, "the quick brown fox, the end.")).toDF("doc_id", "text")
+    val stats = TextAnalysis.tokenStats(df).as[(Long, Int, Int, Int)].head()
+    assert(stats == ((1L, 6, 5, 8))) // bpe-ish: 6 words + ',' + '.'
     val q = TextAnalysis.quality(df).select("n_tokens", "stopword_ratio").as[(Int, Double)].head()
     assert(q._1 == 6)
     assert(q._2 == 2.0 / 6.0) // "the" twice

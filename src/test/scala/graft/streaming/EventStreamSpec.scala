@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // stream sources must be directories: stage the fixture file into one
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val q = EventStream.windowedCounts(EventStream.read(spark, dir), "1 hour", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("wc").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .select("window_start", "event_type", "n_events")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      // append mode emits only windows the watermark has passed; every
+      // emitted window must match the batch result, and most windows emit
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch), s"streamed windows disagree with batch")
+      assert(streamed.size >= batch.size - 2) // at most the tail windows unemitted
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each event_id once") {
+    val q = EventStream.dedupedEvents(EventStream.read(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").as[Long].collect()
+      assert(ids.length == ids.distinct.length)
+      assert(ids.nonEmpty)
+    } finally q.stop()
+  }
+}
