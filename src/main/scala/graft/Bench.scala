@@ -13,6 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen/JIT warmup so per-query numbers reflect
+    // steady state instead of charging startup to whichever query runs first
+    SparkEntry.queries.get("s2_window_scan").foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

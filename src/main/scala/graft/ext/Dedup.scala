@@ -156,37 +156,29 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    import org.apache.spark.sql.graftx.VectorFunctions.minhash_signature
     val rows = numHashes / bands
     val sets = hashedShingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = sets.select(col(idCol), explode(col("hs")).as("s"))
-    // hash family h_i(s) = xxhash64(i, s) over the already-hashed shingle —
-    // 12 fixed-width bytes per evaluation instead of re-hashing the string
-    val minAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    val sigs = exploded.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until bands).map { j =>
-      val slice = (0 until rows).map(r => col(s"m${j * rows + r}"))
-      struct(lit(j).as("band"), hash(slice: _*).as("bucket")).as(s"bk$j")
-    }
-    val buckets = sigs.select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands).map(j => col(s"bk$j")): _*)).as("bk"))
+    // signature = one codegen'd per-row pass (no explode/aggregate shuffle);
+    // band key j = hash of the j-th row-group slice of the signature
+    val sigs = sets.select(col(idCol), minhash_signature(col("hs"), numHashes).as("sig"))
+    val buckets = sigs.select(col(idCol),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"), hash(slice(col("sig"), j * rows + 1, rows)).as("bucket"))): _*)).as("bk"))
     verifyPairs(bucketPairs(buckets, "bk", idCol), sets, idCol, threshold)
   }
 
   /** 64-bit SimHash per document over whitespace tokens: bit k of the
     * fingerprint is the sign of `Σ_tokens (±1)` where the token votes +1 if
-    * bit k of `xxhash64(token)` is set. Pure aggregation — one shuffle. */
+    * bit k of `xxhash64(token)` is set. Computed by the codegen'd
+    * [[org.apache.spark.sql.graftx.SimHash64]] expression — a pure per-row
+    * map, NO shuffle (the old explode + 64-sum-aggregate formulation
+    * shuffled the whole exploded token stream). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tk"))
-      .withColumn("h", xxhash64(col("tk")))
-    val votes = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$k")
-    }
-    val agg = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { k =>
-      when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), fp.as("simhash"))
+    import org.apache.spark.sql.graftx.VectorFunctions.simhash64
+    docs.select(col(idCol),
+      simhash64(transform(TextAnalysis.tokens(col(textCol)), tk => xxhash64(tk))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ `maxBits` over the 64-bit

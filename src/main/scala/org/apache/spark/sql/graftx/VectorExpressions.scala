@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -117,6 +117,146 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Codegen'd 64-bit SimHash over an `array<bigint>` of element hashes: bit k
+ * of the result is set iff more elements have bit k set than clear. Replaces
+ * an explode + 64-sum-aggregate shuffle with a single per-row pass — SimHash
+ * becomes a pure map over the corpus (no shuffle at all until blocking).
+ */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < x.numElements()) {
+      val h = x.getLong(i)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += (((($h >>> $b) & 1L) == 1L) ? 1 : -1);
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/**
+ * Codegen'd MinHash signature over an `array<bigint>` of element hashes:
+ * `numHashes` independent min-hashes, hash family `mix(h ^ seed_i)` with a
+ * splitmix64-style finalizer (public-domain mixing constants). One per-row
+ * pass replacing an explode + N-min-aggregate shuffle; the signature array
+ * feeds LSH banding downstream.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0 && numHashes <= 512, "numHashes must be in 1..512")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  /** splitmix64 seeds, one per hash function (deterministic). */
+  private lazy val seeds: Array[Long] = {
+    val out = new Array[Long](numHashes)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < numHashes) {
+      x += 0x9E3779B97F4A7C15L
+      out(i) = MinHashSignature.mix(x)
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < x.numElements()) {
+      val h = x.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = MinHashSignature.mix(h ^ seeds(k))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $v = org.apache.spark.sql.graftx.MinHashSignature.mix($h ^ $seedsRef[$k]);
+         |    if ($v < $sig[$k]) $sig[$k] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** splitmix64 finalizer (public-domain constants). */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -125,4 +265,12 @@ object VectorFunctions {
   /** Codegen'd |a ∩ b| for sorted duplicate-free `array<bigint>` columns. */
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd per-row SimHash over element hashes. */
+  def simhash64(a: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(a)))
+
+  /** Codegen'd per-row MinHash signature (`numHashes` longs) over element hashes. */
+  def minhash_signature(a: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a), numHashes))
 }
