@@ -14,7 +14,12 @@ final case class TableSpec(
     tableType: String,
     dateColumn: Option[String] = None,
     updateDateColumn: Option[String] = None,
-    primaryKey: Option[String] = None) {
+    primaryKey: Option[String] = None,
+    /** Store this fact date-partitioned (`load_date=<day>` dirs) so the
+      * windowed reload swaps only the window's partitions — the 100 TB
+      * layout (config key `partition_by_date`; an engine extension, the
+      * reference has no equivalent). */
+    partitionByDate: Boolean = false) {
   def typeLower: String = tableType.trim.toLowerCase
 }
 
@@ -92,7 +97,8 @@ object EngineConfig {
             tableType = f("table_type").getOrElse("fact"),
             dateColumn = f("date_column"),
             updateDateColumn = f("update_date_column"),
-            primaryKey = f("primary_key"))
+            primaryKey = f("primary_key"),
+            partitionByDate = f("partition_by_date").exists(_.equalsIgnoreCase("true")))
         }
       }
     EngineConfig(

@@ -104,26 +104,44 @@ final class Runner(
     }
   }
 
-  /** Entry point B analog (`TableCopyService.CopyTable`, SURVEY.md §3.2). */
+  /** Entry point B analog (`TableCopyService.CopyTable`, SURVEY.md §3.2).
+    * `recordsCopied` (the reference's `SqlRowsCopied` telemetry, S7) is
+    * collected with an [[org.apache.spark.sql.Observation]] DURING the write
+    * job — no second scan of anything. */
   private def copyTable(spec: TableSpec, window: (LocalDate, LocalDate), truncate: Boolean): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{col, count, lit, to_date}
     val src = Ops.dropAudit(source.read(spec.tableName))
     val (from, to) = window
+    val obs = Observation()
+    def copied(): Long = obs.get("copied").asInstanceOf[Long]
     if (truncate) {
-      val fresh = Ops.truncateReload(src)
-      target.atomicOverwrite(spec.tableName, fresh)
-      target.read(spec.tableName).count()
+      target.atomicOverwrite(spec.tableName,
+        Ops.truncateReload(src).observe(obs, count(lit(1)).as("copied")))
+      copied()
     } else spec.dateColumn match {
+      case Some(dc) if spec.partitionByDate =>
+        // 100 TB path: swap only the window's load_date partitions; cost is
+        // proportional to the window, not the table
+        val days = Iterator.iterate(from)(_.plusDays(1)).takeWhile(!_.isAfter(to)).toSeq
+        val fresh = Ops.windowScan(src, dc, from, to)
+          .observe(obs, count(lit(1)).as("copied"))
+          .withColumn("load_date", to_date(col(dc)))
+        target.overwriteDatePartitions(spec.tableName, fresh, "load_date", days)
+        copied()
       case Some(dc) =>
         val tgt = if (target.exists(spec.tableName)) target.read(spec.tableName)
                   else src.limit(0)
-        target.atomicOverwrite(spec.tableName, Ops.windowedReload(tgt, src, dc, from, to))
-        target.read(spec.tableName).count()
+        val fresh = Ops.dropAudit(Ops.windowScan(src, dc, from, to))
+          .observe(obs, count(lit(1)).as("copied"))
+        target.atomicOverwrite(spec.tableName,
+          Ops.windowDelete(tgt, dc, from, to).unionByName(fresh))
+        copied()
       case None =>
         // no date column → warn + pure append (TableCopyService.cs:121)
         log.warn(s"${spec.tableName}: no date_column — appending full source (reference parity)")
-        val n = src.count()
-        target.append(spec.tableName, src)
-        n
+        target.append(spec.tableName, src.observe(obs, count(lit(1)).as("copied")))
+        copied()
     }
   }
 

@@ -64,6 +64,48 @@ final class TableStore(spark: SparkSession, root: String) {
     if (hadLive) fs.delete(old, true)
   }
 
+  /**
+   * Partition-scoped overwrite — the 100 TB shape of the windowed reload:
+   * replace ONLY the date partitions named in `days`, leaving every other
+   * partition untouched. `df` must contain `partCol` (a `date` column); it is
+   * written `partitionBy(partCol)` into a temp dir, then each affected
+   * `partCol=<day>` directory is swapped into the live table:
+   *
+   *  - every day in `days` has its live partition retired (windowed DELETE
+   *    covers days that end up with zero fresh rows),
+   *  - each partition dir present in the temp output is renamed in.
+   *
+   * Each partition swap is an atomic rename; the overall operation is
+   * per-partition atomic (the same guarantee as Hive/Spark dynamic partition
+   * overwrite — a crash mid-way leaves some days new and some old, never a
+   * torn single day). Cost is proportional to the WINDOW's data, not the
+   * table: a one-week reload of a 10-year 100 TB fact table touches ~0.2%
+   * of the files and no shuffle.
+   */
+  def overwriteDatePartitions(table: String, df: DataFrame, partCol: String,
+      days: Seq[java.time.LocalDate]): Unit = {
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val live = new Path(tablePath(table))
+    val tmp = new Path(tablePath(table) + s".tmp-$nonce")
+    df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+    val f = fs
+    if (!f.exists(live)) f.mkdirs(live)
+    val retired = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    days.foreach { d =>
+      val p = new Path(live, s"$partCol=$d")
+      if (f.exists(p)) {
+        val old = new Path(live, s".retired-$nonce-$partCol=$d")
+        f.rename(p, old)
+        retired += ((p, old))
+      }
+    }
+    f.listStatus(tmp).map(_.getPath).filter(_.getName.startsWith(s"$partCol=")).foreach { p =>
+      f.rename(p, new Path(live, p.getName))
+    }
+    retired.foreach { case (_, old) => f.delete(old, true) }
+    f.delete(tmp, true)
+  }
+
   /** Crash recovery: restore `<table>` from the newest `.old-` dir if the
     * live dir is missing; drop stale `.tmp-`/`.old-` dirs. */
   def recover(table: String): Unit = {

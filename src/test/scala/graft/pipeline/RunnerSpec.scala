@@ -113,6 +113,21 @@ class RunnerSpec extends AnyFunSuite {
     assert(!tgt.exists("dim_color"))
   }
 
+  test("date-partitioned fact: reload touches only window partitions") {
+    val (src, tgt, led) = setup()
+    val runner = new Runner(spark, src, tgt, led, clock = clock)
+    val spec = TableSpec("fact_sales", "fact", dateColumn = Some("sold_at"), partitionByDate = true)
+    // first run loads window [01-05 .. 01-09] → sale 2 and 3 partitions
+    runner.run(cfg(spec))
+    assert(tgt.read("fact_sales").select("sale_id").as[Long].collect().toSet == Set(2L, 3L))
+    // widen the window to include day 01-02: new partition appears, existing kept
+    runner.run(cfg(spec).copy(dateFrom = Some("2024-01-01"), dateTo = Some("2024-01-09")))
+    assert(tgt.read("fact_sales").select("sale_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // partition dirs exist per load date
+    val dirs = new java.io.File(tgt.tablePath("fact_sales")).list().filter(_.startsWith("load_date="))
+    assert(dirs.toSet == Set("load_date=2024-01-02", "load_date=2024-01-05", "load_date=2024-01-09"))
+  }
+
   test("fact without date column appends (TableCopyService.cs:121 parity)") {
     val (src, tgt, led) = setup()
     val runner = new Runner(spark, src, tgt, led, clock = clock)

@@ -35,6 +35,22 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").count() == 2)
   }
 
+  test("overwriteDatePartitions swaps only the window's partitions") {
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    def rows(pairs: (String, Int)*) = pairs.toSeq.toDF("day", "v")
+      .withColumn("load_date", col("day").cast("date")).drop("day")
+    // seed three daily partitions
+    store.overwriteDatePartitions("t", rows("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3),
+      "load_date", (1 to 3).map(d => java.time.LocalDate.of(2024, 1, d)))
+    // reload window [02..03]: day 2 gets new data, day 3 has NO fresh rows → must empty
+    store.overwriteDatePartitions("t", rows("2024-01-02" -> 20),
+      "load_date", Seq(java.time.LocalDate.of(2024, 1, 2), java.time.LocalDate.of(2024, 1, 3)))
+    val after = store.read("t").select(col("load_date").cast("string"), col("v"))
+      .as[(String, Int)].collect().toSet
+    assert(after == Set(("2024-01-01", 1), ("2024-01-02", 20)))
+  }
+
   test("recover restores the old state after a crash between renames") {
     val store = freshStore()
     store.atomicOverwrite("t", Seq(1).toDF("k"))
