@@ -140,6 +140,21 @@ object Queries {
           sum(price * (lit(BigDecimal(1)) - disc)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
+    "q3_shipping_priority" -> ((s, d) => {
+      // TPC-H Q3 shape: revenue per order for one segment, top 10 — exercises
+      // a 3-way join (dim broadcast), grouped agg, deterministic top-k
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit(java.time.LocalDateTime.of(1998, 3, 15, 0, 0)))
+      val l = li(s, d).filter(col("l_shipdate") > lit(java.time.LocalDateTime.of(1998, 3, 15, 0, 0)))
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
     "join_enrich_orders" -> ((s, d) =>
       orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -259,6 +274,18 @@ object Queries {
         |  FROM lineitem
         | WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         | GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |   AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |   AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue DESC, l_orderkey
+        | LIMIT 10""".stripMargin,
     "join_enrich_orders" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |  FROM orders JOIN customer ON o_custkey = c_custkey

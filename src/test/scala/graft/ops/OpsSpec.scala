@@ -76,6 +76,18 @@ class OpsSpec extends AnyFunSuite {
     assert(Ops.keyedFetch(t, "pk", keys).select("pk").as[Long].collect().toSet == Set(2L))
   }
 
+  test("left_anti vs SQL NOT IN: equivalent only under non-null keys (J1 doc, SURVEY §7.4.3)") {
+    // SQL `pk NOT IN (subquery)` returns EMPTY if the subquery yields any
+    // NULL; left_anti (= NOT EXISTS) keeps non-matching rows. The engine
+    // uses left_anti and relies on primary keys being non-null — this test
+    // pins the behavioral difference the survey documents.
+    val modified = Seq(Some(1L), Some(2L)).toDF("pk")
+    val createdWithNull = Seq(Some(2L), None).toDF("pk")
+    val antiResult = modified.join(createdWithNull, Seq("pk"), "left_anti")
+      .as[Option[Long]].collect().toSet
+    assert(antiResult == Set(Some(1L))) // NOT IN would have returned nothing
+  }
+
   test("explain: window scan pushes the between-filter into the parquet scan") {
     val plan = Ops.windowScan(li, "l_shipdate", from, to)
       .queryExecution.executedPlan.toString
