@@ -191,6 +191,8 @@ object Queries {
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)),
 
+    "agg_label_centroids" -> ((s, d) => ext.Aggregators.labelCentroids(s, emb(s, d))),
+
     // ---- similarity search (§2.12) ----
     "sim_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -353,6 +355,12 @@ object Queries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+    "agg_label_centroids" ->
+      """SELECT label, array_agg(m ORDER BY idx) AS centroid FROM (
+        |  SELECT label, idx, round(avg(val), 6) AS m FROM (
+        |    SELECT label, unnest(embedding::DOUBLE[]) AS val,
+        |           generate_subscripts(embedding, 1) AS idx FROM embeddings) t
+        |  GROUP BY label, idx) g GROUP BY label""".stripMargin,
     "sim_topk" ->
       """SELECT query_id, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

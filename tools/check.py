@@ -17,10 +17,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def _norm(v):
     import datetime
     import decimal
+
+    import numpy as np
+
     if isinstance(v, decimal.Decimal):
         return float(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_norm(x) for x in v)
     return v
 
 
