@@ -185,6 +185,14 @@ object Queries {
 
     // ---- dedup (§2.12) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), Seq("lang", "source"), "doc_id")),
+    "dedup_fingerprint" -> ((s, d) => {
+      // content-based exact dedup: one cheap shuffle on the md5 fingerprint
+      // of the sorted distinct token set (the scale-friendly first pass
+      // before any fuzzy dedup)
+      val withFp = docs(s, d).withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text")))))))
+      Dedup.exact(withFp, Seq("fp"), "doc_id").drop("fp")
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)),
@@ -349,6 +357,12 @@ object Queries {
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |    FROM documents) x WHERE rn = 1""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM (
+        |    SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
+        |      FROM documents) f
+        |  GROUP BY fp)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
     "dedup_embedding_cosine" ->

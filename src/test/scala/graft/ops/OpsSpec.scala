@@ -88,6 +88,17 @@ class OpsSpec extends AnyFunSuite {
     assert(antiResult == Set(Some(1L))) // NOT IN would have returned nothing
   }
 
+  test("saltedJoin: same result as a plain join, keys spread over salts") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
+    val right = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("k", "w")
+    val plain = left.join(right, Seq("k")).select("k", "v", "w")
+      .as[(Long, String, String)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", 4).select("k", "v", "w")
+      .as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.size == 4)
+  }
+
   test("explain: window scan pushes the between-filter into the parquet scan") {
     val plan = Ops.windowScan(li, "l_shipdate", from, to)
       .queryExecution.executedPlan.toString
