@@ -23,6 +23,15 @@ import org.apache.spark.sql.types._
  * swap `readStream.parquet` for Kafka in production — the transforms are
  * source-agnostic.
  */
+/** One closed user session: contiguous activity with gaps under the
+  * session gap. */
+final case class Session(userId: Long, nEvents: Long,
+    start: java.sql.Timestamp, end: java.sql.Timestamp)
+
+/** Per-user sessionization state: three longs, bounded per key. (Top-level
+  * so the state encoder's generated code can instantiate it.) */
+final case class SessionState(nEvents: Long, start: Long, end: Long)
+
 object EventStream {
 
   /** The events schema as the stream source delivers it (ns timestamps come
@@ -57,4 +66,50 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /**
+   * Event-time sessionization via `flatMapGroupsWithState` — the custom
+   * stateful-operator surface (`KeyValueGroupedDataset`): per-user state is
+   * `(count, start, end)`, extended while events keep arriving within
+   * `gap`; when the event-time watermark passes `end + gap` the state times
+   * out and the closed session is emitted. State per key is three longs —
+   * bounded regardless of stream length — and keys are distributed by
+   * user hash, so the operator scales with the keyspace, not the history.
+   */
+  def sessionize(spark: SparkSession, events: DataFrame, gap: String = "30 minutes")
+      : org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    val typed = events.select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", gap)
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(Session(userId, s.nEvents,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end)))
+        } else {
+          val times = rows.map(_._2.getTime).toSeq
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+          times.sorted.foreach { t =>
+            if (st.nEvents > 0 && t - st.end > gapMillis) {
+              closed += Session(userId, st.nEvents,
+                new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end))
+              st = SessionState(0, Long.MaxValue, Long.MinValue)
+            }
+            st = SessionState(st.nEvents + 1, math.min(st.start, t), math.max(st.end, t))
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(st.end + gapMillis)
+          closed.iterator
+        }
+    }
+  }
 }

@@ -37,6 +37,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize closes sessions when the gap elapses (two-batch watermark advance)") {
+    import org.apache.spark.sql.functions._
+    // stage two files so batch 2 advances the watermark past batch 1's sessions
+    val d2 = java.nio.file.Files.createTempDirectory("graft-sess")
+    val early = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
+      .filter(col("ts") < lit(java.time.LocalDateTime.of(2024, 1, 3, 0, 0)))
+    val late = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
+      .filter(col("ts") >= lit(java.time.LocalDateTime.of(2024, 1, 20, 0, 0)))
+    early.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000).write.parquet(d2.toString + "/b1")
+    late.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000).write.parquet(d2.toString + "/b2")
+    val src = spark.readStream.schema(EventStream.RawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d2.toString + "/b*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.sessionize(spark, src, "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select("userId", "nEvents", "start", "end")
+        .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+      assert(sessions.nonEmpty, "no sessions closed after watermark advance")
+      // invariants: non-empty, ordered bounds, and no more events than staged
+      assert(sessions.forall(s => s._2 > 0 && !s._4.before(s._3)))
+      assert(sessions.map(_._2).sum <= early.count() + late.count())
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = EventStream.dedupedEvents(EventStream.read(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("dd").start()
