@@ -119,6 +119,16 @@ object Queries {
       Ops.windowedReload(target, li(s, d), "l_shipdate", LiFrom, LiTo)
     }),
     "a2_truncate_reload" -> ((s, d) => Ops.truncateReload(part(s, d))),
+    "asof_prior_error" -> ((s, d) => {
+      // as-of join: each click gets the user's latest error at or before it
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+      val errors = ev.filter(col("event_type") === "error")
+      Ops.asOfJoin(clicks, errors, "user_id", "ts", "ts", "event_id", "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.event_id").as("prior_error_id"),
+          col("asof.ts").as("prior_error_ts"))
+    }),
 
     // ---- sproc analog (§2.9 O1) ----
     "o1_sql_step" -> ((s, d) => {
@@ -274,6 +284,12 @@ object Queries {
          |UNION ALL
          |SELECT * FROM lineitem WHERE l_shipdate BETWEEN $liStartLit AND $liEndLit""".stripMargin,
     "a2_truncate_reload" -> "SELECT * FROM part",
+    "asof_prior_error" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |       e.event_id AS prior_error_id, CAST(e.ts AS TIMESTAMP) AS prior_error_ts
+        |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
     "o1_sql_step" -> Steps.sqlFor("daily_order_stats", OrdFrom, OrdTo),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -103,6 +103,47 @@ object Ops {
       .unionByName(dropAudit(keyedFetch(source, pk, keys)))
   }
 
+  /**
+   * As-of join — for every left row, the LATEST right row with
+   * `rightTime <= leftTime` for the same key (the time-series lookup the
+   * reference's warehouse would do with a correlated subquery; Spark has no
+   * native ASOF join, DuckDB does — used as the oracle).
+   *
+   * Composed from built-ins per the preference order (no custom physical
+   * operator needed): tag-and-union both sides, one window sorted by
+   * `(time, side, tie-break id)` per key, and a running
+   * `last(rightStruct, ignoreNulls)` — each left row picks up the most
+   * recent right payload at or before its timestamp. ONE hash shuffle on
+   * the key (both inputs together), no range cross-join, no per-key
+   * driver loop: the plan shape that survives a 100× scale-up.
+   *
+   * Right columns come back nested in `asofCol` (null when no right row
+   * precedes the left row). Ties at equal time: the right side is visible
+   * to the left row (<= semantics, matching DuckDB ASOF `>=`).
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, leftId: String, rightId: String,
+      asofCol: String = "asof"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightStruct = struct(right.columns.toIndexedSeq.map(col): _*)
+    val taggedRight = right.select(col(key), col(rightTime).as("__t"),
+      lit(0).as("__side"), col(rightId).as("__id"), rightStruct.as(asofCol))
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val taggedLeft = left.select(col(key), col(leftTime).as("__t"),
+      lit(1).as("__side"), col(leftId).as("__id"),
+      lit(null).cast(taggedRight.schema(asofCol).dataType).as(asofCol),
+      leftStruct.as("__row"))
+    val unioned = taggedLeft.unionByName(taggedRight.withColumn("__row", lit(null).cast(taggedLeft.schema("__row").dataType)))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t"), col("__side"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col(asofCol), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.toIndexedSeq.map(c => col(s"__row.`$c`").as(c)) :+
+        col("__asof").as(asofCol): _*)
+  }
+
   /** Full incremental-update step (entry point C, SURVEY.md §3.3):
     * discover changed keys on the source, then upsert them into the target. */
   def incrementalUpdate(target: DataFrame, source: DataFrame, pk: String,
