@@ -6,12 +6,12 @@ import org.apache.spark.sql.functions._
 
 /**
  * Similarity search over embedding columns (`array<float>`, SURVEY.md §2.12):
- * brute-force cosine top-k as the exact baseline, and a random-hyperplane
- * LSH-bucketed variant as the scale path (bucket = IVF-style inverted list;
- * probing = own bucket + hamming-1 neighbors).
+ * brute-force cosine top-k as the exact baseline, and IVF (inverted-file
+ * with a sampled spherical-k-means coarse quantizer) as the scale path.
  *
- * All vector math uses Spark's higher-order array functions (`zip_with` +
- * `aggregate`) — codegen'd expressions, no UDF, no MLlib dependency.
+ * All pairwise math runs through the native codegen'd `vector_dot`
+ * expression — no UDFs, no MLlib dependency — and vectors are unit-
+ * normalized once per row so similarity is a single dot product per pair.
  */
 object Similarity {
 
@@ -31,11 +31,15 @@ object Similarity {
   def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Project `(idAs, unit-normalized vector)` — normalization happens ONCE
-    * per row here so pairwise similarity later is a single dot product. */
+    * per row here so pairwise similarity later is a single dot product.
+    * Zero-norm vectors (padding/failure artifacts) normalize to all-zeros
+    * instead of NaN: NaN would sort ABOVE every real similarity under the
+    * `cos DESC` top-k ordering and poison every query's neighbors; a zero
+    * vector instead scores 0 against everything and never ranks. */
   private def unitized(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String): DataFrame =
     df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__n", norm(col("__v")))
+      .withColumn("__n", when(norm(col("__v")) === 0.0, lit(1.0)).otherwise(norm(col("__v"))))
       .select(col(idAs), transform(col("__v"), x => x / col("__n")).as(vecAs))
 
   /**
@@ -68,7 +72,7 @@ object Similarity {
       sampleSize: Int, seed: Long): Array[Array[Double]] = {
     val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).length
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
-      .withColumn("n", norm(col("v")))
+      .withColumn("n", when(norm(col("v")) === 0.0, lit(1.0)).otherwise(norm(col("v"))))
       .select(transform(col("v"), x => x / col("n")).as("v"))
       .orderBy(rand(seed)).limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
@@ -153,8 +157,10 @@ object Similarity {
   /**
    * Embedding near-duplicate pairs: all `(id_a < id_b)` with cosine ≥
    * `threshold`. Exact O(n²) pair scan with the smaller side broadcast —
-   * the correct baseline at fixture scale; at corpus scale substitute the
-   * LSH buckets from [[annTopK]] as the blocking stage (same verify step).
+   * the correct baseline at fixture scale; at corpus scale block first with
+   * the IVF list assignment from [[annTopK]]'s quantizer (pairs only form
+   * inside — or between adjacent — inverted lists) and keep this exact dot
+   * product as the verify step.
    */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = unitized(emb, idCol, vecCol, "id_a", "va")

@@ -28,9 +28,17 @@ object Skew {
   def salt(saltFactor: Int, cols: Seq[Column]): Column =
     pmod(hash(cols: _*), lit(saltFactor))
 
+  /** Allowed join types: ones where only LEFT rows can be emitted unmatched.
+    * Right/full outer would emit each unmatched right row `saltFactor` times
+    * (the right side is replicated per salt). */
+  private val SupportedJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins; '$joinType' would " +
+        "duplicate unmatched right rows once per salt")
     val saltedLeft = left.withColumn("__salt",
       salt(saltFactor, left.columns.toIndexedSeq.map(col)))
     val saltedRight = right.crossJoin(

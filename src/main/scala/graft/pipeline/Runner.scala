@@ -145,17 +145,40 @@ final class Runner(
     }
   }
 
-  /** Entry point C analog (`TableUpdateService.UpdateTable`, SURVEY.md §3.3). */
+  /** Entry point C analog (`TableUpdateService.UpdateTable`, SURVEY.md §3.3).
+    * For date-partitioned targets the upsert rewrites ONLY the partitions
+    * holding changed keys (old locations) or receiving fresh rows (new
+    * locations) — the day list is tiny metadata, collected to the driver
+    * like any partition listing; row data stays distributed. */
   private def updateTable(spec: TableSpec, window: (LocalDate, LocalDate)): Long = {
+    import org.apache.spark.sql.functions.{col, to_date}
     val (from, to) = window
-    val (pk, dc, uc) = (spec.primaryKey.get, spec.dateColumn.get, spec.updateDateColumn.get)
+    val pk = spec.primaryKey.get
+    val dc = spec.dateColumn.getOrElse(throw new IllegalArgumentException(
+      s"table '${spec.tableName}': incremental update (update_date_column + primary_key) " +
+        "also requires date_column — fix the Tables config entry"))
+    val uc = spec.updateDateColumn.get
     val src = source.read(spec.tableName)
     val changed = Ops.changedKeys(src, pk, dc, uc, from, to).cache()
     try {
       val n = changed.count() // recordsCopied = changed-key count (TableUpdateService.cs:163)
       if (n > 0) {
-        val tgt = target.read(spec.tableName)
-        target.atomicOverwrite(spec.tableName, Ops.upsert(tgt, src, pk, changed))
+        if (spec.partitionByDate) {
+          val tgt = target.read(spec.tableName) // carries the load_date partition column
+          val fresh = Ops.dropAudit(Ops.keyedFetch(src, pk, changed))
+            .withColumn("load_date", to_date(col(dc)))
+          val days = tgt.join(changed, Seq(pk), "left_semi").select("load_date")
+            .union(fresh.select("load_date")).distinct()
+            .collect().map(_.getDate(0).toLocalDate).toSeq
+          val slice = tgt.filter(col("load_date").isin(days: _*)).drop("load_date")
+            .join(changed, Seq(pk), "left_anti")
+            .unionByName(fresh.drop("load_date"))
+            .withColumn("load_date", to_date(col(dc)))
+          target.overwriteDatePartitions(spec.tableName, slice, "load_date", days)
+        } else {
+          val tgt = target.read(spec.tableName)
+          target.atomicOverwrite(spec.tableName, Ops.upsert(tgt, src, pk, changed))
+        }
       }
       n
     } finally changed.unpersist()

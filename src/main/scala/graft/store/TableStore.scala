@@ -90,34 +90,65 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
     val f = fs
     if (!f.exists(live)) f.mkdirs(live)
-    val retired = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!f.rename(from, to))
+        throw new java.io.IOException(s"overwriteDatePartitions: rename $from -> $to failed")
+    // per-day retire-then-publish keeps the crash window per partition
+    // minimal; a leftover .retired-* dir is restored by recover() if its
+    // live partition is missing
+    val retired = scala.collection.mutable.ListBuffer.empty[Path]
     days.foreach { d =>
       val p = new Path(live, s"$partCol=$d")
       if (f.exists(p)) {
         val old = new Path(live, s".retired-$nonce-$partCol=$d")
-        f.rename(p, old)
-        retired += ((p, old))
+        renameOrThrow(p, old)
+        retired += old
       }
+      val freshPart = new Path(tmp, s"$partCol=$d")
+      if (f.exists(freshPart)) renameOrThrow(freshPart, p)
     }
+    // a tmp partition outside `days` means the caller's day list was
+    // incomplete — publishing it into an existing live dir would nest the
+    // directory, so fail loudly instead of corrupting the layout
     f.listStatus(tmp).map(_.getPath).filter(_.getName.startsWith(s"$partCol=")).foreach { p =>
-      f.rename(p, new Path(live, p.getName))
+      val dest = new Path(live, p.getName)
+      if (f.exists(dest))
+        throw new java.io.IOException(
+          s"overwriteDatePartitions: fresh data for ${p.getName} but that day is not in the declared day list")
+      renameOrThrow(p, dest)
     }
-    retired.foreach { case (_, old) => f.delete(old, true) }
+    retired.foreach(f.delete(_, true))
     f.delete(tmp, true)
   }
 
-  /** Crash recovery: restore `<table>` from the newest `.old-` dir if the
-    * live dir is missing; drop stale `.tmp-`/`.old-` dirs. */
+  /** Crash recovery: restore `<table>` from the most recently modified
+    * `.old-` dir if the live dir is missing; restore any `.retired-*`
+    * partition dir whose live partition is missing (partition-scoped
+    * overwrite crash); drop all remaining stale `.tmp-`/`.old-`/`.retired-`
+    * dirs. */
   def recover(table: String): Unit = {
+    val f = fs
     val live = new Path(tablePath(table))
     val parent = new Path(root)
-    if (!fs.exists(parent)) return
-    val leftovers = fs.listStatus(parent).map(_.getPath)
-      .filter(p => p.getName.startsWith(s"$table.tmp-") || p.getName.startsWith(s"$table.old-"))
-    if (!fs.exists(live)) {
-      val olds = leftovers.filter(_.getName.startsWith(s"$table.old-")).sortBy(_.getName)
-      olds.lastOption.foreach(o => fs.rename(o, live))
+    if (!f.exists(parent)) return
+    val leftovers = f.listStatus(parent)
+      .filter(s => s.getPath.getName.startsWith(s"$table.tmp-") ||
+        s.getPath.getName.startsWith(s"$table.old-"))
+    if (!f.exists(live)) {
+      // newest retired snapshot by modification time, NOT by name (nonces
+      // are random — lexicographic order would restore an arbitrary one)
+      val olds = leftovers.filter(_.getPath.getName.startsWith(s"$table.old-"))
+        .sortBy(_.getModificationTime)
+      olds.lastOption.foreach(o => f.rename(o.getPath, live))
     }
-    leftovers.filter(p => fs.exists(p) && !(p == live)).foreach(fs.delete(_, true))
+    leftovers.map(_.getPath).filter(p => f.exists(p) && p != live).foreach(f.delete(_, true))
+    // partition-scoped crash: .retired-<nonce>-<partCol>=<day> inside the table dir
+    if (f.exists(live)) {
+      f.listStatus(live).map(_.getPath).filter(_.getName.startsWith(".retired-")).foreach { r =>
+        val partName = r.getName.replaceFirst("^\\.retired-[^-]+-", "")
+        val target = new Path(live, partName)
+        if (!f.exists(target)) f.rename(r, target) else f.delete(r, true)
+      }
+    }
   }
 }

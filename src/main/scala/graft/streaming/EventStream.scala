@@ -44,17 +44,23 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the stream with `ts` normalized to a timestamp (same conversion as
-    * `graft.io.Tables.load`). */
+  /** Open the stream with `ts` normalized to a micro-precision TIMESTAMP.
+    * NOTE this is TIMESTAMP (with local timezone), not the batch reader's
+    * TIMESTAMP_NTZ: Spark watermarks reject NTZ event-time columns
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Sessions pin the timezone to
+    * UTC, so wall-clock values agree with `graft.io.Tables.load`; cast with
+    * `col("ts").cast("timestamp_ntz")` when unioning stream and batch frames. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(RawSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Exactly-once event flow: duplicates of an `event_id` arriving within
-    * the watermark horizon are dropped; state for ids older than the
-    * watermark is evicted. */
+    * the watermark horizon are dropped. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates("event_id")`) is what makes state bounded:
+    * ids older than the watermark are evicted from the state store, so
+    * state size tracks the lateness horizon, not the stream length. */
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Tumbling-window count/sum per event type. Append output mode: a window
     * emits once its watermark passes — the streaming equivalent of the

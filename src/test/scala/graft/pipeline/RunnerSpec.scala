@@ -128,6 +128,43 @@ class RunnerSpec extends AnyFunSuite {
     assert(dirs.toSet == Set("load_date=2024-01-02", "load_date=2024-01-05", "load_date=2024-01-09"))
   }
 
+  test("date-partitioned copy+update: changed keys rewritten within their partitions only") {
+    val (src, tgt, led) = setup()
+    src.atomicOverwrite("fact_pupd", Seq(
+      (1L, "2024-01-02 08:00:00", "2024-01-06 08:00:00", "v2"),   // changed (created before window)
+      (2L, "2024-01-06 08:00:00", "2024-01-06 09:00:00", "new"),  // created in window
+      (3L, "2024-01-01 08:00:00", "2024-01-02 08:00:00", "old")   // untouched
+    ).toDF("pk", "created_at", "updated_at", "payload")
+      .withColumn("created_at", col("created_at").cast("timestamp_ntz"))
+      .withColumn("updated_at", col("updated_at").cast("timestamp_ntz")))
+    val spec = TableSpec("fact_pupd", "fact", dateColumn = Some("created_at"),
+      updateDateColumn = Some("updated_at"), primaryKey = Some("pk"), partitionByDate = true)
+    // run 1 with a wide window loads everything partitioned
+    val r1 = new Runner(spark, src, tgt, led, clock = clock)
+      .run(cfg(spec).copy(dateFrom = Some("2024-01-01"), dateTo = Some("2024-01-09")))
+    assert(r1.forall(_.ok), r1.mkString("; "))
+    // modify key 1 at the source, run the update window
+    src.atomicOverwrite("fact_pupd", src.read("fact_pupd")
+      .withColumn("payload", when(col("pk") === 1, lit("v3")).otherwise(col("payload"))))
+    val r2 = new Runner(spark, src, tgt, led, clock = clock).run(cfg(spec))
+    assert(r2.forall(_.ok), r2.mkString("; "))
+    val after = tgt.read("fact_pupd").select("pk", "payload").as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "v3", 2L -> "new", 3L -> "old"))
+    // layout still partitioned
+    val dirs = new java.io.File(tgt.tablePath("fact_pupd")).list().filter(_.startsWith("load_date="))
+    assert(dirs.nonEmpty)
+  }
+
+  test("copy+update spec without date_column fails with a clear config error") {
+    val (src, tgt, led) = setup()
+    src.atomicOverwrite("bad_upd", Seq((1L, "x")).toDF("pk", "payload"))
+    val results = new Runner(spark, src, tgt, led, clock = clock).run(cfg(
+      TableSpec("bad_upd", "fact", updateDateColumn = Some("u"), primaryKey = Some("pk"))))
+    val updateResult = results.find(_.process == "Table Update").get
+    assert(!updateResult.ok)
+    assert(updateResult.error.get.getMessage.contains("requires date_column"))
+  }
+
   test("fact without date column appends (TableCopyService.cs:121 parity)") {
     val (src, tgt, led) = setup()
     val runner = new Runner(spark, src, tgt, led, clock = clock)

@@ -51,6 +51,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(after == Set(("2024-01-01", 1), ("2024-01-02", 20)))
   }
 
+  test("recover restores a retired partition after a partition-swap crash") {
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    def rows(pairs: (String, Int)*) = pairs.toSeq.toDF("day", "v")
+      .withColumn("load_date", col("day").cast("date")).drop("day")
+    store.overwriteDatePartitions("t", rows("2024-01-01" -> 1, "2024-01-02" -> 2),
+      "load_date", (1 to 2).map(d => java.time.LocalDate.of(2024, 1, d)))
+    // simulate a crash between retiring a live partition and publishing the new one
+    val live = new org.apache.hadoop.fs.Path(store.tablePath("t"))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(live, "load_date=2024-01-02"),
+      new org.apache.hadoop.fs.Path(live, ".retired-cafe1234-load_date=2024-01-02"))
+    assert(store.read("t").count() == 1) // day 2 currently invisible
+    store.recover("t")
+    val after = store.read("t").select(col("load_date").cast("string"), col("v"))
+      .as[(String, Int)].collect().toSet
+    assert(after == Set(("2024-01-01", 1), ("2024-01-02", 2)))
+  }
+
   test("recover restores the old state after a crash between renames") {
     val store = freshStore()
     store.atomicOverwrite("t", Seq(1).toDF("k"))
