@@ -210,6 +210,21 @@ object Queries {
       Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)),
 
     "agg_label_centroids" -> ((s, d) => ext.Aggregators.labelCentroids(s, emb(s, d))),
+    "agg_user_sessions" -> ((s, d) => {
+      // batch analog of streaming sessionize: gap-based sessions via
+      // lag + cumulative session-break sum, then per-user rollup
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 1800 SECONDS"), 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("longest_session"))
+    }),
 
     // ---- similarity search (§2.12) ----
     "sim_topk" -> ((s, d) => {
@@ -385,6 +400,20 @@ object Queries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+    "agg_user_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
+        |    FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    FROM s),
+        |c AS (SELECT user_id, session_id, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session FROM c GROUP BY user_id""".stripMargin,
     "agg_label_centroids" ->
       """SELECT label, array_agg(m ORDER BY idx) AS centroid FROM (
         |  SELECT label, idx, round(avg(val), 6) AS m FROM (
