@@ -39,7 +39,8 @@ object Similarity {
   private def unitized(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String): DataFrame =
     df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__n", when(norm(col("__v")) === 0.0, lit(1.0)).otherwise(norm(col("__v"))))
+      .withColumn("__n0", norm(col("__v"))) // computed once per row
+      .withColumn("__n", when(col("__n0") === 0.0, lit(1.0)).otherwise(col("__n0")))
       .select(col(idAs), transform(col("__v"), x => x / col("__n")).as(vecAs))
 
   /**
@@ -72,7 +73,8 @@ object Similarity {
       sampleSize: Int, seed: Long): Array[Array[Double]] = {
     val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).length
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
-      .withColumn("n", when(norm(col("v")) === 0.0, lit(1.0)).otherwise(norm(col("v"))))
+      .withColumn("n0", norm(col("v")))
+      .withColumn("n", when(col("n0") === 0.0, lit(1.0)).otherwise(col("n0")))
       .select(transform(col("v"), x => x / col("n")).as("v"))
       .orderBy(rand(seed)).limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)

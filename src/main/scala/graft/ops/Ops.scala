@@ -126,8 +126,12 @@ object Ops {
       asofCol: String = "asof"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rightStruct = struct(right.columns.toIndexedSeq.map(col): _*)
-    val taggedRight = right.select(col(key), col(rightTime).as("__t"),
-      lit(0).as("__side"), col(rightId).as("__id"), rightStruct.as(asofCol))
+    // NULL right timestamps would sort FIRST (nulls-first ascending) and
+    // become every row's "earliest" match; ASOF semantics (and DuckDB's
+    // oracle) never match a NULL time — drop them
+    val taggedRight = right.filter(col(rightTime).isNotNull)
+      .select(col(key), col(rightTime).as("__t"),
+        lit(0).as("__side"), col(rightId).as("__id"), rightStruct.as(asofCol))
     val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val taggedLeft = left.select(col(key), col(leftTime).as("__t"),
       lit(1).as("__side"), col(leftId).as("__id"),

@@ -31,7 +31,8 @@ object Skew {
   /** Allowed join types: ones where only LEFT rows can be emitted unmatched.
     * Right/full outer would emit each unmatched right row `saltFactor` times
     * (the right side is replicated per salt). */
-  private val SupportedJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltFactor: Int,
       joinType: String = "inner"): DataFrame = {

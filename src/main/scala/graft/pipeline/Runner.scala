@@ -164,14 +164,21 @@ final class Runner(
       val n = changed.count() // recordsCopied = changed-key count (TableUpdateService.cs:163)
       if (n > 0) {
         if (spec.partitionByDate) {
+          // same broadcast(distinct keys) shape as Ops.upsert so neither the
+          // target nor the source shuffles for a small changed-key set
+          val keys = org.apache.spark.sql.functions.broadcast(changed.select(pk).distinct())
           val tgt = target.read(spec.tableName) // carries the load_date partition column
-          val fresh = Ops.dropAudit(Ops.keyedFetch(src, pk, changed))
+          val fresh = Ops.dropAudit(Ops.keyedFetch(src, pk, keys))
             .withColumn("load_date", to_date(col(dc)))
-          val days = tgt.join(changed, Seq(pk), "left_semi").select("load_date")
+          val days = tgt.join(keys, Seq(pk), "left_semi").select("load_date")
             .union(fresh.select("load_date")).distinct()
-            .collect().map(_.getDate(0).toLocalDate).toSeq
+            .collect().map { r =>
+              Option(r.getDate(0)).getOrElse(throw new IllegalArgumentException(
+                s"table '${spec.tableName}': a changed row has a NULL $dc — " +
+                  "date-partitioned tables require a non-null date_column")).toLocalDate
+            }.toSeq
           val slice = tgt.filter(col("load_date").isin(days: _*)).drop("load_date")
-            .join(changed, Seq(pk), "left_anti")
+            .join(keys, Seq(pk), "left_anti")
             .unionByName(fresh.drop("load_date"))
             .withColumn("load_date", to_date(col(dc)))
           target.overwriteDatePartitions(spec.tableName, slice, "load_date", days)

@@ -93,6 +93,16 @@ final class TableStore(spark: SparkSession, root: String) {
     def renameOrThrow(from: Path, to: Path): Unit =
       if (!f.rename(from, to))
         throw new java.io.IOException(s"overwriteDatePartitions: rename $from -> $to failed")
+    // validate BEFORE mutating anything: fresh data outside the declared day
+    // list means the caller's list was incomplete — failing after partial
+    // publication would leave the table half-mutated
+    val declared = days.map(d => s"$partCol=$d").toSet
+    val undeclared = f.listStatus(tmp).map(_.getPath.getName)
+      .filter(n => n.startsWith(s"$partCol=") && !declared.contains(n))
+    if (undeclared.nonEmpty)
+      throw new java.io.IOException(
+        s"overwriteDatePartitions: fresh data for ${undeclared.mkString(", ")} " +
+          "not covered by the declared day list — nothing was modified")
     // per-day retire-then-publish keeps the crash window per partition
     // minimal; a leftover .retired-* dir is restored by recover() if its
     // live partition is missing
@@ -106,16 +116,6 @@ final class TableStore(spark: SparkSession, root: String) {
       }
       val freshPart = new Path(tmp, s"$partCol=$d")
       if (f.exists(freshPart)) renameOrThrow(freshPart, p)
-    }
-    // a tmp partition outside `days` means the caller's day list was
-    // incomplete — publishing it into an existing live dir would nest the
-    // directory, so fail loudly instead of corrupting the layout
-    f.listStatus(tmp).map(_.getPath).filter(_.getName.startsWith(s"$partCol=")).foreach { p =>
-      val dest = new Path(live, p.getName)
-      if (f.exists(dest))
-        throw new java.io.IOException(
-          s"overwriteDatePartitions: fresh data for ${p.getName} but that day is not in the declared day list")
-      renameOrThrow(p, dest)
     }
     retired.foreach(f.delete(_, true))
     f.delete(tmp, true)

@@ -88,33 +88,50 @@ object EventStream {
     import spark.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0, s"session gap '$gap' must not use month units (variable length)")
     val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapMillis > 0, s"session gap '$gap' must be positive")
     val typed = events.select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       .withWatermark("ts", gap)
       .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+        def emit(s: SessionState) = Session(userId, s.nEvents,
+          new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end))
         if (state.hasTimedOut) {
           val s = state.get
           state.remove()
-          Iterator.single(Session(userId, s.nEvents,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end)))
+          Iterator.single(emit(s))
         } else {
+          // flatMapGroupsWithState does NOT drop late rows itself. An event
+          // more than gap BEFORE the open session belongs to an earlier
+          // session: closing it immediately (instead of merging) keeps every
+          // emitted session gap-consistent; merging would fabricate sessions
+          // spanning silent gaps. Out-of-order events within the gap extend
+          // the session exactly like in-order ones.
           val times = rows.map(_._2.getTime).toSeq
-          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionState]
           var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
           times.sorted.foreach { t =>
-            if (st.nEvents > 0 && t - st.end > gapMillis) {
-              closed += Session(userId, st.nEvents,
-                new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end))
+            if (st.nEvents > 0 && (t - st.end > gapMillis || t < st.start - gapMillis)) {
+              closed += st
               st = SessionState(0, Long.MaxValue, Long.MinValue)
             }
             st = SessionState(st.nEvents + 1, math.min(st.start, t), math.max(st.end, t))
           }
-          state.update(st)
-          state.setTimeoutTimestamp(st.end + gapMillis)
-          closed.iterator
+          // an old straggler session (entirely behind the watermark) closes
+          // now; otherwise keep it open and time out at end+gap — clamped
+          // above the current watermark or setTimeoutTimestamp throws
+          val wm = state.getCurrentWatermarkMs()
+          if (st.nEvents > 0 && st.end + gapMillis <= wm) {
+            closed += st
+            state.remove()
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.end + gapMillis, wm + 1))
+          }
+          closed.iterator.map(emit)
         }
     }
   }
