@@ -175,6 +175,12 @@ object Queries {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
     }),
+    "agg_rollup_orders" -> ((s, d) =>
+      // ROLLUP: per-(priority, status) totals plus per-priority subtotals and
+      // a grand total — one pass, partial-aggregated like any groupBy
+      orders(s, d).rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))),
     "agg_events_daily" -> ((s, d) =>
       events(s, d).groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -337,6 +343,10 @@ object Queries {
         |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |    FROM orders JOIN customer ON o_custkey = c_custkey) x
         | WHERE rn <= 3""".stripMargin,
+    "agg_rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |  FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     "agg_events_daily" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
