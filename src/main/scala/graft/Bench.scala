@@ -1,6 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 object Bench {
+  /** Full-column consumer: the `noop` v2 sink materializes every row with all
+    * its columns (a write can't prune), unlike `.count()` which lets Catalyst
+    * prune every column and turn pure scans into metadata-only jobs. */
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,12 +17,14 @@ object Bench {
     // absorb session/codegen/JIT warmup so per-query numbers reflect
     // steady state instead of charging startup to whichever query runs first
     SparkEntry.queries.get("s2_window_scan").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ext.Dedup.unpersistAll() // caches must not leak into the next query
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

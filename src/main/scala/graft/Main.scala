@@ -25,8 +25,11 @@ object Main {
     try {
       val cfg = EngineConfig.load(spark, cfgPath)
       val target = new TableStore(spark, tgtRoot)
+      // sproc-type tables resolve their SQL bodies from the config's SqlSteps
+      // section (the analog of BulkCopyManager.cs:114-134 dispatching to
+      // server-side procs by name)
       val runner = new Runner(spark, new TableStore(spark, srcRoot), target,
-        new Ledger(spark, target), new SqlStepRegistry(Map.empty))
+        new Ledger(spark, target), new SqlStepRegistry(cfg.sqlSteps))
       val results = runner.run(cfg)
       results.foreach { r =>
         val status = if (r.ok) s"OK rows=${r.rows.getOrElse(-1L)}" else s"FAILED ${r.error.get}"

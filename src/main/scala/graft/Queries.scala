@@ -64,11 +64,15 @@ object Queries {
   /** The registered SQL transformation steps (sproc analog, O1). */
   val Steps = new SqlStepRegistry(Map(
     "daily_order_stats" ->
-      """SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders,
+      // day key emitted as a day-truncated TIMESTAMP, not DATE: the template
+      // runs verbatim in BOTH engines, and Spark date32 output vs DuckDB's
+      // day-timestamp materialization hash-differ at the driver. date_trunc
+      // (not CAST AS TIMESTAMP) so Spark preserves the source's NTZ flavor.
+      """SELECT date_trunc('day', o_orderdate) AS order_date, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
         |  FROM orders
         | WHERE o_orderdate BETWEEN TIMESTAMP '{start_ts}' AND TIMESTAMP '{end_ts}'
-        | GROUP BY CAST(o_orderdate AS DATE)""".stripMargin))
+        | GROUP BY date_trunc('day', o_orderdate)""".stripMargin))
 
   // =========================================================================
   // queries — (SparkSession, sfDir) => DataFrame
@@ -143,10 +147,12 @@ object Queries {
       li(s, d).filter(col("l_shipdate") <= lit(java.time.LocalDateTime.of(1998, 9, 1, 0, 0)))
         .groupBy("l_returnflag", "l_linestatus")
         // exact decimal math end-to-end; no final rounding cast (Spark rounds
-        // HALF_UP, DuckDB differs on exact .xx5 — keep the full-scale sum)
+        // HALF_UP, DuckDB differs on exact .xx5 — keep the full-scale sum).
+        // Spark sum(DECIMAL(18,2)) lands at DECIMAL(28,2) but DuckDB's at
+        // DECIMAL(38,2) — widen (no rounding) so the parquet types agree.
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(price).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(price).cast("decimal(38,2)").as("sum_base_price"),
           sum(price * (lit(BigDecimal(1)) - disc)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
@@ -180,9 +186,12 @@ object Queries {
       // a grand total — one pass, partial-aggregated like any groupBy
       orders(s, d).rollup("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))),
+          // widen sum to DuckDB's DECIMAL(38,2) result type (no rounding)
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_price"))),
     "agg_events_daily" -> ((s, d) =>
-      events(s, d).groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      // day key as day-truncated TIMESTAMP (NTZ, matching ts), not DATE —
+      // date32 output hash-differs from DuckDB's day-timestamp at the driver
+      events(s, d).groupBy(date_trunc("day", col("ts")).as("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))),
     "distinct_counts" -> ((s, d) =>
@@ -211,11 +220,20 @@ object Queries {
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3)),
+    // gated with the md5-based token hash (computable bit-identically in
+    // DuckDB) so the full SimHash pipeline is oracle-checked; production
+    // default stays xxhash64 (Dedup.xxTokenHash)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3, Dedup.md5TokenHash)),
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)),
 
-    "agg_label_centroids" -> ((s, d) => ext.Aggregators.labelCentroids(s, emb(s, d))),
+    // gated output is posexploded to scalar (label, idx, value) rows — the
+    // driver's checker cannot sort/hash array<double> columns
+    "agg_label_centroids" -> ((s, d) =>
+      ext.Aggregators.labelCentroids(s, emb(s, d))
+        .select(col("label"), posexplode(col("centroid")))
+        .select(col("label"), col("pos").cast("long").as("idx"), col("col").as("value"))),
     "agg_user_sessions" -> ((s, d) => {
       // batch analog of streaming sessionize: gap-based sessions via
       // lag + cumulative session-break sum, then per-user rollup
@@ -237,9 +255,15 @@ object Queries {
       val e = emb(s, d)
       Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // gated at nprobe = nlist: full-probe IVF is EXACTLY brute force (every
+    // list is scanned), so the brute-force top-k oracle applies and the whole
+    // IVF plan (quantizer training, list assignment, probe join, re-rank) is
+    // driver-hash-checked. The approximate operating point (nprobe < nlist)
+    // is covered by the recall bound in SimilaritySpec.
     "sim_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 16)
     }),
 
     // ---- multimodal plumbing (§2.12) ----
@@ -264,6 +288,18 @@ object Queries {
       |                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
       |                  ELSE [array_to_string(tk, ' ')] END AS sh
       |        FROM t)""".stripMargin
+
+  /** Exact brute-force cosine top-k (k=5, queries = vec_id < 10) — oracle for
+    * both `sim_topk` and the full-probe (`nprobe = nlist`) `sim_ann_ivf`. */
+  private val bruteForceTopKSql =
+    """SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |                      c.vec_id) AS rn
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |   WHERE q.vec_id < 10) x
+      | WHERE rn <= 5""".stripMargin
 
   private val jaccardPairsSql =
     s"""$trigramCte,
@@ -311,7 +347,11 @@ object Queries {
         |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
         |       e.event_id AS prior_error_id, CAST(e.ts AS TIMESTAMP) AS prior_error_ts
         |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
-    "o1_sql_step" -> Steps.sqlFor("daily_order_stats", OrdFrom, OrdTo),
+    // DuckDB's date_trunc('day', ts) returns DATE (Spark's returns timestamp)
+    // — re-cast the day key so both engines materialize a day timestamp
+    "o1_sql_step" ->
+      s"""SELECT CAST(order_date AS TIMESTAMP) AS order_date, n_orders, total_price
+         |  FROM (${Steps.sqlFor("daily_order_stats", OrdFrom, OrdTo)}) t""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -348,7 +388,8 @@ object Queries {
         |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
         |  FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     "agg_events_daily" ->
-      """SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n_events,
+      // CAST chain (not date_trunc): DuckDB's date_trunc('day') returns DATE
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |  FROM events GROUP BY 1, 2""".stripMargin,
     "distinct_counts" ->
@@ -406,6 +447,26 @@ object Queries {
         |  GROUP BY fp)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
+    "dedup_simhash" ->
+      // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical
+      // to Dedup.md5TokenHash), per-bit majority vote, hamming ≤ 3 pairs
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tk FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b.b AS bit,
+        |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |    FROM th, (SELECT unnest(range(64)) AS b) b
+        |   GROUP BY doc_id, b.b),
+        |fp AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        |    FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -425,20 +486,12 @@ object Queries {
         |c AS (SELECT user_id, session_id, count(*) AS n FROM g GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session FROM c GROUP BY user_id""".stripMargin,
     "agg_label_centroids" ->
-      """SELECT label, array_agg(m ORDER BY idx) AS centroid FROM (
-        |  SELECT label, idx, round(avg(val), 6) AS m FROM (
-        |    SELECT label, unnest(embedding::DOUBLE[]) AS val,
-        |           generate_subscripts(embedding, 1) AS idx FROM embeddings) t
-        |  GROUP BY label, idx) g GROUP BY label""".stripMargin,
-    "sim_topk" ->
-      """SELECT query_id, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         row_number() OVER (PARTITION BY q.vec_id
-        |             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                      c.vec_id) AS rn
-        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |   WHERE q.vec_id < 10) x
-        | WHERE rn <= 5""".stripMargin,
+      """SELECT label, CAST(idx - 1 AS BIGINT) AS idx, round(avg(val), 6) AS value FROM (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS val,
+        |         generate_subscripts(embedding, 1) AS idx FROM embeddings) t
+        |GROUP BY label, idx""".stripMargin,
+    "sim_topk" -> bruteForceTopKSql,
+    "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "mm_features" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
         |       ascii(substr(text, 1, 1)) AS head_byte,
@@ -446,8 +499,8 @@ object Queries {
         |  FROM documents""".stripMargin,
     "mm_frame_counts" ->
       "SELECT doc_id AS id, greatest(octet_length(encode(text)) // 64, 1) AS n_frames FROM documents"
-    // no oracle (rows-only driver check): dedup_simhash (xxhash64 not available
-    // in DuckDB), sim_ann_ivf (approximate by design; recall vs exact covered
-    // in SimilaritySpec)
+    // every gated query has an oracle: the approximate ops are gated at their
+    // exact operating points (sim_ann_ivf at full probe, dedup_minhash_lsh
+    // verified-exact) with the approximate points covered by specs
   )
 }

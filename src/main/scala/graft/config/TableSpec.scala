@@ -41,7 +41,13 @@ final case class EngineConfig(
     scheduleMode: Option[String],
     dateFrom: Option[String],
     dateTo: Option[String],
-    tables: Seq[TableSpec])
+    tables: Seq[TableSpec],
+    /** Named SQL step definitions (`SqlSteps` config section) — the sproc
+      * bodies a `sproc`-type table entry refers to by `table_name`. The
+      * reference keeps sproc bodies server-side (`StoreProcRunService.cs`);
+      * here the config carries the SQL text with `{start_ts}`/`{end_ts}` /
+      * `{start_date}`/`{end_date}` placeholders (see `SqlStepRegistry`). */
+    sqlSteps: Map[String, String] = Map.empty)
 
 object TableSpec {
 
@@ -72,7 +78,9 @@ object EngineConfig {
    *   "DateFrom": "2024-01-01", "DateTo": "2024-01-02",
    *   "Tables": [ { "table_name": "...", "table_type": "fact",
    *                 "date_column": "...", "update_date_column": "...",
-   *                 "primary_key": "..." } ] }
+   *                 "primary_key": "..." } ],
+   *   "SqlSteps": [ { "name": "daily_stats",
+   *                   "sql": "SELECT ... WHERE d BETWEEN TIMESTAMP '{start_ts}' AND TIMESTAMP '{end_ts}'" } ] }
    * }}}
    * Parsed with Spark's JSON reader (multiLine) — no extra dependency.
    */
@@ -101,12 +109,28 @@ object EngineConfig {
             partitionByDate = f("partition_by_date").exists(_.equalsIgnoreCase("true")))
         }
       }
+    val sqlSteps: Map[String, String] =
+      if (!df.columns.contains("SqlSteps")) Map.empty
+      else {
+        val sdf = df.select(org.apache.spark.sql.functions.explode(col("SqlSteps")).as("s")).select("s.*")
+        val cols = sdf.columns.toSet
+        require(cols.contains("name") && cols.contains("sql"),
+          "every SqlSteps entry needs 'name' and 'sql' fields")
+        sdf.collect().toSeq.map { r =>
+          val name = Option(r.getAs[Any]("name")).map(_.toString).filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException("SqlSteps entry with empty 'name'"))
+          val sql = Option(r.getAs[Any]("sql")).map(_.toString).filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(s"SqlSteps entry '$name' with empty 'sql'"))
+          name -> sql
+        }.toMap
+      }
     EngineConfig(
       sourceSchema = optStr("SourceSchema").getOrElse("src"),
       targetSchema = optStr("TargetSchema").getOrElse("tgt"),
       scheduleMode = optStr("ScheduleMode"),
       dateFrom = optStr("DateFrom"),
       dateTo = optStr("DateTo"),
-      tables = tables)
+      tables = tables,
+      sqlSteps = sqlSteps)
   }
 }

@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Frames persisted by dedup plan builders. The builders are lazy (the
+    * caller decides when to execute), so they cannot unpersist themselves;
+    * consumers (Bench/Verify/pipelines) call [[unpersistAll]] after each
+    * query to stop cached shingle sets leaking across queries in a shared
+    * session. */
+  private val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted += p
+    p
+  }
+
+  /** Release every cache created by dedup plan builders since the last call. */
+  def unpersistAll(): Unit = synchronized {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
+  }
+
   /** Exact dedup: keep the lowest-`idCol` row per duplicate-key group
     * (deterministic winner, unlike `dropDuplicates`). Hash shuffle on the
     * key columns; map-side combine-free but single pass. */
@@ -109,8 +128,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the sets feed candidate generation AND both verify sides — persist so
     // the shingling subtree runs once, not three times
-    val sets = hashedShingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistTracked(hashedShingleSets(docs, idCol, textCol, n))
     val exploded = sets.select(col(idCol), explode(col("hs")).as("s"))
     val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
     // global canonical order: (df asc, hash asc); prefix length per doc
@@ -158,8 +176,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import org.apache.spark.sql.graftx.VectorFunctions.minhash_signature
     val rows = numHashes / bands
-    val sets = hashedShingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistTracked(hashedShingleSets(docs, idCol, textCol, n))
     // signature = one codegen'd per-row pass (no explode/aggregate shuffle);
     // band key j = hash of the j-th row-group slice of the signature
     val sigs = sets.select(col(idCol), minhash_signature(col("hs"), numHashes).as("sig"))
@@ -169,16 +186,30 @@ object Dedup {
     verifyPairs(bucketPairs(buckets, "bk", idCol), sets, idCol, threshold)
   }
 
+  /** Default SimHash token hash: `xxhash64` — the fast production choice. */
+  val xxTokenHash: Column => Column = tk => xxhash64(tk)
+
+  /** Oracle-portable 60-bit token hash: first 15 hex chars of md5, parsed as
+    * an integer — computable bit-identically in DuckDB
+    * (`CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`), which makes the
+    * whole SimHash pipeline hash-checkable against a SQL oracle. Bits 60–63
+    * are always 0 (the fingerprint has 60 effective bits); the pigeonhole
+    * banding guarantee is unaffected. ~3× slower than xxhash64 — use for
+    * verification, not production. */
+  val md5TokenHash: Column => Column = tk =>
+    conv(substring(md5(tk), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash per document over whitespace tokens: bit k of the
     * fingerprint is the sign of `Σ_tokens (±1)` where the token votes +1 if
-    * bit k of `xxhash64(token)` is set. Computed by the codegen'd
+    * bit k of `tokenHash(token)` is set. Computed by the codegen'd
     * [[org.apache.spark.sql.graftx.SimHash64]] expression — a pure per-row
     * map, NO shuffle (the old explode + 64-sum-aggregate formulation
     * shuffled the whole exploded token stream). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxTokenHash): DataFrame = {
     import org.apache.spark.sql.graftx.VectorFunctions.simhash64
     docs.select(col(idCol),
-      simhash64(transform(TextAnalysis.tokens(col(textCol)), tk => xxhash64(tk))).as("simhash"))
+      simhash64(transform(TextAnalysis.tokens(col(textCol)), tk => tokenHash(tk))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ `maxBits` over the 64-bit
@@ -186,9 +217,10 @@ object Dedup {
     * must agree on at least one segment (pigeonhole), so candidates form
     * only inside segment buckets; then the exact popcount filter runs on
     * candidates only. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxBits: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxBits: Int = 3,
+      tokenHash: Column => Column = xxTokenHash): DataFrame = {
     require(maxBits <= 3, "4x16-bit banding guarantees recall only up to hamming distance 3")
-    val fps = simhash(docs, idCol, textCol)
+    val fps = simhash(docs, idCol, textCol, tokenHash)
     val segs = (0 until 4).map(j =>
       struct(lit(j).as("seg"), shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("val")).as(s"sg$j"))
     val buckets = fps.select(col(idCol) +: segs: _*)
@@ -197,7 +229,8 @@ object Dedup {
     val fb = fps.select(col(idCol).as("doc_b"), col("simhash").as("fp_b"))
     bucketPairs(buckets, "sg", idCol)
       .join(fa, "doc_a").join(fb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxBits)
   }
 }

@@ -69,7 +69,7 @@ object Similarity {
    * IVF practice (the quantizer is tiny; the index assignment stays fully
    * distributed), so this holds at any corpus size.
    */
-  private[ext] def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+  private[ext] def trainCentroids(corpus: DataFrame, vecCol: String, nlist0: Int,
       sampleSize: Int, seed: Long): Array[Array[Double]] = {
     val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).length
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
@@ -78,7 +78,9 @@ object Similarity {
       .select(transform(col("v"), x => x / col("n")).as("v"))
       .orderBy(rand(seed)).limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.length >= nlist, s"sample ${sample.length} smaller than nlist $nlist")
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    // tiny corpora: fewer lists than requested beats refusing to index
+    val nlist = math.min(nlist0, sample.length)
     val rnd = new scala.util.Random(seed)
     var centroids = rnd.shuffle(sample.toVector).take(nlist).map(_.clone()).toArray
     def dotA(a: Array[Double], b: Array[Double]): Double = {
@@ -158,17 +160,49 @@ object Similarity {
 
   /**
    * Embedding near-duplicate pairs: all `(id_a < id_b)` with cosine ≥
-   * `threshold`. Exact O(n²) pair scan with the smaller side broadcast —
-   * the correct baseline at fixture scale; at corpus scale block first with
-   * the IVF list assignment from [[annTopK]]'s quantizer (pairs only form
-   * inside — or between adjacent — inverted lists) and keep this exact dot
-   * product as the verify step.
+   * `threshold` — EXACT, but blocked through the IVF quantizer so no
+   * full-corpus broadcast or O(n²) pair scan ever forms.
+   *
+   * Blocking with a recall GUARANTEE (threshold-aware multi-assignment):
+   * each vector `v` is assigned to every inverted list whose centroid lies
+   * within angle `θ_best(v) + θ_t` of `v`, where `θ_best` is the angle to
+   * `v`'s nearest centroid and `θ_t = arccos(threshold)`. For any pair with
+   * `angle(a,b) ≤ θ_t`, take WLOG `θ_best(a) ≥ θ_best(b)`: then
+   * `angle(a, c_best(b)) ≤ angle(a,b) + θ_best(b) ≤ θ_t + θ_best(a)`, so `a`
+   * is assigned to `b`'s best list and the pair collides there. Candidates
+   * are then verified with the exact codegen'd dot product — zero false
+   * positives, zero false negatives.
+   *
+   * Scale shape: quantizer training is sample-bounded ([[trainCentroids]]);
+   * assignment is a narrow map (`nlist` dots per row); pair expansion happens
+   * only inside lists (one shuffle on list id); the verify join shuffles on
+   * ids. Assignment fan-out adapts to the data: tight near-dup thresholds
+   * (0.8+) assign ~1 list per vector; loose thresholds widen the radius —
+   * raise `nlist` to keep lists small.
    */
-  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = unitized(emb, idCol, vecCol, "id_a", "va")
-    val b = unitized(emb, idCol, vecCol, "id_b", "vb")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .filter(dot(col("va"), col("vb")) >= threshold)
-      .select("id_a", "id_b")
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int = 16, sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    val cents = trainCentroids(emb, vecCol, nlist, sampleSize, seed)
+    val u = unitized(emb, idCol, vecCol, "id", "v")
+    val sims = array(cents.map(c => dot(col("v"), typedLit(c.toSeq))): _*)
+    // clamp into acos' domain; +1e-9 absorbs float rounding at the boundary
+    val angles = transform(sims, s => acos(greatest(lit(-1.0), least(lit(1.0), s))))
+    val radius = array_min(angles) + lit(math.acos(math.min(math.max(threshold, -1.0), 1.0)) + 1e-9)
+    val lists = filter(
+      transform(angles, (ang, i) => when(ang <= radius, i).otherwise(lit(-1))),
+      x => x >= 0)
+    // pair generation = streaming self-join on the list key (NOT a per-list
+    // collect_set + array pair expansion — a wide radius makes lists big, and
+    // a single row holding |L|² structs is a memory/skew bomb). The join
+    // output is never materialized: pairs stream through the codegen'd dot
+    // filter, and only the ≥threshold survivors reach the distinct. A pair
+    // sharing k lists is dotted k (≤ nlist) times — cheaper than the extra
+    // shuffle a pre-verify dedup would cost.
+    val keyed = u.select(col("id"), col("v"), explode(lists).as("list"))
+    val l = keyed.select(col("list"), col("id").as("id_a"), col("v").as("va"))
+    val r = keyed.select(col("list"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("list"))
+      .filter(col("id_a") < col("id_b") && dot(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b").distinct()
   }
 }

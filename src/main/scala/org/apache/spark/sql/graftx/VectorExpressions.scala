@@ -240,7 +240,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |    if ($v < $sig[$k]) $sig[$k] = $v;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sig);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
        """.stripMargin
     })
 

@@ -44,6 +44,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("md5TokenHash matches DuckDB's CAST('0x'||substr(md5(tok),1,15) AS BIGINT)") {
+    // constants computed in DuckDB 1.0.0 — pins cross-engine agreement of
+    // the oracle-portable 60-bit token hash
+    val got = Seq("hello", "").toDF("tok")
+      .select(Dedup.md5TokenHash(col("tok"))).as[Long].collect().toSeq
+    assert(got == Seq(419982666956583591L, 955282973525019424L))
+  }
+
+  test("simhashPairs with the oracle-portable md5 token hash finds planted dupes") {
+    val df = Seq((1L, "spark query engine test"), (2L, "spark query engine test"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", 3, Dedup.md5TokenHash)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("bucketPairs expands each unordered pair exactly once") {
     val keyed = Seq((10, 1L), (10, 2L), (10, 3L), (20, 2L), (20, 3L)).toDF("k", "id")
     val got = Dedup.bucketPairs(keyed, "k", "id").as[(Long, Long)].collect().toSet

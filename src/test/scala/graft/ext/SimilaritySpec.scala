@@ -49,6 +49,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("cosinePairs (IVF-blocked) equals exact all-pairs on fixtures") {
+    // reference: plain O(n²) scan — fine at sf0.001, what the blocked
+    // version must reproduce exactly (the threshold-aware multi-assignment
+    // guarantees no pair is missed; the dot verify kills false positives)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("ea"), col("eb")) >= 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // fixtures plant near-duplicate embeddings
+    assert(blocked == exact)
+  }
+
   test("cosinePairs finds planted identical vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

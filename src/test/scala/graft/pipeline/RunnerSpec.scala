@@ -113,6 +113,28 @@ class RunnerSpec extends AnyFunSuite {
     assert(!tgt.exists("dim_color"))
   }
 
+  test("sproc steps wired from config SqlSteps (config → registry → run)") {
+    val (src, tgt, led) = setup()
+    val cfgJson =
+      """{ "SourceSchema": "src", "TargetSchema": "tgt",
+        |  "DateFrom": "2024-01-05", "DateTo": "2024-01-09",
+        |  "Tables": [ { "table_name": "window_echo", "table_type": "sproc" },
+        |              { "table_name": "dim_color", "table_type": "dim" } ],
+        |  "SqlSteps": [ { "name": "window_echo",
+        |    "sql": "SELECT TIMESTAMP '{start_ts}' AS s, TIMESTAMP '{end_ts}' AS e" } ] }""".stripMargin
+    val path = Files.createTempFile("graft-cfg", ".json")
+    Files.writeString(path, cfgJson)
+    val loaded = graft.config.EngineConfig.load(spark, path.toString)
+    assert(loaded.sqlSteps.keySet == Set("window_echo"))
+    val runner = new Runner(spark, src, tgt, led, new SqlStepRegistry(loaded.sqlSteps), clock)
+    val results = runner.run(loaded)
+    assert(results.forall(_.ok), results.mkString("; "))
+    val statuses = led.latest.select("tableName", "status")
+      .as[(String, String)].collect().toSet
+    assert(statuses.contains(("window_echo", "Completed")))
+    assert(statuses.contains(("dim_color", "Completed")))
+  }
+
   test("date-partitioned fact: reload touches only window partitions") {
     val (src, tgt, led) = setup()
     val runner = new Runner(spark, src, tgt, led, clock = clock)

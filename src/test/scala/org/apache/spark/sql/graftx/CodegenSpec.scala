@@ -1,0 +1,61 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Every native expression must COMPILE under projection codegen — not just
+ * produce correct results through the interpreted `nullSafeEval` fallback.
+ * `GenerateUnsafeProjection.generate` throws if janino rejects the generated
+ * Java (a wrong FQCN in `MinHashSignature.doGenCode` once compiled fine in
+ * Scala but failed at janino time on every run, silently degrading to
+ * interpreted eval), so each test pins compilability AND codegen ==
+ * interpreted output.
+ */
+class CodegenSpec extends AnyFunSuite {
+
+  private val longArray = ArrayType(LongType)
+  private val doubleArray = ArrayType(DoubleType)
+
+  private def row(values: Any*) = new GenericInternalRow(values.toArray)
+  private def longs(xs: Long*) = new GenericArrayData(xs.toArray)
+  private def doubles(xs: Double*) = new GenericArrayData(xs.toArray)
+
+  test("VectorDot codegen compiles and matches interpreted eval") {
+    val e = VectorDot(BoundReference(0, doubleArray, nullable = true),
+      BoundReference(1, doubleArray, nullable = true))
+    val in = row(doubles(1.0, 2.0, 3.0), doubles(4.0, 5.0, 6.0))
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on janino failure
+    assert(proj(in).getDouble(0) == e.eval(in).asInstanceOf[Double])
+    assert(proj(in).getDouble(0) == 32.0)
+  }
+
+  test("SortedIntersectCount codegen compiles and matches interpreted eval") {
+    val e = SortedIntersectCount(BoundReference(0, longArray, nullable = true),
+      BoundReference(1, longArray, nullable = true))
+    val in = row(longs(1L, 3L, 5L, 9L), longs(2L, 3L, 9L, 11L))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    assert(proj(in).getInt(0) == e.eval(in).asInstanceOf[Int])
+    assert(proj(in).getInt(0) == 2)
+  }
+
+  test("SimHash64 codegen compiles and matches interpreted eval") {
+    val e = SimHash64(BoundReference(0, longArray, nullable = true))
+    val in = row(longs(0x0F0FL, 0x0F0FL, 0xF000L))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    assert(proj(in).getLong(0) == e.eval(in).asInstanceOf[Long])
+  }
+
+  test("MinHashSignature codegen compiles and matches interpreted eval") {
+    val e = MinHashSignature(BoundReference(0, longArray, nullable = true), 32)
+    val in = row(longs(11L, 22L, 33L, 44L))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val fromCodegen = proj(in).getArray(0).toLongArray()
+    val interp = e.eval(in).asInstanceOf[ArrayData].toLongArray()
+    assert(fromCodegen.sameElements(interp))
+    assert(fromCodegen.length == 32)
+  }
+}
