@@ -84,14 +84,18 @@ object Ops {
   }
 
   /** A3 — keyed delete (`DELETE WHERE pk IN (batch)`,
-    * `TableUpdateService.cs:117-128`) without the 2000-key batching. */
+    * `TableUpdateService.cs:117-128`) without the 2000-key batching. The key
+    * side is hinted broadcast: by the reference's semantics it is one
+    * window's changed keys (small next to the table), and the hint keeps the
+    * big side from shuffling regardless of what the stats estimate. */
   def keyedDelete(target: DataFrame, pk: String, keys: DataFrame): DataFrame =
-    target.join(keys, Seq(pk), "left_anti")
+    target.join(broadcast(keys), Seq(pk), "left_anti")
 
   /** S3/J2 — re-fetch source rows whose key is in the changed set
-    * (`SELECT * WHERE pk IN (batch)`, `TableUpdateService.cs:131-138`). */
+    * (`SELECT * WHERE pk IN (batch)`, `TableUpdateService.cs:131-138`).
+    * Broadcast-hinted like [[keyedDelete]], same rationale. */
   def keyedFetch(source: DataFrame, pk: String, keys: DataFrame): DataFrame =
-    source.join(keys, Seq(pk), "left_semi")
+    source.join(broadcast(keys), Seq(pk), "left_semi")
 
   /** A4 — upsert: replace target rows for changed keys with fresh source rows
     * (`TableUpdateService.cs:108-166`). The changed-key side is typically

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Ops
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan contracts — the physical-plan properties the 100 TB posture relies on
+ * (SURVEY.md §4.2/§4.3). Other specs check answers; these pin the plan SHAPES
+ * that keep operators scale-safe, so a regression (a filter that stops
+ * reaching the scan, a keyed join that degrades to a nested-loop pair scan)
+ * fails fast instead of surfacing as a cluster incident.
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private lazy val li = graft.io.Tables.load(spark, TestSpark.Sf0001, "lineitem")
+  private lazy val emb = graft.io.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+
+  test("windowScan's BETWEEN reaches the parquet scan as pushed filters") {
+    val p = plan(Ops.windowScan(li, "l_shipdate", Queries.LiFrom, Queries.LiTo))
+    // NB: the FileScan metadata string truncates at 100 chars, so assert on
+    // the prefix of the pushed-filter list rather than its full text
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      p.take(1500))
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val p = plan(li.select("l_orderkey", "l_quantity"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"), p.take(1500))
+  }
+
+  test("keyedDelete and keyedFetch broadcast the key side (no big-table shuffle)") {
+    val keys = li.select("l_orderkey").limit(10)
+    assert(plan(Ops.keyedDelete(li, "l_orderkey", keys)).contains("BroadcastHashJoin"))
+    assert(plan(Ops.keyedFetch(li, "l_orderkey", keys)).contains("BroadcastHashJoin"))
+  }
+
+  test("upsert broadcasts the changed-key side on both the anti and semi joins") {
+    val changed = li.select("l_orderkey").limit(10)
+    val p = plan(Ops.upsert(li, li, "l_orderkey", changed))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("cosinePairs never degrades to a nested-loop / cartesian pair scan") {
+    // the pre-IVF implementation was a BroadcastNestedLoopJoin over the whole
+    // corpus (id_a < id_b): exactly the plan that OOMs at 100× scale
+    val p = plan(graft.ext.Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("changedKeys compiles to a single-column anti join (broadcastable shape)") {
+    val ev = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
+      .withColumn("update_ts", expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))
+    val p = plan(Ops.changedKeys(ev, "event_id", "ts", "update_ts", Queries.EvFrom, Queries.EvTo))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
