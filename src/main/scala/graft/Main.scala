@@ -28,8 +28,12 @@ object Main {
       // sproc-type tables resolve their SQL bodies from the config's SqlSteps
       // section (the analog of BulkCopyManager.cs:114-134 dispatching to
       // server-side procs by name)
+      // per-table log files (S10): logs/yyyy-MM/<table>/<table>-<ts>.log,
+      // like the reference's Serilog layout; root overridable via env
+      val logRoot = sys.env.getOrElse("GRAFT_LOG_DIR", "logs")
       val runner = new Runner(spark, new TableStore(spark, srcRoot), target,
-        new Ledger(spark, target), new SqlStepRegistry(cfg.sqlSteps))
+        new Ledger(spark, target), new SqlStepRegistry(cfg.sqlSteps),
+        runLogs = Some(new graft.ledger.RunLogs(logRoot)))
       val results = runner.run(cfg)
       results.foreach { r =>
         val status = if (r.ok) s"OK rows=${r.rows.getOrElse(-1L)}" else s"FAILED ${r.error.get}"

@@ -219,6 +219,12 @@ object Queries {
       Dedup.exact(withFp, Seq("fp"), "doc_id").drop("fp")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
+    // dup clusters: transitive closure over the exact Jaccard pairs, each
+    // cluster labeled by its minimum doc id (the canonical keeper)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
     // gated with the md5-based token hash (computable bit-identically in
     // DuckDB) so the full SimHash pipeline is oracle-checked; production
@@ -301,13 +307,29 @@ object Queries {
       |   WHERE q.vec_id < 10) x
       | WHERE rn <= 5""".stripMargin
 
-  private val jaccardPairsSql =
+  private val jaccardCtes =
     s"""$trigramCte,
        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |             len(list_intersect(a.sh, b.sh))::DOUBLE
        |               / len(list_distinct(a.sh || b.sh)) AS jaccard
-       |        FROM s a JOIN s b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
+       |        FROM s a JOIN s b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"$jaccardCtes\nSELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"
+
+  /** Duplicate clusters = transitive closure of the near-dup pair graph,
+    * labeled with the min reachable doc id (DuckDB recursive CTE ≡ the
+    * engine's iterative min-label propagation). */
+  private val dedupClustersSql =
+    s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+       |reach(node, label) AS (
+       |  SELECT src AS node, src AS label FROM e
+       |  UNION
+       |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM customer",
@@ -447,6 +469,7 @@ object Queries {
         |  GROUP BY fp)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" ->
       // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical
       // to Dedup.md5TokenHash), per-bit majority vote, hamming ≤ 3 pairs

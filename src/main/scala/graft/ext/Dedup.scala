@@ -199,6 +199,53 @@ object Dedup {
   val md5TokenHash: Column => Column = tk =>
     conv(substring(md5(tk), 1, 15), 16, 10).cast("long")
 
+  /**
+   * Connected components over an undirected duplicate-pair set: every node
+   * (doc id) is labeled with the MINIMUM id reachable from it, so each
+   * duplicate cluster gets its lowest member as the canonical id — the step
+   * that turns pairwise near-dup output into an actual keep/drop decision
+   * (keep the canonical row, drop the rest).
+   *
+   * Iterative min-label propagation: each round every node adopts
+   * `min(own label, neighbors' labels)` — one join + one groupBy shuffle per
+   * round — until a fixpoint (no label changed). Rounds needed = graph
+   * diameter; near-dup clusters are shallow (dup groups are cliques or short
+   * chains), so this converges in a handful of rounds even on a 10^9-doc
+   * corpus. Labels/edges are persisted per round and lineage stays flat, so
+   * the plan does not grow with iterations. `maxIter` guards pathological
+   * chains — the operator THROWS rather than returning wrong labels.
+   *
+   * Output: `(node, cluster)` for every node that appears in some pair
+   * (singletons are their own implicit clusters and are not emitted).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val p = persistTracked(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val edges = persistTracked(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
+    var labels = persistTracked(
+      edges.select(col("src").as("node")).distinct().withColumn("label", col("node")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborLabels = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = persistTracked(
+        neighborLabels.union(labels).groupBy("node").agg(min("label").as("label")))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds — " +
+      "the dup graph has a longer chain than expected; raise maxIter")
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash per document over whitespace tokens: bit k of the
     * fingerprint is the sign of `Σ_tokens (±1)` where the token votes +1 if
     * bit k of `tokenHash(token)` is set. Computed by the codegen'd

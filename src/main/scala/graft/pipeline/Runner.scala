@@ -45,7 +45,10 @@ final class Runner(
     target: TableStore,
     ledger: Ledger,
     steps: SqlStepRegistry = new SqlStepRegistry(Map.empty),
-    clock: () => LocalDateTime = () => LocalDateTime.now()) {
+    clock: () => LocalDateTime = () => LocalDateTime.now(),
+    /** Optional per-table log-file sink (S10, the reference's Serilog
+      * `logs/yyyy-MM/<table>/` layout); None = stdout + ledger only. */
+    runLogs: Option[graft.ledger.RunLogs] = None) {
 
   private val log = org.apache.log4j.Logger.getLogger(getClass)
 
@@ -76,30 +79,38 @@ final class Runner(
     * midnight re-check (`BulkCopyManager.cs:116-126`). Failures rethrow. */
   private def runStep(spec: TableSpec, window: (LocalDate, LocalDate)): TableResult = {
     val (from, to) = Windows.sprocOverride(window, clock())
+    val tlog = runLogs.map(_.forTable(spec.tableName))
+    tlog.foreach(_.info(s"Sproc started window=$from..$to"))
     val rec = ledger.start(spec.tableName, "Sproc",
       Some((from.toString, to.toString)))
     Try(steps.run(spark, spec.tableName, from, to)) match {
       case Success(_) =>
         ledger.finish(rec, "Completed", None)
+        tlog.foreach(_.info("Sproc completed"))
         TableResult(spec.tableName, "Sproc", None, None)
       case Failure(e) =>
         ledger.finish(rec, "Failed", None, Some(e.toString))
+        tlog.foreach(_.error(s"Sproc failed: $e"))
         throw e // reference parity: sproc failure aborts the whole run
     }
   }
 
   private def runIsolated(spec: TableSpec, process: String, window: (LocalDate, LocalDate))(
       body: => Long): TableResult = {
+    val tlog = runLogs.map(_.forTable(spec.tableName))
+    tlog.foreach(_.info(s"$process started window=${window._1}..${window._2}"))
     val rec = ledger.start(spec.tableName, process,
       Some((window._1.toString, window._2.toString)),
       spec.dateColumn, spec.updateDateColumn, spec.primaryKey)
     Try(body) match {
       case Success(rows) =>
         ledger.finish(rec, "Completed", Some(rows))
+        tlog.foreach(_.info(s"$process completed rows=$rows"))
         TableResult(spec.tableName, process, Some(rows), None)
       case Failure(e) =>
         log.error(s"${spec.tableName} $process failed", e)
         ledger.finish(rec, "Failed", None, Some(e.toString))
+        tlog.foreach(_.error(s"$process failed: $e"))
         TableResult(spec.tableName, process, None, Some(e))
     }
   }

@@ -61,6 +61,14 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("connectedComponents labels transitive clusters with the min member") {
+    // chain 1–2–3 (diameter 2, needs >1 propagation round) + separate pair 5–6
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("bucketPairs expands each unordered pair exactly once") {
     val keyed = Seq((10, 1L), (10, 2L), (10, 3L), (20, 2L), (20, 3L)).toDF("k", "id")
     val got = Dedup.bucketPairs(keyed, "k", "id").as[(Long, Long)].collect().toSet

@@ -113,6 +113,27 @@ class RunnerSpec extends AnyFunSuite {
     assert(!tgt.exists("dim_color"))
   }
 
+  test("per-table log files written under logs/yyyy-MM/<table>/ (S10)") {
+    val (src, tgt, led) = setup()
+    val logRoot = Files.createTempDirectory("graft-logs").toString
+    val runner = new Runner(spark, src, tgt, led, clock = clock,
+      runLogs = Some(new graft.ledger.RunLogs(logRoot, clock)))
+    val results = runner.run(cfg(
+      TableSpec("fact_sales", "fact", dateColumn = Some("sold_at")),
+      TableSpec("dim_color", "dim")))
+    assert(results.forall(_.ok), results.mkString("; "))
+    // layout: <root>/yyyy-MM/<table>/<table>-<yyyyMMdd_HHmmss>.log
+    val factLog = java.nio.file.Paths.get(logRoot, "2024-06", "fact_sales",
+      "fact_sales-20240601_120000.log")
+    val dimLog = java.nio.file.Paths.get(logRoot, "2024-06", "dim_color",
+      "dim_color-20240601_120000.log")
+    assert(Files.exists(factLog), s"missing $factLog")
+    assert(Files.exists(dimLog), s"missing $dimLog")
+    val content = Files.readString(factLog)
+    assert(content.contains("Fact Copy started window=2024-01-05..2024-01-09"))
+    assert(content.contains("Fact Copy completed rows=2"))
+  }
+
   test("sproc steps wired from config SqlSteps (config → registry → run)") {
     val (src, tgt, led) = setup()
     val cfgJson =
