@@ -15,24 +15,11 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Frames persisted by dedup plan builders. The builders are lazy (the
-    * caller decides when to execute), so they cannot unpersist themselves;
-    * consumers (Bench/Verify/pipelines) call [[unpersistAll]] after each
-    * query to stop cached shingle sets leaking across queries in a shared
-    * session. */
-  private val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def persistTracked(df: DataFrame): DataFrame = Caches.track(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = synchronized {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted += p
-    p
-  }
-
-  /** Release every cache created by dedup plan builders since the last call. */
-  def unpersistAll(): Unit = synchronized {
-    persisted.foreach(_.unpersist(blocking = false))
-    persisted.clear()
-  }
+  /** Release every cache created by extension plan builders since the last
+    * call (kept here as the public entry point Bench/Verify use). */
+  def unpersistAll(): Unit = Caches.unpersistAll()
 
   /** Exact dedup: keep the lowest-`idCol` row per duplicate-key group
     * (deterministic winner, unlike `dropDuplicates`). Hash shuffle on the

@@ -198,7 +198,9 @@ object Similarity {
     // filter, and only the ≥threshold survivors reach the distinct. A pair
     // sharing k lists is dotted k (≤ nlist) times — cheaper than the extra
     // shuffle a pre-verify dedup would cost.
-    val keyed = u.select(col("id"), col("v"), explode(lists).as("list"))
+    // cached: the self-join below would otherwise evaluate the whole
+    // scan+unitize+assign subtree twice (Caches.unpersistAll releases it)
+    val keyed = Caches.track(u.select(col("id"), col("v"), explode(lists).as("list")))
     val l = keyed.select(col("list"), col("id").as("id_a"), col("v").as("va"))
     val r = keyed.select(col("list"), col("id").as("id_b"), col("v").as("vb"))
     l.join(r, Seq("list"))

@@ -73,21 +73,24 @@ object TextAnalysis {
 
   /** Language identification: count marker-word hits per language, predict
     * the argmax (ties resolved in [[LangMarkers]] order). One projection —
-    * no shuffle, no UDF. */
+    * no shuffle, no UDF. Argmax is `array_position(scores, array_max)` —
+    * LINEAR expression tree; the previous when-chain fold referenced the
+    * accumulator in BOTH branches, doubling the tree per language (2^n
+    * nodes — the same pitfall that hung the IVF assignment at nlist=16).
+    * `array_position` returns the FIRST index of the max, which is exactly
+    * the fixed tie-break order the oracle's CASE cascade encodes. */
   def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> size(filter(t, x => array_contains(typedLit(words), x)))
-    }
-    // argmax with first-wins tie-break: fold a (bestScore, bestLang) struct
-    val best = scores.tail.foldLeft(struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (lang, sc)) =>
-        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
-    docs.select(
-      col(idCol),
-      best.getField("l").as("pred_lang"),
-      best.getField("s").as("marker_hits"))
+    val scoreArr = array(LangMarkers.map { case (_, words) =>
+      size(filter(t, x => array_contains(typedLit(words), x)))
+    }: _*)
+    val langArr = typedLit(LangMarkers.map(_._1))
+    docs.select(col(idCol), scoreArr.as("__scores"))
+      .select(
+        col(idCol),
+        element_at(langArr,
+          array_position(col("__scores"), array_max(col("__scores"))).cast("int")).as("pred_lang"),
+        array_max(col("__scores")).as("marker_hits"))
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set — a
