@@ -212,8 +212,11 @@ object Dedup {
       p.select(col("a").as("src"), col("b").as("dst"))
         .union(p.select(col("b").as("src"), col("a").as("dst")))
         .distinct())
+    // seed with min(self, direct neighbors) — the first propagation round
+    // folded into initialization, one fewer distributed round to fixpoint
     var labels = persistTracked(
-      edges.select(col("src").as("node")).distinct().withColumn("label", col("node")))
+      edges.groupBy("src").agg(min("dst").as("nmin"))
+        .select(col("src").as("node"), least(col("src"), col("nmin")).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

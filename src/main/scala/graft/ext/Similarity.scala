@@ -163,22 +163,24 @@ object Similarity {
    * `threshold` — EXACT, but blocked through the IVF quantizer so no
    * full-corpus broadcast or O(n²) pair scan ever forms.
    *
-   * Blocking with a recall GUARANTEE (threshold-aware multi-assignment):
-   * each vector `v` is assigned to every inverted list whose centroid lies
-   * within angle `θ_best(v) + θ_t` of `v`, where `θ_best` is the angle to
-   * `v`'s nearest centroid and `θ_t = arccos(threshold)`. For any pair with
-   * `angle(a,b) ≤ θ_t`, take WLOG `θ_best(a) ≥ θ_best(b)`: then
-   * `angle(a, c_best(b)) ≤ angle(a,b) + θ_best(b) ≤ θ_t + θ_best(a)`, so `a`
-   * is assigned to `b`'s best list and the pair collides there. Candidates
-   * are then verified with the exact codegen'd dot product — zero false
-   * positives, zero false negatives.
+   * Blocking with a recall GUARANTEE (threshold-aware probe/index
+   * asymmetry): every vector is INDEXED under its single nearest list, and
+   * PROBES every list whose centroid lies within angle `θ_best(v) + θ_t` of
+   * it (`θ_best` = angle to its nearest centroid, `θ_t = arccos(threshold)`).
+   * For any pair with `angle(a,b) ≤ θ_t`, take WLOG `θ_best(a) ≥ θ_best(b)`:
+   * then `angle(a, c_best(b)) ≤ angle(a,b) + θ_best(b) ≤ θ_t + θ_best(a)`,
+   * so `a` PROBES `b`'s INDEX list and the pair collides there. Candidates
+   * are verified with the exact codegen'd dot product — zero false
+   * positives, zero false negatives. Joining probes against the
+   * one-entry-per-vector index (instead of probes × probes) cuts pair
+   * evaluations by ~fan-out× — the probe side is wide, the index side is not.
    *
    * Scale shape: quantizer training is sample-bounded ([[trainCentroids]]);
    * assignment is a narrow map (`nlist` dots per row); pair expansion happens
-   * only inside lists (one shuffle on list id); the verify join shuffles on
-   * ids. Assignment fan-out adapts to the data: tight near-dup thresholds
-   * (0.8+) assign ~1 list per vector; loose thresholds widen the radius —
-   * raise `nlist` to keep lists small.
+   * only inside lists (one shuffle on list id, the join output streams
+   * through the dot filter unmaterialized). Probe fan-out adapts to the
+   * data: tight near-dup thresholds (0.8+) probe ~1 list; loose thresholds
+   * widen the radius — raise `nlist` to keep lists small.
    */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nlist: Int = 16, sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
@@ -187,24 +189,23 @@ object Similarity {
     val sims = array(cents.map(c => dot(col("v"), typedLit(c.toSeq))): _*)
     // clamp into acos' domain; +1e-9 absorbs float rounding at the boundary
     val angles = transform(sims, s => acos(greatest(lit(-1.0), least(lit(1.0), s))))
-    val radius = array_min(angles) + lit(math.acos(math.min(math.max(threshold, -1.0), 1.0)) + 1e-9)
-    val lists = filter(
-      transform(angles, (ang, i) => when(ang <= radius, i).otherwise(lit(-1))),
+    // cached: index and probe sides both project from this subtree
+    // (Caches.unpersistAll releases it after the query is consumed)
+    val withAngles = Caches.track(u.select(col("id"), col("v"), angles.as("__angles")))
+    val radius = array_min(col("__angles")) +
+      lit(math.acos(math.min(math.max(threshold, -1.0), 1.0)) + 1e-9)
+    val probeLists = filter(
+      transform(col("__angles"), (ang, i) => when(ang <= radius, i).otherwise(lit(-1))),
       x => x >= 0)
-    // pair generation = streaming self-join on the list key (NOT a per-list
-    // collect_set + array pair expansion — a wide radius makes lists big, and
-    // a single row holding |L|² structs is a memory/skew bomb). The join
-    // output is never materialized: pairs stream through the codegen'd dot
-    // filter, and only the ≥threshold survivors reach the distinct. A pair
-    // sharing k lists is dotted k (≤ nlist) times — cheaper than the extra
-    // shuffle a pre-verify dedup would cost.
-    // cached: the self-join below would otherwise evaluate the whole
-    // scan+unitize+assign subtree twice (Caches.unpersistAll releases it)
-    val keyed = Caches.track(u.select(col("id"), col("v"), explode(lists).as("list")))
-    val l = keyed.select(col("list"), col("id").as("id_a"), col("v").as("va"))
-    val r = keyed.select(col("list"), col("id").as("id_b"), col("v").as("vb"))
-    l.join(r, Seq("list"))
-      .filter(col("id_a") < col("id_b") && dot(col("va"), col("vb")) >= threshold)
-      .select("id_a", "id_b").distinct()
+    val index = withAngles.select(
+      (array_position(col("__angles"), array_min(col("__angles"))) - 1).cast("int").as("list"),
+      col("id").as("id_i"), col("v").as("vi"))
+    val probes = withAngles.select(col("id").as("id_p"), col("v").as("vp"),
+      explode(probeLists).as("list"))
+    probes.join(index, Seq("list"))
+      .filter(col("id_p") =!= col("id_i") && dot(col("vp"), col("vi")) >= threshold)
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      .distinct()
   }
 }
