@@ -175,6 +175,15 @@ object Queries {
       orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")),
+    // deliberate pre-salting of a skewed join (Skew.saltedJoin): results are
+    // IDENTICAL to the plain inner join — which is exactly what the oracle
+    // checks — while hot keys spread over 8 shuffle partitions
+    "join_salted_skew" -> ((s, d) => {
+      val ev = events(s, d)
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+      graft.ops.Skew.saltedJoin(ev.select("event_id", "user_id"), dim, "user_id", 8)
+        .select("event_id", "user_id", "user_total")
+    }),
     "window_topk_per_segment" -> ((s, d) => {
       val j = orders(s, d).join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
@@ -207,6 +216,7 @@ object Queries {
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
 
     // ---- dedup (§2.12) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), Seq("lang", "source"), "doc_id")),
@@ -457,6 +467,17 @@ object Queries {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
         |  FROM documents""".stripMargin,
+    "text_term_stats" ->
+      """SELECT token, doc_freq, term_freq FROM (
+        |  SELECT tok AS token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+        |    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents) t
+        |   GROUP BY tok) s
+        | ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT event_id, e.user_id, user_total
+        |  FROM events e
+        |  JOIN (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id) d
+        |    ON e.user_id = d.user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn

@@ -93,6 +93,21 @@ object TextAnalysis {
         array_max(col("__scores")).as("marker_hits"))
   }
 
+  /** Corpus-level term statistics — the vocabulary-building pass of a
+    * training-data pipeline: document frequency (docs containing the token)
+    * and collection frequency (total occurrences) per token, top-`k` by
+    * document frequency with token-ascending tie-break (a total order, so
+    * the cut is deterministic in any engine). ONE shuffle on token — the
+    * natural vocabulary layout — then a TakeOrdered; no driver-side state,
+    * so the same plan holds for a 10^9-document corpus. */
+  def termStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 100): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(k)
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * normalization-stable document signature (token order and duplication
     * insensitive). Useful as a cheap exact-dedup key at scale. */
