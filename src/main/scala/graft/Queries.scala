@@ -282,6 +282,29 @@ object Queries {
         nlist = 16, nprobe = 16)
     }),
 
+    // ---- streaming (§2.11): the Structured Streaming path gated against a
+    // batch oracle — complete-mode tumbling day windows over the events
+    // stream, drained with Trigger.AvailableNow, must equal DuckDB's batch
+    // group-by. Proves stream ≡ batch at the driver's hash gate.
+    "stream_windowed_counts" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.catalog.dropTempView("stream_wc") // stale sink table from a prior run
+      // glob (not the bare file path): FileStreamSource requires a directory
+      // or glob basePath; the glob's parent dir becomes the base
+      val stream = graft.streaming.EventStream.read(s, s"$d/events.parque*")
+      val q = graft.streaming.EventStream.windowedCounts(stream, "1 day", "1 hour")
+        .writeStream.format("memory").queryName("stream_wc")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("stream_wc").select(
+        // streaming event-time is TIMESTAMP (LTZ, UTC session) — emit NTZ to
+        // match the batch/oracle type; round the double sum (ulp-order
+        // differences between engines' summation orders)
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+    }),
+
     // ---- multimodal plumbing (§2.12) ----
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.withSyntheticMedia(docs(s, d)))
@@ -478,6 +501,10 @@ object Queries {
         |  FROM events e
         |  JOIN (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id) d
         |    ON e.user_id = d.user_id""".stripMargin,
+    "stream_windowed_counts" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 6) AS total_value
+        |  FROM events GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
