@@ -295,7 +295,12 @@ object Queries {
       val q = graft.streaming.EventStream.windowedCounts(stream, "1 day", "1 hour")
         .writeStream.format("memory").queryName("stream_wc")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // bounded wait: a hung stream must fail THIS query, not stall the
+      // whole verify/bench harness
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("stream_windowed_counts did not drain within 300 s")
+      }
       s.table("stream_wc").select(
         // streaming event-time is TIMESTAMP (LTZ, UTC session) — emit NTZ to
         // match the batch/oracle type; round the double sum (ulp-order
