@@ -61,6 +61,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("property: connectedComponents equals driver-side union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // reference implementation: classic union-find with path compression
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElse(a, { parent(a) = a; a })
+        parent.getOrElse(b, { parent(b) = b; b })
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val genEdges = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(genEdges) { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(edges)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop).passed)
+  }
+
   test("connectedComponents labels transitive clusters with the min member") {
     // chain 1–2–3 (diameter 2, needs >1 propagation round) + separate pair 5–6
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
