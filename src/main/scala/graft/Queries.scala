@@ -310,6 +310,13 @@ object Queries {
         round(col("total_value"), 6).as("total_value"))
     }),
 
+    // int8 scalar quantization, posexploded to scalar rows for the gate
+    "sim_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("scale"), col("pos").cast("long").as("idx"),
+          col("col").as("q"))),
+
     // ---- multimodal plumbing (§2.12) ----
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.withSyntheticMedia(docs(s, d)))
@@ -566,6 +573,16 @@ object Queries {
         |  SELECT label, unnest(embedding::DOUBLE[]) AS val,
         |         generate_subscripts(embedding, 1) AS idx FROM embeddings) t
         |GROUP BY label, idx""".stripMargin,
+    "sim_quantize_int8" ->
+      """SELECT vec_id, scale, CAST(idx - 1 AS BIGINT) AS idx,
+        |       CAST(floor(val * scale + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT vec_id,
+        |               CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale, val, idx
+        |          FROM (SELECT vec_id,
+        |                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m,
+        |                       unnest(embedding::DOUBLE[]) AS val,
+        |                       generate_subscripts(embedding, 1) AS idx
+        |                  FROM embeddings) t) s""".stripMargin,
     "sim_topk" -> bruteForceTopKSql,
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "mm_features" ->

@@ -21,6 +21,9 @@ private[ext] object Caches {
     p
   }
 
+  /** Record an already-persisted frame for release by [[unpersistAll]]. */
+  def register(df: DataFrame): DataFrame = synchronized { persisted += df; df }
+
   def unpersistAll(): Unit = synchronized {
     persisted.foreach(_.unpersist(blocking = false))
     persisted.clear()

@@ -207,33 +207,45 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val p = persistTracked(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
-    val edges = persistTracked(
-      p.select(col("a").as("src"), col("b").as("dst"))
-        .union(p.select(col("b").as("src"), col("a").as("dst")))
-        .distinct())
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // per-round caches are released EAGERLY the moment the next round is
+    // materialized — leaving O(rounds) entries in the cache registry makes
+    // Spark's cache-plan matching (every new plan is canonicalize-compared
+    // against every cached plan) quadratically slow across a long session
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).persist(level)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist(level)
     // seed with min(self, direct neighbors) — the first propagation round
     // folded into initialization, one fewer distributed round to fixpoint
-    var labels = persistTracked(
-      edges.groupBy("src").agg(min("dst").as("nmin"))
-        .select(col("src").as("node"), least(col("src"), col("nmin")).as("label")))
+    var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("node"), least(col("src"), col("nmin")).as("label"))
+      .persist(level)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborLabels = edges
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .select(col("src").as("node"), col("label"))
-      val next = persistTracked(
-        neighborLabels.union(labels).groupBy("node").agg(min("label").as("label")))
+      val next = neighborLabels.union(labels)
+        .groupBy("node").agg(min("label").as("label")).persist(level)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+        .filter(col("label") =!= col("old")).count() // materializes `next`
+      labels.unpersist(blocking = false) // previous round is dead
       labels = next
       converged = changed == 0
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds — " +
-      "the dup graph has a longer chain than expected; raise maxIter")
-    labels.select(col("node"), col("label").as("cluster"))
+    p.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "the dup graph has a longer chain than expected; raise maxIter")
+    }
+    // only the final (materialized) labels survive, released by unpersistAll
+    Caches.register(labels).select(col("node"), col("label").as("cluster"))
   }
 
   /** 64-bit SimHash per document over whitespace tokens: bit k of the

@@ -159,6 +159,23 @@ object Similarity {
   }
 
   /**
+   * Per-vector symmetric int8 scalar quantization — the standard IVF+SQ
+   * compression step (4× smaller than float32; integer-SIMD dot products):
+   * `scale = 127 / max|x_i|` (0 for the zero vector), `q_i =
+   * floor(x_i·scale + 0.5)`. `floor(x+0.5)` instead of `round`: both
+   * engines' doubles make it bit-identical, so the quantization is exactly
+   * oracle-checkable. Pure per-row map, no shuffle. Returns
+   * `(id, scale, qvec: array<bigint of int8 values>)`.
+   */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    emb.select(col(idCol), scale.as("scale"),
+      transform(v, x => floor(x * scale + lit(0.5))).as("qvec"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: all `(id_a < id_b)` with cosine ≥
    * `threshold` — EXACT, but blocked through the IVF quantizer so no
    * full-corpus broadcast or O(n²) pair scan ever forms.

@@ -4,9 +4,14 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class DedupSpec extends AnyFunSuite {
+class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  // cached shingle sets / component labels must not accumulate across tests:
+  // every registry entry makes Spark's cache-plan matching slower for every
+  // subsequent plan in the shared session
+  override def afterEach(): Unit = Dedup.unpersistAll()
 
   private lazy val docs = graft.io.Tables.load(spark, TestSpark.Sf0001, "documents")
 
@@ -78,7 +83,10 @@ class DedupSpec extends AnyFunSuite {
       }
       parent.keys.map(k => k -> find(k)).toMap
     }
-    val genEdges = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+    // bounded size: every case is a full multi-round distributed CC run,
+    // and diameter (≤ node count) bounds the rounds
+    val genEdges = Gen.resize(24,
+        Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))))
       .map(_.filter { case (a, b) => a != b })
       .suchThat(_.nonEmpty)
     val prop = Prop.forAll(genEdges) { edges =>

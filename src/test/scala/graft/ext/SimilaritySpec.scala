@@ -4,9 +4,12 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class SimilaritySpec extends AnyFunSuite {
+class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  // release cosinePairs' tracked caches between tests (shared session)
+  override def afterEach(): Unit = Dedup.unpersistAll()
 
   private lazy val emb = graft.io.Tables.load(spark, TestSpark.Sf0001, "embeddings")
 
