@@ -67,6 +67,17 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(blocked == exact)
   }
 
+  test("quantizeInt8: max element maps to ±127; zero vector quantizes to zeros") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Long])].collect()
+      .map { case (id, s, q) => id -> ((s, q)) }.toMap
+    assert(got(1L)._2 == Seq(64L, -127L, 32L)) // floor(x*127+0.5), scale=127
+    assert(got(2L) == ((0.0, Seq(0L, 0L, 0L))))
+  }
+
   test("cosinePairs finds planted identical vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
