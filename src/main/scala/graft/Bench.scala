@@ -21,7 +21,10 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      // a failed query must be VISIBLE — its time would otherwise read as a
+      // suspiciously fast green number
+      try consume(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ext.Dedup.unpersistAll() // caches must not leak into the next query
       name -> dt
