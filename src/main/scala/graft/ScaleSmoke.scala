@@ -1,0 +1,115 @@
+package graft
+
+import graft.ops.Ops
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale smoke — NOT part of the driver contract: replicates the sf0.1
+ * fixtures 10–20× into /tmp (12 M lineitem rows, 1 M events, 20 k docs and
+ * vectors with exact-duplicate groups) and drives the headline operators at
+ * that size on local[32]. The point is evidence for the 100 TB design
+ * claims: shuffle-based plans that survive a data-size jump with sublinear
+ * wall-clock growth, no driver-side collections, no OOM. Replicated docs/
+ * vectors are IDENTICAL within a group, which stresses the dedup family
+ * with ~2 000 ten-member duplicate clusters.
+ *
+ * Usage: `runMain graft.ScaleSmoke` (writes/reads under /tmp/graft_scale).
+ */
+object ScaleSmoke {
+
+  private def time[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_scale"
+    val spark = io.Sessions.builder("local[32]", 64).appName("graft-scale-smoke").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- build replicated inputs (ids perturbed so keys stay unique) ----
+    val li = io.Tables.load(spark, base, "lineitem")
+    time("build lineitem x20 (12M)") {
+      li.crossJoin(spark.range(20).toDF("rep"))
+        .withColumn("l_orderkey", col("l_orderkey") * 20 + col("rep")).drop("rep")
+        .write.mode("overwrite").parquet(s"$out/lineitem")
+    }
+    val ev = io.Tables.load(spark, base, "events")
+    time("build events x10 (1M)") {
+      ev.crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("event_id", col("event_id") * 10 + col("rep"))
+        .withColumn("user_id", col("user_id") * 10 + col("rep")).drop("rep")
+        .write.mode("overwrite").parquet(s"$out/events")
+    }
+    val docs = io.Tables.load(spark, base, "documents")
+    time("build documents x10 (20k)") {
+      docs.crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") * 10 + col("rep")).drop("rep")
+        .write.mode("overwrite").parquet(s"$out/documents")
+    }
+    val emb = io.Tables.load(spark, base, "embeddings")
+    time("build embeddings x10 (20k)") {
+      emb.crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") * 10 + col("rep")).drop("rep")
+        .write.mode("overwrite").parquet(s"$out/embeddings")
+    }
+
+    val bigLi = spark.read.parquet(s"$out/lineitem")
+    val bigEv = spark.read.parquet(s"$out/events")
+    val bigDocs = spark.read.parquet(s"$out/documents")
+    val bigEmb = spark.read.parquet(s"$out/embeddings")
+
+    // ---- sync core at 12M rows ----
+    time("windowed reload 12M") {
+      consume(Ops.windowedReload(bigLi, bigLi, "l_shipdate", Queries.LiFrom, Queries.LiTo))
+    }
+    time("changed-keys + upsert 1M") {
+      val withUpd = bigEv.withColumn("update_ts",
+        expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))
+      val changed = Ops.changedKeys(withUpd, "event_id", "ts", "update_ts",
+        Queries.EvFrom, Queries.EvTo)
+      consume(Ops.upsert(bigEv, bigEv, "event_id", changed))
+    }
+
+    // ---- dedup family at 20k docs with 10-member duplicate groups ----
+    time("exact dedup 20k docs") {
+      consume(graft.ext.Dedup.exact(bigDocs, Seq("text"), "doc_id"))
+    }
+    val lsh = time("minhash-LSH pairs 20k docs") {
+      val n = graft.ext.Dedup.minhashLshPairs(bigDocs, "doc_id", "text", 3, 64, 16, 0.8).count()
+      graft.ext.Dedup.unpersistAll(); n
+    }
+    val sh = time("simhash pairs 20k docs") {
+      val n = graft.ext.Dedup.simhashPairs(bigDocs, "doc_id", "text", 3).count()
+      graft.ext.Dedup.unpersistAll(); n
+    }
+    val cc = time("dup clusters 20k docs") {
+      val pairs = graft.ext.Dedup.minhashLshPairs(bigDocs, "doc_id", "text", 3, 64, 16, 0.8)
+      val n = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .agg(countDistinct(col("cluster"))).as[Long].head()
+      graft.ext.Dedup.unpersistAll(); n
+    }
+
+    // ---- similarity at 20k vectors ----
+    val cp = time("cosine pairs 20k vectors") {
+      val n = graft.ext.Similarity.cosinePairs(bigEmb, "vec_id", "embedding", 0.9).count()
+      graft.ext.Dedup.unpersistAll(); n
+    }
+    time("IVF ANN top-5, 100 queries") {
+      consume(graft.ext.Similarity.annTopK(bigEmb,
+        bigEmb.filter(col("vec_id") < 100), "vec_id", "embedding", 5))
+    }
+
+    println(s"[scale] pair/cluster counts: lsh=$lsh simhash=$sh clusters=$cc cosine@0.9=$cp")
+    println("[scale] DONE")
+    spark.stop()
+  }
+}

@@ -219,6 +219,13 @@ object Similarity {
       col("id").as("id_i"), col("v").as("vi"))
     val probes = withAngles.select(col("id").as("id_p"), col("v").as("vp"),
       explode(probeLists).as("list"))
+    // NB the probe fan-out is data-dependent: on well-clustered embeddings
+    // it is ~1–2 lists; on near-random high-dim data θ_best is wide and
+    // probes cover most lists, degrading toward the inherent near-O(n²)
+    // cost of exact wide-threshold pair search (measured ~400 M candidate
+    // evals at 20 k replicated random vectors). Raise `nlist` to shrink
+    // per-list products, or use Skew.saltedJoin on "list" if a hot list
+    // serializes (few-distinct-key join)
     probes.join(index, Seq("list"))
       .filter(col("id_p") =!= col("id_i") && dot(col("vp"), col("vi")) >= threshold)
       .select(least(col("id_p"), col("id_i")).as("id_a"),
