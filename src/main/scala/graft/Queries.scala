@@ -213,6 +213,23 @@ object Queries {
 
     // ---- text analysis (§2.12) ----
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    // capstone pipeline: the actual training-corpus selection pass —
+    // fingerprint-dedup winners ∩ length filter ∩ language-ID agreement,
+    // composed purely from the library's operators
+    "pipeline_corpus_select" -> ((s, d) => {
+      val doc = docs(s, d)
+      val keep = Dedup.exact(
+        doc.withColumn("fp",
+          md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text"))))))),
+        Seq("fp"), "doc_id").select("doc_id")
+      val toks = TextAnalysis.tokenStats(doc).select("doc_id", "n_tokens")
+      val lang = TextAnalysis.langId(doc).select("doc_id", "pred_lang")
+      doc.join(keep, "doc_id")
+        .join(toks, "doc_id")
+        .join(lang, "doc_id")
+        .filter(col("n_tokens") >= 5 && col("pred_lang") === col("lang"))
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+    }),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -339,6 +356,25 @@ object Queries {
       |                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
       |                  ELSE [array_to_string(tk, ' ')] END AS sh
       |        FROM t)""".stripMargin
+
+  /** Language-ID marker-score CTEs (`t`, `sc`) and the argmax CASE — shared
+    * by the `text_langid` oracle and the corpus-selection pipeline oracle. */
+  private val langScoreCtes =
+    """t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+      |sc AS (SELECT doc_id,
+      |         len(list_filter(tk, x -> list_contains(['the','a','and','is','of'], x))) AS s_en,
+      |         len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+      |         len(list_filter(tk, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+      |         len(list_filter(tk, x -> list_contains(['el','los','y','es','una'], x))) AS s_es,
+      |         len(list_filter(tk, x -> list_contains(['的','是','了','在','和'], x))) AS s_zh
+      |    FROM t)""".stripMargin
+
+  private val predLangCase =
+    """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+      |            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+      |            WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+      |            WHEN s_es >= s_zh THEN 'es'
+      |            ELSE 'zh' END""".stripMargin
 
   /** Exact brute-force cosine top-k (k=5, queries = vec_id < 10) — oracle for
     * both `sim_topk` and the full-probe (`nprobe = nlist`) `sim_ann_ivf`. */
@@ -478,30 +514,33 @@ object Queries {
         |       len(tk) < 30 AS short_doc
         |  FROM t""".stripMargin,
     "text_langid" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
-        |sc AS (SELECT doc_id,
-        |         len(list_filter(tk, x -> list_contains(['the','a','and','is','of'], x))) AS s_en,
-        |         len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
-        |         len(list_filter(tk, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
-        |         len(list_filter(tk, x -> list_contains(['el','los','y','es','una'], x))) AS s_es,
-        |         len(list_filter(tk, x -> list_contains(['的','是','了','在','和'], x))) AS s_zh
-        |    FROM t)
-        |SELECT doc_id,
-        |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-        |            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-        |            WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-        |            WHEN s_es >= s_zh THEN 'es'
-        |            ELSE 'zh' END AS pred_lang,
-        |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN s_en
-        |            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN s_de
-        |            WHEN s_fr >= s_es AND s_fr >= s_zh THEN s_fr
-        |            WHEN s_es >= s_zh THEN s_es
-        |            ELSE s_zh END AS marker_hits
-        |  FROM sc""".stripMargin,
+      s"""WITH $langScoreCtes
+         |SELECT doc_id,
+         |       $predLangCase AS pred_lang,
+         |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN s_en
+         |            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN s_de
+         |            WHEN s_fr >= s_es AND s_fr >= s_zh THEN s_fr
+         |            WHEN s_es >= s_zh THEN s_es
+         |            ELSE s_zh END AS marker_hits
+         |  FROM sc""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
         |  FROM documents""".stripMargin,
+    "pipeline_corpus_select" ->
+      s"""WITH $langScoreCtes,
+         |fp AS (SELECT doc_id,
+         |              md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))), ' ')) AS fp
+         |         FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |q AS (SELECT doc_id, len(tk) AS n_tokens FROM t),
+         |pred AS (SELECT doc_id, $predLangCase AS pred_lang FROM sc)
+         |SELECT d.doc_id, d.lang, d.n_chars, q.n_tokens
+         |  FROM documents d
+         |  JOIN keep USING (doc_id)
+         |  JOIN q USING (doc_id)
+         |  JOIN pred USING (doc_id)
+         | WHERE q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin,
     "text_term_stats" ->
       """SELECT token, doc_freq, term_freq FROM (
         |  SELECT tok AS token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
