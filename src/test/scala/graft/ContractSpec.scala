@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself (SparkEntry): a typo'd oracle key or
+  * a query without an oracle silently downgrades the driver's correctness
+  * gate for that operator — fail here first. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every gated query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o).isEmpty, s"queries without oracles: ${q.diff(o).toSeq.sorted}")
+    assert(o.diff(q).isEmpty, s"oracles without queries: ${o.diff(q).toSeq.sorted}")
+  }
+
+  test("flagship entry returns rows on sf0.001 (the driver's smoke check)") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
+  test("oracle SQL texts are non-empty and mention a fixture table") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      assert(tables.exists(sql.contains), s"$name: oracle references no fixture table")
+    }
+  }
+}
