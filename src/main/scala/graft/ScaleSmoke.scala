@@ -71,6 +71,21 @@ object ScaleSmoke {
     time("windowed reload 12M") {
       consume(Ops.windowedReload(bigLi, bigLi, "l_shipdate", Queries.LiFrom, Queries.LiTo))
     }
+    // the 100 TB layout claim: with a date-partitioned target, refreshing a
+    // 7-day window must cost ~the window, not the table — compare the full
+    // partitioned materialization against the partition-scoped swap
+    val store = new graft.store.TableStore(spark, s"$out/warehouse")
+    time("partitioned full write 12M (~2.4k load_date dirs)") {
+      store.atomicOverwrite("lineitem_part",
+        bigLi.withColumn("load_date", to_date(col("l_shipdate"))), Seq("load_date"))
+    }
+    time("partition-scoped 7-day window swap") {
+      val days = Iterator.iterate(Queries.LiFrom)(_.plusDays(1))
+        .takeWhile(!_.isAfter(Queries.LiTo)).toSeq
+      val fresh = Ops.windowScan(bigLi, "l_shipdate", Queries.LiFrom, Queries.LiTo)
+        .withColumn("load_date", to_date(col("l_shipdate")))
+      store.overwriteDatePartitions("lineitem_part", fresh, "load_date", days)
+    }
     time("changed-keys + upsert 1M") {
       val withUpd = bigEv.withColumn("update_ts",
         expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))
