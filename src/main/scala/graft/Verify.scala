@@ -2,8 +2,43 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Dumps are
+  * `.coalesce(1)` — gate-only at sf0.01; a production-scale dump would
+  * serialize through one task (use TableStore for real writes). */
 object Verify {
+
+  /** Known-good physical types for gated dumps. Anything outside this set —
+    * above all legacy INT96 timestamps (what LTZ `date_trunc` day keys used
+    * to write, the 3-round hash-red root cause) or a non-NTZ / non-micros
+    * timestamp annotation — fails the query loudly HERE instead of
+    * surfacing as an opaque driver hash mismatch a round later. */
+  private[graft] def assertBoringPhysicalTypes(dir: String, name: String): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val parts = new java.io.File(s"$dir/$name").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"$name: dump directory holds no parquet part files")
+    parts.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), new org.apache.hadoop.conf.Configuration()))
+      try reader.getFooter.getFileMetaData.getSchema.getColumns.forEach { cd =>
+        val pt = cd.getPrimitiveType
+        val path = cd.getPath.mkString(".")
+        require(pt.getPrimitiveTypeName != PrimitiveTypeName.INT96,
+          s"$name/$path: legacy INT96 timestamp written — cast the column to timestamp_ntz")
+        pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            require(!t.isAdjustedToUTC && t.getUnit == TimeUnit.MICROS,
+              s"$name/$path: timestamp written as ${t} — gate dumps must be micros-NTZ")
+          case _ => ()
+        }
+      } finally reader.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,9 +48,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        assertBoringPhysicalTypes(outDir, name)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally graft.ext.Dedup.unpersistAll() // no cache leaks across queries
     }

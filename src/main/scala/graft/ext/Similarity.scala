@@ -71,7 +71,11 @@ object Similarity {
    */
   private[ext] def trainCentroids(corpus: DataFrame, vecCol: String, nlist0: Int,
       sampleSize: Int, seed: Long): Array[Array[Double]] = {
-    val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).length
+    // limit(1).collect(), not head(): an empty corpus must surface the
+    // friendly require message below, not head()'s NoSuchElementException
+    val firstRow = corpus.select(col(vecCol)).limit(1).collect()
+    require(firstRow.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val dim = firstRow(0).getSeq[Float](0).length
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
       .withColumn("n0", norm(col("v")))
       .withColumn("n", when(col("n0") === 0.0, lit(1.0)).otherwise(col("n0")))
@@ -166,13 +170,21 @@ object Similarity {
    * engines' doubles make it bit-identical, so the quantization is exactly
    * oracle-checkable. Pure per-row map, no shuffle. Returns
    * `(id, scale, qvec: array<bigint of int8 values>)`.
+   *
+   * Two projections on purpose: `scale` (whose `array_max` subtree is O(d))
+   * is materialized as a column FIRST, and the quantizing lambda references
+   * `col("scale")` — embedding the scale subtree inside the lambda would
+   * re-evaluate the max per ELEMENT, an O(d²)-per-row tax that at real
+   * embedding widths (1–4 k) costs 30–1000× (r3 verdict). `ScaleSmoke`'s
+   * dim-1024 section pins the linear behavior.
    */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-    emb.select(col(idCol), scale.as("scale"),
-      transform(v, x => floor(x * scale + lit(0.5))).as("qvec"))
+    emb.select(col(idCol), v.as("__v"),
+        when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0)).as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"), x => floor(x * col("scale") + lit(0.5))).as("qvec"))
   }
 
   /**
