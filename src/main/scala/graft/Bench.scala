@@ -21,18 +21,24 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failed query must be VISIBLE — its time would otherwise read as a
-      // suspiciously fast green number
-      try consume(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+      // a failed query must be VISIBLE — in the JSON itself, not only on
+      // stderr: a fast-failing query would otherwise read as a green
+      // sub-second timing to any consumer of the results
+      val ok =
+        try { consume(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ext.Dedup.unpersistAll() // caches must not leak into the next query
-      name -> dt
+      name -> (if (ok) Some(dt) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failures serialize as null (unmistakably not a timing) + a failed list
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.values.flatten.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -245,6 +245,27 @@ object Queries {
         .filter(col("n_tokens") >= 5 && col("pred_lang") === col("lang"))
         .select("doc_id", "lang", "n_chars", "n_tokens")
     }),
+    // fuzzy capstone: same selection pass but deduped through NEAR-dup
+    // clusters (jaccardPairs → connectedComponents) instead of exact
+    // fingerprints — each cluster keeps only its canonical (minimum-id)
+    // member; docs in no near-dup pair keep themselves. Exact duplicates
+    // have Jaccard 1.0, so this strictly subsumes the fingerprint pass.
+    // NB connectedComponents executes its iterative fixpoint eagerly at
+    // build time (see its scaladoc) — inherent to the fuzzy path.
+    "pipeline_corpus_select_fuzzy" -> ((s, d) => {
+      val doc = docs(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.jaccardPairs(doc, "doc_id", "text", 3, 0.8), "doc_a", "doc_b")
+      val losers = clusters.filter(col("node") =!= col("cluster"))
+        .select(col("node").as("doc_id"))
+      val toks = TextAnalysis.tokenStats(doc).select("doc_id", "n_tokens")
+      val lang = TextAnalysis.langId(doc).select("doc_id", "pred_lang")
+      doc.join(losers, Seq("doc_id"), "left_anti")
+        .join(toks, "doc_id")
+        .join(lang, "doc_id")
+        .filter(col("n_tokens") >= 5 && col("pred_lang") === col("lang"))
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+    }),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -372,17 +393,24 @@ object Queries {
       |                  ELSE [array_to_string(tk, ' ')] END AS sh
       |        FROM t)""".stripMargin
 
-  /** Language-ID marker-score CTEs (`t`, `sc`) and the argmax CASE — shared
-    * by the `text_langid` oracle and the corpus-selection pipeline oracle. */
-  private val langScoreCtes =
-    """t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
-      |sc AS (SELECT doc_id,
+  /** Tokenized-documents CTE (`t`) — same definition `trigramCte` opens with,
+    * split out so oracles that already carry the trigram CTEs can append
+    * [[scCte]] without a duplicate `t`. */
+  private val tCte =
+    """t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents)"""
+
+  /** Language-ID marker-score CTE (`sc`, reads `t`) and the argmax CASE —
+    * shared by the `text_langid` oracle and both corpus-pipeline oracles. */
+  private val scCte =
+    """sc AS (SELECT doc_id,
       |         len(list_filter(tk, x -> list_contains(['the','a','and','is','of'], x))) AS s_en,
       |         len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
       |         len(list_filter(tk, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
       |         len(list_filter(tk, x -> list_contains(['el','los','y','es','una'], x))) AS s_es,
       |         len(list_filter(tk, x -> list_contains(['的','是','了','在','和'], x))) AS s_zh
       |    FROM t)""".stripMargin
+
+  private val langScoreCtes = s"$tCte,\n$scCte"
 
   private val predLangCase =
     """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
@@ -557,6 +585,30 @@ object Queries {
          |  JOIN q USING (doc_id)
          |  JOIN pred USING (doc_id)
          | WHERE q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin,
+    "pipeline_corpus_select_fuzzy" ->
+      // near-dup cluster losers (recursive-CTE transitive closure over the
+      // exact Jaccard pair graph, non-minimum members) excluded, then the
+      // same token-count and language-agreement filters
+      s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         |reach(node, label) AS (
+         |  SELECT src AS node, src AS label FROM e
+         |  UNION
+         |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node),
+         |losers AS (SELECT node FROM (SELECT node, min(label) AS cluster_id
+         |                               FROM reach GROUP BY node) c
+         |            WHERE node <> cluster_id),
+         |$scCte,
+         |q AS (SELECT doc_id, len(tk) AS n_tokens FROM t),
+         |pred AS (SELECT doc_id, $predLangCase AS pred_lang FROM sc)
+         |SELECT d.doc_id, d.lang, d.n_chars, q.n_tokens
+         |  FROM documents d
+         |  JOIN q USING (doc_id)
+         |  JOIN pred USING (doc_id)
+         | WHERE d.doc_id NOT IN (SELECT node FROM losers)
+         |   AND q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin,
     "text_term_stats" ->
       """SELECT token, doc_freq, term_freq FROM (
         |  SELECT tok AS token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq

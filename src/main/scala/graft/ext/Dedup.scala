@@ -17,9 +17,14 @@ object Dedup {
 
   private def persistTracked(df: DataFrame): DataFrame = Caches.track(df)
 
-  /** Release every cache created by extension plan builders since the last
-    * call (kept here as the public entry point Bench/Verify use). */
+  /** Release the caches created by extension plan builders ON THIS THREAD
+    * since the last call (kept here as the public entry point Bench/Verify
+    * use). Thread-scoped so parallel queries in a shared session cannot
+    * release each other's in-flight caches — see [[Caches]]. */
   def unpersistAll(): Unit = Caches.unpersistAll()
+
+  /** Release ALL threads' builder caches — session teardown / suite cleanup. */
+  def unpersistEverything(): Unit = Caches.unpersistEverything()
 
   /** Exact dedup: keep the lowest-`idCol` row per duplicate-key group
     * (deterministic winner, unlike `dropDuplicates`). Hash shuffle on the
@@ -204,6 +209,13 @@ object Dedup {
    *
    * Output: `(node, cluster)` for every node that appears in some pair
    * (singletons are their own implicit clusters and are not emitted).
+   *
+   * **EAGER, unlike every other builder here**: the iterative fixpoint runs
+   * distributed rounds (one `count()` action per round) AT CALL TIME — it is
+   * inherent to convergence detection, not an accident. Callers composing
+   * this like a lazy plan builder (e.g. building a frame just to `.explain`
+   * it) pay the full multi-round execution; compute it once and reuse the
+   * returned (cached) frame.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {

@@ -83,26 +83,41 @@ object Ops {
     modified.join(created, Seq(pk), "left_anti")
   }
 
+  /** Broadcast-hint the key side only when Catalyst's size ESTIMATE says it
+    * fits the session's broadcast threshold. An unconditional hint bypasses
+    * AQE's size check — a churn-heavy window can produce an arbitrarily
+    * large changed-key set (unlike the reference, which batches 2000 keys,
+    * `TableUpdateService.cs:110-114`), and a forced broadcast of that fails
+    * at the 8 GB broadcast limit / executor memory instead of degrading.
+    * Unhinted, AQE still converts to broadcast at runtime when the
+    * materialized key set turns out small — the safe default; the hint is
+    * only an optimization for the provably-small case. Reading
+    * `optimizedPlan.stats` is plan-time only (no job). */
+  private def hintIfSmall(keys: DataFrame): DataFrame = {
+    val threshold = keys.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val est = keys.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && est <= threshold) broadcast(keys) else keys
+  }
+
   /** A3 — keyed delete (`DELETE WHERE pk IN (batch)`,
     * `TableUpdateService.cs:117-128`) without the 2000-key batching. The key
-    * side is hinted broadcast: by the reference's semantics it is one
-    * window's changed keys (small next to the table), and the hint keeps the
-    * big side from shuffling regardless of what the stats estimate. */
+    * side is broadcast when estimably small ([[hintIfSmall]]); otherwise AQE
+    * picks the strategy from runtime sizes. */
   def keyedDelete(target: DataFrame, pk: String, keys: DataFrame): DataFrame =
-    target.join(broadcast(keys), Seq(pk), "left_anti")
+    target.join(hintIfSmall(keys), Seq(pk), "left_anti")
 
   /** S3/J2 — re-fetch source rows whose key is in the changed set
     * (`SELECT * WHERE pk IN (batch)`, `TableUpdateService.cs:131-138`).
-    * Broadcast-hinted like [[keyedDelete]], same rationale. */
+    * Size-gated broadcast like [[keyedDelete]], same rationale. */
   def keyedFetch(source: DataFrame, pk: String, keys: DataFrame): DataFrame =
-    source.join(broadcast(keys), Seq(pk), "left_semi")
+    source.join(hintIfSmall(keys), Seq(pk), "left_semi")
 
   /** A4 — upsert: replace target rows for changed keys with fresh source rows
     * (`TableUpdateService.cs:108-166`). The changed-key side is typically
-    * tiny relative to the table — broadcast it so neither the target nor the
-    * source shuffles. */
+    * tiny relative to the table — broadcast when the estimate agrees so
+    * neither the target nor the source shuffles. */
   def upsert(target: DataFrame, source: DataFrame, pk: String, changed: DataFrame): DataFrame = {
-    val keys = broadcast(changed.select(pk).distinct())
+    val keys = changed.select(pk).distinct() // size-gated hint applied per join below
     keyedDelete(target, pk, keys)
       .unionByName(dropAudit(keyedFetch(source, pk, keys)))
   }

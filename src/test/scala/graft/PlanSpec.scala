@@ -3,6 +3,7 @@ package graft
 import graft.ops.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -12,8 +13,12 @@ import org.scalatest.funsuite.AnyFunSuite
  * reaching the scan, a keyed join that degrades to a nested-loop pair scan)
  * fails fast instead of surfacing as a cluster incident.
  */
-class PlanSpec extends AnyFunSuite {
+class PlanSpec extends AnyFunSuite with BeforeAndAfterEach {
   private lazy val spark = TestSpark.spark
+
+  // plan-building tests (cosinePairs) register tracked caches they never
+  // consume — release them so entries don't leak into the shared session
+  override def afterEach(): Unit = graft.ext.Dedup.unpersistAll()
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
