@@ -123,7 +123,37 @@ object ScaleSmoke {
         bigEmb.filter(col("vec_id") < 100), "vec_id", "embedding", 5))
     }
 
-    println(s"[scale] pair/cluster counts: lsh=$lsh simhash=$sh clusters=$cc cosine@0.9=$cp")
+    // ---- wide embeddings (dim 1024): the widths real models emit ----
+    // deterministic widening: 8 scaled copies of each dim-128 vector
+    // concatenated (direction structure preserved, duplicate groups intact)
+    time("build wide embeddings (20k x dim1024)") {
+      bigEmb.withColumn("embedding",
+          flatten(transform(sequence(lit(0), lit(7)),
+            i => transform(col("embedding"),
+              x => x * (lit(1.0) + i.cast("double") * lit(0.01))))).cast("array<float>"))
+        .write.mode("overwrite").parquet(s"$out/embeddings_wide")
+    }
+    val wideEmb = spark.read.parquet(s"$out/embeddings_wide")
+    // linearity pin for the quantizer: dim-1024 must cost ~8x dim-128, not
+    // 64x — the O(d^2) per-element scale re-evaluation this guards against
+    // was a measured 30-1000x tax at production widths
+    time("int8 quantize 20k dim-128") {
+      consume(graft.ext.Similarity.quantizeInt8(bigEmb, "vec_id", "embedding"))
+    }
+    time("int8 quantize 20k dim-1024") {
+      consume(graft.ext.Similarity.quantizeInt8(wideEmb, "vec_id", "embedding"))
+    }
+    val cpw = time("cosine pairs 20k dim-1024 @0.9") {
+      val n = graft.ext.Similarity.cosinePairs(wideEmb, "vec_id", "embedding", 0.9).count()
+      graft.ext.Dedup.unpersistAll(); n
+    }
+    time("IVF ANN dim-1024 top-5, 100 queries") {
+      consume(graft.ext.Similarity.annTopK(wideEmb,
+        wideEmb.filter(col("vec_id") < 100), "vec_id", "embedding", 5))
+    }
+
+    println(s"[scale] pair/cluster counts: lsh=$lsh simhash=$sh clusters=$cc " +
+      s"cosine@0.9=$cp cosine_wide@0.9=$cpw")
     println("[scale] DONE")
     spark.stop()
   }
