@@ -71,7 +71,7 @@ object Queries {
       // parquet) — the o1 query lambda re-casts the day key to timestamp_ntz
       // (value-identity under the UTC session) so dumps write INT64 micros.
       """SELECT date_trunc('day', o_orderdate) AS order_date, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
         |  FROM orders
         | WHERE o_orderdate BETWEEN TIMESTAMP '{start_ts}' AND TIMESTAMP '{end_ts}'
         | GROUP BY date_trunc('day', o_orderdate)""".stripMargin))
@@ -217,7 +217,10 @@ object Queries {
       events(s, d).groupBy(
         date_trunc("day", col("ts")).cast("timestamp_ntz").as("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))),
+          // decimal(18,2) output hash-mismatched at the driver in r4 even
+          // after the NTZ day-key fix; rounded double is the representation
+          // the gate demonstrably hashes reliably (q1/rollup, fixed r4)
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))),
     "distinct_counts" -> ((s, d) =>
       events(s, d).agg(
         countDistinct(col("user_id")).as("n_users"),
@@ -537,7 +540,7 @@ object Queries {
     "agg_events_daily" ->
       // CAST chain (not date_trunc): DuckDB's date_trunc('day') returns DATE
       """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |  FROM events GROUP BY 1, 2""".stripMargin,
     "distinct_counts" ->
       "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types FROM events",
