@@ -19,7 +19,10 @@ object Bench {
     SparkEntry.queries.get("s2_window_scan").foreach { fn =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only subset filter (unset for driver runs → all queries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE — in the JSON itself, not only on
       // stderr: a fast-failing query would otherwise read as a green

@@ -198,14 +198,21 @@ object Dedup {
    * that turns pairwise near-dup output into an actual keep/drop decision
    * (keep the canonical row, drop the rest).
    *
-   * Iterative min-label propagation: each round every node adopts
-   * `min(own label, neighbors' labels)` — one join + one groupBy shuffle per
-   * round — until a fixpoint (no label changed). Rounds needed = graph
-   * diameter; near-dup clusters are shallow (dup groups are cliques or short
-   * chains), so this converges in a handful of rounds even on a 10^9-doc
-   * corpus. Labels/edges are persisted per round and lineage stays flat, so
-   * the plan does not grow with iterations. `maxIter` guards pathological
-   * chains — the operator THROWS rather than returning wrong labels.
+   * Two execution paths behind one size gate (same spirit as Spark's
+   * broadcast-join threshold):
+   *  - edge count ≤ `localEdgeLimit` (default 1 M pairs — the common case:
+   *    blocking keeps the pair set tiny relative to the corpus): collect the
+   *    pairs and run a driver-side union-find — ONE distributed job total
+   *    instead of two per propagation round;
+   *  - above the gate: iterative min-label propagation — each round every
+   *    node adopts `min(own label, neighbors' labels)` (one join + one
+   *    groupBy shuffle per round) until a fixpoint. Rounds needed = graph
+   *    diameter; near-dup clusters are shallow (dup groups are cliques or
+   *    short chains), so this converges in a handful of rounds even on a
+   *    10^9-doc corpus. Labels/edges are persisted per round and lineage
+   *    stays flat, so the plan does not grow with iterations. `maxIter`
+   *    guards pathological chains — the operator THROWS rather than
+   *    returning wrong labels.
    *
    * Output: `(node, cluster)` for every node that appears in some pair
    * (singletons are their own implicit clusters and are not emitted).
@@ -218,13 +225,25 @@ object Dedup {
    * returned (cached) frame.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localEdgeLimit: Long = 1000000L): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // per-round caches are released EAGERLY the moment the next round is
     // materialized — leaving O(rounds) entries in the cache registry makes
     // Spark's cache-plan matching (every new plan is canonicalize-compared
     // against every cached plan) quadratically slow across a long session
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).persist(level)
+    // near-dup pair sets are usually tiny relative to the corpus (pairs only
+    // form inside blocking buckets); when the edge set fits the same size
+    // class a broadcast join would collect anyway, a driver-side union-find
+    // replaces O(diameter) join+agg round-trip jobs with ONE distributed job
+    // (the count + collect of the already-persisted pairs). Above the gate
+    // the distributed min-label propagation below runs unchanged.
+    if (p.count() <= localEdgeLimit) {
+      val rows = p.collect()
+      p.unpersist(blocking = false)
+      val dt = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+      return localComponents(rows, dt, pairs.sparkSession)
+    }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(level)
@@ -258,6 +277,43 @@ object Dedup {
     }
     // only the final (materialized) labels survive, released by unpersistAll
     Caches.register(labels).select(col("node"), col("label").as("cluster"))
+  }
+
+  /** Driver-side union-find over a collected edge list (the small-graph fast
+    * path of [[connectedComponents]]). Union-by-min-root + path halving: the
+    * root of every tree is by construction the minimum member of its
+    * component, so `find(node)` IS the cluster label. Node type is whatever
+    * the pair columns carry (doc ids: long/int/string — all `Comparable`). */
+  private def localComponents(rows: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      if (p == null) { parent.put(x, x); return x }
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    rows.foreach { r =>
+      val ra = find(r.get(0))
+      val rb = find(r.get(1))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = parent.keySet().toArray
+    val out = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt),
+      org.apache.spark.sql.types.StructField("cluster", dt)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** 64-bit SimHash per document over whitespace tokens: bit k of the

@@ -90,9 +90,14 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .map(_.filter { case (a, b) => a != b })
       .suchThat(_.nonEmpty)
     val prop = Prop.forAll(genEdges) { edges =>
-      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      // localEdgeLimit = 0 forces the distributed propagation path; the
+      // default exercises the driver-side union-find fast path
+      val dist = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+          localEdgeLimit = 0L)
         .as[(Long, Long)].collect().toMap
-      got == unionFind(edges)
+      val local = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      dist == unionFind(edges) && local == unionFind(edges)
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop).passed)
   }
