@@ -108,6 +108,28 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(k)
 
+  /** Corpus-level TF-IDF term weights: per token, document frequency,
+    * collection frequency, and `tfidf = term_freq · ln(N / doc_freq)` —
+    * the weighting pass behind keyword extraction / rare-term surfacing in
+    * a training-data pipeline. Top-`k` by `(round(tfidf, 4) desc, token)` —
+    * rounding BEFORE ordering makes the cut deterministic across engines
+    * (sub-ulp `ln` differences cannot reorder the ranking). One shuffle on
+    * token plus a broadcast of the 1-row corpus count; no driver state. */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 100): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("term_freq"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("term_freq").cast("double") *
+          log(col("n_docs").cast("double") / col("doc_freq").cast("double")), 4))
+      .select(col("token"), col("doc_freq"), col("term_freq"), col("tfidf"))
+      .orderBy(col("tfidf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * normalization-stable document signature (token order and duplication
     * insensitive). Useful as a cheap exact-dedup key at scale. */

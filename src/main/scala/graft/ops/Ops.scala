@@ -167,6 +167,38 @@ object Ops {
         col("__asof").as(asofCol): _*)
   }
 
+  /**
+   * Time-range join WITHOUT an equi key: all pairs `(left, right)` with
+   * `|leftTime − rightTime| <= tolerance` — event-correlation across streams
+   * that share no join key (e.g. "clicks near any error"). A naive
+   * formulation is a cross join with an inequality filter — O(n·m) pairs
+   * materialized, dead at scale. Here both sides are bucketed into
+   * `tolerance`-wide time bands and the left side is expanded to its
+   * adjacent bands `{b−1, b, b+1}`, turning the range predicate into an
+   * EQUI join on the band key: any in-tolerance pair differs by at most one
+   * band, so recall is exact, and each pair meets on exactly one band key
+   * (the right row's band) so no dedup pass is needed. The exact predicate
+   * then prunes the ≤3-band false positives.
+   *
+   * ONE shuffle on the band key. Cost scales with Σ |left_band|·|right_band|
+   * — pairs-per-band, the same density bound every blocking scheme carries
+   * (a tolerance much wider than the event spacing makes bands hot; tune
+   * `tolerance` to the correlation window, which is naturally narrow).
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftTime: String, rightTime: String,
+      tolerance: java.time.Duration): DataFrame = {
+    val tolUs = tolerance.toNanos / 1000
+    require(tolUs > 0, "tolerance must be positive")
+    def bandOf(t: Column): Column = floor(unix_micros(t.cast("timestamp")) / lit(tolUs))
+    val l = left.withColumn("__band", explode(array(
+      bandOf(col(leftTime)) - 1, bandOf(col(leftTime)), bandOf(col(leftTime)) + 1)))
+    val r = right.withColumn("__band", bandOf(col(rightTime)))
+    l.join(r, Seq("__band"))
+      .filter(abs(unix_micros(col(leftTime).cast("timestamp")) -
+        unix_micros(col(rightTime).cast("timestamp"))) <= tolUs)
+      .drop("__band")
+  }
+
   /** Full incremental-update step (entry point C, SURVEY.md §3.3):
     * discover changed keys on the source, then upsert them into the target. */
   def incrementalUpdate(target: DataFrame, source: DataFrame, pk: String,
