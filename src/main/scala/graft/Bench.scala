@@ -19,8 +19,18 @@ object Bench {
     SparkEntry.queries.get("s2_window_scan").foreach { fn =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // dev-only subset filter (unset for driver runs → all queries)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // dev-only subset filter (unset for driver runs → all queries). An empty
+    // or misspelled selection FAILS FAST — silently selecting zero (or fewer)
+    // queries would emit a results JSON that looks like a clean run, the same
+    // invisible-failure mode the failed-list below exists to prevent.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but selects zero queries")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -41,7 +51,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.values.flatten.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // n_queries + filtered make a SPARK_GRAFT_ONLY subset run self-describing:
+    // a partial total can never be mistaken for a full bench
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"filtered":${only.isDefined},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.Ops
 import graft.proc.SqlStepRegistry
@@ -42,6 +42,24 @@ object Queries {
   private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** Exact-dedup corpus selection (the `pipeline_corpus_select` capstone,
+    * shared by the sampled variant): fingerprint-dedup winners ∩ token-length
+    * filter ∩ language-ID agreement, composed purely from library operators. */
+  private def corpusSelect(s: SparkSession, d: String): DataFrame = {
+    val doc = docs(s, d)
+    val keep = Dedup.exact(
+      doc.withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text"))))))),
+      Seq("fp"), "doc_id").select("doc_id")
+    val toks = TextAnalysis.tokenStats(doc).select("doc_id", "n_tokens")
+    val lang = TextAnalysis.langId(doc).select("doc_id", "pred_lang")
+    doc.join(keep, "doc_id")
+      .join(toks, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("n_tokens") >= 5 && col("pred_lang") === col("lang"))
+      .select("doc_id", "lang", "n_chars", "n_tokens")
+  }
 
   /** events + deterministic synthetic `update_ts` (no update-date column in
     * the fixtures — FIXTURES.md): `ts + (event_id % 7) days`. */
@@ -234,20 +252,13 @@ object Queries {
     // capstone pipeline: the actual training-corpus selection pass —
     // fingerprint-dedup winners ∩ length filter ∩ language-ID agreement,
     // composed purely from the library's operators
-    "pipeline_corpus_select" -> ((s, d) => {
-      val doc = docs(s, d)
-      val keep = Dedup.exact(
-        doc.withColumn("fp",
-          md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text"))))))),
-        Seq("fp"), "doc_id").select("doc_id")
-      val toks = TextAnalysis.tokenStats(doc).select("doc_id", "n_tokens")
-      val lang = TextAnalysis.langId(doc).select("doc_id", "pred_lang")
-      doc.join(keep, "doc_id")
-        .join(toks, "doc_id")
-        .join(lang, "doc_id")
-        .filter(col("n_tokens") >= 5 && col("pred_lang") === col("lang"))
-        .select("doc_id", "lang", "n_chars", "n_tokens")
-    }),
+    "pipeline_corpus_select" -> ((s, d) => corpusSelect(s, d)),
+    // sampled capstone: the full training-data selection shape — dedup →
+    // quality/language filter → deterministic hash downsample. Gates
+    // Sampling.hashFraction IN COMPOSITION (the selection must commute with
+    // the upstream joins for the oracle to agree).
+    "pipeline_corpus_sample" -> ((s, d) =>
+      Sampling.hashFraction(corpusSelect(s, d), "doc_id", 500)),
     // fuzzy capstone: same selection pass but deduped through NEAR-dup
     // clusters (jaccardPairs → connectedComponents) instead of exact
     // fingerprints — each cluster keeps only its canonical (minimum-id)
@@ -273,6 +284,25 @@ object Queries {
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
+
+    // ---- deterministic sampling (§2.12) ----
+    "sampling_hash_fraction" -> ((s, d) => Sampling.hashFraction(docs(s, d), "doc_id", 200)),
+    "sampling_stratified" -> ((s, d) => Sampling.stratified(docs(s, d), "lang", "doc_id", 20)),
+
+    // ---- keyless time-range join (§2.12): clicks near ANY error within 60 s.
+    // Both sides deliberately name their time column `ts` — the canonical
+    // event-correlation shape — so the gate exercises the collision-safe
+    // internal rename, not just the easy distinct-names case.
+    "range_join_events" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts"))
+      Ops.rangeJoin(clicks, errors, "ts", "ts", java.time.Duration.ofSeconds(60))
+        .select("click_id", "error_id")
+    }),
 
     // ---- dedup (§2.12) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), Seq("lang", "source"), "doc_id")),
@@ -458,6 +488,27 @@ object Queries {
        |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node)
        |SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin
 
+  /** The engine's 60-bit portable id hash ([[Sampling.idHash]]) spelled in
+    * DuckDB — bit-identical to Spark's `conv(substring(md5(..),1,15),16,10)`. */
+  private def duckIdHash(c: String): String =
+    s"CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  /** Oracle for `pipeline_corpus_select`, shared by the sampled variant. */
+  private val corpusSelectSql =
+    s"""WITH $langScoreCtes,
+       |fp AS (SELECT doc_id,
+       |              md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))), ' ')) AS fp
+       |         FROM documents),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+       |q AS (SELECT doc_id, len(tk) AS n_tokens FROM t),
+       |pred AS (SELECT doc_id, $predLangCase AS pred_lang FROM sc)
+       |SELECT d.doc_id, d.lang, d.n_chars, q.n_tokens
+       |  FROM documents d
+       |  JOIN keep USING (doc_id)
+       |  JOIN q USING (doc_id)
+       |  JOIN pred USING (doc_id)
+       | WHERE q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM customer",
     "s2_window_scan" ->
@@ -574,20 +625,11 @@ object Queries {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
         |  FROM documents""".stripMargin,
-    "pipeline_corpus_select" ->
-      s"""WITH $langScoreCtes,
-         |fp AS (SELECT doc_id,
-         |              md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))), ' ')) AS fp
-         |         FROM documents),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
-         |q AS (SELECT doc_id, len(tk) AS n_tokens FROM t),
-         |pred AS (SELECT doc_id, $predLangCase AS pred_lang FROM sc)
-         |SELECT d.doc_id, d.lang, d.n_chars, q.n_tokens
-         |  FROM documents d
-         |  JOIN keep USING (doc_id)
-         |  JOIN q USING (doc_id)
-         |  JOIN pred USING (doc_id)
-         | WHERE q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin,
+    "pipeline_corpus_select" -> corpusSelectSql,
+    "pipeline_corpus_sample" ->
+      s"""SELECT * FROM (
+         |$corpusSelectSql
+         |) cs WHERE ${duckIdHash("doc_id")} % 1000 < 500""".stripMargin,
     "pipeline_corpus_select_fuzzy" ->
       // near-dup cluster losers (recursive-CTE transitive closure over the
       // exact Jaccard pair graph, non-minimum members) excluded, then the
@@ -612,6 +654,28 @@ object Queries {
          |  JOIN pred USING (doc_id)
          | WHERE d.doc_id NOT IN (SELECT node FROM losers)
          |   AND q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin,
+    "sampling_hash_fraction" ->
+      s"SELECT * FROM documents WHERE ${duckIdHash("doc_id")} % 1000 < 200",
+    "sampling_stratified" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |             ORDER BY ${duckIdHash("doc_id")}, doc_id) AS rn
+         |    FROM documents) x WHERE rn <= 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+        |        FROM tok GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT token, doc_freq, term_freq,
+        |       round(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
+        |  FROM g, n
+        | ORDER BY tfidf DESC, token LIMIT 100""".stripMargin,
+    "range_join_events" ->
+      """SELECT c.event_id AS click_id, e.event_id AS error_id
+        |  FROM events c, events e
+        | WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |   AND abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 60000000""".stripMargin,
     "text_term_stats" ->
       """SELECT token, doc_freq, term_freq FROM (
         |  SELECT tok AS token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq

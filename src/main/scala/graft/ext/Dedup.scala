@@ -231,18 +231,32 @@ object Dedup {
     // materialized — leaving O(rounds) entries in the cache registry makes
     // Spark's cache-plan matching (every new plan is canonicalize-compared
     // against every cached plan) quadratically slow across a long session
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).persist(level)
+    // both pair columns must carry ONE id type: the local fast path takes its
+    // output schema (and its comparator) from the pair type, and an int-vs-
+    // long pair would label-compare inconsistently in either path. Null ids
+    // are dropped up front — they are meaningless edges; the distributed path
+    // only tolerated them accidentally (join semantics) while the local path
+    // would NPE, and the two paths must agree behind one API.
+    val dtA = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+    val dtB = pairs.schema(pairs.schema.fieldIndex(bCol)).dataType
+    require(dtA == dtB,
+      s"connectedComponents pair columns must share one id type: $aCol is $dtA, $bCol is $dtB")
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull).persist(level)
     // near-dup pair sets are usually tiny relative to the corpus (pairs only
     // form inside blocking buckets); when the edge set fits the same size
     // class a broadcast join would collect anyway, a driver-side union-find
     // replaces O(diameter) join+agg round-trip jobs with ONE distributed job
     // (the count + collect of the already-persisted pairs). Above the gate
     // the distributed min-label propagation below runs unchanged.
+    // NB the gate counts EDGES, not bytes: 1 M long-id edges is ~32 MB of
+    // driver heap, but 1 M edges of long string doc-ids can be 10× that —
+    // callers with fat string ids should pass a smaller localEdgeLimit (or 0
+    // to force the distributed path, which is always available).
     if (p.count() <= localEdgeLimit) {
       val rows = p.collect()
       p.unpersist(blocking = false)
-      val dt = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
-      return localComponents(rows, dt, pairs.sparkSession)
+      return localComponents(rows, dtA, pairs.sparkSession)
     }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
@@ -300,7 +314,17 @@ object Dedup {
       }
       x
     }
-    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // String labels must order the way Spark's min/least orders StringType —
+    // UTF-8 binary — NOT java String.compareTo (UTF-16 code units): the two
+    // diverge for supplementary characters (surrogates sort before U+E000..
+    // U+FFFF in UTF-16 but after in UTF-8), and the fast path must pick the
+    // SAME canonical label the distributed path would.
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     rows.foreach { r =>
       val ra = find(r.get(0))
       val rb = find(r.get(1))

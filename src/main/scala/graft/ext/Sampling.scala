@@ -34,12 +34,40 @@ object Sampling {
     df.filter(idHash(col(idCol)) % 1000 < permille)
   }
 
+  /** A temp-column name guaranteed absent from `df`'s schema (a fixed
+    * `"__rn"` would silently clobber — or collide with — a user column). */
+  private def freshCol(df: DataFrame, base: String): String = {
+    val taken = df.columns.toSet
+    Iterator.from(0).map(i => s"$base$i").find(!taken(_)).get
+  }
+
   /** Stratified sample: the `n` rows with the smallest `(idHash, id)` per
     * `groupCol` stratum — a deterministic per-class quota (class-balanced
-    * subset selection). One window shuffle on the stratum key; hash order
-    * makes the pick uniform-ish while `(hash, id)` stays a total order. */
+    * subset selection); hash order makes the pick uniform-ish while
+    * `(hash, id)` stays a total order.
+    *
+    * TWO-PHASE so no task ever sorts a whole stratum: strata in a
+    * training-data pipeline are low-cardinality (language, source, label) —
+    * a single `row_number() OVER (PARTITION BY stratum)` window would funnel
+    * every row of a stratum into ONE task (terabytes per task at 100 TB).
+    * Phase 1 windows on `(stratum, spark_partition_id())` — each input
+    * partition independently keeps its local smallest-`n` per stratum, so
+    * per-task input is bounded by one input partition's share of a stratum
+    * and the survivor set is ≤ `n × input_partitions` rows per stratum.
+    * Phase 2 runs the exact global per-stratum top-`n` over only those
+    * survivors. Any row in the true global top-`n` is necessarily in its
+    * partition's local top-`n`, so the two-phase result is EXACTLY the
+    * single-window result (pinned by `SamplingSpec`). */
   def stratified(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(idHash(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    require(n > 0, s"sample size must be positive: $n")
+    val h = idHash(col(idCol))
+    val rn = freshCol(df, "__rn")
+    val pid = freshCol(df, "__pid")
+    val wLocal = Window.partitionBy(col(groupCol), col(pid)).orderBy(h, col(idCol))
+    val pruned = df.withColumn(pid, spark_partition_id())
+      .withColumn(rn, row_number().over(wLocal))
+      .filter(col(rn) <= n).drop(pid, rn)
+    val wGlobal = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    pruned.withColumn(rn, row_number().over(wGlobal)).filter(col(rn) <= n).drop(rn)
   }
 }

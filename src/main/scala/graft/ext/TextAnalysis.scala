@@ -117,7 +117,10 @@ object TextAnalysis {
     * token plus a broadcast of the 1-row corpus count; no driver state. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 100): DataFrame = {
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // countDistinct, not count(*): doc_freq counts DISTINCT docs, so N must be
+    // on the same basis — duplicate doc_ids would otherwise inflate N and a
+    // token present in every distinct doc would no longer get tfidf 0
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy("token")
       .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("term_freq"))

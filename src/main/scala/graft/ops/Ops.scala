@@ -184,19 +184,33 @@ object Ops {
    * — pairs-per-band, the same density bound every blocking scheme carries
    * (a tolerance much wider than the event spacing makes bands hot; tune
    * `tolerance` to the correlation window, which is naturally narrow).
+   *
+   * Column-name safety: right-side columns that collide with a left-side name
+   * — the canonical event-correlation case is both streams calling their time
+   * column `ts` — are renamed with `rightSuffix` in the OUTPUT (so the result
+   * is selectable by name and the post-join tolerance filter is unambiguous),
+   * and the internal band key is picked to not collide with either schema.
    */
   def rangeJoin(left: DataFrame, right: DataFrame, leftTime: String, rightTime: String,
-      tolerance: java.time.Duration): DataFrame = {
+      tolerance: java.time.Duration, rightSuffix: String = "_r"): DataFrame = {
     val tolUs = tolerance.toNanos / 1000
     require(tolUs > 0, "tolerance must be positive")
+    val leftCols = left.columns.toSet
+    val renamed = right.columns.map(c => if (leftCols(c)) c + rightSuffix else c)
+    require(renamed.toSet.size == renamed.length && !renamed.exists(leftCols),
+      s"rangeJoin rightSuffix '$rightSuffix' does not disambiguate: " +
+        s"renamed right columns ${renamed.mkString(",")} still collide")
+    val rTime = if (leftCols(rightTime)) rightTime + rightSuffix else rightTime
+    val taken = leftCols ++ renamed
+    val band = Iterator.from(0).map(i => s"__band$i").find(!taken(_)).get
     def bandOf(t: Column): Column = floor(unix_micros(t.cast("timestamp")) / lit(tolUs))
-    val l = left.withColumn("__band", explode(array(
+    val l = left.withColumn(band, explode(array(
       bandOf(col(leftTime)) - 1, bandOf(col(leftTime)), bandOf(col(leftTime)) + 1)))
-    val r = right.withColumn("__band", bandOf(col(rightTime)))
-    l.join(r, Seq("__band"))
+    val r = right.toDF(renamed.toIndexedSeq: _*).withColumn(band, bandOf(col(rTime)))
+    l.join(r, Seq(band))
       .filter(abs(unix_micros(col(leftTime).cast("timestamp")) -
-        unix_micros(col(rightTime).cast("timestamp"))) <= tolUs)
-      .drop("__band")
+        unix_micros(col(rTime).cast("timestamp"))) <= tolUs)
+      .drop(band)
   }
 
   /** Full incremental-update step (entry point C, SURVEY.md §3.3):

@@ -102,6 +102,35 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop).passed)
   }
 
+  test("connectedComponents string ids: both paths agree, labels in UTF-8 order") {
+    // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80) but
+    // AFTER it in UTF-16 code units (FFFD > D83D surrogate) — the fast path's
+    // comparator must follow Spark's UTF-8 min, or the canonical label would
+    // flip with edge count (ADVICE r5)
+    val emoji = "😀" // U+1F600
+    val fffd = "�"        // U+FFFD
+    val pairs = Seq((emoji, fffd), ("b", "a")).toDF("doc_a", "doc_b")
+    val expected = Map(emoji -> fffd, fffd -> fffd, "a" -> "a", "b" -> "a")
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toMap
+    Dedup.unpersistAll()
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b", localEdgeLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(local == expected)
+    assert(dist == expected)
+  }
+
+  test("connectedComponents drops null-id edges and rejects mixed pair types") {
+    val withNulls = Seq((Option(1L), Option(2L)), (None, Option(3L)), (Option(4L), None))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(withNulls, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L)) // null edges carry no information
+    val mixed = Seq((1, 2L)).toDF("doc_a", "doc_b") // int vs long
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(mixed, "doc_a", "doc_b"))
+  }
+
   test("connectedComponents labels transitive clusters with the min member") {
     // chain 1–2–3 (diameter 2, needs >1 propagation round) + separate pair 5–6
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")

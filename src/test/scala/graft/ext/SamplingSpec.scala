@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = graft.io.Tables.load(spark, TestSpark.Sf0001, "documents")
+
+  test("hashFraction is deterministic and partitioning-invariant") {
+    val a = Sampling.hashFraction(docs, "doc_id", 200)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashFraction(docs.repartition(7), "doc_id", 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // df.sample() would NOT survive this — per-partition RNG
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("hashFraction permille bounds: 0 keeps nothing, 1000 keeps everything") {
+    assert(Sampling.hashFraction(docs, "doc_id", 0).count() == 0L)
+    assert(Sampling.hashFraction(docs, "doc_id", 1000).count() == docs.count())
+    intercept[IllegalArgumentException](Sampling.hashFraction(docs, "doc_id", 1001))
+  }
+
+  test("stratified equals the single-window reference and is partitioning-invariant") {
+    val n = 7
+    // semantics reference: the naive one-task-per-stratum window (fine at
+    // test scale; the production operator must produce EXACTLY this set)
+    val w = Window.partitionBy(col("lang")).orderBy(Sampling.idHash(col("doc_id")), col("doc_id"))
+    val ref = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .drop("rn").select("doc_id").as[Long].collect().toSet
+    val got = Sampling.stratified(docs, "lang", "doc_id", n)
+      .select("doc_id").as[Long].collect().toSet
+    val gotRepart = Sampling.stratified(docs.repartition(13), "lang", "doc_id", n)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == ref)
+    assert(gotRepart == ref)
+  }
+
+  test("stratified keeps at most n rows per stratum and preserves the schema") {
+    val out = Sampling.stratified(docs, "lang", "doc_id", 20)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 <= 20L))
+  }
+
+  test("stratified temp columns never clobber user columns") {
+    val df = docs.withColumn("__rn0", lit(1)).withColumn("__pid0", lit(2))
+    val out = Sampling.stratified(df, "lang", "doc_id", 3)
+    assert(out.columns.count(_ == "__rn0") == 1 && out.columns.count(_ == "__pid0") == 1)
+    assert(out.select("__rn0").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("stratified scale contract: phase-1 window is keyed by (stratum, input partition)") {
+    // VERDICT r5 item 2: no task may sort a whole stratum. The plan must
+    // carry TWO windows — a local prune partitioned by (groupCol,
+    // SPARK_PARTITION_ID()) whose per-task input is one input partition's
+    // stratum share, then the exact global top-n over ≤ n × partitions rows.
+    val lp = Sampling.stratified(docs, "lang", "doc_id", 5).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size == 2, s"expected local-prune + global windows, got:\n$lp")
+    // the prune window partitions on TWO keys (stratum + the aliased
+    // SPARK_PARTITION_ID() attribute); the global one on the stratum alone
+    assert(windows.map(_.partitionSpec.size).sorted == Seq(1, 2), s"plan:\n$lp")
+    assert(lp.toString.contains("SPARK_PARTITION_ID"), s"plan:\n$lp")
+  }
+}

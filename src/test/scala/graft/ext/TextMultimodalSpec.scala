@@ -54,6 +54,18 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(frames.agg(max(length(col("frame")))).head().getInt(0) <= 32)
   }
 
+  test("tfidf: N is distinct-doc based, so an every-doc token weighs exactly 0") {
+    // doc 1 appears TWICE — count(*)-based N would be 3 and give 'common'
+    // (present in both distinct docs) a nonzero weight (ADVICE r5)
+    val df = Seq((1L, "x common"), (1L, "x common"), (2L, "common y")).toDF("doc_id", "text")
+    val m = TextAnalysis.tfidf(df, k = 10).as[(String, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m("common")._4 == 0.0)
+    assert(m("common")._2 == 2L) // doc_freq: both distinct docs
+    assert(m("y")._4 == 0.6931)  // 1 · ln(2/1) rounded to 4
+    assert(m("x")._4 == 1.3863)  // term_freq 2 (dup rows), doc_freq 1
+  }
+
   test("SqlStepRegistry substitutes window placeholders") {
     val reg = new graft.proc.SqlStepRegistry(Map(
       "s" -> "SELECT TIMESTAMP '{start_ts}' AS a, TIMESTAMP '{end_ts}' AS b, DATE '{start_date}' AS c"))

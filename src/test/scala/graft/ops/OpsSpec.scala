@@ -125,6 +125,40 @@ class OpsSpec extends AnyFunSuite {
       s"no pushdown in plan:\n$plan")
   }
 
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("rangeJoin: |Δt| == tolerance is included (adjacent-band pair), beyond excluded") {
+    // 00:01:00 vs 00:02:00 sit in ADJACENT 60 s bands with Δt exactly the
+    // tolerance — one case pins both the band expansion and the closed bound
+    val l = Seq((1L, ts("2024-01-01 00:01:00"))).toDF("l_id", "lts")
+    val r = Seq((10L, ts("2024-01-01 00:02:00")), (11L, ts("2024-01-01 00:02:00.000001")),
+      (12L, ts("2024-01-01 00:00:30"))).toDF("r_id", "rts")
+    val got = Ops.rangeJoin(l, r, "lts", "rts", java.time.Duration.ofSeconds(60))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 12L))) // 11 is 60.000001 s away
+  }
+
+  test("rangeJoin: identically-named time columns work; right side gets _r suffix") {
+    // the canonical event-correlation shape — both streams call it `ts`
+    // (pre-fix this threw AnalysisException: ambiguous reference)
+    val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("id", "ts")
+    val r = Seq((2L, ts("2024-01-01 00:00:30"))).toDF("id", "ts")
+    val out = Ops.rangeJoin(l, r, "ts", "ts", java.time.Duration.ofSeconds(60))
+    assert(out.columns.toSeq == Seq("id", "ts", "id_r", "ts_r"))
+    assert(out.select("id", "id_r").as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+  }
+
+  test("rangeJoin: band temp column dodges existing __band0; bad suffix fails fast") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), "keep")).toDF("id", "ts", "__band0")
+    val r = Seq((2L, ts("2024-01-01 00:00:01"))).toDF("rid", "rts")
+    val out = Ops.rangeJoin(l, r, "ts", "rts", java.time.Duration.ofSeconds(60))
+    assert(out.select("__band0").as[String].collect().toSeq == Seq("keep"))
+    // suffixing cannot disambiguate when the suffixed name ALSO exists
+    val clash = Seq((2L, ts("2024-01-01 00:00:01"))).toDF("ts", "ts_r")
+    intercept[IllegalArgumentException](
+      Ops.rangeJoin(l.select("id", "ts"), clash, "ts", "ts", java.time.Duration.ofSeconds(60)))
+  }
+
   test("explain: upsert broadcasts the changed-key side") {
     val target = Seq((1L, "old")).toDF("pk", "v")
     val source = Seq((1L, "new")).toDF("pk", "v")
