@@ -289,6 +289,15 @@ object Queries {
     // ---- deterministic sampling (§2.12) ----
     "sampling_hash_fraction" -> ((s, d) => Sampling.hashFraction(docs(s, d), "doc_id", 200)),
     "sampling_stratified" -> ((s, d) => Sampling.stratified(docs(s, d), "lang", "doc_id", 20)),
+    // quality-proportional keep: weight = n_chars/2000 (clamped at 1 inside
+    // the operator — long docs always kept, short docs kept hash-fractionally)
+    "sampling_weighted" -> ((s, d) =>
+      Sampling.weightedFraction(
+        docs(s, d).withColumn("w", col("n_chars") / lit(2000.0)), "doc_id", "w")),
+    // domain mixing: fixed per-language quotas; es/zh have no quota → dropped
+    "sampling_stratified_quotas" -> ((s, d) =>
+      Sampling.stratifiedQuotas(docs(s, d), "lang", "doc_id",
+        Map("en" -> 30, "de" -> 10, "fr" -> 5))),
 
     // ---- keyless time-range join (§2.12): clicks near ANY error within 60 s.
     // Both sides deliberately name their time column `ts` — the canonical
@@ -661,6 +670,19 @@ object Queries {
          |  SELECT *, row_number() OVER (PARTITION BY lang
          |             ORDER BY ${duckIdHash("doc_id")}, doc_id) AS rn
          |    FROM documents) x WHERE rn <= 20""".stripMargin,
+    "sampling_weighted" ->
+      s"""SELECT doc_id, text, lang, source, n_chars, CAST(n_chars AS DOUBLE) / 2000.0 AS w
+         |  FROM documents
+         | WHERE CAST(${duckIdHash("doc_id")} % 1000000 AS DOUBLE)
+         |       < least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0), 1) * 1000000""".stripMargin,
+    "sampling_stratified_quotas" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT d.*, q.quota, row_number() OVER (PARTITION BY d.lang
+         |             ORDER BY ${duckIdHash("doc_id")}, doc_id) AS rn
+         |    FROM documents d
+         |    JOIN (VALUES ('en', 30), ('de', 10), ('fr', 5)) q(lang, quota)
+         |      ON d.lang = q.lang) x
+         | WHERE rn <= quota""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),

@@ -94,6 +94,33 @@ object ScaleSmoke {
       consume(Ops.upsert(bigEv, bigEv, "event_id", changed))
     }
 
+    // ---- keyless time correlation at 1M events ----
+    // replication duplicates every timestamp 10x, so each band carries a
+    // 10x10 pair fan-out — a deliberate hot-band stress for the band-blocked
+    // equi-join plan (the shape a too-wide tolerance produces at 100 TB)
+    val rj = time("range join clicks x errors @60s, 1M") {
+      val clicks = bigEv.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      val errors = bigEv.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts"))
+      Ops.rangeJoin(clicks, errors, "ts", "ts", java.time.Duration.ofSeconds(60)).count()
+    }
+    val aj = time("as-of join clicks->errors, 1M") {
+      val clicks = bigEv.filter(col("event_type") === "click")
+      val errors = bigEv.filter(col("event_type") === "error")
+      Ops.asOfJoin(clicks, errors, "user_id", "ts", "ts", "event_id", "event_id").count()
+    }
+
+    // ---- deterministic sampling at 1M rows, 5 hot strata ----
+    // event_type has cardinality 5 at 1M rows — exactly the whole-stratum-in-
+    // one-task shape the two-phase stratified plan exists to survive
+    time("stratified sample 1M, 5 strata") {
+      consume(graft.ext.Sampling.stratified(bigEv, "event_type", "event_id", 1000))
+    }
+    time("hash-fraction sample 1M") {
+      consume(graft.ext.Sampling.hashFraction(bigEv, "event_id", 100))
+    }
+
     // ---- dedup family at 20k docs with 10-member duplicate groups ----
     time("exact dedup 20k docs") {
       consume(graft.ext.Dedup.exact(bigDocs, Seq("text"), "doc_id"))
@@ -153,7 +180,7 @@ object ScaleSmoke {
     }
 
     println(s"[scale] pair/cluster counts: lsh=$lsh simhash=$sh clusters=$cc " +
-      s"cosine@0.9=$cp cosine_wide@0.9=$cpw")
+      s"cosine@0.9=$cp cosine_wide@0.9=$cpw range_pairs=$rj asof_rows=$aj")
     println("[scale] DONE")
     spark.stop()
   }

@@ -34,6 +34,18 @@ object Sampling {
     df.filter(idHash(col(idCol)) % 1000 < permille)
   }
 
+  /** Keep each row with probability ≈ its `weightCol` ∈ [0,1] — quality-
+    * proportional downsampling (keep high-quality documents more often),
+    * deterministic on the id hash: `idHash % 10^6 < weight · 10^6`. Weights
+    * are clamped to [0,1]; a null weight drops the row. A pure per-row
+    * filter, composable and engine-portable like [[hashFraction]] — both
+    * sides of the comparison are exact IEEE doubles, so any engine computes
+    * the identical selection. */
+  def weightedFraction(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter((idHash(col(idCol)) % 1000000).cast("double") < w * 1000000.0)
+  }
+
   /** A temp-column name guaranteed absent from `df`'s schema (a fixed
     * `"__rn"` would silently clobber — or collide with — a user column). */
   private def freshCol(df: DataFrame, base: String): String = {
@@ -69,5 +81,37 @@ object Sampling {
       .filter(col(rn) <= n).drop(pid, rn)
     val wGlobal = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     pruned.withColumn(rn, row_number().over(wGlobal)).filter(col(rn) <= n).drop(rn)
+  }
+
+  /** Domain mixing: per-stratum quotas (e.g. `Map("en" -> 3_000_000,
+    * "de" -> 500_000)`) — the corpus-blending shape of a training-data
+    * pipeline, where each language/source/domain contributes a fixed number
+    * of documents. Same deterministic `(idHash, id)` order and the same
+    * two-phase no-whole-stratum-in-one-task plan as [[stratified]]; the
+    * quota table rides along as a broadcast join. Strata absent from
+    * `quotas` are dropped (quota 0). The phase-1 prune also carries the
+    * LITERAL max quota so Spark's rank-limit pushdown (`WindowGroupLimit`)
+    * still applies before the exact per-stratum filter. */
+  def stratifiedQuotas(df: DataFrame, groupCol: String, idCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty, "quotas must be non-empty")
+    quotas.foreach { case (k, v) => require(v > 0, s"quota for stratum '$k' must be positive: $v") }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxQ = quotas.values.max
+    val q = freshCol(df, "__quota")
+    val qdf = quotas.toSeq.toDF(groupCol, q)
+    val joined = df.join(broadcast(qdf), groupCol)
+    val h = idHash(col(idCol))
+    val rn = freshCol(joined, "__rn")
+    val pid = freshCol(joined, "__pid")
+    val wLocal = Window.partitionBy(col(groupCol), col(pid)).orderBy(h, col(idCol))
+    val pruned = joined.withColumn(pid, spark_partition_id())
+      .withColumn(rn, row_number().over(wLocal))
+      .filter(col(rn) <= lit(maxQ) && col(rn) <= col(q)).drop(pid, rn)
+    val wGlobal = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    pruned.withColumn(rn, row_number().over(wGlobal))
+      .filter(col(rn) <= col(q))
+      .select(df.columns.toIndexedSeq.map(col): _*) // original schema & order
   }
 }

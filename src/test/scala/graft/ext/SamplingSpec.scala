@@ -55,6 +55,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.select("__rn0").distinct().as[Int].collect().toSeq == Seq(1))
   }
 
+  test("weightedFraction: clamps weights, drops null weights, monotone in weight") {
+    // weight ≥ 1 always keeps (hash % 1e6 < 1e6 is vacuous); ≤ 0 always drops
+    val df = Seq((1L, 2.0), (2L, -1.0), (3L, 1.0)).toDF("id", "w")
+    val got = Sampling.weightedFraction(df, "id", "w").select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+    val withNull = Seq((1L, Option(1.0)), (2L, Option.empty[Double])).toDF("id", "w")
+    assert(Sampling.weightedFraction(withNull, "id", "w")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // monotone: raising every weight never evicts a previously-kept row —
+    // the property that makes quality-threshold sweeps consistent
+    val k3 = Sampling.weightedFraction(docs.withColumn("w", lit(0.3)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    val k6 = Sampling.weightedFraction(docs.withColumn("w", lit(0.6)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(k3.nonEmpty && k3.subsetOf(k6) && k6.size < docs.count())
+  }
+
+  test("stratifiedQuotas: quotas respected, unquota'd strata dropped, uniform ≡ stratified") {
+    val out = Sampling.stratifiedQuotas(docs, "lang", "doc_id", Map("en" -> 7, "de" -> 3))
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("en", "de")) // es/fr/zh have no quota
+    assert(counts("en") <= 7L && counts("de") <= 3L)
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val uni = Sampling.stratifiedQuotas(docs, "lang", "doc_id", langs.map(_ -> 5).toMap)
+      .select("doc_id").as[Long].collect().toSet
+    val ref = Sampling.stratified(docs, "lang", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uni == ref)
+  }
+
   test("stratified scale contract: phase-1 window is keyed by (stratum, input partition)") {
     // VERDICT r5 item 2: no task may sort a whole stratum. The plan must
     // carry TWO windows — a local prune partitioned by (groupCol,
