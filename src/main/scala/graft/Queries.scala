@@ -298,6 +298,10 @@ object Queries {
     "sampling_stratified_quotas" -> ((s, d) =>
       Sampling.stratifiedQuotas(docs(s, d), "lang", "doc_id",
         Map("en" -> 30, "de" -> 10, "fr" -> 5))),
+    // fill a 60k-char budget from docs in deterministic hash order — the
+    // corpus-assembly primitive (bucket-prefix plan, no global-order window)
+    "sampling_budget_select" -> ((s, d) =>
+      Sampling.budgetSelect(docs(s, d), "doc_id", "n_chars", 60000L)),
 
     // ---- keyless time-range join (§2.12): clicks near ANY error within 60 s.
     // Both sides deliberately name their time column `ts` — the canonical
@@ -403,6 +407,21 @@ object Queries {
         col("window_start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"),
         round(col("total_value"), 6).as("total_value"))
+    }),
+
+    // streaming stateful distinct drained AvailableNow, gated ≡ batch DISTINCT
+    "stream_distinct_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.catalog.dropTempView("stream_dp")
+      val stream = graft.streaming.EventStream.read(s, s"$d/events.parque*")
+      val q = graft.streaming.EventStream.distinctKeys(stream, Seq("user_id", "event_type"))
+        .writeStream.format("memory").queryName("stream_dp")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("stream_distinct_pairs did not drain within 300 s")
+      }
+      s.table("stream_dp")
     }),
 
     // int8 scalar quantization, posexploded to scalar rows for the gate
@@ -683,6 +702,14 @@ object Queries {
          |    JOIN (VALUES ('en', 30), ('de', 10), ('fr', 5)) q(lang, quota)
          |      ON d.lang = q.lang) x
          | WHERE rn <= quota""".stripMargin,
+    "sampling_budget_select" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT *, sum(n_chars) OVER (ORDER BY ${duckIdHash("doc_id")}, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM documents) x
+         | WHERE cum <= 60000""".stripMargin,
+    "stream_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),

@@ -114,4 +114,49 @@ object Sampling {
       .filter(col(rn) <= col(q))
       .select(df.columns.toIndexedSeq.map(col): _*) // original schema & order
   }
+
+  /** Budget-capped selection — THE training-corpus assembly primitive: walk
+    * rows in deterministic `(idHash, id)` order and keep them while the
+    * running total of `weightCol` (token counts — integral, nulls count 0)
+    * stays ≤ `budget`. "Fill a 2-trillion-token budget from the deduped
+    * corpus, reproducibly" is exactly this call.
+    *
+    * A naive `sum OVER (ORDER BY hash)` cumsum is a GLOBAL-order window —
+    * one task sorts the whole corpus. Instead the hash's top `bucketBits`
+    * bits split the order into 2^bucketBits contiguous ranges: per-bucket
+    * weight totals (one small agg) prefix-summed on the driver (≤ 2^bucketBits
+    * longs — the broadcast-threshold pattern, independent of data size) tell
+    * each bucket its starting offset; buckets that start past the budget are
+    * pruned before the shuffle, and the exact cumsum window runs PER BUCKET
+    * (each ~1/2^bucketBits of the order, thousands of parallel tasks at
+    * 100 TB). Result is EXACTLY the naive global cumsum selection (pinned by
+    * `SamplingSpec`).
+    *
+    * EAGER like [[Dedup.connectedComponents]]: the per-bucket totals run at
+    * CALL time (one small distributed agg), not at action time. */
+  def budgetSelect(df: DataFrame, idCol: String, weightCol: String, budget: Long,
+      bucketBits: Int = 12): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(bucketBits >= 1 && bucketBits <= 30, s"bucketBits out of range: $bucketBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = idHash(col(idCol))
+    val bkt = freshCol(df, "__bkt")
+    val cum = freshCol(df, "__cum")
+    val pre = freshCol(df, "__pre")
+    val withB = df.withColumn(bkt, shiftright(h, 60 - bucketBits))
+    val sums = withB.groupBy(bkt)
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val prefixes = sums.map { case (b, w) => val p = acc; acc += w; (b, p) }
+    val kept = prefixes.filter(_._2 <= budget) // buckets starting past budget pruned
+    val prefixDf = broadcast(kept.toIndexedSeq.toDF(bkt, pre))
+    val wB = Window.partitionBy(col(bkt)).orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(prefixDf, bkt)
+      .withColumn(cum, sum(coalesce(col(weightCol).cast("long"), lit(0L))).over(wB) + col(pre))
+      .filter(col(cum) <= budget)
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
 }

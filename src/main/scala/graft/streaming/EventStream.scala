@@ -62,6 +62,14 @@ object EventStream {
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact distinct on a key tuple: stateful `dropDuplicates`
+    * whose state is ONE entry per distinct key — bounded by the key-space
+    * cardinality (e.g. user × type), not the stream length, so no watermark
+    * is needed: the key set itself is the bounded thing. The streaming
+    * analog of `SELECT DISTINCT keys`, drain-gated ≡ the batch distinct. */
+  def distinctKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col).toIndexedSeq: _*).dropDuplicates(keys)
+
   /** Tumbling-window count/sum per event type. Append output mode: a window
     * emits once its watermark passes — the streaming equivalent of the
     * reference finalizing yesterday's partition at midnight. */
