@@ -49,16 +49,21 @@ object ScaleSmoke {
         .withColumn("user_id", col("user_id") * 10 + col("rep")).drop("rep")
         .write.mode("overwrite").parquet(s"$out/events")
     }
+    // repartition(16): the sf0.1 sources are single parquet files — without
+    // it every downstream doc/vector operator would run its scan-side work
+    // in ONE task and the smoke would measure serial execution, not the plan
     val docs = io.Tables.load(spark, base, "documents")
     time("build documents x10 (20k)") {
       docs.crossJoin(spark.range(10).toDF("rep"))
         .withColumn("doc_id", col("doc_id") * 10 + col("rep")).drop("rep")
+        .repartition(16)
         .write.mode("overwrite").parquet(s"$out/documents")
     }
     val emb = io.Tables.load(spark, base, "embeddings")
     time("build embeddings x10 (20k)") {
       emb.crossJoin(spark.range(10).toDF("rep"))
         .withColumn("vec_id", col("vec_id") * 10 + col("rep")).drop("rep")
+        .repartition(16)
         .write.mode("overwrite").parquet(s"$out/embeddings")
     }
 
@@ -158,6 +163,7 @@ object ScaleSmoke {
           flatten(transform(sequence(lit(0), lit(7)),
             i => transform(col("embedding"),
               x => x * (lit(1.0) + i.cast("double") * lit(0.01))))).cast("array<float>"))
+        .repartition(16)
         .write.mode("overwrite").parquet(s"$out/embeddings_wide")
     }
     val wideEmb = spark.read.parquet(s"$out/embeddings_wide")

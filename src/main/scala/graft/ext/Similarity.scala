@@ -35,13 +35,20 @@ object Similarity {
     * Zero-norm vectors (padding/failure artifacts) normalize to all-zeros
     * instead of NaN: NaN would sort ABOVE every real similarity under the
     * `cos DESC` top-k ordering and poison every query's neighbors; a zero
-    * vector instead scores 0 against everything and never ranks. */
+    * vector instead scores 0 against everything and never ranks.
+    *
+    * One codegen'd [[org.apache.spark.sql.graftx.VectorNormalize]] call —
+    * the previous cast + `transform(x -> x / norm)` composition contained a
+    * higher-order lambda, which has NO codegen and dragged the whole
+    * projection (cast included) into interpreted eval: measured as the
+    * dominant cost of the dim-1024 IVF path in `ScaleSmoke`. Arithmetic is
+    * identical (in-order Σx², per-element divide), so gated results are
+    * bit-unchanged. */
   private def unitized(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String): DataFrame =
-    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__n0", norm(col("__v"))) // computed once per row
-      .withColumn("__n", when(col("__n0") === 0.0, lit(1.0)).otherwise(col("__n0")))
-      .select(col(idAs), transform(col("__v"), x => x / col("__n")).as(vecAs))
+      idAs: String, vecAs: String): DataFrame = {
+    import org.apache.spark.sql.graftx.VectorFunctions.vec_normalize
+    df.select(col(idCol).as(idAs), vec_normalize(col(vecCol)).as(vecAs))
+  }
 
   /**
    * Exact brute-force top-k: for each query vector, the `k` nearest corpus
@@ -81,10 +88,8 @@ object Similarity {
     val firstRow = corpus.select(col(vecCol)).limit(1).collect()
     require(firstRow.nonEmpty, "cannot train a quantizer on an empty corpus")
     val dim = firstRow(0).getSeq[Float](0).length
-    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
-      .withColumn("n0", norm(col("v")))
-      .withColumn("n", when(col("n0") === 0.0, lit(1.0)).otherwise(col("n0")))
-      .select(transform(col("v"), x => x / col("n")).as("v"))
+    val sample = corpus
+      .select(org.apache.spark.sql.graftx.VectorFunctions.vec_normalize(col(vecCol)).as("v"))
       .orderBy(rand(seed)).limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
@@ -222,9 +227,13 @@ object Similarity {
       nlist: Int = 16, sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
     val cents = trainCentroids(emb, vecCol, nlist, sampleSize, seed)
     val u = unitized(emb, idCol, vecCol, "id", "v")
-    val sims = array(cents.map(c => dot(col("v"), typedLit(c.toSeq))): _*)
-    // clamp into acos' domain; +1e-9 absorbs float rounding at the boundary
-    val angles = transform(sims, s => acos(greatest(lit(-1.0), least(lit(1.0), s))))
+    // clamp into acos' domain; +1e-9 absorbs float rounding at the boundary.
+    // Built as a plain CreateArray of per-centroid expressions, NOT
+    // transform(sims, lambda): a higher-order lambda has no codegen and
+    // would force this whole projection — including the nlist dim-d dot
+    // products per row — into interpreted eval (see `unitized`)
+    val angles = array(cents.map(c =>
+      acos(greatest(lit(-1.0), least(lit(1.0), dot(col("v"), typedLit(c.toSeq)))))): _*)
     // cached: index and probe sides both project from this subtree
     // (Caches.unpersistAll releases it after the query is consumed)
     val withAngles = Caches.track(u.select(col("id"), col("v"), angles.as("__angles")))

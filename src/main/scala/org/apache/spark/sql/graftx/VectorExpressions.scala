@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, TypeCollection}
 
 /**
  * Native Catalyst expression for dense-vector dot products.
@@ -257,6 +257,84 @@ object MinHashSignature {
   }
 }
 
+/**
+ * Codegen'd unit normalization of a dense vector: `array<float>` or
+ * `array<double>` in, unit-norm `array<double>` out (the zero vector maps to
+ * all-zeros, NOT NaN — a zero embedding must score 0 against everything, not
+ * poison top-k rankings; see `Similarity.unitized`).
+ *
+ * Exists because the composed route — `cast` to double + `transform(v,
+ * x -> x / norm)` — contains a higher-order lambda, and HigherOrderFunction
+ * has no codegen: its presence makes the WHOLE projection fall back to
+ * interpreted evaluation (boxed elements, virtual calls — including every
+ * other expression in the projection, such as the array cast). Measured on
+ * the ScaleSmoke dim-1024 corpus that fallback was the dominant cost of the
+ * IVF path. This expression is one tight primitive loop, folds the
+ * float→double cast into the read, and keeps the projection inside
+ * whole-stage codegen. Arithmetic is IDENTICAL to the composed route
+ * (in-order sum of squares, per-element divide), so gated oracle results are
+ * bit-unchanged.
+ */
+case class VectorNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vector_normalize"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = v
+      s += v * v
+      i += 1
+    }
+    val norm = math.sqrt(s)
+    if (norm > 0.0) {
+      var j = 0
+      while (j < n) { out(j) /= norm; j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val norm = ctx.freshName("norm")
+      val read = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $read;
+         |  $s += $out[$i] * $out[$i];
+         |}
+         |double $norm = java.lang.Math.sqrt($s);
+         |if ($norm > 0.0) {
+         |  for (int $j = 0; $j < $n; $j++) { $out[$j] /= $norm; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -273,4 +351,8 @@ object VectorFunctions {
   /** Codegen'd per-row MinHash signature (`numHashes` longs) over element hashes. */
   def minhash_signature(a: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a), numHashes))
+
+  /** Codegen'd unit normalization (float/double array → unit double array). */
+  def vec_normalize(a: Column): Column =
+    ExpressionUtils.column(VectorNormalize(ExpressionUtils.expression(a)))
 }

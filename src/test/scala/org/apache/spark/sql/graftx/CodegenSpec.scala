@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftx
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -47,6 +47,26 @@ class CodegenSpec extends AnyFunSuite {
     val in = row(longs(0x0F0FL, 0x0F0FL, 0xF000L))
     val proj = GenerateUnsafeProjection.generate(Seq(e))
     assert(proj(in).getLong(0) == e.eval(in).asInstanceOf[Long])
+  }
+
+  test("VectorNormalize codegen compiles, matches interpreted eval, both input widths") {
+    // double input
+    val ed = VectorNormalize(BoundReference(0, doubleArray, nullable = true))
+    val ind = row(doubles(3.0, 4.0))
+    val projd = GenerateUnsafeProjection.generate(Seq(ed))
+    val gotD = projd(ind).getArray(0).toDoubleArray()
+    assert(gotD.sameElements(ed.eval(ind).asInstanceOf[ArrayData].toDoubleArray()))
+    assert(gotD.sameElements(Array(0.6, 0.8)))
+    // float input: the cast folds into the read
+    val ef = VectorNormalize(BoundReference(0, ArrayType(FloatType), nullable = true))
+    val inf = row(new GenericArrayData(Array(3.0f, 4.0f)))
+    val projf = GenerateUnsafeProjection.generate(Seq(ef))
+    val gotF = projf(inf).getArray(0).toDoubleArray()
+    assert(gotF.sameElements(ef.eval(inf).asInstanceOf[ArrayData].toDoubleArray()))
+    assert(gotF.sameElements(Array(0.6, 0.8)))
+    // zero vector → zeros, never NaN (would poison cos-desc rankings)
+    val zin = row(doubles(0.0, 0.0, 0.0))
+    assert(projd(zin).getArray(0).toDoubleArray().sameElements(Array(0.0, 0.0, 0.0)))
   }
 
   test("MinHashSignature codegen compiles and matches interpreted eval") {
