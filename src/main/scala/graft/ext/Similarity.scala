@@ -61,7 +61,12 @@ object Similarity {
    */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(unitized(queries, idCol, vecCol, "query_id", "qv"))
-    val c = unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
+    // cached: BroadcastHashJoin codegen defers stream-side column evaluation
+    // to per-OUTPUT-row — every query match would re-run the normalize,
+    // multiplying its cost by the match fan-out (measured 35× on the IVF
+    // path before the equivalent fix there). The persisted projection is the
+    // classic built-once similarity index; Caches.unpersistAll releases it.
+    val c = Caches.track(unitized(corpus, idCol, vecCol, "neighbor_id", "cv"))
     // project the vectors away BEFORE the rank window: the per-query sort
     // shuffles its whole input, and carrying two dim-d vectors per scored
     // row makes that payload O(d) per candidate — measured 46× (not the
@@ -155,8 +160,16 @@ object Similarity {
       k: Int, nlist: Int = 16, nprobe: Int = 6, sampleSize: Int = 4096,
       seed: Long = 42L): DataFrame = {
     val cents = trainCentroids(corpus, vecCol, nlist, sampleSize, seed)
-    val c = unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
-      .withColumn("list", listAssignment(col("cv"), cents))
+    // cached: this IS the IVF index (normalized vector + list id per row) and
+    // it must be MATERIALIZED, not a lazy projection: BroadcastHashJoin
+    // codegen defers stream-side column evaluation to per-OUTPUT-row, so the
+    // probe join below would otherwise re-run normalize + the nlist-dot
+    // argmax once per MATCH — measured 58 s → 1.1 s on the ScaleSmoke
+    // dim-512 corpus (35× tax at ~37 matches/row). At production scale this
+    // materialization is the standard index-build step (persist it, or write
+    // it to storage and reuse across query batches).
+    val c = Caches.track(unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .withColumn("list", listAssignment(col("cv"), cents)))
     // per-query: nprobe nearest centroids, by sorting (−dot, list) pairs
     val q0 = unitized(queries, idCol, vecCol, "query_id", "qv")
       .withColumn("cd", array(cents.zipWithIndex.map { case (cent, i) =>
