@@ -243,6 +243,25 @@ object Queries {
       events(s, d).agg(
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("event_type")).as("n_types"))),
+    // pivot: per-user value totals spread across the 5 event types — one
+    // grouped pass, each cell a partial-aggregated sum (users missing a type
+    // get NULL, matching the SQL CASE-sum)
+    "agg_pivot_event_types" -> ((s, d) =>
+      events(s, d).groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2))),
+    // exact interpolated quantiles per type (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, both the (n−1)·q linear-interpolation definition;
+    // round(6) absorbs summation-order ulps)
+    "agg_value_percentiles" -> ((s, d) =>
+      events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"))),
+    // dataset profiling: one aggregation pass, long-format per-column stats
+    "profile_events" -> ((s, d) =>
+      ext.Profiling.profile(events(s, d),
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
     "json_extract_props" -> ((s, d) =>
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
@@ -623,6 +642,26 @@ object Queries {
         |  FROM events GROUP BY 1, 2""".stripMargin,
     "distinct_counts" ->
       "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types FROM events",
+    "agg_pivot_event_types" ->
+      """SELECT user_id,
+        |       round(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS click,
+        |       round(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS view,
+        |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS purchase,
+        |       round(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS signup,
+        |       round(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS error
+        |  FROM events GROUP BY user_id""".stripMargin,
+    "agg_value_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 6) AS p25,
+        |       round(quantile_cont(value, 0.50), 6) AS p50,
+        |       round(quantile_cont(value, 0.75), 6) AS p75
+        |  FROM events GROUP BY event_type""".stripMargin,
+    "profile_events" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows, count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value) FROM events
+        |UNION ALL SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props) FROM events""".stripMargin,
     "json_extract_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "text_token_stats" ->

@@ -66,6 +66,20 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(m("x")._4 == 1.3863)  // term_freq 2 (dup rows), doc_freq 1
   }
 
+  test("Profiling.profile: null/distinct counts in one pass; unknown columns rejected") {
+    val df = Seq((Option(1L), Option("a")), (Option(2L), None), (None, Option("a")))
+      .toDF("k", "v")
+    val got = Profiling.profile(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("k") == ("k", 3L, 1L, 2L))
+    assert(got("v") == ("v", 3L, 1L, 1L)) // distinct excludes nulls
+    intercept[IllegalArgumentException](Profiling.profile(df, Seq("nope")))
+    // empty frame: zero rows, zero nulls, zero distinct — no NPE/null metrics
+    val empty = Profiling.profile(df.filter(lit(false)), Seq("k"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(empty.toSeq == Seq(("k", 0L, 0L, 0L)))
+  }
+
   test("SqlStepRegistry substitutes window placeholders") {
     val reg = new graft.proc.SqlStepRegistry(Map(
       "s" -> "SELECT TIMESTAMP '{start_ts}' AS a, TIMESTAMP '{end_ts}' AS b, DATE '{start_date}' AS c"))
