@@ -121,6 +121,41 @@ final class TableStore(spark: SparkSession, root: String) {
     f.delete(tmp, true)
   }
 
+  /**
+   * Bucketed write: hash-cluster the table's FILES on `bucketCol` into
+   * `numBuckets` buckets, registered in the session catalog (bucket layout
+   * is catalog metadata — readers must come back through [[readBucketed]],
+   * not a bare path read, to see it). Data lives under this store's root as
+   * an external table, so the directory layout stays ours.
+   *
+   * This is the 100 TB co-location primitive: two tables bucketed on the
+   * same key with the same bucket count join with NO shuffle on either side
+   * (each scan already reports `HashPartitioning(bucketCol, numBuckets)`),
+   * and a `groupBy(bucketCol)` aggregates with no exchange. For a fact table
+   * joined on the same key every day (orders ⋈ customer, events ⋈ users),
+   * paying one clustered write amortizes the per-query shuffle away —
+   * the layout replaces the network. `sortCols` additionally sorts within
+   * each bucket file (sorted-bucket scans skip the sort before a
+   * sort-merge join when one file per bucket).
+   *
+   * Plan contract pinned by `TableStoreSpec`: co-bucketed join plans contain
+   * zero Exchange operators and equal the plain join's result.
+   */
+  def writeBucketed(table: String, df: DataFrame, bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", tablePath(table))
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Read a [[writeBucketed]] table THROUGH the catalog — `spark.table`, not
+    * `spark.read.parquet(path)`: the bucket spec rides on the catalog entry,
+    * and a path read would silently lose the shuffle-free join property. */
+  def readBucketed(table: String): DataFrame = spark.table(table)
+
   /** Crash recovery: restore `<table>` from the most recently modified
     * `.old-` dir if the live dir is missing; restore any `.retired-*`
     * partition dir whose live partition is missing (partition-scoped

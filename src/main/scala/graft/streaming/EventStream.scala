@@ -82,6 +82,59 @@ object EventStream {
         col("n_events"), col("total_value"))
 
   /**
+   * Stream-stream event correlation: all pairs with
+   * `|leftTime − rightTime| <= tolerance` — the streaming form of
+   * `Ops.rangeJoin` (clicks near any error, across two live streams).
+   *
+   * Same band-blocking trick as the batch operator, and here it earns its
+   * keep twice: both sides are bucketed into tolerance-wide time bands and
+   * the left is exploded to its adjacent bands, so the stream-stream join
+   * has a REAL equi key. A keyless time-only stream join would hash every
+   * row of both streams to a single state partition — one executor holds
+   * all join state; the band key distributes state across the cluster
+   * exactly like the batch shuffle. Recall is exact (any in-tolerance pair
+   * differs by at most one band) and each pair meets on exactly one band
+   * key (the right row's band), so no dedup pass is needed.
+   *
+   * State is bounded: both sides carry watermarks and the tolerance window
+   * rides in the JOIN CONDITION itself (interval bounds on the two event
+   * times, the canonical Spark stream-join constraint), so rows older than
+   * `watermark + tolerance` are evicted from the join state store.
+   *
+   * Right-side columns colliding with a left-side name (both streams calling
+   * their time column `ts`, the canonical case) are renamed with
+   * `rightSuffix`, mirroring the batch operator's contract.
+   */
+  def correlated(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, tolerance: java.time.Duration,
+      watermark: String = "1 hour", rightSuffix: String = "_r"): DataFrame = {
+    val tolUs = tolerance.toNanos / 1000
+    require(tolUs > 0, "tolerance must be positive")
+    val leftCols = left.columns.toSet
+    val renamed = right.columns.map(c => if (leftCols(c)) c + rightSuffix else c)
+    require(renamed.toSet.size == renamed.length && !renamed.exists(leftCols),
+      s"correlated rightSuffix '$rightSuffix' does not disambiguate: " +
+        s"renamed right columns ${renamed.mkString(",")} still collide")
+    val rTime = if (leftCols(rightTime)) rightTime + rightSuffix else rightTime
+    val taken = leftCols ++ renamed
+    val band = Iterator.from(0).map(i => s"__band$i").find(!taken(_)).get
+    def bandOf(t: org.apache.spark.sql.Column) =
+      floor(unix_micros(t.cast("timestamp")) / lit(tolUs))
+    val l = left.withWatermark(leftTime, watermark)
+      .withColumn(band, explode(array(
+        bandOf(col(leftTime)) - 1, bandOf(col(leftTime)), bandOf(col(leftTime)) + 1)))
+    val r = right.toDF(renamed.toIndexedSeq: _*).withWatermark(rTime, watermark)
+      .withColumn(band, bandOf(col(rTime)))
+    // exact micro count as an INTERVAL literal (fractional-second seconds);
+    // the interval bounds on the watermarked columns are what lets Spark
+    // derive the state-eviction threshold for BOTH sides
+    val iv = expr(s"INTERVAL '${java.math.BigDecimal.valueOf(tolUs, 6).toPlainString}' SECOND")
+    val cond = l(band) === r(band) &&
+      l(leftTime) >= r(rTime) - iv && l(leftTime) <= r(rTime) + iv
+    l.join(r, cond, "inner").drop(l(band)).drop(r(band))
+  }
+
+  /**
    * Event-time sessionization via `flatMapGroupsWithState` — the custom
    * stateful-operator surface (`KeyValueGroupedDataset`): per-user state is
    * `(count, start, end)`, extended while events keep arriving within

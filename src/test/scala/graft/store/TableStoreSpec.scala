@@ -70,6 +70,44 @@ class TableStoreSpec extends AnyFunSuite {
     assert(after == Set(("2024-01-01", 1), ("2024-01-02", 2)))
   }
 
+  test("co-bucketed tables join with ZERO exchanges and match the plain join") {
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    val orders = graft.io.Tables.load(spark, TestSpark.Sf0001, "orders")
+    val customer = graft.io.Tables.load(spark, TestSpark.Sf0001, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    store.writeBucketed("b_orders", orders, "o_custkey", 8)
+    store.writeBucketed("b_customer", customer, "c_custkey", 8)
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast off: the contract under test is the 100 TB fact-to-fact
+    // shape, where neither side fits in memory and SMJ is the plan
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = store.readBucketed("b_orders")
+        .join(store.readBucketed("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"co-bucketed join still shuffles:\n$plan")
+      val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      assert(joined.count() == plain.count())
+      // aggregation on the bucket key is shuffle-free too
+      val agg = store.readBucketed("b_orders").groupBy("o_custkey").agg(count(lit(1)))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucket-key groupBy still shuffles:\n$aggPlan")
+      assert(agg.count() == orders.select("o_custkey").distinct().count())
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("a bare path read of a bucketed table still returns the same rows") {
+    // the bucket spec lives in the catalog; readBucketed is required for the
+    // plan property, but the files themselves stay plain readable parquet
+    val store = freshStore()
+    spark.sql("DROP TABLE IF EXISTS b_roundtrip")
+    store.writeBucketed("b_roundtrip", (1 to 100).toDF("k"), "k", 4)
+    assert(store.read("b_roundtrip").as[Int].collect().sorted.toSeq == (1 to 100))
+  }
+
   test("recover restores the old state after a crash between renames") {
     val store = freshStore()
     store.atomicOverwrite("t", Seq(1).toDF("k"))

@@ -65,6 +65,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream correlate equals the batch rangeJoin (clicks x errors, 10m)") {
+    // 10 minutes: the sf0.001 fixture's sparsest in-tolerance gap with pairs
+    // (60 s has none — the set would be vacuously equal)
+    val tol = java.time.Duration.ofMinutes(10)
+    val src = EventStream.read(spark, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id")
+    val errors = src.filter(col("event_type") === "error")
+      .select("event_id", "ts", "user_id")
+    val q = EventStream.correlated(clicks, errors, "ts", "ts", tol)
+      .writeStream.outputMode("append").format("memory").queryName("corr").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corr")
+        .select("event_id", "event_id_r")
+        .as[(Long, Long)].collect().toSet
+      val ev = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
+      val batch = graft.ops.Ops.rangeJoin(
+        ev.filter(col("event_type") === "click").select("event_id", "ts", "user_id"),
+        ev.filter(col("event_type") === "error").select("event_id", "ts", "user_id"),
+        "ts", "ts", tol)
+        .select("event_id", "event_id_r").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture has no in-tolerance click/error pairs — test is vacuous")
+      assert(streamed == batch,
+        s"stream/batch disagree: only-stream=${(streamed -- batch).take(5)}, " +
+          s"only-batch=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = EventStream.dedupedEvents(EventStream.read(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("dd").start()
