@@ -219,6 +219,47 @@ object Queries {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
     }),
+    // analytic window functions (§2.5): lag/lead/row_number + a running sum,
+    // one shuffle on the partition key; the running sum accumulates exact
+    // decimals (order-independent) and only the final value is rounded double
+    "window_order_ledger" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        row_number().over(w).as("order_seq"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 2).as("running_total"))
+    }),
+    // bounded-frame moving aggregate (§2.5): daily rollup then a 7-row
+    // trailing sum per type — the grouped pass partial-aggregates map-side,
+    // the frame pass shuffles once on event_type
+    "window_moving_daily" -> ((s, d) => {
+      val daily = events(s, d).groupBy(
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)")).as("tv"))
+      val w = Window.partitionBy("event_type").orderBy("event_date")
+      daily.select(
+        col("event_date"), col("event_type"), col("n_events"),
+        round(col("tv").cast("double"), 2).as("total_value"),
+        (col("n_events") - lag("n_events", 1).over(w)).as("delta_events"),
+        round(sum(col("tv")).over(w.rowsBetween(-6, Window.currentRow)).cast("double"), 2)
+          .as("total_7d"))
+    }),
+    // set operations (§2.7): INTERSECT / EXCEPT / UNION ALL as first-class
+    // ops — Spark plans intersect/except as hash left-semi/anti over the
+    // distinct sets, shuffling only the (small) key projections
+    "set_ops_user_cohorts" -> ((s, d) => {
+      val ev = events(s, d)
+      def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
+      val buyers = users("purchase")
+      val erring = users("error")
+      buyers.intersect(erring).withColumn("cohort", lit("both"))
+        .unionByName(buyers.except(erring).withColumn("cohort", lit("purchase_only")))
+        .unionByName(erring.except(buyers).withColumn("cohort", lit("error_only")))
+    }),
     "agg_rollup_orders" -> ((s, d) =>
       // ROLLUP: per-(priority, status) totals plus per-priority subtotals and
       // a grand total — one pass, partial-aggregated like any groupBy
@@ -631,6 +672,42 @@ object Queries {
         |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |    FROM orders JOIN customer ON o_custkey = c_custkey) x
         | WHERE rn <= 3""".stripMargin,
+    "window_order_ledger" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       row_number() OVER w AS order_seq,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+        |  FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "window_moving_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
+        |         count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS tv
+        |    FROM events GROUP BY 1, 2)
+        |SELECT event_date, event_type, n_events,
+        |       round(CAST(tv AS DOUBLE), 2) AS total_value,
+        |       n_events - lag(n_events, 1) OVER (PARTITION BY event_type ORDER BY event_date) AS delta_events,
+        |       round(CAST(sum(tv) OVER (PARTITION BY event_type ORDER BY event_date
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS total_7d
+        |  FROM daily""".stripMargin,
+    "set_ops_user_cohorts" ->
+      """SELECT user_id, 'both' AS cohort
+        |  FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |        INTERSECT
+        |        SELECT user_id FROM events WHERE event_type = 'error') t
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS cohort
+        |  FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |        EXCEPT
+        |        SELECT user_id FROM events WHERE event_type = 'error') t
+        |UNION ALL
+        |SELECT user_id, 'error_only' AS cohort
+        |  FROM (SELECT user_id FROM events WHERE event_type = 'error'
+        |        EXCEPT
+        |        SELECT user_id FROM events WHERE event_type = 'purchase') t""".stripMargin,
     "agg_rollup_orders" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
