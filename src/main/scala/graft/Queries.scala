@@ -260,6 +260,28 @@ object Queries {
         .unionByName(buyers.except(erring).withColumn("cohort", lit("purchase_only")))
         .unionByName(erring.except(buyers).withColumn("cohort", lit("error_only")))
     }),
+    // CUBE: all four grouping sets over (status, month) in one pass —
+    // partial-aggregated map-side like any groupBy, one shuffle
+    "agg_cube_orders" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("total_price"))),
+    // snapshot reconciliation as a FULL OUTER join of two windowed per-key
+    // aggregates — the sync-engine "diff two table states" shape; both sides
+    // pre-aggregate before the join so only (key, count) rows shuffle
+    "join_full_outer_reconcile" -> ((s, d) => {
+      val ev = events(s, d)
+      val a = ev.filter(Ops.datePredicate("ts", EvFrom, EvTo))
+        .groupBy("user_id").agg(count(lit(1)).as("n_week1"))
+      val b = ev.filter(Ops.datePredicate("ts", LocalDate.of(2024, 1, 10), LocalDate.of(2024, 1, 14)))
+        .groupBy("user_id").agg(count(lit(1)).as("n_week2"))
+      a.join(b, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("n_week1"), col("n_week2"),
+          when(col("n_week1").isNull, lit("week2_only"))
+            .when(col("n_week2").isNull, lit("week1_only"))
+            .otherwise(lit("both")).as("presence"))
+    }),
     "agg_rollup_orders" -> ((s, d) =>
       // ROLLUP: per-(priority, status) totals plus per-priority subtotals and
       // a grand total — one pass, partial-aggregated like any groupBy
@@ -345,6 +367,22 @@ object Queries {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
+    "text_normalize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm_text"),
+        length(TextAnalysis.normalize(col("text"))).as("n_chars_norm"))),
+    // PII scrubbing: the fixture corpus is PII-free word salad, so each doc
+    // gets a deterministic doc_id-derived contact line appended (identically
+    // in the oracle) — the gate then pins real email/phone/IP redactions,
+    // not a no-op pass-through
+    "text_pii_redact" -> ((s, d) => {
+      val withPii = expr(
+        """concat(text, ' contact u', doc_id, '@example.com',
+          |       ' call 415-555-', lpad(cast(doc_id % 10000 as string), 4, '0'),
+          |       ' from 10.0.', cast(doc_id % 256 as string), '.',
+          |       cast((doc_id div 256) % 256 as string))""".stripMargin)
+      docs(s, d).select(col("doc_id"), TextAnalysis.redactPii(withPii).as("redacted"))
+    }),
 
     // ---- deterministic sampling (§2.12) ----
     "sampling_hash_fraction" -> ((s, d) => Sampling.hashFraction(docs(s, d), "doc_id", 200)),
@@ -708,6 +746,20 @@ object Queries {
         |  FROM (SELECT user_id FROM events WHERE event_type = 'error'
         |        EXCEPT
         |        SELECT user_id FROM events WHERE event_type = 'purchase') t""".stripMargin,
+    "agg_cube_orders" ->
+      """SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        |  FROM orders GROUP BY CUBE (o_orderstatus, strftime(o_orderdate, '%Y-%m'))""".stripMargin,
+    "join_full_outer_reconcile" ->
+      """WITH a AS (SELECT user_id, count(*) AS n_week1 FROM events
+        |            WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09' GROUP BY user_id),
+        |     b AS (SELECT user_id, count(*) AS n_week2 FROM events
+        |            WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14' GROUP BY user_id)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id, n_week1, n_week2,
+        |       CASE WHEN n_week1 IS NULL THEN 'week2_only'
+        |            WHEN n_week2 IS NULL THEN 'week1_only'
+        |            ELSE 'both' END AS presence
+        |  FROM a FULL JOIN b ON a.user_id = b.user_id""".stripMargin,
     "agg_rollup_orders" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
@@ -836,6 +888,25 @@ object Queries {
         |       round(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
         |  FROM g, n
         | ORDER BY tfidf DESC, token LIMIT 100""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS n_chars_norm
+        |  FROM documents""".stripMargin,
+    "text_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |              || CAST((doc_id // 256) % 256 AS VARCHAR) AS t
+        |    FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |  FROM pii""".stripMargin,
     "range_join_events" ->
       """SELECT c.event_id AS click_id, e.event_id AS error_id
         |  FROM events c, events e

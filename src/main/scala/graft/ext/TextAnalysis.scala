@@ -140,4 +140,29 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fingerprint"))
+
+  /** Canonical text normalization for dedup/fingerprint pre-processing:
+    * lowercase, non-alphanumerics to spaces, whitespace runs collapsed,
+    * edges trimmed. Patterns are shared Java-regex/RE2 syntax so the DuckDB
+    * oracle (`regexp_replace(..., 'g')`) computes the identical string.
+    * Pure per-row codegen'd map — no shuffle, linear at any scale. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+
+  // PII patterns (shared Java-regex/RE2 subset — no lookarounds, no \b-in-
+  // class tricks — so Spark and RE2-based engines match identical spans)
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing for training corpora: emails, NANP-style phone numbers,
+    * and IPv4 literals replaced with stable placeholder tags. Email runs
+    * first — its local-part charset overlaps the phone/IP digit patterns, so
+    * later passes never see address text. Per-row map, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
 }

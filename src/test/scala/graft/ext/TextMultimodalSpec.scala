@@ -17,6 +17,23 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(q._2 == 2.0 / 6.0) // "the" twice
   }
 
+  test("normalize: lowercases, strips punctuation, collapses whitespace, trims") {
+    val df = Seq((1L, "  Héllo,  WORLD!!  it's   42. ")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.normalize(col("text"))).as[String].head()
+    // non-[a-z0-9] (accented chars included) become spaces, runs collapse
+    assert(out == "h llo world it s 42")
+    assert(df.select(TextAnalysis.normalize(lit(""))).as[String].head() == "")
+  }
+
+  test("redactPii: emails, phones, IPv4 replaced; near-misses untouched") {
+    val df = Seq((1L,
+      "mail a.b+c@ex-1.org or bob@sub.example.co.uk call 415-555-0134 " +
+        "from 10.0.3.77 but not 1234-555-0134 or v1.2.3 or a@b")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(out == "mail <EMAIL> or <EMAIL> call <PHONE> " +
+      "from <IP> but not 1234-555-0134 or v1.2.3 or a@b")
+  }
+
   test("langId picks the marker-richest language with fixed tie-break") {
     val df = Seq(
       (1L, "the cat is on the mat"),
