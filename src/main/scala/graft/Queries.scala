@@ -384,6 +384,13 @@ object Queries {
       docs(s, d).select(col("doc_id"), TextAnalysis.redactPii(withPii).as("redacted"))
     }),
 
+    // training-sequence packing: deterministic hash shuffle → shard →
+    // prefix-sum token bins (the concat-then-chunk pre-training shape)
+    "pack_token_budget" -> ((s, d) => {
+      val toks = TextAnalysis.tokenStats(docs(s, d)).select("doc_id", "n_tokens")
+      graft.ext.Packing.packTokenBudget(toks, "doc_id", "n_tokens", budget = 512, nShards = 8)
+    }),
+
     // ---- deterministic sampling (§2.12) ----
     "sampling_hash_fraction" -> ((s, d) => Sampling.hashFraction(docs(s, d), "doc_id", 200)),
     "sampling_stratified" -> ((s, d) => Sampling.stratified(docs(s, d), "lang", "doc_id", 20)),
@@ -850,6 +857,17 @@ object Queries {
          |  JOIN pred USING (doc_id)
          | WHERE d.doc_id NOT IN (SELECT node FROM losers)
          |   AND q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin,
+    "pack_token_budget" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |         ${duckIdHash("doc_id")} AS hh
+         |    FROM documents
+         |   WHERE len(regexp_split_to_array(text, '\\s+')) >= 0),
+         |w AS (SELECT doc_id, CAST(hh % 8 AS INT) AS shard, n_tokens, hh,
+         |             sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+         |        FROM toks)
+         |SELECT doc_id, shard, n_tokens, CAST(cum_before // 512 AS BIGINT) AS pack_id FROM w""".stripMargin,
     "sampling_hash_fraction" ->
       s"SELECT * FROM documents WHERE ${duckIdHash("doc_id")} % 1000 < 200",
     "sampling_stratified" ->

@@ -31,4 +31,34 @@ object Profiling {
     wide.selectExpr(
       s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_nulls, n_distinct)")
   }
+
+  /** Sketch-based profile for scales where exact `count(DISTINCT)` /
+    * `percentile` are infeasible: HyperLogLog++ distinct estimates per key
+    * column and approximate percentiles per numeric column, one aggregation
+    * pass, constant memory per sketch (HLL ~1.5 KB at 2% rsd; the quantile
+    * summary is bounded by `accuracy`). At 100 TB this runs where the exact
+    * variants would shuffle every distinct value; estimates are spec-pinned
+    * against the exact answers on fixtures (`ProfilingSpec`), not
+    * oracle-gated — approximate output has no bit-stable cross-engine form.
+    *
+    * `rsd` is the HLL target relative standard deviation; `accuracy` the
+    * `approx_percentile` inverse-epsilon (10000 → ±0.01% rank error). */
+  def approxProfile(df: DataFrame, keyCols: Seq[String], numCols: Seq[String],
+      rsd: Double = 0.02, accuracy: Int = 10000): DataFrame = {
+    require(keyCols.nonEmpty || numCols.nonEmpty, "approxProfile needs at least one column")
+    val bad = (keyCols ++ numCols).filterNot(df.columns.toSet)
+    require(bad.isEmpty, s"approxProfile: no such columns: ${bad.mkString(", ")}")
+    val aggs =
+      keyCols.map(c => approx_count_distinct(col(c), rsd).as(s"__ad_$c")) ++
+      numCols.flatMap(c => Seq(
+        percentile_approx(col(c), lit(0.5), lit(accuracy)).cast("double").as(s"__p50_$c"),
+        percentile_approx(col(c), lit(0.99), lit(accuracy)).cast("double").as(s"__p99_$c")))
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs =
+      keyCols.map(c => s"'$c', __rows, `__ad_$c`, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)") ++
+      numCols.map(c => s"'$c', __rows, CAST(NULL AS BIGINT), `__p50_$c`, `__p99_$c`")
+    wide.selectExpr(
+      s"stack(${stackArgs.size}, ${stackArgs.mkString(", ")}) " +
+        "as (col_name, n_rows, approx_distinct, approx_p50, approx_p99)")
+  }
 }

@@ -58,6 +58,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("packTokenBudget plans exactly one exchange (the shard shuffle)") {
+    val toks = li.select(col("l_orderkey").as("doc_id"), col("l_linenumber").cast("long").as("n_tokens"))
+    val p = plan(graft.ext.Packing.packTokenBudget(toks, "doc_id", "n_tokens", 512, 8))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one shard shuffle, got $exchanges:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"), "packing must never global-sort")
+  }
+
+  test("analytic window queries shuffle once on the partition key, never to one partition") {
+    val p = plan(Queries.all("window_order_ledger")(spark, TestSpark.Sf0001))
+    assert(p.contains("Exchange hashpartitioning(o_custkey"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), "ledger window must not single-partition")
+  }
+
   test("changedKeys compiles to a single-column anti join (broadcastable shape)") {
     val ev = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
       .withColumn("update_ts", expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))

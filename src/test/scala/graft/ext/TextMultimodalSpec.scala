@@ -97,6 +97,24 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(empty.toSeq == Seq(("k", 0L, 0L, 0L)))
   }
 
+  test("Profiling.approxProfile: sketch estimates track exact answers on fixtures") {
+    val ev = graft.io.Tables.load(spark, graft.TestSpark.Sf0001, "events")
+    val rows = Profiling.approxProfile(ev, Seq("user_id", "event_type"), Seq("value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exactUsers = ev.select(countDistinct(col("user_id"))).as[Long].head()
+    val estUsers = rows("user_id").getLong(2)
+    assert(math.abs(estUsers - exactUsers).toDouble / exactUsers < 0.1,
+      s"HLL user_id estimate $estUsers vs exact $exactUsers")
+    // tiny cardinalities resolve exactly (HLL sparse mode)
+    assert(rows("event_type").getLong(2) == 5)
+    val exactP50 = ev.select(expr("percentile(value, 0.5)")).as[Double].head()
+    val p50 = rows("value").getDouble(3)
+    assert(math.abs(p50 - exactP50) / math.max(1.0, math.abs(exactP50)) < 0.05,
+      s"approx p50 $p50 vs exact $exactP50")
+    assert(rows("value").getDouble(4) >= p50, "p99 below p50")
+    assert(rows.values.forall(_.getLong(1) == ev.count()))
+  }
+
   test("SqlStepRegistry substitutes window placeholders") {
     val reg = new graft.proc.SqlStepRegistry(Map(
       "s" -> "SELECT TIMESTAMP '{start_ts}' AS a, TIMESTAMP '{end_ts}' AS b, DATE '{start_date}' AS c"))
