@@ -126,6 +126,15 @@ object ScaleSmoke {
       consume(graft.ext.Sampling.hashFraction(bigEv, "event_id", 100))
     }
 
+    // ---- training-sequence packing at 1M rows ----
+    // 64 shards over 1M ids → ~16k rows per shard-local sort; cost scales
+    // with rows/nShards (the caller's contract), never with the corpus
+    time("pack 1M rows into 512-token bins, 64 shards") {
+      val toks = bigEv.select(col("event_id").as("doc_id"),
+        (pmod(col("event_id"), lit(400)) + 1).cast("long").as("n_tokens"))
+      consume(graft.ext.Packing.packTokenBudget(toks, "doc_id", "n_tokens", 512, 64))
+    }
+
     // ---- dedup family at 20k docs with 10-member duplicate groups ----
     time("exact dedup 20k docs") {
       consume(graft.ext.Dedup.exact(bigDocs, Seq("text"), "doc_id"))
