@@ -341,6 +341,11 @@ object Queries {
     // the upstream joins for the oracle to agree).
     "pipeline_corpus_sample" -> ((s, d) =>
       Sampling.hashFraction(corpusSelect(s, d), "doc_id", 500)),
+    // packed capstone: selection → training sequences. Gates
+    // Packing.packTokenBudget IN COMPOSITION — the bins must be stable
+    // against however the upstream dedup/filter joins partitioned the data
+    "pipeline_corpus_pack" -> ((s, d) =>
+      graft.ext.Packing.packTokenBudget(corpusSelect(s, d), "doc_id", "n_tokens", 256, 4)),
     // fuzzy capstone: same selection pass but deduped through NEAR-dup
     // clusters (jaccardPairs → connectedComponents) instead of exact
     // fingerprints — each cluster keeps only its canonical (minimum-id)
@@ -833,6 +838,18 @@ object Queries {
       s"""SELECT * FROM (
          |$corpusSelectSql
          |) cs WHERE ${duckIdHash("doc_id")} % 1000 < 500""".stripMargin,
+    "pipeline_corpus_pack" ->
+      s"""WITH cs AS (
+         |$corpusSelectSql
+         |),
+         |ph AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |              ${duckIdHash("doc_id")} AS hh
+         |         FROM cs WHERE n_tokens IS NOT NULL AND n_tokens >= 0),
+         |pw AS (SELECT doc_id, CAST(hh % 4 AS INT) AS shard, n_tokens,
+         |              sum(n_tokens) OVER (PARTITION BY hh % 4 ORDER BY hh, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+         |         FROM ph)
+         |SELECT doc_id, shard, n_tokens, CAST(cum_before // 256 AS BIGINT) AS pack_id FROM pw""".stripMargin,
     "pipeline_corpus_select_fuzzy" ->
       // near-dup cluster losers (recursive-CTE transitive closure over the
       // exact Jaccard pair graph, non-minimum members) excluded, then the

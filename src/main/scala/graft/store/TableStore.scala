@@ -151,6 +151,32 @@ final class TableStore(spark: SparkSession, root: String) {
       .saveAsTable(table)
   }
 
+  /**
+   * Range-clustered atomic write: globally range-partition `df` on
+   * `clusterCols` (sampled boundaries, `numFiles` disjoint key ranges) and
+   * sort within each range, so every output file covers a DISJOINT,
+   * internally-sorted slice of the cluster-key space. Parquet footer
+   * min/max stats then let any equality or range predicate on the cluster
+   * key skip whole files and row groups at scan time.
+   *
+   * This is the within-partition data-skipping layout for the 100 TB fact
+   * table, complementary to the two other layouts here: `partitionBy`
+   * prunes directories on the coarse axis (date), [[writeBucketed]]
+   * co-locates equi-join keys, and range-clustering makes selective scans
+   * on an ordered key (order id, user id, timestamp) read ~selectivity ×
+   * table instead of all of it — no catalog dependency, plain parquet
+   * readers benefit. Disjointness + skip behavior pinned by
+   * `TableStoreSpec`.
+   */
+  def atomicOverwriteClustered(table: String, df: DataFrame,
+      clusterCols: Seq[String], numFiles: Int): Unit = {
+    require(clusterCols.nonEmpty, "atomicOverwriteClustered needs at least one cluster column")
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    atomicOverwrite(table,
+      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
   /** Read a [[writeBucketed]] table THROUGH the catalog — `spark.table`, not
     * `spark.read.parquet(path)`: the bucket spec rides on the catalog entry,
     * and a path read would silently lose the shuffle-free join property. */

@@ -99,6 +99,39 @@ class TableStoreSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("range-clustered write yields disjoint sorted files that skip on key predicates") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    val li = graft.io.Tables.load(spark, TestSpark.Sf0001, "lineitem")
+    store.atomicOverwriteClustered("li_clustered", li, Seq("l_orderkey"), 4)
+    // every data file covers a disjoint [min,max] range of the cluster key
+    val dir = new java.io.File(store.tablePath("li_clustered"))
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 2, "expected multiple range files")
+    val ranges = parts.toSeq.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.conf.Configuration()))
+      try {
+        val blocks = r.getFooter.getBlocks
+        val idx = r.getFooter.getFileMetaData.getSchema.getFieldIndex("l_orderkey")
+        val stats = (0 until blocks.size()).map(i => blocks.get(i).getColumns.get(idx).getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+          stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+      } finally r.close()
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"file ranges overlap: $a vs $b")
+      case _ => ()
+    }
+    // a selective key predicate reads back correctly and matches the source
+    val k = li.select(min(col("l_orderkey"))).as[Long].head()
+    val got = store.read("li_clustered").filter(col("l_orderkey") === k).count()
+    assert(got == li.filter(col("l_orderkey") === k).count() && got > 0)
+  }
+
   test("a bare path read of a bucketed table still returns the same rows") {
     // the bucket spec lives in the catalog; readBucketed is required for the
     // plan property, but the files themselves stay plain readable parquet
