@@ -91,6 +91,22 @@ object ScaleSmoke {
         .withColumn("load_date", to_date(col("l_shipdate")))
       store.overwriteDatePartitions("lineitem_part", fresh, "load_date", days)
     }
+    // range-clustered layout: same 12M rows, files carry disjoint sorted
+    // l_orderkey slices — a narrow key-range scan should touch ~1/32 of the
+    // data via footer min/max skipping (vs every file unclustered)
+    time("range-clustered write 12M (32 files on l_orderkey)") {
+      store.atomicOverwriteClustered("lineitem_clustered", bigLi, Seq("l_orderkey"), 32)
+    }
+    val clusteredScan = time("selective key-range scan, clustered") {
+      store.read("lineitem_clustered")
+        .filter(col("l_orderkey").between(1000000L, 1010000L)).count()
+    }
+    val plainScan = time("selective key-range scan, unclustered") {
+      bigLi.filter(col("l_orderkey").between(1000000L, 1010000L)).count()
+    }
+    require(clusteredScan == plainScan,
+      s"clustered scan disagrees: $clusteredScan vs $plainScan")
+
     time("changed-keys + upsert 1M") {
       val withUpd = bigEv.withColumn("update_ts",
         expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))
