@@ -372,6 +372,10 @@ object Queries {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
+    // sliding context windows (40-token chunks every 30): fan-out explode,
+    // no shuffle — the RAG/embedding chunker over the whole corpus
+    "text_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkWindows(docs(s, d), chunkTokens = 40, stride = 30)),
     "text_normalize" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("norm_text"),
@@ -923,6 +927,15 @@ object Queries {
         |       round(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
         |  FROM g, n
         | ORDER BY tfidf DESC, token LIMIT 100""".stripMargin,
+    "text_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |             unnest(range(0, (len(tk) - 1) // 30 + 1)) AS cid
+        |        FROM t)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |       array_to_string(tk[cid*30+1 : cid*30+40], ' ') AS chunk_text,
+        |       CAST(least(40, n - cid*30) AS INT) AS n_chunk_tokens
+        |  FROM c""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,

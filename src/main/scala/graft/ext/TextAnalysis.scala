@@ -149,6 +149,30 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
+  /** Sliding token-window chunking — the context-window splitter every
+    * RAG / embedding / training pipeline runs on long documents: windows of
+    * `chunkTokens` tokens starting every `stride` tokens (overlap =
+    * `chunkTokens - stride`), last window short. One `explode` per document
+    * (fan-out ≈ n_tokens/stride), pure per-row arrays otherwise — no
+    * shuffle, linear at any corpus size. */
+  def chunkWindows(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      chunkTokens: Int = 256, stride: Int = 192): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens]: $stride")
+    val t = tokens(col(textCol))
+    docs.select(col(idCol), t.as("__t"), size(t).as("__n"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), floor((col("__n") - 1) / stride))))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("chunk_id").cast("int") * stride)
+          .cast("int").as("n_chunk_tokens"))
+  }
+
   // PII patterns (shared Java-regex/RE2 subset — no lookarounds, no \b-in-
   // class tricks — so Spark and RE2-based engines match identical spans)
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -177,6 +177,17 @@ final class TableStore(spark: SparkSession, root: String) {
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
   }
 
+  /** Small-file compaction: rewrite the table as ~`targetFiles` files with
+    * an atomic swap. Append-heavy tables (ledgers, streaming sinks, micro-
+    * batch upserts) accrete one-file-per-batch; at scale the file count —
+    * not the byte count — dominates scan planning and open() overhead, so
+    * periodic compaction is part of the table lifecycle. Readers see the
+    * old state until the single atomic publish. */
+  def compact(table: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    atomicOverwrite(table, read(table).repartition(targetFiles))
+  }
+
   /** Read a [[writeBucketed]] table THROUGH the catalog — `spark.table`, not
     * `spark.read.parquet(path)`: the bucket spec rides on the catalog entry,
     * and a path read would silently lose the shuffle-free join property. */

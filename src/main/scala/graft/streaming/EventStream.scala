@@ -135,6 +135,36 @@ object EventStream {
   }
 
   /**
+   * Micro-batch CDC apply: upsert each micro-batch into `store`.`table` by
+   * `pk` — the streaming form of the changed-key update path (A4, §2.11),
+   * i.e. a continuously-maintained copy of a mutating source. Each batch
+   * applies through [[graft.store.TableStore.atomicOverwrite]]'s rename
+   * swap, so readers never observe a torn state; a post-crash replay of
+   * the same micro-batch is idempotent (the anti/union upsert of identical
+   * rows rebuilds the identical table). In-batch duplicate keys resolve
+   * last-write-wins on `orderCol` (ties on `pk` impossible after the
+   * row_number), deterministically under any partitioning.
+   *
+   * Scale note: each trigger rewrites the table (parquet has no in-place
+   * update), which is the right shape for dimension-sized targets fed by
+   * CDC trickle; fact-sized targets should partition and use
+   * [[graft.store.TableStore.overwriteDatePartitions]] per batch instead.
+   */
+  def upsertInto(events: DataFrame, store: graft.store.TableStore, table: String,
+      pk: String, orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk).orderBy(col(orderCol).desc)
+      val fresh = batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      if (!store.exists(table)) store.atomicOverwrite(table, fresh)
+      else store.atomicOverwrite(table,
+        graft.ops.Ops.upsert(store.read(table), fresh, pk, fresh.select(pk)))
+      ()
+    }
+
+  /**
    * Event-time sessionization via `flatMapGroupsWithState` — the custom
    * stateful-operator surface (`KeyValueGroupedDataset`): per-user state is
    * `(count, start, end)`, extended while events keep arriving within

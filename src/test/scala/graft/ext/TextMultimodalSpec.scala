@@ -17,6 +17,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(q._2 == 2.0 / 6.0) // "the" twice
   }
 
+  test("chunkWindows: overlapping windows cover every token; short tail kept") {
+    // 7 tokens, chunk 3, stride 2 → starts 0,2,4,6 → lengths 3,3,3,1
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(df, chunkTokens = 3, stride = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (0, "t0 t1 t2", 3), (1, "t2 t3 t4", 3), (2, "t4 t5 t6", 3), (3, "t6", 1)))
+    // single short doc → exactly one (short) chunk
+    val one = TextAnalysis.chunkWindows(Seq((1L, "a b")).toDF("doc_id", "text"),
+      chunkTokens = 5, stride = 5)
+      .select("chunk_id", "chunk_text", "n_chunk_tokens").as[(Int, String, Int)].collect().toSeq
+    assert(one == Seq((0, "a b", 2)))
+  }
+
   test("normalize: lowercases, strips punctuation, collapses whitespace, trims") {
     val df = Seq((1L, "  Héllo,  WORLD!!  it's   42. ")).toDF("doc_id", "text")
     val out = df.select(TextAnalysis.normalize(col("text"))).as[String].head()

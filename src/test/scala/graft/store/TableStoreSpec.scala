@@ -132,6 +132,18 @@ class TableStoreSpec extends AnyFunSuite {
     assert(got == li.filter(col("l_orderkey") === k).count() && got > 0)
   }
 
+  test("compact collapses accreted batch files without changing the row set") {
+    val store = freshStore()
+    (1 to 12).foreach(b => store.append("acc", Seq((b, s"batch$b")).toDF("k", "v")))
+    val dir = new java.io.File(store.tablePath("acc"))
+    def files() = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() >= 12, "append should accrete one file per batch")
+    val before = store.read("acc").as[(Int, String)].collect().toSet
+    store.compact("acc", 2)
+    assert(files() <= 2, s"expected <=2 files after compact, got ${files()}")
+    assert(store.read("acc").as[(Int, String)].collect().toSet == before)
+  }
+
   test("a bare path read of a bucketed table still returns the same rows") {
     // the bucket spec lives in the catalog; readBucketed is required for the
     // plan property, but the files themselves stay plain readable parquet

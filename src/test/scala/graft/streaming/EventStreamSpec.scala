@@ -94,6 +94,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertInto maintains a keyed copy across micro-batches, last-write-wins") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cdc")
+    val b1 = (1L to 100L).map(i => (i, s"v1-$i", 1L)).toDF("event_id", "payload", "seq")
+    // batch 2 updates keys 51..100, inserts 101..150, and carries an
+    // in-batch duplicate for key 150 (seq 3 must win over seq 2)
+    val b2 = ((51L to 150L).map(i => (i, s"v2-$i", 2L)) :+ ((150L, "v2-late", 3L)))
+      .toDF("event_id", "payload", "seq")
+    b1.coalesce(1).write.parquet(s"$d/b1")
+    b2.coalesce(1).write.parquet(s"$d/b2")
+    // file-source ordering is by modification time: force b1 strictly first
+    def parts(sub: String) = new java.io.File(s"$d/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val t0 = System.currentTimeMillis() - 60000
+    parts("b1").foreach(_.setLastModified(t0))
+    parts("b2").foreach(_.setLastModified(t0 + 30000))
+    val src = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$d/b*")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-store").toString)
+    val q = EventStream.upsertInto(src, store, "copy", "event_id", "seq")
+      .option("checkpointLocation", s"$d/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = store.read("copy").select("event_id", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 150)
+    (1L to 50L).foreach(i => assert(got(i) == s"v1-$i"))
+    (51L to 149L).foreach(i => assert(got(i) == s"v2-$i"))
+    assert(got(150L) == "v2-late")
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = EventStream.dedupedEvents(EventStream.read(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("dd").start()
