@@ -442,6 +442,13 @@ object Queries {
       Dedup.exact(withFp, Seq("fp"), "doc_id").drop("fp")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
+    // decontamination: docs 0-9 stand in for a benchmark set; corpus docs
+    // sharing >= 2 distinct trigrams with any of them are removed
+    "dedup_decontaminate" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.decontaminate(doc.filter(col("doc_id") >= 10), doc.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3, minOverlap = 2)
+    }),
     // dup clusters: transitive closure over the exact Jaccard pairs, each
     // cluster labeled by its minimum doc id (the canonical keeper)
     "dedup_clusters" -> ((s, d) =>
@@ -986,6 +993,15 @@ object Queries {
         |      FROM documents) f
         |  GROUP BY fp)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_decontaminate" ->
+      s"""$trigramCte,
+         |bl AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10),
+         |ds AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 10),
+         |hits AS (SELECT ds.doc_id, count(*) AS h FROM ds JOIN bl USING (g)
+         |          GROUP BY ds.doc_id)
+         |SELECT d.* FROM documents d
+         | WHERE d.doc_id >= 10
+         |   AND d.doc_id NOT IN (SELECT doc_id FROM hits WHERE h >= 2)""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" ->

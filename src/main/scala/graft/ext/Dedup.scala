@@ -47,6 +47,29 @@ object Dedup {
       .withColumn("sz", size(col("shingles")))
   }
 
+  /** Benchmark decontamination — the training-data step that removes
+    * evaluation contamination: drop every corpus document sharing at least
+    * `minOverlap` distinct word n-gram shingles with ANY blocklisted
+    * document. The blocklist is benchmark-sized (thousands of docs) while
+    * the corpus is the 100 TB side, so the plan broadcasts the distinct
+    * blocklist shingles; the corpus explodes its shingles once, semi-joins
+    * against the broadcast, counts matches per doc, and anti-joins the
+    * contaminated ids away — the corpus shuffles only (id, 1) pairs for
+    * the count, never text. */
+  def decontaminate(docs: DataFrame, blocklist: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
+    val blockSh = shingleSets(blocklist, idCol, textCol, n)
+      .select(explode(col("shingles")).as("__g")).distinct()
+    val docSh = shingleSets(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("__g"))
+    val contaminated = docSh.join(broadcast(blockSh), Seq("__g"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minOverlap)
+      .select(idCol)
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard over two distinct shingle arrays — integer-over-integer
     * division, bit-identical with the DuckDB oracle's
     * `len(list_intersect)/len(list_distinct(a||b))`. */

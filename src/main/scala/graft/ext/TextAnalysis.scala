@@ -160,16 +160,24 @@ object TextAnalysis {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"stride must be in [1, chunkTokens]: $stride")
+    require(!Seq("chunk_id", "chunk_text", "n_chunk_tokens").contains(idCol),
+      s"idCol '$idCol' collides with a chunkWindows output column")
+    // temp names guaranteed absent from the input (a fixed "__t" would
+    // silently collide with a user column of that name)
+    val taken = docs.columns.toSet
+    def fresh(base: String) = Iterator.from(0).map(i => s"$base$i").find(!taken(_)).get
+    val tCol = fresh("__tok")
+    val nCol = fresh("__ntok")
     val t = tokens(col(textCol))
-    docs.select(col(idCol), t.as("__t"), size(t).as("__n"))
+    docs.select(col(idCol), t.as(tCol), size(t).as(nCol))
       .withColumn("chunk_id",
-        explode(sequence(lit(0L), floor((col("__n") - 1) / stride))))
+        explode(sequence(lit(0L), floor((col(nCol) - 1) / stride))))
       .select(
         col(idCol),
         col("chunk_id").cast("int").as("chunk_id"),
-        concat_ws(" ", slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
+        concat_ws(" ", slice(col(tCol), (col("chunk_id") * stride + 1).cast("int"),
           lit(chunkTokens))).as("chunk_text"),
-        least(lit(chunkTokens), col("__n") - col("chunk_id").cast("int") * stride)
+        least(lit(chunkTokens), col(nCol) - col("chunk_id").cast("int") * stride)
           .cast("int").as("n_chunk_tokens"))
   }
 

@@ -142,8 +142,10 @@ object EventStream {
    * swap, so readers never observe a torn state; a post-crash replay of
    * the same micro-batch is idempotent (the anti/union upsert of identical
    * rows rebuilds the identical table). In-batch duplicate keys resolve
-   * last-write-wins on `orderCol` (ties on `pk` impossible after the
-   * row_number), deterministically under any partitioning.
+   * last-write-wins on `orderCol`; rows sharing BOTH `pk` and `orderCol`
+   * are indistinguishable versions and resolve arbitrarily — feed a
+   * strictly increasing per-key sequence (CDC offset, update timestamp)
+   * for a fully deterministic copy.
    *
    * Scale note: each trigger rewrites the table (parquet has no in-place
    * update), which is the right shape for dimension-sized targets fed by
@@ -156,8 +158,10 @@ object EventStream {
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(pk).orderBy(col(orderCol).desc)
-      val fresh = batch.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val taken = batch.columns.toSet
+      val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
+      val fresh = batch.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1).drop(rn)
       if (!store.exists(table)) store.atomicOverwrite(table, fresh)
       else store.atomicOverwrite(table,
         graft.ops.Ops.upsert(store.read(table), fresh, pk, fresh.select(pk)))

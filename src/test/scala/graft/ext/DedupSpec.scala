@@ -21,6 +21,24 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == Set(3L, 7L))
   }
 
+  test("decontaminate drops docs by distinct-shingle overlap against the blocklist") {
+    val block = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares 2 distinct trigrams ("alpha beta gamma", "beta gamma delta")
+      (10L, "alpha beta gamma delta zz"),
+      // shares exactly 1 trigram
+      (11L, "xx alpha beta gamma yy"),
+      // repeating the same trigram does not raise its distinct count
+      (12L, "alpha beta gamma xx alpha beta gamma"),
+      // no overlap
+      (13L, "one two three four")).toDF("doc_id", "text")
+    def kept(minOverlap: Int) =
+      Dedup.decontaminate(corpus, block, "doc_id", "text", n = 3, minOverlap = minOverlap)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(2) == Set(11L, 12L, 13L))
+    assert(kept(1) == Set(13L))
+  }
+
   test("minhash-LSH pairs equal exact prefix-filtered Jaccard pairs on fixtures") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -45,6 +45,30 @@ class PackingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L))
   }
 
+  test("property: packing equals a local reference pack on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDocs = Gen.resize(40, Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 500L), Gen.choose(0L, 64L)))).map(_.distinctBy(_._1))
+    val genBudget = Gen.choose(1, 100)
+    val genShards = Gen.choose(1, 5)
+    val prop = Prop.forAll(genDocs, genBudget, genShards) { (ds, budget, nShards) =>
+      val df = ds.toDF("doc_id", "n_tokens")
+      val hashes = df.select(col("doc_id"), Sampling.idHash(col("doc_id")).as("h"))
+        .as[(Long, Long)].collect().toMap
+      // local reference: shard by hash, order by (hash, id), prefix-sum bins
+      val expect = ds.groupBy(d => hashes(d._1) % nShards).flatMap { case (shard, docs) =>
+        val sorted = docs.sortBy(d => (hashes(d._1), d._1))
+        sorted.zip(sorted.map(_._2).scanLeft(0L)(_ + _)).map { case ((id, n), cum) =>
+          (id, shard.toInt, n, cum / budget)
+        }
+      }.toSet
+      val got = pack(df, budget, nShards)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      got == expect
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop).passed)
+  }
+
   test("a document straddling the budget boundary counts into the next bin") {
     // one shard, budget 10; sizes 6,6,6 → cum_before 0,6,12 → packs 0,0,1
     val df = Seq((1L, 6L), (2L, 6L), (3L, 6L)).toDF("doc_id", "n_tokens")
