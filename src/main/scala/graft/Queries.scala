@@ -372,6 +372,8 @@ object Queries {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
+    // repeated-trigram quality rule (boilerplate/degenerate-text signal)
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
     // sliding context windows (40-token chunks every 30): fan-out explode,
     // no shuffle — the RAG/embedding chunker over the whole corpus
     "text_chunk_windows" -> ((s, d) =>
@@ -934,6 +936,17 @@ object Queries {
         |       round(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
         |  FROM g, n
         | ORDER BY tfidf DESC, token LIMIT 100""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(tk) >= 3
+        |                  THEN list_transform(range(1, len(tk) - 1),
+        |                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |                  ELSE [array_to_string(tk, ' ')] END AS gr
+        |        FROM t)
+        |SELECT doc_id, len(gr) AS n_grams, len(list_distinct(gr)) AS n_distinct_grams,
+        |       1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr) AS dup_gram_ratio
+        |  FROM g""".stripMargin,
     "text_chunk_windows" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
         |c AS (SELECT doc_id, tk, len(tk) AS n,

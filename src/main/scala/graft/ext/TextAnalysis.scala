@@ -149,6 +149,27 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
+  /** Intra-document repetition score — the repeated-n-gram quality rule
+    * (boilerplate and degenerate text show high duplicate-gram ratios):
+    * `dup_gram_ratio = 1 − distinct_grams / total_grams` over word
+    * `n`-grams WITH multiplicity. Documents shorter than `n` tokens score 0
+    * (their whole text is the single gram). Exact int-over-int double
+    * division both engines compute bit-identically; pure per-row map. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val t = tokens(col(textCol))
+    val grams = when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+    docs.select(col(idCol),
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct_grams"))
+      .withColumn("dup_gram_ratio",
+        lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+  }
+
   /** Sliding token-window chunking — the context-window splitter every
     * RAG / embedding / training pipeline runs on long documents: windows of
     * `chunkTokens` tokens starting every `stride` tokens (overlap =

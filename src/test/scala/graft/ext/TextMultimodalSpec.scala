@@ -17,6 +17,18 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(q._2 == 2.0 / 6.0) // "the" twice
   }
 
+  test("repetition: duplicate trigrams raise the ratio; short docs score 0") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 7 trigrams, 3 distinct (abc,bca,cab)
+      (2L, "w x y z"),           // 2 trigrams, both distinct
+      (3L, "just two")           // < n tokens → single whole-text gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df).orderBy("doc_id")
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7, 3, 1.0 - 3.0 / 7), (2L, 2, 2, 0.0), (3L, 1, 1, 0.0)))
+  }
+
   test("chunkWindows: overlapping windows cover every token; short tail kept") {
     // 7 tokens, chunk 3, stride 2 → starts 0,2,4,6 → lengths 3,3,3,1
     val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
