@@ -561,7 +561,16 @@ object Queries {
           col("headByte").as("head_byte"), col("frameCount").as("frame_count"))),
     "mm_frame_counts" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.withSyntheticMedia(docs(s, d)), 32, 2)
-        .groupBy(col("id")).agg(count(lit(1)).as("n_frames")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))),
+    // resize plumbing gated on byte-derivable scalars (byte 0 survives the
+    // stride sample by construction; payload caps at 24x16=384 bytes; the
+    // corpus is ASCII so the decoded head char code == the head byte)
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resize(s, Multimodal.withSyntheticMedia(docs(s, d)), 24, 16)
+        .toDF().select(col("id"),
+          length(col("payload")).as("n_bytes_out"),
+          expr("meta.width").as("out_width"),
+          ascii(substring(col("payload").cast("string"), 1, 1)).as("head_byte")))
   )
 
   // =========================================================================
@@ -1078,7 +1087,13 @@ object Queries {
         |       octet_length(encode(text)) // ((doc_id % 64 + 16) * (doc_id % 48 + 16)) AS frame_count
         |  FROM documents""".stripMargin,
     "mm_frame_counts" ->
-      "SELECT doc_id AS id, greatest(octet_length(encode(text)) // 64, 1) AS n_frames FROM documents"
+      "SELECT doc_id AS id, greatest(octet_length(encode(text)) // 64, 1) AS n_frames FROM documents",
+    "mm_resize" ->
+      """SELECT doc_id AS id,
+        |       least(octet_length(encode(text)), 384) AS n_bytes_out,
+        |       24 AS out_width,
+        |       ascii(substr(text, 1, 1)) AS head_byte
+        |  FROM documents""".stripMargin
     // every gated query has an oracle: the approximate ops are gated at their
     // exact operating points (sim_ann_ivf at full probe, dedup_minhash_lsh
     // verified-exact) with the approximate points covered by specs

@@ -59,10 +59,16 @@ object Dedup {
   def decontaminate(docs: DataFrame, blocklist: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minOverlap: Int = 1): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
-    val blockSh = shingleSets(blocklist, idCol, textCol, n)
-      .select(explode(col("shingles")).as("__g")).distinct()
-    val docSh = shingleSets(docs, idCol, textCol, n)
-      .select(col(idCol), explode(col("shingles")).as("__g"))
+    // hashed shingles (8-byte grams, overlap identical modulo 64-bit
+    // collisions — the hashedShingleSets contract), and BOTH shingle frames
+    // persisted before explode: Generate re-evaluates its child expression
+    // per emitted element, so exploding the raw HOF-built array re-runs the
+    // whole shingle-construction subtree once per shingle (the same
+    // deferred-evaluation trap as the IVF probe join — materialize first).
+    val blockSh = persistTracked(hashedShingleSets(blocklist, idCol, textCol, n))
+      .select(explode(col("hs")).as("__g")).distinct()
+    val docSh = persistTracked(hashedShingleSets(docs, idCol, textCol, n))
+      .select(col(idCol), explode(col("hs")).as("__g"))
     val contaminated = docSh.join(broadcast(blockSh), Seq("__g"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") >= minOverlap)

@@ -66,6 +66,38 @@ object Multimodal {
     }
   }
 
+  /** Fake resize: uniform byte striding down to at most `targetW×targetH`
+    * bytes (byte 0 always survives — `(0·stride)=0`); payloads already
+    * within budget pass through untouched. Deterministic, codec-free; a
+    * real scaler slots in with the same signature. */
+  def resizeFake(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val target = targetW * targetH
+    if (payload.length <= target) payload
+    else {
+      val out = new Array[Byte](target)
+      val stride = payload.length.toDouble / target
+      var i = 0
+      while (i < target) { out(i) = payload((i * stride).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** Resize stage: partition-wise like [[extractFeatures]] (one codec/scaler
+    * context per partition, rows streamed through), payload re-sampled to
+    * the target dims and the metadata struct updated. No shuffle; runs
+    * where the bytes are. */
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int)
+      : Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real impl: initialize the scaler context here, once per partition
+      rows.map(r => r.copy(
+        payload = resizeFake(r.payload, targetW, targetH),
+        meta = r.meta.copy(width = targetW, height = targetH)))
+    }
+  }
+
   /** Frame sampling plumbing: every `stride`-th fixed-size window of the
     * payload bytes stands in for a decoded frame (`frame_idx`, `frame`).
     * With a real codec the slice becomes a decoded frame buffer; the

@@ -158,13 +158,24 @@ object TextAnalysis {
   def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
+    // hashed grams (xxhash64), not strings: distinct counts are identical
+    // modulo 64-bit collisions (~grams²/2⁶⁵ per doc — vanishing), and the
+    // count comes from long compares instead of string building. Token
+    // hashes live in their OWN projection referenced more than once, so
+    // CollapseProject keeps them materialized instead of re-running the
+    // tokenize+hash subtree per reference; the gram array is referenced
+    // exactly once (n_grams needs only arithmetic: tokens − n + 1).
     val t = tokens(col(textCol))
-    val grams = when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", t)))
-    docs.select(col(idCol),
-        size(grams).as("n_grams"),
+    val tokenHashes = docs.select(col(idCol),
+      transform(t, tok => xxhash64(tok)).as("__th"), size(t).as("__nt"))
+    val th = col("__th")
+    val grams = when(col("__nt") >= n,
+        transform(sequence(lit(0), col("__nt") - n),
+          i => xxhash64((1 to n).map(k => element_at(th, i + lit(k))): _*)))
+      .otherwise(array(xxhash64(th)))
+    tokenHashes.select(col(idCol),
+        when(col("__nt") >= n, col("__nt") - (n - 1)).otherwise(lit(1))
+          .cast("int").as("n_grams"),
         size(array_distinct(grams)).as("n_distinct_grams"))
       .withColumn("dup_gram_ratio",
         lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))

@@ -91,6 +91,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(feats(1L).checksum == crc.getValue)
   }
 
+  test("resize stride-samples oversized payloads and passes small ones through") {
+    val big = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val out = Multimodal.resizeFake(big, 8, 8)
+    assert(out.length == 64)
+    val stride = 1000.0 / 64
+    (0 until 64).foreach(i => assert(out(i) == big((i * stride).toInt)))
+    val small = Array[Byte](1, 2, 3)
+    assert(Multimodal.resizeFake(small, 8, 8).toSeq == Seq[Byte](1, 2, 3))
+    // partition-wise stage: payload capped, metadata rewritten, ids intact
+    val docs = Seq((1L, "x" * 500), (2L, "short")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val resized = Multimodal.resize(spark, Multimodal.withSyntheticMedia(docs), 4, 4).collect()
+    assert(resized.map(_.id).toSet == Set(1L, 2L))
+    resized.foreach { r =>
+      assert(r.payload.length <= 16)
+      assert(r.meta.width == 4 && r.meta.height == 4)
+    }
+    assert(resized.find(_.id == 2L).get.payload.length == 5) // under budget: untouched
+  }
+
   test("frame sampling yields ceil-ish windows over the payload") {
     val docs = Seq((1L, "x" * 200)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(Multimodal.withSyntheticMedia(docs), 32, 2)
