@@ -414,4 +414,29 @@ object Dedup {
       .filter(col("hamming") <= maxBits)
       .distinct()
   }
+
+  /** Canonical selection — the step after clustering: collapse every
+    * duplicate cluster to its single best representative and keep all
+    * non-duplicate documents unchanged. `clusters` is the
+    * [[connectedComponents]] output `(node, cluster)` and contains ONLY dup
+    * members, so it is tiny relative to the corpus; both joins below
+    * broadcast it and the corpus itself never shuffles — the per-cluster
+    * winner window runs only over the cluster members. Ranking the full
+    * corpus with `Window.partitionBy(cluster)` instead would hash-exchange
+    * every row (singletons included), which is exactly the shuffle this
+    * shape avoids at 100 TB. The winner is row 1 under `ordering`, which
+    * callers must make total (tie-break on the id) for a deterministic
+    * result. */
+  def keepBest(docs: DataFrame, clusters: DataFrame, idCol: String,
+      ordering: Seq[Column]): DataFrame = {
+    val members = clusters.select(col("node").as(idCol), col("cluster"))
+    val taken = docs.columns.toSet + "cluster"
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
+    val w = Window.partitionBy(col("cluster")).orderBy(ordering: _*)
+    val winners = docs.join(members, Seq(idCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn, "cluster")
+    docs.join(members.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(winners)
+  }
 }

@@ -159,4 +159,31 @@ object Sampling {
       .filter(col(cum) <= budget)
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  /** Quality-quantile selection: keep rows whose `scoreCol` is at or above
+    * their `groupCol` group's `q`-quantile — "keep the best ~(1−q) of every
+    * language/domain", the per-group form of quality filtering (a fixed
+    * global threshold over-prunes low-resource groups). One aggregation pass
+    * computes the thresholds (group cardinality = languages/domains, so the
+    * result is broadcast); the selection itself is then a pure per-row
+    * filter — the corpus never shuffles.
+    *
+    * `approx = false` uses exact interpolated `percentile` (a full sort per
+    * group inside the agg — fine at fixture scale, and it matches DuckDB's
+    * `quantile_cont` for the oracle). At 100 TB pass `approx = true`:
+    * `percentile_approx` is a constant-memory mergeable sketch, the only
+    * feasible form when one group holds billions of rows; the threshold then
+    * carries sketch error, which a quality CUTOFF tolerates by design
+    * (membership at the boundary shifts, the bulk selection does not). */
+  def groupQuantileFilter(df: DataFrame, groupCol: String, scoreCol: String,
+      q: Double, approx: Boolean = false): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    val thrFn = if (approx) s"percentile_approx(`$scoreCol`, $q, 10000)"
+                else s"percentile(`$scoreCol`, $q)"
+    val thr = freshCol(df, "__thr")
+    val thresholds = df.groupBy(col(groupCol)).agg(expr(thrFn).as(thr))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col(thr))
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
 }
