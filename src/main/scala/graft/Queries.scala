@@ -135,6 +135,14 @@ object Queries {
       val source = events(s, d).withColumn("value", col("value") + 1)
       Ops.upsert(target, source, "event_id", changed)
     }),
+    // entry-point C end-to-end (SURVEY.md §3.3): changed-key discovery and
+    // upsert composed by the library itself — target is the state as of the
+    // window end, source carries the synthetic update_ts
+    "o2_incremental_update" -> ((s, d) => {
+      val ev = eventsWithUpdateTs(s, d)
+      val target = ev.filter(to_date(col("ts")) <= lit(EvTo))
+      Ops.incrementalUpdate(target, ev, "event_id", "ts", "update_ts", EvFrom, EvTo)
+    }),
     "a1_window_delete" -> ((s, d) =>
       Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
@@ -418,6 +426,11 @@ object Queries {
     // corpus-assembly primitive (bucket-prefix plan, no global-order window)
     "sampling_budget_select" -> ((s, d) =>
       Sampling.budgetSelect(docs(s, d), "doc_id", "n_chars", 60000L)),
+    // per-group quantile gate: keep docs at or above their language's median
+    // length — the "top half by quality, per language" selection rule; one
+    // grouped pass for thresholds, broadcast back over the corpus
+    "sampling_quantile_filter" -> ((s, d) =>
+      Sampling.groupQuantileFilter(docs(s, d), "lang", "n_chars", 0.5)),
 
     // ---- keyless time-range join (§2.12): clicks near ANY error within 60 s.
     // Both sides deliberately name their time column `ts` — the canonical
@@ -442,6 +455,20 @@ object Queries {
       val withFp = docs(s, d).withColumn("fp",
         md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text")))))))
       Dedup.exact(withFp, Seq("fp"), "doc_id").drop("fp")
+    }),
+    // canonical selection: collapse each fingerprint cluster to its BEST
+    // member (longest text, doc_id tiebreak) instead of dedup_fingerprint's
+    // min-id winner; singletons never shuffle — keepBest broadcasts the
+    // (tiny) cluster membership over the corpus
+    "dedup_keep_best" -> ((s, d) => {
+      val doc = docs(s, d)
+      val fp = doc.select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text")))))).as("fp"))
+      val dupFps = fp.groupBy("fp").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).select("fp")
+      val clusters = fp.join(dupFps, Seq("fp"))
+        .select(col("doc_id").as("node"), col("fp").as("cluster"))
+      Dedup.keepBest(doc, clusters, "doc_id", Seq(col("n_chars").desc, col("doc_id")))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
     // decontamination: docs 0-9 stand in for a benchmark set; corpus docs
@@ -692,6 +719,18 @@ object Queries {
          |SELECT * FROM target WHERE event_id NOT IN (SELECT event_id FROM changed)
          |UNION ALL
          |SELECT * FROM src WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    "o2_incremental_update" ->
+      s"""$evCte,
+         |changed AS ($changedKeysSql),
+         |fullv AS (SELECT event_id, CAST(e.ts AS TIMESTAMP) AS ts, user_id, event_type,
+         |                 value, props,
+         |                 CAST(e.ts + (event_id % 7) * INTERVAL 1 DAY AS TIMESTAMP) AS update_ts
+         |            FROM events e)
+         |SELECT * FROM fullv
+         | WHERE CAST(ts AS DATE) <= DATE '2024-01-09'
+         |   AND event_id NOT IN (SELECT event_id FROM changed)
+         |UNION ALL
+         |SELECT * FROM fullv WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
     "a1_window_delete" ->
       s"SELECT * FROM lineitem WHERE l_shipdate NOT BETWEEN $liStartLit AND $liEndLit",
     "a5_window_reload" ->
@@ -914,6 +953,12 @@ object Queries {
          |  SELECT *, row_number() OVER (PARTITION BY lang
          |             ORDER BY ${duckIdHash("doc_id")}, doc_id) AS rn
          |    FROM documents) x WHERE rn <= 20""".stripMargin,
+    "sampling_quantile_filter" ->
+      """WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.5) AS t
+        |               FROM documents GROUP BY lang)
+        |SELECT doc_id, text, d.lang, source, n_chars
+        |  FROM documents d JOIN thr ON d.lang = thr.lang
+        | WHERE d.n_chars >= thr.t""".stripMargin,
     "sampling_weighted" ->
       s"""SELECT doc_id, text, lang, source, n_chars, CAST(n_chars AS DOUBLE) / 2000.0 AS w
          |  FROM documents
@@ -1014,6 +1059,21 @@ object Queries {
         |    SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
         |      FROM documents) f
         |  GROUP BY fp)""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH fps AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
+        |    FROM documents),
+        |dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+        |members AS (SELECT f.doc_id, f.fp FROM fps f JOIN dup USING (fp)),
+        |winners AS (SELECT doc_id FROM (
+        |  SELECT m.doc_id, row_number() OVER (PARTITION BY m.fp
+        |           ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |    FROM members m JOIN documents d USING (doc_id)) x WHERE rn = 1)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        | WHERE doc_id NOT IN (SELECT doc_id FROM members)
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        | WHERE doc_id IN (SELECT doc_id FROM winners)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_decontaminate" ->
       s"""$trigramCte,

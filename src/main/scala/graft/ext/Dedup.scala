@@ -429,14 +429,17 @@ object Dedup {
     * result. */
   def keepBest(docs: DataFrame, clusters: DataFrame, idCol: String,
       ordering: Seq[Column]): DataFrame = {
-    val members = clusters.select(col("node").as(idCol), col("cluster"))
+    // the explicit broadcast() hints ARE the stated plan contract: above
+    // autoBroadcastJoinThreshold the planner would otherwise pick sort-merge
+    // and shuffle the full corpus twice — exactly the shape this avoids
+    val members = broadcast(clusters.select(col("node").as(idCol), col("cluster")))
     val taken = docs.columns.toSet + "cluster"
     val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
     val w = Window.partitionBy(col("cluster")).orderBy(ordering: _*)
     val winners = docs.join(members, Seq(idCol))
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1).drop(rn, "cluster")
-    docs.join(members.select(col(idCol)), Seq(idCol), "left_anti")
+    docs.join(broadcast(members.select(col(idCol))), Seq(idCol), "left_anti")
       .unionByName(winners)
   }
 }

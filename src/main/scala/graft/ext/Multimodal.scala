@@ -71,7 +71,11 @@ object Multimodal {
     * within budget pass through untouched. Deterministic, codec-free; a
     * real scaler slots in with the same signature. */
   def resizeFake(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val target = targetW * targetH
+    // Long budget: two individually-valid dims (65536×65536) overflow an Int
+    // product to negative, which would flip the pass-through test and then
+    // throw NegativeArraySizeException at task time. Past the compare,
+    // target < payload.length <= Int.MaxValue, so the narrowing is safe.
+    val target = (targetW.toLong * targetH).min(Int.MaxValue.toLong).toInt
     if (payload.length <= target) payload
     else {
       val out = new Array[Byte](target)

@@ -8,28 +8,38 @@ import org.apache.spark.sql.functions._
  * runs before and after every transformation: per-column row/null/distinct
  * counts in long format, ONE aggregation pass over the data regardless of
  * column count (every metric is a partial-aggregable expression in a single
- * `agg`, reshaped to long rows afterward with `stack`). No driver-side
+ * `agg`, reshaped to long rows afterward with a typed explode). No driver-side
  * state; the single-row wide aggregate is the only thing that leaves the
  * executors.
  */
 object Profiling {
 
+  /** Exact-name column reference: backtick-quoted with embedded backticks
+    * doubled, so names containing dots, quotes, or backticks resolve as the
+    * single column the existence check validated — never as a parsed path or
+    * a malformed expression. */
+  private def exact(c: String): org.apache.spark.sql.Column =
+    col("`" + c.replace("`", "``") + "`")
+
   /** Per-column profile: `(col_name, n_rows, n_nulls, n_distinct)` — one row
     * per requested column. `n_nulls = count(*) − count(col)` so every metric
     * stays a plain BIGINT count in any engine; `n_distinct` is exact
-    * (null excluded, matching SQL `count(DISTINCT col)`). */
+    * (null excluded, matching SQL `count(DISTINCT col)`). The long reshape is
+    * typed (array-of-struct + explode) with index-keyed internal aliases, so
+    * no user-supplied name is ever spliced into SQL text. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val bad = cols.filterNot(df.columns.toSet)
     require(bad.isEmpty, s"profile: no such columns: ${bad.mkString(", ")}")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__nn_$c"),
-      countDistinct(col(c)).as(s"__nd_$c")))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(exact(c)).as(s"__nn_$i"),
+      countDistinct(exact(c)).as(s"__nd_$i")) }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __rows, __rows - `__nn_$c`, `__nd_$c`").mkString(", ")
-    wide.selectExpr(
-      s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_nulls, n_distinct)")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct")) }
+    wide.select(explode(array(rows: _*)).as("__r")).select("__r.*")
   }
 
   /** Sketch-based profile for scales where exact `count(DISTINCT)` /
@@ -49,16 +59,22 @@ object Profiling {
     val bad = (keyCols ++ numCols).filterNot(df.columns.toSet)
     require(bad.isEmpty, s"approxProfile: no such columns: ${bad.mkString(", ")}")
     val aggs =
-      keyCols.map(c => approx_count_distinct(col(c), rsd).as(s"__ad_$c")) ++
-      numCols.flatMap(c => Seq(
-        percentile_approx(col(c), lit(0.5), lit(accuracy)).cast("double").as(s"__p50_$c"),
-        percentile_approx(col(c), lit(0.99), lit(accuracy)).cast("double").as(s"__p99_$c")))
+      keyCols.zipWithIndex.map { case (c, i) =>
+        approx_count_distinct(exact(c), rsd).as(s"__ad_$i") } ++
+      numCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        percentile_approx(exact(c), lit(0.5), lit(accuracy)).cast("double").as(s"__p50_$i"),
+        percentile_approx(exact(c), lit(0.99), lit(accuracy)).cast("double").as(s"__p99_$i")) }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackArgs =
-      keyCols.map(c => s"'$c', __rows, `__ad_$c`, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)") ++
-      numCols.map(c => s"'$c', __rows, CAST(NULL AS BIGINT), `__p50_$c`, `__p99_$c`")
-    wide.selectExpr(
-      s"stack(${stackArgs.size}, ${stackArgs.mkString(", ")}) " +
-        "as (col_name, n_rows, approx_distinct, approx_p50, approx_p99)")
+    val rows =
+      keyCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+          col(s"__ad_$i").as("approx_distinct"),
+          lit(null).cast("double").as("approx_p50"),
+          lit(null).cast("double").as("approx_p99")) } ++
+      numCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+          lit(null).cast("bigint").as("approx_distinct"),
+          col(s"__p50_$i").as("approx_p50"), col(s"__p99_$i").as("approx_p99")) }
+    wide.select(explode(array(rows: _*)).as("__r")).select("__r.*")
   }
 }

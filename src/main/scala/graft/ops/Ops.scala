@@ -116,10 +116,25 @@ object Ops {
     * (`TableUpdateService.cs:108-166`). The changed-key side is typically
     * tiny relative to the table — broadcast when the estimate agrees so
     * neither the target nor the source shuffles. */
-  def upsert(target: DataFrame, source: DataFrame, pk: String, changed: DataFrame): DataFrame = {
+  def upsert(target: DataFrame, source: DataFrame, pk: String, changed: DataFrame): DataFrame =
+    upsertImpl(target, source, pk, changed, dropAuditCols = true)
+
+  /** [[upsert]] WITHOUT the audit-column drop — for targets the engine fully
+    * owns rather than the reference's `Id`/`insert_datetime`-managed warehouse
+    * tables. The copy path's drop is a contract about SQL Server-managed
+    * columns; a CDC stream keyed `id` (the common case) or carrying its own
+    * `insert_datetime` would lose data columns — including its primary key —
+    * under that contract, and the first-batch create (which keeps all
+    * columns) would then diverge in schema from every later batch. */
+  def upsertExact(target: DataFrame, source: DataFrame, pk: String, changed: DataFrame): DataFrame =
+    upsertImpl(target, source, pk, changed, dropAuditCols = false)
+
+  private def upsertImpl(target: DataFrame, source: DataFrame, pk: String,
+      changed: DataFrame, dropAuditCols: Boolean): DataFrame = {
     val keys = changed.select(pk).distinct() // size-gated hint applied per join below
+    val fresh = keyedFetch(source, pk, keys)
     keyedDelete(target, pk, keys)
-      .unionByName(dropAudit(keyedFetch(source, pk, keys)))
+      .unionByName(if (dropAuditCols) dropAudit(fresh) else fresh)
   }
 
   /**

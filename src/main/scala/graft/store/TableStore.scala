@@ -172,9 +172,30 @@ final class TableStore(spark: SparkSession, root: String) {
       clusterCols: Seq[String], numFiles: Int): Unit = {
     require(clusterCols.nonEmpty, "atomicOverwriteClustered needs at least one cluster column")
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    refuseIfCatalogBucketed(table, "atomicOverwriteClustered")
     val cols = clusterCols.map(org.apache.spark.sql.functions.col)
     atomicOverwrite(table,
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
+  /** Refuse to rewrite a table whose files back a catalog-registered BUCKETED
+    * definition at this store's path: a plain repartition rewrite would leave
+    * non-bucket-named files under a bucket spec, failing `readBucketed` /
+    * `spark.table` reads or silently invalidating the shuffle-free join
+    * contract the spec advertises. Such tables must be rewritten through
+    * [[writeBucketed]] so layout and metadata stay in agreement. */
+  private def refuseIfCatalogBucketed(table: String, op: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (cat.tableExists(ident)) {
+      val meta = cat.getTableMetadata(ident)
+      val ours = fs.makeQualified(new Path(tablePath(table)))
+      if (meta.bucketSpec.isDefined && fs.makeQualified(new Path(meta.location)) == ours)
+        throw new IllegalStateException(
+          s"$op('$table'): the catalog registers this path as a bucketed table " +
+            s"(${meta.bucketSpec.get}); rewrite it via writeBucketed instead — " +
+            "a plain rewrite would orphan the bucket spec")
+    }
   }
 
   /** Small-file compaction: rewrite the table as ~`targetFiles` files with
@@ -182,9 +203,11 @@ final class TableStore(spark: SparkSession, root: String) {
     * batch upserts) accrete one-file-per-batch; at scale the file count —
     * not the byte count — dominates scan planning and open() overhead, so
     * periodic compaction is part of the table lifecycle. Readers see the
-    * old state until the single atomic publish. */
+    * old state until the single atomic publish. Catalog-bucketed tables are
+    * refused ([[refuseIfCatalogBucketed]]). */
   def compact(table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    refuseIfCatalogBucketed(table, "compact")
     atomicOverwrite(table, read(table).repartition(targetFiles))
   }
 

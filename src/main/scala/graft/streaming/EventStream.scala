@@ -162,9 +162,12 @@ object EventStream {
       val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
       val fresh = batch.withColumn(rn, row_number().over(w))
         .filter(col(rn) === 1).drop(rn)
+      // upsertExact, not upsert: the audit-dropping copy contract would strip
+      // a CDC pk named 'id' (or a data column named 'insert_datetime') from
+      // every batch after the first, diverging from the create path's schema
       if (!store.exists(table)) store.atomicOverwrite(table, fresh)
       else store.atomicOverwrite(table,
-        graft.ops.Ops.upsert(store.read(table), fresh, pk, fresh.select(pk)))
+        graft.ops.Ops.upsertExact(store.read(table), fresh, pk, fresh.select(pk)))
       ()
     }
 

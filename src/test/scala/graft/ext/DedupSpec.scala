@@ -21,6 +21,23 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == Set(3L, 7L))
   }
 
+  test("keepBest keeps one best member per cluster, singletons untouched, via broadcast") {
+    val corpus = Seq(
+      (1L, "short", 10L), (2L, "winner", 30L), (3L, "tied-but-higher-id", 30L),
+      (4L, "singleton", 5L)).toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, "c0"), (2L, "c0"), (3L, "c0")).toDF("node", "cluster")
+    val best = Dedup.keepBest(corpus, clusters, "doc_id",
+      Seq(col("n_chars").desc, col("doc_id")))
+    // 2 wins the cluster (longest, lowest-id tiebreak); 4 is no one's duplicate
+    assert(best.select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(best.columns.toSeq == corpus.columns.toSeq)
+    // the stated plan contract: the cluster side broadcasts, the corpus
+    // never shuffles into a sort-merge join
+    val plan = best.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+  }
+
   test("decontaminate drops docs by distinct-shingle overlap against the blocklist") {
     val block = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(

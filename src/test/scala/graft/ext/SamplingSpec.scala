@@ -20,6 +20,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size < docs.count())
   }
 
+  test("groupQuantileFilter keeps rows at or above the per-group quantile") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10), ("b", 20))
+      .toDF("g", "s")
+    // exact medians: a → 2.5 (keep 3, 4), b → 15.0 (keep 20)
+    val exact = Sampling.groupQuantileFilter(df, "g", "s", 0.5)
+      .select("s").as[Int].collect().toSet
+    assert(exact == Set(3, 4, 20))
+    assert(Sampling.groupQuantileFilter(df, "g", "s", 0.5).columns.toSeq == df.columns.toSeq)
+    // sketch path: threshold is a real data point, every survivor clears it
+    val approx = Sampling.groupQuantileFilter(df, "g", "s", 0.5, approx = true)
+      .select("s").as[Int].collect().toSet
+    assert(approx.nonEmpty && approx.subsetOf(Set(1, 2, 3, 4, 10, 20)))
+    assert(Set(4, 20).subsetOf(approx)) // group maxima always survive any quantile
+  }
+
   test("hashFraction permille bounds: 0 keeps nothing, 1000 keeps everything") {
     assert(Sampling.hashFraction(docs, "doc_id", 0).count() == 0L)
     assert(Sampling.hashFraction(docs, "doc_id", 1000).count() == docs.count())

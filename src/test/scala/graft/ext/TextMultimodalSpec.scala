@@ -110,6 +110,9 @@ class TextMultimodalSpec extends AnyFunSuite {
       assert(r.meta.width == 4 && r.meta.height == 4)
     }
     assert(resized.find(_.id == 2L).get.payload.length == 5) // under budget: untouched
+    // two individually-valid dims whose Int product overflows negative must
+    // behave as a pass-through budget, not throw NegativeArraySizeException
+    assert(Multimodal.resizeFake(small, 65536, 65536).toSeq == Seq[Byte](1, 2, 3))
   }
 
   test("frame sampling yields ceil-ish windows over the payload") {
@@ -144,6 +147,17 @@ class TextMultimodalSpec extends AnyFunSuite {
     val empty = Profiling.profile(df.filter(lit(false)), Seq("k"))
       .as[(String, Long, Long, Long)].collect()
     assert(empty.toSeq == Seq(("k", 0L, 0L, 0L)))
+  }
+
+  test("Profiling.profile: hostile column names (quotes, backticks, dots) resolve exactly") {
+    val df = Seq((1L, "a"), (2L, "b"), (2L, null))
+      .toDF("k`odd", "v'quote.dot")
+    val got = Profiling.profile(df, Seq("k`odd", "v'quote.dot"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("k`odd") == ("k`odd", 3L, 0L, 2L))
+    assert(got("v'quote.dot") == ("v'quote.dot", 3L, 1L, 2L))
+    val ap = Profiling.approxProfile(df, Seq("v'quote.dot"), Nil).collect()
+    assert(ap.head.getString(0) == "v'quote.dot" && ap.head.getLong(2) == 2L)
   }
 
   test("Profiling.approxProfile: sketch estimates track exact answers on fixtures") {

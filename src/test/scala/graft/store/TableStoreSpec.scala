@@ -20,6 +20,24 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((9, "z")))
   }
 
+  test("compact and clustered rewrite refuse catalog-bucketed tables") {
+    val store = freshStore()
+    store.writeBucketed("b_guard", (1 to 20).toDF("k"), "k", 2)
+    // a plain rewrite would leave non-bucket files under the bucketed
+    // catalog definition — both rewrite paths must refuse
+    intercept[IllegalStateException](store.compact("b_guard", 1))
+    intercept[IllegalStateException](
+      store.atomicOverwriteClustered("b_guard", (1 to 20).toDF("k"), Seq("k"), 1))
+    assert(store.readBucketed("b_guard").count() == 20) // untouched
+    // an unrelated catalog table of the same NAME at a different path must
+    // not block a plain store table
+    val other = freshStore()
+    other.atomicOverwrite("b_guard", (1 to 5).toDF("k"))
+    other.compact("b_guard", 1)
+    assert(other.read("b_guard").count() == 5)
+    spark.sql("DROP TABLE IF EXISTS b_guard")
+  }
+
   test("atomicOverwrite works when df derives from the table's own state") {
     val store = freshStore()
     store.atomicOverwrite("t", (1 to 10).toDF("k"))

@@ -124,6 +124,35 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got(150L) == "v2-late")
   }
 
+  test("upsertInto keeps a CDC pk named 'id' — audit-drop must not eat data columns") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cdc-id")
+    // pk 'id' collides with the copy path's audit-column contract; the CDC
+    // upsert must treat it as data or batch 2 diverges in schema from the
+    // create batch and the stream dies (round-6 advisory)
+    val b1 = (1L to 20L).map(i => (i, s"v1-$i", 1L)).toDF("id", "payload", "seq")
+    val b2 = (11L to 30L).map(i => (i, s"v2-$i", 2L)).toDF("id", "payload", "seq")
+    b1.coalesce(1).write.parquet(s"$d/b1")
+    b2.coalesce(1).write.parquet(s"$d/b2")
+    def parts(sub: String) = new java.io.File(s"$d/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val t0 = System.currentTimeMillis() - 60000
+    parts("b1").foreach(_.setLastModified(t0))
+    parts("b2").foreach(_.setLastModified(t0 + 30000))
+    val src = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$d/b*")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-id-store").toString)
+    val q = EventStream.upsertInto(src, store, "copy", "id", "seq")
+      .option("checkpointLocation", s"$d/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val copy = store.read("copy")
+    assert(copy.columns.toSeq == Seq("id", "payload", "seq"))
+    val got = copy.select("id", "payload").as[(Long, String)].collect().toMap
+    assert(got.size == 30)
+    (1L to 10L).foreach(i => assert(got(i) == s"v1-$i"))
+    (11L to 30L).foreach(i => assert(got(i) == s"v2-$i"))
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = EventStream.dedupedEvents(EventStream.read(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("dd").start()
