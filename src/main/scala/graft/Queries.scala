@@ -310,6 +310,43 @@ object Queries {
           // after the NTZ day-key fix; rounded double is the representation
           // the gate demonstrably hashes reliably (q1/rollup, fixed r4)
           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))),
+    // GROUPING SETS beyond rollup/cube's hierarchies: two independent
+    // one-dimension aggregates in ONE pass over the fact table (status
+    // totals ∪ priority totals), partial-aggregated map-side like any groupBy
+    "agg_grouping_sets" -> ((s, d) =>
+      orders(s, d).groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_price"))),
+    // rank/distribution analytics (§2.5): dense_rank, quartile ntile,
+    // percent_rank, cume_dist per event type over per-user totals — exact
+    // rational arithmetic both engines compute bit-identically
+    "window_rank_metrics" -> ((s, d) => {
+      val pu = events(s, d).groupBy("event_type", "user_id")
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_value"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("total_value").desc, col("user_id"))
+      pu.select(col("event_type"), col("user_id"), col("total_value"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+    // temporal regularization: sparse per-user signup days resampled to each
+    // user's dense day grid, totals forward-filled — one window pass, no
+    // fabricated-grid join (TimeSeries.dailyGridFill)
+    "ts_resample_fill" -> ((s, d) => {
+      val daily = events(s, d).filter(col("event_type") === "signup")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_value"))
+      graft.ext.TimeSeries.dailyGridFill(daily, "user_id", "day", Seq("total_value"))
+    }),
     "distinct_counts" -> ((s, d) =>
       events(s, d).agg(
         countDistinct(col("user_id")).as("n_users"),
@@ -471,6 +508,16 @@ object Queries {
       Dedup.keepBest(doc, clusters, "doc_id", Seq(col("n_chars").desc, col("doc_id")))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
+    // short-text fuzzy matching: Levenshtein ≤ 5 over 40-char prefixes,
+    // blocked by (language, 64-char length bucket) — the in-word-edit dedup
+    // rule jaccard/minhash can't see. Blocking selectivity is the operator's
+    // cost contract (quadratic per block); the length bucket cuts candidate
+    // pairs ~6× at sf0.1 while near-identical docs stay co-blocked
+    "dedup_edit_distance" -> ((s, d) =>
+      Dedup.editDistancePairs(
+        docs(s, d).withColumn("len_bucket", expr("n_chars div 64")),
+        "doc_id", "text", Seq("lang", "len_bucket"),
+        maxDist = 5, prefixLen = 40)),
     // decontamination: docs 0-9 stand in for a benchmark set; corpus docs
     // sharing >= 2 distinct trigrams with any of them are removed
     "dedup_decontaminate" -> ((s, d) => {
@@ -842,6 +889,39 @@ object Queries {
       """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, count(*) AS n_events,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |  FROM events GROUP BY 1, 2""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        |  FROM orders
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "window_rank_metrics" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |    FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, total_value,
+        |       dense_rank() OVER w AS drank,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |  FROM pu
+        |WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id)""".stripMargin,
+    "ts_resample_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |         count(*) AS n_events,
+        |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |    FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |           FROM span),
+        |j AS (SELECT g.user_id, g.day, d.n_events, d.total_value
+        |        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day, n_events,
+        |       last_value(total_value IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_value
+        |  FROM j""".stripMargin,
     "distinct_counts" ->
       "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types FROM events",
     "agg_pivot_event_types" ->
@@ -1075,6 +1155,13 @@ object Queries {
         |SELECT doc_id, text, lang, source, n_chars FROM documents
         | WHERE doc_id IN (SELECT doc_id FROM winners)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+    "dedup_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND (a.n_chars // 64) = (b.n_chars // 64)
+        |   AND a.doc_id < b.doc_id
+        | WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5""".stripMargin,
     "dedup_decontaminate" ->
       s"""$trigramCte,
          |bl AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10),

@@ -151,9 +151,30 @@ object ScaleSmoke {
       consume(graft.ext.Packing.packTokenBudget(toks, "doc_id", "n_tokens", 512, 64))
     }
 
+    // ---- temporal regularization at 1M events ----
+    // 1M rows aggregate to ~1.5k user-day observations; the fill fans out
+    // gap days from each observed row in ONE window pass — cost tracks the
+    // DAILY frame and its gaps, never the event count
+    time("daily grid fill, 1M events -> user-day grid") {
+      val daily = bigEv.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value")).as("total_value"))
+      consume(graft.ext.TimeSeries.dailyGridFill(daily, "user_id", "day", Seq("total_value")))
+    }
+
     // ---- dedup family at 20k docs with 10-member duplicate groups ----
     time("exact dedup 20k docs") {
       consume(graft.ext.Dedup.exact(bigDocs, Seq("text"), "doc_id"))
+    }
+    // quadratic-per-block by contract: (lang, length-bucket) blocking keeps
+    // blocks ~100-400 docs at 20k docs — the selectivity discipline any
+    // edit-distance pass needs; replicated dup groups guarantee hits
+    time("edit-distance pairs 20k docs, lang+length blocks") {
+      consume(graft.ext.Dedup.editDistancePairs(
+        bigDocs.withColumn("len_bucket", (col("n_chars") / 64).cast("int")),
+        "doc_id", "text", Seq("lang", "len_bucket"), maxDist = 5, prefixLen = 40))
     }
     val lsh = time("minhash-LSH pairs 20k docs") {
       val n = graft.ext.Dedup.minhashLshPairs(bigDocs, "doc_id", "text", 3, 64, 16, 0.8).count()

@@ -415,6 +415,40 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Edit-distance near-dup pairs within blocking groups: all `(doc_a,
+   * doc_b)` with Levenshtein distance ≤ `maxDist` between the first
+   * `prefixLen` chars of their texts, compared only INSIDE equal
+   * `blockCols` groups — the title/short-text fuzzy-match dedup rule
+   * (jaccard/minhash are insensitive to small in-word edits; edit distance
+   * is the right metric for near-identical short strings).
+   *
+   * Scale shape: a self-equi-join on the block key (one shuffle), so cost
+   * is Σ |block|²/2 DP comparisons — quadratic PER BLOCK, which is the
+   * contract of every edit-distance blocking scheme. Callers must block on
+   * something selective (language × length bucket, SimHash band, cluster
+   * id); the operator prunes cheaply first (length difference > `maxDist`
+   * can never match) and the DP itself early-abandons past `maxDist`
+   * (Spark's thresholded `levenshtein`, banded O(prefixLen × maxDist)).
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], maxDist: Int, prefixLen: Int = 64): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(prefixLen > 0, s"prefixLen must be positive: $prefixLen")
+    require(blockCols.nonEmpty,
+      "editDistancePairs needs at least one blocking column (an unblocked " +
+        "self-join is the all-pairs scan this operator exists to avoid)")
+    def side(tag: String) = docs.select(
+      blockCols.map(col) :+ col(idCol).as(s"doc_$tag") :+
+        substring(col(textCol), 1, prefixLen).as(s"__t$tag"): _*)
+    side("a").join(side("b"), blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("edit_dist") >= 0) // thresholded form returns -1 past maxDist
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
   /** Canonical selection — the step after clustering: collapse every
     * duplicate cluster to its single best representative and keep all
     * non-duplicate documents unchanged. `clusters` is the

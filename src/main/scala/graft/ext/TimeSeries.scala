@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal regularization (SURVEY.md §2.12) — resampling an irregular
+ * per-key daily series onto a dense day grid with forward-fill: the feature
+ * and label materialization step of a training pipeline (metrics observed
+ * sporadically, models trained on a regular grid), and the warehouse
+ * "gap-filling" idiom the reference's SQL Server target would express with
+ * a calendar table join.
+ *
+ * Scale shape: the naive plan is grid-generate → LEFT JOIN observed → a
+ * second windowed fill pass — two shuffles and a join against a fabricated
+ * table. Here each OBSERVED row emits itself plus the gap days up to (not
+ * including) the key's next observed day, in one `lead` window pass: the
+ * fill value rides along with the row that generated the gap, so there is
+ * exactly ONE hash shuffle on the key, no join, no second window. Fan-out
+ * is proportional to the gaps being filled — the rows any correct answer
+ * must produce.
+ */
+object TimeSeries {
+
+  /** First `__name`-style column name not already taken in `df`. */
+  private def freshCol(df: DataFrame, base: String): String = {
+    val taken = df.columns.toSet
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i").find(!taken(_)).get
+  }
+
+  /**
+   * Fill a per-key daily series to a dense grid over each key's own
+   * `[min(day), max(day)]` span (no fabrication outside a key's observed
+   * history). `daily` must hold ONE row per `(keyCol, dayCol)` at day
+   * granularity (`date` or day-truncated timestamp — the aggregation that
+   * builds it enforces this by construction).
+   *
+   * On fabricated days, columns in `fillCols` carry the most recent
+   * observed value forward; every other metric column is NULL (a count
+   * that wasn't observed is absent, not zero — callers wanting zeros add
+   * `coalesce` on top).
+   */
+  def dailyGridFill(daily: DataFrame, keyCol: String, dayCol: String,
+      fillCols: Seq[String]): DataFrame = {
+    val cols = daily.columns.toSet
+    require(cols(keyCol) && cols(dayCol), s"no such columns: $keyCol/$dayCol")
+    val badFill = fillCols.filterNot(cols) ++ fillCols.filter(c => c == keyCol || c == dayCol)
+    require(badFill.isEmpty, s"bad fillCols: ${badFill.mkString(", ")}")
+    val metricCols = daily.columns.filterNot(c => c == keyCol || c == dayCol)
+    val fill = fillCols.toSet
+    val next = freshCol(daily, "__next")
+    val day = freshCol(daily, "__day")
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+    // date columns need date_sub (date − day-time interval would widen to
+    // timestamp and make the sequence bounds type-mismatch)
+    val isDate = daily.schema(daily.schema.fieldIndex(dayCol))
+      .dataType == org.apache.spark.sql.types.DateType
+    def minusOneDay(c: org.apache.spark.sql.Column) =
+      if (isDate) date_sub(c, 1) else c - expr("INTERVAL 1 DAY")
+    daily
+      .withColumn(next, lead(col(dayCol), 1).over(w))
+      // the row's own day, plus every missing day strictly before the key's
+      // next observed day; the last observed row emits only itself
+      .withColumn(day, explode(sequence(col(dayCol),
+        coalesce(minusOneDay(col(next)), col(dayCol)),
+        expr("INTERVAL 1 DAY"))))
+      .select(col(keyCol) +: col(day).as(dayCol) +: metricCols.toIndexedSeq.map { m =>
+        if (fill(m)) col(m) // the generating row's value IS the forward fill
+        else when(col(day) === col(dayCol), col(m)).as(m)
+      }: _*)
+  }
+}

@@ -21,6 +21,21 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == Set(3L, 7L))
   }
 
+  test("editDistancePairs: boundary at maxDist, blocking respected, unblocked refused") {
+    val corpus = Seq(
+      (1L, "kitten", "en"), (2L, "sitting", "en"), // classic distance 3
+      (3L, "kitten", "fr"),                        // identical text, other block
+      (4L, "zzzzzz", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(corpus, "doc_id", "text", Seq("lang"), maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 3))) // == maxDist kept; cross-block 1-3 never compared
+    assert(Dedup.editDistancePairs(corpus, "doc_id", "text", Seq("lang"), maxDist = 2)
+      .count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(corpus, "doc_id", "text", Nil, maxDist = 3))
+  }
+
   test("keepBest keeps one best member per cluster, singletons untouched, via broadcast") {
     val corpus = Seq(
       (1L, "short", 10L), (2L, "winner", 30L), (3L, "tied-but-higher-id", 30L),
