@@ -143,6 +143,21 @@ object Queries {
       val target = ev.filter(to_date(col("ts")) <= lit(EvTo))
       Ops.incrementalUpdate(target, ev, "event_id", "ts", "update_ts", EvFrom, EvTo)
     }),
+    // incremental materialized-rollup refresh: stale daily agg keeps its
+    // out-of-window days; the window's days are re-aggregated from the
+    // (updated) window rows only. The oracle is the FULL re-aggregation of
+    // the refreshed base — the equivalence the operator claims
+    "o3_agg_maintain" -> ((s, d) => {
+      val ev = events(s, d)
+      def dailyAgg(df: DataFrame) = df.groupBy(
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+      val stale = dailyAgg(ev)
+      val freshWindow = ev.filter(Ops.datePredicate("ts", EvFrom, EvTo))
+        .withColumn("value", col("value") + 1)
+      Ops.maintainDailyAgg(stale, freshWindow, "day", EvFrom, EvTo)(dailyAgg)
+    }),
     "a1_window_delete" -> ((s, d) =>
       Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
@@ -778,6 +793,16 @@ object Queries {
          |   AND event_id NOT IN (SELECT event_id FROM changed)
          |UNION ALL
          |SELECT * FROM fullv WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    "o3_agg_maintain" ->
+      """WITH up AS (
+        |  SELECT ts, event_type,
+        |         CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+        |              THEN value + 1 ELSE value END AS value
+        |    FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+        |       count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |  FROM up GROUP BY 1, 2""".stripMargin,
     "a1_window_delete" ->
       s"SELECT * FROM lineitem WHERE l_shipdate NOT BETWEEN $liStartLit AND $liEndLit",
     "a5_window_reload" ->

@@ -38,6 +38,66 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /**
+   * Misra–Gries frequent-items sketch: a MERGEABLE heavy-hitters summary of
+   * at most `capacity` counters — the 100 TB top-k/vocabulary path where an
+   * exact `groupBy(token)` would shuffle every distinct token. Map-side
+   * partials hold ≤ `capacity` entries each; the shuffle moves one summary
+   * per partition instead of the token universe.
+   *
+   * Guarantees (standard Misra–Gries, preserved under the summing merge):
+   * for every item, `true_count − n/(capacity+1) <= estimate <= true_count`
+   * over a stream of n items, so any item with true frequency above
+   * `n/(capacity+1)` is PRESENT in the summary. Estimates are
+   * order-dependent (not gated on a bit-exact oracle); the bounds are
+   * spec-pinned against exact counts.
+   */
+  final class FrequentItemsSketch(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= capacity) m
+      else {
+        // subtract the (capacity+1)-th largest count from everything — the
+        // batch form of Misra–Gries' decrement-all-on-miss
+        val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+        m.collect { case (k, v) if v > d => k -> (v - d) }
+      }
+
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      if (item == null) b
+      else {
+        val inc = b.updated(item, b.getOrElse(item, 0L) + 1L)
+        if (inc.size > capacity) shrink(inc) else inc
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val (small, large) = if (a.size < b.size) (a, b) else (b, a)
+      shrink(small.foldLeft(large) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      })
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Approximate corpus-wide frequent tokens: explode → ONE sketch pass →
+    * `(token, est_count)` rows, descending. `capacity` bounds both memory
+    * and error (`n_tokens/(capacity+1)`); see [[FrequentItemsSketch]]. */
+  def frequentTokens(spark: SparkSession, docs: DataFrame, capacity: Int,
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val agg = udaf(new FrequentItemsSketch(capacity))
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .agg(agg(col("tok")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("token", "est_count")))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
   /** Per-label centroid of the `embeddings` table, values rounded to
     * `scale` decimals so the result is robust to summation order. */
   def labelCentroids(spark: SparkSession, emb: DataFrame, scale: Int = 6): DataFrame = {

@@ -233,4 +233,29 @@ object Ops {
   def incrementalUpdate(target: DataFrame, source: DataFrame, pk: String,
       dateCol: String, updateCol: String, from: LocalDate, to: LocalDate): DataFrame =
     upsert(target, source, pk, changedKeys(source, pk, dateCol, updateCol, from, to))
+
+  /**
+   * Incremental maintenance of a day-keyed aggregate (a materialized daily
+   * rollup): keep the stale aggregate's rows OUTSIDE the refresh window and
+   * replace the window's days with a re-aggregation of the fresh source rows
+   * — the A1+A5 windowed-reload semantics lifted from base tables to derived
+   * aggregates. `aggregate` must map source rows to the aggregate's schema
+   * with day keys in `dayCol` (day-truncated, comparable with
+   * [[datePredicate]]'s `to_date`).
+   *
+   * Scale shape: the stale aggregate is ~days × dims rows (tiny next to the
+   * fact table) and is filtered, not re-derived; pass `source` already
+   * windowed ([[windowScan]]) so the expensive aggregation runs ONLY over
+   * the window's rows — cost tracks the window, not table history. The
+   * post-aggregation day filter re-asserts the window, so straggler rows
+   * outside it can never leak into days the stale side keeps. Equivalent by
+   * construction to re-aggregating the fully refreshed base table, because
+   * daily aggregates are partitioned by the same day key the reload
+   * replaces wholesale.
+   */
+  def maintainDailyAgg(staleAgg: DataFrame, source: DataFrame, dayCol: String,
+      from: LocalDate, to: LocalDate)(aggregate: DataFrame => DataFrame): DataFrame = {
+    val fresh = aggregate(source).filter(datePredicate(dayCol, from, to))
+    staleAgg.filter(!datePredicate(dayCol, from, to)).unionByName(fresh)
+  }
 }

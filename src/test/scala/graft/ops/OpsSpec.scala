@@ -159,6 +159,24 @@ class OpsSpec extends AnyFunSuite {
       Ops.rangeJoin(l.select("id", "ts"), clash, "ts", "ts", java.time.Duration.ofSeconds(60)))
   }
 
+  test("maintainDailyAgg: window days replaced, others kept, stragglers fenced") {
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(to_date(col("ts")).as("day")).agg(sum(col("v")).as("total"))
+    val stale = Seq(
+      ("2024-01-04", 100L), // outside window: must survive untouched
+      ("2024-01-05", 999L)) // inside window: must be replaced
+      .toDF("day", "total").withColumn("day", col("day").cast("date"))
+    val source = Seq(
+      ("2024-01-05 10:00:00", 7L), ("2024-01-05 11:00:00", 5L),
+      ("2024-01-03 09:00:00", 1000L)) // straggler outside window: fenced out
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Ops.maintainDailyAgg(stale, source, "day",
+      LocalDate.of(2024, 1, 5), LocalDate.of(2024, 1, 9))(agg)
+      .select(col("day").cast("string"), col("total"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("2024-01-04" -> 100L, "2024-01-05" -> 12L))
+  }
+
   test("explain: upsert broadcasts the changed-key side") {
     val target = Seq((1L, "old")).toDF("pk", "v")
     val source = Seq((1L, "new")).toDF("pk", "v")
