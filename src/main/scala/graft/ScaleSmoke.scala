@@ -107,6 +107,23 @@ object ScaleSmoke {
     require(clusteredScan == plainScan,
       s"clustered scan disagrees: $clusteredScan vs $plainScan")
 
+    // ---- z-order layout: selective scans on BOTH dims of 12M rows ----
+    time("z-order write 12M (32 files on orderkey x partkey)") {
+      store.atomicOverwriteZOrdered("lineitem_z", bigLi, "l_orderkey", "l_partkey", 32)
+    }
+    val zByOrder = time("selective orderkey scan, z-ordered") {
+      store.read("lineitem_z")
+        .filter(col("l_orderkey").between(1000000L, 1010000L)).count()
+    }
+    require(zByOrder == plainScan, s"z scan disagrees: $zByOrder vs $plainScan")
+    val zByPart = time("selective partkey scan, z-ordered") {
+      store.read("lineitem_z").filter(col("l_partkey").between(100L, 200L)).count()
+    }
+    val plainByPart = time("selective partkey scan, unclustered") {
+      bigLi.filter(col("l_partkey").between(100L, 200L)).count()
+    }
+    require(zByPart == plainByPart, s"z partkey scan disagrees: $zByPart vs $plainByPart")
+
     time("changed-keys + upsert 1M") {
       val withUpd = bigEv.withColumn("update_ts",
         expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))

@@ -178,6 +178,59 @@ final class TableStore(spark: SparkSession, root: String) {
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
   }
 
+  /**
+   * Z-order (Morton-curve) clustered atomic write over TWO numeric key
+   * columns: each column is min-max normalized to a `bits`-bit integer grid
+   * and the bits interleaved into one z-value; files are then range-split
+   * and sorted on z. Because the Morton curve preserves locality in BOTH
+   * dimensions, every file covers a compact rectangle-ish region of the
+   * (colA, colB) space — parquet footer min/max stats on the ORIGINAL
+   * columns then skip files for selective predicates on EITHER column,
+   * where a plain range-cluster ([[atomicOverwriteClustered]]) serves only
+   * its leading column. The layout for a 100 TB fact table filtered
+   * sometimes by customer and sometimes by order range.
+   *
+   * The normalization bounds come from one tiny min/max aggregation
+   * (driver-side scalars, not data). Constant columns normalize to 0 and
+   * the curve degrades to a 1-D range cluster on the other key.
+   */
+  def atomicOverwriteZOrdered(table: String, df: DataFrame, colA: String, colB: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    Seq(colA, colB).foreach { c =>
+      require(df.columns.contains(c), s"atomicOverwriteZOrdered: no such column: $c")
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"atomicOverwriteZOrdered: $c must be numeric, is ${df.schema(c).dataType}")
+    }
+    refuseIfCatalogBucketed(table, "atomicOverwriteZOrdered")
+    val mm = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    require(!mm.anyNull, "atomicOverwriteZOrdered: empty input or all-null key column")
+    val top = (1L << bits) - 1
+    def gridded(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble)).cast("long")))
+    val na = gridded(colA, mm.getDouble(0), mm.getDouble(1))
+    val nb = gridded(colB, mm.getDouble(2), mm.getDouble(3))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    val zCol = {
+      val taken = df.columns.toSet
+      Iterator.from(0).map(i => s"__z$i").find(!taken(_)).get
+    }
+    atomicOverwrite(table,
+      df.withColumn(zCol, z)
+        .repartitionByRange(numFiles, col(zCol))
+        .sortWithinPartitions(col(zCol))
+        .select(df.columns.toIndexedSeq.map(col): _*))
+  }
+
   /** Refuse to rewrite a table whose files back a catalog-registered BUCKETED
     * definition at this store's path: a plain repartition rewrite would leave
     * non-bucket-named files under a bucket spec, failing `readBucketed` /

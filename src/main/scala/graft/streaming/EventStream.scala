@@ -172,6 +172,55 @@ object EventStream {
     }
 
   /**
+   * Partition-scoped micro-batch CDC apply — the FACT-sized form of
+   * [[upsertInto]]: instead of rewriting the whole table per trigger, each
+   * batch touches only the date partitions its rows fall in. Per batch:
+   * last-write-wins dedup on (`pk`, `orderCol`), read ONLY the affected
+   * `partCol=` partitions (partition pruning — the rest of a 100 TB table
+   * is never opened), upsert the fresh rows into them, and swap just those
+   * day directories via
+   * [[graft.store.TableStore.overwriteDatePartitions]]'s per-partition
+   * atomic renames. Cost per trigger tracks the batch's day span, not the
+   * table.
+   *
+   * `partCol` must be a DATE column that is STABLE per key (an event-time
+   * date): a CDC image that moves a key to a different day would leave the
+   * old day's row in place — that shape needs the whole-table
+   * [[upsertInto]] (or a tombstone protocol) instead. Unlike
+   * [[upsertInto]], audit-column semantics don't apply here either: all
+   * batch columns are data ([[graft.ops.Ops.upsertExact]] underneath).
+   */
+  def upsertIntoPartitions(events: DataFrame, store: graft.store.TableStore, table: String,
+      pk: String, orderCol: String, partCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(events.schema(partCol).dataType == org.apache.spark.sql.types.DateType,
+      s"upsertIntoPartitions: $partCol must be DATE, is ${events.schema(partCol).dataType}")
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk).orderBy(col(orderCol).desc)
+      val taken = batch.columns.toSet
+      val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
+      val fresh = batch.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1).drop(rn)
+      // day list is bounded by the batch's event-time span, not its rows
+      val days = fresh.select(col(partCol)).distinct().collect()
+        .map(_.getDate(0).toLocalDate).toSeq
+      if (days.nonEmpty) {
+        if (!store.exists(table))
+          store.atomicOverwrite(table, fresh, partitionBy = Seq(partCol))
+        else {
+          val affected = store.read(table)
+            .filter(col(partCol).isin(days.map(java.sql.Date.valueOf): _*))
+          store.overwriteDatePartitions(table,
+            graft.ops.Ops.upsertExact(affected, fresh, pk, fresh.select(pk)),
+            partCol, days)
+        }
+      }
+      ()
+    }
+  }
+
+  /**
    * Event-time sessionization via `flatMapGroupsWithState` — the custom
    * stateful-operator surface (`KeyValueGroupedDataset`): per-user state is
    * `(count, start, end)`, extended while events keep arriving within

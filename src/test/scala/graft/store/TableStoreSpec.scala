@@ -20,6 +20,47 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((9, "z")))
   }
 
+  test("z-ordered write enables file skipping on BOTH key dimensions") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    val orders = graft.io.Tables.load(spark, TestSpark.Sf0001, "orders")
+    store.atomicOverwriteZOrdered("ord_z", orders, "o_orderkey", "o_custkey", 8)
+    val parts = new java.io.File(store.tablePath("ord_z"))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 4, s"expected several z files, got ${parts.length}")
+    def fileRanges(column: String): Seq[(Long, Long)] = parts.toSeq.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.conf.Configuration()))
+      try {
+        val blocks = r.getFooter.getBlocks
+        val idx = r.getFooter.getFileMetaData.getSchema.getFieldIndex(column)
+        val stats = (0 until blocks.size()).map(i => blocks.get(i).getColumns.get(idx).getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+          stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+      } finally r.close()
+    }
+    // a selective point predicate on EITHER dimension must be skippable in
+    // some files' footer ranges — the property a 1-D range cluster only
+    // gives its leading column
+    Seq("o_orderkey", "o_custkey").foreach { c =>
+      val probe = orders.select(min(col(c))).as[Long].head()
+      val covering = fileRanges(c).count { case (lo, hi) => lo <= probe && probe <= hi }
+      assert(covering < parts.length,
+        s"$c: all ${parts.length} files cover $probe — no skipping on this dimension")
+    }
+    // layout change only: the row multiset is intact
+    assert(store.read("ord_z").count() == orders.count())
+    assert(store.read("ord_z").agg(sum(col("o_orderkey"))).as[Long].head() ==
+      orders.agg(sum(col("o_orderkey"))).as[Long].head())
+    intercept[IllegalArgumentException](
+      store.atomicOverwriteZOrdered("ord_z", orders, "o_orderkey", "nope", 4))
+    intercept[IllegalArgumentException](
+      store.atomicOverwriteZOrdered("ord_z", orders, "o_orderkey", "o_orderstatus", 4))
+  }
+
   test("compact and clustered rewrite refuse catalog-bucketed tables") {
     val store = freshStore()
     store.writeBucketed("b_guard", (1 to 20).toDF("k"), "k", 2)
