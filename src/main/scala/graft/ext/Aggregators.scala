@@ -60,7 +60,8 @@ object Aggregators {
       if (m.size <= capacity) m
       else {
         // subtract the (capacity+1)-th largest count from everything — the
-        // batch form of Misra–Gries' decrement-all-on-miss
+        // batch form of Misra–Gries' decrement-all-on-miss (merge path only;
+        // the per-row path below never needs the sort)
         val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
         m.collect { case (k, v) if v > d => k -> (v - d) }
       }
@@ -68,10 +69,13 @@ object Aggregators {
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
       if (item == null) b
-      else {
-        val inc = b.updated(item, b.getOrElse(item, 0L) + 1L)
-        if (inc.size > capacity) shrink(inc) else inc
-      }
+      else if (b.contains(item) || b.size < capacity)
+        b.updated(item, b.getOrElse(item, 0L) + 1L)
+      else
+        // full table, absent item: the (capacity+1)-th largest count would be
+        // this item's provisional 1, so the shrink delta is ALWAYS 1 here —
+        // classic MG decrement-all, O(capacity) with no sort on the hot path
+        b.collect { case (k, v) if v > 1L => k -> (v - 1L) }
     override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
       val (small, large) = if (a.size < b.size) (a, b) else (b, a)
       shrink(small.foldLeft(large) { case (m, (k, v)) =>

@@ -453,9 +453,12 @@ object Dedup {
     * duplicate cluster to its single best representative and keep all
     * non-duplicate documents unchanged. `clusters` is the
     * [[connectedComponents]] output `(node, cluster)` and contains ONLY dup
-    * members, so it is tiny relative to the corpus; both joins below
-    * broadcast it and the corpus itself never shuffles — the per-cluster
-    * winner window runs only over the cluster members. Ranking the full
+    * members, so it is typically tiny relative to the corpus; both joins
+    * below hint it for broadcast when Catalyst's size estimate agrees (so
+    * the corpus never shuffles), falling back to the planner's choice on a
+    * duplicate-heavy corpus whose membership outgrows the broadcast limit —
+    * the per-cluster winner window runs only over the cluster members
+    * either way. Ranking the full
     * corpus with `Window.partitionBy(cluster)` instead would hash-exchange
     * every row (singletons included), which is exactly the shuffle this
     * shape avoids at 100 TB. The winner is row 1 under `ordering`, which
@@ -463,17 +466,21 @@ object Dedup {
     * result. */
   def keepBest(docs: DataFrame, clusters: DataFrame, idCol: String,
       ordering: Seq[Column]): DataFrame = {
-    // the explicit broadcast() hints ARE the stated plan contract: above
-    // autoBroadcastJoinThreshold the planner would otherwise pick sort-merge
-    // and shuffle the full corpus twice — exactly the shape this avoids
-    val members = broadcast(clusters.select(col("node").as(idCol), col("cluster")))
+    // size-gated broadcast (the Ops.hintIfSmall pattern): cluster membership
+    // is usually tiny — hint it so the corpus never shuffles — but an
+    // unconditional hint would bypass AQE's size check and die at the 8 GB
+    // broadcast limit on a duplicate-heavy corpus; above the estimate the
+    // planner keeps its sort-merge fallback (AQE still converts to broadcast
+    // at runtime when the materialized side turns out small)
+    val members = graft.ops.Ops.hintIfSmall(
+      clusters.select(col("node").as(idCol), col("cluster")))
     val taken = docs.columns.toSet + "cluster"
     val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
     val w = Window.partitionBy(col("cluster")).orderBy(ordering: _*)
     val winners = docs.join(members, Seq(idCol))
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1).drop(rn, "cluster")
-    docs.join(broadcast(members.select(col(idCol))), Seq(idCol), "left_anti")
+    docs.join(graft.ops.Ops.hintIfSmall(members.select(col(idCol))), Seq(idCol), "left_anti")
       .unionByName(winners)
   }
 }

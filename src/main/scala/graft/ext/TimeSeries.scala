@@ -36,10 +36,14 @@ object TimeSeries {
    * granularity (`date` or day-truncated timestamp — the aggregation that
    * builds it enforces this by construction).
    *
-   * On fabricated days, columns in `fillCols` carry the most recent
-   * observed value forward; every other metric column is NULL (a count
-   * that wasn't observed is absent, not zero — callers wanting zeros add
-   * `coalesce` on top).
+   * Columns in `fillCols` carry the most recent NON-NULL observed value
+   * forward — on fabricated days AND on observed days whose own value is
+   * null (ignore-nulls forward fill, the `last_value … IGNORE NULLS`
+   * semantics); every other metric column is NULL on fabricated days (a
+   * count that wasn't observed is absent, not zero — callers wanting zeros
+   * add `coalesce` on top). The running fill uses the SAME window
+   * partitioning/ordering as the `lead`, so both evaluate in one Window
+   * operator — still a single shuffle.
    */
   def dailyGridFill(daily: DataFrame, keyCol: String, dayCol: String,
       fillCols: Seq[String]): DataFrame = {
@@ -58,7 +62,11 @@ object TimeSeries {
       .dataType == org.apache.spark.sql.types.DateType
     def minusOneDay(c: org.apache.spark.sql.Column) =
       if (isDate) date_sub(c, 1) else c - expr("INTERVAL 1 DAY")
-    daily
+    val ffill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withFills = fillCols.foldLeft(daily) { (df, m) =>
+      df.withColumn(m, last(col(m), ignoreNulls = true).over(ffill))
+    }
+    withFills
       .withColumn(next, lead(col(dayCol), 1).over(w))
       // the row's own day, plus every missing day strictly before the key's
       // next observed day; the last observed row emits only itself
@@ -66,7 +74,7 @@ object TimeSeries {
         coalesce(minusOneDay(col(next)), col(dayCol)),
         expr("INTERVAL 1 DAY"))))
       .select(col(keyCol) +: col(day).as(dayCol) +: metricCols.toIndexedSeq.map { m =>
-        if (fill(m)) col(m) // the generating row's value IS the forward fill
+        if (fill(m)) col(m) // the generating row's (ffilled) value rides along
         else when(col(day) === col(dayCol), col(m)).as(m)
       }: _*)
   }

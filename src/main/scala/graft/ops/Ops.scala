@@ -93,7 +93,7 @@ object Ops {
     * materialized key set turns out small — the safe default; the hint is
     * only an optimization for the provably-small case. Reading
     * `optimizedPlan.stats` is plan-time only (no job). */
-  private def hintIfSmall(keys: DataFrame): DataFrame = {
+  private[graft] def hintIfSmall(keys: DataFrame): DataFrame = {
     val threshold = keys.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val est = keys.queryExecution.optimizedPlan.stats.sizeInBytes
     if (threshold > 0 && est <= threshold) broadcast(keys) else keys

@@ -40,13 +40,19 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Append rows (the reference's plain `SqlBulkCopy` append path,
     * `TableCopyService.cs:121,144-170`). Not atomic across files; used for
     * the ledger and pure-append facts. */
-  def append(table: String, df: DataFrame): Unit =
+  def append(table: String, df: DataFrame): Unit = {
+    refuseIfCatalogBucketed(table, "append")
     df.write.mode("append").parquet(tablePath(table))
+  }
 
   /** Atomically replace the table's state with `df` (protocol above).
     * `df` MAY be derived from the table's own current state — it is fully
-    * materialized into the temp dir before any rename touches the live dir. */
+    * materialized into the temp dir before any rename touches the live dir.
+    * Guarded at this funnel (and [[append]]/[[overwriteDatePartitions]]) so
+    * EVERY rewrite path refuses catalog-bucketed tables, not just the
+    * convenience wrappers. */
   def atomicOverwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    refuseIfCatalogBucketed(table, "atomicOverwrite")
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val live = new Path(tablePath(table))
     val tmp = new Path(tablePath(table) + s".tmp-$nonce")
@@ -84,6 +90,7 @@ final class TableStore(spark: SparkSession, root: String) {
    */
   def overwriteDatePartitions(table: String, df: DataFrame, partCol: String,
       days: Seq[java.time.LocalDate]): Unit = {
+    refuseIfCatalogBucketed(table, "overwriteDatePartitions")
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val live = new Path(tablePath(table))
     val tmp = new Path(tablePath(table) + s".tmp-$nonce")
@@ -172,7 +179,6 @@ final class TableStore(spark: SparkSession, root: String) {
       clusterCols: Seq[String], numFiles: Int): Unit = {
     require(clusterCols.nonEmpty, "atomicOverwriteClustered needs at least one cluster column")
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
-    refuseIfCatalogBucketed(table, "atomicOverwriteClustered")
     val cols = clusterCols.map(org.apache.spark.sql.functions.col)
     atomicOverwrite(table,
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
@@ -204,7 +210,6 @@ final class TableStore(spark: SparkSession, root: String) {
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"atomicOverwriteZOrdered: $c must be numeric, is ${df.schema(c).dataType}")
     }
-    refuseIfCatalogBucketed(table, "atomicOverwriteZOrdered")
     val mm = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
@@ -260,7 +265,6 @@ final class TableStore(spark: SparkSession, root: String) {
     * refused ([[refuseIfCatalogBucketed]]). */
   def compact(table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
-    refuseIfCatalogBucketed(table, "compact")
     atomicOverwrite(table, read(table).repartition(targetFiles))
   }
 

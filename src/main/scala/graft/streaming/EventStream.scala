@@ -200,22 +200,33 @@ object EventStream {
         .partitionBy(pk).orderBy(col(orderCol).desc)
       val taken = batch.columns.toSet
       val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
+      // persisted: the deduped batch feeds TWO jobs (the day collect and the
+      // partition write) — without it the window recomputes per job
       val fresh = batch.withColumn(rn, row_number().over(w))
-        .filter(col(rn) === 1).drop(rn)
-      // day list is bounded by the batch's event-time span, not its rows
-      val days = fresh.select(col(partCol)).distinct().collect()
-        .map(_.getDate(0).toLocalDate).toSeq
-      if (days.nonEmpty) {
-        if (!store.exists(table))
-          store.atomicOverwrite(table, fresh, partitionBy = Seq(partCol))
-        else {
-          val affected = store.read(table)
-            .filter(col(partCol).isin(days.map(java.sql.Date.valueOf): _*))
-          store.overwriteDatePartitions(table,
-            graft.ops.Ops.upsertExact(affected, fresh, pk, fresh.select(pk)),
-            partCol, days)
+        .filter(col(rn) === 1).drop(rn).persist()
+      try {
+        // day list is bounded by the batch's event-time span, not its rows.
+        // A NULL day has no partition to live in — fail the batch loudly
+        // here instead of NPE-ing (or landing in __HIVE_DEFAULT_PARTITION__
+        // and tripping the undeclared-partition check downstream).
+        val days = fresh.select(col(partCol)).distinct().collect().map { r =>
+          require(!r.isNullAt(0),
+            s"upsertIntoPartitions: batch contains rows with NULL $partCol — " +
+              "a date-partitioned CDC target needs a non-null event date")
+          r.getDate(0).toLocalDate
+        }.toSeq
+        if (days.nonEmpty) {
+          if (!store.exists(table))
+            store.atomicOverwrite(table, fresh, partitionBy = Seq(partCol))
+          else {
+            val affected = store.read(table)
+              .filter(col(partCol).isin(days.map(java.sql.Date.valueOf): _*))
+            store.overwriteDatePartitions(table,
+              graft.ops.Ops.upsertExact(affected, fresh, pk, fresh.select(pk)),
+              partCol, days)
+          }
         }
-      }
+      } finally fresh.unpersist()
       ()
     }
   }
