@@ -36,6 +36,37 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Dedup.editDistancePairs(corpus, "doc_id", "text", Nil, maxDist = 3))
   }
 
+  test("property: editDistancePairs equals brute force on random blocked corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // reference: classic full-DP Levenshtein, no threshold tricks
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val genDoc = Gen.zip(
+      Gen.stringOfN(6, Gen.oneOf('a', 'b', 'c')).flatMap(s =>
+        Gen.choose(0, 6).map(s.take)),
+      Gen.oneOf("x", "y"))
+    val genCorpus = Gen.resize(12, Gen.nonEmptyListOf(genDoc))
+      .map(_.zipWithIndex.map { case ((t, g), i) => (i.toLong, t, g) })
+    val prop = Prop.forAll(genCorpus, Gen.choose(0, 3)) { (corpus, maxDist) =>
+      val df = corpus.toDF("doc_id", "text", "blk")
+      val got = Dedup.editDistancePairs(df, "doc_id", "text", Seq("blk"), maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, ta, ga) <- corpus; (ib, tb, gb) <- corpus
+        if ia < ib && ga == gb
+        d = lev(ta, tb) if d <= maxDist
+      } yield (ia, ib, d)).toSet
+      got == want
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop).passed)
+  }
+
   test("keepBest keeps one best member per cluster, singletons untouched, via broadcast") {
     val corpus = Seq(
       (1L, "short", 10L), (2L, "winner", 30L), (3L, "tied-but-higher-id", 30L),
