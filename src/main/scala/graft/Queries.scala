@@ -522,6 +522,15 @@ object Queries {
         .select(col("doc_id").as("node"), col("fp").as("cluster"))
       Dedup.keepBest(doc, clusters, "doc_id", Seq(col("n_chars").desc, col("doc_id")))
     }),
+    // incremental ingest dedup: the doc_id >= 250 "new crawl" deduped
+    // against the doc_id < 250 established corpus by content fingerprint —
+    // the archive is never re-paired, cost tracks the batch
+    "dedup_incremental" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.dedupeAgainstCorpus(
+        doc.filter(col("doc_id") >= 250), doc.filter(col("doc_id") < 250),
+        "doc_id", "text")
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
     // short-text fuzzy matching: Levenshtein ≤ 5 over 40-char prefixes,
     // blocked by (language, 64-char length bucket) — the in-word-edit dedup
@@ -1179,6 +1188,16 @@ object Queries {
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars FROM documents
         | WHERE doc_id IN (SELECT doc_id FROM winners)""".stripMargin,
+    "dedup_incremental" ->
+      """WITH fps AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
+        |    FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fps
+        |          WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM corpus)
+        |          GROUP BY fp)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        | WHERE doc_id IN (SELECT doc_id FROM keep)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -416,6 +416,31 @@ object Dedup {
   }
 
   /**
+   * Incremental snapshot dedup — the recurring-ingest shape: keep only the
+   * rows of a NEW `batch` whose content fingerprint (md5 of the sorted
+   * distinct token set, the [[graft.Queries]] `dedup_fingerprint` contract)
+   * is (a) absent from the established `corpus` and (b) first within the
+   * batch itself (minimum `idCol`). The corpus is NEVER re-paired against
+   * itself — each ingest pays one distinct-fingerprint projection of the
+   * corpus plus an anti-join of the (small) batch, so recurring ingestion
+   * cost tracks the batch, not the archive. At 100 TB the corpus
+   * fingerprint projection is the thing to materialize once as its own
+   * table and reuse across ingests ([[graft.store.TableStore]]).
+   */
+  def dedupeAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fp = md5(concat_ws(" ", array_sort(array_distinct(
+      TextAnalysis.tokens(col(textCol))))))
+    val fpCol = {
+      val taken = batch.columns.toSet
+      Iterator.from(0).map(i => s"__fp$i").find(!taken(_)).get
+    }
+    val corpusFps = corpus.select(fp.as(fpCol)).distinct()
+    exact(batch.withColumn(fpCol, fp).join(corpusFps, Seq(fpCol), "left_anti"),
+      Seq(fpCol), idCol).drop(fpCol)
+  }
+
+  /**
    * Edit-distance near-dup pairs within blocking groups: all `(doc_a,
    * doc_b)` with Levenshtein distance ≤ `maxDist` between the first
    * `prefixLen` chars of their texts, compared only INSIDE equal

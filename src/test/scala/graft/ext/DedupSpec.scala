@@ -36,6 +36,21 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Dedup.editDistancePairs(corpus, "doc_id", "text", Nil, maxDist = 3))
   }
 
+  test("dedupeAgainstCorpus: corpus dups dropped, batch dups collapse, new docs kept") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "beta alpha"),   // token-set dup of corpus doc 1 → dropped
+      (11L, "epsilon zeta"), // new, duplicated within the batch → min id kept
+      (12L, "zeta epsilon"),
+      (13L, "eta theta"))    // new and unique → kept
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupeAgainstCorpus(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+    assert(Dedup.dedupeAgainstCorpus(batch, corpus, "doc_id", "text")
+      .columns.toSeq == batch.columns.toSeq)
+  }
+
   test("property: editDistancePairs equals brute force on random blocked corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // reference: classic full-DP Levenshtein, no threshold tricks
