@@ -385,6 +385,21 @@ object Queries {
     "profile_events" -> ((s, d) =>
       ext.Profiling.profile(events(s, d),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
+    // equi-width value histogram: scalar min/max pass, then one grouped
+    // count on the computed bin — at most `bins` partials per partition
+    "profile_histogram" -> ((s, d) =>
+      ext.Profiling.histogram(events(s, d), "value", bins = 20)),
+    // cohort retention: users grouped by first-activity day, distinct-user
+    // counts per (cohort, day offset) — two key shuffles, both on user/day
+    "agg_user_retention" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day").cast("date"), col("cohort_day").cast("date")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     "json_extract_props" -> ((s, d) =>
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
@@ -956,6 +971,22 @@ object Queries {
         |         PARTITION BY user_id ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_value
         |  FROM j""".stripMargin,
+    "profile_histogram" ->
+      """WITH mm AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
+        |                   max(CAST(value AS DOUBLE)) AS hi FROM events),
+        |b AS (SELECT LEAST(19, CAST(floor((CAST(value AS DOUBLE) - mm.lo)
+        |                / ((mm.hi - mm.lo) / 20)) AS INT)) AS bin
+        |        FROM events, mm WHERE value IS NOT NULL),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+        |SELECT c.bin, mm.lo + c.bin * ((mm.hi - mm.lo) / 20) AS bin_lo,
+        |       mm.lo + (c.bin + 1) * ((mm.hi - mm.lo) / 20) AS bin_hi, c.n
+        |  FROM c, mm""".stripMargin,
+    "agg_user_retention" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "distinct_counts" ->
       "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types FROM events",
     "agg_pivot_event_types" ->

@@ -42,6 +42,36 @@ object Profiling {
     wide.select(explode(array(rows: _*)).as("__r")).select("__r.*")
   }
 
+  /**
+   * Equi-width histogram of a numeric column: `bins` buckets over the
+   * observed `[min, max]`, one row per non-empty bucket as
+   * `(bin, bin_lo, bin_hi, n)`. Two passes: a scalar min/max aggregation
+   * (driver-side bounds, not data) then ONE grouped count on the computed
+   * bin — the shuffle moves at most `bins` partial counts per partition.
+   * The top edge closes (`x = max` lands in the last bin); a constant
+   * column yields a single bucket. NULLs are excluded (they are a
+   * [[profile]] metric, not a histogram value).
+   */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(df.columns.contains(valueCol), s"histogram: no such column: $valueCol")
+    require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"histogram: $valueCol must be numeric, is ${df.schema(valueCol).dataType}")
+    val v = exact(valueCol).cast("double")
+    val mm = df.agg(min(v), max(v)).head()
+    // all-null / empty input: no observed range, no buckets
+    val base = df.filter(v.isNotNull)
+    val nonEmpty = if (mm.isNullAt(0)) base.filter(lit(false)) else base
+    val lo = if (mm.isNullAt(0)) 0.0 else mm.getDouble(0)
+    val hi = if (mm.isNullAt(1)) 0.0 else mm.getDouble(1)
+    val w = if (hi > lo) (hi - lo) / bins else 1.0
+    nonEmpty
+      .select(least(lit(bins - 1), floor((v - lit(lo)) / lit(w))).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(col("bin"), (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"), col("n"))
+  }
+
   /** Sketch-based profile for scales where exact `count(DISTINCT)` /
     * `percentile` are infeasible: HyperLogLog++ distinct estimates per key
     * column and approximate percentiles per numeric column, one aggregation

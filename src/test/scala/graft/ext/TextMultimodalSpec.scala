@@ -160,6 +160,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(ap.head.getString(0) == "v'quote.dot" && ap.head.getLong(2) == 2L)
   }
 
+  test("Profiling.histogram: closed top edge, null exclusion, constant and empty inputs") {
+    val df = Seq(Some(0.0), Some(2.5), Some(5.0), Some(10.0), None).toDF("x")
+    val got = Profiling.histogram(df, "x", 4)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // width 2.5 over [0,10]: 0→bin0, 2.5→bin1, 5→bin2, 10 (the max) → bin3
+    assert(got == Seq((0, 0.0, 2.5, 1L), (1, 2.5, 5.0, 1L),
+      (2, 5.0, 7.5, 1L), (3, 7.5, 10.0, 1L)))
+    // constant column: a single bucket holding every non-null row
+    val const = Profiling.histogram(Seq(7.0, 7.0).toDF("x"), "x", 4)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(const == Seq((0, 7.0, 8.0, 2L)))
+    assert(Profiling.histogram(df.filter(lit(false)), "x", 4).count() == 0)
+    intercept[IllegalArgumentException](Profiling.histogram(df, "nope", 4))
+    intercept[IllegalArgumentException](Profiling.histogram(df, "x", 0))
+  }
+
   test("Profiling.approxProfile: sketch estimates track exact answers on fixtures") {
     val ev = graft.io.Tables.load(spark, graft.TestSpark.Sf0001, "events")
     val rows = Profiling.approxProfile(ev, Seq("user_id", "event_type"), Seq("value"))
