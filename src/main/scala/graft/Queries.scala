@@ -519,8 +519,7 @@ object Queries {
       // content-based exact dedup: one cheap shuffle on the md5 fingerprint
       // of the sorted distinct token set (the scale-friendly first pass
       // before any fuzzy dedup)
-      val withFp = docs(s, d).withColumn("fp",
-        md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text")))))))
+      val withFp = docs(s, d).withColumn("fp", Dedup.contentFingerprint(col("text")))
       Dedup.exact(withFp, Seq("fp"), "doc_id").drop("fp")
     }),
     // canonical selection: collapse each fingerprint cluster to its BEST
@@ -529,8 +528,7 @@ object Queries {
     // (tiny) cluster membership over the corpus
     "dedup_keep_best" -> ((s, d) => {
       val doc = docs(s, d)
-      val fp = doc.select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(col("text")))))).as("fp"))
+      val fp = doc.select(col("doc_id"), Dedup.contentFingerprint(col("text")).as("fp"))
       val dupFps = fp.groupBy("fp").agg(count(lit(1)).as("__c"))
         .filter(col("__c") > 1).select("fp")
       val clusters = fp.join(dupFps, Seq("fp"))
@@ -972,15 +970,19 @@ object Queries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_value
         |  FROM j""".stripMargin,
     "profile_histogram" ->
+      // the CASE mirrors the operator's constant-column fallback (w = 1.0
+      // when hi == lo) — without it DuckDB's 0/0 → NULL and LEAST(19, NULL)
+      // would misfile a constant column into bin 19
       """WITH mm AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
         |                   max(CAST(value AS DOUBLE)) AS hi FROM events),
-        |b AS (SELECT LEAST(19, CAST(floor((CAST(value AS DOUBLE) - mm.lo)
-        |                / ((mm.hi - mm.lo) / 20)) AS INT)) AS bin
-        |        FROM events, mm WHERE value IS NOT NULL),
+        |mw AS (SELECT lo, hi,
+        |              CASE WHEN hi > lo THEN (hi - lo) / 20 ELSE 1.0 END AS w FROM mm),
+        |b AS (SELECT LEAST(19, CAST(floor((CAST(value AS DOUBLE) - mw.lo) / mw.w) AS INT)) AS bin
+        |        FROM events, mw WHERE value IS NOT NULL),
         |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
-        |SELECT c.bin, mm.lo + c.bin * ((mm.hi - mm.lo) / 20) AS bin_lo,
-        |       mm.lo + (c.bin + 1) * ((mm.hi - mm.lo) / 20) AS bin_hi, c.n
-        |  FROM c, mm""".stripMargin,
+        |SELECT c.bin, mw.lo + c.bin * mw.w AS bin_lo,
+        |       mw.lo + (c.bin + 1) * mw.w AS bin_hi, c.n
+        |  FROM c, mw""".stripMargin,
     "agg_user_retention" ->
       """WITH e AS (SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
@@ -1222,7 +1224,7 @@ object Queries {
     "dedup_incremental" ->
       """WITH fps AS (
         |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fp
-        |    FROM documents),
+        |    FROM documents WHERE text IS NOT NULL),
         |corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
         |keep AS (SELECT min(doc_id) AS doc_id FROM fps
         |          WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM corpus)

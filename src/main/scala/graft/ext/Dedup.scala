@@ -31,8 +31,22 @@ object Dedup {
     * key columns; map-side combine-free but single pass. */
   def exact(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    // collision-probed temp name: a hardcoded "__rn" would silently destroy
+    // a caller column of that name before dropping it
+    val taken = df.columns.toSet
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
+
+  /** The repo-wide content fingerprint (the `dedup_fingerprint` oracle
+    * contract): md5 of the space-joined sorted distinct whitespace tokens.
+    * NULL text propagates to a NULL fingerprint — matching the DuckDB
+    * formula, where the split of NULL chains through to NULL — instead of
+    * colliding with the empty document's hash. Shared by every
+    * fingerprint-based operator so the formula cannot silently fork. */
+  def contentFingerprint(text: Column): Column =
+    when(text.isNotNull,
+      md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(text))))))
 
   /** Distinct word n-gram shingles per document: `(id, shingles, sz)`.
     * Documents shorter than `n` tokens contribute their whole token string
@@ -426,17 +440,23 @@ object Dedup {
    * cost tracks the batch, not the archive. At 100 TB the corpus
    * fingerprint projection is the thing to materialize once as its own
    * table and reuse across ingests ([[graft.store.TableStore]]).
+   *
+   * Rows with NULL `textCol` carry no content to fingerprint and are
+   * excluded on BOTH sides (a null-text batch row is dropped, a null-text
+   * corpus row blocks nothing) — the contract a SQL `NOT IN` oracle needs
+   * too, since one NULL in the subquery would otherwise empty the result.
    */
   def dedupeAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def fp = md5(concat_ws(" ", array_sort(array_distinct(
-      TextAnalysis.tokens(col(textCol))))))
+    val fp = contentFingerprint(col(textCol))
     val fpCol = {
       val taken = batch.columns.toSet
       Iterator.from(0).map(i => s"__fp$i").find(!taken(_)).get
     }
-    val corpusFps = corpus.select(fp.as(fpCol)).distinct()
-    exact(batch.withColumn(fpCol, fp).join(corpusFps, Seq(fpCol), "left_anti"),
+    val corpusFps = corpus.filter(col(textCol).isNotNull).select(fp.as(fpCol)).distinct()
+    exact(
+      batch.filter(col(textCol).isNotNull).withColumn(fpCol, fp)
+        .join(corpusFps, Seq(fpCol), "left_anti"),
       Seq(fpCol), idCol).drop(fpCol)
   }
 

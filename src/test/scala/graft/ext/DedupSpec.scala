@@ -49,6 +49,15 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == Set(11L, 13L))
     assert(Dedup.dedupeAgainstCorpus(batch, corpus, "doc_id", "text")
       .columns.toSeq == batch.columns.toSeq)
+    // null-text rows are excluded on BOTH sides: a null corpus doc blocks
+    // nothing (the NOT-IN-with-NULL trap), a null batch row is dropped
+    val nullRow = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(99L, null)),
+      corpus.schema)
+    val got2 = Dedup.dedupeAgainstCorpus(
+      batch.unionByName(nullRow), corpus.unionByName(nullRow), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 == Set(11L, 13L))
   }
 
   test("property: editDistancePairs equals brute force on random blocked corpora") {
