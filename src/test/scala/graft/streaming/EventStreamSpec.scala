@@ -196,6 +196,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == Map(1L -> "v1-1", 2L -> "v2-2", 3L -> "v2-3"))
   }
 
+  test("upsertIntoPartitions fails a batch loudly on NULL event dates") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cdc-nullday")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, java.sql.Date.valueOf("2024-01-01"), 1L),
+        org.apache.spark.sql.Row(2L, null, 1L)), schema)
+      .coalesce(1).write.parquet(s"$d/b1")
+    val src = spark.readStream.schema(schema).parquet(s"$d/b*")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-nullday-store").toString)
+    val q = EventStream.upsertIntoPartitions(src, store, "copy", "event_id", "seq", "day")
+      .option("checkpointLocation", s"$d/ckpt").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("NULL day")),
+      s"expected the NULL-day message in: ${messages(e)}")
+    assert(!store.exists("copy"), "no partial state may be published for a failed batch")
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = EventStream.dedupedEvents(EventStream.read(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("dd").start()
