@@ -37,6 +37,16 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
 
+  /** Read an append-evolved table with schema merging: a table whose later
+    * appends added columns (the CDC-source-gained-a-field case) has mixed
+    * parquet footers, and a plain read takes ONE footer's schema — silently
+    * dropping the new column or the old rows' view of it depending on which
+    * file wins. `mergeSchema` unions all footers (old rows read NULL for
+    * later columns). Footer-merge cost scales with file count, not bytes —
+    * pair evolving tables with [[compact]] to keep it bounded. */
+  def readEvolved(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(tablePath(table))
+
   /** Append rows (the reference's plain `SqlBulkCopy` append path,
     * `TableCopyService.cs:121,144-170`). Not atomic across files; used for
     * the ledger and pure-append facts. */

@@ -87,6 +87,17 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").as[Int].collect().sorted.toSeq == (1 to 10).map(_ * 2))
   }
 
+  test("readEvolved unions schemas across appends; plain read takes one footer") {
+    val store = freshStore()
+    store.append("ev", Seq((1, "a")).toDF("k", "v"))
+    store.append("ev", Seq((2, "b", 9.5)).toDF("k", "v", "score")) // source gained a field
+    val merged = store.readEvolved("ev")
+    assert(merged.columns.sorted.toSeq == Seq("k", "score", "v"))
+    val rows = merged.select("k", "score").as[(Int, Option[Double])].collect().toMap
+    assert(rows == Map(1 -> None, 2 -> Some(9.5))) // old rows read NULL
+    assert(store.read("ev").columns.length <= 3) // plain read: single-footer view
+  }
+
   test("append accumulates files") {
     val store = freshStore()
     store.append("t", Seq(1).toDF("k"))
