@@ -72,6 +72,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!p.contains("Exchange SinglePartition"), "ledger window must not single-partition")
   }
 
+  test("editDistancePairs equi-joins on the block key — never a cartesian pair scan") {
+    val docs = graft.io.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .withColumn("len_bucket", expr("n_chars div 64"))
+    val p = plan(graft.ext.Dedup.editDistancePairs(
+      docs, "doc_id", "text", Seq("lang", "len_bucket"), maxDist = 5, prefixLen = 40))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocked self-join degraded to a pair scan:\n${p.take(2000)}")
+  }
+
+  test("groupQuantileFilter broadcasts the per-group thresholds over the corpus") {
+    val docs = graft.io.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val p = plan(graft.ext.Sampling.groupQuantileFilter(docs, "lang", "n_chars", 0.5))
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n${p.take(2000)}")
+  }
+
+  test("maintainDailyAgg re-aggregates only window rows (filter below the fresh agg)") {
+    val ev = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
+    def agg(df: DataFrame) = df.groupBy(
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val windowed = ev.filter(Ops.datePredicate("ts", Queries.EvFrom, Queries.EvTo))
+    val p = plan(Ops.maintainDailyAgg(agg(ev), windowed, "day",
+      Queries.EvFrom, Queries.EvTo)(agg))
+    // the fresh side's scan carries the caller's pushed date filter, so the
+    // expensive aggregation reads the window, not the table
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"), p.take(3000))
+  }
+
   test("changedKeys compiles to a single-column anti join (broadcastable shape)") {
     val ev = graft.io.Tables.load(spark, TestSpark.Sf0001, "events")
       .withColumn("update_ts", expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))
