@@ -159,6 +159,23 @@ class OpsSpec extends AnyFunSuite {
       Ops.rangeJoin(l.select("id", "ts"), clash, "ts", "ts", java.time.Duration.ofSeconds(60)))
   }
 
+  test("upsertExact keeps audit-named data columns that upsert drops") {
+    // a CDC source whose pk is literally 'id': the copy contract's audit
+    // drop must not apply on the exact variant
+    val target = Seq((1L, "old", "t1"), (2L, "keep", "t2"))
+      .toDF("id", "payload", "insert_datetime")
+    val source = Seq((1L, "new", "t9")).toDF("id", "payload", "insert_datetime")
+    val keys = source.select("id")
+    val exact = Ops.upsertExact(target, source, "id", keys)
+    assert(exact.columns.toSeq == Seq("id", "payload", "insert_datetime"))
+    assert(exact.as[(Long, String, String)].collect().toSet ==
+      Set((1L, "new", "t9"), (2L, "keep", "t2")))
+    // the copy-contract variant on the same frames throws: the fresh side
+    // loses its pk/audit columns and can no longer union with the target
+    intercept[org.apache.spark.sql.AnalysisException](
+      Ops.upsert(target, source, "id", keys).collect())
+  }
+
   test("maintainDailyAgg: window days replaced, others kept, stragglers fenced") {
     def agg(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(to_date(col("ts")).as("day")).agg(sum(col("v")).as("total"))
