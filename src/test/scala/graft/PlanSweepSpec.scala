@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global physical-plan contract over EVERY gated query: nothing may plan a
+  * CartesianProduct, and unkeyed broadcast-nested-loop joins are allowed
+  * only where the operator's design is explicitly an all-pairs scan over a
+  * broadcast side (brute-force similarity top-k: tiny query set × corpus,
+  * the baseline ANN is measured against). A new query that accidentally
+  * joins without a key fails here before it ships. */
+class PlanSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Queries whose INTENDED plan contains an unkeyed broadcast join:
+    *  - sim_topk: brute-force all-pairs over the broadcast query set (the
+    *    measured baseline the IVF path is compared against);
+    *  - text_tfidf: the distinct-doc count N is a single broadcast row
+    *    attached to every token group (a scalar, not a table);
+    *  - join_salted_skew: the dim side fans out across the tiny salt range
+    *    (rows × 8) before the keyed join — the salting expansion itself. */
+  private val broadcastAllPairsByDesign =
+    Set("sim_topk", "text_tfidf", "join_salted_skew")
+
+  test("no gated query plans a cartesian product; BNLJ only where designed") {
+    val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
+        finally graft.ext.Dedup.unpersistAll()
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !broadcastAllPairsByDesign(name)
+      if (cartesian || bnlj)
+        Some(s"$name: ${if (cartesian) "CartesianProduct" else "unplanned BroadcastNestedLoopJoin"}")
+      else None
+    }
+    assert(offenders.isEmpty, s"unkeyed join plans:\n${offenders.mkString("\n")}")
+  }
+}
