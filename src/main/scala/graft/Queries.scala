@@ -290,6 +290,18 @@ object Queries {
         .cube(col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("total_price"))),
+    // LEFT OUTER enrichment with null preservation: every customer row
+    // survives, order-less customers carry NULL aggregates — the dimension
+    // side pre-aggregates so only (key, count, sum) rows join
+    "join_left_outer_orders" -> ((s, d) => {
+      val per = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total_price"))
+      customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .drop("o_custkey")
+    }),
     // snapshot reconciliation as a FULL OUTER join of two windowed per-key
     // aggregates — the sync-engine "diff two table states" shape; both sides
     // pre-aggregate before the join so only (key, count) rows shuffle
@@ -936,6 +948,13 @@ object Queries {
       """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, count(*) AS n_events,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |  FROM events GROUP BY 1, 2""".stripMargin,
+    "join_left_outer_orders" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        |    FROM orders GROUP BY 1)
+        |SELECT c_custkey, c_name, c_nationkey, n_orders, total_price
+        |  FROM customer LEFT JOIN per ON c_custkey = o_custkey""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
