@@ -125,7 +125,13 @@ object Ops {
     * columns; a CDC stream keyed `id` (the common case) or carrying its own
     * `insert_datetime` would lose data columns — including its primary key —
     * under that contract, and the first-batch create (which keeps all
-    * columns) would then diverge in schema from every later batch. */
+    * columns) would then diverge in schema from every later batch.
+    *
+    * Unlike [[upsert]]'s strict union, this variant unions BY NAME WITH
+    * MISSING COLUMNS ALLOWED: a CDC source that gained a field mid-stream
+    * (schema evolution) upserts cleanly — pre-evolution target rows read
+    * NULL for the new column. The copy-contract [[upsert]] stays strict so
+    * a genuinely mismatched schema still fails loudly there. */
   def upsertExact(target: DataFrame, source: DataFrame, pk: String, changed: DataFrame): DataFrame =
     upsertImpl(target, source, pk, changed, dropAuditCols = false)
 
@@ -133,8 +139,9 @@ object Ops {
       changed: DataFrame, dropAuditCols: Boolean): DataFrame = {
     val keys = changed.select(pk).distinct() // size-gated hint applied per join below
     val fresh = keyedFetch(source, pk, keys)
-    keyedDelete(target, pk, keys)
-      .unionByName(if (dropAuditCols) dropAudit(fresh) else fresh)
+    val kept = keyedDelete(target, pk, keys)
+    if (dropAuditCols) kept.unionByName(dropAudit(fresh))
+    else kept.unionByName(fresh, allowMissingColumns = true)
   }
 
   /**

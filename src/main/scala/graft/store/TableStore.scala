@@ -275,7 +275,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * refused ([[refuseIfCatalogBucketed]]). */
   def compact(table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
-    atomicOverwrite(table, read(table).repartition(targetFiles))
+    // readEvolved, NOT read: compacting an append-evolved table through a
+    // single-footer read would rewrite every file with whichever footer won
+    // schema inference — silently and permanently dropping the evolved
+    // column's data. The merged read makes compaction the operation that
+    // HEALS a mixed-schema table into one uniform footer.
+    atomicOverwrite(table, readEvolved(table).repartition(targetFiles))
   }
 
   /** Read a [[writeBucketed]] table THROUGH the catalog — `spark.table`, not

@@ -167,7 +167,10 @@ object EventStream {
       // every batch after the first, diverging from the create path's schema
       if (!store.exists(table)) store.atomicOverwrite(table, fresh)
       else store.atomicOverwrite(table,
-        graft.ops.Ops.upsertExact(store.read(table), fresh, pk, fresh.select(pk)))
+        // readEvolved: a CDC source that gained a field leaves the table
+        // mixed-schema until the next full rewrite; a single-footer read
+        // would see an arbitrary schema and break the unionByName
+        graft.ops.Ops.upsertExact(store.readEvolved(table), fresh, pk, fresh.select(pk)))
       ()
     }
 
@@ -219,7 +222,7 @@ object EventStream {
           if (!store.exists(table))
             store.atomicOverwrite(table, fresh, partitionBy = Seq(partCol))
           else {
-            val affected = store.read(table)
+            val affected = store.readEvolved(table) // mixed footers after evolution
               .filter(col(partCol).isin(days.map(java.sql.Date.valueOf): _*))
             store.overwriteDatePartitions(table,
               graft.ops.Ops.upsertExact(affected, fresh, pk, fresh.select(pk)),

@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterEach {
     // the fresh side's scan carries the caller's pushed date filter, so the
     // expensive aggregation reads the window, not the table
     assert(p.contains("PushedFilters: [IsNotNull(ts)"), p.take(3000))
+    // the day bounds aren't parquet-pushable (cast expressions), but Catalyst
+    // pushes them through BOTH aggregates as date_trunc filters on the raw
+    // ts — one per union branch (stale NOT-window, fresh window). Two
+    // occurrences of the bound literal in Filter-bearing branches prove the
+    // aggregates read filtered scans, not the whole table.
+    assert("2024-01-05".r.findAllIn(p).length >= 2 && p.contains("Filter "),
+      s"window bounds not applied below the aggregates:\n${p.take(3000)}")
   }
 
   test("changedKeys compiles to a single-column anti join (broadcastable shape)") {

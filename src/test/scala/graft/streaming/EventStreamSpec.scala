@@ -153,6 +153,35 @@ class EventStreamSpec extends AnyFunSuite {
     (11L to 30L).foreach(i => assert(got(i) == s"v2-$i"))
   }
 
+  test("upsertInto survives source schema evolution across stream restarts") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cdc-evolve")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-evolve-store").toString)
+    // run 1: original schema
+    val b1 = Seq((1L, "v1-1", 1L), (2L, "v1-2", 1L)).toDF("id", "payload", "seq")
+    b1.coalesce(1).write.parquet(s"$d/in1")
+    val q1 = EventStream.upsertInto(
+        spark.readStream.schema(b1.schema).parquet(s"$d/in1"), store, "copy", "id", "seq")
+      .option("checkpointLocation", s"$d/ckpt1").start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 (restart): the source gained a column — the update path must
+    // union the evolved batch into the old-schema table, not die
+    val b2 = Seq((2L, "v2-2", 2L, "extra-2"), (3L, "v2-3", 2L, "extra-3"))
+      .toDF("id", "payload", "seq", "extra")
+    b2.coalesce(1).write.parquet(s"$d/in2")
+    val q2 = EventStream.upsertInto(
+        spark.readStream.schema(b2.schema).parquet(s"$d/in2"), store, "copy", "id", "seq")
+      .option("checkpointLocation", s"$d/ckpt2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val copy = store.read("copy") // whole-table rewrite: uniform union schema
+    assert(copy.columns.sorted.toSeq == Seq("extra", "id", "payload", "seq"))
+    val got = copy.select("id", "payload", "extra")
+      .as[(Long, String, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "v1-1", None))) // pre-evolution row: NULL extra
+    assert(got(2L) == ((2L, "v2-2", Some("extra-2"))))
+    assert(got(3L) == ((3L, "v2-3", Some("extra-3"))))
+  }
+
   test("upsertIntoPartitions touches only the batch's day partitions") {
     val d = java.nio.file.Files.createTempDirectory("graft-cdc-part")
     def rows(sub: String, rs: Seq[(Long, String, String, Long)]) =
