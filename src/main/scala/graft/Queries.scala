@@ -557,16 +557,14 @@ object Queries {
         "doc_id", "text")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
-    // short-text fuzzy matching: Levenshtein ≤ 5 over 40-char prefixes,
-    // blocked by (language, 64-char length bucket) — the in-word-edit dedup
-    // rule jaccard/minhash can't see. Blocking selectivity is the operator's
-    // cost contract (quadratic per block); the length bucket cuts candidate
-    // pairs ~6× at sf0.1 while near-identical docs stay co-blocked
+    // short-text fuzzy matching: Levenshtein ≤ 5 over 40-char prefixes with
+    // full-text length difference ≤ 5, blocked by language — the
+    // in-word-edit dedup rule jaccard/minhash can't see. Length blocking is
+    // internal (width-64 buckets with adjacent-bucket probing), so a 63- vs
+    // 65-char pair is found even though the docs straddle a bucket boundary
     "dedup_edit_distance" -> ((s, d) =>
-      Dedup.editDistancePairs(
-        docs(s, d).withColumn("len_bucket", expr("n_chars div 64")),
-        "doc_id", "text", Seq("lang", "len_bucket"),
-        maxDist = 5, prefixLen = 40)),
+      Dedup.editDistancePairs(docs(s, d), "doc_id", "text", Seq("lang"),
+        maxDist = 5, prefixLen = 40, bucketWidth = 64)),
     // decontamination: docs 0-9 stand in for a benchmark set; corpus docs
     // sharing >= 2 distinct trigrams with any of them are removed
     "dedup_decontaminate" -> ((s, d) => {
@@ -1252,11 +1250,13 @@ object Queries {
         | WHERE doc_id IN (SELECT doc_id FROM keep)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     "dedup_edit_distance" ->
+      // the unblocked-within-maxDist contract: same language, full lengths
+      // within 5, prefix edit distance within 5 — no length-bucket blindness
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
         |  FROM documents a JOIN documents b
-        |    ON a.lang = b.lang AND (a.n_chars // 64) = (b.n_chars // 64)
-        |   AND a.doc_id < b.doc_id
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(length(a.text) - length(b.text)) <= 5
         | WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5""".stripMargin,
     "dedup_decontaminate" ->
       s"""$trigramCte,

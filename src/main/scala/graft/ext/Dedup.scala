@@ -461,35 +461,68 @@ object Dedup {
   }
 
   /**
-   * Edit-distance near-dup pairs within blocking groups: all `(doc_a,
-   * doc_b)` with Levenshtein distance ≤ `maxDist` between the first
-   * `prefixLen` chars of their texts, compared only INSIDE equal
-   * `blockCols` groups — the title/short-text fuzzy-match dedup rule
-   * (jaccard/minhash are insensitive to small in-word edits; edit distance
-   * is the right metric for near-identical short strings).
+   * Edit-distance near-dup pairs: all `(doc_a, doc_b)` with Levenshtein
+   * distance ≤ `maxDist` between the first `prefixLen` chars of their
+   * texts, whose full text lengths differ ≤ `maxDist`, compared only
+   * INSIDE equal `blockCols` groups — the title/short-text fuzzy-match
+   * dedup rule (jaccard/minhash are insensitive to small in-word edits;
+   * edit distance is the right metric for near-identical short strings).
    *
-   * Scale shape: a self-equi-join on the block key (one shuffle), so cost
-   * is Σ |block|²/2 DP comparisons — quadratic PER BLOCK, which is the
-   * contract of every edit-distance blocking scheme. Callers must block on
-   * something selective (language × length bucket, SimHash band, cluster
-   * id); the operator prunes cheaply first (length difference > `maxDist`
-   * can never match) and the DP itself early-abandons past `maxDist`
-   * (Spark's thresholded `levenshtein`, banded O(prefixLen × maxDist)).
+   * Length blocking is built in WITHOUT boundary blindness: each side is
+   * bucketed on `length div bucketWidth` and one side probes its adjacent
+   * buckets (b−1, b, b+1) — the same band-expansion trick as
+   * [[graft.ops.Ops.rangeJoin]]. Because `bucketWidth > maxDist`, any pair
+   * with length difference ≤ `maxDist` spans at most adjacent buckets, so
+   * recall over the stated contract is exact: docs of 63 vs 65 chars meet
+   * even though they land in different width-64 buckets. Each qualifying
+   * pair meets on exactly one band key (the un-expanded side's bucket), so
+   * no dedup pass is needed.
+   *
+   * Scale shape: a self-equi-join on `(blockCols, length band)` — one
+   * shuffle, ~3× the one-bucket candidate count, no cartesian pair scan.
+   * Cost is quadratic PER (block × band), which is the contract of every
+   * edit-distance blocking scheme; callers still choose `blockCols`
+   * selective enough (language, SimHash band, cluster id). The final
+   * filter prunes cheaply (length difference > `maxDist` can never match)
+   * and the DP itself early-abandons past `maxDist` (Spark's thresholded
+   * `levenshtein`, banded O(prefixLen × maxDist)).
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], maxDist: Int, prefixLen: Int = 64): DataFrame = {
+      blockCols: Seq[String], maxDist: Int, prefixLen: Int = 64,
+      bucketWidth: Int = 64): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(prefixLen > 0, s"prefixLen must be positive: $prefixLen")
+    require(bucketWidth > maxDist,
+      s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist): in-contract " +
+        "pairs must span at most adjacent length buckets for the probe to find them")
     require(blockCols.nonEmpty,
       "editDistancePairs needs at least one blocking column (an unblocked " +
         "self-join is the all-pairs scan this operator exists to avoid)")
-    def side(tag: String) = docs.select(
-      blockCols.map(col) :+ col(idCol).as(s"doc_$tag") :+
-        substring(col(textCol), 1, prefixLen).as(s"__t$tag"): _*)
-    side("a").join(side("b"), blockCols)
+    val reserved = Seq("doc_a", "doc_b", "edit_dist")
+    val clash = blockCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"blockCols ${clash.mkString(", ")} collide with the output columns " +
+        s"${reserved.mkString("/")} — rename them before pairing")
+    // internal names probed against the input so a column named __ta/__band
+    // can never silently break the pair filter
+    val taken = docs.columns.toSet ++ reserved
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i").find(!taken(_)).get
+    val (ta, tb, la, lb, band) =
+      (fresh("__ta"), fresh("__tb"), fresh("__la"), fresh("__lb"), fresh("__band"))
+    def side(tag: String, t: String, l: String) = docs.select(
+      blockCols.map(col) ++ Seq(
+        col(idCol).as(s"doc_$tag"),
+        substring(col(textCol), 1, prefixLen).as(t),
+        length(col(textCol)).cast("long").as(l)): _*)
+    val bA = floor(col(la) / lit(bucketWidth))
+    val bB = floor(col(lb) / lit(bucketWidth))
+    val a = side("a", ta, la).withColumn(band, explode(array(bA - 1, bA, bA + 1)))
+    val b = side("b", tb, lb).withColumn(band, bB)
+    a.join(b, blockCols :+ band)
       .filter(col("doc_a") < col("doc_b"))
-      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(abs(col(la) - col(lb)) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col(ta), col(tb), maxDist))
       .filter(col("edit_dist") >= 0) // thresholded form returns -1 past maxDist
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
   }

@@ -49,8 +49,14 @@ object Profiling {
    * (driver-side bounds, not data) then ONE grouped count on the computed
    * bin — the shuffle moves at most `bins` partial counts per partition.
    * The top edge closes (`x = max` lands in the last bin); a constant
-   * column yields a single bucket. NULLs are excluded (they are a
-   * [[profile]] metric, not a histogram value).
+   * column yields a single bucket. NULLs and NaNs are excluded (nulls are
+   * a [[profile]] metric, not a histogram value; a NaN would poison
+   * `max()` into NaN-width bins since Spark sorts NaN above every double).
+   *
+   * NB the bounds aggregation runs EAGERLY at construction time (the bin
+   * width must be a literal for the grouped count to stay one codegen'd
+   * pass) — building this DataFrame costs a min/max scan even if the plan
+   * is never executed. Plan-only consumers should not build histograms.
    */
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive: $bins")
@@ -58,9 +64,10 @@ object Profiling {
     require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"histogram: $valueCol must be numeric, is ${df.schema(valueCol).dataType}")
     val v = exact(valueCol).cast("double")
-    val mm = df.agg(min(v), max(v)).head()
+    val clean = df.filter(v.isNotNull && !isnan(v))
+    val mm = clean.agg(min(v), max(v)).head()
     // all-null / empty input: no observed range, no buckets
-    val base = df.filter(v.isNotNull)
+    val base = clean
     val nonEmpty = if (mm.isNullAt(0)) base.filter(lit(false)) else base
     val lo = if (mm.isNullAt(0)) 0.0 else mm.getDouble(0)
     val hi = if (mm.isNullAt(1)) 0.0 else mm.getDouble(1)

@@ -34,7 +34,11 @@ object TimeSeries {
    * `[min(day), max(day)]` span (no fabrication outside a key's observed
    * history). `daily` must hold ONE row per `(keyCol, dayCol)` at day
    * granularity (`date` or day-truncated timestamp — the aggregation that
-   * builds it enforces this by construction).
+   * builds it enforces this by construction). The contract is CHECKED in
+   * the same window pass: a NULL day or a duplicate `(key, day)` row fails
+   * with a named error instead of silently vanishing (`explode(NULL)`
+   * drops the row) or surfacing as an opaque task-time `sequence` bounds
+   * error.
    *
    * Columns in `fillCols` carry the most recent NON-NULL observed value
    * forward — on fabricated days AND on observed days whose own value is
@@ -69,10 +73,18 @@ object TimeSeries {
     withFills
       .withColumn(next, lead(col(dayCol), 1).over(w))
       // the row's own day, plus every missing day strictly before the key's
-      // next observed day; the last observed row emits only itself
-      .withColumn(day, explode(sequence(col(dayCol),
-        coalesce(minusOneDay(col(next)), col(dayCol)),
-        expr("INTERVAL 1 DAY"))))
+      // next observed day; the last observed row emits only itself. The
+      // ordered window makes duplicate days ADJACENT, so next == day is a
+      // complete duplicate check — both guards ride in the existing
+      // projection, no extra pass
+      .withColumn(day, explode(
+        when(col(dayCol).isNull, raise_error(lit(
+          s"dailyGridFill: NULL $dayCol row — every observation needs a day to land on the grid")))
+        .when(col(next) === col(dayCol), raise_error(lit(
+          s"dailyGridFill: duplicate ($keyCol, $dayCol) row — the input must hold ONE row per key and day")))
+        .otherwise(sequence(col(dayCol),
+          coalesce(minusOneDay(col(next)), col(dayCol)),
+          expr("INTERVAL 1 DAY")))))
       .select(col(keyCol) +: col(day).as(dayCol) +: metricCols.toIndexedSeq.map { m =>
         if (fill(m)) col(m) // the generating row's (ffilled) value rides along
         else when(col(day) === col(dayCol), col(m)).as(m)

@@ -263,6 +263,10 @@ object Ops {
   def maintainDailyAgg(staleAgg: DataFrame, source: DataFrame, dayCol: String,
       from: LocalDate, to: LocalDate)(aggregate: DataFrame => DataFrame): DataFrame = {
     val fresh = aggregate(source).filter(datePredicate(dayCol, from, to))
-    staleAgg.filter(!datePredicate(dayCol, from, to)).unionByName(fresh)
+    // NULL-day rows are outside ANY refresh window — keep them explicitly:
+    // a bare !predicate evaluates to NULL on them and the filter would
+    // silently drop a NULL-keyed rollup row on every maintenance pass
+    staleAgg.filter(!datePredicate(dayCol, from, to) || col(dayCol).isNull)
+      .unionByName(fresh)
   }
 }

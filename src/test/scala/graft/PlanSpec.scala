@@ -74,9 +74,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterEach {
 
   test("editDistancePairs equi-joins on the block key — never a cartesian pair scan") {
     val docs = graft.io.Tables.load(spark, TestSpark.Sf0001, "documents")
-      .withColumn("len_bucket", expr("n_chars div 64"))
     val p = plan(graft.ext.Dedup.editDistancePairs(
-      docs, "doc_id", "text", Seq("lang", "len_bucket"), maxDist = 5, prefixLen = 40))
+      docs, "doc_id", "text", Seq("lang"), maxDist = 5, prefixLen = 40))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"blocked self-join degraded to a pair scan:\n${p.take(2000)}")
   }

@@ -36,6 +36,24 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Dedup.editDistancePairs(corpus, "doc_id", "text", Nil, maxDist = 3))
   }
 
+  test("editDistancePairs finds pairs straddling a length-bucket boundary") {
+    // lengths 63 vs 65 land in different width-64 buckets; the adjacent-
+    // bucket probe must still pair them (the r7 verdict's recall hole)
+    val df = Seq((1L, "x" * 63, "en"), (2L, "x" * 65, "en")).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text", Seq("lang"),
+      maxDist = 2, prefixLen = 80, bucketWidth = 64).as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 2)))
+    // a blocking column named like an output column would silently break
+    // the pair filter — refused loudly instead
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(df.withColumnRenamed("lang", "doc_a"),
+        "doc_id", "text", Seq("doc_a"), maxDist = 2))
+    // bucketWidth ≤ maxDist would re-open the boundary hole — refused
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(df, "doc_id", "text", Seq("lang"),
+        maxDist = 5, bucketWidth = 5))
+  }
+
   test("dedupeAgainstCorpus: corpus dups dropped, batch dups collapse, new docs kept") {
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val batch = Seq(
@@ -79,7 +97,12 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .map(_.zipWithIndex.map { case ((t, g), i) => (i.toLong, t, g) })
     val prop = Prop.forAll(genCorpus, Gen.choose(0, 3)) { (corpus, maxDist) =>
       val df = corpus.toDF("doc_id", "text", "blk")
-      val got = Dedup.editDistancePairs(df, "doc_id", "text", Seq("blk"), maxDist)
+      // bucketWidth = maxDist + 1 (the legal minimum) maximizes boundary
+      // crossings, so the adjacent-bucket probe is exercised every case;
+      // prefixLen covers the whole text, so lev ≤ maxDist already implies
+      // length diff ≤ maxDist and the brute-force reference is unchanged
+      val got = Dedup.editDistancePairs(df, "doc_id", "text", Seq("blk"), maxDist,
+          bucketWidth = maxDist + 1)
         .as[(Long, Long, Int)].collect().toSet
       val want = (for {
         (ia, ta, ga) <- corpus; (ib, tb, gb) <- corpus

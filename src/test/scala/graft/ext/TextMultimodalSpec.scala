@@ -174,6 +174,12 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(Profiling.histogram(df.filter(lit(false)), "x", 4).count() == 0)
     intercept[IllegalArgumentException](Profiling.histogram(df, "nope", 4))
     intercept[IllegalArgumentException](Profiling.histogram(df, "x", 0))
+    // NaN excluded alongside NULL: Spark sorts NaN above every double, so an
+    // unfenced max() would yield NaN-width bins (DuckDB divergence)
+    val withNan = Seq(0.0, 5.0, 10.0, Double.NaN).toDF("x")
+    assert(Profiling.histogram(withNan, "x", 4)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((0, 0.0, 2.5, 1L), (2, 5.0, 7.5, 1L), (3, 7.5, 10.0, 1L)))
   }
 
   test("Profiling.approxProfile: sketch estimates track exact answers on fixtures") {

@@ -194,6 +194,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map("2024-01-04" -> 100L, "2024-01-05" -> 12L))
   }
 
+  test("maintainDailyAgg keeps NULL-day stale rows (outside any window)") {
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(to_date(col("ts")).as("day")).agg(sum(col("v")).as("total"))
+    val stale = Seq((Some("2024-01-04"), 100L), (None, 55L))
+      .toDF("day", "total").withColumn("day", col("day").cast("date"))
+    val source = Seq(("2024-01-05 10:00:00", 7L))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Ops.maintainDailyAgg(stale, source, "day",
+      LocalDate.of(2024, 1, 5), LocalDate.of(2024, 1, 9))(agg)
+      .select(col("day").cast("string"), col("total"))
+      .as[(Option[String], Long)].collect().toMap
+    // the NULL-day rollup row survives maintenance instead of silently
+    // vanishing through the !predicate NULL evaluation
+    assert(got == Map(Some("2024-01-04") -> 100L, None -> 55L,
+      Some("2024-01-05") -> 7L))
+  }
+
   test("explain: upsert broadcasts the changed-key side") {
     val target = Seq((1L, "old")).toDF("pk", "v")
     val source = Seq((1L, "new")).toDF("pk", "v")

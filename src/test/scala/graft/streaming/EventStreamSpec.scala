@@ -191,32 +191,26 @@ class EventStreamSpec extends AnyFunSuite {
     // batch 1: days Jan 1 + Jan 2; batch 2: updates Jan 2, adds Jan 3 —
     // and must leave the Jan 1 partition's files untouched
     rows("b1", Seq((1L, "v1-1", "2024-01-01", 1L), (2L, "v1-2", "2024-01-02", 1L)))
-    rows("b2", Seq((2L, "v2-2", "2024-01-02", 2L), (3L, "v2-3", "2024-01-03", 2L)))
-    def parts(sub: String) = new java.io.File(s"$d/$sub").listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-    val t0 = System.currentTimeMillis() - 60000
-    parts("b1").foreach(_.setLastModified(t0))
-    parts("b2").foreach(_.setLastModified(t0 + 30000))
     val schema = spark.read.parquet(s"$d/b1").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$d/b*")
     val store = new graft.store.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-cdc-part-store").toString)
-    var jan1Snapshot: Set[String] = Set.empty
-    val q = EventStream.upsertIntoPartitions(src, store, "copy", "event_id", "seq", "day")
-      .option("checkpointLocation", s"$d/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    try {
-      // after the FIRST batch lands, snapshot Jan 1's physical files
-      val deadline = System.currentTimeMillis() + 60000
-      while (jan1Snapshot.isEmpty && System.currentTimeMillis() < deadline) {
-        val dir = new java.io.File(store.tablePath("copy"), "day=2024-01-01")
-        if (dir.exists) jan1Snapshot = dir.listFiles().map(_.getName).toSet
-        else Thread.sleep(100)
-      }
-      q.awaitTermination()
-    } finally q.stop()
-    assert(jan1Snapshot.nonEmpty, "never observed the first batch's Jan 1 partition")
+    // two sequential drains over one checkpoint: batch 2's files are written
+    // ONLY AFTER the snapshot is taken, so the untouched-partition assertion
+    // can never pass vacuously (comparing the final state to itself)
+    def drain(): Unit = {
+      val q = EventStream.upsertIntoPartitions(
+          spark.readStream.schema(schema).parquet(s"$d/b*"),
+          store, "copy", "event_id", "seq", "day")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain() // only b1 exists: the table holds exactly batch 1's state
+    val jan1Snapshot = Option(new java.io.File(store.tablePath("copy"), "day=2024-01-01")
+      .listFiles()).fold(Set.empty[String])(_.map(_.getName).toSet)
+    assert(jan1Snapshot.nonEmpty, "first drain did not create the Jan 1 partition")
+    rows("b2", Seq((2L, "v2-2", "2024-01-02", 2L), (3L, "v2-3", "2024-01-03", 2L)))
+    drain() // same checkpoint: processes only the new b2 files
     val jan1After = new java.io.File(store.tablePath("copy"), "day=2024-01-01")
       .listFiles().map(_.getName).toSet
     assert(jan1After == jan1Snapshot, "untouched partition was rewritten")
