@@ -668,6 +668,84 @@ object Queries {
       s.table("stream_dp")
     }),
 
+    // stream-stream range correlation drained AvailableNow, gated ≡ the
+    // batch rangeJoin oracle: clicks within 60 s of any error, both sides
+    // live streams joined on the banded time key. Inner stream joins emit
+    // on match (the watermark only bounds state), so one drain sees every
+    // pair once both sides' single micro-batch has loaded.
+    "stream_correlated" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.catalog.dropTempView("stream_corr")
+      def side(tpe: String, idAs: String) =
+        graft.streaming.EventStream.read(s, s"$d/events.parque*")
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("ts"))
+      val q = graft.streaming.EventStream.correlated(
+          side("click", "click_id"), side("error", "error_id"),
+          "ts", "ts", java.time.Duration.ofSeconds(60))
+        .select("click_id", "error_id")
+        .writeStream.format("memory").queryName("stream_corr")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("stream_correlated did not drain within 300 s")
+      }
+      s.table("stream_corr")
+    }),
+
+    // streaming sessionize drained to closed sessions, gated ≡ the batch
+    // gap-session rollup (agg_user_sessions oracle). flatMapGroupsWithState
+    // only EMITS a session when its event-time timeout fires, so after the
+    // real corpus drains, a sentinel event one day past the stream's end is
+    // appended and a second drain (same checkpoint) advances the watermark
+    // past every real session's end+gap — the still-open tails time out and
+    // emit. The sentinel's own session (user −1) never closes; it is
+    // excluded below. Two drains over one checkpoint is the same restart
+    // pattern the CDC specs use; the parquet sink accumulates across them
+    // (a memory sink would drop drain 1's rows on re-registration).
+    "stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        in.resolve("events.parquet"))
+      val out = s"$tmp/out"
+      def drain(): Unit = {
+        val q = graft.streaming.EventStream.sessionize(
+            s, graft.streaming.EventStream.read(s, in.toString), "30 minutes")
+          .toDF().writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException("stream_sessions did not drain within 300 s")
+        }
+      }
+      drain() // the real corpus: every session behind the final watermark emits
+      // raw-schema sentinel (ts is ns-since-epoch LongType under nanosAsLong,
+      // same physical int64 the stream schema expects)
+      val maxNs = s.read.parquet(s"$d/events.parquet").agg(max("ts")).head().getLong(0)
+      s.range(1).select(
+          lit(-1L).as("event_id"), lit(maxNs + 86400L * 1000000000L).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      drain() // same checkpoint: only the sentinel file is new
+      s.read.parquet(out).filter(col("userId") >= 0L)
+        .groupBy("userId")
+        .agg(count(lit(1)).as("n_sessions"), max(col("nEvents")).as("longest_session"))
+        .select(col("userId").as("user_id"), col("n_sessions"), col("longest_session"))
+    }),
+
+    // the Misra–Gries sketch gated in its EXACT regime: capacity above the
+    // corpus' distinct-token count means no counter ever decrements and no
+    // merge ever shrinks, so the sketch IS `GROUP BY token / count(*)` —
+    // DuckDB-expressible; the approximate regime's ±n/(capacity+1) bounds
+    // stay spec-pinned (AggregatorsSpec)
+    "agg_frequent_tokens" -> ((s, d) =>
+      ext.Aggregators.frequentTokens(s, docs(s, d), capacity = 1 << 17)),
+
     // int8 scalar quantization, posexploded to scalar rows for the gate
     "sim_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")
@@ -735,6 +813,30 @@ object Queries {
 
   /** Exact brute-force cosine top-k (k=5, queries = vec_id < 10) — oracle for
     * both `sim_topk` and the full-probe (`nprobe = nlist`) `sim_ann_ivf`. */
+  private val rangeJoinEventsSql =
+    """SELECT c.event_id AS click_id, e.event_id AS error_id
+      |  FROM events c, events e
+      | WHERE c.event_type = 'click' AND e.event_type = 'error'
+      |   AND abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 60000000""".stripMargin
+
+  /** Gap-session rollup (30-min gap, strictly-greater break) — shared by the
+    * batch window sessionizer and the streaming flatMapGroupsWithState
+    * drain, which must agree exactly. */
+  private val userSessionsSql =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
+      |    FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    FROM s),
+      |c AS (SELECT user_id, session_id, count(*) AS n FROM g GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session FROM c GROUP BY user_id""".stripMargin
+
   private val bruteForceTopKSql =
     """SELECT query_id, neighbor_id FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1193,11 +1295,9 @@ object Queries {
         |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |  FROM pii""".stripMargin,
-    "range_join_events" ->
-      """SELECT c.event_id AS click_id, e.event_id AS error_id
-        |  FROM events c, events e
-        | WHERE c.event_type = 'click' AND e.event_type = 'error'
-        |   AND abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 60000000""".stripMargin,
+    "range_join_events" -> rangeJoinEventsSql,
+    // the streaming band join must equal the batch range join exactly
+    "stream_correlated" -> rangeJoinEventsSql,
     "text_term_stats" ->
       """SELECT token, doc_freq, term_freq FROM (
         |  SELECT tok AS token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
@@ -1293,20 +1393,14 @@ object Queries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
-    "agg_user_sessions" ->
-      """WITH s AS (
-        |  SELECT user_id, ts, event_id,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
-        |    FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |g AS (
-        |  SELECT user_id,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |    FROM s),
-        |c AS (SELECT user_id, session_id, count(*) AS n FROM g GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session FROM c GROUP BY user_id""".stripMargin,
+    "agg_user_sessions" -> userSessionsSql,
+    // streaming sessionize must reproduce the batch gap sessions exactly
+    "stream_sessions" -> userSessionsSql,
+    // exact-regime Misra–Gries (capacity > distinct tokens) ≡ GROUP BY
+    "agg_frequent_tokens" ->
+      """SELECT tok AS token, count(*) AS est_count
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents) t
+        | GROUP BY tok""".stripMargin,
     "agg_label_centroids" ->
       """SELECT label, CAST(idx - 1 AS BIGINT) AS idx, round(avg(val), 6) AS value FROM (
         |  SELECT label, unnest(embedding::DOUBLE[]) AS val,

@@ -28,8 +28,11 @@ import org.apache.spark.sql.types._
 final case class Session(userId: Long, nEvents: Long,
     start: java.sql.Timestamp, end: java.sql.Timestamp)
 
-/** Per-user sessionization state: three longs, bounded per key. (Top-level
-  * so the state encoder's generated code can instantiate it.) */
+/** Per-user sessionization state: three longs (times in MICROSECONDS since
+  * epoch — the events fixture carries sub-millisecond timestamps, and a
+  * millisecond state would round gap comparisons differently from the
+  * micro-precision batch sessionizer it is gated against), bounded per key.
+  * (Top-level so the state encoder's generated code can instantiate it.) */
 final case class SessionState(nEvents: Long, start: Long, end: Long)
 
 object EventStream {
@@ -247,11 +250,22 @@ object EventStream {
       : org.apache.spark.sql.Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    require(gapMs.months == 0, s"session gap '$gap' must not use month units (variable length)")
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
-    require(gapMillis > 0, s"session gap '$gap' must be positive")
+    require(gapIv.months == 0, s"session gap '$gap' must not use month units (variable length)")
+    val gapUs = gapIv.days * 86400000000L + gapIv.microseconds
+    require(gapUs > 0, s"session gap '$gap' must be positive")
+    // MICROsecond arithmetic end-to-end: Timestamp.getTime truncates to
+    // millis, and the fixtures' timestamps are sub-millisecond, so a
+    // ms-rounded gap comparison could close/extend a session differently
+    // from the micro-precision batch sessionizer this operator is gated
+    // against (a 1800.0004 s gap is > 30 min in micros, == in millis)
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     val typed = events.select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       .withWatermark("ts", gap)
       .as[(Long, java.sql.Timestamp)]
@@ -259,7 +273,7 @@ object EventStream {
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
         def emit(s: SessionState) = Session(userId, s.nEvents,
-          new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end))
+          fromMicros(s.start), fromMicros(s.end))
         if (state.hasTimedOut) {
           val s = state.get
           state.remove()
@@ -271,26 +285,27 @@ object EventStream {
           // emitted session gap-consistent; merging would fabricate sessions
           // spanning silent gaps. Out-of-order events within the gap extend
           // the session exactly like in-order ones.
-          val times = rows.map(_._2.getTime).toSeq
+          val times = rows.map(r => micros(r._2)).toSeq
           val closed = scala.collection.mutable.ListBuffer.empty[SessionState]
           var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
           times.sorted.foreach { t =>
-            if (st.nEvents > 0 && (t - st.end > gapMillis || t < st.start - gapMillis)) {
+            if (st.nEvents > 0 && (t - st.end > gapUs || t < st.start - gapUs)) {
               closed += st
               st = SessionState(0, Long.MaxValue, Long.MinValue)
             }
             st = SessionState(st.nEvents + 1, math.min(st.start, t), math.max(st.end, t))
           }
           // an old straggler session (entirely behind the watermark) closes
-          // now; otherwise keep it open and time out at end+gap — clamped
-          // above the current watermark or setTimeoutTimestamp throws
+          // now; otherwise keep it open and time out at end+gap — the
+          // timeout API is millisecond-based, so round UP (never early) and
+          // clamp above the current watermark or setTimeoutTimestamp throws
           val wm = state.getCurrentWatermarkMs()
-          if (st.nEvents > 0 && st.end + gapMillis <= wm) {
+          if (st.nEvents > 0 && st.end + gapUs <= wm * 1000L) {
             closed += st
             state.remove()
           } else {
             state.update(st)
-            state.setTimeoutTimestamp(math.max(st.end + gapMillis, wm + 1))
+            state.setTimeoutTimestamp(math.max((st.end + gapUs + 999L) / 1000L, wm + 1))
           }
           closed.iterator.map(emit)
         }
