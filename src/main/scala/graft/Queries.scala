@@ -158,6 +158,65 @@ object Queries {
         .withColumn("value", col("value") + 1)
       Ops.maintainDailyAgg(stale, freshWindow, "day", EvFrom, EvTo)(dailyAgg)
     }),
+    // entry points A+B+C end-to-end at the driver gate: the phased Runner
+    // (classify → copy+update fact → plain fact → parallel dim) over a temp
+    // source/target TableStore pair built inside the query, with the ledger
+    // row counts riding along as extra rows. The oracle reconstructs the
+    // post-state of every table (window reload, changed-key upsert, dim
+    // truncate-reload) plus the four Completed ledger records in DuckDB.
+    // Output is canonicalized to (src_table, k, v_num, v_str) scalar rows.
+    "o4_runner_e2e" -> ((s, d) => {
+      val srcStore = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o4-src").toString)
+      val tgtStore = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o4-tgt").toString)
+      val clock = () => java.time.LocalDateTime.of(2024, 6, 1, 12, 0)
+      val ledger = new graft.ledger.Ledger(s, tgtStore, clock = clock)
+      // stage the source warehouse from the fixtures: a copy+update fact
+      // (synthetic update_ts), a plain windowed fact, and a dim
+      srcStore.atomicOverwrite("events_cu", eventsWithUpdateTs(s, d))
+      srcStore.atomicOverwrite("events_plain", events(s, d))
+      srcStore.atomicOverwrite("customer", customer(s, d))
+      val cfg = graft.config.EngineConfig(
+        sourceSchema = "src", targetSchema = "tgt", scheduleMode = None,
+        dateFrom = Some(EvFrom.toString), dateTo = Some(EvTo.toString),
+        tables = Seq(
+          graft.config.TableSpec("events_cu", "fact", dateColumn = Some("ts"),
+            updateDateColumn = Some("update_ts"), primaryKey = Some("event_id")),
+          graft.config.TableSpec("events_plain", "fact", dateColumn = Some("ts")),
+          graft.config.TableSpec("customer", "dim")))
+      val results = new graft.pipeline.Runner(s, srcStore, tgtStore, ledger, clock = clock).run(cfg)
+      require(results.forall(_.ok),
+        s"o4_runner_e2e: failed table results: ${results.filterNot(_.ok).mkString("; ")}")
+      def canon(table: String, df: DataFrame, k: org.apache.spark.sql.Column,
+          vNum: org.apache.spark.sql.Column, vStr: org.apache.spark.sql.Column) =
+        df.select(lit(table).as("src_table"), k.cast("long").as("k"),
+          vNum.cast("double").as("v_num"), vStr.cast("string").as("v_str"))
+      canon("events_cu", tgtStore.read("events_cu"),
+          col("event_id"), col("value"), col("event_type"))
+        .unionByName(canon("events_plain", tgtStore.read("events_plain"),
+          col("event_id"), col("value"), col("event_type")))
+        .unionByName(canon("customer", tgtStore.read("customer"),
+          col("c_custkey"), col("c_acctbal"), col("c_name")))
+        .unionByName(canon("ledger", ledger.latest,
+          col("recordsCopied"), lit(null),
+          concat_ws("/", col("tableName"), col("process"), col("status"))))
+    }),
+    // schema evolution at the driver gate: a table whose later appends
+    // added a column must read as the union-by-name of both schema
+    // generations (old rows NULL for the new column) — the mergeSchema
+    // read path (S6/S9 storage extension), not one arbitrary footer's view
+    "o5_evolved_read" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o5").toString)
+      val ord = orders(s, d)
+      store.atomicOverwrite("orders_evolving",
+        ord.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_custkey"))
+      store.append("orders_evolving",
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+      store.readEvolved("orders_evolving")
+    }),
     "a1_window_delete" -> ((s, d) =>
       Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
@@ -927,6 +986,41 @@ object Queries {
          |   AND event_id NOT IN (SELECT event_id FROM changed)
          |UNION ALL
          |SELECT * FROM fullv WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    // entry points A+B+C reconstructed: the window-reload post-state (P3 raw
+    // BETWEEN, +1d−3ms end), the changed-key upsert post-state (date-cast
+    // changed-key discovery, full-row re-fetch), the dim truncate-reload,
+    // and the four Completed ledger records with their recordsCopied counts
+    "o4_runner_e2e" ->
+      s"""$evCte,
+         |changed AS ($changedKeysSql),
+         |win AS (SELECT * FROM events
+         |         WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00.000'
+         |                      AND TIMESTAMP '2024-01-09 23:59:59.997'),
+         |cu AS (SELECT event_id, value, event_type FROM win
+         |        WHERE event_id NOT IN (SELECT event_id FROM changed)
+         |       UNION ALL
+         |       SELECT event_id, value, event_type FROM events
+         |        WHERE event_id IN (SELECT event_id FROM changed))
+         |SELECT 'events_cu' AS src_table, event_id AS k,
+         |       CAST(value AS DOUBLE) AS v_num, event_type AS v_str FROM cu
+         |UNION ALL
+         |SELECT 'events_plain', event_id, CAST(value AS DOUBLE), event_type FROM win
+         |UNION ALL
+         |SELECT 'customer', c_custkey, CAST(c_acctbal AS DOUBLE), c_name FROM customer
+         |UNION ALL
+         |SELECT 'ledger', (SELECT count(*) FROM win), CAST(NULL AS DOUBLE), 'events_cu/Fact Copy/Completed'
+         |UNION ALL
+         |SELECT 'ledger', (SELECT count(*) FROM changed), CAST(NULL AS DOUBLE), 'events_cu/Table Update/Completed'
+         |UNION ALL
+         |SELECT 'ledger', (SELECT count(*) FROM win), CAST(NULL AS DOUBLE), 'events_plain/Fact Copy/Completed'
+         |UNION ALL
+         |SELECT 'ledger', (SELECT count(*) FROM customer), CAST(NULL AS DOUBLE), 'customer/Dim Copy/Completed'""".stripMargin,
+    "o5_evolved_read" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     "o3_agg_maintain" ->
       """WITH up AS (
         |  SELECT ts, event_type,
