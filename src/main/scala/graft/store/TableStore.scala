@@ -3,6 +3,13 @@ package graft.store
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A second writer raced an in-flight rewrite of the same table. The losing
+  * writer's data was NOT published and the winning writer's swap proceeds
+  * untouched — retry after the winner finishes (the reference inherited this
+  * exclusion from SQL Server's transactions, `TableCopyService.cs:89,170`). */
+final class ConcurrentWriteException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
 /**
  * Directory-per-table parquet store with atomic publish.
  *
@@ -55,29 +62,56 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("append").parquet(tablePath(table))
   }
 
+  /** Writer mutual exclusion: atomically create `<table>.lock` (create with
+    * overwrite=false is the filesystem's compare-and-set) and fail loudly
+    * with [[ConcurrentWriteException]] if another writer holds it. Without
+    * this, two racing [[atomicOverwrite]]s both complete and the LAST swap
+    * silently discards the first writer's data — a lost update with no
+    * error anywhere (the reference got this exclusion for free from SQL
+    * Server transactions). A crashed writer leaves a stale lock; [[recover]]
+    * clears it (run recovery only when no writer is live). */
+  private def acquireWriteLock(table: String, op: String): Path = {
+    val lock = new Path(tablePath(table) + ".lock")
+    def conflict(cause: Throwable) = throw new ConcurrentWriteException(
+      s"$op('$table'): another writer holds ${lock.getName} — concurrent rewrites of one " +
+        "table lose the first writer's data; retry after it finishes " +
+        "(a stale lock from a crashed writer is cleared by recover)", cause)
+    if (fs.exists(lock)) conflict(null)
+    try {
+      val out = fs.create(lock, false) // atomic create-fails-if-exists
+      try out.writeUTF(s"$op@${java.time.Instant.now()}") finally out.close()
+    } catch { case e: java.io.IOException => conflict(e) }
+    lock
+  }
+
   /** Atomically replace the table's state with `df` (protocol above).
     * `df` MAY be derived from the table's own current state — it is fully
     * materialized into the temp dir before any rename touches the live dir.
     * Guarded at this funnel (and [[append]]/[[overwriteDatePartitions]]) so
     * EVERY rewrite path refuses catalog-bucketed tables, not just the
-    * convenience wrappers. */
+    * convenience wrappers. Rewrites of one table are mutually exclusive
+    * ([[acquireWriteLock]]): a racing second writer fails loudly instead of
+    * silently clobbering the first. */
   def atomicOverwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     refuseIfCatalogBucketed(table, "atomicOverwrite")
-    val nonce = java.util.UUID.randomUUID.toString.take(8)
-    val live = new Path(tablePath(table))
-    val tmp = new Path(tablePath(table) + s".tmp-$nonce")
-    val old = new Path(tablePath(table) + s".old-$nonce")
-    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
-    writer.mode("overwrite").parquet(tmp.toString)
-    val hadLive = fs.exists(live)
-    if (hadLive && !fs.rename(live, old))
-      throw new java.io.IOException(s"atomicOverwrite: could not retire $live")
-    if (!fs.rename(tmp, live)) {
-      // roll back: restore the old state before failing
-      if (hadLive) fs.rename(old, live)
-      throw new java.io.IOException(s"atomicOverwrite: could not publish $tmp as $live")
-    }
-    if (hadLive) fs.delete(old, true)
+    val lock = acquireWriteLock(table, "atomicOverwrite")
+    try {
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      val live = new Path(tablePath(table))
+      val tmp = new Path(tablePath(table) + s".tmp-$nonce")
+      val old = new Path(tablePath(table) + s".old-$nonce")
+      val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+      writer.mode("overwrite").parquet(tmp.toString)
+      val hadLive = fs.exists(live)
+      if (hadLive && !fs.rename(live, old))
+        throw new java.io.IOException(s"atomicOverwrite: could not retire $live")
+      if (!fs.rename(tmp, live)) {
+        // roll back: restore the old state before failing
+        if (hadLive) fs.rename(old, live)
+        throw new java.io.IOException(s"atomicOverwrite: could not publish $tmp as $live")
+      }
+      if (hadLive) fs.delete(old, true)
+    } finally fs.delete(lock, false)
   }
 
   /**
@@ -101,6 +135,13 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwriteDatePartitions(table: String, df: DataFrame, partCol: String,
       days: Seq[java.time.LocalDate]): Unit = {
     refuseIfCatalogBucketed(table, "overwriteDatePartitions")
+    val lock = acquireWriteLock(table, "overwriteDatePartitions")
+    try overwriteDatePartitionsLocked(table, df, partCol, days)
+    finally fs.delete(lock, false)
+  }
+
+  private def overwriteDatePartitionsLocked(table: String, df: DataFrame, partCol: String,
+      days: Seq[java.time.LocalDate]): Unit = {
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val live = new Path(tablePath(table))
     val tmp = new Path(tablePath(table) + s".tmp-$nonce")
@@ -292,12 +333,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * `.old-` dir if the live dir is missing; restore any `.retired-*`
     * partition dir whose live partition is missing (partition-scoped
     * overwrite crash); drop all remaining stale `.tmp-`/`.old-`/`.retired-`
-    * dirs. */
+    * dirs and the writer lock a crashed writer left behind. ONLY run
+    * recovery when no writer is live — it releases the mutual exclusion. */
   def recover(table: String): Unit = {
     val f = fs
     val live = new Path(tablePath(table))
     val parent = new Path(root)
     if (!f.exists(parent)) return
+    f.delete(new Path(tablePath(table) + ".lock"), false) // stale writer lock
     val leftovers = f.listStatus(parent)
       .filter(s => s.getPath.getName.startsWith(s"$table.tmp-") ||
         s.getPath.getName.startsWith(s"$table.old-"))

@@ -248,4 +248,62 @@ class TableStoreSpec extends AnyFunSuite {
     // leftover dirs cleaned
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store.tablePath("t") + ".old-deadbeef")))
   }
+
+  test("a racing second writer fails loudly; the first writer's data publishes") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val store = freshStore()
+    store.atomicOverwrite("t", Seq((0, "base")).toDF("k", "v"))
+    // writer A's input blocks mid-write on a latch, holding the write lock
+    // open while the main thread races writer B against it — a REAL overlap
+    // of two atomicOverwrite calls, not a simulated marker
+    WriterRace.reset()
+    val slow = udf((k: Int) => { WriterRace.entered.countDown(); WriterRace.gate.await(); k })
+    var aFailure: Option[Throwable] = None
+    val a = new Thread(() => {
+      try store.atomicOverwrite("t",
+        Seq((1, "from-A")).toDF("k", "v").withColumn("k", slow(col("k"))))
+      catch { case e: Throwable => aFailure = Some(e) }
+    })
+    a.start()
+    try {
+      assert(WriterRace.entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "writer A never started evaluating its input")
+      // B races while A holds the lock: loud failure, nothing clobbered
+      intercept[ConcurrentWriteException](
+        store.atomicOverwrite("t", Seq((2, "from-B")).toDF("k", "v")))
+    } finally {
+      WriterRace.gate.countDown()
+      a.join(60000)
+    }
+    assert(aFailure.isEmpty, s"writer A failed: $aFailure")
+    assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((1, "from-A")))
+    // the lock released with A: a later writer proceeds normally
+    store.atomicOverwrite("t", Seq((3, "later")).toDF("k", "v"))
+    assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((3, "later")))
+  }
+
+  test("a stale lock from a crashed writer blocks writes until recover clears it") {
+    val store = freshStore()
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    val fs = new org.apache.hadoop.fs.Path(store.tablePath("t"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(store.tablePath("t") + ".lock")
+    fs.create(lock, false).close() // crashed writer's leftover
+    intercept[ConcurrentWriteException](store.atomicOverwrite("t", Seq(2).toDF("k")))
+    assert(store.read("t").as[Int].collect().toSeq == Seq(1)) // state untouched
+    store.recover("t")
+    store.atomicOverwrite("t", Seq(2).toDF("k"))
+    assert(store.read("t").as[Int].collect().toSeq == Seq(2))
+  }
+}
+
+/** Latches for the racing-writer test (top-level so executor-side lambda
+  * instantiation sees the same statics in local mode). */
+object WriterRace {
+  @volatile var entered = new java.util.concurrent.CountDownLatch(1)
+  @volatile var gate = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    entered = new java.util.concurrent.CountDownLatch(1)
+    gate = new java.util.concurrent.CountDownLatch(1)
+  }
 }
