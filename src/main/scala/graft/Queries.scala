@@ -683,6 +683,19 @@ object Queries {
       Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         nlist = 16, nprobe = 16)
     }),
+    // the PERSISTED index path at the same exact operating point: build the
+    // index into a temp TableStore, reload the quantizer from storage (not
+    // the in-memory handle), search at full probe ≡ brute force — gating
+    // build, persist, reload, list-pruned scan, and probe re-rank end-to-end
+    "sim_ann_ivf_persisted" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString)
+      val e = emb(s, d)
+      Similarity.buildIndex(store, "ivf_idx", e, "vec_id", "embedding", nlist = 16)
+      val idx = Similarity.loadIndex(store, "ivf_idx")
+      Similarity.searchIndex(store, idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nprobe = 16)
+    }),
 
     // ---- streaming (§2.11): the Structured Streaming path gated against a
     // batch oracle — complete-mode tumbling day windows over the events
@@ -1512,6 +1525,7 @@ object Queries {
         |                  FROM embeddings) t) s""".stripMargin,
     "sim_topk" -> bruteForceTopKSql,
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
+    "sim_ann_ivf_persisted" -> bruteForceTopKSql, // persisted index, same exact point
     "mm_features" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
         |       ascii(substr(text, 1, 1)) AS head_byte,

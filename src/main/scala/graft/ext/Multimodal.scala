@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /**
  * Multimodal-column plumbing (SURVEY.md §2.12): image/audio/video payloads
  * travel as opaque `binary` columns alongside a typed metadata struct; the
- * decode / feature-extraction step runs partition-wise over batches so a
- * real codec drops in without touching the distributed plan.
+ * decode / feature-extraction step runs partition-wise over batches so any
+ * codec drops in without touching the distributed plan.
  *
- * The actual codec is STUBBED (`decodeReal`) — no image/audio libraries
- * exist in this container — but everything around it is real and tested:
- * the schema, the partition-wise batched execution shape, and a
- * deterministic fake decode used by tests and the verification queries.
+ * Two decoders ship: [[decodeReal]] — a REAL codec over the JDK's built-in
+ * readers (`javax.imageio` for PNG/JPEG/BMP/GIF, `javax.sound.sampled` for
+ * WAV/PCM; java.desktop, no external library) — and [[decodeFake]], a
+ * deterministic byte-derived stand-in the DuckDB-gated queries use (an
+ * oracle cannot decode a PNG; the real codec is spec-verified against
+ * payloads encoded in-test by the same JDK).
  */
 object Multimodal {
 
@@ -24,9 +26,38 @@ object Multimodal {
   final case class MediaFeatures(id: Long, nBytes: Long, checksum: Long, headByte: Int,
       frameCount: Int)
 
-  /** REAL decode — requires a codec library (not present in this
-    * environment). Swap this in for [[decodeFake]] in production. */
-  def decodeReal(payload: Array[Byte], meta: MediaMeta): MediaFeatures = ???
+  /** REAL decode over the JDK's own codecs — dispatched on `meta.mime`:
+    *
+    *  - image mimes → `javax.imageio.ImageIO` (PNG, JPEG, BMP, GIF readers
+    *    ship with the JDK): `frameCount` = 1, `headByte` = the blue channel
+    *    of the top-left pixel (a DECODED-pixel fact no byte heuristic can
+    *    fake — it survives any lossless re-encode of the same image);
+    *  - audio mimes → `javax.sound.sampled.AudioSystem` (WAV/PCM, AIFF, AU):
+    *    `frameCount` = PCM sample frames, `headByte` = first payload byte.
+    *
+    * Undecodable payloads fail loudly — silent fallback to the fake would
+    * report byte noise as media features. `checksum`/`nBytes` stay
+    * raw-payload facts in both decoders, so fake-vs-real differ only where
+    * decoding genuinely adds information. Headless-safe (no AWT display). */
+  def decodeReal(id: Long, payload: Array[Byte], meta: MediaMeta): MediaFeatures = {
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    val mime = Option(meta.mime).getOrElse("").toLowerCase
+    if (mime.startsWith("image/")) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"decodeReal: no JDK reader decoded this '$mime' payload")
+      MediaFeatures(id, payload.length.toLong, crc.getValue,
+        headByte = img.getRGB(0, 0) & 0xFF, frameCount = 1)
+    } else if (mime.startsWith("audio/")) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try MediaFeatures(id, payload.length.toLong, crc.getValue,
+        headByte = if (payload.isEmpty) -1 else payload(0) & 0xFF,
+        frameCount = math.min(in.getFrameLength, Int.MaxValue.toLong).toInt)
+      finally in.close()
+    } else throw new IllegalArgumentException(
+      s"decodeReal: no codec for mime '${meta.mime}' (JDK readers cover image/* and audio/*)")
+  }
 
   /** Deterministic fake decode: derives features from the raw bytes only.
     * Same signature and cost shape as a real codec call. */
@@ -57,12 +88,17 @@ object Multimodal {
 
   /** Partition-wise feature extraction: one codec context per partition, rows
     * streamed through it (the batch shape a real decoder needs — open once,
-    * decode many). Distributed: no shuffle, runs where the bytes are. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    * decode many). Distributed: no shuffle, runs where the bytes are.
+    * `decoder` defaults to [[decodeFake]] (the oracle-gated path over
+    * synthetic payloads); pass `decodeReal` for actual media. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      decoder: (Long, Array[Byte], MediaMeta) => MediaFeatures = decodeFake)
+      : Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real impl: initialize codec context here, once per partition
-      rows.map(r => decodeFake(r.id, r.payload, r.meta))
+      // codec contexts (ImageIO reader instances etc.) initialize here,
+      // once per partition, in a real high-volume deployment
+      rows.map(r => decoder(r.id, r.payload, r.meta))
     }
   }
 

@@ -165,26 +165,97 @@ object Similarity {
     // codegen defers stream-side column evaluation to per-OUTPUT-row, so the
     // probe join below would otherwise re-run normalize + the nlist-dot
     // argmax once per MATCH — measured 58 s → 1.1 s on the ScaleSmoke
-    // dim-512 corpus (35× tax at ~37 matches/row). At production scale this
-    // materialization is the standard index-build step (persist it, or write
-    // it to storage and reuse across query batches).
+    // dim-512 corpus (35× tax at ~37 matches/row). For reuse across query
+    // batches, [[buildIndex]] writes this same frame to storage instead.
     val c = Caches.track(unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
       .withColumn("list", listAssignment(col("cv"), cents)))
-    // per-query: nprobe nearest centroids, by sorting (−dot, list) pairs
+    probeAndRank(c, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Per-query probe set (`query_id`, `qv`, `list`): the `nprobe` nearest
+    * centroids by sorting (−dot, list) pairs. */
+  private def probes(cents: Array[Array[Double]], queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val q0 = unitized(queries, idCol, vecCol, "query_id", "qv")
       .withColumn("cd", array(cents.zipWithIndex.map { case (cent, i) =>
         struct((-dot(col("qv"), typedLit(cent.toSeq))).as("nd"), lit(i).as("l"))
       }: _*))
-    val probed = q0.select(col("query_id"), col("qv"),
+    q0.select(col("query_id"), col("qv"),
       explode(transform(slice(array_sort(col("cd")), 1, nprobe), p => p.getField("l"))).as("list"))
-    // vectors projected away before the rank window — see [[topK]]: the
-    // per-query sort must shuffle 24-byte rows, not O(d) vector payloads
-    val scored = broadcast(probed).join(c, Seq("list"))
+  }
+
+  /** Probe join + exact re-rank shared by [[annTopK]] and [[searchIndex]]:
+    * `c` is the (neighbor_id, cv, list) index frame. Vectors are projected
+    * away before the rank window — see [[topK]]: the per-query sort must
+    * shuffle 24-byte rows, not O(d) vector payloads. */
+  private def probeAndRank(c: DataFrame, cents: Array[Array[Double]], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val scored = broadcast(probes(cents, queries, idCol, vecCol, nprobe)).join(c, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select("query_id", "neighbor_id")
+  }
+
+  /** A persisted IVF index: `table` holds the normalized, list-assigned
+    * corpus (`neighbor_id`, `cv`, `list`) range-clustered on `list`;
+    * `<table>_centroids` holds the quantizer as (list, pos, value) rows.
+    * Production search reuses one build across every query batch —
+    * [[annTopK]] recomputes both per call. */
+  final case class IvfIndex(table: String, centroids: Array[Array[Double]])
+
+  /**
+   * Build and persist the IVF index once: train the coarse quantizer
+   * (sample-bounded), assign every corpus vector to its nearest list
+   * (`nlist` codegen'd dots per row, no shuffle), and write the index
+   * range-clustered on `list` so each file covers few lists — a probe that
+   * touches `nprobe` of `nlist` lists then READS ~`nprobe/nlist` of the
+   * files (footer min/max skipping), not the whole corpus. The quantizer
+   * itself persists to `<table>_centroids` so later sessions [[loadIndex]]
+   * without retraining.
+   */
+  def buildIndex(store: graft.store.TableStore, table: String, corpus: DataFrame,
+      idCol: String, vecCol: String, nlist: Int = 16, sampleSize: Int = 4096,
+      seed: Long = 42L): IvfIndex = {
+    val cents = trainCentroids(corpus, vecCol, nlist, sampleSize, seed)
+    val assigned = unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .withColumn("list", listAssignment(col("cv"), cents))
+    store.atomicOverwriteClustered(table, assigned, Seq("list"), numFiles = cents.length)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    store.atomicOverwrite(s"${table}_centroids",
+      cents.zipWithIndex.flatMap { case (c, l) =>
+        c.zipWithIndex.map { case (v, p) => (l, p, v) }
+      }.toSeq.toDF("list", "pos", "value"))
+    IvfIndex(table, cents)
+  }
+
+  /** Reload a persisted index's quantizer (nlist × dim rows — bounded index
+    * metadata, the one deliberate driver-side collect of this module). */
+  def loadIndex(store: graft.store.TableStore, table: String): IvfIndex = {
+    val rows = store.read(s"${table}_centroids").collect()
+    require(rows.nonEmpty, s"loadIndex('$table'): empty or missing centroid table")
+    val cents = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+    }.toArray
+    IvfIndex(table, cents)
+  }
+
+  /**
+   * Search a persisted index: no training, no assignment — each batch pays
+   * only its own probe join. The union of the batch's probe lists (≤ nlist
+   * values, collected driver-side) is pushed as a `list IN (...)` scan
+   * predicate, so the range-clustered layout skips every file holding only
+   * unprobed lists: per-batch read cost tracks `nprobe/nlist`, not corpus
+   * size — the reuse story [[annTopK]]'s per-call build cannot offer.
+   */
+  def searchIndex(store: graft.store.TableStore, index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 6): DataFrame = {
+    val lists = probes(index.centroids, queries, idCol, vecCol, nprobe)
+      .select("list").distinct().collect().map(_.getInt(0)) // ≤ nlist driver rows
+    val c = store.read(index.table).filter(col("list").isin(lists.toIndexedSeq: _*))
+    probeAndRank(c, index.centroids, queries, idCol, vecCol, k, nprobe)
   }
 
   /**

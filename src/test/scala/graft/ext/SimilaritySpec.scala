@@ -52,6 +52,33 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(full == exact)
   }
 
+  test("persisted IVF index: build once, reload, search ≡ exact at full probe") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString)
+    val built = Similarity.buildIndex(store, "ivf_t", emb, "vec_id", "embedding", nlist = 16)
+    // the reloaded quantizer is bit-identical to the built one
+    val loaded = Similarity.loadIndex(store, "ivf_t")
+    assert(loaded.centroids.length == built.centroids.length)
+    assert(loaded.centroids.zip(built.centroids).forall { case (a, b) => a.sameElements(b) })
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(emb, q, "vec_id", "embedding", 5)
+      .as[(Long, Long)].collect().toSet
+    // full probe over the persisted index degenerates to exact search —
+    // same contract as annTopK, with no retraining or reassignment
+    val full = Similarity.searchIndex(store, loaded, q, "vec_id", "embedding", 5, nprobe = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // approximate operating point keeps useful recall on the stored index
+    val ann = Similarity.searchIndex(store, loaded, q, "vec_id", "embedding", 5, nprobe = 6)
+      .as[(Long, Long)].collect().toSet
+    assert((exact intersect ann).size.toDouble / exact.size >= 0.6)
+    // the probe-list pruning reaches the parquet scan as a pushed filter
+    val plan = Similarity.searchIndex(store, loaded, q, "vec_id", "embedding", 5, nprobe = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(list"),
+      s"probe lists must push down to the index scan:\n${plan.take(3000)}")
+  }
+
   test("cosinePairs (IVF-blocked) equals exact all-pairs on fixtures") {
     // reference: plain O(n²) scan — fine at sf0.001, what the blocked
     // version must reproduce exactly (the threshold-aware multi-assignment

@@ -91,6 +91,58 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(feats(1L).checksum == crc.getValue)
   }
 
+  test("decodeReal: the JDK codecs decode PNG and WAV; undecodable fails loudly") {
+    import Multimodal.{MediaMeta, decodeReal}
+    // a 3x2 PNG with a known top-left pixel, encoded by the same JDK codec
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x112233)
+    img.setRGB(2, 1, 0xFFFFFF)
+    val png = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    val pf = decodeReal(7L, png, MediaMeta("image/png", 3, 2, 0))
+    // headByte is a DECODED-pixel fact (blue channel of (0,0)), not a raw
+    // byte — the thing the fake decoder cannot produce
+    assert(pf.id == 7L && pf.frameCount == 1 && pf.headByte == 0x33)
+    assert(pf.nBytes == png.length.toLong)
+    // a 100-frame 8 kHz mono 16-bit WAV written by the JDK's own encoder
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](200)), fmt, 100)
+    val wav = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, b)
+      b.toByteArray
+    }
+    val wf = decodeReal(8L, wav, MediaMeta("audio/wav", 0, 0, 0))
+    assert(wf.frameCount == 100) // PCM sample frames from the fmt chunk, not byte math
+    assert(wf.headByte == 'R'.toInt) // RIFF magic
+    // loud failures beat silent byte noise: unknown mime, corrupt payload
+    intercept[IllegalArgumentException](
+      decodeReal(9L, Array[Byte](1, 2, 3), MediaMeta("video/mp4", 0, 0, 0)))
+    intercept[IllegalArgumentException](
+      decodeReal(10L, Array[Byte](1, 2, 3), MediaMeta("image/png", 0, 0, 0)))
+  }
+
+  test("extractFeatures runs the real codec partition-wise over binary columns") {
+    import Multimodal.{MediaMeta, MediaRow}
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 2).foreach(x => (0 until 2).foreach(y => img.setRGB(x, y, rgb)))
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, png(0x0000AA), MediaMeta("image/png", 2, 2, 0)),
+      MediaRow(2L, png(0x00BB00), MediaMeta("image/png", 2, 2, 0)))).toDF().repartition(2)
+    val got = Multimodal.extractFeatures(spark, media, Multimodal.decodeReal)
+      .collect().map(f => f.id -> f.headByte).toMap
+    assert(got == Map(1L -> 0xAA, 2L -> 0x00)) // decoded blue channels
+  }
+
   test("resize stride-samples oversized payloads and passes small ones through") {
     val big = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
     val out = Multimodal.resizeFake(big, 8, 8)
