@@ -185,13 +185,14 @@ object ScaleSmoke {
     time("exact dedup 20k docs") {
       consume(graft.ext.Dedup.exact(bigDocs, Seq("text"), "doc_id"))
     }
-    // quadratic-per-block by contract: (lang, length-bucket) blocking keeps
-    // blocks ~100-400 docs at 20k docs — the selectivity discipline any
-    // edit-distance pass needs; replicated dup groups guarantee hits
-    time("edit-distance pairs 20k docs, lang+length blocks") {
+    // quadratic-per-(block × band) by contract: lang blocking × the
+    // operator's INTERNAL width-64 length banding (adjacent-bucket probe, no
+    // boundary blindness) keeps candidate groups small at 20k docs — the
+    // selectivity discipline any edit-distance pass needs; replicated dup
+    // groups guarantee hits
+    time("edit-distance pairs 20k docs, lang blocks + length bands") {
       consume(graft.ext.Dedup.editDistancePairs(
-        bigDocs.withColumn("len_bucket", (col("n_chars") / 64).cast("int")),
-        "doc_id", "text", Seq("lang", "len_bucket"), maxDist = 5, prefixLen = 40))
+        bigDocs, "doc_id", "text", Seq("lang"), maxDist = 5, prefixLen = 40))
     }
     val lsh = time("minhash-LSH pairs 20k docs") {
       val n = graft.ext.Dedup.minhashLshPairs(bigDocs, "doc_id", "text", 3, 64, 16, 0.8).count()
