@@ -615,6 +615,27 @@ object Queries {
         doc.filter(col("doc_id") >= 250), doc.filter(col("doc_id") < 250),
         "doc_id", "text")
     }),
+    // fuzzy incremental ingest against a PERSISTED LSH index: the corpus'
+    // shingle sets + band buckets are built and stored once, the batch
+    // probes the stored buckets and verifies exact Jaccard against the
+    // stored sets — the archive is never re-shingled per ingest. Exact
+    // recall at this operating point (band curve ≈ 0.9998 at 64/16 t=0.8;
+    // verified-exact output), so the brute-force Jaccard oracle applies.
+    "dedup_incremental_fuzzy" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString)
+      val doc = docs(s, d)
+      Dedup.buildLshIndex(store, "corpus_lsh", doc.filter(col("doc_id") < 250), "doc_id", "text")
+      val idx = Dedup.loadLshIndex(store, "corpus_lsh") // reload, not the in-memory handle
+      Dedup.dedupeAgainstLshIndex(store, idx, doc.filter(col("doc_id") >= 250),
+        "doc_id", "text", 0.8)
+    }),
+    // deterministic split assignment: 80/10/10 by id-hash ppm bucket —
+    // stable under any partitioning/engine (randomSplit is not), so a doc
+    // keeps its split across re-runs (the train/test-leak guard)
+    "sampling_split_assign" -> ((s, d) =>
+      Sampling.assignSplits(docs(s, d).select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8)),
     // short-text fuzzy matching: Levenshtein ≤ 5 over 40-char prefixes with
     // full-text length difference ≤ 5, blocked by language — the
@@ -1456,6 +1477,23 @@ object Queries {
         |SELECT doc_id, text, lang, source, n_chars FROM documents
         | WHERE doc_id IN (SELECT doc_id FROM keep)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
+    // brute-force batch×corpus Jaccard at the verified-exact operating point
+    "dedup_incremental_fuzzy" ->
+      s"""$trigramCte,
+         |hits AS (SELECT DISTINCT b.doc_id
+         |           FROM s b JOIN s c ON b.doc_id >= 250 AND c.doc_id < 250
+         |          WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+         |                  / len(list_distinct(b.sh || c.sh)) >= 0.8)
+         |SELECT * FROM documents
+         | WHERE doc_id >= 250 AND text IS NOT NULL
+         |   AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+    "sampling_split_assign" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id IS NULL THEN NULL
+         |            WHEN h < 800000 THEN 'train'
+         |            WHEN h < 900000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${duckIdHash("doc_id")} % 1000000 AS h FROM documents) t""".stripMargin,
     "dedup_edit_distance" ->
       // the unblocked-within-maxDist contract: same language, full lengths
       // within 5, prefix edit distance within 5 — no length-bucket blindness

@@ -460,6 +460,93 @@ object Dedup {
       Seq(fpCol), idCol).drop(fpCol)
   }
 
+  /** A persisted MinHash-LSH dedup index: `table` holds the corpus' hashed
+    * shingle sets (`id`, `hs`, `sz`) for exact verification,
+    * `<table>_buckets` the banded signature buckets (`band`, `bucket`, `id`)
+    * the probe join collides against, and `<table>_meta` the shingle/hash
+    * parameters — a probe MUST use the build's parameters or bucket keys
+    * never match, so they travel with the index instead of the caller. */
+  final case class LshIndex(table: String, n: Int, numHashes: Int, bands: Int)
+
+  /** Banded signature buckets `(band, bucket)` per row of `sets`. */
+  private def lshBuckets(sets: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.VectorFunctions.minhash_signature
+    val rows = numHashes / bands
+    sets.select(col(idCol), minhash_signature(col("hs"), numHashes).as("sig"))
+      .select(col(idCol), explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"), hash(slice(col("sig"), j * rows + 1, rows)).as("bucket"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /**
+   * Build and persist the LSH dedup index over an established corpus ONCE —
+   * the fuzzy counterpart of [[dedupeAgainstCorpus]]'s fingerprint
+   * projection, and the dedup-family analog of
+   * [[graft.ext.Similarity.buildIndex]]: at 100 TB the archive's shingle
+   * sets and band buckets are the thing to materialize and reuse across
+   * ingests, never re-shingling or re-pairing the archive per batch.
+   * NULL-`textCol` corpus rows carry nothing to collide with and are
+   * excluded (the [[dedupeAgainstCorpus]] contract).
+   */
+  def buildLshIndex(store: graft.store.TableStore, table: String, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): LshIndex = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sets = persistTracked(hashedShingleSets(
+      corpus.filter(col(textCol).isNotNull), idCol, textCol, n))
+    store.atomicOverwrite(table, sets.withColumnRenamed(idCol, "id"))
+    // clustered on the probe join's keys so footer stats keep bucket files
+    // tight; the probe join itself shuffles on (band, bucket) either way
+    store.atomicOverwriteClustered(s"${table}_buckets",
+      lshBuckets(sets, idCol, numHashes, bands).withColumnRenamed(idCol, "id"),
+      Seq("band", "bucket"), numFiles = bands)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    store.atomicOverwrite(s"${table}_meta",
+      Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands"))
+    LshIndex(table, n, numHashes, bands)
+  }
+
+  /** Reload a persisted LSH index's parameters (one meta row). */
+  def loadLshIndex(store: graft.store.TableStore, table: String): LshIndex = {
+    val r = store.read(s"${table}_meta").collect()
+    require(r.length == 1, s"loadLshIndex('$table'): expected one meta row, got ${r.length}")
+    LshIndex(table, r(0).getAs[Int]("n"), r(0).getAs[Int]("num_hashes"), r(0).getAs[Int]("bands"))
+  }
+
+  /**
+   * Fuzzy incremental ingest dedup against a persisted index: drop batch
+   * docs whose exact n-gram Jaccard against ANY indexed corpus doc reaches
+   * `threshold`. Candidates come from band-bucket collisions (batch
+   * signatures vs the STORED bucket table — the corpus is never
+   * re-shingled), then verify with the codegen'd sorted-merge intersection
+   * against the STORED shingle sets, so output has zero false positives;
+   * recall is the band curve (≈ 0.9998 at 64/16, t = 0.8). Cost per ingest
+   * tracks the batch: the index is read, joined, never rebuilt. NULL-text
+   * batch rows are dropped (nothing to compare — same contract as
+   * [[dedupeAgainstCorpus]]).
+   */
+  def dedupeAgainstLshIndex(store: graft.store.TableStore, index: LshIndex,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftx.VectorFunctions.sorted_intersect_count
+    val bsets = persistTracked(hashedShingleSets(
+      batch.filter(col(textCol).isNotNull), idCol, textCol, index.n))
+    val probes = lshBuckets(bsets, idCol, index.numHashes, index.bands)
+      .withColumnRenamed(idCol, "__batch_id")
+    val cands = probes.join(store.read(s"${index.table}_buckets"), Seq("band", "bucket"))
+      .select(col("__batch_id"), col("id").as("__corpus_id")).distinct()
+    val dups = cands
+      .join(bsets.select(col(idCol).as("__batch_id"),
+        col("hs").as("__hs_b"), col("sz").as("__sz_b")), "__batch_id")
+      .join(store.read(index.table).select(col("id").as("__corpus_id"),
+        col("hs").as("__hs_c"), col("sz").as("__sz_c")), "__corpus_id")
+      .withColumn("__c", sorted_intersect_count(col("__hs_b"), col("__hs_c")))
+      .filter(jaccardFromCount(col("__c"), col("__sz_b"), col("__sz_c")) >= threshold)
+      .select(col("__batch_id").as(idCol)).distinct()
+    batch.filter(col(textCol).isNotNull).join(dups, Seq(idCol), "left_anti")
+  }
+
   /**
    * Edit-distance near-dup pairs: all `(doc_a, doc_b)` with Levenshtein
    * distance ≤ `maxDist` between the first `prefixLen` chars of their

@@ -46,6 +46,41 @@ object Sampling {
     df.filter((idHash(col(idCol)) % 1000000).cast("double") < w * 1000000.0)
   }
 
+  /**
+   * Deterministic train/val/test split assignment: every row gets a
+   * `splitCol` label by its id-hash bucket — `idHash(id) % 10^6` falls in
+   * the cumulative parts-per-million range of its split's fraction. Like
+   * every operator here the assignment is a pure per-row map, stable under
+   * any partitioning, cluster, or engine (the property `df.randomSplit`
+   * lacks — its per-partition RNG reassigns rows when the input splits
+   * differently), and a document keeps its split across pipeline re-runs —
+   * the train/test-leak guard a training pipeline actually needs.
+   *
+   * Thresholds are integer ppm of the CUMULATIVE fractions (never per-split
+   * rounding, which can drift off 10^6 and drop a bucket). Fractions must
+   * sum to 1 (±1e-9). A NULL id has no hash to assign by → NULL split,
+   * explicitly (not silently the last split).
+   */
+  def assignSplits(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, s"assignSplits needs at least two splits, got ${splits.size}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct: ${splits.map(_._1).mkString(", ")}")
+    require(splits.forall(_._2 > 0), "every split fraction must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1.0, got ${splits.map(_._2).sum}")
+    require(!df.columns.contains(splitCol),
+      s"assignSplits: column '$splitCol' already exists — pass a free splitCol")
+    val cumPpm = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * 1000000.0))
+    val b = idHash(col(idCol)) % 1000000L
+    val base = when(col(idCol).isNull, lit(null).cast("string"))
+    val chained = splits.map(_._1).zip(cumPpm).init.foldLeft(base) {
+      case (acc, (name, hi)) => acc.when(b < hi, lit(name))
+    }
+    df.withColumn(splitCol, chained.otherwise(lit(splits.last._1)))
+  }
+
   /** A temp-column name guaranteed absent from `df`'s schema (a fixed
     * `"__rn"` would silently clobber — or collide with — a user column). */
   private def freshCol(df: DataFrame, base: String): String = {

@@ -149,6 +149,31 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(kept(1) == Set(13L))
   }
 
+  test("persisted LSH index: incremental fuzzy dedup ≡ boundary-crossing LSH pairs") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-lsh-spec").toString)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val built = Dedup.buildLshIndex(store, "c_lsh", corpus, "doc_id", "text")
+    // parameters round-trip through the meta table
+    assert(Dedup.loadLshIndex(store, "c_lsh") == built)
+    val kept = Dedup.dedupeAgainstLshIndex(store, built, batch, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: the all-pairs LSH operator restricted to pairs crossing
+    // the corpus/batch boundary — a batch doc is dropped iff some crossing
+    // pair reaches the threshold
+    Dedup.unpersistAll()
+    val crossing = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        if (a < 250 && b >= 250) Some(b) else if (b < 250 && a >= 250) Some(a) else None
+      }.toSet
+    val batchIds = batch.filter(col("text").isNotNull).select("doc_id").as[Long].collect().toSet
+    assert(crossing.nonEmpty) // fixtures plant dups across the boundary
+    assert(kept == (batchIds -- crossing))
+    assert(kept.nonEmpty)
+  }
+
   test("minhash-LSH pairs equal exact prefix-filtered Jaccard pairs on fixtures") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

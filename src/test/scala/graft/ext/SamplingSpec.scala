@@ -20,6 +20,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size < docs.count())
   }
 
+  test("assignSplits: disjoint-exhaustive, partitioning-invariant, fractions respected") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplits(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row assigned exactly one split; same assignment on any partitioning
+    assert(a.size == docs.count())
+    assert(a.values.toSet == Set("train", "val", "test"))
+    val b = Sampling.assignSplits(docs.repartition(7), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // randomSplit would NOT survive this
+    // fractions roughly respected (hash-uniform; wide tolerance at 500 docs)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train=$frac")
+    // a NULL id gets a NULL split, not silently the last split
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(null.asInstanceOf[Any])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType))))
+    assert(Sampling.assignSplits(withNull, "doc_id", splits)
+      .select("split").collect().head.isNullAt(0))
+    // bad configs refused
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 0.6, "b" -> 0.6)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(docs, "doc_id", splits, splitCol = "lang"))
+  }
+
   test("groupQuantileFilter keeps rows at or above the per-group quantile") {
     val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10), ("b", 20))
       .toDF("g", "s")
