@@ -158,6 +158,21 @@ object Queries {
         .withColumn("value", col("value") + 1)
       Ops.maintainDailyAgg(stale, freshWindow, "day", EvFrom, EvTo)(dailyAgg)
     }),
+    // declarative data-quality report over the copied fact table — the QA
+    // gate the reference gets from SQL Server constraints and a parquet
+    // lake needs explicitly. Row-local checks fuse into ONE scan; unique
+    // and referential checks are one keyed pass each. Mixed pass/fail
+    // counts on the fixtures keep the gate honest (not all-zeros).
+    "validate_orders" -> ((s, d) => {
+      import graft.ext.Validate
+      Validate.report(orders(s, d), Seq(
+        Validate.NotNull("o_custkey"),
+        Validate.AcceptedValues("o_orderstatus", Seq("O", "F")),
+        Validate.InRange("o_totalprice", Some(0.0), Some(150000.0)),
+        Validate.Predicate("o_orderkey", "positive_key", col("o_orderkey") > 0),
+        Validate.Unique(Seq("o_orderkey")),
+        Validate.RefIntegrity("o_custkey", customer(s, d), "c_custkey")))
+    }),
     // entry points A+B+C end-to-end at the driver gate: the phased Runner
     // (classify → copy+update fact → plain fact → parallel dim) over a temp
     // source/target TableStore pair built inside the query, with the ledger
@@ -1020,6 +1035,32 @@ object Queries {
          |   AND event_id NOT IN (SELECT event_id FROM changed)
          |UNION ALL
          |SELECT * FROM fullv WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    "validate_orders" ->
+      """SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+        |       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+        |UNION ALL
+        |SELECT 'accepted_values', 'o_orderstatus',
+        |       (SELECT count(*) FROM orders
+        |         WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F'))
+        |UNION ALL
+        |SELECT 'in_range', 'o_totalprice',
+        |       (SELECT count(*) FROM orders
+        |         WHERE o_totalprice IS NOT NULL
+        |           AND (CAST(o_totalprice AS DOUBLE) < 0 OR CAST(o_totalprice AS DOUBLE) > 150000))
+        |UNION ALL
+        |SELECT 'predicate:positive_key', 'o_orderkey',
+        |       (SELECT count(*) FROM orders WHERE NOT COALESCE(o_orderkey > 0, FALSE))
+        |UNION ALL
+        |SELECT 'unique', 'o_orderkey',
+        |       -- DuckDB sum(BIGINT) widens to DECIMAL(38,0); the engine reports BIGINT
+        |       (SELECT CAST(COALESCE(sum(n - 1), 0) AS BIGINT) FROM (
+        |          SELECT count(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
+        |           GROUP BY o_orderkey HAVING count(*) > 1) t)
+        |UNION ALL
+        |SELECT 'ref_integrity', 'o_custkey',
+        |       (SELECT count(*) FROM orders
+        |         WHERE o_custkey IS NOT NULL
+        |           AND o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin,
     // entry points A+B+C reconstructed: the window-reload post-state (P3 raw
     // BETWEEN, +1d−3ms end), the changed-key upsert post-state (date-cast
     // changed-key discovery, full-row re-fetch), the dim truncate-reload,
