@@ -645,6 +645,11 @@ object Queries {
       Dedup.dedupeAgainstLshIndex(store, idx, doc.filter(col("doc_id") >= 250),
         "doc_id", "text", 0.8)
     }),
+    // contiguous global ordinals without the Exchange SinglePartition the
+    // naive global row_number plans: range-partition + per-partition
+    // offsets (two parallel jobs, driver holds only #partitions counts)
+    "window_global_ordinal" -> ((s, d) =>
+      Ops.globalOrdinals(docs(s, d).select("doc_id"), Seq(col("doc_id")), numParts = 8)),
     // deterministic split assignment: 80/10/10 by id-hash ppm bucket —
     // stable under any partitioning/engine (randomSplit is not), so a doc
     // keeps its split across re-runs (the train/test-leak guard)
@@ -1528,6 +1533,9 @@ object Queries {
          |SELECT * FROM documents
          | WHERE doc_id >= 250 AND text IS NOT NULL
          |   AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+    "window_global_ordinal" ->
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS ordinal
+        |  FROM documents""".stripMargin,
     "sampling_split_assign" ->
       s"""SELECT doc_id,
          |       CASE WHEN doc_id IS NULL THEN NULL

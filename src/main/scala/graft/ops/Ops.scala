@@ -235,6 +235,54 @@ object Ops {
       .drop(band)
   }
 
+  /**
+   * Contiguous global ordinals `0..n−1` in the total order of `orderCols`,
+   * WITHOUT a global single-partition sort: the naive
+   * `row_number() OVER (ORDER BY …)` plans `Exchange SinglePartition` —
+   * one task receives and sorts the entire table, the canonical Spark
+   * scale trap. Here the input is range-partitioned on the order key and
+   * sorted within partitions (a distributed sort), per-partition row
+   * counts become starting offsets (ONE #partitions-sized driver array —
+   * metadata, not data), and each partition numbers its own rows from its
+   * offset. Two jobs (count + number), both fully parallel.
+   *
+   * `orderCols` must be a TOTAL order (include a unique id as the final
+   * tiebreak) with no NULL keys — ties or nulls would make the assignment
+   * partition-boundary-dependent. Range boundaries come from sampling, but
+   * which partition a row lands in never changes its ordinal: the global
+   * order is fixed and offsets adapt to the actual partition sizes.
+   *
+   * The training-data uses: stable example ids after a corpus sort,
+   * strided sharding (`ordinal % nShards`), reproducible head/tail splits.
+   */
+  def globalOrdinals(df: DataFrame, orderCols: Seq[Column], numParts: Int,
+      ordCol: String = "ordinal"): DataFrame = {
+    require(orderCols.nonEmpty, "globalOrdinals needs at least one order column")
+    require(numParts > 0, s"numParts must be positive: $numParts")
+    require(!df.columns.contains(ordCol),
+      s"globalOrdinals: column '$ordCol' already exists — pass a free ordCol")
+    val ranged = df.repartitionByRange(numParts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    // job 1: per-partition counts → starting offsets (bounded by numParts)
+    val counts = ranged.rdd.mapPartitionsWithIndex(
+      (i, it) => Iterator((i, it.size.toLong)), preservesPartitioning = true)
+      .collect().toMap
+    val offsets = (0 until numParts).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+    // job 2: number rows inside each (already sorted) partition
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        ordCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val numbered = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k)
+        k += 1
+        r
+      }
+    }
+    df.sparkSession.createDataFrame(numbered, schema)
+  }
+
   /** Full incremental-update step (entry point C, SURVEY.md §3.3):
     * discover changed keys on the source, then upsert them into the target. */
   def incrementalUpdate(target: DataFrame, source: DataFrame, pk: String,

@@ -211,6 +211,26 @@ class OpsSpec extends AnyFunSuite {
       Some("2024-01-05") -> 7L))
   }
 
+  test("globalOrdinals equals the naive global row_number, any partitioning") {
+    val docs = graft.io.Tables.load(spark, graft.TestSpark.Sf0001, "documents")
+      .select("doc_id")
+    val naive = docs.withColumn("ordinal",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("doc_id")) - 1)
+      .as[(Long, Long)].collect().toMap.view.mapValues(_.toLong).toMap
+    val got = Ops.globalOrdinals(docs, Seq(col("doc_id")), numParts = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    // partitioning-invariant: the global order fixes the assignment
+    val re = Ops.globalOrdinals(docs.repartition(13), Seq(col("doc_id")), numParts = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(re == naive)
+    // ordinals are contiguous 0..n-1
+    assert(got.values.toSeq.sorted == (0L until got.size.toLong))
+    intercept[IllegalArgumentException](Ops.globalOrdinals(docs, Nil, 8))
+    intercept[IllegalArgumentException](
+      Ops.globalOrdinals(docs.withColumn("ordinal", lit(1)), Seq(col("doc_id")), 8))
+  }
+
   test("explain: upsert broadcasts the changed-key side") {
     val target = Seq((1L, "old")).toDF("pk", "v")
     val source = Seq((1L, "new")).toDF("pk", "v")
