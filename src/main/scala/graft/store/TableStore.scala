@@ -324,6 +324,29 @@ final class TableStore(spark: SparkSession, root: String) {
     atomicOverwrite(table, readEvolved(table).repartition(targetFiles))
   }
 
+  /** Partition-scoped small-file compaction — the date-partitioned form of
+    * [[compact]]: rewrite ONLY the named `partCol=<day>` partitions, one
+    * file per day, leaving every other partition's files untouched. The
+    * shape a micro-batch CDC target needs ([[graft.streaming.EventStream]]
+    * accretes a file per batch per day): a 100 TB table compacts its few
+    * hot days for the cost of those days, never a full rewrite. Reads
+    * merged footers like [[compact]], so compaction also heals a
+    * mixed-schema day into one uniform footer. Per-partition atomic via
+    * [[overwriteDatePartitions]] (same crash guarantee + writer lock). */
+  def compactDatePartitions(table: String, partCol: String,
+      days: Seq[java.time.LocalDate]): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(days.nonEmpty, "compactDatePartitions needs at least one day")
+    // hash-repartition on the day key into #days tasks: each day's rows
+    // land in exactly one task, so the partitionBy write emits ONE file per
+    // day (a hash collision co-locates two days in a task — still one file
+    // each)
+    val slice = readEvolved(table)
+      .filter(col(partCol).isin(days.map(java.sql.Date.valueOf): _*))
+      .repartition(days.size, col(partCol))
+    overwriteDatePartitions(table, slice, partCol, days)
+  }
+
   /** Read a [[writeBucketed]] table THROUGH the catalog — `spark.table`, not
     * `spark.read.parquet(path)`: the bucket spec rides on the catalog entry,
     * and a path read would silently lose the shuffle-free join property. */

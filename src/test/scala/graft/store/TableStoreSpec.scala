@@ -249,6 +249,26 @@ class TableStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store.tablePath("t") + ".old-deadbeef")))
   }
 
+  test("compactDatePartitions collapses one day's files, leaves other days untouched") {
+    import org.apache.spark.sql.functions.col
+    val store = freshStore()
+    // a fragmented day: 4 tasks → 4 files under day=2024-01-01; day 2 gets 1
+    val df = (1L to 8L).map(i => (i, if (i <= 6) "2024-01-01" else "2024-01-02"))
+      .toDF("k", "day").withColumn("day", col("day").cast("date"))
+    store.overwriteDatePartitions("t",
+      df.filter(col("day") === "2024-01-01").repartition(4).unionByName(
+        df.filter(col("day") === "2024-01-02").coalesce(1)),
+      "day", Seq(java.time.LocalDate.of(2024, 1, 1), java.time.LocalDate.of(2024, 1, 2)))
+    def files(day: String) = new java.io.File(store.tablePath("t"), s"day=$day")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(files("2024-01-01").size > 1, "fixture day must start fragmented")
+    val day2Before = files("2024-01-02")
+    store.compactDatePartitions("t", "day", Seq(java.time.LocalDate.of(2024, 1, 1)))
+    assert(files("2024-01-01").size == 1, "compacted day must be one file")
+    assert(files("2024-01-02") == day2Before, "untouched day was rewritten")
+    assert(store.read("t").select("k").as[Long].collect().toSet == (1L to 8L).toSet)
+  }
+
   test("a racing second writer fails loudly; the first writer's data publishes") {
     import org.apache.spark.sql.functions.{col, udf}
     val store = freshStore()
