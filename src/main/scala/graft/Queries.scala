@@ -851,6 +851,59 @@ object Queries {
         .select(col("userId").as("user_id"), col("n_sessions"), col("longest_session"))
     }),
 
+    // streaming exactly-once dedup gated against plain DISTINCT: the corpus
+    // is staged TWICE (every event a true duplicate), the stream must emit
+    // each event_id once. Watermark spans the fixture (31 days > the 30-day
+    // event range) so no dedup state evicts mid-drain.
+    "stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      s.catalog.dropTempView("stream_dd")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      val in = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        in.resolve("f0.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
+        in.resolve("f1.parquet"))
+      val q = graft.streaming.EventStream.dedupedEvents(
+          graft.streaming.EventStream.read(s, in.toString), watermark = "31 days")
+        .writeStream.format("memory").queryName("stream_dd")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("stream_dedup did not drain within 300 s")
+      }
+      s.table("stream_dd").select(col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }),
+
+    // streaming CDC apply gated end-to-end: a change stream (base images
+    // seq=0 plus updated images seq=1 for every 10th key) upserted into a
+    // temp TableStore copy; the post-state must equal the DuckDB
+    // reconstruction. In-batch last-write-wins on seq resolves the
+    // duplicate keys regardless of how AvailableNow batches the files.
+    "stream_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+      val store = new graft.store.TableStore(s, s"$tmp/store")
+      val base = events(s, d).withColumn("seq", lit(0L))
+      base.write.parquet(s"$tmp/in/f0")
+      base.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 100)
+        .withColumn("seq", lit(1L))
+        .write.parquet(s"$tmp/in/f1")
+      val stream = s.readStream.schema(base.schema).parquet(s"$tmp/in/f*")
+      val q = graft.streaming.EventStream.upsertInto(stream, store, "copy", "event_id", "seq")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("stream_cdc_apply did not drain within 300 s")
+      }
+      store.read("copy")
+    }),
+
     // the Misra–Gries sketch gated in its EXACT regime: capacity above the
     // corpus' distinct-token count means no counter ever decrements and no
     // merge ever shrinks, so the sketch IS `GROUP BY token / count(*)` —
@@ -1590,6 +1643,14 @@ object Queries {
     "agg_user_sessions" -> userSessionsSql,
     // streaming sessionize must reproduce the batch gap sessions exactly
     "stream_sessions" -> userSessionsSql,
+    // the doubled stream deduped ≡ the table itself (event_id unique)
+    "stream_dedup" -> s"SELECT $evCols FROM events",
+    "stream_cdc_apply" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |       CASE WHEN event_id % 10 = 0 THEN value + 100 ELSE value END AS value,
+        |       props,
+        |       CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS seq
+        |  FROM events""".stripMargin,
     // exact-regime Misra–Gries (capacity > distinct tokens) ≡ GROUP BY
     "agg_frequent_tokens" ->
       """SELECT tok AS token, count(*) AS est_count

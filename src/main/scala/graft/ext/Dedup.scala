@@ -48,19 +48,6 @@ object Dedup {
     when(text.isNotNull,
       md5(concat_ws(" ", array_sort(array_distinct(TextAnalysis.tokens(text))))))
 
-  /** Distinct word n-gram shingles per document: `(id, shingles, sz)`.
-    * Documents shorter than `n` tokens contribute their whole token string
-    * as a single shingle. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
-    val grams = when(size(t) >= n,
-        array_distinct(transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
-      .otherwise(array(concat_ws(" ", t)))
-    docs.select(col(idCol), grams.as("shingles"))
-      .withColumn("sz", size(col("shingles")))
-  }
-
   /** Benchmark decontamination — the training-data step that removes
     * evaluation contamination: drop every corpus document sharing at least
     * `minOverlap` distinct word n-gram shingles with ANY blocklisted
