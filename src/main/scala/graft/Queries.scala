@@ -61,6 +61,25 @@ object Queries {
       .select("doc_id", "lang", "n_chars", "n_tokens")
   }
 
+  /**
+   * Run `body` with `spark.sql.shuffle.partitions` temporarily lowered to
+   * `n` — STREAMING drains only. A stateful streaming operator instantiates
+   * one state store (checkpoint dir, provider, maintenance task) per
+   * shuffle partition per stateful operator; at the gate/bench data scale
+   * that lifecycle dominates the actual work, so drains size state
+   * partitions to their load exactly as a production job sizes
+   * `shuffle.partitions` to its stream volume (the partition count is
+   * pinned into the checkpoint at first start — a real deployment chooses
+   * it deliberately; riding the batch session default is the accident).
+   * Restored in `finally`, so surrounding batch plans are untouched.
+   */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** events + deterministic synthetic `update_ts` (no update-date column in
     * the fixtures — FIXTURES.md): `ts + (event_id % 7) days`. */
   private def eventsWithUpdateTs(s: SparkSession, d: String): DataFrame =
@@ -786,7 +805,7 @@ object Queries {
     // live streams joined on the banded time key. Inner stream joins emit
     // on match (the watermark only bounds state), so one drain sees every
     // pair once both sides' single micro-batch has loaded.
-    "stream_correlated" -> ((s, d) => {
+    "stream_correlated" -> ((s, d) => withStatePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       s.catalog.dropTempView("stream_corr")
       def side(tpe: String, idAs: String) =
@@ -816,7 +835,7 @@ object Queries {
     // excluded below. Two drains over one checkpoint is the same restart
     // pattern the CDC specs use; the parquet sink accumulates across them
     // (a memory sink would drop drain 1's rows on re-registration).
-    "stream_sessions" -> ((s, d) => {
+    "stream_sessions" -> ((s, d) => withStatePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
       val in = tmp.resolve("in")
@@ -855,7 +874,7 @@ object Queries {
     // is staged TWICE (every event a true duplicate), the stream must emit
     // each event_id once. Watermark spans the fixture (31 days > the 30-day
     // event range) so no dedup state evicts mid-drain.
-    "stream_dedup" -> ((s, d) => {
+    "stream_dedup" -> ((s, d) => withStatePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       s.catalog.dropTempView("stream_dd")
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
@@ -883,7 +902,7 @@ object Queries {
     // temp TableStore copy; the post-state must equal the DuckDB
     // reconstruction. In-batch last-write-wins on seq resolves the
     // duplicate keys regardless of how AvailableNow batches the files.
-    "stream_cdc_apply" -> ((s, d) => {
+    "stream_cdc_apply" -> ((s, d) => withStatePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
       val store = new graft.store.TableStore(s, s"$tmp/store")
