@@ -159,6 +159,23 @@ object ScaleSmoke {
       consume(graft.ext.Sampling.hashFraction(bigEv, "event_id", 100))
     }
 
+    // ---- round-8 additions at their scale shapes ----
+    // split assignment: a pure per-row hash map — 1M rows, no shuffle
+    time("train/val/test split assignment, 1M rows") {
+      consume(graft.ext.Sampling.assignSplits(bigEv, "event_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+    }
+    // contiguous ordinals over 12M rows: the naive global row_number would
+    // single-partition-sort all 12M in one task; this runs two parallel
+    // jobs. The replicated fixture duplicates (orderkey, linenumber) 20×,
+    // so a per-row uid completes the operator's total-order contract.
+    time("global ordinals over 12M lineitem rows") {
+      consume(graft.ops.Ops.globalOrdinals(
+        bigLi.select(col("l_orderkey"), col("l_linenumber"))
+          .withColumn("uid", monotonically_increasing_id()),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("uid")), numParts = 32))
+    }
+
     // ---- training-sequence packing at 1M rows ----
     // 64 shards over 1M ids → ~16k rows per shard-local sort; cost scales
     // with rows/nShards (the caller's contract), never with the corpus
@@ -197,6 +214,21 @@ object ScaleSmoke {
     val lsh = time("minhash-LSH pairs 20k docs") {
       val n = graft.ext.Dedup.minhashLshPairs(bigDocs, "doc_id", "text", 3, 64, 16, 0.8).count()
       graft.ext.Dedup.unpersistAll(); n
+    }
+    // persisted LSH ingest index: archive shingled + bucketed ONCE, then
+    // each batch probe pays only its own shingling + the bucket join
+    val lshStore = new graft.store.TableStore(spark, s"$out/lsh_store")
+    time("LSH ingest index BUILD, 16k-doc archive (once)") {
+      graft.ext.Dedup.buildLshIndex(lshStore, "archive_lsh",
+        bigDocs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.ext.Dedup.unpersistAll()
+    }
+    time("LSH ingest probe, 4k-doc batch vs stored archive") {
+      val idx = graft.ext.Dedup.loadLshIndex(lshStore, "archive_lsh")
+      val n = graft.ext.Dedup.dedupeAgainstLshIndex(lshStore, idx,
+        bigDocs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.8).count()
+      graft.ext.Dedup.unpersistAll()
+      println(s"[scale]   batch survivors after archive dedup: $n")
     }
     val sh = time("simhash pairs 20k docs") {
       val n = graft.ext.Dedup.simhashPairs(bigDocs, "doc_id", "text", 3).count()
