@@ -177,6 +177,34 @@ object Queries {
         .withColumn("value", col("value") + 1)
       Ops.maintainDailyAgg(stale, freshWindow, "day", EvFrom, EvTo)(dailyAgg)
     }),
+    // the SKETCH profile's error bounds gated at the driver: approximate
+    // output has no bit-stable cross-engine form, but its theoretical
+    // bounds do — emit every bound VIOLATION (HLL distinct estimate off by
+    // > 5×rsd; approx p50/p99 outside a generous exact-percentile
+    // envelope, rank error ≤ n/accuracy = 1 row here) and require the
+    // result to be EMPTY, which a WHERE FALSE oracle checks exactly.
+    "profile_sketch_bounds" -> ((s, d) => {
+      val ev = events(s, d)
+      val approx = ext.Profiling.approxProfile(ev, Seq("user_id", "event_type"), Seq("value"))
+      val exact = ext.Profiling.profile(ev, Seq("user_id", "event_type"))
+      val env = ev.agg(
+        expr("percentile(value, 0.45)").cast("double").as("p45"),
+        expr("percentile(value, 0.55)").cast("double").as("p55"),
+        expr("percentile(value, 0.97)").cast("double").as("p97"),
+        expr("percentile(value, 0.999)").cast("double").as("p999")).head()
+      val distinctViolations = approx.filter(col("approx_distinct").isNotNull)
+        .join(exact.select(col("col_name"), col("n_distinct")), "col_name")
+        .filter(abs(col("approx_distinct") - col("n_distinct")).cast("double")
+          > lit(0.10) * col("n_distinct")) // 5 × rsd(0.02)
+        .select(col("col_name"), lit("approx_distinct").as("metric"),
+          col("approx_distinct").cast("double").as("value"))
+      val pViolations = approx.filter(col("approx_p50").isNotNull)
+        .filter(!col("approx_p50").between(env.getDouble(0), env.getDouble(1)) ||
+          !col("approx_p99").between(env.getDouble(2), env.getDouble(3)))
+        .select(col("col_name"), lit("approx_percentile").as("metric"),
+          col("approx_p50").as("value"))
+      distinctViolations.unionByName(pViolations)
+    }),
     // declarative data-quality report over the copied fact table — the QA
     // gate the reference gets from SQL Server constraints and a parquet
     // lake needs explicitly. Row-local checks fuse into ONE scan; unique
@@ -1112,6 +1140,11 @@ object Queries {
          |   AND event_id NOT IN (SELECT event_id FROM changed)
          |UNION ALL
          |SELECT * FROM fullv WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    // the bound-violation set must be EMPTY — schema-matched zero rows
+    "profile_sketch_bounds" ->
+      """SELECT CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS VARCHAR) AS metric,
+        |       CAST(NULL AS DOUBLE) AS value
+        |  FROM events WHERE FALSE""".stripMargin,
     "validate_orders" ->
       """SELECT 'not_null' AS "check", 'o_custkey' AS "column",
         |       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
