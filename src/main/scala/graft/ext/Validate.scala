@@ -84,7 +84,10 @@ object Validate {
     }
 
     val rowChecks = checks.zipWithIndex.flatMap { case (c, i) =>
-      violation(c).map(v => (c, i, sum(when(v, 1L).otherwise(0L)).as(s"__v_$i")))
+      // coalesce: sum over an EMPTY table is NULL, and an empty table has
+      // zero violations, not unknown-many
+      violation(c).map(v =>
+        (c, i, coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as(s"__v_$i")))
     }
     val spark = df.sparkSession
     import spark.implicits._

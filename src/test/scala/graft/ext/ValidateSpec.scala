@@ -53,6 +53,14 @@ class ValidateSpec extends AnyFunSuite {
     assert(scans <= 2, s"row checks must fuse into one scan:\n$plan")
   }
 
+  test("an EMPTY table reports zero violations, not NULL counts") {
+    val df = Seq((1L, "a")).toDF("k", "v").filter(lit(false))
+    val got = reportMap(df, Seq(
+      Validate.NotNull("k"), Validate.Unique(Seq("k")),
+      Validate.RefIntegrity("k", Seq(1L).toDF("pk"), "pk")))
+    assert(got.values.toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("unknown columns and empty check lists are refused") {
     val df = Seq((1L, "a")).toDF("k", "v")
     intercept[IllegalArgumentException](Validate.report(df, Nil))
