@@ -334,17 +334,22 @@ final class TableStore(spark: SparkSession, root: String) {
     * mixed-schema day into one uniform footer. Per-partition atomic via
     * [[overwriteDatePartitions]] (same crash guarantee + writer lock). */
   def compactDatePartitions(table: String, partCol: String,
-      days: Seq[java.time.LocalDate]): Unit = {
-    import org.apache.spark.sql.functions.col
+      days: Seq[java.time.LocalDate], filesPerDay: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(days.nonEmpty, "compactDatePartitions needs at least one day")
-    // hash-repartition on the day key into #days tasks: each day's rows
-    // land in exactly one task, so the partitionBy write emits ONE file per
-    // day (a hash collision co-locates two days in a task — still one file
-    // each)
+    require(filesPerDay > 0, s"filesPerDay must be positive: $filesPerDay")
+    // hash-repartition on (day, row-content salt) into days×filesPerDay
+    // tasks: each day's rows spread across ≤ filesPerDay tasks, so the
+    // partitionBy write emits ≤ filesPerDay files per day and a hot day's
+    // bytes stream through filesPerDay parallel writers, not one (a task
+    // co-locating two days still writes each day separately). filesPerDay
+    // = 1 is the tightest layout; size it to the day's volume at scale.
     val slice = readEvolved(table)
       .filter(col(partCol).isin(days.map(java.sql.Date.valueOf): _*))
-      .repartition(days.size, col(partCol))
-    overwriteDatePartitions(table, slice, partCol, days)
+    val salt = pmod(xxhash64(slice.columns.toIndexedSeq.map(col): _*), lit(filesPerDay))
+    overwriteDatePartitions(table,
+      slice.repartition(days.size * filesPerDay, col(partCol), salt),
+      partCol, days)
   }
 
   /** Read a [[writeBucketed]] table THROUGH the catalog — `spark.table`, not

@@ -267,6 +267,11 @@ class TableStoreSpec extends AnyFunSuite {
     assert(files("2024-01-01").size == 1, "compacted day must be one file")
     assert(files("2024-01-02") == day2Before, "untouched day was rewritten")
     assert(store.read("t").select("k").as[Long].collect().toSet == (1L to 8L).toSet)
+    // a hot day can compact to N parallel writers instead of one
+    store.compactDatePartitions("t", "day",
+      Seq(java.time.LocalDate.of(2024, 1, 1)), filesPerDay = 3)
+    assert(files("2024-01-01").size <= 3 && files("2024-01-01").nonEmpty)
+    assert(store.read("t").select("k").as[Long].collect().toSet == (1L to 8L).toSet)
   }
 
   test("a racing second writer fails loudly; the first writer's data publishes") {
