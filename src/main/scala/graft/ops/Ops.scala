@@ -263,22 +263,17 @@ object Ops {
       s"globalOrdinals: column '$ordCol' already exists — pass a free ordCol")
     val ranged = df.repartitionByRange(numParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    // job 1: per-partition counts → starting offsets (bounded by numParts)
-    val counts = ranged.rdd.mapPartitionsWithIndex(
-      (i, it) => Iterator((i, it.size.toLong)), preservesPartitioning = true)
-      .collect().toMap
-    val offsets = (0 until numParts).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
-    // job 2: number rows inside each (already sorted) partition
+    // ONE RDD instance for both of zipWithIndex's jobs (the per-partition
+    // count and the numbering map): the second job then REUSES the first's
+    // shuffle files instead of re-running the scan + range sampling +
+    // exchange (two .rdd calls would build two lineages and recompute all
+    // of it). zipWithIndex's index IS the offset-adjusted ordinal because
+    // partition order here is the range order.
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         ordCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val numbered = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
-      var k = offsets(i)
-      it.map { row =>
-        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k)
-        k += 1
-        r
-      }
+    val numbered = ranged.rdd.zipWithIndex().map { case (row, k) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k)
     }
     df.sparkSession.createDataFrame(numbered, schema)
   }
