@@ -279,6 +279,22 @@ object Queries {
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
       store.readEvolved("orders_evolving")
     }),
+    // object-store-safe commit protocol at the driver gate: the same
+    // overwrite→append→compact lifecycle as o5 but through POINTER commits
+    // (immutable generation dirs + atomic create-if-absent markers — the
+    // protocol a 100 TB object-store deployment needs, where rename is a
+    // non-atomic copy+delete). The read resolves the manifest chain; the
+    // oracle is simply the reconstructed row set.
+    "o6_pointer_commit" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o6").toString,
+        graft.store.CommitMode.Pointer)
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+      store.atomicOverwrite("ord_ptr", ord.filter(col("o_orderkey") % 2 === 0))
+      store.append("ord_ptr", ord.filter(col("o_orderkey") % 2 === 1))
+      store.compact("ord_ptr", 4) // folds the append generations into one
+      store.read("ord_ptr")
+    }),
     "a1_window_delete" -> ((s, d) =>
       Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
@@ -1206,6 +1222,8 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus
         |  FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "o6_pointer_commit" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
     "o3_agg_maintain" ->
       """WITH up AS (
         |  SELECT ts, event_type,

@@ -1,5 +1,7 @@
 package graft.store
 
+import java.io.IOException
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -10,39 +12,98 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class ConcurrentWriteException(msg: String, cause: Throwable = null)
   extends RuntimeException(msg, cause)
 
+/** How a [[TableStore]] PUBLISHES new table state. Reads are mode-agnostic:
+  * both layouts are recognized on disk, so a store in either mode reads
+  * tables written by the other. */
+sealed trait CommitMode
+object CommitMode {
+  /** Publish via two atomic directory renames. Correct on filesystems with
+    * atomic rename (local FS, HDFS); the cheapest protocol there. */
+  case object Rename extends CommitMode
+  /** Publish via immutable generation directories plus an atomic
+    * create-if-absent commit marker — the object-store protocol, where
+    * "rename" is a non-atomic copy-then-delete and the rename swap could
+    * expose a torn table. */
+  case object Pointer extends CommitMode
+  /** [[Rename]] on schemes with atomic rename (file/hdfs/viewfs),
+    * [[Pointer]] everywhere else (s3a, gs, abfs, wasb, oss, …). */
+  case object Auto extends CommitMode
+}
+
 /**
  * Directory-per-table parquet store with atomic publish.
  *
  * Stands in for the reference's target SQL Server database plus its
  * delete+bulk-insert transaction (`TableCopyService.cs:89,170`): readers of a
  * table must never observe a half-refreshed state. With no transactional
- * table format on the classpath, atomicity comes from a write-temp-then-rename
- * swap protocol on the filesystem (SURVEY.md §4.4):
+ * table format on the classpath, atomicity comes from one of two publish
+ * protocols, chosen by [[CommitMode]]:
  *
+ * '''Rename mode''' (local FS / HDFS fast path, SURVEY.md §4.4):
  *  1. write the new state to `<table>.tmp-<nonce>` (Spark job; crash here
  *     leaves the current state untouched),
  *  2. rename current `<table>` → `<table>.old-<nonce>` (atomic),
  *  3. rename `<table>.tmp-<nonce>` → `<table>` (atomic publish),
  *  4. delete the `.old` dir (best-effort cleanup).
- *
  * A crash between 2 and 3 is recovered by [[recover]]: if `<table>` is
- * missing but an `.old` dir exists, the old state is renamed back. Stale
- * `.tmp`/`.old` dirs never shadow the live directory because reads only ever
- * target `<table>` exactly.
+ * missing but an `.old` dir exists, the old state is renamed back.
  *
- * At 100 TB the same protocol holds: the swap is two metadata operations
- * regardless of data volume, and the expensive step (1) is a fully parallel
- * distributed write.
+ * '''Pointer mode''' (object stores, where 100 TB actually lives and rename
+ * is a non-atomic copy+delete — the Iceberg/Delta-style manifest-pointer
+ * protocol, re-derived here over plain files):
+ *  1. write the new state to an immutable `<table>/_gen-<nonce>/` directory
+ *     (crash here leaves an unreferenced dir no reader ever sees),
+ *  2. publish by atomically creating `<table>/_commit.<n>` (create with
+ *     overwrite=false is the store's compare-and-set; n = highest existing
+ *     marker + 1). The marker's content is a tiny manifest mapping the table
+ *     (or each date partition) to its generation directory.
+ * Readers resolve the highest fully-written marker and read exactly the
+ * directories it names — there is NO window in which a reader can observe a
+ * missing or half-copied table, and a reader that resolved its generation
+ * before a publish keeps reading that generation (the previous generation is
+ * retained until the next commit). Generation dirs are `_`-prefixed, so a
+ * bare `spark.read.parquet(<table>)` that bypasses the protocol fails loudly
+ * instead of silently unioning generations.
+ *
+ * At 100 TB both protocols hold: the publish step is O(1) metadata
+ * operations regardless of data volume, and the expensive step (writing the
+ * new generation) is a fully parallel distributed write.
  */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String,
+    commitMode: CommitMode = CommitMode.Auto,
+    lockTtlMs: Long = TableStore.DefaultLockTtlMs,
+    appendLockWaitMs: Long = TableStore.DefaultAppendWaitMs) {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[TableStore])
 
   private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Pointer commits when the root's filesystem lacks atomic rename. */
+  private val pointerMode: Boolean = commitMode match {
+    case CommitMode.Pointer => true
+    case CommitMode.Rename => false
+    case CommitMode.Auto =>
+      val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
+      !Set("file", "hdfs", "viewfs").contains(scheme)
+  }
+
   def tablePath(table: String): String = s"$root/$table"
 
-  def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
+  /** Committed data exists: in the pointer layout a crashed first write
+    * leaves a generation dir but no marker — that table does NOT exist. */
+  def exists(table: String): Boolean = {
+    val dir = new Path(tablePath(table))
+    if (!fs.exists(dir)) false
+    else if (listMarkers(table).nonEmpty) currentManifest(table).isDefined
+    else {
+      // marker-less: the rename layout exists as a directory; a dir holding
+      // ONLY uncommitted generation dirs is a crashed first pointer write
+      val children = fs.listStatus(dir)
+      children.isEmpty || children.exists(s => !s.getPath.getName.startsWith("_gen-"))
+    }
+  }
 
-  def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
+  def read(table: String): DataFrame = resolveRead(table, mergeSchemas = false)
 
   /** Read an append-evolved table with schema merging: a table whose later
     * appends added columns (the CDC-source-gained-a-field case) has mixed
@@ -51,16 +112,171 @@ final class TableStore(spark: SparkSession, root: String) {
     * file wins. `mergeSchema` unions all footers (old rows read NULL for
     * later columns). Footer-merge cost scales with file count, not bytes —
     * pair evolving tables with [[compact]] to keep it bounded. */
-  def readEvolved(table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(tablePath(table))
+  def readEvolved(table: String): DataFrame = resolveRead(table, mergeSchemas = true)
+
+  // ---------------------------------------------------------------------
+  // Pointer-layout plumbing (generation dirs + commit markers)
+  // ---------------------------------------------------------------------
+
+  private val MarkerPrefix = "_commit."
+  private val ManifestHeader = "graft-manifest v1"
+  /** Manifest entry name meaning "the whole table lives in this gen dir". */
+  private val WholeTable = "*"
+
+  private def markerIndex(name: String): Option[Long] =
+    if (name.startsWith(MarkerPrefix)) name.stripPrefix(MarkerPrefix).toLongOption else None
+
+  /** All commit markers (valid or partial), highest index first. */
+  private def listMarkers(table: String): Seq[(Long, Path)] = {
+    val dir = new Path(tablePath(table))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => markerIndex(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(-_._1)
+  }
+
+  /** Parse a marker's manifest. `None` for a partially-written marker (the
+    * header carries the entry count, so a truncated read is detectable —
+    * readers then fall back to the previous generation instead of silently
+    * seeing a subset of partitions). */
+  private def parseManifest(p: Path): Option[Seq[(String, String)]] = {
+    val text = try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        Iterator.continually(in.read(chunk)).takeWhile(_ >= 0).foreach(n => buf.write(chunk, 0, n))
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    } catch { case _: IOException => return None }
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    lines.headOption match {
+      case Some(h) if h.startsWith(ManifestHeader) =>
+        val declared = h.stripPrefix(ManifestHeader).trim.toIntOption
+        val entries = lines.tail.flatMap { l =>
+          l.split("\t", 2) match { case Array(n, d) => Some(n -> d); case _ => None }
+        }
+        if (declared.contains(entries.size)) Some(entries) else None
+      case _ => None
+    }
+  }
+
+  /** Highest fully-committed manifest, if any. */
+  private def currentManifest(table: String): Option[(Long, Seq[(String, String)])] =
+    listMarkers(table).iterator
+      .flatMap { case (n, p) => parseManifest(p).map(n -> _) }
+      .nextOption()
+
+  /** Publish `entries` as the table's next generation: atomic
+    * create-if-absent of `_commit.<n>`. The marker create is the commit
+    * arbiter — even if the writer lock was wrongly broken, at most one
+    * racing writer's marker lands and the loser fails loudly here. */
+  private def commitPointer(table: String, entries: Seq[(String, String)], op: String): Unit = {
+    val dir = new Path(tablePath(table))
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    // a broken-lock recover() may have deleted an in-flight writer's gen dir;
+    // refuse to publish a manifest naming a missing directory
+    entries.map(_._2).distinct.foreach { g =>
+      if (!fs.exists(new Path(dir, g)))
+        throw new IOException(
+          s"$op('$table'): generation dir $g vanished before commit " +
+            "(writer lock was broken by another writer?) — nothing was published")
+    }
+    // next index ranges over ALL markers, including partial ones, so a
+    // concurrent writer mid-marker-write is never overwritten
+    val next = (0L +: listMarkers(table).map(_._1)).max + 1
+    val marker = new Path(dir, s"$MarkerPrefix$next")
+    val content = (s"$ManifestHeader ${entries.size}" +:
+      entries.map { case (n, g) => s"$n\t$g" }).mkString("\n")
+    val out = try fs.create(marker, false) catch {
+      case e: IOException => throw new ConcurrentWriteException(
+        s"$op('$table'): commit marker ${marker.getName} already exists — lost the publish " +
+          "race to another writer; this writer's generation was not published", e)
+    }
+    try { out.write(content.getBytes("UTF-8")); out.close() } catch {
+      case e: IOException => fs.delete(marker, false); throw e
+    }
+    cleanupGenerations(table)
+  }
+
+  /** Best-effort retention: keep the two highest-indexed markers (current +
+    * previous generation, so a reader that resolved just before a publish
+    * still has its files) and every gen dir either of them references;
+    * delete older markers and unreferenced `_gen-*` dirs. */
+  private def cleanupGenerations(table: String): Unit =
+    try {
+      val dir = new Path(tablePath(table))
+      val markers = listMarkers(table)
+      val (keep, drop) = markers.splitAt(2)
+      val referenced = keep.flatMap { case (_, p) => parseManifest(p).getOrElse(Nil) }
+        .map(_._2).toSet
+      drop.foreach { case (_, p) => fs.delete(p, false) }
+      fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.startsWith("_gen-") && !referenced.contains(p.getName))
+        .foreach(fs.delete(_, true))
+    } catch { case e: IOException => log.warn(s"cleanupGenerations('$table') failed: $e") }
+
+  /** Mode-agnostic read resolution: a table with commit markers reads the
+    * manifest's directories; a marker-less dir is the rename layout and
+    * reads directly. Partition-scoped manifests rebuild the partition
+    * column from each entry's `col=value` name (cast to date — the only
+    * partition type [[overwriteDatePartitions]] produces). */
+  private def resolveRead(table: String, mergeSchemas: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tablePath(table)
+    def reader = if (mergeSchemas) spark.read.option("mergeSchema", "true") else spark.read
+    if (listMarkers(table).isEmpty) reader.parquet(dir)
+    else currentManifest(table) match {
+      case None =>
+        throw new IOException(s"read('$table'): no fully-committed generation marker found")
+      case Some((_, entries)) =>
+        val (whole, parts) = entries.partition(_._1 == WholeTable)
+        if (parts.isEmpty) reader.parquet(whole.map(e => s"$dir/${e._2}"): _*)
+        else if (whole.isEmpty) {
+          val dfs = parts.map { case (partName, gen) =>
+            val Array(c, v) = partName.split("=", 2)
+            reader.parquet(s"$dir/$gen/$partName").withColumn(c, lit(v).cast("date"))
+          }
+          dfs.reduce(_.unionByName(_, allowMissingColumns = mergeSchemas))
+        } else throw new IllegalStateException(
+          s"read('$table'): manifest mixes whole-table and partition entries")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Writes
+  // ---------------------------------------------------------------------
 
   /** Append rows (the reference's plain `SqlBulkCopy` append path,
-    * `TableCopyService.cs:121,144-170`). Not atomic across files; used for
-    * the ledger and pure-append facts. */
+    * `TableCopyService.cs:121,144-170`); used for the ledger and pure-append
+    * facts. Takes the writer lock (waiting up to `appendLockWaitMs` — appends
+    * serialize fine, unlike rewrites where failing fast is the right call):
+    * an unlocked append racing a rewrite can land its files in a retired
+    * directory and be silently lost, and two concurrent append jobs race on
+    * the shared `_temporary` staging dir. In pointer mode each append is its
+    * own atomically-published generation (the manifest accumulates dirs;
+    * [[compact]] folds them). */
   def append(table: String, df: DataFrame): Unit = {
     refuseIfCatalogBucketed(table, "append")
-    df.write.mode("append").parquet(tablePath(table))
+    val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
+    try {
+      if (!pointerMode) df.write.mode("append").parquet(tablePath(table))
+      else {
+        val dir = new Path(tablePath(table))
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val prev = currentManifest(table).map(_._2).getOrElse(Nil)
+        if (prev.exists(_._1 != WholeTable))
+          throw new IllegalStateException(
+            s"append('$table'): table has partition-scoped generations; append through " +
+              "overwriteDatePartitions (or compact first)")
+        val gen = new Path(dir, s"_gen-${nonce()}")
+        df.write.mode("overwrite").parquet(gen.toString)
+        commitPointer(table, prev :+ (WholeTable -> gen.getName), "append")
+      }
+    } finally fs.delete(lock, false)
   }
+
+  private def nonce(): String = java.util.UUID.randomUUID.toString.take(8)
 
   /** Writer mutual exclusion: atomically create `<table>.lock` (create with
     * overwrite=false is the filesystem's compare-and-set) and fail loudly
@@ -68,25 +284,61 @@ final class TableStore(spark: SparkSession, root: String) {
     * this, two racing [[atomicOverwrite]]s both complete and the LAST swap
     * silently discards the first writer's data — a lost update with no
     * error anywhere (the reference got this exclusion for free from SQL
-    * Server transactions). A crashed writer leaves a stale lock; [[recover]]
-    * clears it (run recovery only when no writer is live). */
-  private def acquireWriteLock(table: String, op: String): Path = {
+    * Server transactions).
+    *
+    * Self-healing: a lock whose modification time is older than `lockTtlMs`
+    * is a crashed writer's leftover — it is broken with a logged warning and
+    * the table [[recover]]ed before this writer proceeds. Size the TTL above
+    * the longest expected rewrite: breaking a live-but-slow writer's lock
+    * makes THAT writer fail loudly at publish time (its temp/generation dir
+    * is recovered away and the commit arbiter refuses a vanished dir) —
+    * never a silent lost update. `waitMs` > 0 retries on contention before
+    * failing (appends serialize; rewrites fail fast with waitMs = 0). */
+  private def acquireWriteLock(table: String, op: String, waitMs: Long = 0L): Path = {
     val lock = new Path(tablePath(table) + ".lock")
     def conflict(cause: Throwable) = throw new ConcurrentWriteException(
       s"$op('$table'): another writer holds ${lock.getName} — concurrent rewrites of one " +
         "table lose the first writer's data; retry after it finishes " +
-        "(a stale lock from a crashed writer is cleared by recover)", cause)
-    if (fs.exists(lock)) conflict(null)
-    try {
-      val out = fs.create(lock, false) // atomic create-fails-if-exists
-      try out.writeUTF(s"$op@${java.time.Instant.now()}") finally out.close()
-    } catch { case e: java.io.IOException => conflict(e) }
-    lock
+        s"(a crashed writer's lock self-heals after ${lockTtlMs / 1000}s, or run recover)", cause)
+    val deadline = System.currentTimeMillis + waitMs
+    var acquired: Path = null
+    while (acquired == null) {
+      val heldAgeMs: Option[Long] =
+        try {
+          if (fs.exists(lock)) Some(System.currentTimeMillis - fs.getFileStatus(lock).getModificationTime)
+          else None
+        } catch { case _: java.io.FileNotFoundException => None } // released between exists and stat
+      heldAgeMs match {
+        case Some(age) if lockTtlMs > 0 && age > lockTtlMs =>
+          log.warn(s"$op('$table'): breaking stale writer lock (age ${age}ms > TTL ${lockTtlMs}ms) " +
+            "and recovering the table — the previous writer is presumed crashed")
+          recover(table)
+        case Some(_) if System.currentTimeMillis < deadline => Thread.sleep(100)
+        case Some(_) => conflict(null)
+        case None =>
+          val created = try Some(fs.create(lock, false)) catch {
+            case e: IOException => // lost the create race
+              if (System.currentTimeMillis < deadline) { Thread.sleep(100); None }
+              else conflict(e)
+          }
+          created.foreach { out =>
+            // metadata write failing must NOT leave our own lock behind
+            // masquerading as a concurrent writer
+            try { out.writeUTF(s"$op@${java.time.Instant.now()}"); out.close() } catch {
+              case e: IOException =>
+                fs.delete(lock, false)
+                throw new IOException(s"$op('$table'): failed to write lock metadata", e)
+            }
+            acquired = lock
+          }
+      }
+    }
+    acquired
   }
 
-  /** Atomically replace the table's state with `df` (protocol above).
+  /** Atomically replace the table's state with `df` (protocols above).
     * `df` MAY be derived from the table's own current state — it is fully
-    * materialized into the temp dir before any rename touches the live dir.
+    * materialized into the new temp/generation dir before the publish step.
     * Guarded at this funnel (and [[append]]/[[overwriteDatePartitions]]) so
     * EVERY rewrite path refuses catalog-bucketed tables, not just the
     * convenience wrappers. Rewrites of one table are mutually exclusive
@@ -96,21 +348,30 @@ final class TableStore(spark: SparkSession, root: String) {
     refuseIfCatalogBucketed(table, "atomicOverwrite")
     val lock = acquireWriteLock(table, "atomicOverwrite")
     try {
-      val nonce = java.util.UUID.randomUUID.toString.take(8)
-      val live = new Path(tablePath(table))
-      val tmp = new Path(tablePath(table) + s".tmp-$nonce")
-      val old = new Path(tablePath(table) + s".old-$nonce")
-      val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
-      writer.mode("overwrite").parquet(tmp.toString)
-      val hadLive = fs.exists(live)
-      if (hadLive && !fs.rename(live, old))
-        throw new java.io.IOException(s"atomicOverwrite: could not retire $live")
-      if (!fs.rename(tmp, live)) {
-        // roll back: restore the old state before failing
-        if (hadLive) fs.rename(old, live)
-        throw new java.io.IOException(s"atomicOverwrite: could not publish $tmp as $live")
+      if (pointerMode) {
+        val dir = new Path(tablePath(table))
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val gen = new Path(dir, s"_gen-${nonce()}")
+        val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+        writer.mode("overwrite").parquet(gen.toString)
+        commitPointer(table, Seq(WholeTable -> gen.getName), "atomicOverwrite")
+      } else {
+        val nn = nonce()
+        val live = new Path(tablePath(table))
+        val tmp = new Path(tablePath(table) + s".tmp-$nn")
+        val old = new Path(tablePath(table) + s".old-$nn")
+        val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+        writer.mode("overwrite").parquet(tmp.toString)
+        val hadLive = fs.exists(live)
+        if (hadLive && !fs.rename(live, old))
+          throw new IOException(s"atomicOverwrite: could not retire $live")
+        if (!fs.rename(tmp, live)) {
+          // roll back: restore the old state before failing
+          if (hadLive) fs.rename(old, live)
+          throw new IOException(s"atomicOverwrite: could not publish $tmp as $live")
+        }
+        if (hadLive) fs.delete(old, true)
       }
-      if (hadLive) fs.delete(old, true)
     } finally fs.delete(lock, false)
   }
 
@@ -118,39 +379,45 @@ final class TableStore(spark: SparkSession, root: String) {
    * Partition-scoped overwrite — the 100 TB shape of the windowed reload:
    * replace ONLY the date partitions named in `days`, leaving every other
    * partition untouched. `df` must contain `partCol` (a `date` column); it is
-   * written `partitionBy(partCol)` into a temp dir, then each affected
-   * `partCol=<day>` directory is swapped into the live table:
+   * written `partitionBy(partCol)` into a new temp/generation dir, then:
    *
-   *  - every day in `days` has its live partition retired (windowed DELETE
-   *    covers days that end up with zero fresh rows),
-   *  - each partition dir present in the temp output is renamed in.
+   *  - rename mode: each affected `partCol=<day>` directory is swapped into
+   *    the live table (retire-then-publish per day; a crash mid-way leaves
+   *    some days new and some old, never a torn single day — the same
+   *    guarantee as Hive/Spark dynamic partition overwrite, with leftover
+   *    `.retired-*` dirs restored by [[recover]]),
+   *  - pointer mode: the next manifest maps each UNTOUCHED partition to the
+   *    generation dir that already holds it and each affected day to the new
+   *    generation; one atomic marker create publishes the whole window (no
+   *    per-day crash window at all — the stronger guarantee object storage
+   *    needs, since it has no atomic rename to lean on).
    *
-   * Each partition swap is an atomic rename; the overall operation is
-   * per-partition atomic (the same guarantee as Hive/Spark dynamic partition
-   * overwrite — a crash mid-way leaves some days new and some old, never a
-   * torn single day). Cost is proportional to the WINDOW's data, not the
-   * table: a one-week reload of a 10-year 100 TB fact table touches ~0.2%
-   * of the files and no shuffle.
+   * Every day in `days` has its live partition replaced or dropped (windowed
+   * DELETE covers days that end up with zero fresh rows). Cost is
+   * proportional to the WINDOW's data, not the table: a one-week reload of a
+   * 10-year 100 TB fact table touches ~0.2% of the files and no shuffle.
    */
   def overwriteDatePartitions(table: String, df: DataFrame, partCol: String,
       days: Seq[java.time.LocalDate]): Unit = {
     refuseIfCatalogBucketed(table, "overwriteDatePartitions")
     val lock = acquireWriteLock(table, "overwriteDatePartitions")
-    try overwriteDatePartitionsLocked(table, df, partCol, days)
-    finally fs.delete(lock, false)
+    try {
+      if (pointerMode) overwriteDatePartitionsPointer(table, df, partCol, days)
+      else overwriteDatePartitionsLocked(table, df, partCol, days)
+    } finally fs.delete(lock, false)
   }
 
   private def overwriteDatePartitionsLocked(table: String, df: DataFrame, partCol: String,
       days: Seq[java.time.LocalDate]): Unit = {
-    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val nn = nonce()
     val live = new Path(tablePath(table))
-    val tmp = new Path(tablePath(table) + s".tmp-$nonce")
+    val tmp = new Path(tablePath(table) + s".tmp-$nn")
     df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
     val f = fs
     if (!f.exists(live)) f.mkdirs(live)
     def renameOrThrow(from: Path, to: Path): Unit =
       if (!f.rename(from, to))
-        throw new java.io.IOException(s"overwriteDatePartitions: rename $from -> $to failed")
+        throw new IOException(s"overwriteDatePartitions: rename $from -> $to failed")
     // validate BEFORE mutating anything: fresh data outside the declared day
     // list means the caller's list was incomplete — failing after partial
     // publication would leave the table half-mutated
@@ -158,7 +425,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val undeclared = f.listStatus(tmp).map(_.getPath.getName)
       .filter(n => n.startsWith(s"$partCol=") && !declared.contains(n))
     if (undeclared.nonEmpty)
-      throw new java.io.IOException(
+      throw new IOException(
         s"overwriteDatePartitions: fresh data for ${undeclared.mkString(", ")} " +
           "not covered by the declared day list — nothing was modified")
     // per-day retire-then-publish keeps the crash window per partition
@@ -168,7 +435,7 @@ final class TableStore(spark: SparkSession, root: String) {
     days.foreach { d =>
       val p = new Path(live, s"$partCol=$d")
       if (f.exists(p)) {
-        val old = new Path(live, s".retired-$nonce-$partCol=$d")
+        val old = new Path(live, s".retired-$nn-$partCol=$d")
         renameOrThrow(p, old)
         retired += old
       }
@@ -177,6 +444,47 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     retired.foreach(f.delete(_, true))
     f.delete(tmp, true)
+  }
+
+  private def overwriteDatePartitionsPointer(table: String, df: DataFrame, partCol: String,
+      days: Seq[java.time.LocalDate]): Unit = {
+    val dir = new Path(tablePath(table))
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val gen = new Path(dir, s"_gen-${nonce()}")
+    df.write.partitionBy(partCol).mode("overwrite").parquet(gen.toString)
+    val declared = days.map(d => s"$partCol=$d").toSet
+    val freshParts = fs.listStatus(gen).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol=")).toSeq
+    val undeclared = freshParts.filterNot(declared.contains)
+    if (undeclared.nonEmpty) {
+      fs.delete(gen, true)
+      throw new IOException(
+        s"overwriteDatePartitions: fresh data for ${undeclared.mkString(", ")} " +
+          "not covered by the declared day list — nothing was modified")
+    }
+    // expand the previous manifest to per-partition entries so untouched
+    // partitions keep pointing at the generation dirs that already hold them
+    val prev: Seq[(String, String)] = currentManifest(table) match {
+      case None => Nil
+      case Some((_, entries)) =>
+        val (whole, parts) = entries.partition(_._1 == WholeTable)
+        if (whole.isEmpty) parts
+        else if (parts.isEmpty && whole.size == 1) {
+          val base = new Path(dir, whole.head._2)
+          val subs = fs.listStatus(base).map(_.getPath.getName).toSeq
+          val stray = subs.filter(s => !s.startsWith(s"$partCol=") &&
+            !s.startsWith("_") && !s.startsWith("."))
+          if (stray.nonEmpty) throw new IllegalStateException(
+            s"overwriteDatePartitions('$table'): existing generation is not partitioned " +
+              s"by $partCol (found ${stray.take(3).mkString(", ")})")
+          subs.filter(_.startsWith(s"$partCol=")).map(_ -> whole.head._2)
+        } else throw new IllegalStateException(
+          s"overwriteDatePartitions('$table'): table has accumulated append generations; " +
+            "compact it before a partition-scoped overwrite")
+    }
+    val next = prev.filterNot { case (p, _) => declared.contains(p) } ++
+      freshParts.map(_ -> gen.getName)
+    commitPointer(table, next, "overwriteDatePartitions")
   }
 
   /**
@@ -312,8 +620,9 @@ final class TableStore(spark: SparkSession, root: String) {
     * batch upserts) accrete one-file-per-batch; at scale the file count —
     * not the byte count — dominates scan planning and open() overhead, so
     * periodic compaction is part of the table lifecycle. Readers see the
-    * old state until the single atomic publish. Catalog-bucketed tables are
-    * refused ([[refuseIfCatalogBucketed]]). */
+    * old state until the single atomic publish. In pointer mode compaction
+    * also folds accumulated append generations back into one. Catalog-
+    * bucketed tables are refused ([[refuseIfCatalogBucketed]]). */
   def compact(table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     // readEvolved, NOT read: compacting an append-evolved table through a
@@ -331,7 +640,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * accretes a file per batch per day): a 100 TB table compacts its few
     * hot days for the cost of those days, never a full rewrite. Reads
     * merged footers like [[compact]], so compaction also heals a
-    * mixed-schema day into one uniform footer. Per-partition atomic via
+    * mixed-schema day into one uniform footer. Atomic via
     * [[overwriteDatePartitions]] (same crash guarantee + writer lock). */
   def compactDatePartitions(table: String, partCol: String,
       days: Seq[java.time.LocalDate], filesPerDay: Int = 1): Unit = {
@@ -357,12 +666,17 @@ final class TableStore(spark: SparkSession, root: String) {
     * and a path read would silently lose the shuffle-free join property. */
   def readBucketed(table: String): DataFrame = spark.table(table)
 
-  /** Crash recovery: restore `<table>` from the most recently modified
-    * `.old-` dir if the live dir is missing; restore any `.retired-*`
-    * partition dir whose live partition is missing (partition-scoped
-    * overwrite crash); drop all remaining stale `.tmp-`/`.old-`/`.retired-`
-    * dirs and the writer lock a crashed writer left behind. ONLY run
-    * recovery when no writer is live — it releases the mutual exclusion. */
+  /** Crash recovery, layout-agnostic (each pass is a no-op for the other
+    * layout). Rename layout: restore `<table>` from the most recently
+    * modified `.old-` dir if the live dir is missing; restore any
+    * `.retired-*` partition dir whose live partition is missing
+    * (partition-scoped overwrite crash); drop remaining stale
+    * `.tmp-`/`.old-`/`.retired-` dirs. Pointer layout: drop partial commit
+    * markers and `_gen-*` dirs no retained manifest references (a crash
+    * before the marker create leaves exactly such an orphan — readers never
+    * saw it). Always clears the writer lock a crashed writer left behind;
+    * ONLY run recovery when no writer is live — it releases the mutual
+    * exclusion. */
   def recover(table: String): Unit = {
     val f = fs
     val live = new Path(tablePath(table))
@@ -380,13 +694,29 @@ final class TableStore(spark: SparkSession, root: String) {
       olds.lastOption.foreach(o => f.rename(o.getPath, live))
     }
     leftovers.map(_.getPath).filter(p => f.exists(p) && p != live).foreach(f.delete(_, true))
-    // partition-scoped crash: .retired-<nonce>-<partCol>=<day> inside the table dir
     if (f.exists(live)) {
+      // partition-scoped crash: .retired-<nonce>-<partCol>=<day> inside the table dir
       f.listStatus(live).map(_.getPath).filter(_.getName.startsWith(".retired-")).foreach { r =>
         val partName = r.getName.replaceFirst("^\\.retired-[^-]+-", "")
         val target = new Path(live, partName)
         if (!f.exists(target)) f.rename(r, target) else f.delete(r, true)
       }
+      // pointer layout: drop partial markers, then orphaned generation dirs
+      val markers = listMarkers(table)
+      if (markers.nonEmpty) {
+        markers.filter { case (_, p) => parseManifest(p).isEmpty }
+          .foreach { case (_, p) => f.delete(p, false) }
+        cleanupGenerations(table)
+      }
     }
   }
+}
+
+object TableStore {
+  /** Stale-lock TTL: a writer lock older than this is presumed crashed and
+    * self-heals. Must exceed the longest expected single rewrite. */
+  val DefaultLockTtlMs: Long = 30L * 60 * 1000
+  /** How long [[TableStore.append]] waits for the writer lock before
+    * failing (appends serialize; rewrites fail fast instead). */
+  val DefaultAppendWaitMs: Long = 30L * 1000
 }

@@ -307,6 +307,147 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((3, "later")))
   }
 
+  private def pointerStore() =
+    new TableStore(spark, Files.createTempDirectory("graft-ptr").toString, CommitMode.Pointer)
+
+  private def hadoopFs(store: TableStore, table: String) =
+    new org.apache.hadoop.fs.Path(store.tablePath(table))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDirs(store: TableStore, table: String): Set[String] = {
+    val d = new java.io.File(store.tablePath(table))
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(_.getName).filter(_.startsWith("_gen-")).toSet
+  }
+
+  test("pointer commit round-trips, replaces state, and never renames the live dir") {
+    val store = pointerStore()
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(store.read("t").count() == 2)
+    store.atomicOverwrite("t", Seq((9, "z")).toDF("k", "v"))
+    assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((9, "z")))
+    // layout: immutable generation dirs + commit markers, nothing else visible
+    val names = new java.io.File(store.tablePath("t")).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("_gen-")), names.toString)
+    assert(names.exists(_.startsWith("_commit.")), names.toString)
+    // a bare path read that bypasses the protocol fails loudly (gen dirs are
+    // underscore-hidden) instead of silently unioning generations
+    intercept[Exception](spark.read.parquet(store.tablePath("t")).collect())
+  }
+
+  test("pointer publish is invisible to a reader that already resolved its generation") {
+    val store = pointerStore()
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    val preOpened = store.read("t") // resolves the gen-1 files
+    store.atomicOverwrite("t", Seq(2, 3).toDF("k"))
+    // reader isolation: the previous generation is retained one commit back
+    assert(preOpened.as[Int].collect().toSeq == Seq(1))
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("an interrupted pointer publish never exposes a torn table; recover prunes the orphan") {
+    val store = pointerStore()
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    // crash AFTER the full data write but BEFORE the marker create: the new
+    // generation exists on disk but no reader can ever resolve it
+    Seq(99).toDF("k").write.parquet(store.tablePath("t") + "/_gen-orphan1")
+    assert(store.exists("t"))
+    assert(store.read("t").as[Int].collect().toSeq == Seq(1))
+    store.recover("t")
+    assert(genDirs(store, "t").forall(_ != "_gen-orphan1"), genDirs(store, "t").toString)
+    assert(store.read("t").as[Int].collect().toSeq == Seq(1))
+    // a table whose FIRST write crashed pre-marker does not exist yet
+    val fresh = pointerStore()
+    Seq(1).toDF("k").write.parquet(fresh.tablePath("n") + "/_gen-orphan2")
+    assert(!fresh.exists("n"))
+  }
+
+  test("a partially-written commit marker is ignored; readers fall back to the last good one") {
+    val store = pointerStore()
+    store.atomicOverwrite("t", Seq(7).toDF("k"))
+    val fs = hadoopFs(store, "t")
+    // truncated manifest: header declares 2 entries, body carries 1
+    val bad = fs.create(new org.apache.hadoop.fs.Path(store.tablePath("t"), "_commit.999"), false)
+    bad.write("graft-manifest v1 2\n*\t_gen-nope".getBytes("UTF-8")); bad.close()
+    assert(store.read("t").as[Int].collect().toSeq == Seq(7))
+    store.recover("t")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.tablePath("t"), "_commit.999")))
+    // the next publish still lands above the partial marker's index
+    store.atomicOverwrite("t", Seq(8).toDF("k"))
+    assert(store.read("t").as[Int].collect().toSeq == Seq(8))
+  }
+
+  test("pointer append publishes atomically and compact folds the generations") {
+    val store = pointerStore()
+    store.append("acc", Seq((1, "a")).toDF("k", "v"))
+    store.append("acc", Seq((2, "b", 9.5)).toDF("k", "v", "score")) // schema evolved
+    assert(genDirs(store, "acc").size == 2)
+    val merged = store.readEvolved("acc")
+    assert(merged.columns.sorted.toSeq == Seq("k", "score", "v"))
+    assert(merged.select("k", "score").as[(Int, Option[Double])].collect().toMap ==
+      Map(1 -> None, 2 -> Some(9.5)))
+    store.compact("acc", 1)
+    assert(store.read("acc").select("k", "score").as[(Int, Option[Double])].collect().toMap ==
+      Map(1 -> None, 2 -> Some(9.5)))
+    // one more publish prunes retention down to the compacted state
+    store.atomicOverwrite("acc", store.read("acc"))
+    assert(genDirs(store, "acc").size <= 2, genDirs(store, "acc").toString)
+  }
+
+  test("pointer partition overwrite swaps the window and keeps untouched days' generation") {
+    import org.apache.spark.sql.functions._
+    val store = pointerStore()
+    def rows(pairs: (String, Int)*) = pairs.toSeq.toDF("day", "v")
+      .withColumn("load_date", col("day").cast("date")).drop("day")
+    store.overwriteDatePartitions("t", rows("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3),
+      "load_date", (1 to 3).map(d => java.time.LocalDate.of(2024, 1, d)))
+    val seedGens = genDirs(store, "t")
+    assert(seedGens.size == 1)
+    // reload window [02..03]: day 2 gets new data, day 3 empties (windowed DELETE)
+    store.overwriteDatePartitions("t", rows("2024-01-02" -> 20),
+      "load_date", Seq(java.time.LocalDate.of(2024, 1, 2), java.time.LocalDate.of(2024, 1, 3)))
+    val after = store.read("t").select(col("load_date").cast("string"), col("v"))
+      .as[(String, Int)].collect().toSet
+    assert(after == Set(("2024-01-01", 1), ("2024-01-02", 20)))
+    // the untouched day is still served from the ORIGINAL generation dir —
+    // the window's publish moved O(window) data, not O(table)
+    assert(genDirs(store, "t").contains(seedGens.head))
+  }
+
+  test("a stale writer lock self-heals after the TTL; a fresh one still refuses") {
+    val store = freshStore()
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    val fs = hadoopFs(store, "t")
+    val lock = new org.apache.hadoop.fs.Path(store.tablePath("t") + ".lock")
+    fs.create(lock, false).close()
+    // crashed writer also left a half-written temp dir behind
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store.tablePath("t") + ".tmp-dead77"))
+    // fresh lock (presumed live writer): refused loudly
+    intercept[ConcurrentWriteException](store.atomicOverwrite("t", Seq(2).toDF("k")))
+    assert(store.read("t").as[Int].collect().toSeq == Seq(1))
+    // age the lock past the TTL: the next writer breaks it, recovers, proceeds
+    fs.setTimes(lock, System.currentTimeMillis - TableStore.DefaultLockTtlMs - 60000, -1)
+    store.atomicOverwrite("t", Seq(2).toDF("k"))
+    assert(store.read("t").as[Int].collect().toSeq == Seq(2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.tablePath("t") + ".tmp-dead77")),
+      "recovery on lock break must clear the crashed writer's temp dir")
+  }
+
+  test("append waits briefly for the writer lock, then fails loudly") {
+    val dir = Files.createTempDirectory("graft-applock").toString
+    val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
+    store.append("t", Seq(1).toDF("k"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(store.tablePath("t") + ".lock")
+    fs.create(lock, false).close()
+    val t0 = System.currentTimeMillis
+    intercept[ConcurrentWriteException](store.append("t", Seq(2).toDF("k")))
+    assert(System.currentTimeMillis - t0 >= 400L, "append should have waited for the lock")
+    fs.delete(lock, false)
+    store.append("t", Seq(3).toDF("k"))
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
   test("a stale lock from a crashed writer blocks writes until recover clears it") {
     val store = freshStore()
     store.atomicOverwrite("t", Seq(1).toDF("k"))
