@@ -998,7 +998,15 @@ object Queries {
         .toDF().select(col("id"),
           length(col("payload")).as("n_bytes_out"),
           expr("meta.width").as("out_width"),
-          ascii(substring(col("payload").cast("string"), 1, 1)).as("head_byte")))
+          ascii(substring(col("payload").cast("string"), 1, 1)).as("head_byte"))),
+    // REAL JDK codec round-trip at the driver gate: encode deterministic
+    // PNG/WAV payloads in-query (even ids → ImageIO PNG, odd ids →
+    // AudioSystem WAV), decode them with the real codecs, emit the decoded
+    // geometry. The oracle states the expected pixel grids / PCM frame
+    // counts as id arithmetic — rows match only if decoding actually ran.
+    "mm_decode_real" -> ((s, d) =>
+      Multimodal.decodeRealRoundTrip(s,
+        orders(s, d).filter(col("o_orderkey") <= 32).select(col("o_orderkey").as("id"))))
   )
 
   // =========================================================================
@@ -1756,7 +1764,14 @@ object Queries {
         |       least(octet_length(encode(text)), 384) AS n_bytes_out,
         |       24 AS out_width,
         |       ascii(substr(text, 1, 1)) AS head_byte
-        |  FROM documents""".stripMargin
+        |  FROM documents""".stripMargin,
+    "mm_decode_real" ->
+      """SELECT o_orderkey AS id,
+        |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5 + 3 ELSE 0 END AS INT) AS width,
+        |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 4 + 2 ELSE 0 END AS INT) AS height,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN (o_orderkey % 5 + 3) * (o_orderkey % 4 + 2) ELSE 0 END AS n_pixels,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey * 10 + 50 ELSE 0 END AS pcm_frames
+        |  FROM orders WHERE o_orderkey <= 32""".stripMargin
     // every gated query has an oracle: the approximate ops are gated at their
     // exact operating points (sim_ann_ivf at full probe, dedup_minhash_lsh
     // verified-exact) with the approximate points covered by specs

@@ -51,12 +51,104 @@ object Multimodal {
     } else if (mime.startsWith("audio/")) {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
-      try MediaFeatures(id, payload.length.toLong, crc.getValue,
-        headByte = if (payload.isEmpty) -1 else payload(0) & 0xFF,
-        frameCount = math.min(in.getFrameLength, Int.MaxValue.toLong).toInt)
-      finally in.close()
+      try {
+        // AudioSystem.NOT_SPECIFIED (-1) must not flow into frameCount as a
+        // fake fact — fail loudly like every other undecodable payload
+        require(in.getFrameLength >= 0,
+          s"decodeReal: '$mime' stream reports no frame length (NOT_SPECIFIED)")
+        MediaFeatures(id, payload.length.toLong, crc.getValue,
+          headByte = if (payload.isEmpty) -1 else payload(0) & 0xFF,
+          frameCount = math.min(in.getFrameLength, Int.MaxValue.toLong).toInt)
+      } finally in.close()
     } else throw new IllegalArgumentException(
       s"decodeReal: no codec for mime '${meta.mime}' (JDK readers cover image/* and audio/*)")
+  }
+
+  /** Decoded geometry of one media payload — the facts only a REAL decode
+    * can produce (an image's pixel grid, an audio stream's PCM frame count).
+    * Zero-valued fields are the other modality's. */
+  final case class MediaDecoded(id: Long, width: Int, height: Int, nPixels: Long,
+      pcmFrames: Long)
+
+  /** REAL decode to geometry, same JDK codec dispatch as [[decodeReal]]:
+    * image mimes report the decoded pixel grid (`width`/`height`/`nPixels`),
+    * audio mimes the PCM `pcmFrames` (NOT_SPECIFIED fails loudly).
+    * Undecodable payloads throw — never byte-derived stand-in values. */
+  def decodeInfo(id: Long, payload: Array[Byte], meta: MediaMeta): MediaDecoded = {
+    val mime = Option(meta.mime).getOrElse("").toLowerCase
+    if (mime.startsWith("image/")) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"decodeInfo: no JDK reader decoded this '$mime' payload")
+      MediaDecoded(id, img.getWidth, img.getHeight, img.getWidth.toLong * img.getHeight, 0L)
+    } else if (mime.startsWith("audio/")) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        require(in.getFrameLength >= 0,
+          s"decodeInfo: '$mime' stream reports no frame length (NOT_SPECIFIED)")
+        MediaDecoded(id, 0, 0, 0L, in.getFrameLength)
+      } finally in.close()
+    } else throw new IllegalArgumentException(
+      s"decodeInfo: no codec for mime '${meta.mime}' (JDK readers cover image/* and audio/*)")
+  }
+
+  /** Deterministic JDK-ENCODED media for the real-codec gate: a PNG whose
+    * pixel grid is a pure function of `id` (width = id%5+3, height =
+    * id%4+2, pixels hashed from (id,x,y)). Encoded by `ImageIO` itself, so
+    * decoding it exercises a genuine PNG round-trip. */
+  def encodePngDeterministic(id: Long): Array[Byte] = {
+    val w = (id % 5 + 3).toInt
+    val h = (id % 4 + 2).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic JDK-ENCODED media for the real-codec gate: an 8-bit
+    * mono PCM WAV with exactly `id*10 + 50` sample frames, encoded by
+    * `AudioSystem` itself. */
+  def encodeWavDeterministic(id: Long): Array[Byte] = {
+    val frames = (id * 10 + 50).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val data = Array.tabulate[Byte](frames)(i => ((id * 31 + i) & 0xFF).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    finally ais.close()
+    out.toByteArray
+  }
+
+  /** Real-codec round trip, driver-gatable: for each input `id`, ENCODE a
+    * deterministic payload with the JDK (even ids → PNG, odd ids → WAV),
+    * then DECODE it with [[decodeInfo]] and emit the decoded geometry.
+    * Because the grid/frame arithmetic is a pure function of `id`, a plain
+    * SQL oracle can state the expected decoded facts — the row only
+    * matches if the real codec actually decoded the payload. Runs
+    * partition-wise (encoder+decoder contexts per partition, no shuffle,
+    * no driver round-trip), so the same plan ships a billion payloads. */
+  def decodeRealRoundTrip(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (payload, meta) =
+          if (id % 2 == 0) (encodePngDeterministic(id), MediaMeta("image/png", 0, 0, 0L))
+          else (encodeWavDeterministic(id), MediaMeta("audio/wav", 0, 0, 0L))
+        decodeInfo(id, payload, meta)
+      }
+    }.toDF().select(col("id"), col("width"), col("height"),
+      col("nPixels").as("n_pixels"), col("pcmFrames").as("pcm_frames"))
   }
 
   /** Deterministic fake decode: derives features from the raw bytes only.
