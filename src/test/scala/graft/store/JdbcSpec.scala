@@ -43,4 +43,51 @@ class JdbcSpec extends AnyFunSuite {
     assert(back.rdd.getNumPartitions == 4)
     assert(back.count() == 100)
   }
+
+  test("the windowed read's BETWEEN is pushed down into the database scan") {
+    import org.apache.spark.sql.functions.col
+    // the production-source analog of PlanSpec's parquet PushedFilters pin:
+    // the reference sends the window's WHERE in the SQL text
+    // (TableCopyService.cs:140); Spark's JDBC relation must do the same,
+    // not fetch the whole table and filter in the cluster
+    val df = (1 to 28).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"))).toDF("id", "ts")
+    Jdbc.append(df, cfg, "t_push")
+    val from = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val to = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val windowed = Jdbc.read(spark, cfg, "t_push")
+      .filter(col("ts") >= from && col("ts") <= to)
+    // the plan must at least translate the window into source filters …
+    val plan = windowed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(ts") && plan.contains("LessThanOrEqual(ts"),
+      s"window predicate not offered to the JDBC source:\n$plan")
+    assert(windowed.count() == 6)
+    // … but scan metadata lists translation CANDIDATES whether or not they
+    // reach the database. The load-bearing contract is unhandledFilters():
+    // a filter NOT in the unhandled set is compiled into the JDBC WHERE
+    // clause (JDBCRDD.scanTable). Pin it for the window's shape, and pin
+    // that pushDownPredicate=false genuinely turns it off.
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThanOrEqual}
+    def relationOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation
+      }.get
+    val window: Array[Filter] =
+      Array(GreaterThanOrEqual("ts", from), LessThanOrEqual("ts", to))
+    assert(relationOf(windowed).unhandledFilters(window).isEmpty,
+      "the window BETWEEN must compile into the JDBC WHERE clause, " +
+        "not fetch-all-and-filter in the cluster")
+    val noPush = spark.read.format("jdbc")
+      .option("url", cfg.url).option("dbtable", "t_push")
+      .option("driver", cfg.driver)
+      .option("user", cfg.user).option("password", cfg.password)
+      .option("pushDownPredicate", "false")
+      .load()
+      .filter(col("ts") >= from && col("ts") <= to)
+    assert(relationOf(noPush).unhandledFilters(window).sameElements(window),
+      "pushDownPredicate=false must leave every filter unhandled — if this " +
+        "fails, the control is broken and the assertion above proves nothing")
+    assert(noPush.count() == 6)
+  }
 }
