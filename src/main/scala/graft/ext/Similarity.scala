@@ -169,7 +169,7 @@ object Similarity {
     // batches, [[buildIndex]] writes this same frame to storage instead.
     val c = Caches.track(unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
       .withColumn("list", listAssignment(col("cv"), cents)))
-    probeAndRank(c, cents, queries, idCol, vecCol, k, nprobe)
+    probeAndRank(c, probes(cents, queries, idCol, vecCol, nprobe), k)
   }
 
   /** Per-query probe set (`query_id`, `qv`, `list`): the `nprobe` nearest
@@ -188,9 +188,8 @@ object Similarity {
     * `c` is the (neighbor_id, cv, list) index frame. Vectors are projected
     * away before the rank window — see [[topK]]: the per-query sort must
     * shuffle 24-byte rows, not O(d) vector payloads. */
-  private def probeAndRank(c: DataFrame, cents: Array[Array[Double]], queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val scored = broadcast(probes(cents, queries, idCol, vecCol, nprobe)).join(c, Seq("list"))
+  private def probeAndRank(c: DataFrame, probeFrame: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(probeFrame).join(c, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -252,10 +251,15 @@ object Similarity {
    */
   def searchIndex(store: graft.store.TableStore, index: IvfIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 6): DataFrame = {
-    val lists = probes(index.centroids, queries, idCol, vecCol, nprobe)
-      .select("list").distinct().collect().map(_.getInt(0)) // ≤ nlist driver rows
+    // the probes frame (nlist dots + argsort per query) is built ONCE and
+    // persisted: it feeds both the list-pruning collect and the probe join —
+    // recomputing it per consumer would pay the quantizer scoring twice per
+    // batch. Released by the consumer's Caches.unpersistAll like every
+    // extension cache.
+    val p = Caches.track(probes(index.centroids, queries, idCol, vecCol, nprobe))
+    val lists = p.select("list").distinct().collect().map(_.getInt(0)) // ≤ nlist driver rows
     val c = store.read(index.table).filter(col("list").isin(lists.toIndexedSeq: _*))
-    probeAndRank(c, index.centroids, queries, idCol, vecCol, k, nprobe)
+    probeAndRank(c, p, k)
   }
 
   /**
