@@ -240,6 +240,22 @@ object ScaleSmoke {
         .agg(countDistinct(col("cluster"))).as[Long].head()
       graft.ext.Dedup.unpersistAll(); n
     }
+    // the adversarial CC topology: a 1M-link PATH (diameter = edge count).
+    // Min-label propagation would need a million rounds; star contraction
+    // must label all nodes with the component min in ~log alternations
+    time("connected components, 1M-edge path graph") {
+      val chain = spark.range(1000000L)
+        .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      val onCluster0 = graft.ext.Dedup.connectedComponents(
+        chain, "doc_a", "doc_b", localEdgeLimit = 0L)
+        .filter(col("cluster") === 0L).count()
+      val rounds = graft.ext.Dedup.lastDistributedRounds.get
+      graft.ext.Dedup.unpersistAll()
+      println(s"[scale]   path CC: nodes labeled min=$onCluster0 (expect 1000001), " +
+        s"star rounds=$rounds (expect < 25)")
+      require(onCluster0 == 1000001L, s"path CC mislabeled: $onCluster0")
+      require(rounds < 25, s"star contraction took $rounds rounds on the 1M path")
+    }
 
     // ---- similarity at 20k vectors ----
     val cp = time("cosine pairs 20k vectors") {

@@ -51,6 +51,18 @@ object Verify {
     // sets this, so the gate itself always runs the full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     def selected(name: String) = only.forall(_.contains(name))
+    // a leaked SPARK_GRAFT_ONLY must never masquerade as a full gate run:
+    // banner on stderr AND a stamp file in the artifact dir, so both the
+    // console log and the dump directory say the surface was narrowed
+    only.foreach { names =>
+      val banner = s"SUBSET RUN: SPARK_GRAFT_ONLY narrowed the gate to " +
+        s"${names.size} quer${if (names.size == 1) "y" else "ies"}: " +
+        names.toSeq.sorted.mkString(", ")
+      System.err.println(s"[verify] $banner")
+      Files.writeString(Paths.get(s"$outDir/SUBSET_RUN.txt"), banner + "\n")
+    }
+    if (only.isEmpty) // a stale stamp from a previous subset run in a reused
+      Files.deleteIfExists(Paths.get(s"$outDir/SUBSET_RUN.txt")) // outDir lies
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -234,15 +234,18 @@ object Dedup {
    *    blocking keeps the pair set tiny relative to the corpus): collect the
    *    pairs and run a driver-side union-find — ONE distributed job total
    *    instead of two per propagation round;
-   *  - above the gate: iterative min-label propagation — each round every
-   *    node adopts `min(own label, neighbors' labels)` (one join + one
-   *    groupBy shuffle per round) until a fixpoint. Rounds needed = graph
-   *    diameter; near-dup clusters are shallow (dup groups are cliques or
-   *    short chains), so this converges in a handful of rounds even on a
-   *    10^9-doc corpus. Labels/edges are persisted per round and lineage
-   *    stays flat, so the plan does not grow with iterations. `maxIter`
-   *    guards pathological chains — the operator THROWS rather than
-   *    returning wrong labels.
+   *  - above the gate: alternating LARGE-STAR / SMALL-STAR contraction
+   *    (the MapReduce CC algorithm of Kiveris et al., "Connected Components
+   *    in MapReduce and Beyond", re-expressed over DataFrames): large-star
+   *    hangs every node's larger neighbors off its neighborhood minimum,
+   *    small-star its smaller ones, and the edge set converges to per-
+   *    component stars centered at the minimum id in O(log) alternations —
+   *    on ANY topology, where plain min-label propagation needs
+   *    O(diameter) rounds (a 1 M-link chain = a million rounds vs ~20).
+   *    Each alternation is two grouped-min shuffles + a distinct; edges are
+   *    persisted per round and lineage stays flat, so the plan does not
+   *    grow with iterations. `maxIter` bounds the alternations — the
+   *    operator THROWS rather than returning wrong labels.
    *
    * Output: `(node, cluster)` for every node that appears in some pair
    * (singletons are their own implicit clusters and are not emitted).
@@ -288,40 +291,93 @@ object Dedup {
       p.unpersist(blocking = false)
       return localComponents(rows, dtA, pairs.sparkSession)
     }
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().persist(level)
-    // seed with min(self, direct neighbors) — the first propagation round
-    // folded into initialization, one fewer distributed round to fixpoint
-    var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
-      .select(col("src").as("node"), least(col("src"), col("nmin")).as("label"))
-      .persist(level)
+    // canonical child>parent edge list; self-pairs drop here (their nodes
+    // are re-attached as singletons from the node set at the end).
+    // localCheckpoint (not persist): each star phase references its input
+    // several times, so WITHOUT lineage truncation the logical plan grows
+    // ~5× per round and Catalyst analysis goes exponential across rounds
+    // (persist only short-circuits execution, not plan analysis — the same
+    // reason GraphFrames checkpoints its CC loop). Blocks are reclaimed by
+    // the ContextCleaner as each round's frame goes out of scope; on an
+    // executor loss the truncated lineage cannot recompute, which is an
+    // accepted trade for an iterative-convergence job (rerun the operator).
+    var cur = p.select(greatest(col("a"), col("b")).as("child"),
+        least(col("a"), col("b")).as("parent"))
+      .filter(col("child") =!= col("parent")).distinct().localCheckpoint(true)
+    // one aggregation doubles as the round's materialization AND its
+    // convergence signature: (cardinality, order-free hash sum). Both edge
+    // sets are distinct, so equal signatures mean equal sets up to a 2^-64
+    // per-round hash collision — and the final star forest labels are
+    // idempotent under one extra round, so a collision would have to
+    // survive EVERY remaining round to corrupt output.
+    def signature(df: DataFrame): (Long, String) = {
+      // hash terms sum as decimal(38,0): a 64-bit sum would overflow (an
+      // ERROR under ANSI mode, silent wraparound otherwise)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("child"), col("parent")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var sig = signature(cur)
+    // one star phase: hang each node's LARGER (large-star) or SMALLER-plus-
+    // self (small-star) neighbors off its neighborhood minimum. The new
+    // edge set is the union of every node's emissions — connectivity is
+    // preserved because a node with only smaller neighbors is re-attached
+    // by those neighbors' own emissions.
+    def starPhase(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges.select(col("child").as("u"), col("parent").as("v"))
+        .union(edges.select(col("parent").as("u"), col("child").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val joined = sym.join(m, "u")
+      val emitted =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("child"), col("m").as("parent"))
+        else joined.filter(col("v") < col("u"))
+          .select(col("v").as("child"), col("m").as("parent"))
+          .union(m.select(col("u").as("child"), col("m").as("parent")))
+      emitted.filter(col("child") =!= col("parent")).distinct()
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborLabels = edges
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
-        .select(col("src").as("node"), col("label"))
-      val next = neighborLabels.union(labels)
-        .groupBy("node").agg(min("label").as("label")).persist(level)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count() // materializes `next`
-      labels.unpersist(blocking = false) // previous round is dead
-      labels = next
-      converged = changed == 0
+      // the large-star output feeds small-star's neighborhood build through
+      // several plan references — truncate its lineage too, or the round's
+      // plan squares before the next truncation
+      val ls = starPhase(cur, large = true).localCheckpoint(true)
+      val next = starPhase(ls, large = false).localCheckpoint(true)
+      val nsig = signature(next) // cheap: the plan is a checkpoint scan
+      converged = nsig == sig
+      sig = nsig
+      cur = next
       i += 1
     }
-    p.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
+    lastDistributedRounds.set(i)
     if (!converged) {
-      labels.unpersist(blocking = false)
+      p.unpersist(blocking = false)
+      cur.unpersist(blocking = false)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "the dup graph has a longer chain than expected; raise maxIter")
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "pathological id topology; raise maxIter")
     }
+    // at the fixpoint `cur` is a star forest: child → component minimum.
+    // Label every node that appeared in the input (roots and self-pair
+    // nodes have no child edge — they label themselves).
+    val nodes = p.select(col("a").as("node")).union(p.select(col("b").as("node"))).distinct()
+    val labels = nodes
+      .join(cur.withColumnRenamed("child", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("parent"), col("node")).as("label"))
+      .persist(level)
+    labels.count()
+    p.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
     // only the final (materialized) labels survive, released by unpersistAll
     Caches.register(labels).select(col("node"), col("label").as("cluster"))
   }
+
+  /** Star-contraction alternations the last distributed
+    * [[connectedComponents]] run took — observability for the scale smoke
+    * (a 1 M-link chain must converge in ~log rounds, not diameter). */
+  val lastDistributedRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Driver-side union-find over a collected edge list (the small-graph fast
     * path of [[connectedComponents]]). Union-by-min-root + path halving: the

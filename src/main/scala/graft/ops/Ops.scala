@@ -266,16 +266,26 @@ object Ops {
     // ONE RDD instance for both of zipWithIndex's jobs (the per-partition
     // count and the numbering map): the second job then REUSES the first's
     // shuffle files instead of re-running the scan + range sampling +
-    // exchange (two .rdd calls would build two lineages and recompute all
-    // of it). zipWithIndex's index IS the offset-adjusted ordinal because
-    // partition order here is the range order.
+    // exchange (two lineages would recompute all of it). zipWithIndex's
+    // index IS the offset-adjusted ordinal because partition order here is
+    // the range order. The numbering runs over queryExecution.toRdd —
+    // Tungsten InternalRows appended to via an UnsafeProjection — so no row
+    // ever round-trips through an external Row's per-field ser/deser (the
+    // old Row.fromSeq path paid box+unbox on every column of every row).
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         ordCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val numbered = ranged.rdd.zipWithIndex().map { case (row, k) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k)
+    val numbered = ranged.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val ord = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+      it.map { case (row, k) =>
+        ord.update(0, k)
+        project(joined(row, ord)): org.apache.spark.sql.catalyst.InternalRow
+      }
     }
-    df.sparkSession.createDataFrame(numbered, schema)
+    org.apache.spark.sql.GraftInternalRows.internalCreateDataFrame(
+      df.sparkSession, numbered, schema)
   }
 
   /** Full incremental-update step (entry point C, SURVEY.md §3.3):

@@ -255,6 +255,20 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop).passed)
   }
 
+  test("star contraction labels a long chain in ~log rounds, not diameter") {
+    // a 512-link path is the adversarial topology: min-label propagation
+    // would need 512 rounds; alternating large-star/small-star must finish
+    // in roughly log2(n) alternations (generous margin below)
+    val n = 512L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, "doc_a", "doc_b", localEdgeLimit = 0L)
+      .as[(Long, Long)].collect()
+    assert(got.length == n + 1 && got.forall(_._2 == 0L),
+      s"chain must collapse to one min-labeled cluster, got ${got.take(5).toSeq}…")
+    val rounds = Dedup.lastDistributedRounds.get
+    assert(rounds <= 15, s"chain of $n links took $rounds star rounds — not log-round")
+  }
+
   test("connectedComponents string ids: both paths agree, labels in UTF-8 order") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80) but
     // AFTER it in UTF-16 code units (FFFD > D83D surrogate) — the fast path's
