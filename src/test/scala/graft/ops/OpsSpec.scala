@@ -159,6 +159,56 @@ class OpsSpec extends AnyFunSuite {
       Ops.rangeJoin(l.select("id", "ts"), clash, "ts", "ts", java.time.Duration.ofSeconds(60)))
   }
 
+  test("rangeJoin: AQE splits a hot band instead of serializing it into one task") {
+    import org.apache.spark.sql.functions.{pmod, timestamp_millis}
+    // a burst of events inside ONE tolerance band is the operator's skew
+    // hazard: every burst row hashes to one shuffle partition. The 100 TB
+    // posture is AQE skew-join splitting that partition across tasks —
+    // pin it with production-shaped data and test-sized thresholds.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val base = 1704100000000L // fixed epoch ms; session TZ is UTC
+      // left: 40k rows crammed into one 60s band + 10k spread over cold bands
+      val hotL = spark.range(40000).select((col("id") + 1000000).as("l_id"),
+        timestamp_millis(lit(base) + pmod(col("id"), lit(60)) * 1000).as("lts"))
+      val coldL = spark.range(10000).select(col("id").as("l_id"),
+        timestamp_millis(lit(base) + lit(86400000L) + col("id") * 120000).as("lts"))
+      // right: 20 rows in the hot band + 5k cold rows at the same 120s grid
+      val hotR = spark.range(20).select((col("id") + 2000000).as("r_id"),
+        timestamp_millis(lit(base) + col("id") * 1000).as("rts"))
+      val coldR = spark.range(5000).select((col("id") + 3000000).as("r_id"),
+        timestamp_millis(lit(base) + lit(86400000L) + col("id") * 120000).as("rts"))
+      val joined = Ops.rangeJoin(hotL.unionByName(coldL), hotR.unionByName(coldR),
+        "lts", "rts", java.time.Duration.ofSeconds(60))
+      // toRdd.count() executes THIS dataset's own query execution, so the
+      // adaptive plan below is the FINAL one (a .count() would plan a
+      // separate aggregation and leave this plan unfinalized)
+      val n = joined.queryExecution.toRdd.count()
+      // hot: all 40000×20 pairs are ≤59s apart; cold: Δt=0 for ids <5000
+      assert(n == 40000L * 20 + 5000, s"unexpected pair count $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"hot band was not skew-split by AQE — burst bands serialize into one task:\n$plan")
+    } finally keys.foreach(k => saved(k) match {
+      case Some(v) => conf.set(k, v)
+      case None => conf.unset(k)
+    })
+  }
+
   test("upsertExact keeps audit-named data columns that upsert drops") {
     // a CDC source whose pk is literally 'id': the copy contract's audit
     // drop must not apply on the exact variant
