@@ -295,6 +295,24 @@ object Queries {
       store.compact("ord_ptr", 4) // folds the append generations into one
       store.read("ord_ptr")
     }),
+    // generation time travel on the o6 pointer protocol: three publishes
+    // under retention 3, then every retained snapshot read back exactly
+    // as-published and tagged — the reproducible-training-run / audit path
+    // (pin the generation a job read, re-read it bit-identically later)
+    "o7_time_travel" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o7").toString,
+        graft.store.CommitMode.Pointer, keepGenerations = 3)
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+      store.atomicOverwrite("ord_tt", ord.filter(col("o_orderkey") % 2 === 0))
+      store.atomicOverwrite("ord_tt", ord.filter(col("o_orderkey") % 2 === 1))
+      store.append("ord_tt", ord.filter(col("o_orderkey") % 10 === 0))
+      val gens = store.generations("ord_tt") // newest first
+      require(gens.size == 3, s"o7_time_travel: expected 3 retained generations, got $gens")
+      def snap(g: Long, tag: String) =
+        store.readGeneration("ord_tt", g).withColumn("snap", lit(tag))
+      snap(gens(2), "v1").unionByName(snap(gens(1), "v2")).unionByName(snap(gens.head, "v3"))
+    }),
     "a1_window_delete" -> ((s, d) =>
       Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
@@ -1232,6 +1250,15 @@ object Queries {
         |  FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     "o6_pointer_commit" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    "o7_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, 'v1' AS snap
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 'v2'
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 'v3'
+        |  FROM orders WHERE o_orderkey % 2 = 1 OR o_orderkey % 10 = 0""".stripMargin,
     "o3_agg_maintain" ->
       """WITH up AS (
         |  SELECT ts, event_type,

@@ -72,7 +72,11 @@ object CommitMode {
 final class TableStore(spark: SparkSession, root: String,
     commitMode: CommitMode = CommitMode.Auto,
     lockTtlMs: Long = TableStore.DefaultLockTtlMs,
-    appendLockWaitMs: Long = TableStore.DefaultAppendWaitMs) {
+    appendLockWaitMs: Long = TableStore.DefaultAppendWaitMs,
+    keepGenerations: Int = TableStore.DefaultKeepGenerations) {
+
+  require(keepGenerations >= 2,
+    s"keepGenerations must be >= 2 (current + previous, the reader-isolation minimum): $keepGenerations")
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[TableStore])
 
@@ -199,15 +203,16 @@ final class TableStore(spark: SparkSession, root: String,
     cleanupGenerations(table)
   }
 
-  /** Best-effort retention: keep the two highest-indexed markers (current +
-    * previous generation, so a reader that resolved just before a publish
-    * still has its files) and every gen dir either of them references;
-    * delete older markers and unreferenced `_gen-*` dirs. */
+  /** Best-effort retention: keep the `keepGenerations` highest-indexed
+    * markers (≥ current + previous, so a reader that resolved just before a
+    * publish still has its files — and, beyond 2, a [[readGeneration]]
+    * time-travel window) and every gen dir any of them references; delete
+    * older markers and unreferenced `_gen-*` dirs. */
   private def cleanupGenerations(table: String): Unit =
     try {
       val dir = new Path(tablePath(table))
       val markers = listMarkers(table)
-      val (keep, drop) = markers.splitAt(2)
+      val (keep, drop) = markers.splitAt(keepGenerations)
       val referenced = keep.flatMap { case (_, p) => parseManifest(p).getOrElse(Nil) }
         .map(_._2).toSet
       drop.foreach { case (_, p) => fs.delete(p, false) }
@@ -221,26 +226,55 @@ final class TableStore(spark: SparkSession, root: String,
     * reads directly. Partition-scoped manifests rebuild the partition
     * column from each entry's `col=value` name (cast to date — the only
     * partition type [[overwriteDatePartitions]] produces). */
-  private def resolveRead(table: String, mergeSchemas: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val dir = tablePath(table)
-    def reader = if (mergeSchemas) spark.read.option("mergeSchema", "true") else spark.read
-    if (listMarkers(table).isEmpty) reader.parquet(dir)
-    else currentManifest(table) match {
+  private def resolveRead(table: String, mergeSchemas: Boolean): DataFrame =
+    if (listMarkers(table).isEmpty) {
+      val reader = if (mergeSchemas) spark.read.option("mergeSchema", "true") else spark.read
+      reader.parquet(tablePath(table))
+    } else currentManifest(table) match {
       case None =>
         throw new IOException(s"read('$table'): no fully-committed generation marker found")
-      case Some((_, entries)) =>
-        val (whole, parts) = entries.partition(_._1 == WholeTable)
-        if (parts.isEmpty) reader.parquet(whole.map(e => s"$dir/${e._2}"): _*)
-        else if (whole.isEmpty) {
-          val dfs = parts.map { case (partName, gen) =>
-            val Array(c, v) = partName.split("=", 2)
-            reader.parquet(s"$dir/$gen/$partName").withColumn(c, lit(v).cast("date"))
-          }
-          dfs.reduce(_.unionByName(_, allowMissingColumns = mergeSchemas))
-        } else throw new IllegalStateException(
-          s"read('$table'): manifest mixes whole-table and partition entries")
+      case Some((_, entries)) => readEntries(table, entries, mergeSchemas)
     }
+
+  /** Read exactly the directories one manifest names. */
+  private def readEntries(table: String, entries: Seq[(String, String)],
+      mergeSchemas: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dir = tablePath(table)
+    def reader = if (mergeSchemas) spark.read.option("mergeSchema", "true") else spark.read
+    val (whole, parts) = entries.partition(_._1 == WholeTable)
+    if (parts.isEmpty) reader.parquet(whole.map(e => s"$dir/${e._2}"): _*)
+    else if (whole.isEmpty) {
+      val dfs = parts.map { case (partName, gen) =>
+        val Array(c, v) = partName.split("=", 2)
+        reader.parquet(s"$dir/$gen/$partName").withColumn(c, lit(v).cast("date"))
+      }
+      dfs.reduce(_.unionByName(_, allowMissingColumns = mergeSchemas))
+    } else throw new IllegalStateException(
+      s"read('$table'): manifest mixes whole-table and partition entries")
+  }
+
+  /** Committed generation indexes of a pointer-layout table, newest first —
+    * the [[readGeneration]] time-travel surface. Partial markers (a writer
+    * crashed mid-manifest) are excluded. Rename-layout tables keep no
+    * history: empty. */
+  def generations(table: String): Seq[Long] =
+    listMarkers(table).collect { case (n, p) if parseManifest(p).isDefined => n }
+
+  /** Time-travel read: the table exactly as of committed generation `gen`
+    * (an index from [[generations]]). The snapshot is immutable — later
+    * publishes never touch a retained generation's dirs. Generations
+    * outside the retention window ([[cleanupGenerations]] keeps the
+    * `keepGenerations` newest; size it at construction) are vacuumed and
+    * raise. The reproducible-training-run / audit path: pin the generation
+    * a job read, re-read it bit-identically later. */
+  def readGeneration(table: String, gen: Long): DataFrame = {
+    val entries = listMarkers(table)
+      .collectFirst { case (n, p) if n == gen => parseManifest(p) }.flatten
+      .getOrElse(throw new IllegalArgumentException(
+        s"readGeneration('$table', $gen): no committed marker _commit.$gen — available: " +
+          s"[${generations(table).mkString(", ")}] (retention keeps the $keepGenerations newest)"))
+    readEntries(table, entries, mergeSchemas = false)
   }
 
   // ---------------------------------------------------------------------
@@ -719,4 +753,10 @@ object TableStore {
   /** How long [[TableStore.append]] waits for the writer lock before
     * failing (appends serialize; rewrites fail fast instead). */
   val DefaultAppendWaitMs: Long = 30L * 1000
+  /** Pointer-mode retention: how many committed generations (markers + the
+    * gen dirs they reference) survive cleanup. 2 = current + previous, the
+    * minimum that keeps an in-flight reader's resolved generation alive
+    * across one publish; raise it to widen the [[TableStore.readGeneration]]
+    * time-travel window at the cost of retained storage. */
+  val DefaultKeepGenerations: Int = 2
 }

@@ -433,6 +433,34 @@ class TableStoreSpec extends AnyFunSuite {
       "recovery on lock break must clear the crashed writer's temp dir")
   }
 
+  test("time travel: retained generations read bit-identically; vacuumed ones raise") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-tt").toString,
+      CommitMode.Pointer, keepGenerations = 3)
+    store.atomicOverwrite("t", Seq((1, "v1")).toDF("k", "tag"))
+    store.atomicOverwrite("t", Seq((2, "v2"), (3, "v2")).toDF("k", "tag"))
+    store.append("t", Seq((4, "v3")).toDF("k", "tag"))
+    val gens = store.generations("t")
+    assert(gens.size == 3 && gens == gens.sorted.reverse, gens.toString)
+    // each retained snapshot reads exactly as-published; head == current read
+    assert(store.readGeneration("t", gens(2)).as[(Int, String)].collect().toSeq == Seq(1 -> "v1"))
+    assert(store.readGeneration("t", gens(1)).as[(Int, String)].collect().sorted.toSeq ==
+      Seq(2 -> "v2", 3 -> "v2"))
+    assert(store.readGeneration("t", gens.head).as[(Int, String)].collect().sorted.toSeq ==
+      Seq(2 -> "v2", 3 -> "v2", 4 -> "v3"))
+    assert(store.read("t").count() == 3)
+    // a fourth publish vacuums the oldest snapshot out of the retention window
+    store.atomicOverwrite("t", Seq((9, "v4")).toDF("k", "tag"))
+    val after = store.generations("t")
+    assert(after.size == 3 && !after.contains(gens(2)), after.toString)
+    val gone = intercept[IllegalArgumentException](store.readGeneration("t", gens(2)))
+    assert(gone.getMessage.contains("retention"), gone.getMessage)
+    // rename-layout tables keep no history
+    val plain = freshStore()
+    plain.atomicOverwrite("r", Seq(1).toDF("k"))
+    assert(plain.generations("r").isEmpty)
+    intercept[IllegalArgumentException](plain.readGeneration("r", 1L))
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
