@@ -313,6 +313,21 @@ object Queries {
         store.readGeneration("ord_tt", g).withColumn("snap", lit(tag))
       snap(gens(2), "v1").unionByName(snap(gens(1), "v2")).unionByName(snap(gens.head, "v3"))
     }),
+    // manifest-stats data skipping on a range-clustered pointer table: a
+    // narrow price band must open a strict subset of the 16 clustered
+    // files (pruneEvidence is asserted, not assumed) and still return
+    // exactly the filtered table
+    "o8_stats_pruned_read" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o8").toString,
+        graft.store.CommitMode.Pointer, statsColumns = Seq("o_totalprice"))
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      store.atomicOverwriteClustered("ord_sk", ord, Seq("o_totalprice"), 16)
+      val (kept, total) = store.pruneEvidence("ord_sk", "o_totalprice", 50000.0, 100000.0)
+      require(kept < total,
+        s"o8_stats_pruned_read: expected pruning on the clustered layout, kept $kept of $total")
+      store.readWhere("ord_sk", "o_totalprice", 50000.0, 100000.0)
+    }),
     "a1_window_delete" -> ((s, d) =>
       Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
@@ -1259,6 +1274,9 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, 'v3'
         |  FROM orders WHERE o_orderkey % 2 = 1 OR o_orderkey % 10 = 0""".stripMargin,
+    "o8_stats_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
     "o3_agg_maintain" ->
       """WITH up AS (
         |  SELECT ts, event_type,

@@ -73,7 +73,8 @@ final class TableStore(spark: SparkSession, root: String,
     commitMode: CommitMode = CommitMode.Auto,
     lockTtlMs: Long = TableStore.DefaultLockTtlMs,
     appendLockWaitMs: Long = TableStore.DefaultAppendWaitMs,
-    keepGenerations: Int = TableStore.DefaultKeepGenerations) {
+    keepGenerations: Int = TableStore.DefaultKeepGenerations,
+    statsColumns: Seq[String] = Nil) {
 
   require(keepGenerations >= 2,
     s"keepGenerations must be >= 2 (current + previous, the reader-isolation minimum): $keepGenerations")
@@ -278,6 +279,186 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   // ---------------------------------------------------------------------
+  // Data skipping (per-file min/max stats in the generation dir)
+  // ---------------------------------------------------------------------
+
+  private val StatsFile = "_stats"
+  private val StatsHeader = "graft-stats v1"
+
+  /** Types whose min/max round-trip through a string and compare safely. */
+  private def statsOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Collect per-file min/max for `statsColumns` into `<genDir>/_stats`,
+    * pre-commit (the sidecar is part of the immutable generation, and its
+    * `_` prefix hides it from parquet readers). One column-pruned parallel
+    * pass over the fresh generation — it reads ONLY the stats columns, and
+    * the result is one row per file (driver-bounded, like any manifest).
+    * An engine owning its write path would fold this into the writer's
+    * parquet footer metrics; reading footers back is the refinement, this
+    * is the behavior. Collection failure downgrades to "no stats" (reads
+    * stay correct, just unpruned). */
+  private def writeStats(genDir: Path): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (statsColumns.isEmpty) return
+    try {
+      val df = spark.read.parquet(genDir.toString)
+      val cols = statsColumns.distinct
+        .filter(df.columns.contains).filter(c => statsOrderable(df.schema(c).dataType))
+      if (cols.isEmpty) return
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__mn_$c"), max(col(c)).cast("string").as(s"__mx_$c")))
+      val rows = df.select(input_file_name().as("__f") +: cols.map(col): _*)
+        .groupBy("__f").agg(aggs.head, aggs.tail: _*).collect()
+      val prefix = genDir.getName + "/"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val lines = rows.toSeq.flatMap { r =>
+        val full = r.getString(0)
+        val rel = full.substring(full.lastIndexOf(prefix) + prefix.length)
+        cols.flatMap { c =>
+          val (mn, mx) = (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))
+          // all-NULL file: no line; the reader keeps unknown files (and a
+          // range predicate never matches NULL anyway)
+          if (mn == null || mx == null) None
+          else Some(Seq(enc(rel), enc(c), df.schema(c).dataType.catalogString,
+            enc(mn), enc(mx)).mkString("\t"))
+        }
+      }
+      val out = fs.create(new Path(genDir, StatsFile), true)
+      try out.write((s"$StatsHeader ${lines.size}" +: lines).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"stats collection for $genDir failed — generation publishes without " +
+          s"data-skipping stats: $e")
+    }
+  }
+
+  /** Parse `<genDir>/_stats`: (relativeFile, column) → (dtype, min, max).
+    * `None` when absent or torn (header carries the line count). */
+  private def loadStats(genDir: Path): Option[Map[(String, String), (String, String, String)]] = {
+    val p = new Path(genDir, StatsFile)
+    if (!fs.exists(p)) return None
+    val text = try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    } catch { case _: IOException => return None }
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    lines.headOption match {
+      case Some(h) if h.startsWith(StatsHeader) &&
+          h.stripPrefix(StatsHeader).trim.toIntOption.contains(lines.size - 1) =>
+        Some(lines.tail.flatMap(_.split("\t", 5) match {
+          case Array(f, c, dt, mn, mx) => Some((dec(f), dec(c)) -> ((dt, dec(mn), dec(mx))))
+          case _ => None
+        }).toMap)
+      case _ => None
+    }
+  }
+
+  /** Compare two stat strings under the column's recorded type. `None` =
+    * unparseable (NaN, unknown type) — callers must keep the file. */
+  private def statCompare(dtype: String, a: String, b: String): Option[Int] =
+    scala.util.Try[Int] {
+      dtype match {
+        case "tinyint" | "smallint" | "int" | "bigint" | "float" | "double" =>
+          BigDecimal(a).compare(BigDecimal(b))
+        case d if d.startsWith("decimal") => BigDecimal(a).compare(BigDecimal(b))
+        case "date" => java.sql.Date.valueOf(a).compareTo(java.sql.Date.valueOf(b))
+        case "timestamp" | "timestamp_ntz" =>
+          java.sql.Timestamp.valueOf(a.replace('T', ' '))
+            .compareTo(java.sql.Timestamp.valueOf(b.replace('T', ' ')))
+        case "string" => a.compareTo(b)
+      }
+    }.toOption
+
+  /** The pruning decision for one read: kept file paths, dirs read whole
+    * (no stats / partitioned layout), and the total file count. `None` =
+    * stats-based pruning does not apply (rename layout, partition-scoped
+    * manifest) — fall back to a plain filtered read. */
+  private def prunePlan(table: String, column: String, lo: Any,
+      hi: Any): Option[(Seq[String], Seq[String], Int)] = {
+    if (!pointerMode || listMarkers(table).isEmpty) return None
+    val entries = currentManifest(table) match {
+      case None => throw new IOException(
+        s"readWhere('$table'): no fully-committed generation marker found")
+      case Some((_, e)) => e
+    }
+    if (entries.exists(_._1 != WholeTable)) return None
+    val dir = tablePath(table)
+    var total = 0
+    val kept = Seq.newBuilder[String]
+    val whole = Seq.newBuilder[String]
+    entries.map(_._2).distinct.foreach { g =>
+      val genDir = new Path(s"$dir/$g")
+      val children = fs.listStatus(genDir).toSeq
+      val files = children.filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      // partitioned generations have subdirs — their partition column only
+      // materializes through a directory read, so skip file-level pruning
+      val flat = children.forall(s => !s.isDirectory)
+      loadStats(genDir) match {
+        case Some(stats) if flat =>
+          total += files.size
+          files.foreach { f =>
+            val keep = stats.get((f.getPath.getName, column)) match {
+              case Some((dt, mn, mx)) =>
+                // keep unless the file's range provably misses [lo, hi]
+                !(statCompare(dt, mx, lo.toString).exists(_ < 0) ||
+                  statCompare(dt, mn, hi.toString).exists(_ > 0))
+              case None => true
+            }
+            if (keep) kept += f.getPath.toString
+          }
+        case _ => whole += genDir.toString
+      }
+    }
+    Some((kept.result(), whole.result(), total))
+  }
+
+  /** Range read with manifest-stats data skipping: `column BETWEEN lo AND
+    * hi`, but files whose recorded min/max provably miss the range are
+    * never opened — at 100 TB, on a [[atomicOverwriteClustered]] layout, a
+    * narrow band touches a handful of files instead of the whole table,
+    * BEFORE Spark lists or plans a single pruned file (parquet row-group
+    * skipping starts a footer-read too late to save the open). Bounds are
+    * inclusive and compared under the column's recorded type; files or
+    * generations without stats are read and filtered (correct, just
+    * unpruned), so the result ALWAYS equals `read(table).filter(between)`.
+    * Stats exist when the store was built with `statsColumns` covering
+    * `column`. */
+  def readWhere(table: String, column: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def residual(d: DataFrame) = d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    prunePlan(table, column, lo, hi) match {
+      case None => residual(read(table))
+      case Some((kept, wholeDirs, _)) =>
+        val paths = kept ++ wholeDirs
+        if (paths.isEmpty) residual(read(table)).filter(lit(false))
+        else residual(spark.read.parquet(paths: _*))
+    }
+  }
+
+  /** (files kept, files total) that [[readWhere]] with these arguments
+    * would plan — the pruning evidence surface for tests and ops. Dirs
+    * read whole (no stats, partitioned layout) count all their files on
+    * both sides. */
+  def pruneEvidence(table: String, column: String, lo: Any, hi: Any): (Int, Int) =
+    prunePlan(table, column, lo, hi) match {
+      case None => val n = read(table).inputFiles.length; (n, n)
+      case Some((kept, wholeDirs, total)) =>
+        val wholeCount = wholeDirs.map(d => spark.read.parquet(d).inputFiles.length).sum
+        (kept.size + wholeCount, total + wholeCount)
+    }
+
+  // ---------------------------------------------------------------------
   // Writes
   // ---------------------------------------------------------------------
 
@@ -305,6 +486,7 @@ final class TableStore(spark: SparkSession, root: String,
               "overwriteDatePartitions (or compact first)")
         val gen = new Path(dir, s"_gen-${nonce()}")
         df.write.mode("overwrite").parquet(gen.toString)
+        writeStats(gen)
         commitPointer(table, prev :+ (WholeTable -> gen.getName), "append")
       }
     } finally fs.delete(lock, false)
@@ -388,6 +570,7 @@ final class TableStore(spark: SparkSession, root: String,
         val gen = new Path(dir, s"_gen-${nonce()}")
         val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
         writer.mode("overwrite").parquet(gen.toString)
+        writeStats(gen)
         commitPointer(table, Seq(WholeTable -> gen.getName), "atomicOverwrite")
       } else {
         val nn = nonce()

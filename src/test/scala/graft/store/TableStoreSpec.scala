@@ -461,6 +461,35 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](plain.readGeneration("r", 1L))
   }
 
+  test("data skipping: clustered layout prunes files a range read can't match") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-skip").toString,
+      CommitMode.Pointer, statsColumns = Seq("k"))
+    val df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    store.atomicOverwriteClustered("t", df, Seq("k"), 10)
+    // a band inside one decile opens ~1 file, never all 10
+    val (kept, total) = store.pruneEvidence("t", "k", 150, 180)
+    assert(total == 10 && kept < total, s"kept=$kept total=$total")
+    assert(store.readWhere("t", "k", 150, 180).count() == 31)
+    assert(store.readWhere("t", "k", 150, 180).inputFiles.length == kept)
+    // result always equals the plain filtered read, pruned or not
+    assert(store.readWhere("t", "k", 0, 999).count() == 1000)
+    // a range beyond the data prunes everything and still returns empty
+    assert(store.readWhere("t", "k", 5000, 6000).count() == 0)
+    assert(store.pruneEvidence("t", "k", 5000, 6000)._1 == 0)
+    // a column without collected stats reads unpruned but correct
+    assert(store.readWhere("t", "v", "150", "150").count() == 1)
+    assert(store.pruneEvidence("t", "v", "150", "150")._1 == 10)
+    // appends publish their own stats sidecar; both generations prune
+    store.append("t", spark.range(2000, 3000).selectExpr("id AS k", "'x' AS v"))
+    val (k2, t2) = store.pruneEvidence("t", "k", 150, 180)
+    assert(t2 > 10 && k2 < 10, s"kept=$k2 total=$t2")
+    assert(store.readWhere("t", "k", 150, 2010).count() == 850 + 11)
+    // a store built without statsColumns reads the same table unpruned
+    val nostats = new TableStore(spark, store.tablePath("t").stripSuffix("/t"),
+      CommitMode.Pointer)
+    assert(nostats.readWhere("t", "k", 150, 180).count() == 31)
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
