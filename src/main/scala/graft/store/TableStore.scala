@@ -166,11 +166,25 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
-  /** Highest fully-committed manifest, if any. */
+  /** Every distinct generation dir a manifest references exists. A complete
+    * marker naming a vanished dir is the footprint of the lock-break race
+    * (a TTL-breaking writer's recover() deleted an in-flight writer's gen
+    * dir between that writer's existence check and marker create); readers
+    * skip past it to the previous good generation instead of throwing on
+    * every read until the next publish. Checked per DISTINCT dir, not per
+    * entry — a partition-scoped manifest has one entry per day but only a
+    * handful of generation dirs, so this stays O(generations) metadata
+    * calls at 100 TB. */
+  private def manifestDirsExist(table: String, entries: Seq[(String, String)]): Boolean = {
+    val dir = new Path(tablePath(table))
+    entries.map(_._2).distinct.forall(g => fs.exists(new Path(dir, g)))
+  }
+
+  /** Highest fully-committed manifest whose generation dirs all exist. */
   private def currentManifest(table: String): Option[(Long, Seq[(String, String)])] =
     listMarkers(table).iterator
       .flatMap { case (n, p) => parseManifest(p).map(n -> _) }
-      .nextOption()
+      .find { case (_, entries) => manifestDirsExist(table, entries) }
 
   /** Publish `entries` as the table's next generation: atomic
     * create-if-absent of `_commit.<n>`. The marker create is the commit
@@ -201,22 +215,48 @@ final class TableStore(spark: SparkSession, root: String,
     try { out.write(content.getBytes("UTF-8")); out.close() } catch {
       case e: IOException => fs.delete(marker, false); throw e
     }
+    // the pre-create existence check above is check-then-act: a competing
+    // writer that TTL-broke our lock can recover() away a gen dir between
+    // the check and the marker create, leaving a well-formed marker naming
+    // missing dirs at the top of the chain. Re-verify AFTER the marker is
+    // durable and retract it on failure — and readers additionally skip
+    // such manifests ([[manifestDirsExist]]), so even a crash inside this
+    // window never wedges read().
+    entries.map(_._2).distinct.foreach { g =>
+      if (!fs.exists(new Path(dir, g))) {
+        fs.delete(marker, false)
+        throw new ConcurrentWriteException(
+          s"$op('$table'): generation dir $g vanished during commit (writer lock was " +
+            "broken by another writer) — marker retracted, nothing was published")
+      }
+    }
     cleanupGenerations(table)
   }
 
   /** Best-effort retention: keep the `keepGenerations` highest-indexed
-    * markers (≥ current + previous, so a reader that resolved just before a
-    * publish still has its files — and, beyond 2, a [[readGeneration]]
-    * time-travel window) and every gen dir any of them references; delete
-    * older markers and unreferenced `_gen-*` dirs. */
+    * COMMITTED markers (≥ current + previous, so a reader that resolved just
+    * before a publish still has its files — and, beyond 2, a
+    * [[readGeneration]] time-travel window) and every gen dir any of them
+    * references; delete older committed markers, unreferenced `_gen-*` dirs,
+    * and dead partial markers. Retention counts committed markers ONLY: a
+    * writer crash between marker create and content write leaves a partial
+    * marker, and counting it toward `keepGenerations` would let one piece of
+    * garbage permanently evict the previous committed generation — breaking
+    * the current+previous reader-isolation minimum. A partial marker BELOW
+    * the newest committed index can never be completed (writers index above
+    * all markers and write content immediately after create), so it is
+    * dropped; a partial at the top of the chain may be a concurrent writer
+    * mid-content-write and is left alone. */
   private def cleanupGenerations(table: String): Unit =
     try {
       val dir = new Path(tablePath(table))
-      val markers = listMarkers(table)
-      val (keep, drop) = markers.splitAt(keepGenerations)
-      val referenced = keep.flatMap { case (_, p) => parseManifest(p).getOrElse(Nil) }
-        .map(_._2).toSet
-      drop.foreach { case (_, p) => fs.delete(p, false) }
+      val parsed = listMarkers(table).map { case (n, p) => (n, p, parseManifest(p)) }
+      val committed = parsed.collect { case (n, p, Some(m)) => (n, p, m) }
+      val (keep, dropCommitted) = committed.splitAt(keepGenerations)
+      val referenced = keep.flatMap(_._3.map(_._2)).toSet
+      val newestCommitted = committed.headOption.map(_._1).getOrElse(Long.MinValue)
+      val deadPartials = parsed.collect { case (n, p, None) if n < newestCommitted => p }
+      (dropCommitted.map(_._2) ++ deadPartials).foreach(fs.delete(_, false))
       fs.listStatus(dir).map(_.getPath)
         .filter(p => p.getName.startsWith("_gen-") && !referenced.contains(p.getName))
         .foreach(fs.delete(_, true))
@@ -363,6 +403,38 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** A caller-supplied read bound is usable for pruning under the column's
+    * recorded stats dtype ONLY if comparing it via [[statCompare]] agrees
+    * with Spark's own coercion in the residual filter. The trap is a
+    * STRING-statted column with a numeric bound: `statCompare` would compare
+    * lexicographically (mx="20" < lo="5" prunes a file whose value 20
+    * numerically matches) while `read().filter` coerces numerically and
+    * keeps the row — silent row loss. Numeric dtypes accept anything that
+    * parses as a number (Spark coerces a numeric-looking string bound the
+    * same way); temporal dtypes accept their java.sql/java.time types or a
+    * string their parser round-trips; string dtypes accept ONLY strings.
+    * `false` → the caller must skip pruning (read + filter stays correct). */
+  private def boundTyped(dtype: String, v: Any): Boolean = {
+    def num = scala.util.Try(BigDecimal(v.toString)).isSuccess
+    dtype match {
+      case "tinyint" | "smallint" | "int" | "bigint" | "float" | "double" => num
+      case d if d.startsWith("decimal") => num
+      case "date" => v match {
+        case _: java.sql.Date | _: java.time.LocalDate => true
+        case s: String => scala.util.Try(java.sql.Date.valueOf(s)).isSuccess
+        case _ => false
+      }
+      case "timestamp" | "timestamp_ntz" => v match {
+        case _: java.sql.Timestamp | _: java.time.LocalDateTime => true
+        case s: String =>
+          scala.util.Try(java.sql.Timestamp.valueOf(s.replace('T', ' '))).isSuccess
+        case _ => false
+      }
+      case "string" => v.isInstanceOf[String]
+      case _ => false
+    }
+  }
+
   /** Compare two stat strings under the column's recorded type. `None` =
     * unparseable (NaN, unknown type) — callers must keep the file. */
   private def statCompare(dtype: String, a: String, b: String): Option[Int] =
@@ -409,11 +481,14 @@ final class TableStore(spark: SparkSession, root: String,
           total += files.size
           files.foreach { f =>
             val keep = stats.get((f.getPath.getName, column)) match {
-              case Some((dt, mn, mx)) =>
+              // prune ONLY when the bounds are provably comparable under the
+              // recorded dtype ([[boundTyped]] — a mistyped bound would prune
+              // lexicographically while the residual filter coerces by value)
+              case Some((dt, mn, mx)) if boundTyped(dt, lo) && boundTyped(dt, hi) =>
                 // keep unless the file's range provably misses [lo, hi]
                 !(statCompare(dt, mx, lo.toString).exists(_ < 0) ||
                   statCompare(dt, mn, hi.toString).exists(_ > 0))
-              case None => true
+              case _ => true
             }
             if (keep) kept += f.getPath.toString
           }
@@ -528,6 +603,12 @@ final class TableStore(spark: SparkSession, root: String,
         case Some(age) if lockTtlMs > 0 && age > lockTtlMs =>
           log.warn(s"$op('$table'): breaking stale writer lock (age ${age}ms > TTL ${lockTtlMs}ms) " +
             "and recovering the table — the previous writer is presumed crashed")
+          // two writers arriving at the same expired lock may BOTH reach this
+          // branch and run recovery concurrently: that is benign by design —
+          // recover() is idempotent deletes/renames, and mutual exclusion is
+          // restored immediately after, when both loop back to the
+          // create-if-absent below and exactly one wins the CAS. The loser
+          // waits or fails with ConcurrentWriteException; it never proceeds.
           recover(table)
         case Some(_) if System.currentTimeMillis < deadline => Thread.sleep(100)
         case Some(_) => conflict(null)
@@ -918,11 +999,19 @@ final class TableStore(spark: SparkSession, root: String,
         val target = new Path(live, partName)
         if (!f.exists(target)) f.rename(r, target) else f.delete(r, true)
       }
-      // pointer layout: drop partial markers, then orphaned generation dirs
+      // pointer layout: drop partial markers AND complete markers whose
+      // referenced dirs are missing (the lock-break race footprint — readers
+      // already skip them, recovery retires them permanently), then orphaned
+      // generation dirs
       val markers = listMarkers(table)
       if (markers.nonEmpty) {
-        markers.filter { case (_, p) => parseManifest(p).isEmpty }
-          .foreach { case (_, p) => f.delete(p, false) }
+        markers.foreach { case (_, p) =>
+          parseManifest(p) match {
+            case None => f.delete(p, false)
+            case Some(entries) if !manifestDirsExist(table, entries) => f.delete(p, false)
+            case _ => ()
+          }
+        }
         cleanupGenerations(table)
       }
     }

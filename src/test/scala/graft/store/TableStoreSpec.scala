@@ -490,6 +490,100 @@ class TableStoreSpec extends AnyFunSuite {
     assert(nostats.readWhere("t", "k", 150, 180).count() == 31)
   }
 
+  test("a partial marker never occupies a retention slot: current+previous survive it") {
+    val store = pointerStore() // keepGenerations = 2 (current + previous)
+    store.atomicOverwrite("t", Seq(1).toDF("k")) // → _commit.1
+    val fs = hadoopFs(store, "t")
+    // a writer crashed between marker create and content write: well-named
+    // marker, empty content — unparseable forever
+    fs.create(new org.apache.hadoop.fs.Path(store.tablePath("t"), "_commit.2"), false).close()
+    store.atomicOverwrite("t", Seq(2).toDF("k")) // → _commit.3 (indexes above ALL markers)
+    // retention counted COMMITTED markers only: the previous committed
+    // generation (_commit.1) is still retained — a reader that resolved just
+    // before the publish keeps its files, and the garbage partial is gone
+    assert(store.generations("t") == Seq(3L, 1L), store.generations("t").toString)
+    assert(store.readGeneration("t", 1L).as[Int].collect().toSeq == Seq(1))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.tablePath("t"), "_commit.2")),
+      "dead partial marker below the newest committed index must be dropped")
+    assert(store.read("t").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("mistyped read bounds skip pruning instead of lexicographically dropping rows") {
+    // string-statted column whose values LOOK numeric: "20" < "5"
+    // lexicographically, but Spark's residual filter coerces numerically —
+    // pruning under the recorded string dtype would silently drop rows
+    val store = new TableStore(spark, Files.createTempDirectory("graft-dtype").toString,
+      CommitMode.Pointer, statsColumns = Seq("s"))
+    val df = Seq("3", "5", "20", "100").toDF("s")
+    store.atomicOverwriteClustered("t", df, Seq("s"), 4)
+    // numeric bounds on the string column: no pruning (kept == total), and
+    // the result equals the coercing filtered read ("5" and "20" match)
+    val (kept, total) = store.pruneEvidence("t", "s", 5, 30)
+    assert(kept == total, s"mistyped bounds must not prune: kept=$kept total=$total")
+    import org.apache.spark.sql.functions.{col, lit}
+    val expect = store.read("t").filter(col("s") >= lit(5) && col("s") <= lit(30))
+      .as[String].collect().toSet
+    assert(store.readWhere("t", "s", 5, 30).as[String].collect().toSet == expect)
+    // correctly-typed string bounds on the same column DO prune
+    val (k2, t2) = store.pruneEvidence("t", "s", "100", "100")
+    assert(k2 < t2, s"string bounds on a string column should prune: kept=$k2 total=$t2")
+    assert(store.readWhere("t", "s", "100", "100").as[String].collect().toSeq == Seq("100"))
+  }
+
+  test("a committed marker naming vanished gen dirs is skipped by readers and retired by recover") {
+    val store = pointerStore()
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    store.atomicOverwrite("t", Seq(2).toDF("k"))
+    // the lock-break race footprint: the newest manifest's gen dir was
+    // recover()ed away by a competing writer after the marker landed
+    val fs = hadoopFs(store, "t")
+    val top = store.generations("t").head
+    val newestGen = {
+      // resolve which gen dir the top marker references via the read itself
+      val files = store.read("t").inputFiles
+      files.head.split("/").dropRight(1).last
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(store.tablePath("t"), newestGen), true)
+    // readers skip to the previous good generation instead of throwing
+    assert(store.read("t").as[Int].collect().toSeq == Seq(1))
+    assert(store.exists("t"))
+    // recover retires the wedged marker permanently
+    store.recover("t")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.tablePath("t"), s"_commit.$top")),
+      "recover must drop a complete marker whose dirs are missing")
+    assert(store.read("t").as[Int].collect().toSeq == Seq(1))
+    // the next publish proceeds normally on top of the healed chain
+    store.atomicOverwrite("t", Seq(3).toDF("k"))
+    assert(store.read("t").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("two writers racing one expired lock: exactly one torn-free winner per attempt") {
+    val dir = Files.createTempDirectory("graft-ttlrace").toString
+    val store = new TableStore(spark, dir, CommitMode.Pointer, lockTtlMs = 500L)
+    store.atomicOverwrite("t", Seq(0).toDF("k"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(store.tablePath("t") + ".lock")
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis - 60000, -1) // expired: both writers may break it
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(1, 2).map { i =>
+      new Thread(() => {
+        try store.atomicOverwrite("t", Seq(i).toDF("k"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    // both may run recovery concurrently (idempotent); the lock CAS then
+    // admits one at a time — a loser fails ONLY with the loud concurrency
+    // error, never anything else, and the final state is exactly one
+    // writer's payload
+    errs.forEach(e => assert(e.isInstanceOf[ConcurrentWriteException], e.toString))
+    assert(errs.size() < 2, "at least one writer must have succeeded")
+    val got = store.read("t").as[Int].collect().toSeq
+    assert(got == Seq(1) || got == Seq(2), got.toString)
+    assert(!fs.exists(lock), "winner must release the lock")
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
