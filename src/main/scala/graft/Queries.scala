@@ -328,6 +328,51 @@ object Queries {
         s"o8_stats_pruned_read: expected pruning on the clustered layout, kept $kept of $total")
       store.readWhere("ord_sk", "o_totalprice", 50000.0, 100000.0)
     }),
+    // the 100 TB fact-table shape: date-PARTITIONED and pointer-committed,
+    // with per-file stats recorded INSIDE partition subdirs — a narrow band
+    // on a non-partition column prunes files within every month (fine axis),
+    // a band on the partition column skips whole month dirs (coarse axis),
+    // and both compose; every prune is asserted, not assumed
+    "o9_part_pruned_read" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o9").toString,
+        graft.store.CommitMode.Pointer, statsColumns = Seq("o_totalprice"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), trunc(col("o_orderdate"), "month").as("o_month"))
+        .repartitionByRange(4, col("o_totalprice")).sortWithinPartitions("o_totalprice")
+      store.atomicOverwrite("ord_pp", ord, partitionBy = Seq("o_month"))
+      val (kf, tf) = store.pruneEvidence("ord_pp", "o_totalprice", 50000.0, 100000.0)
+      require(kf < tf, s"o9: file axis inside partitions must prune, kept $kf of $tf")
+      val m = java.sql.Date.valueOf("1997-03-01")
+      val (kp, tp) = store.pruneEvidence("ord_pp", "o_month", m, m)
+      require(kp < tp, s"o9: partition axis must prune, kept $kp of $tp")
+      val both = Seq[(String, Any, Any)](("o_month", m, m), ("o_totalprice", 50000.0, 100000.0))
+      val (kb, _) = store.pruneEvidence("ord_pp", both)
+      require(kb <= math.min(kf, kp), s"o9: composed axes must intersect, kept $kb vs $kf/$kp")
+      store.readWhere("ord_pp", both)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_month")
+    }),
+    // two-dimensional pruned read over the z-order layout: the Morton curve
+    // keeps every file rectangle-ish in (o_orderkey, o_custkey), so a band
+    // on EITHER dimension alone opens a strict subset of the 16 files and
+    // the 2-D band opens no more than either axis's subset
+    "o11_zorder_2d_read" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o11").toString,
+        graft.store.CommitMode.Pointer, statsColumns = Seq("o_orderkey", "o_custkey"))
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      store.atomicOverwriteZOrdered("ord_z2", ord, "o_orderkey", "o_custkey", 16)
+      val bounds = Seq[(String, Any, Any)](
+        ("o_orderkey", 10000L, 20000L), ("o_custkey", 100L, 400L))
+      val (_, total) = store.pruneEvidence("ord_z2", "o_orderkey", 0L, Long.MaxValue)
+      val (ka, _) = store.pruneEvidence("ord_z2", "o_orderkey", 10000L, 20000L)
+      val (kc, _) = store.pruneEvidence("ord_z2", "o_custkey", 100L, 400L)
+      require(ka < total && kc < total,
+        s"o11: each dimension alone must prune: orderkey $ka, custkey $kc of $total")
+      val (k2, _) = store.pruneEvidence("ord_z2", bounds)
+      require(k2 <= math.min(ka, kc), s"o11: 2-D band must intersect, kept $k2 vs $ka/$kc")
+      store.readWhere("ord_z2", bounds)
+    }),
     "a1_window_delete" -> ((s, d) =>
       Ops.windowDelete(li(s, d), "l_shipdate", LiFrom, LiTo)),
     "a5_window_reload" -> ((s, d) => {
@@ -1277,6 +1322,16 @@ object Queries {
     "o8_stats_pruned_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+    "o9_part_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month
+        |  FROM orders
+        | WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '1997-03-01'
+        |   AND o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+    "o11_zorder_2d_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_orderkey BETWEEN 10000 AND 20000
+        |   AND o_custkey BETWEEN 100 AND 400""".stripMargin,
     "o3_agg_maintain" ->
       """WITH up AS (
         |  SELECT ts, event_type,

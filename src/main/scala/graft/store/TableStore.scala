@@ -451,87 +451,183 @@ final class TableStore(spark: SparkSession, root: String,
       }
     }.toOption
 
-  /** The pruning decision for one read: kept file paths, dirs read whole
-    * (no stats / partitioned layout), and the total file count. `None` =
-    * stats-based pruning does not apply (rename layout, partition-scoped
-    * manifest) — fall back to a plain filtered read. */
-  private def prunePlan(table: String, column: String, lo: Any,
-      hi: Any): Option[(Seq[String], Seq[String], Int)] = {
+  /** One generation's share of a pruned read: `paths` (files or partition
+    * subdirs) opened under `basePath` (so Spark's partition-column
+    * inference still sees the `col=value` dir names), plus kept/total FILE
+    * counts for the evidence surface. */
+  private case class PruneUnit(basePath: String, paths: Seq[String], kept: Int, total: Int)
+
+  private def isDataFile(s: org.apache.hadoop.fs.FileStatus): Boolean =
+    s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+
+  /** One file survives ALL bounds it has usable stats for. Missing stats,
+    * missing sidecar, or a bound whose runtime type mismatches the recorded
+    * dtype ([[boundTyped]] — a mistyped bound would prune lexicographically
+    * while the residual filter coerces by value) ⇒ keep. */
+  private def fileSurvives(stats: Option[Map[(String, String), (String, String, String)]],
+      key: String, bounds: Seq[(String, Any, Any)]): Boolean =
+    bounds.forall { case (column, lo, hi) =>
+      stats.flatMap(_.get((key, column))) match {
+        case Some((dt, mn, mx)) if boundTyped(dt, lo) && boundTyped(dt, hi) =>
+          // keep unless the file's range provably misses [lo, hi]
+          !(statCompare(dt, mx, lo.toString).exists(_ < 0) ||
+            statCompare(dt, mn, hi.toString).exists(_ > 0))
+        case _ => true
+      }
+    }
+
+  /** A `col=value` partition directory survives a bound on its partition
+    * column. The value's compare dtype is inferred from its FORM (date,
+    * numeric, else string — mirroring Spark's partition-type inference that
+    * the residual filter will coerce under); an uninterpretable pairing
+    * keeps the partition. The null partition never matches a range. */
+  private def partitionSurvives(value: String, bounds: Seq[(String, Any, Any)]): Boolean =
+    bounds.forall { case (_, lo, hi) =>
+      if (value == "__HIVE_DEFAULT_PARTITION__") false
+      else {
+        val dtype =
+          if (scala.util.Try(java.sql.Date.valueOf(value)).isSuccess) "date"
+          else if (scala.util.Try(BigDecimal(value)).isSuccess) "bigint"
+          else "string"
+        if (!boundTyped(dtype, lo) || !boundTyped(dtype, hi)) true
+        else !(statCompare(dtype, value, lo.toString).exists(_ < 0) ||
+          statCompare(dtype, value, hi.toString).exists(_ > 0))
+      }
+    }
+
+  /** Prune one generation dir for `bounds`, composing partition-dir pruning
+    * (coarse axis: the `col=value` subdir name decides without listing its
+    * files' stats) with per-file min/max skipping (fine axis: `_stats` keys
+    * are `subdir/file` inside partitioned generations). `onlyParts`
+    * restricts to a partition-scoped manifest's named partitions. Nesting
+    * deeper than one partition level falls back to a whole-dir read. */
+  private def pruneGen(genDir: Path, bounds: Seq[(String, Any, Any)],
+      onlyParts: Option[Seq[String]]): PruneUnit = {
+    def wholeRead: PruneUnit = {
+      val paths = onlyParts.fold(Seq(genDir.toString))(_.map(p => s"$genDir/$p"))
+      val n = paths.map(p => countFiles(new Path(p))).sum
+      PruneUnit(genDir.toString, paths, n, n)
+    }
+    val children = fs.listStatus(genDir).toSeq
+    val subdirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    val flat = subdirs.isEmpty && onlyParts.isEmpty
+    val stats = loadStats(genDir)
+    if (flat) {
+      val files = children.filter(isDataFile)
+      if (stats.isEmpty) wholeRead
+      else {
+        val kept = files.filter(f => fileSurvives(stats, f.getPath.getName, bounds))
+        PruneUnit(genDir.toString, kept.map(_.getPath.toString), kept.size, files.size)
+      }
+    } else {
+      val parts = onlyParts.fold(subdirs.map(_.getPath.getName))(_.toSeq)
+        .filter(p => fs.exists(new Path(genDir, p)))
+      // multi-level partitioning: file-level keys would need recursive
+      // listing — read whole rather than guess
+      if (parts.exists(p => fs.listStatus(new Path(genDir, p)).exists(_.isDirectory)))
+        return wholeRead
+      var kept = 0
+      var total = 0
+      val paths = Seq.newBuilder[String]
+      parts.foreach { part =>
+        val Array(pcol, pval) = part.split("=", 2)
+        val (pBounds, fBounds) = bounds.partition(_._1 == pcol)
+        val files = fs.listStatus(new Path(genDir, part)).toSeq.filter(isDataFile)
+        total += files.size
+        if (partitionSurvives(pval, pBounds)) {
+          val surviving = files.filter(f => fileSurvives(stats, s"$part/${f.getPath.getName}", fBounds))
+          kept += surviving.size
+          paths ++= surviving.map(_.getPath.toString)
+        }
+      }
+      PruneUnit(genDir.toString, paths.result(), kept, total)
+    }
+  }
+
+  private def countFiles(p: Path): Int =
+    fs.listStatus(p).toSeq.map(s =>
+      if (s.isDirectory) countFiles(s.getPath) else if (isDataFile(s)) 1 else 0).sum
+
+  /** The pruning decision for one read: per-generation read units plus
+    * kept/total file counts. `None` = stats-based pruning does not apply
+    * (rename layout) — fall back to a plain filtered read. */
+  private def prunePlan(table: String,
+      bounds: Seq[(String, Any, Any)]): Option[(Seq[PruneUnit], Int, Int)] = {
     if (!pointerMode || listMarkers(table).isEmpty) return None
     val entries = currentManifest(table) match {
       case None => throw new IOException(
         s"readWhere('$table'): no fully-committed generation marker found")
       case Some((_, e)) => e
     }
-    if (entries.exists(_._1 != WholeTable)) return None
     val dir = tablePath(table)
-    var total = 0
-    val kept = Seq.newBuilder[String]
-    val whole = Seq.newBuilder[String]
-    entries.map(_._2).distinct.foreach { g =>
-      val genDir = new Path(s"$dir/$g")
-      val children = fs.listStatus(genDir).toSeq
-      val files = children.filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      // partitioned generations have subdirs — their partition column only
-      // materializes through a directory read, so skip file-level pruning
-      val flat = children.forall(s => !s.isDirectory)
-      loadStats(genDir) match {
-        case Some(stats) if flat =>
-          total += files.size
-          files.foreach { f =>
-            val keep = stats.get((f.getPath.getName, column)) match {
-              // prune ONLY when the bounds are provably comparable under the
-              // recorded dtype ([[boundTyped]] — a mistyped bound would prune
-              // lexicographically while the residual filter coerces by value)
-              case Some((dt, mn, mx)) if boundTyped(dt, lo) && boundTyped(dt, hi) =>
-                // keep unless the file's range provably misses [lo, hi]
-                !(statCompare(dt, mx, lo.toString).exists(_ < 0) ||
-                  statCompare(dt, mn, hi.toString).exists(_ > 0))
-              case _ => true
-            }
-            if (keep) kept += f.getPath.toString
-          }
-        case _ => whole += genDir.toString
-      }
-    }
-    Some((kept.result(), whole.result(), total))
+    val (whole, parts) = entries.partition(_._1 == WholeTable)
+    val units =
+      if (parts.isEmpty)
+        whole.map(_._2).distinct.map(g => pruneGen(new Path(s"$dir/$g"), bounds, None))
+      else if (whole.isEmpty)
+        parts.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, es) =>
+          pruneGen(new Path(s"$dir/$g"), bounds, Some(es.map(_._1)))
+        }
+      else throw new IllegalStateException(
+        s"readWhere('$table'): manifest mixes whole-table and partition entries")
+    Some((units, units.map(_.kept).sum, units.map(_.total).sum))
   }
 
-  /** Range read with manifest-stats data skipping: `column BETWEEN lo AND
-    * hi`, but files whose recorded min/max provably miss the range are
-    * never opened — at 100 TB, on a [[atomicOverwriteClustered]] layout, a
-    * narrow band touches a handful of files instead of the whole table,
-    * BEFORE Spark lists or plans a single pruned file (parquet row-group
-    * skipping starts a footer-read too late to save the open). Bounds are
-    * inclusive and compared under the column's recorded type; files or
-    * generations without stats are read and filtered (correct, just
-    * unpruned), so the result ALWAYS equals `read(table).filter(between)`.
-    * Stats exist when the store was built with `statsColumns` covering
-    * `column`. */
-  def readWhere(table: String, column: String, lo: Any, hi: Any): DataFrame = {
+  /** Range read with manifest-stats data skipping: every `(column, lo, hi)`
+    * bound is an inclusive BETWEEN, ANDed. Files whose recorded min/max
+    * provably miss any bound are never opened — at 100 TB, on a
+    * [[atomicOverwriteClustered]] layout, a narrow band touches a handful
+    * of files instead of the whole table, BEFORE Spark lists or plans a
+    * single pruned file (parquet row-group skipping starts a footer-read
+    * too late to save the open). Pruning COMPOSES three axes:
+    *
+    *  - partition-dir pruning: a bound on the partition column skips whole
+    *    `col=value` subdirs by name (the coarse date axis),
+    *  - per-file stats inside partition subdirs: `_stats` keys carry the
+    *    subdir prefix, so a bound on a NON-partition column skips files
+    *    within every surviving partition (the fine key axis),
+    *  - multi-column intersection: with a [[atomicOverwriteZOrdered]]
+    *    layout, bounds on BOTH z-order dimensions each shrink the kept set.
+    *
+    * Bounds are compared under the column's recorded type; files or
+    * generations without usable stats are read and filtered (correct, just
+    * unpruned), so the result ALWAYS equals `read(table)` under the same
+    * filters. Stats exist when the store was built with `statsColumns`
+    * covering the bound columns. */
+  def readWhere(table: String, bounds: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    def residual(d: DataFrame) = d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
-    prunePlan(table, column, lo, hi) match {
+    require(bounds.nonEmpty, "readWhere needs at least one (column, lo, hi) bound")
+    def residual(d: DataFrame) = bounds.foldLeft(d) { case (acc, (c, lo, hi)) =>
+      acc.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+    prunePlan(table, bounds) match {
       case None => residual(read(table))
-      case Some((kept, wholeDirs, _)) =>
-        val paths = kept ++ wholeDirs
-        if (paths.isEmpty) residual(read(table)).filter(lit(false))
-        else residual(spark.read.parquet(paths: _*))
+      case Some((units, _, _)) =>
+        val frames = units.filter(_.paths.nonEmpty).map { u =>
+          spark.read.option("basePath", u.basePath).parquet(u.paths: _*)
+        }
+        if (frames.isEmpty) residual(read(table)).filter(lit(false))
+        else residual(frames.reduce(_.unionByName(_)))
     }
   }
 
-  /** (files kept, files total) that [[readWhere]] with these arguments
-    * would plan — the pruning evidence surface for tests and ops. Dirs
-    * read whole (no stats, partitioned layout) count all their files on
-    * both sides. */
-  def pruneEvidence(table: String, column: String, lo: Any, hi: Any): (Int, Int) =
-    prunePlan(table, column, lo, hi) match {
+  /** Single-bound convenience form of [[readWhere]]. */
+  def readWhere(table: String, column: String, lo: Any, hi: Any): DataFrame =
+    readWhere(table, Seq((column, lo, hi)))
+
+  /** (files kept, files total) that [[readWhere]] with these bounds would
+    * plan — the pruning evidence surface for tests and ops. Dirs read
+    * whole (no stats, nested partitioning) count all their files on both
+    * sides. */
+  def pruneEvidence(table: String, bounds: Seq[(String, Any, Any)]): (Int, Int) =
+    prunePlan(table, bounds) match {
       case None => val n = read(table).inputFiles.length; (n, n)
-      case Some((kept, wholeDirs, total)) =>
-        val wholeCount = wholeDirs.map(d => spark.read.parquet(d).inputFiles.length).sum
-        (kept.size + wholeCount, total + wholeCount)
+      case Some((_, kept, total)) => (kept, total)
     }
+
+  /** Single-bound convenience form of [[pruneEvidence]]. */
+  def pruneEvidence(table: String, column: String, lo: Any, hi: Any): (Int, Int) =
+    pruneEvidence(table, Seq((column, lo, hi)))
 
   // ---------------------------------------------------------------------
   // Writes
@@ -760,6 +856,10 @@ final class TableStore(spark: SparkSession, root: String,
         s"overwriteDatePartitions: fresh data for ${undeclared.mkString(", ")} " +
           "not covered by the declared day list — nothing was modified")
     }
+    // per-file stats with `partCol=day/file` keys: composes partition-dir
+    // pruning with file-level skipping in readWhere — the 100 TB fact-table
+    // shape (date-partitioned AND pointer-committed) gets both axes
+    writeStats(gen)
     // expand the previous manifest to per-partition entries so untouched
     // partitions keep pointing at the generation dirs that already hold them
     val prev: Seq[(String, String)] = currentManifest(table) match {

@@ -584,6 +584,76 @@ class TableStoreSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "winner must release the lock")
   }
 
+  test("date-partitioned pointer generations compose partition pruning with file stats skipping") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, Files.createTempDirectory("graft-partskip").toString,
+      CommitMode.Pointer, statsColumns = Seq("k"))
+    // 3 days × 4 range-clustered files per day: k in [0,1200), day = k/400
+    val df = spark.range(0, 1200).selectExpr("id AS k",
+      "CAST(DATE '2024-01-01' + CAST(id / 400 AS INT) AS DATE) AS day")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    val days = (1 to 3).map(d => java.time.LocalDate.of(2024, 1, d))
+    store.overwriteDatePartitions("t", df, "day", days)
+    val totalFiles = store.read("t").inputFiles.length
+    assert(totalFiles >= 6, s"fixture must be multi-file per day, got $totalFiles")
+    // coarse axis: a band on the PARTITION column skips whole day dirs
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val (kP, tP) = store.pruneEvidence("t", "day", d1, d1)
+    assert(tP == totalFiles && kP < tP, s"partition axis: kept=$kP total=$tP")
+    assert(store.readWhere("t", "day", d1, d1).count() == 400)
+    // fine axis: a band on the NON-partition column skips files INSIDE days
+    val (kF, tF) = store.pruneEvidence("t", "k", 100, 140)
+    assert(kF < tF, s"file axis inside partitions: kept=$kF total=$tF")
+    assert(store.readWhere("t", "k", 100, 140).count() == 41)
+    // composed: both bounds intersect to fewer files than either alone
+    val both = Seq(("day", d1: Any, d1: Any), ("k", 100: Any, 140: Any))
+    val (kB, _) = store.pruneEvidence("t", both)
+    assert(kB <= math.min(kP, kF), s"composed kept=$kB vs axis kepts $kP/$kF")
+    val got = store.readWhere("t", both)
+    assert(got.count() == 41)
+    // the partition column survives the pruned read (basePath inference)
+    assert(got.columns.contains("day"))
+    assert(got.select(col("day").cast("string")).distinct().as[String].collect().toSeq ==
+      Seq("2024-01-01"))
+    // a later windowed reload keeps both axes working across mixed generations
+    store.overwriteDatePartitions("t",
+      spark.range(800, 1200).selectExpr("id AS k", "DATE '2024-01-03' AS day")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      "day", Seq(java.time.LocalDate.of(2024, 1, 3)))
+    val (k2, t2) = store.pruneEvidence("t", "k", 100, 140)
+    assert(k2 < t2, s"after reload: kept=$k2 total=$t2")
+    assert(store.readWhere("t", "k", 100, 140).count() == 41)
+    assert(store.readWhere("t", "day", d1, d1).count() == 400)
+  }
+
+  test("two-dimensional readWhere over the z-order layout prunes on BOTH dimensions") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, Files.createTempDirectory("graft-z2d").toString,
+      CommitMode.Pointer, statsColumns = Seq("a", "b"))
+    // a 100×100 grid: z-ordering keeps files rectangle-ish in (a, b)
+    val df = spark.range(0, 10000).selectExpr("id % 100 AS a", "CAST(id / 100 AS BIGINT) AS b")
+    store.atomicOverwriteZOrdered("t", df, "a", "b", 16)
+    val (_, total) = store.pruneEvidence("t", "a", 0L, 99L)
+    assert(total >= 8, s"fixture must be multi-file, got $total")
+    // each single dimension prunes on its own
+    val (ka, _) = store.pruneEvidence("t", "a", 10L, 20L)
+    val (kb, _) = store.pruneEvidence("t", "b", 10L, 20L)
+    assert(ka < total, s"dim a alone: kept=$ka of $total")
+    assert(kb < total, s"dim b alone: kept=$kb of $total")
+    // the intersected 2-D band opens a strict subset of EACH dimension's set
+    val bounds = Seq(("a", 10L: Any, 20L: Any), ("b", 10L: Any, 20L: Any))
+    val (k2, t2) = store.pruneEvidence("t", bounds)
+    assert(t2 == total && k2 < ka && k2 < kb, s"2-D kept=$k2 vs a=$ka b=$kb total=$total")
+    // result ≡ the plain double-filtered read
+    val expect = store.read("t")
+      .filter(col("a").between(10, 20) && col("b").between(10, 20)).count()
+    assert(expect == 11L * 11L)
+    assert(store.readWhere("t", bounds).count() == expect)
+    // empty intersection prunes everything and still returns empty
+    assert(store.readWhere("t", Seq(("a", 2000L: Any, 3000L: Any), ("b", 10L: Any, 20L: Any)))
+      .count() == 0)
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
