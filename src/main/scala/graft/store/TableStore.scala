@@ -908,11 +908,73 @@ final class TableStore(spark: SparkSession, root: String,
   def writeBucketed(table: String, df: DataFrame, bucketCol: String, numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    if (pointerMode) { writeBucketedPointer(table, df, bucketCol, numBuckets, sortCols); return }
     val w = df.write.mode("overwrite").format("parquet")
       .option("path", tablePath(table))
       .bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  // ---------------------------------------------------------------------
+  // Catalog-free bucketed layout (pointer mode)
+  // ---------------------------------------------------------------------
+
+  private val BucketSpecFile = "_bucketspec"
+  private val BucketSpecHeader = "graft-bucketspec v1"
+
+  /** Pointer-mode bucketed publish: the bucket layout must survive WITHOUT a
+    * durable catalog (an object-store deployment has none), so the spec is
+    * persisted INSIDE the immutable generation as a `_bucketspec` sidecar
+    * and the files go through the same lock + atomic-marker protocol as any
+    * rewrite. Spark's bucketed writer only runs through `saveAsTable`, so
+    * the write detours through a throwaway session-catalog entry pointed at
+    * the generation dir (external ⇒ dropping it keeps the files, which
+    * carry their bucket ids in their names); the entry is gone before the
+    * commit marker lands. Readers rebuild an equivalent catalog shim from
+    * the sidecar ([[readBucketed]]) — the zero-Exchange join layout now
+    * round-trips through a fresh session with no catalog state at all. */
+  private def writeBucketedPointer(table: String, df: DataFrame, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String]): Unit = {
+    val lock = acquireWriteLock(table, "writeBucketed")
+    try {
+      val dir = new Path(tablePath(table))
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val gen = new Path(dir, s"_gen-${nonce()}")
+      val tmpIdent = s"graft_bktwrite_${nonce()}"
+      val w = df.write.mode("overwrite").format("parquet")
+        .option("path", gen.toString).bucketBy(numBuckets, bucketCol)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(tmpIdent)
+      spark.sql(s"DROP TABLE `$tmpIdent`") // external: bucket-named files remain
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val content = Seq(BucketSpecHeader, s"numBuckets\t$numBuckets",
+        s"bucketCol\t${enc(bucketCol)}",
+        s"sortCols\t${sortCols.map(enc).mkString(",")}").mkString("\n")
+      val out = fs.create(new Path(gen, BucketSpecFile), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      writeStats(gen)
+      commitPointer(table, Seq(WholeTable -> gen.getName), "writeBucketed")
+    } finally fs.delete(lock, false)
+  }
+
+  /** Parse a generation's `_bucketspec`: (numBuckets, bucketCol, sortCols). */
+  private def loadBucketSpec(genDir: Path): Option[(Int, String, Seq[String])] = {
+    val p = new Path(genDir, BucketSpecFile)
+    if (!fs.exists(p)) return None
+    val text = try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    } catch { case _: IOException => return None }
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val lines = text.split("\n", -1).toSeq
+    if (!lines.headOption.exists(_.startsWith(BucketSpecHeader))) return None
+    val kv = lines.tail.flatMap(_.split("\t", 2) match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+    for { n <- kv.get("numBuckets").flatMap(_.toIntOption); c <- kv.get("bucketCol") }
+      yield (n, dec(c), kv.getOrElse("sortCols", "").split(",").toSeq
+        .filter(_.nonEmpty).map(dec))
   }
 
   /**
@@ -1059,10 +1121,47 @@ final class TableStore(spark: SparkSession, root: String,
       partCol, days)
   }
 
-  /** Read a [[writeBucketed]] table THROUGH the catalog — `spark.table`, not
-    * `spark.read.parquet(path)`: the bucket spec rides on the catalog entry,
-    * and a path read would silently lose the shuffle-free join property. */
-  def readBucketed(table: String): DataFrame = spark.table(table)
+  /** Read a [[writeBucketed]] table with its bucket layout visible to the
+    * planner. Rename mode: through the session catalog (`spark.table` — the
+    * spec rides on the catalog entry; a path read would silently lose the
+    * shuffle-free join property). Pointer mode: the generation's
+    * `_bucketspec` sidecar is the source of truth — a per-generation
+    * catalog SHIM (`CREATE TABLE … CLUSTERED BY … LOCATION <genDir>`,
+    * external, session-scoped, idempotent) is rebuilt on demand, so a fresh
+    * session with an empty catalog still gets the zero-Exchange plan.
+    * Reading a generation that was NOT bucket-published (a plain rewrite
+    * superseded the layout, or appends accumulated extra generations) fails
+    * loudly instead of silently downgrading the join contract. */
+  def readBucketed(table: String): DataFrame =
+    if (!pointerMode) spark.table(table)
+    else {
+      val entries = currentManifest(table) match {
+        case None => throw new IOException(s"readBucketed('$table'): no committed generation")
+        case Some((_, e)) => e
+      }
+      val gens = entries.map(_._2).distinct
+      if (entries.exists(_._1 != WholeTable) || gens.size != 1)
+        throw new IllegalStateException(
+          s"readBucketed('$table'): current state spans ${gens.size} generation dirs — " +
+            "appends/partition overwrites break the bucket layout; re-publish via writeBucketed")
+      val genDir = new Path(tablePath(table), gens.head)
+      val (n, bucketCol, sortCols) = loadBucketSpec(genDir).getOrElse(
+        throw new IllegalStateException(
+          s"readBucketed('$table'): current generation carries no _bucketspec — the table " +
+            "was last published by a plain rewrite; re-publish via writeBucketed " +
+            "(plain read() remains available)"))
+      // shim name is generation-scoped: a new publish gets a new shim and a
+      // reader pinned to an old resolution keeps its own
+      val ident = s"graft_bkt_${table}_${gens.head.stripPrefix("_gen-")}"
+      if (!spark.catalog.tableExists(ident)) {
+        val schema = spark.read.parquet(genDir.toString).schema
+        val sorted = if (sortCols.nonEmpty)
+          s"SORTED BY (${sortCols.map(c => s"`$c`").mkString(", ")}) " else ""
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$ident` (${schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY (`$bucketCol`) ${sorted}INTO $n BUCKETS LOCATION '$genDir'")
+      }
+      spark.table(ident)
+    }
 
   /** Crash recovery, layout-agnostic (each pass is a no-op for the other
     * layout). Rename layout: restore `<table>` from the most recently

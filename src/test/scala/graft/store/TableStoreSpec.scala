@@ -654,6 +654,49 @@ class TableStoreSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("pointer-mode bucketed layout survives the store round-trip with NO catalog state") {
+    import org.apache.spark.sql.functions._
+    val store = pointerStore()
+    val orders = graft.io.Tables.load(spark, TestSpark.Sf0001, "orders")
+    val customer = graft.io.Tables.load(spark, TestSpark.Sf0001, "customer")
+    spark.sql("DROP TABLE IF EXISTS pb_orders")
+    spark.sql("DROP TABLE IF EXISTS pb_customer")
+    store.writeBucketed("pb_orders", orders, "o_custkey", 8)
+    store.writeBucketed("pb_customer", customer, "c_custkey", 8, sortCols = Seq("c_custkey"))
+    // the write left NOTHING in the session catalog under the table names:
+    // the bucket spec lives in the generation's _bucketspec sidecar
+    assert(!spark.catalog.tableExists("pb_orders") && !spark.catalog.tableExists("pb_customer"))
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = store.readBucketed("pb_orders")
+        .join(store.readBucketed("pb_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"pointer co-bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    // publish is atomic + versioned like any pointer rewrite: re-bucketing
+    // replaces the generation, and the new shim picks up the new files
+    store.writeBucketed("pb_orders", orders.filter(col("o_orderkey") % 2 === 0), "o_custkey", 8)
+    assert(store.readBucketed("pb_orders").count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // plain read() works on a bucketed generation too (files are plain parquet)
+    assert(store.read("pb_orders").count() == store.readBucketed("pb_orders").count())
+    // a PLAIN rewrite supersedes the layout: readBucketed fails loudly
+    // instead of silently downgrading the zero-shuffle contract
+    store.atomicOverwrite("pb_orders", orders.limit(10))
+    val e1 = intercept[IllegalStateException](store.readBucketed("pb_orders"))
+    assert(e1.getMessage.contains("_bucketspec"), e1.getMessage)
+    assert(store.read("pb_orders").count() == 10)
+    // appends accumulate generations: the bucket contract is gone, loudly
+    store.writeBucketed("pb_orders", orders, "o_custkey", 8)
+    store.append("pb_orders", orders.limit(5))
+    val e2 = intercept[IllegalStateException](store.readBucketed("pb_orders"))
+    assert(e2.getMessage.contains("generation dirs"), e2.getMessage)
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
