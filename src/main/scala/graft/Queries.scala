@@ -352,6 +352,30 @@ object Queries {
       store.readWhere("ord_pp", both)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_month")
     }),
+    // run-level multi-table snapshot: one atomic _run marker pins the pair
+    // of tables a run published; a later half-finished run that already
+    // republished one table does NOT leak into the snapshot view — the
+    // reconstruction below must equal the FULL original pair
+    "o10_run_snapshot" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o10").toString,
+        graft.store.CommitMode.Pointer, keepGenerations = 3)
+      val cust = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      store.atomicOverwrite("cust_s", cust)
+      store.atomicOverwrite("ord_s", ord)
+      val snap = store.publishSnapshot(Seq("cust_s", "ord_s"))
+      // the next run is mid-flight: one table already republished
+      store.atomicOverwrite("cust_s", cust.limit(3))
+      def canon(tag: String, df: DataFrame, k: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        df.select(lit(tag).as("src_table"), k.cast("long").as("k"),
+          v.cast("double").as("v"), n.cast("string").as("name"))
+      canon("cust", store.readSnapshot(snap, "cust_s"),
+          col("c_custkey"), col("c_acctbal"), col("c_name"))
+        .unionByName(canon("ord", store.readSnapshot(snap, "ord_s"),
+          col("o_orderkey"), col("o_totalprice"), lit(null)))
+    }),
     // two-dimensional pruned read over the z-order layout: the Morton curve
     // keeps every file rectangle-ish in (o_orderkey, o_custkey), so a band
     // on EITHER dimension alone opens a strict subset of the 16 files and
@@ -1328,6 +1352,11 @@ object Queries {
         |  FROM orders
         | WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '1997-03-01'
         |   AND o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+    "o10_run_snapshot" ->
+      """SELECT 'cust' AS src_table, c_custkey AS k, c_acctbal AS v, c_name AS name
+        |  FROM customer
+        |UNION ALL
+        |SELECT 'ord', o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) FROM orders""".stripMargin,
     "o11_zorder_2d_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | WHERE o_orderkey BETWEEN 10000 AND 20000

@@ -52,7 +52,15 @@ final class Runner(
 
   private val log = org.apache.log4j.Logger.getLogger(getClass)
 
-  def run(cfg: EngineConfig): Seq[TableResult] = {
+  /** Dispatch the configured run. `snapshotRun = true` additionally
+    * publishes a run-level [[TableStore.publishSnapshot]] on the target
+    * after every phase finishes: per-table publishes stay independent
+    * during the run (reference parity — the source commits per table), but
+    * a downstream reader resolving through the snapshot sees ALL tables'
+    * pre-run state until one atomic marker flips it to ALL tables' post-run
+    * state. Requires a pointer-mode target; the snapshot id is
+    * `target.snapshots().head` after the run. */
+  def run(cfg: EngineConfig, snapshotRun: Boolean = false): Seq[TableResult] = {
     val window = Windows.derive(cfg.scheduleMode, clock(), Windows.ConfigWindow(cfg.dateFrom, cfg.dateTo))
     val classified = TableSpec.classify(cfg.tables)
     classified.historical.foreach(h =>
@@ -72,7 +80,19 @@ final class Runner(
       Future.traverse(classified.dims)(spec => Future(
         runIsolated(spec, "Dim Copy", window)(copyTable(spec, window, truncate = true)))),
       Duration.Inf)
-    sprocResults ++ copyUpdate ++ facts ++ dims
+    val results = sprocResults ++ copyUpdate ++ facts ++ dims
+    if (snapshotRun) {
+      // pin the run-end state of every dispatched table that exists in the
+      // target — a table whose copy failed is pinned at its pre-run state,
+      // which is exactly what its ledger row says a consumer should expect
+      val tables = (classified.copyUpdate ++ classified.facts ++ classified.dims)
+        .map(_.tableName).distinct.filter(target.exists)
+      if (tables.nonEmpty) {
+        val id = target.publishSnapshot(tables)
+        log.info(s"run snapshot _run.$id pins ${tables.size} tables")
+      }
+    }
+    results
   }
 
   /** Phase-1 SQL step: window may be overridden at dispatch time by the

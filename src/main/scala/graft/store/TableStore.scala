@@ -252,7 +252,12 @@ final class TableStore(spark: SparkSession, root: String,
       val dir = new Path(tablePath(table))
       val parsed = listMarkers(table).map { case (n, p) => (n, p, parseManifest(p)) }
       val committed = parsed.collect { case (n, p, Some(m)) => (n, p, m) }
-      val (keep, dropCommitted) = committed.splitAt(keepGenerations)
+      // retained snapshots pin generations past the per-table window: a
+      // snapshot reader must never resolve to vacuumed dirs
+      val pinned = snapshotPinnedGens(table)
+      val (window, beyond) = committed.splitAt(keepGenerations)
+      val keep = window ++ beyond.filter(c => pinned.contains(c._1))
+      val dropCommitted = beyond.filterNot(c => pinned.contains(c._1))
       val referenced = keep.flatMap(_._3.map(_._2)).toSet
       val newestCommitted = committed.headOption.map(_._1).getOrElse(Long.MinValue)
       val deadPartials = parsed.collect { case (n, p, None) if n < newestCommitted => p }
@@ -628,6 +633,113 @@ final class TableStore(spark: SparkSession, root: String,
   /** Single-bound convenience form of [[pruneEvidence]]. */
   def pruneEvidence(table: String, column: String, lo: Any, hi: Any): (Int, Int) =
     pruneEvidence(table, Seq((column, lo, hi)))
+
+  // ---------------------------------------------------------------------
+  // Run-level snapshots (multi-table consistent reads)
+  // ---------------------------------------------------------------------
+
+  private val SnapshotPrefix = "_run."
+  private val SnapshotHeader = "graft-snapshot v1"
+
+  /** All snapshot markers at the store root, highest id first. */
+  private def listSnapshotMarkers(): Seq[(Long, Path)] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) Nil
+    else fs.listStatus(r).toSeq
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(SnapshotPrefix)) n.stripPrefix(SnapshotPrefix).toLongOption.map(_ -> s.getPath)
+        else None
+      }.sortBy(-_._1)
+  }
+
+  /** Parse one snapshot marker: table → pinned generation index. `None` for
+    * a torn write (header carries the entry count, like table manifests). */
+  private def parseSnapshot(p: Path): Option[Map[String, Long]] = {
+    val text = try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    } catch { case _: IOException => return None }
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    lines.headOption match {
+      case Some(h) if h.startsWith(SnapshotHeader) =>
+        val declared = h.stripPrefix(SnapshotHeader).trim.toIntOption
+        val entries = lines.tail.flatMap(_.split("\t", 2) match {
+          case Array(t, g) => g.toLongOption.map(t -> _); case _ => None
+        })
+        if (declared.contains(entries.size)) Some(entries.toMap) else None
+      case _ => None
+    }
+  }
+
+  /** Generations of `table` pinned by any RETAINED snapshot — [[cleanupGenerations]]
+    * must not vacuum these even when they fall outside the per-table
+    * retention window, or a snapshot reader would resolve to deleted dirs. */
+  private def snapshotPinnedGens(table: String): Set[Long] =
+    listSnapshotMarkers().take(keepGenerations)
+      .flatMap { case (_, p) => parseSnapshot(p).toSeq.flatMap(_.get(table)) }.toSet
+
+  /**
+   * Atomically publish a RUN-LEVEL snapshot: one marker pinning every listed
+   * table to its current committed generation. Per-table publishes stay
+   * independent (reference parity: the source system commits per table,
+   * `TableCopyService.cs:89,170`), but a downstream consumer that resolves
+   * through the snapshot sees a CONSISTENT multi-table set — mid-run it
+   * keeps reading the previous snapshot (all tables' old generations);
+   * after the single marker create it sees all new ones. Nothing in
+   * between, ever: the marker create is the same create-if-absent CAS as a
+   * table commit. Pointer-mode only (rename-layout tables keep no
+   * generation history to pin). Retention: the newest `keepGenerations`
+   * snapshot markers survive, and every generation they pin is protected
+   * from per-table vacuum. Returns the snapshot id.
+   */
+  def publishSnapshot(tables: Seq[String]): Long = {
+    require(pointerMode, "publishSnapshot requires CommitMode.Pointer (rename-layout " +
+      "tables keep no generation history to pin)")
+    require(tables.nonEmpty, "publishSnapshot needs at least one table")
+    val pins = tables.distinct.sorted.map { t =>
+      val gens = generations(t)
+      require(gens.nonEmpty, s"publishSnapshot: table '$t' has no committed generation")
+      t -> gens.head
+    }
+    val next = (0L +: listSnapshotMarkers().map(_._1)).max + 1
+    val marker = new Path(root, s"$SnapshotPrefix$next")
+    val content = (s"$SnapshotHeader ${pins.size}" +:
+      pins.map { case (t, g) => s"$t\t$g" }).mkString("\n")
+    val out = try fs.create(marker, false) catch {
+      case e: IOException => throw new ConcurrentWriteException(
+        s"publishSnapshot: marker ${marker.getName} already exists — lost the race to a " +
+          "concurrent snapshot publisher", e)
+    }
+    try { out.write(content.getBytes("UTF-8")); out.close() } catch {
+      case e: IOException => fs.delete(marker, false); throw e
+    }
+    // best-effort retention of the snapshot chain itself
+    try listSnapshotMarkers().drop(keepGenerations).foreach { case (_, p) => fs.delete(p, false) }
+    catch { case e: IOException => log.warn(s"snapshot retention failed: $e") }
+    next
+  }
+
+  /** Committed snapshot ids, newest first (torn markers excluded). */
+  def snapshots(): Seq[Long] =
+    listSnapshotMarkers().collect { case (n, p) if parseSnapshot(p).isDefined => n }
+
+  /** The table → generation pins of snapshot `id`. */
+  def snapshotEntries(id: Long): Map[String, Long] =
+    listSnapshotMarkers().collectFirst { case (n, p) if n == id => parseSnapshot(p) }.flatten
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshotEntries($id): no committed snapshot _run.$id — available: " +
+          s"[${snapshots().mkString(", ")}]"))
+
+  /** Read `table` exactly as the run that published snapshot `id` left it,
+    * regardless of publishes since — the consistent-input surface for
+    * medallion sproc steps (O1) and reproducible downstream jobs. */
+  def readSnapshot(id: Long, table: String): DataFrame = {
+    val gen = snapshotEntries(id).getOrElse(table, throw new IllegalArgumentException(
+      s"readSnapshot($id, '$table'): snapshot does not pin this table — it pins " +
+        s"[${snapshotEntries(id).keys.toSeq.sorted.mkString(", ")}]"))
+    readGeneration(table, gen)
+  }
 
   // ---------------------------------------------------------------------
   // Writes

@@ -215,4 +215,36 @@ class RunnerSpec extends AnyFunSuite {
     runner.run(cfg(TableSpec("dim_color", "fact")))
     assert(tgt.read("dim_color").count() == 4) // appended twice
   }
+
+  test("snapshotRun pins every dispatched table's run-end state in one marker") {
+    import graft.store.CommitMode
+    val (src, _, _) = setup()
+    val tgt = new TableStore(spark, Files.createTempDirectory("graft-tgt-ptr").toString,
+      CommitMode.Pointer, keepGenerations = 3)
+    val led = new Ledger(spark, tgt, clock = clock)
+    val runner = new Runner(spark, src, tgt, led, clock = clock)
+    val spec = Seq(
+      TableSpec("fact_sales", "fact", dateColumn = Some("sold_at")),
+      TableSpec("dim_color", "dim"))
+    val r1 = runner.run(cfg(spec: _*), snapshotRun = true)
+    assert(r1.forall(_.ok), r1.mkString("; "))
+    val snap1 = tgt.snapshots().head
+    assert(tgt.snapshotEntries(snap1).keySet == Set("fact_sales", "dim_color"))
+    val factAtRun1 = tgt.readSnapshot(snap1, "fact_sales").select("sale_id").as[Long].collect().toSet
+    val dimAtRun1 = tgt.readSnapshot(snap1, "dim_color").count()
+    // the source gains a dim row; run 2 republished both tables — but the
+    // run-1 snapshot keeps reading run-1's pair, bit-identically
+    src.atomicOverwrite("dim_color", Seq((1, "red"), (2, "blue"), (3, "lime")).toDF("color_id", "name"))
+    val r2 = runner.run(cfg(spec: _*), snapshotRun = true)
+    assert(r2.forall(_.ok), r2.mkString("; "))
+    val snap2 = tgt.snapshots().head
+    assert(snap2 != snap1)
+    assert(tgt.readSnapshot(snap1, "dim_color").count() == dimAtRun1)
+    assert(tgt.readSnapshot(snap2, "dim_color").count() == dimAtRun1 + 1)
+    assert(tgt.readSnapshot(snap1, "fact_sales").select("sale_id").as[Long].collect().toSet ==
+      factAtRun1)
+    // the ledger sink lives in the same store but is NOT part of the pinned
+    // set — only dispatched tables are, so ledger appends never bloat pins
+    assert(tgt.snapshotEntries(snap2).keySet == Set("fact_sales", "dim_color"))
+  }
 }

@@ -697,6 +697,40 @@ class TableStoreSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("generation dirs"), e2.getMessage)
   }
 
+  test("run snapshot: mid-run readers see ALL old state, post-run ALL new; pins survive vacuum") {
+    val store = pointerStore() // keepGenerations = 2
+    store.atomicOverwrite("t1", Seq(1).toDF("k"))
+    store.atomicOverwrite("t2", Seq(10).toDF("k"))
+    val s1 = store.publishSnapshot(Seq("t1", "t2"))
+    // a new "run" begins: t1 already republished, t2 not yet — per-table
+    // current reads are mixed, but the snapshot view stays pairwise OLD
+    store.atomicOverwrite("t1", Seq(2).toDF("k"))
+    assert(store.read("t1").as[Int].collect().toSeq == Seq(2)) // current: new
+    assert(store.readSnapshot(s1, "t1").as[Int].collect().toSeq == Seq(1))
+    assert(store.readSnapshot(s1, "t2").as[Int].collect().toSeq == Seq(10))
+    // run completes and publishes its snapshot: one marker flips the pair
+    store.atomicOverwrite("t2", Seq(20).toDF("k"))
+    val s2 = store.publishSnapshot(Seq("t1", "t2"))
+    assert(store.readSnapshot(s2, "t1").as[Int].collect().toSeq == Seq(2))
+    assert(store.readSnapshot(s2, "t2").as[Int].collect().toSeq == Seq(20))
+    assert(store.snapshots() == Seq(s2, s1))
+    // the previous snapshot keeps reading its own consistent pair
+    assert(store.readSnapshot(s1, "t1").as[Int].collect().toSeq == Seq(1))
+    // retained snapshots PIN their generations past the per-table window:
+    // three more t1 publishes would vacuum gen(s1) under keep=2 alone
+    store.atomicOverwrite("t1", Seq(3).toDF("k"))
+    store.atomicOverwrite("t1", Seq(4).toDF("k"))
+    store.atomicOverwrite("t1", Seq(5).toDF("k"))
+    assert(store.readSnapshot(s1, "t1").as[Int].collect().toSeq == Seq(1),
+      "snapshot-pinned generation must survive per-table vacuum")
+    assert(store.readSnapshot(s2, "t1").as[Int].collect().toSeq == Seq(2))
+    assert(store.read("t1").as[Int].collect().toSeq == Seq(5))
+    // loud errors: unknown table in snapshot, unknown snapshot id, rename mode
+    intercept[IllegalArgumentException](store.readSnapshot(s1, "nope"))
+    intercept[IllegalArgumentException](store.snapshotEntries(9999L))
+    intercept[IllegalArgumentException](freshStore().publishSnapshot(Seq("t1")))
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
