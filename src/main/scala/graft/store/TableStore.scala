@@ -230,7 +230,37 @@ final class TableStore(spark: SparkSession, root: String,
             "broken by another writer) — marker retracted, nothing was published")
       }
     }
+    // best-effort audit sidecar for history(): which operation committed this
+    // generation ("_commit.<n>.meta" never parses as a marker index, so
+    // readers ignore it). The commit itself never fails on meta problems.
+    try {
+      val meta = fs.create(new Path(dir, s"$MarkerPrefix$next.meta"), true)
+      try meta.write(s"$MetaHeader\nop\t$op".getBytes("UTF-8")) finally meta.close()
+    } catch { case e: IOException => log.warn(s"commit meta for $table/$next failed: $e") }
     cleanupGenerations(table)
+  }
+
+  private val MetaHeader = "graft-commitmeta v1"
+
+  /** Delete a commit marker together with its audit sidecar. */
+  private def deleteMarker(p: Path): Unit = {
+    fs.delete(p, false)
+    fs.delete(new Path(p.getParent, p.getName + ".meta"), false)
+  }
+
+  /** The op recorded at commit time for marker `n`, if the sidecar survived. */
+  private def markerOp(table: String, n: Long): Option[String] = {
+    val p = new Path(tablePath(table), s"$MarkerPrefix$n.meta")
+    if (!fs.exists(p)) return None
+    try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val lines = text.split("\n", -1).toSeq
+      if (!lines.headOption.exists(_.startsWith(MetaHeader))) None
+      else lines.tail.flatMap(_.split("\t", 2) match {
+        case Array("op", v) => Some(v); case _ => None
+      }).headOption
+    } catch { case _: IOException => None }
   }
 
   /** Best-effort retention: keep the `keepGenerations` highest-indexed
@@ -249,23 +279,32 @@ final class TableStore(spark: SparkSession, root: String,
     * mid-content-write and is left alone. */
   private def cleanupGenerations(table: String): Unit =
     try {
-      val dir = new Path(tablePath(table))
-      val parsed = listMarkers(table).map { case (n, p) => (n, p, parseManifest(p)) }
-      val committed = parsed.collect { case (n, p, Some(m)) => (n, p, m) }
-      // retained snapshots pin generations past the per-table window: a
-      // snapshot reader must never resolve to vacuumed dirs
-      val pinned = snapshotPinnedGens(table)
-      val (window, beyond) = committed.splitAt(keepGenerations)
-      val keep = window ++ beyond.filter(c => pinned.contains(c._1))
-      val dropCommitted = beyond.filterNot(c => pinned.contains(c._1))
-      val referenced = keep.flatMap(_._3.map(_._2)).toSet
-      val newestCommitted = committed.headOption.map(_._1).getOrElse(Long.MinValue)
-      val deadPartials = parsed.collect { case (n, p, None) if n < newestCommitted => p }
-      (dropCommitted.map(_._2) ++ deadPartials).foreach(fs.delete(_, false))
-      fs.listStatus(dir).map(_.getPath)
-        .filter(p => p.getName.startsWith("_gen-") && !referenced.contains(p.getName))
-        .foreach(fs.delete(_, true))
+      val (dropMarkers, dropDirs) = vacuumPlan(table, keepGenerations)
+      dropMarkers.foreach(deleteMarker)
+      dropDirs.foreach(fs.delete(_, true))
     } catch { case e: IOException => log.warn(s"cleanupGenerations('$table') failed: $e") }
+
+  /** What retention at `keep` would delete: (markers to drop, gen dirs to
+    * drop). Shared by publish-time [[cleanupGenerations]] and operator
+    * [[vacuum]]. */
+  private def vacuumPlan(table: String, keep: Int): (Seq[Path], Seq[Path]) = {
+    val dir = new Path(tablePath(table))
+    if (!fs.exists(dir)) return (Nil, Nil)
+    val parsed = listMarkers(table).map { case (n, p) => (n, p, parseManifest(p)) }
+    val committed = parsed.collect { case (n, p, Some(m)) => (n, p, m) }
+    // retained snapshots pin generations past the per-table window: a
+    // snapshot reader must never resolve to vacuumed dirs
+    val pinned = snapshotPinnedGens(table)
+    val (window, beyond) = committed.splitAt(keep)
+    val kept = window ++ beyond.filter(c => pinned.contains(c._1))
+    val dropCommitted = beyond.filterNot(c => pinned.contains(c._1))
+    val referenced = kept.flatMap(_._3.map(_._2)).toSet
+    val newestCommitted = committed.headOption.map(_._1).getOrElse(Long.MinValue)
+    val deadPartials = parsed.collect { case (n, p, None) if n < newestCommitted => p }
+    val orphanDirs = fs.listStatus(dir).map(_.getPath).toSeq
+      .filter(p => p.getName.startsWith("_gen-") && !referenced.contains(p.getName))
+    (dropCommitted.map(_._2) ++ deadPartials, orphanDirs)
+  }
 
   /** Mode-agnostic read resolution: a table with commit markers reads the
     * manifest's directories; a marker-less dir is the rename layout and
@@ -742,6 +781,75 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   // ---------------------------------------------------------------------
+  // History + explicit vacuum (the storage-side mirror of the run ledger)
+  // ---------------------------------------------------------------------
+
+  /** Data-file count and byte volume under `p`, recursively (sidecars and
+    * hidden files excluded). */
+  private def duData(p: Path): (Long, Long) =
+    fs.listStatus(p).toSeq.map { s =>
+      if (s.isDirectory) duData(s.getPath)
+      else if (isDataFile(s)) (1L, s.getLen)
+      else (0L, 0L)
+    }.foldLeft((0L, 0L)) { case ((f1, b1), (f2, b2)) => (f1 + f2, b1 + b2) }
+
+  /** Per-generation audit trail of a pointer-layout table, newest first:
+    * generation index, the operation that committed it (from the marker's
+    * audit sidecar; `unknown` if it was lost), commit time (marker
+    * modification time), data-file count, byte volume, and exact row count
+    * (one footer-driven count job per retained generation — retention keeps
+    * this a handful of tiny jobs even on a 100 TB table, because counts
+    * come from parquet metadata, not data scans). The storage-side mirror
+    * of the run ledger (S8): the ledger says what a run DID, history says
+    * what the table IS, generation by generation. Rename-layout tables
+    * keep no history: empty. */
+  def history(table: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val rows = listMarkers(table).flatMap { case (n, p) =>
+      parseManifest(p).map { entries =>
+        val paths = entries.map { case (name, g) =>
+          if (name == WholeTable) new Path(tablePath(table), g)
+          else new Path(s"${tablePath(table)}/$g/$name")
+        }.distinct
+        val (nFiles, nBytes) = paths.filter(fs.exists(_)).map(duData)
+          .foldLeft((0L, 0L)) { case ((f1, b1), (f2, b2)) => (f1 + f2, b1 + b2) }
+        val nRows = try readEntries(table, entries, mergeSchemas = false).count()
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        (n, markerOp(table, n).getOrElse("unknown"),
+          new java.sql.Timestamp(fs.getFileStatus(p).getModificationTime),
+          nFiles, nBytes, nRows)
+      }
+    }
+    rows.toDF("generation", "op", "committed_at", "n_files", "size_bytes", "n_rows")
+  }
+
+  /** Explicit retention: delete committed generations beyond the `keep`
+    * newest (snapshot-pinned generations always survive), dead partial
+    * markers, and unreferenced `_gen-*` dirs. `dryRun = true` only REPORTS
+    * the plan — nothing is touched. Returns one row per affected object:
+    * (kind: marker|generation, name, action: deleted|would_delete). The
+    * publish path already enforces `keepGenerations` automatically; this
+    * is the operator-invoked form for reclaiming a time-travel window
+    * early. Like [[recover]], run it only when no writer is in flight.
+    * `keep >= 2` keeps the current + previous reader-isolation minimum. */
+  def vacuum(table: String, keep: Int, dryRun: Boolean = false): DataFrame = {
+    require(keep >= 2,
+      s"vacuum keep must be >= 2 (current + previous, the reader-isolation minimum): $keep")
+    val sp = spark
+    import sp.implicits._
+    val (dropMarkers, dropDirs) = vacuumPlan(table, keep)
+    val action = if (dryRun) "would_delete" else "deleted"
+    if (!dryRun) {
+      dropMarkers.foreach(deleteMarker)
+      dropDirs.foreach(fs.delete(_, true))
+    }
+    (dropMarkers.map(p => ("marker", p.getName, action)) ++
+      dropDirs.map(p => ("generation", p.getName, action)))
+      .toDF("kind", "name", "action")
+  }
+
+  // ---------------------------------------------------------------------
   // Writes
   // ---------------------------------------------------------------------
 
@@ -849,9 +957,15 @@ final class TableStore(spark: SparkSession, root: String,
     * convenience wrappers. Rewrites of one table are mutually exclusive
     * ([[acquireWriteLock]]): a racing second writer fails loudly instead of
     * silently clobbering the first. */
-  def atomicOverwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    refuseIfCatalogBucketed(table, "atomicOverwrite")
-    val lock = acquireWriteLock(table, "atomicOverwrite")
+  def atomicOverwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    atomicOverwriteAs(table, df, partitionBy, "atomicOverwrite")
+
+  /** [[atomicOverwrite]] with the operation name wrappers like [[compact]]
+    * want recorded in the commit audit sidecar ([[history]]'s `op`). */
+  private def atomicOverwriteAs(table: String, df: DataFrame, partitionBy: Seq[String],
+      op: String): Unit = {
+    refuseIfCatalogBucketed(table, op)
+    val lock = acquireWriteLock(table, op)
     try {
       if (pointerMode) {
         val dir = new Path(tablePath(table))
@@ -860,7 +974,7 @@ final class TableStore(spark: SparkSession, root: String,
         val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
         writer.mode("overwrite").parquet(gen.toString)
         writeStats(gen)
-        commitPointer(table, Seq(WholeTable -> gen.getName), "atomicOverwrite")
+        commitPointer(table, Seq(WholeTable -> gen.getName), op)
       } else {
         val nn = nonce()
         val live = new Path(tablePath(table))
@@ -1111,8 +1225,9 @@ final class TableStore(spark: SparkSession, root: String,
     require(clusterCols.nonEmpty, "atomicOverwriteClustered needs at least one cluster column")
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
     val cols = clusterCols.map(org.apache.spark.sql.functions.col)
-    atomicOverwrite(table,
-      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+    atomicOverwriteAs(table,
+      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
+      Nil, "atomicOverwriteClustered")
   }
 
   /**
@@ -1160,11 +1275,12 @@ final class TableStore(spark: SparkSession, root: String,
       val taken = df.columns.toSet
       Iterator.from(0).map(i => s"__z$i").find(!taken(_)).get
     }
-    atomicOverwrite(table,
+    atomicOverwriteAs(table,
       df.withColumn(zCol, z)
         .repartitionByRange(numFiles, col(zCol))
         .sortWithinPartitions(col(zCol))
-        .select(df.columns.toIndexedSeq.map(col): _*))
+        .select(df.columns.toIndexedSeq.map(col): _*),
+      Nil, "atomicOverwriteZOrdered")
   }
 
   /** Refuse to rewrite a table whose files back a catalog-registered BUCKETED
@@ -1202,7 +1318,7 @@ final class TableStore(spark: SparkSession, root: String,
     // schema inference — silently and permanently dropping the evolved
     // column's data. The merged read makes compaction the operation that
     // HEALS a mixed-schema table into one uniform footer.
-    atomicOverwrite(table, readEvolved(table).repartition(targetFiles))
+    atomicOverwriteAs(table, readEvolved(table).repartition(targetFiles), Nil, "compact")
   }
 
   /** Partition-scoped small-file compaction — the date-partitioned form of
@@ -1318,8 +1434,8 @@ final class TableStore(spark: SparkSession, root: String,
       if (markers.nonEmpty) {
         markers.foreach { case (_, p) =>
           parseManifest(p) match {
-            case None => f.delete(p, false)
-            case Some(entries) if !manifestDirsExist(table, entries) => f.delete(p, false)
+            case None => deleteMarker(p)
+            case Some(entries) if !manifestDirsExist(table, entries) => deleteMarker(p)
             case _ => ()
           }
         }

@@ -731,6 +731,44 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](freshStore().publishSnapshot(Seq("t1")))
   }
 
+  test("history mirrors the publish sequence; vacuum dry-run deletes nothing, real run reclaims") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-hist").toString,
+      CommitMode.Pointer, keepGenerations = 4)
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    store.append("t", Seq(2, 3).toDF("k"))
+    store.compact("t", 1)
+    val h = store.history("t").orderBy(org.apache.spark.sql.functions.col("generation"))
+      .select("generation", "op", "n_rows", "n_files")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // three committed generations, ops recorded, row counts are the table
+    // state AT each generation (append manifests include prior dirs)
+    assert(h.map(_._2) == Seq("atomicOverwrite", "append", "compact"), h.toString)
+    assert(h.map(_._3) == Seq(1L, 3L, 3L), h.toString)
+    assert(h.forall(_._4 > 0), h.toString)
+    val gens = store.generations("t")
+    assert(h.map(_._1).reverse == gens, s"history must cover $gens")
+    // committed_at is monotone over the publish sequence
+    val times = store.history("t").orderBy("generation")
+      .select("committed_at").as[java.sql.Timestamp].collect().toSeq
+    assert(times == times.sorted, times.toString)
+    // dry-run vacuum REPORTS the reclaim plan and touches nothing
+    val dry = store.vacuum("t", keep = 2, dryRun = true)
+      .as[(String, String, String)].collect().toSeq
+    assert(dry.nonEmpty && dry.forall(_._3 == "would_delete"), dry.toString)
+    assert(store.generations("t") == gens, "dry-run must not delete")
+    assert(store.readGeneration("t", gens.last).count() == 1)
+    // the real vacuum reclaims the oldest generation; the survivors read on
+    val got = store.vacuum("t", keep = 2).as[(String, String, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)).toSet == dry.map(r => (r._1, r._2)).toSet, s"$got vs $dry")
+    assert(store.generations("t") == gens.take(2), store.generations("t").toString)
+    assert(store.read("t").count() == 3)
+    intercept[IllegalArgumentException](store.vacuum("t", keep = 1))
+    // rename-layout tables have no history and nothing to vacuum
+    val plain = freshStore()
+    plain.atomicOverwrite("r", Seq(1).toDF("k"))
+    assert(plain.history("r").isEmpty && plain.vacuum("r", 2).isEmpty)
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
