@@ -293,17 +293,18 @@ object Dedup {
     }
     // canonical child>parent edge list; self-pairs drop here (their nodes
     // are re-attached as singletons from the node set at the end).
-    // localCheckpoint (not persist): each star phase references its input
-    // several times, so WITHOUT lineage truncation the logical plan grows
-    // ~5× per round and Catalyst analysis goes exponential across rounds
-    // (persist only short-circuits execution, not plan analysis — the same
-    // reason GraphFrames checkpoints its CC loop). Blocks are reclaimed by
-    // the ContextCleaner as each round's frame goes out of scope; on an
-    // executor loss the truncated lineage cannot recompute, which is an
-    // accepted trade for an iterative-convergence job (rerun the operator).
-    var cur = p.select(greatest(col("a"), col("b")).as("child"),
+    // Lineage truncation (NOT persist): each star phase references its input
+    // several times, so without truncation the logical plan grows ~5× per
+    // round and Catalyst analysis goes exponential across rounds (persist
+    // only short-circuits execution, not plan analysis — the same reason
+    // GraphFrames checkpoints its CC loop). Two modes, per [[truncate]]:
+    // localCheckpoint on a single box (fastest; executor loss = rerun the
+    // operator), durable checkpoint when the session has a checkpoint dir
+    // configured — the cluster toggle that makes a 21-round job survive
+    // executor loss instead of dying with one.
+    var cur = truncate(p.select(greatest(col("a"), col("b")).as("child"),
         least(col("a"), col("b")).as("parent"))
-      .filter(col("child") =!= col("parent")).distinct().localCheckpoint(true)
+      .filter(col("child") =!= col("parent")).distinct())
     // one aggregation doubles as the round's materialization AND its
     // convergence signature: (cardinality, order-free hash sum). Both edge
     // sets are distinct, so equal signatures mean equal sets up to a 2^-64
@@ -343,8 +344,8 @@ object Dedup {
       // the large-star output feeds small-star's neighborhood build through
       // several plan references — truncate its lineage too, or the round's
       // plan squares before the next truncation
-      val ls = starPhase(cur, large = true).localCheckpoint(true)
-      val next = starPhase(ls, large = false).localCheckpoint(true)
+      val ls = truncate(starPhase(cur, large = true))
+      val next = truncate(starPhase(ls, large = false))
       val nsig = signature(next) // cheap: the plan is a checkpoint scan
       converged = nsig == sig
       sig = nsig
@@ -378,6 +379,19 @@ object Dedup {
     * [[connectedComponents]] run took — observability for the scale smoke
     * (a 1 M-link chain must converge in ~log rounds, not diameter). */
   val lastDistributedRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Eager lineage truncation for the CC fixpoint. With
+    * `sc.setCheckpointDir` configured (the cluster-run toggle), rounds
+    * checkpoint DURABLY to that storage — a lost executor recomputes from
+    * the checkpoint instead of killing the whole multi-round job (durable
+    * checkpoint files are cleaned by Spark only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; clean the dir
+    * periodically otherwise). Without one, `localCheckpoint` keeps blocks
+    * on executors: fastest, and the accepted single-box trade (executor
+    * loss = rerun the operator). */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Driver-side union-find over a collected edge list (the small-graph fast
     * path of [[connectedComponents]]). Union-by-min-root + path halving: the

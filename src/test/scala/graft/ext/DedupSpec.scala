@@ -269,6 +269,42 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(rounds <= 15, s"chain of $n links took $rounds star rounds — not log-round")
   }
 
+  test("CC fixpoint checkpoints durably when the session has a checkpoint dir; labels unchanged") {
+    // the cluster-run toggle: with sc.setCheckpointDir configured, every
+    // star round truncates lineage through DURABLE checkpoint files (a lost
+    // executor recomputes from storage instead of killing the 21-round
+    // job); without one, localCheckpoint keeps the single-box fast path
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "fixture assumes no ambient checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccdur").toString
+    val n = 128L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val expect = (0L to n).map(_ -> 0L).toMap
+    sc.setCheckpointDir(dir)
+    val (durable, durableRounds) = try {
+      val got = Dedup.connectedComponents(chain, "doc_a", "doc_b", localEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      (got, Dedup.lastDistributedRounds.get)
+    } finally {
+      sc.setCheckpointDir(null) // restore the single-box default
+      Dedup.unpersistAll()
+    }
+    assert(durable == expect)
+    // proof the durable mode actually engaged: checkpoint files on disk
+    def rddFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+        if (c.isDirectory) rddFiles(c) else Seq(c))
+    assert(rddFiles(new java.io.File(dir)).nonEmpty,
+      s"no checkpoint files under $dir — durable mode never engaged")
+    // same input without the toggle: localCheckpoint path, identical labels
+    // and the same log-round convergence
+    val local = Dedup.connectedComponents(chain, "doc_a", "doc_b", localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expect)
+    assert(Dedup.lastDistributedRounds.get == durableRounds,
+      "round count must not depend on the checkpoint mode")
+  }
+
   test("connectedComponents string ids: both paths agree, labels in UTF-8 order") {
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes (EF BF BD < F0 9F 98 80) but
     // AFTER it in UTF-16 code units (FFFD > D83D surrogate) — the fast path's
