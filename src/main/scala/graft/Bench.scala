@@ -52,8 +52,12 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.values.flatten.sum
     // n_queries + filtered make a SPARK_GRAFT_ONLY subset run self-describing:
-    // a partial total can never be mistaken for a full bench
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"filtered":${only.isDefined},"sf":"$sfDir"}""")
+    // a partial total can never be mistaken for a full bench. The headline
+    // numbers (total_s, n_queries, failed) ride at the END of the line —
+    // the driver archives the last ~2 kB of stdout, so only the line's tail
+    // is guaranteed to survive into BENCH_r*.json (r10 lost the total to
+    // head truncation).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"filtered":${only.isDefined},"sf":"$sfDir","total_s":$total}""")
     spark.stop()
   }
 }

@@ -313,7 +313,16 @@ object Similarity {
    */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nlist: Int = 16, sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
-    val cents = trainCentroids(emb, vecCol, nlist, sampleSize, seed)
+    // nlist <= 0 ⇒ ~√n lists (classic IVF sizing; one count() job). NB this
+    // is NOT a universal win and is deliberately not the default: the r11
+    // scale probe (BASELINE.md) measured √n-retuning 2–4× SLOWER than fixed
+    // nlist=16 at threshold 0.45 on jittered embeddings — a wide threshold
+    // (θ_t ≈ 63°) makes the probe radius cover most lists, so the probe
+    // explode grows ∝ n×nlist while candidate pairs barely shrink. Retune
+    // upward only for TIGHT thresholds (0.8+, probe fan-out ~1–2 lists),
+    // where bigger nlist genuinely shrinks per-list pair products.
+    val lists = if (nlist > 0) nlist else math.max(16, math.sqrt(emb.count().toDouble).toInt)
+    val cents = trainCentroids(emb, vecCol, lists, sampleSize, seed)
     val u = unitized(emb, idCol, vecCol, "id", "v")
     // clamp into acos' domain; +1e-9 absorbs float rounding at the boundary.
     // Built as a plain CreateArray of per-centroid expressions, NOT
