@@ -124,6 +124,35 @@ object ScaleSmoke {
     }
     require(zByPart == plainByPart, s"z partkey scan disagrees: $zByPart vs $plainByPart")
 
+    // ---- pointer-mode partitioned pruning at 12M rows / ~2.4k day dirs ----
+    // the o9 machinery at scale: a date-partitioned POINTER generation with
+    // a stats sidecar must (a) publish without the manifest/stats pass
+    // dominating the write, (b) answer pruneEvidence over thousands of
+    // partition dirs in driver-metadata time, (c) read a 7-day band out of
+    // ~2.4k days touching only the band's files
+    val ptr = new graft.store.TableStore(spark, s"$out/warehouse_ptr",
+      graft.store.CommitMode.Pointer, statsColumns = Seq("l_orderkey"))
+    time("pointer partitioned write 12M (~2.4k dirs + stats)") {
+      ptr.atomicOverwrite("li_pp",
+        bigLi.withColumn("load_date", to_date(col("l_shipdate"))), Seq("load_date"))
+    }
+    val band: Seq[(String, Any, Any)] = Seq(("load_date",
+      java.sql.Date.valueOf(Queries.LiFrom), java.sql.Date.valueOf(Queries.LiTo)))
+    val (kDay, tDay) = time("pruneEvidence over ~2.4k partition dirs") {
+      ptr.pruneEvidence("li_pp", band)
+    }
+    require(kDay > 0 && kDay * 50 < tDay,
+      s"7-day band must keep <2% of a ~7-year table's files: kept $kDay of $tDay")
+    val prunedBand = time("pruned 7-day band read (partition axis)") {
+      ptr.readWhere("li_pp", band).count()
+    }
+    val plainBand = time("unpruned equivalent (manifest read + filter)") {
+      ptr.read("li_pp").filter(col("load_date").between(
+        java.sql.Date.valueOf(Queries.LiFrom), java.sql.Date.valueOf(Queries.LiTo))).count()
+    }
+    require(prunedBand == plainBand && prunedBand > 0,
+      s"partitioned pruned read disagrees: $prunedBand vs $plainBand")
+
     time("changed-keys + upsert 1M") {
       val withUpd = bigEv.withColumn("update_ts",
         expr("ts + make_dt_interval(cast(event_id % 7 as int), 0, 0, 0)"))

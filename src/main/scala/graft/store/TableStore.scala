@@ -594,14 +594,23 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** The pruning decision for one read: per-generation read units plus
     * kept/total file counts. `None` = stats-based pruning does not apply
-    * (rename layout) — fall back to a plain filtered read. */
-  private def prunePlan(table: String,
-      bounds: Seq[(String, Any, Any)]): Option[(Seq[PruneUnit], Int, Int)] = {
+    * (rename layout) — fall back to a plain filtered read. `asOf` resolves
+    * a retained generation instead of the current manifest (the time-travel
+    * × data-skipping composition). */
+  private def prunePlan(table: String, bounds: Seq[(String, Any, Any)],
+      asOf: Option[Long] = None): Option[(Seq[PruneUnit], Int, Int)] = {
     if (!pointerMode || listMarkers(table).isEmpty) return None
-    val entries = currentManifest(table) match {
-      case None => throw new IOException(
-        s"readWhere('$table'): no fully-committed generation marker found")
-      case Some((_, e)) => e
+    val entries = asOf match {
+      case Some(gen) =>
+        listMarkers(table).collectFirst { case (n, p) if n == gen => parseManifest(p) }.flatten
+          .getOrElse(throw new IllegalArgumentException(
+            s"readWhere('$table', asOf=$gen): no committed marker _commit.$gen — available: " +
+              s"[${generations(table).mkString(", ")}]"))
+      case None => currentManifest(table) match {
+        case None => throw new IOException(
+          s"readWhere('$table'): no fully-committed generation marker found")
+        case Some((_, e)) => e
+      }
     }
     val dir = tablePath(table)
     val (whole, parts) = entries.partition(_._1 == WholeTable)
@@ -638,19 +647,23 @@ final class TableStore(spark: SparkSession, root: String,
     * unpruned), so the result ALWAYS equals `read(table)` under the same
     * filters. Stats exist when the store was built with `statsColumns`
     * covering the bound columns. */
-  def readWhere(table: String, bounds: Seq[(String, Any, Any)]): DataFrame = {
+  def readWhere(table: String, bounds: Seq[(String, Any, Any)]): DataFrame =
+    prunedRead(table, bounds, asOf = None, () => read(table))
+
+  private def prunedRead(table: String, bounds: Seq[(String, Any, Any)], asOf: Option[Long],
+      fallback: () => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(bounds.nonEmpty, "readWhere needs at least one (column, lo, hi) bound")
     def residual(d: DataFrame) = bounds.foldLeft(d) { case (acc, (c, lo, hi)) =>
       acc.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
-    prunePlan(table, bounds) match {
-      case None => residual(read(table))
+    prunePlan(table, bounds, asOf) match {
+      case None => residual(fallback())
       case Some((units, _, _)) =>
         val frames = units.filter(_.paths.nonEmpty).map { u =>
           spark.read.option("basePath", u.basePath).parquet(u.paths: _*)
         }
-        if (frames.isEmpty) residual(read(table)).filter(lit(false))
+        if (frames.isEmpty) residual(fallback()).filter(lit(false))
         else residual(frames.reduce(_.unionByName(_)))
     }
   }
@@ -658,6 +671,24 @@ final class TableStore(spark: SparkSession, root: String,
   /** Single-bound convenience form of [[readWhere]]. */
   def readWhere(table: String, column: String, lo: Any, hi: Any): DataFrame =
     readWhere(table, Seq((column, lo, hi)))
+
+  /** [[readWhere]] against a retained generation ([[readGeneration]]'s
+    * time-travel surface with the same file skipping): the audit/backfill
+    * shape "re-read last week's snapshot, but only this key band" pays for
+    * the band, not the snapshot. Result ≡ `readGeneration(table,
+    * gen).filter(bounds)`. */
+  def readGenerationWhere(table: String, gen: Long,
+      bounds: Seq[(String, Any, Any)]): DataFrame =
+    prunedRead(table, bounds, asOf = Some(gen), () => readGeneration(table, gen))
+
+  /** [[readWhere]] through a run-level snapshot's pin for `table` — the
+    * consistent multi-table view composed with file skipping. */
+  def readSnapshotWhere(id: Long, table: String,
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    val gen = snapshotEntries(id).getOrElse(table, throw new IllegalArgumentException(
+      s"readSnapshotWhere($id, '$table'): snapshot does not pin this table"))
+    readGenerationWhere(table, gen, bounds)
+  }
 
   /** (files kept, files total) that [[readWhere]] with these bounds would
     * plan — the pruning evidence surface for tests and ops. Dirs read

@@ -769,6 +769,68 @@ class TableStoreSpec extends AnyFunSuite {
     assert(plain.history("r").isEmpty && plain.vacuum("r", 2).isEmpty)
   }
 
+  test("pruned reads compose with time travel and snapshots") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, Files.createTempDirectory("graft-ttprune").toString,
+      CommitMode.Pointer, keepGenerations = 3, statsColumns = Seq("k"))
+    store.atomicOverwriteClustered("t", spark.range(0, 1000).selectExpr("id AS k"), Seq("k"), 10)
+    val snap = store.publishSnapshot(Seq("t"))
+    val oldGen = store.generations("t").head
+    // the table moves on: the old generation's band is GONE from current
+    store.atomicOverwriteClustered("t",
+      spark.range(5000, 6000).selectExpr("id AS k"), Seq("k"), 10)
+    assert(store.readWhere("t", "k", 150, 180).count() == 0)
+    // time-travel pruned read: old band, old snapshot, pruned file set
+    val viaGen = store.readGenerationWhere("t", oldGen, Seq(("k", 150, 180)))
+    assert(viaGen.count() == 31)
+    assert(viaGen.inputFiles.length < store.readGeneration("t", oldGen).inputFiles.length,
+      "time-travel read must open a strict subset of the snapshot's files")
+    // ≡ the unpruned time-travel filter
+    assert(viaGen.as[Long].collect().sorted.toSeq ==
+      store.readGeneration("t", oldGen).filter(col("k").between(150, 180))
+        .as[Long].collect().sorted.toSeq)
+    // and through the run-level snapshot pin
+    assert(store.readSnapshotWhere(snap, "t", Seq(("k", 150, 180))).count() == 31)
+    intercept[IllegalArgumentException](
+      store.readGenerationWhere("t", 9999L, Seq(("k", 0, 1))))
+    intercept[IllegalArgumentException](
+      store.readSnapshotWhere(snap, "nope", Seq(("k", 0, 1))))
+  }
+
+  test("property: readWhere equals read+filter under randomized bounds and column types") {
+    import org.apache.spark.sql.functions.col
+    // the silent-row-loss class the r11 ADVICE flagged: pruning must agree
+    // with Spark's own filter under EVERY (column dtype × bound type)
+    // pairing — mismatches must fall back, never drop
+    val store = new TableStore(spark, Files.createTempDirectory("graft-prop").toString,
+      CommitMode.Pointer, statsColumns = Seq("n", "s", "d", "ts"))
+    val df = spark.range(0, 300).selectExpr(
+      "id AS n",
+      "CAST(id AS STRING) AS s", // numeric-LOOKING strings: the trap
+      "DATE '2024-01-01' + CAST(id % 60 AS INT) AS d",
+      "CAST(TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS TIMESTAMP_NTZ) AS ts")
+    store.atomicOverwriteClustered("t", df, Seq("n"), 8)
+    val rnd = new scala.util.Random(42)
+    val boundsPool: Seq[(String, Any, Any)] = Seq(
+      ("n", 37L, 141L), ("n", "50", "200"), ("n", 0.5, 99.5),
+      ("s", "100", "150"), ("s", 25, 125), // numeric bound on string col
+      ("d", java.sql.Date.valueOf("2024-01-10"), java.sql.Date.valueOf("2024-01-20")),
+      ("d", "2024-01-05", "2024-02-15"),
+      ("ts", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-06 00:00:00")),
+      ("n", -50L, -1L), ("n", 5000L, 9000L)) // empty bands
+    (1 to 25).foreach { _ =>
+      val k = 1 + rnd.nextInt(2)
+      val bounds = Seq.fill(k)(boundsPool(rnd.nextInt(boundsPool.size)))
+      import org.apache.spark.sql.functions.lit
+      val expect = bounds.foldLeft(store.read("t")) { case (acc, (c, lo, hi)) =>
+        acc.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }.select("n").as[Long].collect().sorted.toSeq
+      val got = store.readWhere("t", bounds).select("n").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"bounds=$bounds: got ${got.size} rows, expected ${expect.size}")
+    }
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
