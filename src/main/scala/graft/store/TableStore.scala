@@ -862,22 +862,33 @@ final class TableStore(spark: SparkSession, root: String,
     * (kind: marker|generation, name, action: deleted|would_delete). The
     * publish path already enforces `keepGenerations` automatically; this
     * is the operator-invoked form for reclaiming a time-travel window
-    * early. Like [[recover]], run it only when no writer is in flight.
+    * early. Deletion runs under the writer lock, so a vacuum never reaps a
+    * concurrent rewrite's in-flight generation dir; dry-run is lock-free.
     * `keep >= 2` keeps the current + previous reader-isolation minimum. */
   def vacuum(table: String, keep: Int, dryRun: Boolean = false): DataFrame = {
     require(keep >= 2,
       s"vacuum keep must be >= 2 (current + previous, the reader-isolation minimum): $keep")
     val sp = spark
     import sp.implicits._
-    val (dropMarkers, dropDirs) = vacuumPlan(table, keep)
-    val action = if (dryRun) "would_delete" else "deleted"
-    if (!dryRun) {
-      dropMarkers.foreach(deleteMarker)
-      dropDirs.foreach(fs.delete(_, true))
+    def rows(dropMarkers: Seq[Path], dropDirs: Seq[Path], action: String) =
+      (dropMarkers.map(p => ("marker", p.getName, action)) ++
+        dropDirs.map(p => ("generation", p.getName, action)))
+        .toDF("kind", "name", "action")
+    if (dryRun) {
+      val (dropMarkers, dropDirs) = vacuumPlan(table, keep)
+      rows(dropMarkers, dropDirs, "would_delete")
+    } else {
+      // deletion takes the writer lock: an unlocked vacuum racing a rewrite
+      // would reap the in-flight writer's not-yet-referenced gen dir as an
+      // "orphan" and force it into the loud retry path for no reason
+      val lock = acquireWriteLock(table, "vacuum")
+      try {
+        val (dropMarkers, dropDirs) = vacuumPlan(table, keep)
+        dropMarkers.foreach(deleteMarker)
+        dropDirs.foreach(fs.delete(_, true))
+        rows(dropMarkers, dropDirs, "deleted")
+      } finally fs.delete(lock, false)
     }
-    (dropMarkers.map(p => ("marker", p.getName, action)) ++
-      dropDirs.map(p => ("generation", p.getName, action)))
-      .toDF("kind", "name", "action")
   }
 
   // ---------------------------------------------------------------------
@@ -897,6 +908,23 @@ final class TableStore(spark: SparkSession, root: String,
     refuseIfCatalogBucketed(table, "append")
     val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
     try {
+      // ADDITIVE schema evolution only: a new column reads as NULL for old
+      // rows through readEvolved, but a TYPE CHANGE on an existing column
+      // would poison the table with irreconcilable footers that explode at
+      // READ time (mergeSchema failure), far from the write that caused it.
+      // Fail here, at the cause, instead. One footer read; skipped for a
+      // first append (no current state to drift from).
+      if (exists(table)) {
+        val current = read(table).schema
+        val drifted = df.schema.flatMap { f =>
+          current.find(_.name == f.name).collect {
+            case c if c.dataType != f.dataType => s"${f.name}: ${c.dataType} -> ${f.dataType}"
+          }
+        }
+        if (drifted.nonEmpty) throw new IllegalArgumentException(
+          s"append('$table'): column type drift is not appendable — ${drifted.mkString("; ")}; " +
+            "cast the batch to the table's types (new columns are fine, type changes are not)")
+      }
       if (!pointerMode) df.write.mode("append").parquet(tablePath(table))
       else {
         val dir = new Path(tablePath(table))

@@ -831,6 +831,42 @@ class TableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("append refuses column TYPE drift loudly; additive evolution stays allowed") {
+    val store = pointerStore()
+    store.append("t", Seq((1, "a")).toDF("k", "v"))
+    // additive: fine (readEvolved semantics)
+    store.append("t", Seq((2, "b", 9.5)).toDF("k", "v", "score"))
+    // type change on an existing column: refused AT THE WRITE, not at a
+    // later mergeSchema read far from the cause
+    val e = intercept[IllegalArgumentException](
+      store.append("t", Seq(("3", "c")).toDF("k", "v"))) // k: int -> string
+    assert(e.getMessage.contains("type drift"), e.getMessage)
+    assert(store.readEvolved("t").count() == 2, "failed append must publish nothing")
+    // the rename layout gets the same guard
+    val plain = freshStore()
+    plain.append("t", Seq((1, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](plain.append("t", Seq((2.5, "b")).toDF("k", "v")))
+    assert(plain.read("t").count() == 1)
+  }
+
+  test("vacuum deletion takes the writer lock; dry-run stays lock-free") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-vlock").toString,
+      CommitMode.Pointer, keepGenerations = 2)
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    store.atomicOverwrite("t", Seq(2).toDF("k"))
+    store.atomicOverwrite("t", Seq(3).toDF("k"))
+    val fs = hadoopFs(store, "t")
+    val lock = new org.apache.hadoop.fs.Path(store.tablePath("t") + ".lock")
+    fs.create(lock, false).close() // a live writer holds the table
+    // dry-run reports without the lock; real vacuum refuses while held
+    assert(store.vacuum("t", 2, dryRun = true).count() >= 0)
+    intercept[ConcurrentWriteException](store.vacuum("t", 2))
+    fs.delete(lock, false)
+    store.vacuum("t", 2)
+    assert(!fs.exists(lock), "vacuum must release the lock")
+    assert(store.read("t").as[Int].collect().toSeq == Seq(3))
+  }
+
   test("append waits briefly for the writer lock, then fails loudly") {
     val dir = Files.createTempDirectory("graft-applock").toString
     val store = new TableStore(spark, dir, CommitMode.Rename, appendLockWaitMs = 400L)
