@@ -664,7 +664,13 @@ final class TableStore(spark: SparkSession, root: String,
           spark.read.option("basePath", u.basePath).parquet(u.paths: _*)
         }
         if (frames.isEmpty) residual(fallback()).filter(lit(false))
-        else residual(frames.reduce(_.unionByName(_)))
+        // allowMissingColumns: an append-evolved table's generations carry
+        // different footers — the union takes [[readEvolved]] semantics
+        // (old generations read NULL for later columns; a range bound never
+        // matches NULL, so the filter semantics are unchanged) instead of
+        // crashing where a plain read() would have silently taken one
+        // arbitrary footer's schema
+        else residual(frames.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
   }
 

@@ -831,6 +831,21 @@ class TableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("readWhere on an append-evolved table takes readEvolved union semantics") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-evprune").toString,
+      CommitMode.Pointer, statsColumns = Seq("k", "score"))
+    store.append("t", spark.range(0, 100).selectExpr("id AS k"))
+    store.append("t", spark.range(100, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS score"))
+    // bound on the shared column: both generations contribute; the old one
+    // reads NULL for score instead of crashing the frame union
+    val got = store.readWhere("t", "k", 50, 150)
+    assert(got.columns.sorted.toSeq == Seq("k", "score"))
+    assert(got.count() == 101)
+    // bound on the LATER column: the old generation's rows are NULL there
+    // and a range bound never matches NULL — evolved-filter semantics
+    assert(store.readWhere("t", "score", 120.0, 130.0).count() == 11)
+  }
+
   test("append refuses column TYPE drift loudly; additive evolution stays allowed") {
     val store = pointerStore()
     store.append("t", Seq((1, "a")).toDF("k", "v"))
