@@ -540,57 +540,66 @@ final class TableStore(spark: SparkSession, root: String,
     }
 
   /** Prune one generation dir for `bounds`, composing partition-dir pruning
-    * (coarse axis: the `col=value` subdir name decides without listing its
-    * files' stats) with per-file min/max skipping (fine axis: `_stats` keys
-    * are `subdir/file` inside partitioned generations). `onlyParts`
-    * restricts to a partition-scoped manifest's named partitions. Nesting
-    * deeper than one partition level falls back to a whole-dir read. */
+    * (coarse axis: any `col=value` dir on the path decides without listing
+    * its subtree — works at ANY nesting depth) with per-file min/max
+    * skipping (fine axis: `_stats` keys are `sub/dirs/file` relative
+    * paths). `onlyParts` restricts to a partition-scoped manifest's named
+    * partitions. `exhaustive = false` (the read path) SKIPS pruned
+    * subtrees without listing them at all — on a 2.4 k-partition table a
+    * 7-day band lists 7 dirs, not 2 400 — at the cost of `total` counting
+    * only the subtrees it visited; [[pruneEvidence]] passes `true` for
+    * honest kept/total accounting. */
   private def pruneGen(genDir: Path, bounds: Seq[(String, Any, Any)],
-      onlyParts: Option[Seq[String]]): PruneUnit = {
-    def wholeRead: PruneUnit = {
-      val paths = onlyParts.fold(Seq(genDir.toString))(_.map(p => s"$genDir/$p"))
-      val n = paths.map(p => countFiles(new Path(p))).sum
-      PruneUnit(genDir.toString, paths, n, n)
-    }
-    val children = fs.listStatus(genDir).toSeq
-    val subdirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    val flat = subdirs.isEmpty && onlyParts.isEmpty
+      onlyParts: Option[Seq[String]], exhaustive: Boolean): PruneUnit = {
     val stats = loadStats(genDir)
-    if (flat) {
+    var kept = 0
+    var total = 0
+    val paths = Seq.newBuilder[String]
+    // walk one directory level: relDir "" = the gen dir itself. pruned =
+    // an ancestor partition dir already failed its bound (only reachable
+    // in exhaustive mode, for counting).
+    def walk(relDir: String, pruned: Boolean): Unit = {
+      val p = if (relDir.isEmpty) genDir else new Path(genDir, relDir)
+      val children = fs.listStatus(p).toSeq
+      val subdirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
       val files = children.filter(isDataFile)
-      if (stats.isEmpty) wholeRead
-      else {
-        val kept = files.filter(f => fileSurvives(stats, f.getPath.getName, bounds))
-        PruneUnit(genDir.toString, kept.map(_.getPath.toString), kept.size, files.size)
-      }
-    } else {
-      val parts = onlyParts.fold(subdirs.map(_.getPath.getName))(_.toSeq)
-        .filter(p => fs.exists(new Path(genDir, p)))
-      // multi-level partitioning: file-level keys would need recursive
-      // listing — read whole rather than guess
-      if (parts.exists(p => fs.listStatus(new Path(genDir, p)).exists(_.isDirectory)))
-        return wholeRead
-      var kept = 0
-      var total = 0
-      val paths = Seq.newBuilder[String]
-      parts.foreach { part =>
-        val Array(pcol, pval) = part.split("=", 2)
-        val (pBounds, fBounds) = bounds.partition(_._1 == pcol)
-        val files = fs.listStatus(new Path(genDir, part)).toSeq.filter(isDataFile)
-        total += files.size
-        if (partitionSurvives(pval, pBounds)) {
-          val surviving = files.filter(f => fileSurvives(stats, s"$part/${f.getPath.getName}", fBounds))
+      total += files.size
+      if (!pruned && files.nonEmpty) {
+        // leaf files: apply stats for every bound not already decided by a
+        // partition dir on this path (stats on partition columns are
+        // per-file constants and agree, so re-checking them is harmless)
+        val surviving =
+          files.filter { f =>
+            val key = if (relDir.isEmpty) f.getPath.getName else s"$relDir/${f.getPath.getName}"
+            fileSurvives(stats, key, bounds)
+          }
+        if (stats.isEmpty && relDir.isEmpty && subdirs.isEmpty) {
+          // flat generation without a stats sidecar: whole-dir read
+          kept += files.size
+          paths += genDir.toString
+        } else {
           kept += surviving.size
           paths ++= surviving.map(_.getPath.toString)
         }
       }
-      PruneUnit(genDir.toString, paths.result(), kept, total)
+      subdirs.foreach { sd =>
+        val name = sd.getPath.getName
+        val Array(pcol, pval) = name.split("=", 2)
+        val childPruned = pruned || !partitionSurvives(pval, bounds.filter(_._1 == pcol))
+        if (!childPruned || exhaustive)
+          walk(if (relDir.isEmpty) name else s"$relDir/$name", childPruned)
+      }
     }
+    onlyParts match {
+      case None => walk("", pruned = false)
+      case Some(parts) => parts.filter(p => fs.exists(new Path(genDir, p))).foreach { part =>
+        val Array(pcol, pval) = part.split("=", 2)
+        val childPruned = !partitionSurvives(pval, bounds.filter(_._1 == pcol))
+        if (!childPruned || exhaustive) walk(part, childPruned)
+      }
+    }
+    PruneUnit(genDir.toString, paths.result(), kept, total)
   }
-
-  private def countFiles(p: Path): Int =
-    fs.listStatus(p).toSeq.map(s =>
-      if (s.isDirectory) countFiles(s.getPath) else if (isDataFile(s)) 1 else 0).sum
 
   /** The pruning decision for one read: per-generation read units plus
     * kept/total file counts. `None` = stats-based pruning does not apply
@@ -598,7 +607,7 @@ final class TableStore(spark: SparkSession, root: String,
     * a retained generation instead of the current manifest (the time-travel
     * × data-skipping composition). */
   private def prunePlan(table: String, bounds: Seq[(String, Any, Any)],
-      asOf: Option[Long] = None): Option[(Seq[PruneUnit], Int, Int)] = {
+      asOf: Option[Long] = None, exhaustive: Boolean = false): Option[(Seq[PruneUnit], Int, Int)] = {
     if (!pointerMode || listMarkers(table).isEmpty) return None
     val entries = asOf match {
       case Some(gen) =>
@@ -616,10 +625,10 @@ final class TableStore(spark: SparkSession, root: String,
     val (whole, parts) = entries.partition(_._1 == WholeTable)
     val units =
       if (parts.isEmpty)
-        whole.map(_._2).distinct.map(g => pruneGen(new Path(s"$dir/$g"), bounds, None))
+        whole.map(_._2).distinct.map(g => pruneGen(new Path(s"$dir/$g"), bounds, None, exhaustive))
       else if (whole.isEmpty)
         parts.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, es) =>
-          pruneGen(new Path(s"$dir/$g"), bounds, Some(es.map(_._1)))
+          pruneGen(new Path(s"$dir/$g"), bounds, Some(es.map(_._1)), exhaustive)
         }
       else throw new IllegalStateException(
         s"readWhere('$table'): manifest mixes whole-table and partition entries")
@@ -701,7 +710,7 @@ final class TableStore(spark: SparkSession, root: String,
     * whole (no stats, nested partitioning) count all their files on both
     * sides. */
   def pruneEvidence(table: String, bounds: Seq[(String, Any, Any)]): (Int, Int) =
-    prunePlan(table, bounds) match {
+    prunePlan(table, bounds, exhaustive = true) match {
       case None => val n = read(table).inputFiles.length; (n, n)
       case Some((_, kept, total)) => (kept, total)
     }

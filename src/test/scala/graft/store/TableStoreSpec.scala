@@ -831,6 +831,38 @@ class TableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-level partitioned generations prune on every level plus file stats") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, Files.createTempDirectory("graft-mlp").toString,
+      CommitMode.Pointer, statsColumns = Seq("k"))
+    // two partition levels (region / day) + range-clustered files within
+    val df = spark.range(0, 1200).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END AS region",
+      "CAST(DATE '2024-01-01' + CAST(id / 400 AS INT) AS DATE) AS day")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    store.atomicOverwrite("t", df, partitionBy = Seq("region", "day"))
+    val total = store.pruneEvidence("t", "k", Long.MinValue, Long.MaxValue)._2
+    assert(total >= 12, s"fixture must span many leaf files, got $total")
+    // level-1 bound (region) halves the tree; level-2 bound (day) cuts to
+    // a third; the file-stats bound prunes within leaves; all compose
+    val (kR, _) = store.pruneEvidence("t", "region", "eu", "eu")
+    assert(kR < total, s"region axis: $kR of $total")
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val (kD, _) = store.pruneEvidence("t", "day", d1, d1)
+    assert(kD < total, s"day axis: $kD of $total")
+    val (kK, _) = store.pruneEvidence("t", "k", 100, 140)
+    assert(kK < total, s"file-stats axis: $kK of $total")
+    val all = Seq[(String, Any, Any)](("region", "eu", "eu"), ("day", d1, d1), ("k", 100, 140))
+    val (kAll, tAll) = store.pruneEvidence("t", all)
+    assert(tAll == total && kAll <= Seq(kR, kD, kK).min, s"composed: $kAll vs $kR/$kD/$kK")
+    // result ≡ the filtered read, partition columns intact
+    val got = store.readWhere("t", all)
+    assert(got.columns.toSet == Set("k", "region", "day"))
+    val expect = store.read("t").filter(col("region") === "eu" && col("day") === d1 &&
+      col("k").between(100, 140)).select("k").as[Long].collect().sorted.toSeq
+    assert(got.select("k").as[Long].collect().sorted.toSeq == expect && expect.nonEmpty)
+  }
+
   test("readWhere on an append-evolved table takes readEvolved union semantics") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-evprune").toString,
       CommitMode.Pointer, statsColumns = Seq("k", "score"))
