@@ -1377,14 +1377,40 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** The `col=value` partition-column chain of the table's CURRENT layout
+    * (outermost first; empty = unpartitioned). Pointer mode reads the
+    * manifest (partition-scoped entry names, else the gen dir's subdir
+    * chain); rename mode chases the live dir's subdirs. */
+  private def partitionColumns(table: String): Seq[String] = {
+    def chase(p: Path): Seq[String] =
+      fs.listStatus(p).find(s => s.isDirectory && s.getPath.getName.contains("=")) match {
+        case Some(sub) => sub.getPath.getName.split("=", 2)(0) +: chase(sub.getPath)
+        case None => Nil
+      }
+    if (!fs.exists(new Path(tablePath(table)))) Nil
+    else if (listMarkers(table).isEmpty) chase(new Path(tablePath(table)))
+    else currentManifest(table) match {
+      case None => Nil
+      case Some((_, entries)) =>
+        val (whole, parts) = entries.partition(_._1 == WholeTable)
+        if (parts.nonEmpty)
+          parts.head._1.split("=", 2)(0) +: chase(new Path(s"${tablePath(table)}/${parts.head._2}/${parts.head._1}"))
+        else whole.headOption.map(e => chase(new Path(tablePath(table), e._2))).getOrElse(Nil)
+    }
+  }
+
   /** Small-file compaction: rewrite the table as ~`targetFiles` files with
     * an atomic swap. Append-heavy tables (ledgers, streaming sinks, micro-
     * batch upserts) accrete one-file-per-batch; at scale the file count —
     * not the byte count — dominates scan planning and open() overhead, so
     * periodic compaction is part of the table lifecycle. Readers see the
     * old state until the single atomic publish. In pointer mode compaction
-    * also folds accumulated append generations back into one. Catalog-
-    * bucketed tables are refused ([[refuseIfCatalogBucketed]]). */
+    * also folds accumulated append generations back into one. A
+    * PARTITIONED layout is preserved ([[partitionColumns]]; the rewrite
+    * hash-clusters on the partition chain so each partition converges to
+    * ~one file) — compaction must never silently de-partition a table and
+    * strand the next windowed overwrite. Catalog-bucketed tables are
+    * refused ([[refuseIfCatalogBucketed]]). */
   def compact(table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     // readEvolved, NOT read: compacting an append-evolved table through a
@@ -1392,7 +1418,13 @@ final class TableStore(spark: SparkSession, root: String,
     // schema inference — silently and permanently dropping the evolved
     // column's data. The merged read makes compaction the operation that
     // HEALS a mixed-schema table into one uniform footer.
-    atomicOverwriteAs(table, readEvolved(table).repartition(targetFiles), Nil, "compact")
+    val pcols = partitionColumns(table)
+    val df = readEvolved(table)
+    val compacted =
+      if (pcols.isEmpty) df.repartition(targetFiles)
+      else df.repartition(targetFiles,
+        pcols.map(org.apache.spark.sql.functions.col): _*)
+    atomicOverwriteAs(table, compacted, pcols, "compact")
   }
 
   /** Partition-scoped small-file compaction — the date-partitioned form of

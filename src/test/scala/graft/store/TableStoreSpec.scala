@@ -831,6 +831,30 @@ class TableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compact preserves a partitioned layout; windowed overwrites still work after it") {
+    import org.apache.spark.sql.functions.col
+    def fixture(store: TableStore): Unit = {
+      def rows(pairs: (String, Int)*) = pairs.toSeq.toDF("day", "v")
+        .withColumn("day", col("day").cast("date"))
+      store.overwriteDatePartitions("t",
+        rows("2024-01-01" -> 1, "2024-01-02" -> 2).repartition(4),
+        "day", (1 to 2).map(d => java.time.LocalDate.of(2024, 1, d)))
+      store.compact("t", 2)
+      // the partition layout SURVIVED compaction (old behavior flattened it,
+      // stranding the next windowed overwrite)
+      val files = store.read("t").inputFiles
+      assert(files.forall(_.contains("day=")), files.take(3).mkString(", "))
+      // and the windowed overwrite still works on the compacted table
+      store.overwriteDatePartitions("t", rows("2024-01-02" -> 20),
+        "day", Seq(java.time.LocalDate.of(2024, 1, 2)))
+      val after = store.read("t").select(col("day").cast("string"), col("v"))
+        .as[(String, Int)].collect().toSet
+      assert(after == Set(("2024-01-01", 1), ("2024-01-02", 20)))
+    }
+    fixture(freshStore())   // rename layout
+    fixture(pointerStore()) // pointer layout
+  }
+
   test("multi-level partitioned generations prune on every level plus file stats") {
     import org.apache.spark.sql.functions.col
     val store = new TableStore(spark, Files.createTempDirectory("graft-mlp").toString,
