@@ -376,6 +376,20 @@ object Queries {
         .unionByName(canon("ord", store.readSnapshot(snap, "ord_s"),
           col("o_orderkey"), col("o_totalprice"), lit(null)))
     }),
+    // generation diff: the incremental-consumer surface over the commit
+    // history — a consumer that processed generation v1 learns exactly the
+    // insert/delete multiset that produces v2, from the store alone
+    "o12_generation_diff" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o12").toString,
+        graft.store.CommitMode.Pointer, keepGenerations = 3)
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+      store.atomicOverwrite("ord_d", ord.filter(col("o_orderkey") % 2 === 0))
+      store.atomicOverwrite("ord_d",
+        ord.filter(col("o_orderkey") % 2 === 1 || col("o_orderkey") % 4 === 0))
+      val gens = store.generations("ord_d") // newest first
+      store.generationDiff("ord_d", gens(1), gens.head)
+    }),
     // two-dimensional pruned read over the z-order layout: the Morton curve
     // keeps every file rectangle-ish in (o_orderkey, o_custkey), so a band
     // on EITHER dimension alone opens a strict subset of the 16 files and
@@ -1361,6 +1375,12 @@ object Queries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | WHERE o_orderkey BETWEEN 10000 AND 20000
         |   AND o_custkey BETWEEN 100 AND 400""".stripMargin,
+    "o12_generation_diff" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, 'insert' AS __change
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 'delete'
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0""".stripMargin,
     "o3_agg_maintain" ->
       """WITH up AS (
         |  SELECT ts, event_type,

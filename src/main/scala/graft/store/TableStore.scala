@@ -826,6 +826,25 @@ final class TableStore(spark: SparkSession, root: String,
     readGeneration(table, gen)
   }
 
+  /** Multiset row diff between two retained generations: what a consumer
+    * that processed `fromGen` must apply to catch up to `toGen` — the
+    * incremental-consumer surface over the storage layer (reference analog:
+    * the changed-key scan, `TableUpdateService.cs`, lifted from a source
+    * column convention to the table's own commit history). Rows only in
+    * `toGen` tag `insert`, rows only in `fromGen` tag `delete` (an update =
+    * delete + insert; duplicates diff by multiplicity — `exceptAll`).
+    * Scale shape: two hash-shuffles over the two snapshots, no driver
+    * materialization; at 100 TB run it on a date-partitioned table where
+    * the generations share most files only if the engine's scan prunes —
+    * or better, diff a windowed band via [[readGenerationWhere]] first. */
+  def generationDiff(table: String, fromGen: Long, toGen: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = readGeneration(table, fromGen)
+    val after = readGeneration(table, toGen)
+    after.exceptAll(before).withColumn("__change", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("__change", lit("delete")))
+  }
+
   // ---------------------------------------------------------------------
   // History + explicit vacuum (the storage-side mirror of the run ledger)
   // ---------------------------------------------------------------------

@@ -831,6 +831,26 @@ class TableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("generationDiff yields the exact insert/delete multiset between snapshots") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-gdiff").toString,
+      CommitMode.Pointer, keepGenerations = 3)
+    // duplicates included: multiset semantics, not set semantics
+    store.atomicOverwrite("t", Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v"))
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val gens = store.generations("t")
+    val diff = store.generationDiff("t", gens(1), gens.head)
+      .as[(Int, String, String)].collect().toSeq.sorted
+    // one copy of (1,a) left → ONE delete; (3,c) appeared → one insert
+    assert(diff == Seq((1, "a", "delete"), (3, "c", "insert")), diff.toString)
+    // reverse direction flips the tags
+    val rev = store.generationDiff("t", gens.head, gens(1))
+      .as[(Int, String, String)].collect().toSeq.sorted
+    assert(rev == Seq((1, "a", "insert"), (3, "c", "delete")), rev.toString)
+    // identical generations diff to empty
+    assert(store.generationDiff("t", gens.head, gens.head).isEmpty)
+    intercept[IllegalArgumentException](store.generationDiff("t", 999L, gens.head))
+  }
+
   test("compact preserves a partitioned layout; windowed overwrites still work after it") {
     import org.apache.spark.sql.functions.col
     def fixture(store: TableStore): Unit = {
