@@ -1261,11 +1261,13 @@ final class TableStore(spark: SparkSession, root: String,
       if (!fs.exists(dir)) fs.mkdirs(dir)
       val gen = new Path(dir, s"_gen-${nonce()}")
       val tmpIdent = s"graft_bktwrite_${nonce()}"
-      val w = df.write.mode("overwrite").format("parquet")
-        .option("path", gen.toString).bucketBy(numBuckets, bucketCol)
-      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-        .saveAsTable(tmpIdent)
-      spark.sql(s"DROP TABLE `$tmpIdent`") // external: bucket-named files remain
+      try {
+        val w = df.write.mode("overwrite").format("parquet")
+          .option("path", gen.toString).bucketBy(numBuckets, bucketCol)
+        (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+          .saveAsTable(tmpIdent)
+      } finally // external: bucket-named files remain; a failed write must
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpIdent`") // not leak the entry
       def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
       val content = Seq(BucketSpecHeader, s"numBuckets\t$numBuckets",
         s"bucketCol\t${enc(bucketCol)}",
