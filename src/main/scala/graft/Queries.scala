@@ -390,6 +390,53 @@ object Queries {
       val gens = store.generations("ord_d") // newest first
       store.generationDiff("ord_d", gens(1), gens.head)
     }),
+    // partition-scoped generation diff: a one-month overwrite on a
+    // month-partitioned table must DIFF one month — shared manifest entries
+    // are skipped before any scan (the incremental-consumer path at 100 TB:
+    // diff cost tracks the changed partitions, never the table)
+    "o12_diff_partition_scoped" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o12p").toString,
+        graft.store.CommitMode.Pointer, keepGenerations = 3)
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), trunc(col("o_orderdate"), "month").as("o_month"))
+      val months = ord.select("o_month").distinct().collect()
+        .map(_.getDate(0).toLocalDate).sortBy(_.toString).toSeq
+      store.overwriteDatePartitions("ord_pd", ord, "o_month", months)
+      // one-month change: March 1997 keeps only its even order keys
+      val march = java.time.LocalDate.of(1997, 3, 1)
+      store.overwriteDatePartitions("ord_pd",
+        ord.filter(col("o_month") === java.sql.Date.valueOf(march) &&
+          col("o_orderkey") % 2 === 0),
+        "o_month", Seq(march))
+      val gens = store.generations("ord_pd")
+      val (scanned, total) = store.generationDiffEvidence("ord_pd", gens(1), gens.head)
+      require(scanned < total / 3,
+        s"o12p: one-month change must diff ~one month's files: scanned $scanned of $total")
+      store.generationDiff("ord_pd", gens(1), gens.head)
+    }),
+    // store change feed: the commit history consumed as ordered CDC batches
+    // (insert/delete multisets per commit, batch-stamped) — the engine's own
+    // changed-key propagation, no source column convention needed
+    "o13_change_feed" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-o13").toString,
+        graft.store.CommitMode.Pointer, keepGenerations = 4)
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+      store.atomicOverwrite("ord_f", ord.filter(col("o_orderkey") % 3 === 0))
+      val cursor = store.generations("ord_f").head
+      store.atomicOverwrite("ord_f", ord.filter(col("o_orderkey") % 3 <= 1))
+      store.atomicOverwrite("ord_f", ord.filter(col("o_orderkey") % 3 >= 1))
+      var batchNo = 0
+      var acc: Option[DataFrame] = None
+      graft.streaming.EventStream.drainChanges(store, "ord_f", cursor) { (diff, _) =>
+        batchNo += 1
+        val stamped = diff.withColumn("batch", lit(batchNo))
+        acc = Some(acc.map(_.unionByName(stamped)).getOrElse(stamped))
+      }
+      require(batchNo == 2, s"o13: two commits after the cursor, drained $batchNo")
+      acc.get
+    }),
     // two-dimensional pruned read over the z-order layout: the Morton curve
     // keeps every file rectangle-ish in (o_orderkey, o_custkey), so a band
     // on EITHER dimension alone opens a strict subset of the 16 files and
@@ -1381,6 +1428,22 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, 'delete'
         |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0""".stripMargin,
+    "o12_diff_partition_scoped" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month,
+        |       'delete' AS __change
+        |  FROM orders
+        | WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '1997-03-01'
+        |   AND o_orderkey % 2 = 1""".stripMargin,
+    "o13_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, 'insert' AS __change, 1 AS batch
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 'insert', 2
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 'delete', 2
+        |  FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     "o3_agg_maintain" ->
       """WITH up AS (
         |  SELECT ts, event_type,

@@ -61,6 +61,13 @@ final class Runner(
     * state. Requires a pointer-mode target; the snapshot id is
     * `target.snapshots().head` after the run. */
   def run(cfg: EngineConfig, snapshotRun: Boolean = false): Seq[TableResult] = {
+    // validate the snapshot requirement BEFORE dispatching any work: a
+    // rename-mode target would only fail inside publishSnapshot's require
+    // AFTER all copies and ledger writes completed, discarding the run's
+    // results over a misconfiguration that was knowable up front
+    require(!snapshotRun || target.supportsSnapshots,
+      "run(snapshotRun = true) requires a pointer-mode target store — rename-layout " +
+        "tables keep no generation history for a run snapshot to pin")
     val window = Windows.derive(cfg.scheduleMode, clock(), Windows.ConfigWindow(cfg.dateFrom, cfg.dateTo))
     val classified = TableSpec.classify(cfg.tables)
     classified.historical.foreach(h =>

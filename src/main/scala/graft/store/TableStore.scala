@@ -74,10 +74,22 @@ final class TableStore(spark: SparkSession, root: String,
     lockTtlMs: Long = TableStore.DefaultLockTtlMs,
     appendLockWaitMs: Long = TableStore.DefaultAppendWaitMs,
     keepGenerations: Int = TableStore.DefaultKeepGenerations,
-    statsColumns: Seq[String] = Nil) {
+    statsColumns: Seq[String] = Nil,
+    /** Run-level snapshot retention, independent of per-table
+      * `keepGenerations` (0 = inherit it): how many `_run.<n>` markers
+      * survive, and therefore how far back the multi-table time-travel
+      * window reaches. Decoupled because the two windows serve different
+      * consumers — a table may churn hourly (small `keepGenerations`) while
+      * nightly run snapshots must stay reproducible for a week. Every
+      * generation a retained snapshot pins survives per-table vacuum. */
+    keepSnapshots: Int = 0) {
 
   require(keepGenerations >= 2,
     s"keepGenerations must be >= 2 (current + previous, the reader-isolation minimum): $keepGenerations")
+  require(keepSnapshots >= 0, s"keepSnapshots must be >= 0 (0 = inherit keepGenerations): $keepSnapshots")
+
+  /** Resolved snapshot-marker retention (see `keepSnapshots`). */
+  private val snapshotRetention: Int = if (keepSnapshots > 0) keepSnapshots else keepGenerations
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[TableStore])
 
@@ -230,17 +242,73 @@ final class TableStore(spark: SparkSession, root: String,
             "broken by another writer) — marker retracted, nothing was published")
       }
     }
-    // best-effort audit sidecar for history(): which operation committed this
-    // generation ("_commit.<n>.meta" never parses as a marker index, so
-    // readers ignore it). The commit itself never fails on meta problems.
+    // best-effort audit sidecar for history(): the operation that committed
+    // this generation PLUS its publish-time metrics (rows / files / bytes of
+    // the full post-commit table state), so history() answers from sidecars
+    // with zero Spark jobs instead of a count job per retained generation.
+    // Rows come from parquet footer record counts — driver-side ranged
+    // reads, parallelized, no data scanned. ("_commit.<n>.meta" never
+    // parses as a marker index, so readers ignore it.) The commit itself
+    // never fails on meta problems: a lost sidecar just downgrades that
+    // generation's history row to the recomputation path.
     try {
+      val metrics = try {
+        val files = entries.map { case (name, g) =>
+          if (name == WholeTable) new Path(dir, g) else new Path(dir, s"$g/$name")
+        }.distinct.filter(fs.exists(_)).flatMap(listDataFiles)
+        val rows = inParallel(files.map(_.getPath))(footerRowCount).sum
+        s"\nrows\t$rows\nfiles\t${files.size}\nbytes\t${files.map(_.getLen).sum}"
+      } catch { case scala.util.control.NonFatal(e) =>
+        log.warn(s"commit metrics for $table/$next failed — sidecar records op only: $e"); ""
+      }
       val meta = fs.create(new Path(dir, s"$MarkerPrefix$next.meta"), true)
-      try meta.write(s"$MetaHeader\nop\t$op".getBytes("UTF-8")) finally meta.close()
+      try meta.write(s"$MetaHeader\nop\t$op$metrics".getBytes("UTF-8")) finally meta.close()
     } catch { case e: IOException => log.warn(s"commit meta for $table/$next failed: $e") }
     cleanupGenerations(table)
   }
 
   private val MetaHeader = "graft-commitmeta v1"
+
+  /** All data files under `p`, recursively (one level of parallel fan-out
+    * over subdirs — the partitioned-generation shape). */
+  private def listDataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val children = fs.listStatus(p).toSeq
+    val (dirs, rest) = children.partition(_.isDirectory)
+    rest.filter(isDataFile) ++ inParallel(dirs.map(_.getPath))(listDataFiles).flatten
+  }
+
+  /** Exact row count of one parquet file from its footer — a single small
+    * ranged read of trailing metadata, no data pages touched. */
+  private def footerRowCount(file: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      file, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Map `f` over `items` on a bounded thread pool, preserving order. The
+    * driver-side metadata walks here (listStatus fans, footer reads) are
+    * RPC-latency-bound on an object store — serial walks over a
+    * 2.4 k-partition table turn a millisecond operation into minutes; a
+    * 16-wide fan keeps them proportional to depth, not width. Sized to the
+    * work (no pool for 0/1 items); exceptions propagate to the caller. */
+  private def inParallel[A, B](items: Seq[A], parallelism: Int = 16)(f: A => B): Seq[B] =
+    if (items.lengthCompare(2) < 0) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = items.map { a =>
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }
+        }
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map { fut =>
+          try fut.get() catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
 
   /** Delete a commit marker together with its audit sidecar. */
   private def deleteMarker(p: Path): Unit = {
@@ -248,19 +316,21 @@ final class TableStore(spark: SparkSession, root: String,
     fs.delete(new Path(p.getParent, p.getName + ".meta"), false)
   }
 
-  /** The op recorded at commit time for marker `n`, if the sidecar survived. */
-  private def markerOp(table: String, n: Long): Option[String] = {
+  /** The audit sidecar recorded at commit time for marker `n`, as a key →
+    * value map (`op`, and on metrics-bearing commits `rows`/`files`/`bytes`).
+    * Empty when the sidecar is missing or unreadable. */
+  private def markerMeta(table: String, n: Long): Map[String, String] = {
     val p = new Path(tablePath(table), s"$MarkerPrefix$n.meta")
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return Map.empty
     try {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val lines = text.split("\n", -1).toSeq
-      if (!lines.headOption.exists(_.startsWith(MetaHeader))) None
+      if (!lines.headOption.exists(_.startsWith(MetaHeader))) Map.empty
       else lines.tail.flatMap(_.split("\t", 2) match {
-        case Array("op", v) => Some(v); case _ => None
-      }).headOption
-    } catch { case _: IOException => None }
+        case Array(k, v) => Some(k -> v); case _ => None
+      }).toMap
+    } catch { case _: IOException => Map.empty }
   }
 
   /** Best-effort retention: keep the `keepGenerations` highest-indexed
@@ -277,17 +347,24 @@ final class TableStore(spark: SparkSession, root: String,
     * all markers and write content immediately after create), so it is
     * dropped; a partial at the top of the chain may be a concurrent writer
     * mid-content-write and is left alone. */
-  private def cleanupGenerations(table: String): Unit =
+  private def cleanupGenerations(table: String, orphanGraceMs: Long = lockTtlMs): Unit =
     try {
-      val (dropMarkers, dropDirs) = vacuumPlan(table, keepGenerations)
+      val (dropMarkers, dropDirs) = vacuumPlan(table, keepGenerations, orphanGraceMs)
       dropMarkers.foreach(deleteMarker)
       dropDirs.foreach(fs.delete(_, true))
     } catch { case e: IOException => log.warn(s"cleanupGenerations('$table') failed: $e") }
 
   /** What retention at `keep` would delete: (markers to drop, gen dirs to
     * drop). Shared by publish-time [[cleanupGenerations]] and operator
-    * [[vacuum]]. */
-  private def vacuumPlan(table: String, keep: Int): (Seq[Path], Seq[Path]) = {
+    * [[vacuum]]. Unreferenced `_gen-*` dirs younger than `orphanGraceMs`
+    * are NOT orphans — they are an in-flight append's data written outside
+    * the writer lock (see [[append]]), awaiting its manifest commit; only
+    * dirs stale past the grace (a crashed writer's leftover, same horizon
+    * as the lock TTL) are reaped. [[recover]] passes 0: it is documented
+    * to run only with no writers live, and must reclaim a just-crashed
+    * writer's dir immediately. */
+  private def vacuumPlan(table: String, keep: Int,
+      orphanGraceMs: Long = lockTtlMs): (Seq[Path], Seq[Path]) = {
     val dir = new Path(tablePath(table))
     if (!fs.exists(dir)) return (Nil, Nil)
     val parsed = listMarkers(table).map { case (n, p) => (n, p, parseManifest(p)) }
@@ -301,8 +378,19 @@ final class TableStore(spark: SparkSession, root: String,
     val referenced = kept.flatMap(_._3.map(_._2)).toSet
     val newestCommitted = committed.headOption.map(_._1).getOrElse(Long.MinValue)
     val deadPartials = parsed.collect { case (n, p, None) if n < newestCommitted => p }
-    val orphanDirs = fs.listStatus(dir).map(_.getPath).toSeq
-      .filter(p => p.getName.startsWith("_gen-") && !referenced.contains(p.getName))
+    val now = System.currentTimeMillis
+    // a dir referenced by SOME committed marker (even one being dropped) was
+    // published and retired — reap immediately; a dir referenced by NO
+    // marker at all is either an in-flight append's (outside-lock write,
+    // fresh → grace) or a crashed writer's (stale → reap)
+    val everReferenced = committed.flatMap(_._3.map(_._2)).toSet
+    val orphanDirs = fs.listStatus(dir).toSeq
+      .filter { s =>
+        val name = s.getPath.getName
+        name.startsWith("_gen-") && !referenced.contains(name) &&
+          (everReferenced.contains(name) || now - s.getModificationTime > orphanGraceMs)
+      }
+      .map(_.getPath)
     (dropCommitted.map(_._2) ++ deadPartials, orphanDirs)
   }
 
@@ -321,10 +409,24 @@ final class TableStore(spark: SparkSession, root: String,
       case Some((_, entries)) => readEntries(table, entries, mergeSchemas)
     }
 
-  /** Read exactly the directories one manifest names. */
+  /** Read exactly the directories one manifest names. An EMPTY manifest is
+    * a legitimate committed state (a windowed delete can cover every
+    * remaining partition): it reads as an empty frame with the schema of
+    * the most recent prior generation, instead of exploding inside
+    * `spark.read.parquet()` with a zero-path AnalysisException far from
+    * the cause. */
   private def readEntries(table: String, entries: Seq[(String, String)],
       mergeSchemas: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    if (entries.isEmpty) {
+      val prior = listMarkers(table).iterator
+        .flatMap { case (_, p) => parseManifest(p) }
+        .find(es => es.nonEmpty && manifestDirsExist(table, es))
+        .getOrElse(throw new IOException(
+          s"read('$table'): table is empty and no retained generation records a schema"))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readEntries(table, prior, mergeSchemas).schema)
+    }
     val dir = tablePath(table)
     def reader = if (mergeSchemas) spark.read.option("mergeSchema", "true") else spark.read
     val (whole, parts) = entries.partition(_._1 == WholeTable)
@@ -555,48 +657,62 @@ final class TableStore(spark: SparkSession, root: String,
     var kept = 0
     var total = 0
     val paths = Seq.newBuilder[String]
-    // walk one directory level: relDir "" = the gen dir itself. pruned =
-    // an ancestor partition dir already failed its bound (only reachable
-    // in exhaustive mode, for counting).
-    def walk(relDir: String, pruned: Boolean): Unit = {
-      val p = if (relDir.isEmpty) genDir else new Path(genDir, relDir)
-      val children = fs.listStatus(p).toSeq
-      val subdirs = children.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      val files = children.filter(isDataFile)
-      total += files.size
-      if (!pruned && files.nonEmpty) {
-        // leaf files: apply stats for every bound not already decided by a
-        // partition dir on this path (stats on partition columns are
-        // per-file constants and agree, so re-checking them is harmless)
-        val surviving =
-          files.filter { f =>
-            val key = if (relDir.isEmpty) f.getPath.getName else s"$relDir/${f.getPath.getName}"
-            fileSurvives(stats, key, bounds)
-          }
-        if (stats.isEmpty && relDir.isEmpty && subdirs.isEmpty) {
-          // flat generation without a stats sidecar: whole-dir read
-          kept += files.size
-          paths += genDir.toString
-        } else {
-          kept += surviving.size
-          paths ++= surviving.map(_.getPath.toString)
-        }
-      }
-      subdirs.foreach { sd =>
-        val name = sd.getPath.getName
-        val Array(pcol, pval) = name.split("=", 2)
-        val childPruned = pruned || !partitionSurvives(pval, bounds.filter(_._1 == pcol))
-        if (!childPruned || exhaustive)
-          walk(if (relDir.isEmpty) name else s"$relDir/$name", childPruned)
-      }
+    // Level-synchronous walk: each round lists every frontier directory IN
+    // PARALLEL (the listStatus RPCs dominate on an object store — a WIDE
+    // band where most of a 2.4 k-partition table survives pruning would
+    // otherwise serialize 2.4 k round-trips), then folds the listings
+    // single-threaded (cheap CPU: stats lookups and counter bumps). Narrow
+    // bands still never list a pruned subtree — a pruned `col=value` dir
+    // drops out of the frontier without being visited (except in
+    // exhaustive mode, which walks everything for honest kept/total).
+    // relDir "" = the gen dir itself; pruned = an ancestor partition dir
+    // already failed its bound (only reachable in exhaustive mode).
+    final case class Node(relDir: String, pruned: Boolean)
+    def children(n: Node): (Node, Seq[org.apache.hadoop.fs.FileStatus]) = {
+      val p = if (n.relDir.isEmpty) genDir else new Path(genDir, n.relDir)
+      n -> fs.listStatus(p).toSeq
     }
-    onlyParts match {
-      case None => walk("", pruned = false)
-      case Some(parts) => parts.filter(p => fs.exists(new Path(genDir, p))).foreach { part =>
+    var frontier: Seq[Node] = onlyParts match {
+      case None => Seq(Node("", pruned = false))
+      case Some(parts) => parts.filter(p => fs.exists(new Path(genDir, p))).flatMap { part =>
         val Array(pcol, pval) = part.split("=", 2)
         val childPruned = !partitionSurvives(pval, bounds.filter(_._1 == pcol))
-        if (!childPruned || exhaustive) walk(part, childPruned)
+        if (!childPruned || exhaustive) Some(Node(part, childPruned)) else None
       }
+    }
+    while (frontier.nonEmpty) {
+      val next = Seq.newBuilder[Node]
+      inParallel(frontier)(children).foreach { case (node, listed) =>
+        val subdirs = listed.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        val files = listed.filter(isDataFile)
+        total += files.size
+        if (!node.pruned && files.nonEmpty) {
+          // leaf files: apply stats for every bound not already decided by a
+          // partition dir on this path (stats on partition columns are
+          // per-file constants and agree, so re-checking them is harmless)
+          val surviving = files.filter { f =>
+            val key = if (node.relDir.isEmpty) f.getPath.getName
+              else s"${node.relDir}/${f.getPath.getName}"
+            fileSurvives(stats, key, bounds)
+          }
+          if (stats.isEmpty && node.relDir.isEmpty && subdirs.isEmpty) {
+            // flat generation without a stats sidecar: whole-dir read
+            kept += files.size
+            paths += genDir.toString
+          } else {
+            kept += surviving.size
+            paths ++= surviving.map(_.getPath.toString)
+          }
+        }
+        subdirs.foreach { sd =>
+          val name = sd.getPath.getName
+          val Array(pcol, pval) = name.split("=", 2)
+          val childPruned = node.pruned || !partitionSurvives(pval, bounds.filter(_._1 == pcol))
+          if (!childPruned || exhaustive)
+            next += Node(if (node.relDir.isEmpty) name else s"${node.relDir}/$name", childPruned)
+        }
+      }
+      frontier = next.result()
     }
     PruneUnit(genDir.toString, paths.result(), kept, total)
   }
@@ -726,6 +842,12 @@ final class TableStore(spark: SparkSession, root: String,
   private val SnapshotPrefix = "_run."
   private val SnapshotHeader = "graft-snapshot v1"
 
+  /** Whether this store can publish run-level snapshots ([[publishSnapshot]]
+    * is pointer-mode only: rename-layout tables keep no generation history
+    * to pin). Callers dispatching long work should check this FIRST — a
+    * post-run publishSnapshot require failure would discard the run. */
+  def supportsSnapshots: Boolean = pointerMode
+
   /** All snapshot markers at the store root, highest id first. */
   private def listSnapshotMarkers(): Seq[(Long, Path)] = {
     val r = new Path(root)
@@ -761,7 +883,7 @@ final class TableStore(spark: SparkSession, root: String,
     * must not vacuum these even when they fall outside the per-table
     * retention window, or a snapshot reader would resolve to deleted dirs. */
   private def snapshotPinnedGens(table: String): Set[Long] =
-    listSnapshotMarkers().take(keepGenerations)
+    listSnapshotMarkers().take(snapshotRetention)
       .flatMap { case (_, p) => parseSnapshot(p).toSeq.flatMap(_.get(table)) }.toSet
 
   /**
@@ -782,10 +904,14 @@ final class TableStore(spark: SparkSession, root: String,
     require(pointerMode, "publishSnapshot requires CommitMode.Pointer (rename-layout " +
       "tables keep no generation history to pin)")
     require(tables.nonEmpty, "publishSnapshot needs at least one table")
+    // pin through currentManifest, NOT generations().head: the newest marker
+    // may be a lock-break footprint (well-formed manifest, vanished dirs)
+    // that read() already skips — pinning it would wedge every readSnapshot
     val pins = tables.distinct.sorted.map { t =>
-      val gens = generations(t)
-      require(gens.nonEmpty, s"publishSnapshot: table '$t' has no committed generation")
-      t -> gens.head
+      val m = currentManifest(t)
+      require(m.isDefined, s"publishSnapshot: table '$t' has no committed generation " +
+        "with intact generation dirs")
+      t -> m.get._1
     }
     val next = (0L +: listSnapshotMarkers().map(_._1)).max + 1
     val marker = new Path(root, s"$SnapshotPrefix$next")
@@ -799,8 +925,25 @@ final class TableStore(spark: SparkSession, root: String,
     try { out.write(content.getBytes("UTF-8")); out.close() } catch {
       case e: IOException => fs.delete(marker, false); throw e
     }
-    // best-effort retention of the snapshot chain itself
-    try listSnapshotMarkers().drop(keepGenerations).foreach { case (_, p) => fs.delete(p, false) }
+    // the pins were resolved BEFORE the marker existed, so a concurrent
+    // publish's retention pass could have vacuumed a to-be-pinned generation
+    // in that window (it cannot see an uncreated snapshot marker). Re-verify
+    // each pin AFTER the marker is durable and retract on failure —
+    // mirroring commitPointer's post-create re-check.
+    val broken = pins.filterNot { case (t, g) =>
+      listMarkers(t).collectFirst { case (n, p) if n == g => parseManifest(p) }.flatten
+        .exists(es => manifestDirsExist(t, es))
+    }
+    if (broken.nonEmpty) {
+      fs.delete(marker, false)
+      throw new ConcurrentWriteException(
+        s"publishSnapshot: pinned generation(s) vanished during publish " +
+          s"(${broken.map { case (t, g) => s"$t@$g" }.mkString(", ")}) — marker retracted; " +
+          "a concurrent publish's retention raced this snapshot, retry")
+    }
+    // best-effort retention of the snapshot chain itself (its own knob:
+    // snapshotRetention, decoupled from per-table keepGenerations)
+    try listSnapshotMarkers().drop(snapshotRetention).foreach { case (_, p) => fs.delete(p, false) }
     catch { case e: IOException => log.warn(s"snapshot retention failed: $e") }
     next
   }
@@ -826,23 +969,78 @@ final class TableStore(spark: SparkSession, root: String,
     readGeneration(table, gen)
   }
 
+  /** The committed manifest of marker `gen`, or raise with the available
+    * window. */
+  private def manifestAt(table: String, gen: Long, op: String): Seq[(String, String)] =
+    listMarkers(table).collectFirst { case (n, p) if n == gen => parseManifest(p) }.flatten
+      .getOrElse(throw new IllegalArgumentException(
+        s"$op('$table', $gen): no committed marker _commit.$gen — available: " +
+          s"[${generations(table).mkString(", ")}] (retention keeps the $keepGenerations newest)"))
+
+  /** The manifest entries that DIFFER between two retained generations:
+    * (only in `fromGen`, only in `toGen`). An entry (partition or append
+    * dir) referenced by BOTH manifests names the same immutable files on
+    * both sides — its rows cancel exactly in a multiset diff, so it never
+    * needs to be scanned. This is what makes [[generationDiff]] incremental:
+    * a one-partition change on a 2.4 k-partition table diffs one partition. */
+  private def diffEntries(table: String, fromGen: Long, toGen: Long)
+      : (Seq[(String, String)], Seq[(String, String)]) = {
+    val fromE = manifestAt(table, fromGen, "generationDiff")
+    val toE = manifestAt(table, toGen, "generationDiff")
+    val shared = fromE.toSet.intersect(toE.toSet)
+    (fromE.filterNot(shared), toE.filterNot(shared))
+  }
+
   /** Multiset row diff between two retained generations: what a consumer
     * that processed `fromGen` must apply to catch up to `toGen` — the
     * incremental-consumer surface over the storage layer (reference analog:
-    * the changed-key scan, `TableUpdateService.cs`, lifted from a source
-    * column convention to the table's own commit history). Rows only in
-    * `toGen` tag `insert`, rows only in `fromGen` tag `delete` (an update =
-    * delete + insert; duplicates diff by multiplicity — `exceptAll`).
-    * Scale shape: two hash-shuffles over the two snapshots, no driver
-    * materialization; at 100 TB run it on a date-partitioned table where
-    * the generations share most files only if the engine's scan prunes —
-    * or better, diff a windowed band via [[readGenerationWhere]] first. */
+    * the changed-key scan, `TableUpdateService.cs:81-88` — find what
+    * changed without rescanning the world — lifted from a source column
+    * convention to the table's own commit history). Rows only in `toGen`
+    * tag `insert`, rows only in `fromGen` tag `delete` (an update = delete
+    * + insert; duplicates diff by multiplicity — `exceptAll`).
+    *
+    * MANIFEST-AWARE: generation dirs (and partition entries) referenced
+    * identically by both manifests are skipped before any scan or shuffle —
+    * their immutable files contribute the same multiset to both sides and
+    * cancel exactly under `exceptAll`. The scan (and the two hash-shuffles
+    * behind `exceptAll`) therefore covers only CHANGED entries: a
+    * one-partition overwrite on a date-partitioned 100 TB table diffs one
+    * partition's files; an append chain diffs just the appended dirs
+    * (before-side empty — the delete branch short-circuits to empty without
+    * a job). Result ≡ the full `readGeneration(to) exceptAll
+    * readGeneration(from)` oracle; [[generationDiffEvidence]] exposes the
+    * skip ratio. */
   def generationDiff(table: String, fromGen: Long, toGen: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val before = readGeneration(table, fromGen)
-    val after = readGeneration(table, toGen)
-    after.exceptAll(before).withColumn("__change", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("__change", lit("delete")))
+    val (onlyFrom, onlyTo) = diffEntries(table, fromGen, toGen)
+    val before = readEntries(table, onlyFrom, mergeSchemas = false)
+    val after = readEntries(table, onlyTo, mergeSchemas = false)
+    // align by name: the two sides may come from generations written with
+    // different column orders (append evolution keeps names stable)
+    val afterAligned =
+      if (after.columns.toSeq == before.columns.toSeq) after
+      else after.select(before.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+    afterAligned.exceptAll(before).withColumn("__change", lit("insert"))
+      .unionByName(before.exceptAll(afterAligned).withColumn("__change", lit("delete")))
+  }
+
+  /** (data files the incremental [[generationDiff]] will scan, data files
+    * both manifests reference in total) — the pruning-evidence surface for
+    * the diff path, mirroring [[pruneEvidence]]. A one-partition change on
+    * an N-partition table must report scanned ≪ total. */
+  def generationDiffEvidence(table: String, fromGen: Long, toGen: Long): (Int, Int) = {
+    def files(es: Seq[(String, String)]): Int = {
+      val paths = es.map { case (name, g) =>
+        if (name == WholeTable) new Path(tablePath(table), g)
+        else new Path(s"${tablePath(table)}/$g/$name")
+      }.distinct.filter(fs.exists(_))
+      inParallel(paths)(p => listDataFiles(p).size).sum
+    }
+    val fromE = manifestAt(table, fromGen, "generationDiffEvidence")
+    val toE = manifestAt(table, toGen, "generationDiffEvidence")
+    val (onlyFrom, onlyTo) = diffEntries(table, fromGen, toGen)
+    (files(onlyFrom) + files(onlyTo), files(fromE) + files(toE))
   }
 
   // ---------------------------------------------------------------------
@@ -859,29 +1057,40 @@ final class TableStore(spark: SparkSession, root: String,
     }.foldLeft((0L, 0L)) { case ((f1, b1), (f2, b2)) => (f1 + f2, b1 + b2) }
 
   /** Per-generation audit trail of a pointer-layout table, newest first:
-    * generation index, the operation that committed it (from the marker's
-    * audit sidecar; `unknown` if it was lost), commit time (marker
-    * modification time), data-file count, byte volume, and exact row count
-    * (one footer-driven count job per retained generation — retention keeps
-    * this a handful of tiny jobs even on a 100 TB table, because counts
-    * come from parquet metadata, not data scans). The storage-side mirror
-    * of the run ledger (S8): the ledger says what a run DID, history says
-    * what the table IS, generation by generation. Rename-layout tables
-    * keep no history: empty. */
+    * generation index, the operation that committed it, commit time (marker
+    * modification time), data-file count, byte volume, and exact row count.
+    * Metrics come straight from the commit's audit sidecar — recorded once
+    * at publish ([[commitPointer]]), so this is a pure metadata read: NO
+    * Spark job, no file listing, regardless of table size (pinned by
+    * `TableStoreSpec`). Generations committed before sidecar metrics
+    * existed (or whose sidecar was lost) fall back to recomputation: a
+    * recursive listing for files/bytes plus one footer-metadata count job.
+    * The storage-side mirror of the run ledger (S8): the ledger says what a
+    * run DID, history says what the table IS, generation by generation.
+    * Rename-layout tables keep no history: empty. */
   def history(table: String): DataFrame = {
     val sp = spark
     import sp.implicits._
     val rows = listMarkers(table).flatMap { case (n, p) =>
       parseManifest(p).map { entries =>
-        val paths = entries.map { case (name, g) =>
-          if (name == WholeTable) new Path(tablePath(table), g)
-          else new Path(s"${tablePath(table)}/$g/$name")
-        }.distinct
-        val (nFiles, nBytes) = paths.filter(fs.exists(_)).map(duData)
-          .foldLeft((0L, 0L)) { case ((f1, b1), (f2, b2)) => (f1 + f2, b1 + b2) }
-        val nRows = try readEntries(table, entries, mergeSchemas = false).count()
-          catch { case scala.util.control.NonFatal(_) => -1L }
-        (n, markerOp(table, n).getOrElse("unknown"),
+        val meta = markerMeta(table, n)
+        val recorded = for {
+          r <- meta.get("rows").flatMap(_.toLongOption)
+          f <- meta.get("files").flatMap(_.toLongOption)
+          b <- meta.get("bytes").flatMap(_.toLongOption)
+        } yield (f, b, r)
+        val (nFiles, nBytes, nRows) = recorded.getOrElse {
+          val paths = entries.map { case (name, g) =>
+            if (name == WholeTable) new Path(tablePath(table), g)
+            else new Path(s"${tablePath(table)}/$g/$name")
+          }.distinct
+          val (f, b) = paths.filter(fs.exists(_)).map(duData)
+            .foldLeft((0L, 0L)) { case ((f1, b1), (f2, b2)) => (f1 + f2, b1 + b2) }
+          val r = try readEntries(table, entries, mergeSchemas = false).count()
+            catch { case scala.util.control.NonFatal(_) => -1L }
+          (f, b, r)
+        }
+        (n, meta.getOrElse("op", "unknown"),
           new java.sql.Timestamp(fs.getFileStatus(p).getModificationTime),
           nFiles, nBytes, nRows)
       }
@@ -940,40 +1149,64 @@ final class TableStore(spark: SparkSession, root: String,
     * [[compact]] folds them). */
   def append(table: String, df: DataFrame): Unit = {
     refuseIfCatalogBucketed(table, "append")
-    val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
-    try {
-      // ADDITIVE schema evolution only: a new column reads as NULL for old
-      // rows through readEvolved, but a TYPE CHANGE on an existing column
-      // would poison the table with irreconcilable footers that explode at
-      // READ time (mergeSchema failure), far from the write that caused it.
-      // Fail here, at the cause, instead. One footer read; skipped for a
-      // first append (no current state to drift from).
-      if (exists(table)) {
-        val current = read(table).schema
-        val drifted = df.schema.flatMap { f =>
-          current.find(_.name == f.name).collect {
-            case c if c.dataType != f.dataType => s"${f.name}: ${c.dataType} -> ${f.dataType}"
-          }
+    // ADDITIVE schema evolution only: a new column reads as NULL for old
+    // rows through readEvolved, but a TYPE CHANGE on an existing column
+    // would poison the table with irreconcilable footers that explode at
+    // READ time (mergeSchema failure), far from the write that caused it.
+    // Fail here, at the cause, instead. The baseline is the EVOLVED (union)
+    // schema, not one arbitrary footer's: on a multi-generation table a
+    // column added by an earlier evolved append may be absent from the
+    // footer a plain read happens to infer from, and a later append with
+    // that column at a different type would slip past a single-footer
+    // check — exactly the poisoning this guard exists to stop. Skipped for
+    // a first append (no current state to drift from).
+    def checkDrift(): Unit = if (exists(table)) {
+      val current = readEvolved(table).schema
+      val drifted = df.schema.flatMap { f =>
+        current.find(_.name == f.name).collect {
+          case c if c.dataType != f.dataType => s"${f.name}: ${c.dataType} -> ${f.dataType}"
         }
-        if (drifted.nonEmpty) throw new IllegalArgumentException(
-          s"append('$table'): column type drift is not appendable — ${drifted.mkString("; ")}; " +
-            "cast the batch to the table's types (new columns are fine, type changes are not)")
       }
-      if (!pointerMode) df.write.mode("append").parquet(tablePath(table))
-      else {
-        val dir = new Path(tablePath(table))
-        if (!fs.exists(dir)) fs.mkdirs(dir)
+      if (drifted.nonEmpty) throw new IllegalArgumentException(
+        s"append('$table'): column type drift is not appendable — ${drifted.mkString("; ")}; " +
+          "cast the batch to the table's types (new columns are fine, type changes are not)")
+    }
+    if (!pointerMode) {
+      val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
+      try {
+        checkDrift()
+        df.write.mode("append").parquet(tablePath(table))
+      } finally fs.delete(lock, false)
+    } else {
+      // Pointer-mode appends hold the writer lock only around the O(1)
+      // manifest commit, NOT around the data write: each append's files go
+      // to a private immutable `_gen-*` dir no reader or other writer
+      // touches, so N parallel dim copies write concurrently and their
+      // commits serialize for milliseconds each — instead of the whole
+      // append train serializing on `appendLockWaitMs`. An in-flight
+      // (written-but-uncommitted) gen dir is protected from a concurrent
+      // committer's orphan sweep by the `lockTtlMs` grace in [[vacuumPlan]];
+      // if a racing rewrite replaces the table before our commit, the
+      // append lands ON TOP of the new state (the manifest is re-read under
+      // the lock), which is the append-after-rewrite linearization.
+      checkDrift() // advisory pre-check outside the lock; commit re-reads state
+      val dir = new Path(tablePath(table))
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val gen = new Path(dir, s"_gen-${nonce()}")
+      df.write.mode("overwrite").parquet(gen.toString)
+      writeStats(gen)
+      val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
+      try {
         val prev = currentManifest(table).map(_._2).getOrElse(Nil)
-        if (prev.exists(_._1 != WholeTable))
+        if (prev.exists(_._1 != WholeTable)) {
+          fs.delete(gen, true)
           throw new IllegalStateException(
             s"append('$table'): table has partition-scoped generations; append through " +
               "overwriteDatePartitions (or compact first)")
-        val gen = new Path(dir, s"_gen-${nonce()}")
-        df.write.mode("overwrite").parquet(gen.toString)
-        writeStats(gen)
+        }
         commitPointer(table, prev :+ (WholeTable -> gen.getName), "append")
-      }
-    } finally fs.delete(lock, false)
+      } finally fs.delete(lock, false)
+    }
   }
 
   private def nonce(): String = java.util.UUID.randomUUID.toString.take(8)
@@ -1566,7 +1799,10 @@ final class TableStore(spark: SparkSession, root: String,
             case _ => ()
           }
         }
-        cleanupGenerations(table)
+        // grace 0: recover is documented to run only with no writers live,
+        // so a fresh unreferenced gen dir here is a crashed writer's, not an
+        // in-flight append's
+        cleanupGenerations(table, orphanGraceMs = 0L)
       }
     }
   }

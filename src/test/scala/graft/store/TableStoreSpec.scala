@@ -986,6 +986,149 @@ class TableStoreSpec extends AnyFunSuite {
     store.atomicOverwrite("t", Seq(2).toDF("k"))
     assert(store.read("t").as[Int].collect().toSeq == Seq(2))
   }
+
+  test("generationDiff scans only changed partitions; result still equals the full oracle") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, Files.createTempDirectory("graft-incdiff").toString,
+      CommitMode.Pointer, keepGenerations = 3)
+    def rows(pairs: (String, Int)*) = pairs.toSeq.toDF("day", "v")
+      .withColumn("day", col("day").cast("date"))
+    val days = (1 to 6).map(d => java.time.LocalDate.of(2024, 1, d))
+    store.overwriteDatePartitions("t",
+      rows(days.map(d => d.toString -> d.getDayOfMonth): _*).repartition(6),
+      "day", days)
+    // one-partition change: day 3 gets a new value
+    store.overwriteDatePartitions("t", rows("2024-01-03" -> 300),
+      "day", Seq(java.time.LocalDate.of(2024, 1, 3)))
+    val gens = store.generations("t")
+    // the incremental diff must scan day 3's files on both sides, never the
+    // five untouched partitions' (shared manifest entries skip pre-shuffle)
+    val (scanned, total) = store.generationDiffEvidence("t", gens(1), gens.head)
+    assert(scanned < total && scanned <= total / 3,
+      s"one-partition change must diff ~one partition: scanned $scanned of $total files")
+    val diff = store.generationDiff("t", gens(1), gens.head)
+      .select(col("day").cast("string"), col("v"), col("__change"))
+      .as[(String, Int, String)].collect().toSet
+    assert(diff == Set(("2024-01-03", 300, "insert"), ("2024-01-03", 3, "delete")), diff.toString)
+    // ≡ the non-incremental exceptAll oracle over the full snapshots
+    val before = store.readGeneration("t", gens(1))
+    val after = store.readGeneration("t", gens.head)
+    val oracle = after.exceptAll(before)
+      .withColumn("__change", org.apache.spark.sql.functions.lit("insert"))
+      .unionByName(before.exceptAll(after)
+        .withColumn("__change", org.apache.spark.sql.functions.lit("delete")))
+      .select(col("day").cast("string"), col("v"), col("__change"))
+      .as[(String, Int, String)].collect().toSet
+    assert(diff == oracle)
+  }
+
+  test("append drift guard checks the EVOLVED schema, not one arbitrary footer") {
+    val store = pointerStore()
+    store.append("t", Seq((1, "a")).toDF("k", "v"))
+    store.append("t", Seq((2, "b", 9.5)).toDF("k", "v", "score")) // score only in footer 2
+    // a later append bringing `score` back at a DIFFERENT type must be
+    // refused even if plain read()'s schema inference happened to take the
+    // first footer (which has no score column to drift against)
+    val e = intercept[IllegalArgumentException](
+      store.append("t", Seq((3, "c", "oops")).toDF("k", "v", "score")))
+    assert(e.getMessage.contains("type drift"), e.getMessage)
+    assert(store.readEvolved("t").count() == 2, "failed append must publish nothing")
+    // matching type still appends fine
+    store.append("t", Seq((3, "c", 1.5)).toDF("k", "v", "score"))
+    assert(store.readEvolved("t").count() == 3)
+  }
+
+  test("history answers from commit-time metrics sidecars with zero Spark jobs") {
+    val store = pointerStore()
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    store.append("t", Seq((3, "c")).toDF("k", "v"))
+    val expected = Map(2L -> 3L, 1L -> 2L) // generation -> row count
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def drainBus(): Unit = {
+      val bus = classOf[org.apache.spark.SparkContext].getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus); ()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val h = store.history("t").collect()
+      drainBus()
+      assert(jobs.get() == 0,
+        s"metrics-bearing history must be a pure metadata read, ran ${jobs.get()} jobs")
+      assert(h.map(r => r.getLong(0) -> r.getLong(5)).toMap == expected, h.mkString("; "))
+      assert(h.forall(_.getLong(3) > 0) && h.forall(_.getLong(4) > 0), "files/bytes recorded")
+      // legacy marker (sidecar lost): history still answers, via recomputation
+      val fs = hadoopFs(store, "t")
+      fs.delete(new org.apache.hadoop.fs.Path(store.tablePath("t"), "_commit.2.meta"), false)
+      val h2 = store.history("t").collect()
+      assert(h2.map(r => r.getLong(0) -> r.getLong(5)).toMap == expected, h2.mkString("; "))
+      drainBus()
+      assert(jobs.get() > 0, "the fallback path recomputes with a count job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("keepSnapshots decouples snapshot retention from table-generation retention") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-ksnap").toString,
+      CommitMode.Pointer, keepGenerations = 2, keepSnapshots = 5)
+    store.atomicOverwrite("t", Seq(1).toDF("k"))
+    val s1 = store.publishSnapshot(Seq("t"))
+    // churn the table well past keepGenerations, snapshotting each publish
+    (2 to 4).foreach { v =>
+      store.atomicOverwrite("t", Seq(v).toDF("k"))
+      store.publishSnapshot(Seq("t"))
+    }
+    // with the old conflation (snapshot window = keepGenerations = 2) s1
+    // would be unpinned and its generation vacuumed by now
+    assert(store.snapshots().size == 4)
+    assert(store.readSnapshot(s1, "t").as[Int].collect().toSeq == Seq(1),
+      "a snapshot inside the keepSnapshots window must stay readable")
+    assert(store.read("t").as[Int].collect().toSeq == Seq(4))
+  }
+
+  test("parallel appends all commit: N writers, N generations, no lost update") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val store = new TableStore(spark, Files.createTempDirectory("graft-papp").toString,
+      CommitMode.Pointer, keepGenerations = 8)
+    store.atomicOverwrite("t", Seq(0).toDF("k"))
+    val n = 4
+    // the data writes run outside the writer lock and overlap; only the
+    // O(1) manifest commits serialize — every append must land
+    Await.result(Future.traverse(1 to n) { i =>
+      Future(store.append("t", Seq(i).toDF("k")))
+    }, Duration.Inf)
+    assert(store.read("t").as[Int].collect().sorted.toSeq == (0 to n).toSeq,
+      "every concurrent append's rows must be visible")
+    assert(store.generations("t").size >= 2, "appends commit as their own generations")
+    store.history("t") // smoke: metrics survived the concurrent commits
+  }
+
+  test("a windowed delete emptying the whole table reads as an empty frame, not an error") {
+    import org.apache.spark.sql.functions.col
+    val store = pointerStore()
+    def rows(pairs: (String, Int)*) = pairs.toSeq.toDF("day", "v")
+      .withColumn("day", col("day").cast("date"))
+    val days = Seq(java.time.LocalDate.of(2024, 1, 1), java.time.LocalDate.of(2024, 1, 2))
+    store.overwriteDatePartitions("t", rows("2024-01-01" -> 1, "2024-01-02" -> 2), "day", days)
+    // the delete covers EVERY remaining partition: previous entries all
+    // filtered out, no fresh parts — a legitimately empty committed state
+    store.overwriteDatePartitions("t", rows().filter(col("v") > 0), "day", days)
+    assert(store.exists("t"))
+    val got = store.read("t")
+    assert(got.count() == 0)
+    assert(got.columns.toSet == Set("day", "v"),
+      "empty state keeps the last known schema for downstream unions")
+    // and the table comes back from empty
+    store.overwriteDatePartitions("t", rows("2024-01-01" -> 10),
+      "day", Seq(java.time.LocalDate.of(2024, 1, 1)))
+    assert(store.read("t").select("v").as[Int].collect().toSeq == Seq(10))
+  }
 }
 
 /** Latches for the racing-writer test (top-level so executor-side lambda

@@ -256,4 +256,42 @@ class EventStreamSpec extends AnyFunSuite {
       assert(ids.nonEmpty)
     } finally q.stop()
   }
+
+  test("change feed: three commits drain as three batches whose union is the overall diff") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-feed").toString,
+      graft.store.CommitMode.Pointer, keepGenerations = 5)
+    // four commits, each row changing at most once across the sequence so
+    // the per-commit union is comparable to the end-to-end diff
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val first = store.generations("t").head
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")) // +3
+    store.atomicOverwrite("t", Seq((1, "a"), (3, "c"), (4, "d")).toDF("k", "v")) // +4 −2
+    store.atomicOverwrite("t", Seq((1, "a"), (3, "c"), (4, "d"), (5, "e")).toDF("k", "v")) // +5
+    val last = store.generations("t").head
+    val batches = EventStream.changes(store, "t", first)
+    assert(batches.size == 3, s"three commits after the cursor: ${batches.map(_._1)}")
+    assert(batches.map(_._1) == batches.map(_._1).sorted, "oldest first")
+    val union = batches.map(_._2).reduce(_ unionByName _)
+      .as[(Int, String, String)].collect().toSet
+    val overall = store.generationDiff("t", first, last)
+      .as[(Int, String, String)].collect().toSet
+    assert(union == overall, s"union $union vs overall $overall")
+    assert(union == Set((3, "c", "insert"), (4, "d", "insert"), (5, "e", "insert"),
+      (2, "b", "delete")))
+    // foreachBatch-style drain: applying batches in order reconstructs the
+    // final state from the cursor's snapshot, and returns the new cursor
+    var state = store.readGeneration("t", first).as[(Int, String)].collect().toSet
+    val cursor = EventStream.drainChanges(store, "t", first) { (diff, _) =>
+      val d = diff.as[(Int, String, String)].collect()
+      state = state ++ d.filter(_._3 == "insert").map(r => (r._1, r._2)) --
+        d.filter(_._3 == "delete").map(r => (r._1, r._2))
+    }
+    assert(cursor == last)
+    assert(state == store.read("t").as[(Int, String)].collect().toSet)
+    // nothing new: drain is a no-op and the cursor stays put
+    assert(EventStream.drainChanges(store, "t", cursor)((_, _) => fail("no batch expected")) == cursor)
+    // lagging past retention fails loudly, not silently-partially
+    intercept[IllegalArgumentException](EventStream.changes(store, "t", first - 1))
+  }
 }
