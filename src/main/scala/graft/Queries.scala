@@ -912,6 +912,23 @@ object Queries {
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3, Dedup.md5TokenHash)),
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)),
+    // wide-threshold routed scale path: LSH pre-filter + exact verification.
+    // Gated on its CONTRACT (violations must be empty): zero false
+    // positives vs the exact operator at the same threshold, and zero
+    // missed pairs in the near-dup band (cos >= 0.99 — where the band curve
+    // puts collision probability at ~1 under the fixed seed). Recall BELOW
+    // that band is the documented trade (see cosinePairsLsh scaladoc).
+    "dedup_cosine_lsh_routed" -> ((s, d) => {
+      val e = emb(s, d)
+      val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
+      val lsh = Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45)
+      val fp = lsh.exceptAll(exact)
+        .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
+      val missedNearDup = Similarity.cosinePairs(e, "vec_id", "embedding", 0.99)
+        .exceptAll(lsh)
+        .select(lit("missed_near_dup").as("kind"), col("id_a"), col("id_b"))
+      fp.unionByName(missedNearDup)
+    }),
 
     // gated output is posexploded to scalar (label, idx, value) rows — the
     // driver's checker cannot sort/hash array<double> columns
@@ -1930,6 +1947,10 @@ object Queries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+    "dedup_cosine_lsh_routed" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS id_a,
+        |       CAST(NULL AS BIGINT) AS id_b
+        |  FROM embeddings WHERE FALSE""".stripMargin,
     "agg_user_sessions" -> userSessionsSql,
     // streaming sessionize must reproduce the batch gap sessions exactly
     "stream_sessions" -> userSessionsSql,

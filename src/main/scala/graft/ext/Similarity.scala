@@ -357,4 +357,90 @@ object Similarity {
         greatest(col("id_p"), col("id_i")).as("id_b"))
       .distinct()
   }
+
+  /**
+   * Embedding near-dup pairs via random-hyperplane (signed random
+   * projection) LSH with EXACT re-verification — the wide-threshold scale
+   * path [[cosinePairsRouted]] switches to where [[cosinePairs]]'s
+   * exact-recall blocking goes super-linear (measured: 9.9 → 61.6 s for
+   * 2× data past 20 k vectors at threshold 0.45, BASELINE.md r11 probe —
+   * a wide threshold makes the triangle-inequality probe radius cover
+   * most IVF lists, so candidates degrade toward all-pairs regardless of
+   * `nlist`).
+   *
+   * Scheme (public SimHash/SRP literature): `bands × rowsPerBand` random
+   * hyperplanes (seeded Gaussian, driver-side); each vector's sign bits
+   * are packed per band into one bucket key; ids colliding in ANY band
+   * become candidates ([[graft.ext.Dedup.bucketPairs]] — one shuffle per
+   * frame, pair expansion only inside buckets); candidates are verified
+   * with the exact codegen'd dot product. ZERO false positives, always.
+   *
+   * Recall contract (the per-regime honesty [[cosinePairs]]'s exact
+   * guarantee is traded for): a pair at angle θ collides per bit with
+   * `p = 1 − θ/π`, so `P(candidate) = 1 − (1 − p^rowsPerBand)^bands`.
+   * With the 12×12 default: ~1.0 at cos ≥ 0.99 (near-dup replicas), 0.87
+   * at cos 0.9, decaying toward zero near a wide threshold like 0.45 —
+   * by design: near-random moderate-similarity pairs are exactly the
+   * candidate mass that makes the exact path quadratic. Raise `bands`
+   * (more recall, more candidate cost) or `rowsPerBand` (less of both)
+   * to move the knee; the bit cost is `bands × rowsPerBand` dot products
+   * per row, one narrow map, no shuffle.
+   */
+  def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 12, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62,
+      s"bands/rowsPerBand must be positive (rowsPerBand <= 62): $bands x $rowsPerBand")
+    val firstRow = emb.select(col(vecCol)).limit(1).collect()
+    require(firstRow.nonEmpty, "cosinePairsLsh: empty corpus")
+    val dim = firstRow(0).getSeq[Float](0).length
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+    // cached: the unitized corpus feeds the band projection and BOTH verify
+    // sides (Caches.unpersistAll releases it)
+    val u = Caches.track(unitized(emb, idCol, vecCol, "id", "v"))
+    // per-band bucket keys: rowsPerBand sign bits packed into a long, then
+    // hashed with the band ordinal so bands never collide with each other.
+    // Plain expression arithmetic (no higher-order lambdas) keeps the whole
+    // bands x rowsPerBand dot-product block inside codegen.
+    val bandKeys = array((0 until bands).map { b =>
+      val packed = (0 until rowsPerBand).map { j =>
+        when(dot(col("v"), typedLit(planes(b * rowsPerBand + j).toSeq)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      xxhash64(lit(b), packed)
+    }: _*)
+    val keyed = u.select(col("id"), explode(bandKeys).as("bucket"))
+    val candidates = graft.ext.Dedup.bucketPairs(keyed, "bucket", "id")
+    val va = u.select(col("id").as("doc_a"), col("v").as("va"))
+    val vb = u.select(col("id").as("doc_b"), col("v").as("vb"))
+    candidates.join(va, "doc_a").join(vb, "doc_b")
+      .filter(dot(col("va"), col("vb")) >= threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+  }
+
+  /**
+   * Threshold- and scale-aware pair search router — the operator form of
+   * the measured regimes (BASELINE.md r11/r12 probes):
+   *
+   *  - TIGHT thresholds (≥ `tightThreshold`, default 0.8): the exact
+   *    [[cosinePairs]] blocking probes ~1–2 lists and stays near-linear at
+   *    any measured scale → exact recall for free; always routed there.
+   *  - WIDE thresholds on a SMALL corpus (≤ `exactMaxRows`, default 20 k —
+   *    the measured crossover: exact ran 9.9 s at 20 k but 61.6 s at 40 k):
+   *    still exact; the quadratic term hasn't bitten yet.
+   *  - WIDE thresholds at scale: [[cosinePairsLsh]] — candidates from
+   *    banded sign-bit collisions instead of an exact-recall probe radius
+   *    that covers most lists. Zero false positives (exact verification);
+   *    recall follows the band curve (≈1 for near-dup pairs, decaying for
+   *    moderate-similarity pairs — see [[cosinePairsLsh]]).
+   *
+   * One `count()` job decides the size regime (skipped for tight
+   * thresholds). Returns `(id_a < id_b)` pairs in every regime.
+   */
+  def cosinePairsRouted(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int = 16, exactMaxRows: Long = 20000L, tightThreshold: Double = 0.8,
+      bands: Int = 12, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame =
+    if (threshold >= tightThreshold || emb.count() <= exactMaxRows)
+      cosinePairs(emb, idCol, vecCol, threshold, nlist, seed = seed)
+    else cosinePairsLsh(emb, idCol, vecCol, threshold, bands, rowsPerBand, seed)
 }

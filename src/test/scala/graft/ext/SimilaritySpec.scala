@@ -114,4 +114,47 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("cosinePairsLsh: zero false positives; full recall on near-dup groups") {
+    // the LSH path's candidates are exact-verified, so every emitted pair
+    // must be in the exact result; near-identical pairs (the near-dup
+    // regime the router sends here) must all collide in >= 1 of 12 bands
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long)].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
+    // planted near-dup pairs sit at cos ~0.99+: the band curve puts their
+    // collision probability at ~1 (deterministic under the fixed seed)
+    val nearDup = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("ea"), col("eb")) >= 0.99)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(nearDup.nonEmpty && (nearDup -- lsh).isEmpty,
+      s"missed near-dup pairs: ${(nearDup -- lsh).take(5)}")
+  }
+
+  test("cosinePairsRouted picks exact below the crossover and stays identical there") {
+    // tight threshold: routed == exact regardless of size; wide threshold
+    // under exactMaxRows: still exact (the measured sub-crossover regime)
+    val exactTight = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    val routedTight = Similarity.cosinePairsRouted(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(routedTight == exactTight)
+    val exactWide = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long)].collect().toSet
+    val routedWide = Similarity.cosinePairsRouted(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long)].collect().toSet
+    assert(routedWide == exactWide)
+    // forcing the crossover to zero exercises the LSH branch end-to-end
+    val forced = Similarity.cosinePairsRouted(emb, "vec_id", "embedding", 0.45,
+      exactMaxRows = 0L).as[(Long, Long)].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    assert((forced -- exactWide).isEmpty, "routed LSH regime must keep zero false positives")
+  }
 }
