@@ -918,16 +918,26 @@ object Queries {
     // missed pairs in the near-dup band (cos >= 0.99 — where the band curve
     // puts collision probability at ~1 under the fixed seed). Recall BELOW
     // that band is the documented trade (see cosinePairsLsh scaladoc).
+    // The fixtures carry no cos >= 0.99 pairs (max pairwise ~0.51,
+    // DuckDB-verified), so the near-dup band is PLANTED in-query
+    // (plantNearDups: 10 jittered companions at cos ~1-2e-6) and a vacuity
+    // guard emits a violation row if the band is ever empty — without it
+    // the missed_near_dup branch compares two empty sets and the recall
+    // half of the contract can never fail (the round-12 vacuity).
     "dedup_cosine_lsh_routed" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = Similarity.plantNearDups(emb(s, d), "vec_id", "embedding")
       val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
       val lsh = Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45)
       val fp = lsh.exceptAll(exact)
         .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
-      val missedNearDup = Similarity.cosinePairs(e, "vec_id", "embedding", 0.99)
-        .exceptAll(lsh)
+      val nearDup = Similarity.cosinePairs(e, "vec_id", "embedding", 0.99)
+      val missedNearDup = nearDup.exceptAll(lsh)
         .select(lit("missed_near_dup").as("kind"), col("id_a"), col("id_b"))
-      fp.unionByName(missedNearDup)
+      val vacuous = nearDup.groupBy().agg(count(lit(1)).as("n"))
+        .filter(col("n") < 10)
+        .select(lit("vacuous_near_dup_band").as("kind"),
+          col("n").as("id_a"), lit(-1L).as("id_b"))
+      fp.unionByName(missedNearDup).unionByName(vacuous)
     }),
 
     // gated output is posexploded to scalar (label, idx, value) rows — the

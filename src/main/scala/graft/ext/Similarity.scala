@@ -30,6 +30,38 @@ object Similarity {
   /** Cast an `array<float>` embedding to `array<double>` for exact math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /**
+   * Appends a deterministic near-duplicate companion for every `every`-th
+   * row: id `-(id+1)` (disjoint from any non-negative corpus id), vector =
+   * the original with per-component multiplicative jitter
+   * `x * (1 + eps * sin((i+1) * 2.39996))`. With `|d_i| <= eps` the pair's
+   * cosine is bounded below by `(1-eps)/(1+eps)` — at the default
+   * `eps = 0.002` that is ≥ 0.996, and the realized value is ~1−2e−6, so
+   * every planted pair sits in the cos ≥ 0.99 near-dup band where the
+   * [[cosinePairsLsh]] 12×12 band curve puts collision probability at ~1.
+   *
+   * This is recall-contract INSTRUMENTATION, not data cleaning: the test
+   * fixtures contain no cos ≥ 0.99 pairs (max pairwise ≈ 0.51), so the
+   * "full recall on near-dups" half of the LSH contract is unfalsifiable on
+   * raw fixtures. Gates and specs plant pairs in-query (the corpus is never
+   * mutated on disk) so the recall branch can actually fail. Jitter moves
+   * any existing pair's angle by ≤ ~eps rad, which at the fixtures' ≤ 0.52
+   * ceiling cannot promote a non-planted pair into the 0.99 band.
+   */
+  def plantNearDups(df: DataFrame, idCol: String, vecCol: String,
+      every: Int = 50, eps: Double = 0.002): DataFrame = {
+    require(every > 0 && eps > 0 && eps < 0.005,
+      s"plantNearDups: every must be positive, eps in (0, 0.005): $every / $eps")
+    val companions = df.filter(pmod(col(idCol), lit(every.toLong)) === 0)
+      .withColumn(idCol, -(col(idCol) + lit(1L)))
+      .withColumn(vecCol,
+        transform(col(vecCol), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            lit(eps) * sin((i + 1).cast("double") * lit(2.39996))))
+            .cast("float")))
+    df.unionByName(companions)
+  }
+
   /** Project `(idAs, unit-normalized vector)` — normalization happens ONCE
     * per row here so pairwise similarity later is a single dot product.
     * Zero-norm vectors (padding/failure artifacts) normalize to all-zeros
