@@ -1042,6 +1042,13 @@ object Queries {
     "stream_correlated" -> ((s, d) => withStatePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       s.catalog.dropTempView("stream_corr")
+      // pre-flight band guard on the same files, batch-side: a stream can't
+      // aggregate its own input eagerly, so validate the band key's
+      // cardinality BEFORE committing stream-join state to it (r13: a
+      // collapsed ts column made this query's state explode 179×)
+      graft.ops.Ops.assertBandCardinality(
+        graft.io.Tables.load(s, d, "events").filter(col("event_type") === "error"),
+        "ts", java.time.Duration.ofSeconds(60), minRows = 1000L)
       def side(tpe: String, idAs: String) =
         graft.streaming.EventStream.read(s, s"$d/events.parque*")
           .filter(col("event_type") === tpe)
@@ -1089,11 +1096,18 @@ object Queries {
         }
       }
       drain() // the real corpus: every session behind the final watermark emits
-      // raw-schema sentinel (ts is ns-since-epoch LongType under nanosAsLong,
-      // same physical int64 the stream schema expects)
-      val maxNs = s.read.parquet(s"$d/events.parquet").agg(max("ts")).head().getLong(0)
-      s.range(1).select(
-          lit(-1L).as("event_id"), lit(maxNs + 86400L * 1000000000L).as("ts"),
+      // the sentinel is emitted in the SOURCE'S OWN ts representation
+      // (ns-long or timestamp), computed type-agnostically — max(ts)+1d in
+      // whatever type arrives, never a getLong on an assumed physical type
+      val src = s.read.parquet(in.toString)
+      val tsType = src.schema("ts").dataType
+      val plusDay = tsType match {
+        case org.apache.spark.sql.types.LongType =>
+          max(col("ts")) + lit(86400L * 1000000000L) // ns-epoch long
+        case _ => (max(col("ts")) + expr("INTERVAL 1 DAY")).cast(tsType)
+      }
+      src.agg(plusDay.as("ts")).select(
+          lit(-1L).as("event_id"), col("ts"),
           lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props"))
         .coalesce(1).write.mode("append").parquet(in.toString)

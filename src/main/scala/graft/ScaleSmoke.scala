@@ -296,6 +296,49 @@ object ScaleSmoke {
         bigEmb.filter(col("vec_id") < 100), "vec_id", "embedding", 5))
     }
 
+    // ---- wide-threshold routed pair search at 40k vectors (the r11 "done"
+    // criterion): at threshold 0.45 the exact IVF path goes super-linear —
+    // wide thresholds force most of the corpus into most coarse blocks,
+    // whether 16 fixed lists or sqrt(n) — while the banded-LSH route keeps
+    // candidate generation bucket-local. All three run on the SAME 40k
+    // corpus with planted near-dups (cos ~1-2e-6, ids -(orig+1)) so the
+    // speed claim carries an observed recall number next to it.
+    time("build embeddings x20 (40k, planted near-dups)") {
+      graft.ext.Similarity.plantNearDups(
+          emb.crossJoin(spark.range(20).toDF("rep"))
+            .withColumn("vec_id", col("vec_id") * 20 + col("rep")).drop("rep"),
+          "vec_id", "embedding", every = 50)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/embeddings40k")
+    }
+    val emb40 = spark.read.parquet(s"$out/embeddings40k")
+    val planted = emb40.filter(col("vec_id") < 0).count()
+    val wideFixed = time("cosine pairs 40k @0.45 exact, fixed 16 lists") {
+      val n = graft.ext.Similarity.cosinePairs(emb40, "vec_id", "embedding", 0.45).count()
+      graft.ext.Dedup.unpersistAll(); n
+    }
+    val wideSqrt = time("cosine pairs 40k @0.45 exact, sqrt-n (200) lists") {
+      val n = graft.ext.Similarity.cosinePairs(emb40, "vec_id", "embedding", 0.45,
+        nlist = 200).count()
+      graft.ext.Dedup.unpersistAll(); n
+    }
+    val (wideRouted, recovered) = time("cosine pairs 40k @0.45 ROUTED (banded LSH)") {
+      val pairs = graft.ext.Similarity
+        .cosinePairsRouted(emb40, "vec_id", "embedding", 0.45).persist()
+      val total = pairs.count()
+      // a planted pair is (orig, -(orig+1)) in either column order
+      val rec = pairs.filter(col("id_a") === -col("id_b") - 1 ||
+        col("id_b") === -col("id_a") - 1).count()
+      pairs.unpersist()
+      graft.ext.Dedup.unpersistAll()
+      (total, rec)
+    }
+    println(s"[scale]   wide@0.45: exact16=$wideFixed exact200=$wideSqrt " +
+      s"routed=$wideRouted; routed recall on planted near-dups: $recovered/$planted")
+    require(planted > 0 && recovered == planted,
+      s"routed LSH missed planted near-identical pairs: $recovered of $planted — " +
+        "banding no longer catches cos~1 companions")
+
     // ---- wide embeddings (dim 1024): the widths real models emit ----
     // deterministic widening: 8 scaled copies of each dim-128 vector
     // concatenated (direction structure preserved, duplicate groups intact)

@@ -212,11 +212,47 @@ object Ops {
    * column `ts` — are renamed with `rightSuffix` in the OUTPUT (so the result
    * is selectable by name and the post-join tolerance filter is unambiguous),
    * and the internal band key is picked to not collide with either schema.
+   *
+   * `guardBands` (default on) runs [[assertBandCardinality]] on the right
+   * side before building the join — ONE eager lightweight aggregation job
+   * that fails loudly when the band key has degenerated (collapsed
+   * timestamps → quadratic blocks). It re-evaluates the right side once;
+   * pass `guardBands = false` when that side is an expensive derived frame
+   * you already trust.
    */
-  def rangeJoin(left: DataFrame, right: DataFrame, leftTime: String, rightTime: String,
-      tolerance: java.time.Duration, rightSuffix: String = "_r"): DataFrame = {
+  /** Band-degeneration guard for [[rangeJoin]] (and a pre-flight check for
+    * the streaming correlate's file-backed sources): when timestamps
+    * collapse — wrong unit, constant clock, epoch default — every row lands
+    * in a handful of tolerance-wide bands and the banded join's per-band
+    * blocks go quadratic (round 13: a 1000×-compressed timestamp column
+    * turned a 2.6 s join into 471 s of exploding join state). One cheap
+    * aggregation (count + approx_count_distinct of the band key — partial
+    * aggregation, a scalar to the driver) turns that failure mode into a
+    * one-line diagnosis: an input with at least `minRows` rows must spread
+    * over at least `minBands` distinct bands. Small frames skip the check —
+    * a dimension-sized side legitimately fits in a few bands. */
+  def assertBandCardinality(df: DataFrame, timeCol: String, tolerance: java.time.Duration,
+      minBands: Int = 64, minRows: Long = 10000L): Unit = {
     val tolUs = tolerance.toNanos / 1000
     require(tolUs > 0, "tolerance must be positive")
+    val row = df.agg(
+      count(lit(1)).as("rows"),
+      approx_count_distinct(
+        floor(unix_micros(col(timeCol).cast("timestamp")) / lit(tolUs))).as("bands")).head()
+    val (rows, bands) = (row.getLong(0), row.getLong(1))
+    if (rows >= minRows && bands < minBands) throw new IllegalStateException(
+      s"band degeneration on '$timeCol': $rows rows span only ~$bands distinct " +
+        s"$tolerance bands (< $minBands) — timestamps are likely collapsed (wrong " +
+        "unit / constant clock) and a banded range join on this input goes quadratic; " +
+        "fix the source, widen the tolerance, or pass guardBands = false")
+  }
+
+  def rangeJoin(left: DataFrame, right: DataFrame, leftTime: String, rightTime: String,
+      tolerance: java.time.Duration, rightSuffix: String = "_r",
+      guardBands: Boolean = true): DataFrame = {
+    val tolUs = tolerance.toNanos / 1000
+    require(tolUs > 0, "tolerance must be positive")
+    if (guardBands) assertBandCardinality(right, rightTime, tolerance)
     val leftCols = left.columns.toSet
     val renamed = right.columns.map(c => if (leftCols(c)) c + rightSuffix else c)
     require(renamed.toSet.size == renamed.length && !renamed.exists(leftCols),

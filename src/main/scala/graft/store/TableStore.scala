@@ -198,6 +198,32 @@ final class TableStore(spark: SparkSession, root: String,
       .flatMap { case (n, p) => parseManifest(p).map(n -> _) }
       .find { case (_, entries) => manifestDirsExist(table, entries) }
 
+  /** TRUE atomic create-if-absent — the CAS every lock/marker arbiter in
+    * this store leans on. On HDFS-like filesystems `create(f, overwrite =
+    * false)` is an atomic server-side namespace operation, but Hadoop's
+    * local filesystems implement it as `exists()` THEN `new
+    * FileOutputStream` — check-then-act, so two racing writers can BOTH
+    * "win" (the second silently truncating the first): a doubly-acquired
+    * writer lock, then two commits at the same marker index, one append
+    * silently lost. Local paths go through java.nio's `Files.createFile`
+    * (O_CREAT|O_EXCL — a real kernel CAS) first; the winner then re-opens
+    * its own zero-byte file for content. Throws [[IOException]] iff the
+    * path already exists, matching the HDFS contract callers expect. */
+  private def createAtomically(p: Path): org.apache.hadoop.fs.FSDataOutputStream =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      // hadoop's create() makes parent dirs implicitly; match that here or a
+      // first-ever lock/marker under a fresh root throws NoSuchFileException
+      // — which callers would misread as "another writer holds the lock"
+      if (local.getParent != null) java.nio.file.Files.createDirectories(local.getParent)
+      try java.nio.file.Files.createFile(local)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new IOException(s"$p already exists", e)
+      }
+      fs.create(p, true) // the O_EXCL create made the path ours; open content
+    } else fs.create(p, false)
+
   /** Publish `entries` as the table's next generation: atomic
     * create-if-absent of `_commit.<n>`. The marker create is the commit
     * arbiter — even if the writer lock was wrongly broken, at most one
@@ -219,7 +245,7 @@ final class TableStore(spark: SparkSession, root: String,
     val marker = new Path(dir, s"$MarkerPrefix$next")
     val content = (s"$ManifestHeader ${entries.size}" +:
       entries.map { case (n, g) => s"$n\t$g" }).mkString("\n")
-    val out = try fs.create(marker, false) catch {
+    val out = try createAtomically(marker) catch {
       case e: IOException => throw new ConcurrentWriteException(
         s"$op('$table'): commit marker ${marker.getName} already exists — lost the publish " +
           "race to another writer; this writer's generation was not published", e)
@@ -917,7 +943,7 @@ final class TableStore(spark: SparkSession, root: String,
     val marker = new Path(root, s"$SnapshotPrefix$next")
     val content = (s"$SnapshotHeader ${pins.size}" +:
       pins.map { case (t, g) => s"$t\t$g" }).mkString("\n")
-    val out = try fs.create(marker, false) catch {
+    val out = try createAtomically(marker) catch {
       case e: IOException => throw new ConcurrentWriteException(
         s"publishSnapshot: marker ${marker.getName} already exists — lost the race to a " +
           "concurrent snapshot publisher", e)
@@ -1012,17 +1038,37 @@ final class TableStore(spark: SparkSession, root: String,
     * readGeneration(from)` oracle; [[generationDiffEvidence]] exposes the
     * skip ratio. */
   def generationDiff(table: String, fromGen: Long, toGen: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val (onlyFrom, onlyTo) = diffEntries(table, fromGen, toGen)
-    val before = readEntries(table, onlyFrom, mergeSchemas = false)
-    val after = readEntries(table, onlyTo, mergeSchemas = false)
-    // align by name: the two sides may come from generations written with
-    // different column orders (append evolution keeps names stable)
-    val afterAligned =
-      if (after.columns.toSeq == before.columns.toSeq) after
-      else after.select(before.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
-    afterAligned.exceptAll(before).withColumn("__change", lit("insert"))
-      .unionByName(before.exceptAll(afterAligned).withColumn("__change", lit("delete")))
+    // mergeSchemas: a side spanning an evolved append chain must present the
+    // union of its own footers' columns, not one arbitrary footer's
+    val before = readEntries(table, onlyFrom, mergeSchemas = true)
+    val after = readEntries(table, onlyTo, mergeSchemas = true)
+    // Align by the UNION of names: a column present on one side only (added
+    // or removed by schema evolution) null-fills on the other, so an
+    // evolved row surfaces as delete+insert with the added column intact —
+    // instead of the added column silently vanishing from the insert side
+    // (old behavior: project onto the before-side's columns). A name
+    // carried by both sides at DIFFERENT types is refused loudly HERE, at
+    // the cause, not as an opaque union/exceptAll analysis error.
+    val conflicts = before.schema.flatMap { f =>
+      after.schema.find(_.name == f.name).collect {
+        case a if a.dataType != f.dataType => s"${f.name}: ${f.dataType} -> ${a.dataType}"
+      }
+    }
+    if (conflicts.nonEmpty) throw new IllegalStateException(
+      s"generationDiff('$table', $fromGen, $toGen): column type changed between generations " +
+        s"— ${conflicts.mkString("; ")}; cast the table to stable types before diffing")
+    val names = before.columns ++ after.columns.filterNot(before.columns.contains(_))
+    def typeOf(n: String) =
+      before.schema.find(_.name == n).orElse(after.schema.find(_.name == n)).get.dataType
+    def aligned(df: DataFrame) = df.select(names.toIndexedSeq.map { n =>
+      if (df.columns.contains(n)) col(n) else lit(null).cast(typeOf(n)).as(n)
+    }: _*)
+    val b = aligned(before)
+    val a = aligned(after)
+    a.exceptAll(b).withColumn("__change", lit("insert"))
+      .unionByName(b.exceptAll(a).withColumn("__change", lit("delete")))
   }
 
   /** (data files the incremental [[generationDiff]] will scan, data files
@@ -1037,10 +1083,19 @@ final class TableStore(spark: SparkSession, root: String,
       }.distinct.filter(fs.exists(_))
       inParallel(paths)(p => listDataFiles(p).size).sum
     }
-    val fromE = manifestAt(table, fromGen, "generationDiffEvidence")
-    val toE = manifestAt(table, toGen, "generationDiffEvidence")
+    // totals come from the commit audit sidecars — recorded once at publish,
+    // O(1) to read back — so the evidence call no longer walks every file of
+    // both manifests (it exists to PROVE the diff scan is a sliver of the
+    // table; listing the whole table to say so defeated the point at scale).
+    // A generation committed before sidecar metrics existed (or whose
+    // sidecar was lost) falls back to the listing, for that side only.
+    def total(gen: Long): Int = {
+      val entries = manifestAt(table, gen, "generationDiffEvidence") // validates gen
+      markerMeta(table, gen).get("files").flatMap(_.toIntOption)
+        .getOrElse(files(entries))
+    }
     val (onlyFrom, onlyTo) = diffEntries(table, fromGen, toGen)
-    (files(onlyFrom) + files(onlyTo), files(fromE) + files(toE))
+    (files(onlyFrom) + files(onlyTo), total(fromGen) + total(toGen))
   }
 
   // ---------------------------------------------------------------------
@@ -1189,12 +1244,13 @@ final class TableStore(spark: SparkSession, root: String,
       // if a racing rewrite replaces the table before our commit, the
       // append lands ON TOP of the new state (the manifest is re-read under
       // the lock), which is the append-after-rewrite linearization.
-      checkDrift() // advisory pre-check outside the lock; commit re-reads state
+      checkDrift() // advisory pre-check: fail BEFORE the expensive data write
       val dir = new Path(tablePath(table))
       if (!fs.exists(dir)) fs.mkdirs(dir)
       val gen = new Path(dir, s"_gen-${nonce()}")
       df.write.mode("overwrite").parquet(gen.toString)
       writeStats(gen)
+      beforeAppendCommit(table)
       val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
       try {
         val prev = currentManifest(table).map(_._2).getOrElse(Nil)
@@ -1204,6 +1260,12 @@ final class TableStore(spark: SparkSession, root: String,
             s"append('$table'): table has partition-scoped generations; append through " +
               "overwriteDatePartitions (or compact first)")
         }
+        // re-validate drift INSIDE the lock: a type-changing rewrite can land
+        // between the advisory pre-check and this commit, and publishing
+        // anyway would poison the table with irreconcilable footers. Under
+        // the lock the state can no longer move, so this check is decisive;
+        // the refused append's gen dir is reclaimed, nothing was published.
+        try checkDrift() catch { case e: Throwable => fs.delete(gen, true); throw e }
         commitPointer(table, prev :+ (WholeTable -> gen.getName), "append")
       } finally fs.delete(lock, false)
     }
@@ -1211,8 +1273,13 @@ final class TableStore(spark: SparkSession, root: String,
 
   private def nonce(): String = java.util.UUID.randomUUID.toString.take(8)
 
-  /** Writer mutual exclusion: atomically create `<table>.lock` (create with
-    * overwrite=false is the filesystem's compare-and-set) and fail loudly
+  /** Test seam: invoked by pointer-mode [[append]] after its data write but
+    * before it takes the writer lock — the window where a concurrent rewrite
+    * can invalidate the advisory drift pre-check. Production no-op. */
+  private[store] var beforeAppendCommit: String => Unit = _ => ()
+
+  /** Writer mutual exclusion: atomically create `<table>.lock`
+    * ([[createAtomically]] — a real CAS on every filesystem) and fail loudly
     * with [[ConcurrentWriteException]] if another writer holds it. Without
     * this, two racing [[atomicOverwrite]]s both complete and the LAST swap
     * silently discards the first writer's data — a lost update with no
@@ -1255,7 +1322,7 @@ final class TableStore(spark: SparkSession, root: String,
         case Some(_) if System.currentTimeMillis < deadline => Thread.sleep(100)
         case Some(_) => conflict(null)
         case None =>
-          val created = try Some(fs.create(lock, false)) catch {
+          val created = try Some(createAtomically(lock)) catch {
             case e: IOException => // lost the create race
               if (System.currentTimeMillis < deadline) { Thread.sleep(100); None }
               else conflict(e)

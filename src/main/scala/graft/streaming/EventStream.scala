@@ -37,8 +37,10 @@ final case class SessionState(nEvents: Long, start: Long, end: Long)
 
 object EventStream {
 
-  /** The events schema as the stream source delivers it (ns timestamps come
-    * in as longs under `nanosAsLong`, exactly like the batch reader). */
+  /** The events schema as legacy ns-long sources deliver it (parquet
+    * `TIMESTAMP(NANOS)` arrives as a BIGINT of nanoseconds under
+    * `nanosAsLong`). Kept as the documented fallback shape for tests that
+    * stage ns-long files by hand; [[read]] no longer assumes it. */
   val RawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // ns since epoch (TIMESTAMP(NANOS) as long)
@@ -47,15 +49,41 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the stream with `ts` normalized to a micro-precision TIMESTAMP.
-    * NOTE this is TIMESTAMP (with local timezone), not the batch reader's
-    * TIMESTAMP_NTZ: Spark watermarks reject NTZ event-time columns
+  /** Open the stream with `ts` normalized to a micro-precision TIMESTAMP,
+    * WHATEVER the source's physical representation. File-stream sources
+    * require an explicit schema, so the source's actual schema is probed
+    * with one batch footer read of the same glob — the engine never assumes
+    * a column's physical type, it reads what the source presents (the
+    * reference's schema-on-source discipline, `TableCopyService.cs:152-161`;
+    * round 13 showed what hard-coding costs: a fixture moving from ns-long
+    * to `timestamp[us]` silently compressed 30 days into 43 minutes).
+    * Normalization by arriving type:
+    *  - BIGINT       → nanoseconds since epoch (`nanosAsLong`), `div 1000`;
+    *  - TIMESTAMP_NTZ → cast (exact under the UTC session timezone);
+    *  - TIMESTAMP     → already event-time-ready;
+    *  - anything else → fail loudly naming the type, never mis-scale.
+    * NOTE the result is TIMESTAMP (with local timezone), not the batch
+    * reader's TIMESTAMP_NTZ: Spark watermarks reject NTZ event-time columns
     * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Sessions pin the timezone to
     * UTC, so wall-clock values agree with `graft.io.Tables.load`; cast with
     * `col("ts").cast("timestamp_ntz")` when unioning stream and batch frames. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(RawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val probed = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(probed).parquet(dir)
+    probed.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        // integer division — `/ 1000` would go through double and lose
+        // precision beyond 2^53 (ns-epoch values are ~2^60)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(TimestampType)    => raw
+      case Some(other) => throw new IllegalArgumentException(
+        s"EventStream.read: unsupported ts representation $other at $dir — " +
+          "expected ns-epoch BIGINT, TIMESTAMP, or TIMESTAMP_NTZ")
+      case None => throw new IllegalArgumentException(
+        s"EventStream.read: no ts column at $dir (columns: ${probed.fieldNames.mkString(", ")})")
+    }
+  }
 
   /** Exactly-once event flow: duplicates of an `event_id` arriving within
     * the watermark horizon are dropped. `dropDuplicatesWithinWatermark`
@@ -107,6 +135,14 @@ object EventStream {
    * Right-side columns colliding with a left-side name (both streams calling
    * their time column `ts`, the canonical case) are renamed with
    * `rightSuffix`, mirroring the batch operator's contract.
+   *
+   * Band-degeneration hazard: a streaming frame cannot be eagerly
+   * aggregated, so unlike [[graft.ops.Ops.rangeJoin]] this operator cannot
+   * self-check the band key's cardinality — collapsed timestamps (wrong
+   * unit, constant clock) silently concentrate ALL join state into a few
+   * band keys and the state store goes quadratic (round 13: 2.6 s → 471 s).
+   * For file-backed sources, pre-flight the same files batch-side with
+   * [[graft.ops.Ops.assertBandCardinality]] before starting the stream.
    */
   def correlated(left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String, tolerance: java.time.Duration,

@@ -159,6 +159,31 @@ class OpsSpec extends AnyFunSuite {
       Ops.rangeJoin(l.select("id", "ts"), clash, "ts", "ts", java.time.Duration.ofSeconds(60)))
   }
 
+  test("rangeJoin: degenerate band cardinality fails loudly with the observed count") {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // 20k rows collapsed into ~2 minutes (the r13 failure mode: a wrong-unit
+    // read compressing 30 days 1000×) → a 60 s tolerance yields ~3 bands —
+    // the guard must name the degeneration instead of letting the banded
+    // join go quadratic
+    val collapsed = spark.range(20000)
+      .select(col("id"), timestamp_micros(expr("id * 6000")).as("ts")) // 6 ms apart
+    val e = intercept[IllegalStateException](
+      Ops.rangeJoin(collapsed, collapsed, "ts", "ts", java.time.Duration.ofSeconds(60)))
+    assert(e.getMessage.contains("band degeneration"), e.getMessage)
+    assert(e.getMessage.contains("20000 rows"), e.getMessage)
+    // an explicit opt-out still builds the join (caller takes the risk)
+    assert(Ops.rangeJoin(collapsed.limit(10), collapsed, "ts", "ts",
+      java.time.Duration.ofSeconds(60), guardBands = false).columns.nonEmpty)
+    // healthy spread (one row per minute over ~2 weeks) passes untouched
+    val spread = spark.range(20000)
+      .select(col("id"), timestamp_micros(expr("id * 60000000")).as("ts"))
+    assert(Ops.rangeJoin(spread.limit(5), spread, "ts", "ts",
+      java.time.Duration.ofSeconds(60)).columns.nonEmpty)
+    // and dimension-sized frames skip the check entirely (< minRows)
+    assert(Ops.rangeJoin(collapsed.limit(5), collapsed.limit(100), "ts", "ts",
+      java.time.Duration.ofSeconds(60)).columns.nonEmpty)
+  }
+
   test("rangeJoin: AQE splits a hot band instead of serializing it into one task") {
     import org.apache.spark.sql.functions.{pmod, timestamp_millis}
     // a burst of events inside ONE tolerance band is the operator's skew

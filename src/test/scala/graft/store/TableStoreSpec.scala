@@ -851,6 +851,34 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.generationDiff("t", 999L, gens.head))
   }
 
+  test("generationDiff across an evolved append chain keeps the added column") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft-gdiff-ev").toString,
+      CommitMode.Pointer, keepGenerations = 5)
+    store.atomicOverwrite("t", Seq((1, "a")).toDF("k", "v"))
+    val g0 = store.generations("t").head
+    // the appended generation carries a NEW column: the diff's insert side
+    // must surface it (null-filled on the before side), not silently drop it
+    store.append("t", Seq((2, "b", "x2")).toDF("k", "v", "extra"))
+    val g1 = store.generations("t").head
+    val diff = store.generationDiff("t", g0, g1)
+    assert(diff.columns.contains("extra"), s"added column lost: ${diff.columns.toSeq}")
+    assert(diff.select("k", "v", "extra", "__change").as[(Int, String, Option[String], String)]
+      .collect().toSeq == Seq((2, "b", Some("x2"), "insert")))
+    // a REMOVED column (rewrite drops it): old rows diff out with their
+    // value, new rows null-fill — and the column survives in the output
+    store.atomicOverwrite("t", Seq((3, "c")).toDF("k", "v"))
+    val g2 = store.generations("t").head
+    val rm = store.generationDiff("t", g1, g2)
+      .as[(Int, String, Option[String], String)].collect().toSet
+    assert(rm == Set((1, "a", None, "delete"), (2, "b", Some("x2"), "delete"),
+      (3, "c", None, "insert")), rm.toString)
+    // a TYPE change between generations refuses loudly at the cause
+    store.atomicOverwrite("t", Seq((4, 9L)).toDF("k", "v"))
+    val g3 = store.generations("t").head
+    val e = intercept[IllegalStateException](store.generationDiff("t", g2, g3))
+    assert(e.getMessage.contains("type changed"), e.getMessage)
+  }
+
   test("compact preserves a partitioned layout; windowed overwrites still work after it") {
     import org.apache.spark.sql.functions.col
     def fixture(store: TableStore): Unit = {
@@ -1107,6 +1135,33 @@ class TableStoreSpec extends AnyFunSuite {
       "every concurrent append's rows must be visible")
     assert(store.generations("t").size >= 2, "appends commit as their own generations")
     store.history("t") // smoke: metrics survived the concurrent commits
+  }
+
+  test("append refuses when a racing rewrite changes a column type before the commit") {
+    // the drift pre-check runs before the data write, OUTSIDE the lock: a
+    // rewrite landing in that window used to slip a type-drifted append into
+    // the manifest (irreconcilable footers that explode at read time). The
+    // in-lock re-check must refuse instead. The seam fires exactly in the
+    // race window (after the append's data write, before its lock).
+    val root = Files.createTempDirectory("graft-driftrace").toString
+    val store = new TableStore(spark, root, CommitMode.Pointer)
+    store.atomicOverwrite("t", Seq((1, 1)).toDF("k", "v")) // v: int
+    val racer = new TableStore(spark, root, CommitMode.Pointer)
+    store.beforeAppendCommit = { t =>
+      store.beforeAppendCommit = _ => () // fire once; the racer's write path appends nothing
+      racer.atomicOverwrite(t, Seq((1, "s1")).toDF("k", "v")) // v: int -> string
+    }
+    val e = intercept[IllegalArgumentException](store.append("t", Seq((2, 2)).toDF("k", "v")))
+    assert(e.getMessage.contains("type drift"), e.getMessage)
+    // nothing half-published: the rewrite's state is intact and readable,
+    // and the refused append left no unreferenced generation dir behind
+    assert(racer.read("t").select("v").as[String].collect().toSeq == Seq("s1"))
+    val stray = new java.io.File(root, "t").listFiles()
+      .filter(f => f.getName.startsWith("_gen-")).map(_.getName).toSet
+    assert(store.read("t").count() == 1)
+    // base overwrite + racer's rewrite stay retained; the refused append's
+    // third dir must be gone
+    assert(stray.size == 2, s"refused append must reclaim its gen dir: $stray")
   }
 
   test("a windowed delete emptying the whole table reads as an empty frame, not an error") {
