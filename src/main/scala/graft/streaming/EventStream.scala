@@ -319,6 +319,70 @@ object EventStream {
   }
 
   /**
+   * Resumable micro-batch driver over [[changes]] — the streaming-native
+   * change feed: the checkpointed cursor lives in `checkpointDir`, so unlike
+   * [[drainChanges]] (whose caller owns the cursor) a consumer process can
+   * die anywhere and the next invocation resumes at the first unapplied
+   * commit, exactly like restarting a Structured Streaming query on its
+   * checkpoint. Each call drains every commit newer than the cursor through
+   * `f(diff, generation)` and advances the durable cursor AFTER each batch.
+   *
+   * Cursor durability protocol: the cursor is encoded in the FILE NAME
+   * (`cursor-<generation>`, content irrelevant), written after each applied
+   * batch, older files then best-effort deleted; the reader takes the max.
+   * A crash at any instant leaves the previous cursor file intact — a
+   * half-written cursor cannot exist because the name IS the value, on any
+   * filesystem (no atomic-rename-over requirement). Delivery is therefore
+   * at-least-once per commit: a crash between `f` and the cursor write
+   * replays exactly that batch on restart — same contract `foreachBatch`
+   * gives, so `f` should be idempotent per generation (apply-by-key, or
+   * stamp the generation and skip duplicates).
+   *
+   * The FIRST run (no checkpoint yet) starts from `bootstrapGen` when given
+   * — the generation a full bootstrap read pinned, so the feed continues
+   * seamlessly after it — else from the current head (only commits after
+   * "now" flow). A cursor older than the store's retention makes [[changes]]
+   * refuse loudly; re-bootstrap from a full read.
+   *
+   * Scale shape: per poll the work is one O(retained-generations) marker
+   * listing plus the manifest-aware diffs of NEW commits only — cost tracks
+   * what changed since the cursor, never the table.
+   *
+   * Returns the cursor after draining (== the previous cursor when nothing
+   * new committed).
+   */
+  def resumableChanges(store: graft.store.TableStore, table: String, checkpointDir: String,
+      bootstrapGen: Option[Long] = None)(f: (DataFrame, Long) => Unit): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    def readCursor(): Option[Long] = fs.listStatus(dir).toSeq
+      .flatMap(s => s.getPath.getName.stripPrefix("cursor-").toLongOption
+        .filter(_ => s.getPath.getName.startsWith("cursor-")))
+      .maxOption
+    def writeCursor(g: Long): Unit = {
+      fs.create(new org.apache.hadoop.fs.Path(dir, s"cursor-$g"), true).close()
+      fs.listStatus(dir).foreach { s => // best-effort: stale cursors are harmless
+        s.getPath.getName.stripPrefix("cursor-").toLongOption
+          .filter(_ < g && s.getPath.getName.startsWith("cursor-"))
+          .foreach(_ => try fs.delete(s.getPath, false) catch { case _: java.io.IOException => () })
+      }
+    }
+    val start = readCursor().orElse(bootstrapGen).getOrElse(
+      store.generations(table).headOption.getOrElse(throw new IllegalArgumentException(
+        s"resumableChanges('$table'): table has no committed generations to anchor a feed on")))
+    var cursor = start
+    changes(store, table, cursor).foreach { case (gen, diff) =>
+      f(diff, gen)
+      writeCursor(gen)
+      cursor = gen
+    }
+    if (readCursor().isEmpty) writeCursor(cursor) // pin the bootstrap anchor
+    cursor
+  }
+
+  /**
    * Event-time sessionization via `flatMapGroupsWithState` — the custom
    * stateful-operator surface (`KeyValueGroupedDataset`): per-user state is
    * `(count, start, end)`, extended while events keep arriving within

@@ -257,6 +257,56 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("resumable change feed: a consumer killed between batches resumes at the first unapplied commit") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-resfeed").toString,
+      graft.store.CommitMode.Pointer, keepGenerations = 6)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-resfeed-ckpt").toString
+    store.atomicOverwrite("t", Seq((1, "a")).toDF("k", "v"))
+    val first = store.generations("t").head
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b")).toDF("k", "v")) // +2
+    store.atomicOverwrite("t", Seq((2, "b"), (3, "c")).toDF("k", "v")) // +3 −1
+    store.atomicOverwrite("t", Seq((2, "b"), (3, "c"), (4, "d")).toDF("k", "v")) // +4
+    val last = store.generations("t").head
+    val applied = scala.collection.mutable.ListBuffer.empty[(Long, Set[(Int, String, String)])]
+    def apply1(diff: org.apache.spark.sql.DataFrame, gen: Long): Unit =
+      applied += gen -> diff.as[(Int, String, String)].collect().toSet
+    // run 1: batch 1 applies and checkpoints; the consumer then dies at the
+    // start of batch 2 — i.e. BETWEEN batches
+    val boom = intercept[RuntimeException] {
+      EventStream.resumableChanges(store, "t", ckpt, bootstrapGen = Some(first)) { (d, g) =>
+        if (applied.size == 1) throw new RuntimeException("kill between batches")
+        apply1(d, g)
+      }
+    }
+    assert(boom.getMessage == "kill between batches")
+    assert(applied.size == 1)
+    // run 2 (restart, same checkpoint): resumes at the first UNAPPLIED
+    // commit — the already-checkpointed batch is not replayed
+    val cursor = EventStream.resumableChanges(store, "t", ckpt)(apply1)
+    assert(cursor == last)
+    assert(applied.map(_._1).toSeq == applied.map(_._1).toSeq.sorted, "commit order")
+    assert(applied.size == 3 && applied.map(_._1).distinct.size == 3,
+      s"each commit applied exactly once: ${applied.map(_._1)}")
+    // applying insert/delete batches in order ≡ the end-to-end diff
+    val union = applied.flatMap(_._2).toSet
+    val overall = store.generationDiff("t", first, last)
+      .as[(Int, String, String)].collect().toSet
+    // rows that appear and later disappear (or vice versa) cancel in the
+    // end-to-end diff; replaying the batches nets out to the same state
+    def net(s: Set[(Int, String, String)]) = {
+      val ins = s.collect { case (k, v, "insert") => (k, v) }
+      val del = s.collect { case (k, v, "delete") => (k, v) }
+      (ins -- del).map { case (k, v) => (k, v, "insert") } ++
+        (del -- ins).map { case (k, v) => (k, v, "delete") }
+    }
+    assert(net(union) == overall, s"net(${net(union)}) vs overall $overall")
+    // nothing new: cursor stays put, nothing applied
+    val n = applied.size
+    assert(EventStream.resumableChanges(store, "t", ckpt)(apply1) == last)
+    assert(applied.size == n)
+  }
+
   test("change feed: three commits drain as three batches whose union is the overall diff") {
     val store = new graft.store.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft-feed").toString,
