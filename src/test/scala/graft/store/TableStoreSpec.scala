@@ -851,6 +851,35 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.generationDiff("t", 999L, gens.head))
   }
 
+  test("generationDiffEvidence totals come from commit sidecars, not a table walk") {
+    val root = Files.createTempDirectory("graft-gdev").toString
+    val store = new TableStore(spark, root, CommitMode.Pointer, keepGenerations = 3)
+    store.atomicOverwrite("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    store.append("t", Seq((3, "c")).toDF("k", "v"))
+    val gens = store.generations("t")
+    val (scanned0, total0) = store.generationDiffEvidence("t", gens(1), gens.head)
+    assert(scanned0 > 0 && total0 >= scanned0)
+    // tamper the newest commit's sidecar file count: if the evidence call
+    // really answers totals from sidecars (O(1) metadata, no listing of the
+    // table's files), the tampered number must surface verbatim
+    val dir = new java.io.File(root, "t")
+    val metas = dir.listFiles().filter(_.getName.endsWith(".meta")).sortBy(_.getName)
+    val target = metas.last
+    val tampered = new String(java.nio.file.Files.readAllBytes(target.toPath), "UTF-8")
+      .linesIterator.map(l => if (l.startsWith("files\t")) "files\t9999" else l)
+      .mkString("\n")
+    java.nio.file.Files.write(target.toPath, tampered.getBytes("UTF-8"))
+    // drop the checksum sibling so the local FS reads the tampered bytes
+    new java.io.File(dir, s".${target.getName}.crc").delete()
+    val (_, totalTampered) = store.generationDiffEvidence("t", gens(1), gens.head)
+    assert(totalTampered > 9999, // newest side reports 9999 + the other side's real count
+      s"evidence walked the table instead of reading the sidecar: $totalTampered")
+    // a LOST sidecar falls back to listing, for that side only
+    assert(target.delete())
+    val (_, totalFallback) = store.generationDiffEvidence("t", gens(1), gens.head)
+    assert(totalFallback == total0, s"fallback should recount: $totalFallback vs $total0")
+  }
+
   test("generationDiff across an evolved append chain keeps the added column") {
     val store = new TableStore(spark, Files.createTempDirectory("graft-gdiff-ev").toString,
       CommitMode.Pointer, keepGenerations = 5)

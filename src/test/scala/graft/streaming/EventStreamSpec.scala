@@ -17,6 +17,41 @@ class EventStreamSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("read normalizes ns-long and timestamp sources to identical event times") {
+    // the r13 regression, pinned from both directions: the SAME events must
+    // stream identically whether the parquet carries ts as ns-epoch int64
+    // (legacy TIMESTAMP(NANOS) under nanosAsLong) or as timestamp[us] —
+    // read probes the source schema instead of assuming a unit
+    val batch = graft.io.Tables.load(spark, TestSpark.Sf0001, "events").limit(200)
+      .select(col("event_id"), col("ts"))
+    val dNs = java.nio.file.Files.createTempDirectory("graft-rep-ns")
+    val dUs = java.nio.file.Files.createTempDirectory("graft-rep-us")
+    batch.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
+      .write.parquet(s"$dNs/in")
+    batch.withColumn("ts", col("ts").cast("timestamp")) // µs LTZ
+      .write.parquet(s"$dUs/in")
+    def drainTs(dir: String, name: String): Set[(Long, java.sql.Timestamp)] = {
+      val q = EventStream.read(spark, s"$dir/in")
+        .select("event_id", "ts")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).as[(Long, java.sql.Timestamp)].collect().toSet
+      } finally q.stop()
+    }
+    val fromNs = drainTs(dNs.toString, "rep_ns")
+    val fromUs = drainTs(dUs.toString, "rep_us")
+    assert(fromNs.nonEmpty && fromNs == fromUs,
+      s"representations diverge: only-ns=${(fromNs -- fromUs).take(3)} only-us=${(fromUs -- fromNs).take(3)}")
+    // an unsupported representation refuses loudly, naming the type — it
+    // must never silently mis-scale
+    val dStr = java.nio.file.Files.createTempDirectory("graft-rep-str")
+    batch.withColumn("ts", col("ts").cast("string")).write.parquet(s"$dStr/in")
+    val e = intercept[IllegalArgumentException](EventStream.read(spark, s"$dStr/in"))
+    assert(e.getMessage.contains("unsupported ts representation"), e.getMessage)
+    assert(e.getMessage.contains("StringType"), e.getMessage)
+  }
+
   test("streaming windowed counts equal the batch aggregation") {
     val q = EventStream.windowedCounts(EventStream.read(spark, dir), "1 hour", "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("wc").start()
