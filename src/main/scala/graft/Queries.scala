@@ -927,10 +927,15 @@ object Queries {
     "dedup_cosine_lsh_routed" -> ((s, d) => {
       val e = Similarity.plantNearDups(emb(s, d), "vec_id", "embedding")
       val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
-      val lsh = Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45)
+      // lsh and nearDup each feed TWO contract branches — without the
+      // tracked persist each reference re-runs the whole blocking+verify
+      // pipeline (this query is three pair searches, not five)
+      val lsh = Similarity.trackedPersist(
+        Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45))
       val fp = lsh.exceptAll(exact)
         .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
-      val nearDup = Similarity.cosinePairs(e, "vec_id", "embedding", 0.99)
+      val nearDup = Similarity.trackedPersist(
+        Similarity.cosinePairs(e, "vec_id", "embedding", 0.99))
       val missedNearDup = nearDup.exceptAll(lsh)
         .select(lit("missed_near_dup").as("kind"), col("id_a"), col("id_b"))
       val vacuous = nearDup.groupBy().agg(count(lit(1)).as("n"))
