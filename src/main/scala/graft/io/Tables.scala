@@ -2,32 +2,47 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Fixture-table access. One place knows the quirks of the test parquet
  * (`TESTDATA.md` / `FIXTURES.md`) so every operator reads through here.
  *
- * Spark 4 cannot read parquet `TIMESTAMP(NANOS)` columns natively
- * (`PARQUET_TYPE_ILLEGAL`); with `spark.sql.legacy.parquet.nanosAsLong=true`
- * (set by `graft.Sessions.builder`) the `events.ts` column arrives as a
- * BIGINT of nanoseconds since the epoch. [[load]] normalizes it back to a
- * micro-precision `TIMESTAMP_NTZ` (exact: fixture values have microsecond
- * granularity) so downstream operators and DuckDB oracles agree.
+ * The `events.ts` column is normalized to a micro-precision `TIMESTAMP_NTZ`
+ * WHATEVER the parquet physically carries — the engine's schema-on-source
+ * discipline (round 13: fixtures silently moved from `TIMESTAMP(NANOS)` to
+ * `timestamp[us]` mid-round; the batch path survived only because this
+ * conversion was already conditioned on the arriving type):
+ *  - BIGINT — `TIMESTAMP(NANOS)` under `spark.sql.legacy.parquet.nanosAsLong
+ *    =true` (set by `graft.Sessions.builder`; Spark 4 cannot read NANOS
+ *    natively, `PARQUET_TYPE_ILLEGAL`) — ns since epoch, integer-divided;
+ *  - TIMESTAMP (LTZ, `isAdjustedToUTC` parquet) — cast (exact under the
+ *    UTC session timezone);
+ *  - TIMESTAMP_NTZ — already canonical.
+ * Downstream operators and DuckDB oracles therefore agree regardless of
+ * which representation a regenerated fixture carries.
  */
 object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  /** Read one fixture table, normalizing known ns-as-long timestamp columns. */
+  /** Read one fixture table, normalizing `events.ts` to micros-NTZ from any
+    * arriving representation. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))
     df.schema.fields.foldLeft(df) { (acc, f) =>
-      if (name == "events" && f.name == "ts" && f.dataType == LongType)
-        // integer division — `ts / 1000` would go through double and lose
-        // precision beyond 2^53 (ns-epoch values are ~2^60)
-        acc.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      if (name == "events" && f.name == "ts") f.dataType match {
+        case LongType =>
+          // integer division — `ts / 1000` would go through double and lose
+          // precision beyond 2^53 (ns-epoch values are ~2^60)
+          acc.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+        case TimestampType => acc.withColumn("ts", col("ts").cast(TimestampNTZType))
+        case TimestampNTZType => acc
+        case other => throw new IllegalArgumentException(
+          s"Tables.load: unsupported events.ts representation $other at " +
+            s"${path(sfDir, name)} — expected ns-epoch BIGINT, TIMESTAMP, or TIMESTAMP_NTZ")
+      }
       else acc
     }
   }
