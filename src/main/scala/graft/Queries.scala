@@ -871,6 +871,26 @@ object Queries {
       Dedup.dedupeAgainstLshIndex(store, idx, doc.filter(col("doc_id") >= 250),
         "doc_id", "text", 0.8)
     }),
+    // the full incremental-ingest LOOP over a growing index: archive index
+    // ← docs < 200; batch 1 (200..349) dedupes against it and its SURVIVORS
+    // are APPENDED to the index (appendToLshIndex — two O(1)-committed
+    // generation appends, the existing index never rewritten); batch 2
+    // (≥ 350) must then dedupe against archive ∪ batch-1 survivors. At
+    // sf0.01 three batch-2 docs are near-dups ONLY of batch-1 survivors —
+    // if the append didn't take, they'd wrongly survive and the hash gate
+    // would catch it
+    "dedup_incremental_fuzzy_grow" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-lsh-grow").toString)
+      val doc = docs(s, d)
+      Dedup.buildLshIndex(store, "arch", doc.filter(col("doc_id") < 200), "doc_id", "text")
+      val idx = Dedup.loadLshIndex(store, "arch")
+      val survivors1 = Dedup.dedupeAgainstLshIndex(store, idx,
+        doc.filter(col("doc_id") >= 200 && col("doc_id") < 350), "doc_id", "text", 0.8)
+      Dedup.appendToLshIndex(store, idx, survivors1, "doc_id", "text")
+      Dedup.dedupeAgainstLshIndex(store, idx, doc.filter(col("doc_id") >= 350),
+        "doc_id", "text", 0.8)
+    }),
     // contiguous global ordinals without the Exchange SinglePartition the
     // naive global row_number plans: range-partition + per-partition
     // offsets (two parallel jobs, driver holds only #partitions counts)
@@ -1921,6 +1941,25 @@ object Queries {
          |                  / len(list_distinct(b.sh || c.sh)) >= 0.8)
          |SELECT * FROM documents
          | WHERE doc_id >= 250 AND text IS NOT NULL
+         |   AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+    // two-stage brute force: batch-1 survivors join the reference corpus
+    // before batch 2 is compared (the growing-index loop's oracle)
+    "dedup_incremental_fuzzy_grow" ->
+      s"""$trigramCte,
+         |surv1 AS (SELECT b.doc_id, b.sh FROM s b
+         |           WHERE b.doc_id >= 200 AND b.doc_id < 350
+         |             AND NOT EXISTS (
+         |               SELECT 1 FROM s c WHERE c.doc_id < 200
+         |                  AND len(list_intersect(b.sh, c.sh))::DOUBLE
+         |                        / len(list_distinct(b.sh || c.sh)) >= 0.8)),
+         |arch AS (SELECT sh FROM s WHERE doc_id < 200
+         |         UNION ALL SELECT sh FROM surv1),
+         |hits AS (SELECT DISTINCT b.doc_id
+         |           FROM s b JOIN arch c ON b.doc_id >= 350
+         |          WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+         |                  / len(list_distinct(b.sh || c.sh)) >= 0.8)
+         |SELECT * FROM documents
+         | WHERE doc_id >= 350 AND text IS NOT NULL
          |   AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
     "window_global_ordinal" ->
       """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS ordinal

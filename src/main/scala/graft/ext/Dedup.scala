@@ -565,6 +565,37 @@ object Dedup {
     LshIndex(table, n, numHashes, bands)
   }
 
+  /**
+   * Grow a persisted LSH index with a new batch of docs — the missing half
+   * of the incremental-ingest loop: [[dedupeAgainstLshIndex]] drops
+   * near-dups of the ARCHIVE, and its survivors must then JOIN the archive
+   * or every later batch keeps deduping against the original corpus only.
+   * Appends the batch's hashed shingle sets and band buckets, computed with
+   * the STORED parameters (n, numHashes, bands — parameter drift between
+   * index segments would silently break probe/verify comparability, so
+   * they travel in the meta table and are never re-specified here).
+   *
+   * Scale shape: cost per call tracks the batch (shingle + minhash + two
+   * appends); the existing index is never read or rewritten — in pointer
+   * mode each append publishes as its own O(1)-committed generation, and
+   * [[graft.store.TableStore.compact]] folds the segment chain when it
+   * grows long. Appending leaves new bucket rows outside the original
+   * range-clustered file layout; probes shuffle on (band, bucket) either
+   * way, so correctness is unaffected and only footer-skipping tightness
+   * decays until the next compact. Unique ids across segments are the
+   * caller's contract (same as [[buildLshIndex]]): append the SURVIVORS of
+   * [[dedupeAgainstLshIndex]], which are id-disjoint from the archive by
+   * construction.
+   */
+  def appendToLshIndex(store: graft.store.TableStore, index: LshIndex, batch: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val sets = persistTracked(hashedShingleSets(
+      batch.filter(col(textCol).isNotNull), idCol, textCol, index.n))
+    store.append(index.table, sets.withColumnRenamed(idCol, "id"))
+    store.append(s"${index.table}_buckets",
+      lshBuckets(sets, idCol, index.numHashes, index.bands).withColumnRenamed(idCol, "id"))
+  }
+
   /** Reload a persisted LSH index's parameters (one meta row). */
   def loadLshIndex(store: graft.store.TableStore, table: String): LshIndex = {
     val r = store.read(s"${table}_meta").collect()

@@ -1215,11 +1215,27 @@ final class TableStore(spark: SparkSession, root: String,
     // that column at a different type would slip past a single-footer
     // check — exactly the poisoning this guard exists to stop. Skipped for
     // a first append (no current state to drift from).
+    // nullability is NOT drift: a freshly-computed frame often carries
+    // tighter containsNull/nullable flags than the parquet round-trip of
+    // the same data, and mixed-nullability footers merge cleanly — only a
+    // VALUE-type change poisons the table
+    def stripNullability(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      dt match {
+        case ArrayType(e, _) => ArrayType(stripNullability(e), containsNull = true)
+        case MapType(k, v, _) =>
+          MapType(stripNullability(k), stripNullability(v), valueContainsNull = true)
+        case StructType(fields) => StructType(fields.map(f =>
+          f.copy(dataType = stripNullability(f.dataType), nullable = true)))
+        case other => other
+      }
+    }
     def checkDrift(): Unit = if (exists(table)) {
       val current = readEvolved(table).schema
       val drifted = df.schema.flatMap { f =>
         current.find(_.name == f.name).collect {
-          case c if c.dataType != f.dataType => s"${f.name}: ${c.dataType} -> ${f.dataType}"
+          case c if stripNullability(c.dataType) != stripNullability(f.dataType) =>
+            s"${f.name}: ${c.dataType} -> ${f.dataType}"
         }
       }
       if (drifted.nonEmpty) throw new IllegalArgumentException(
