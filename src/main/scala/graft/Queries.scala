@@ -1015,6 +1015,24 @@ object Queries {
       Similarity.searchIndex(store, idx, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5, nprobe = 16)
     }),
+    // the growing-index ANN loop: index built on vectors < 300, the rest
+    // appended via appendToIndex (assigned by the STORED quantizer, corpus
+    // appended as its own generation). Searched at the exact full-probe
+    // point, so the result must equal the brute-force oracle over the WHOLE
+    // corpus — 24 of the 50 expected rows are appended vectors, so a lost
+    // or mis-assigned append hash-fails
+    "sim_ann_ivf_persisted_grow" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivf-grow").toString)
+      val e = emb(s, d)
+      Similarity.buildIndex(store, "ivf_g", e.filter(col("vec_id") < 300),
+        "vec_id", "embedding", nlist = 16)
+      val idx = Similarity.loadIndex(store, "ivf_g")
+      Similarity.appendToIndex(store, idx, e.filter(col("vec_id") >= 300),
+        "vec_id", "embedding")
+      Similarity.searchIndex(store, idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nprobe = 16)
+    }),
 
     // ---- streaming (§2.11): the Structured Streaming path gated against a
     // batch oracle — complete-mode tumbling day windows over the events
@@ -2053,6 +2071,7 @@ object Queries {
     "sim_topk" -> bruteForceTopKSql,
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "sim_ann_ivf_persisted" -> bruteForceTopKSql, // persisted index, same exact point
+    "sim_ann_ivf_persisted_grow" -> bruteForceTopKSql, // grown index, same exact point
     "mm_features" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
         |       ascii(substr(text, 1, 1)) AS head_byte,

@@ -270,6 +270,32 @@ object Similarity {
     IvfIndex(table, cents)
   }
 
+  /**
+   * Grow a persisted IVF index with new vectors — the ANN mirror of
+   * [[graft.ext.Dedup.appendToLshIndex]], closing the incremental-ingest
+   * loop: the batch is unit-normalized and list-assigned against the STORED
+   * quantizer (the centroid table is the index's frozen parameter set — a
+   * retrain would re-route existing lists and silently invalidate every
+   * previously-written assignment), then appended to the corpus table as
+   * its own O(1)-committed generation. Cost per call tracks the batch; the
+   * existing index is never read or rewritten.
+   *
+   * Contract: at `nprobe = nlist` search stays EXACT over the grown corpus
+   * (a full probe reads every list, wherever a vector was assigned). At
+   * partial probe, recall for appended vectors reflects the frozen
+   * quantizer's fit to them — a heavily drifted embedding distribution
+   * deserves a [[buildIndex]] rebuild, the standard IVF add-vs-retrain
+   * trade. Appended files sit outside the original list-clustered layout,
+   * so probe-list file skipping loosens until the next
+   * [[graft.store.TableStore.compact]]; the `list IN` filter prunes row
+   * groups either way.
+   */
+  def appendToIndex(store: graft.store.TableStore, index: IvfIndex, batch: DataFrame,
+      idCol: String, vecCol: String): Unit =
+    store.append(index.table,
+      unitized(batch, idCol, vecCol, "neighbor_id", "cv")
+        .withColumn("list", listAssignment(col("cv"), index.centroids)))
+
   /** Reload a persisted index's quantizer (nlist × dim rows — bounded index
     * metadata, the one deliberate driver-side collect of this module). */
   def loadIndex(store: graft.store.TableStore, table: String): IvfIndex = {
