@@ -1015,6 +1015,19 @@ object Queries {
       Similarity.searchIndex(store, idx, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5, nprobe = 16)
     }),
+    // IVF+SQ: the quantized-payload index (4x less probe IO at real widths),
+    // ranked by the dequantized dot — searched at the exact full-probe
+    // point, gated against DuckDB reproducing the identical quantization
+    // (unit-normalize -> scale=127/max|x| -> floor(x*scale+0.5)) and ranking
+    "sim_ann_ivf_sq" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivf-sq").toString)
+      val e = emb(s, d)
+      Similarity.buildIndexQuantized(store, "ivf_sq", e, "vec_id", "embedding", nlist = 16)
+      val idx = Similarity.loadIndex(store, "ivf_sq")
+      Similarity.searchIndexQuantized(store, idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nprobe = 16)
+    }),
     // the growing-index ANN loop: index built on vectors < 300, the rest
     // appended via appendToIndex (assigned by the STORED quantizer, corpus
     // appended as its own generation). Searched at the exact full-probe
@@ -2072,6 +2085,26 @@ object Queries {
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "sim_ann_ivf_persisted" -> bruteForceTopKSql, // persisted index, same exact point
     "sim_ann_ivf_persisted_grow" -> bruteForceTopKSql, // grown index, same exact point
+    // IVF+SQ at full probe: DuckDB re-derives the identical int8 payload
+    // (same unit-norm, same 127/max|x| scale, same floor(x*scale+0.5)) and
+    // ranks by the same dequantized dot, ties by neighbor id
+    "sim_ann_ivf_sq" ->
+      """WITH u AS (SELECT vec_id,
+        |       list_transform(embedding::DOUBLE[], x ->
+        |         x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+        |     FROM embeddings),
+        |q8 AS (SELECT vec_id, v, CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+        |       FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM u) t),
+        |qv AS (SELECT vec_id, scale, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM q8),
+        |sc AS (SELECT uq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |              CASE WHEN c.scale > 0 THEN list_inner_product(uq.v, c.q) / c.scale
+        |                   ELSE 0.0 END AS cos
+        |         FROM u uq JOIN qv c ON uq.vec_id <> c.vec_id
+        |        WHERE uq.vec_id < 10)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |    FROM sc) x WHERE rn <= 5""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
         |       ascii(substr(text, 1, 1)) AS head_byte,
