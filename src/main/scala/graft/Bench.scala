@@ -57,7 +57,17 @@ object Bench {
     // the driver archives the last ~2 kB of stdout, so only the line's tail
     // is guaranteed to survive into BENCH_r*.json (r10 lost the total to
     // head truncation).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"filtered":${only.isDefined},"sf":"$sfDir","total_s":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"filtered":${only.isDefined},"sf":"$sfDir","total_s":$total}"""
+    println(line)
+    // ALSO persist the full line as a file artifact: the driver archives only
+    // the last ~2 kB of stdout, which dropped 52 of 110 per-query timings
+    // from the r14 round record. A full (non-subset) run writes
+    // BENCH_LOCAL.json in the cwd so the complete per-query map survives in
+    // the repo regardless of stdout truncation. Subset runs don't overwrite it.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LOCAL.json"), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json not written: $e") }
+    }
     spark.stop()
   }
 }

@@ -83,8 +83,23 @@ object EngineConfig {
    *                   "sql": "SELECT ... WHERE d BETWEEN TIMESTAMP '{start_ts}' AND TIMESTAMP '{end_ts}'" } ] }
    * }}}
    * Parsed with Spark's JSON reader (multiLine) — no extra dependency.
+   *
+   * ENVIRONMENT OVERRIDES: after the file parse, `GRAFT_`-prefixed
+   * environment variables overlay the scalar settings — the reference
+   * layers `AddEnvironmentVariables()` over `appsettings.json`
+   * (`Program.cs:11-16`), so a deployment overrides schemas / schedule /
+   * window per environment without editing the file. Matching follows
+   * .NET config-provider semantics: the key after the prefix compares
+   * case-insensitively (`GRAFT_SCHEDULEMODE`, `GRAFT_ScheduleMode` both
+   * hit `ScheduleMode`), an env value always wins over the file value,
+   * and an EMPTY env value clears an optional setting (sets it to None).
+   * Overridable keys: `SourceSchema`, `TargetSchema`, `ScheduleMode`,
+   * `DateFrom`, `DateTo`. Structured sections (`Tables`, `SqlSteps`) are
+   * file-only, as in the reference's practice. `env` is injectable for
+   * tests; production callers use the default `sys.env`.
    */
-  def load(spark: SparkSession, path: String): EngineConfig = {
+  def load(spark: SparkSession, path: String,
+      env: Map[String, String] = sys.env): EngineConfig = {
     import org.apache.spark.sql.functions.col
     val df = spark.read.option("multiLine", "true").json(path)
     val row = df.head()
@@ -124,12 +139,22 @@ object EngineConfig {
           name -> sql
         }.toMap
       }
+    // env overlay: last writer wins, like the reference's provider order
+    // (JSON first, environment second — Program.cs:11-16)
+    val overlay: Map[String, String] = env.collect {
+      case (k, v) if k.toUpperCase.startsWith("GRAFT_") =>
+        k.drop("GRAFT_".length).toUpperCase -> v
+    }
+    def layered(name: String): Option[String] = overlay.get(name.toUpperCase) match {
+      case Some(v) => Some(v).filter(_.nonEmpty) // empty env value CLEARS the setting
+      case None    => optStr(name)
+    }
     EngineConfig(
-      sourceSchema = optStr("SourceSchema").getOrElse("src"),
-      targetSchema = optStr("TargetSchema").getOrElse("tgt"),
-      scheduleMode = optStr("ScheduleMode"),
-      dateFrom = optStr("DateFrom"),
-      dateTo = optStr("DateTo"),
+      sourceSchema = layered("SourceSchema").getOrElse("src"),
+      targetSchema = layered("TargetSchema").getOrElse("tgt"),
+      scheduleMode = layered("ScheduleMode"),
+      dateFrom = layered("DateFrom"),
+      dateTo = layered("DateTo"),
       tables = tables,
       sqlSteps = sqlSteps)
   }

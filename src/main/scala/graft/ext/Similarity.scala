@@ -538,12 +538,13 @@ object Similarity {
     // set is the BIG side (buckets × pairs, many× the corpus), so joining it
     // against the corpus with the default strategy shuffles millions of
     // candidate rows twice. When the normalized corpus fits an executor
-    // (rows × dim × 4 B, fudged 2× for row overhead, under 64 MB) broadcast
-    // the vector sides instead: the candidate set never moves, each
-    // partition streams once against the in-memory id→vector map. Past the
-    // gate (100 TB corpora) the shuffle join is the only correct shape and
-    // AQE picks the strategy from runtime sizes.
-    val corpusBytes = u.count() * dim * 4L * 2L
+    // (rows × dim × 8 B — vec_normalize yields array<double> — fudged 2×
+    // for row overhead, under 64 MB) broadcast the vector sides instead:
+    // the candidate set never moves, each partition streams once against
+    // the in-memory id→vector map. Past the gate (100 TB corpora) the
+    // shuffle join is the only correct shape and AQE picks the strategy
+    // from runtime sizes.
+    val corpusBytes = u.count() * dim * 8L * 2L
     def sized(df: DataFrame) = if (corpusBytes <= (64L << 20)) broadcast(df) else df
     val va = sized(u.select(col("id").as("doc_a"), col("v").as("va")))
     val vb = sized(u.select(col("id").as("doc_b"), col("v").as("vb")))

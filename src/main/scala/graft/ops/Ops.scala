@@ -216,9 +216,11 @@ object Ops {
    * `guardBands` (default on) runs [[assertBandCardinality]] on the right
    * side before building the join — ONE eager lightweight aggregation job
    * that fails loudly when the band key has degenerated (collapsed
-   * timestamps → quadratic blocks). It re-evaluates the right side once;
-   * pass `guardBands = false` when that side is an expensive derived frame
-   * you already trust.
+   * timestamps → quadratic blocks). It re-evaluates the right side once —
+   * free for a direct source scan (column-pruned to the time column), but
+   * a real extra computation for an expensive uncached derived frame: hot
+   * callers with such a right side should `persist()` it first or pass
+   * `guardBands = false` once its band spread is trusted.
    */
   /** Band-degeneration guard for [[rangeJoin]] (and a pre-flight check for
     * the streaming correlate's file-backed sources): when timestamps

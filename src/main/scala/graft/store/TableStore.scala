@@ -1051,9 +1051,14 @@ final class TableStore(spark: SparkSession, root: String,
     // (old behavior: project onto the before-side's columns). A name
     // carried by both sides at DIFFERENT types is refused loudly HERE, at
     // the cause, not as an opaque union/exceptAll analysis error.
+    // Compared through stripNullability: append's drift guard permits
+    // nullability-only differences between generations (array containsNull,
+    // struct-field nullable), so they must not trip this refusal — two
+    // healthy generations of the same table can legally disagree on flags.
     val conflicts = before.schema.flatMap { f =>
       after.schema.find(_.name == f.name).collect {
-        case a if a.dataType != f.dataType => s"${f.name}: ${f.dataType} -> ${a.dataType}"
+        case a if stripNullability(a.dataType) != stripNullability(f.dataType) =>
+          s"${f.name}: ${f.dataType} -> ${a.dataType}"
       }
     }
     if (conflicts.nonEmpty) throw new IllegalStateException(
@@ -1202,6 +1207,27 @@ final class TableStore(spark: SparkSession, root: String,
     * the shared `_temporary` staging dir. In pointer mode each append is its
     * own atomically-published generation (the manifest accumulates dirs;
     * [[compact]] folds them). */
+  /** `dt` with every nullable/containsNull/valueContainsNull flag forced
+    * permissive, recursively. Nullability is metadata, not a value type: a
+    * freshly-computed frame carries tighter flags than the parquet
+    * round-trip of the same data, so any check that means "same type"
+    * across a write boundary must compare THROUGH this — [[append]]'s
+    * drift guard and [[generationDiff]]'s conflict check both do, or a
+    * nullability-only difference the writer legally produced would read
+    * back as a type change. */
+  private def stripNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case ArrayType(e, _) => ArrayType(stripNullability(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(stripNullability(k), stripNullability(v), valueContainsNull = true)
+      case StructType(fields) => StructType(fields.map(f =>
+        f.copy(dataType = stripNullability(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   def append(table: String, df: DataFrame): Unit = {
     refuseIfCatalogBucketed(table, "append")
     // ADDITIVE schema evolution only: a new column reads as NULL for old
@@ -1219,17 +1245,6 @@ final class TableStore(spark: SparkSession, root: String,
     // tighter containsNull/nullable flags than the parquet round-trip of
     // the same data, and mixed-nullability footers merge cleanly — only a
     // VALUE-type change poisons the table
-    def stripNullability(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
-      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-      dt match {
-        case ArrayType(e, _) => ArrayType(stripNullability(e), containsNull = true)
-        case MapType(k, v, _) =>
-          MapType(stripNullability(k), stripNullability(v), valueContainsNull = true)
-        case StructType(fields) => StructType(fields.map(f =>
-          f.copy(dataType = stripNullability(f.dataType), nullable = true)))
-        case other => other
-      }
-    }
     def checkDrift(): Unit = if (exists(table)) {
       val current = readEvolved(table).schema
       val drifted = df.schema.flatMap { f =>
@@ -1763,6 +1778,21 @@ final class TableStore(spark: SparkSession, root: String,
         pcols.map(org.apache.spark.sql.functions.col): _*)
     atomicOverwriteAs(table, compacted, pcols, "compact")
   }
+
+  /** Clustered small-file compaction — [[compact]] for a range-clustered
+    * table ([[atomicOverwriteClustered]] layout). Incremental appends land
+    * OUTSIDE the clustered layout (a growing LSH/IVF index adds one
+    * generation per ingest batch — [[graft.ext.Similarity.appendToIndex]],
+    * [[graft.ext.Dedup.appendToLshIndex]]), so probe-time file skipping
+    * loosens with every batch: a probe's `list IN (...)` filter still prunes
+    * row groups, but every appended file must be opened. Re-clustering folds
+    * all generations back into `numFiles` disjoint sorted files and restores
+    * the build-time skip contract; plain [[compact]] would merge the files
+    * but DESTROY the clustering (hash repartition), silently degrading every
+    * later probe to a full-file read. Reads merged footers (heals evolved
+    * schemas) and swaps atomically like [[compact]]. */
+  def compactClustered(table: String, clusterCols: Seq[String], numFiles: Int): Unit =
+    atomicOverwriteClustered(table, readEvolved(table), clusterCols, numFiles)
 
   /** Partition-scoped small-file compaction — the date-partitioned form of
     * [[compact]]: rewrite ONLY the named `partCol=<day>` partitions, one

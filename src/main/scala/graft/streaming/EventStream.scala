@@ -68,7 +68,16 @@ object EventStream {
     * UTC, so wall-clock values agree with `graft.io.Tables.load`; cast with
     * `col("ts").cast("timestamp_ntz")` when unioning stream and batch frames. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val probed = spark.read.parquet(dir).schema
+    // An empty or not-yet-populated directory is a NORMAL file-stream
+    // startup state (the producer may not have written its first batch):
+    // fall back to the documented ns-long RawSchema rather than failing the
+    // probe. The loud type refusal below stays for sources that ARE present
+    // but carry an unsupported ts representation.
+    val probed =
+      try spark.read.parquet(dir).schema
+      catch { // schema-inference failure = no footers to probe yet, not a bad source
+        case _: org.apache.spark.sql.AnalysisException => RawSchema
+      }
     val raw = spark.readStream.schema(probed).parquet(dir)
     probed.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>

@@ -44,4 +44,33 @@ class ConfigSpec extends AnyFunSuite {
     val c = TableSpec.classify(cfg.tables)
     assert(c.copyUpdate.map(_.tableName) == Seq("t3"))
   }
+
+  test("GRAFT_ env vars overlay the file like Program.cs:11-16 provider order") {
+    val json =
+      """{ "SourceSchema": "stage", "TargetSchema": "bronze",
+        |  "ScheduleMode": "daily", "DateFrom": "2024-01-01", "DateTo": "2024-01-05" }""".stripMargin
+    val f = Files.createTempFile("graft-cfg-env", ".json")
+    Files.writeString(f, json)
+    val env = Map(
+      "GRAFT_SOURCESCHEMA" -> "prod_stage", // all-caps form
+      "GRAFT_ScheduleMode" -> "window",     // mixed-case form — both must hit
+      "GRAFT_DateTo" -> "",                 // empty value CLEARS the optional
+      "UNRELATED" -> "x", "GRAFTNOPREFIX" -> "y") // non-prefixed keys ignored
+    val cfg = EngineConfig.load(TestSpark.spark, f.toString, env)
+    assert(cfg.sourceSchema == "prod_stage") // env wins over file
+    assert(cfg.targetSchema == "bronze")     // un-overridden file value survives
+    assert(cfg.scheduleMode.contains("window"))
+    assert(cfg.dateFrom.contains("2024-01-01"))
+    assert(cfg.dateTo.isEmpty)               // cleared by empty env value
+  }
+
+  test("env overlay supplies a value the file omits entirely") {
+    val f = Files.createTempFile("graft-cfg-env2", ".json")
+    Files.writeString(f, """{ "TargetSchema": "bronze" }""")
+    val cfg = EngineConfig.load(TestSpark.spark, f.toString,
+      Map("GRAFT_DATEFROM" -> "2024-02-01", "GRAFT_SOURCESCHEMA" -> "s2"))
+    assert(cfg.sourceSchema == "s2") // overrides the "src" default too
+    assert(cfg.dateFrom.contains("2024-02-01"))
+    assert(cfg.dateTo.isEmpty)
+  }
 }

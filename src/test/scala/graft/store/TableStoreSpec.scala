@@ -851,6 +851,37 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.generationDiff("t", 999L, gens.head))
   }
 
+  test("generationDiff tolerates nullability-only schema differences between generations") {
+    // append's drift guard PERMITS nullability-only drift (stripNullability),
+    // so two healthy generations can disagree on array containsNull / field
+    // nullable — the diff must not refuse them as a type change
+    val store = new TableStore(spark, Files.createTempDirectory("graft-gdiff-null").toString,
+      CommitMode.Pointer, keepGenerations = 3)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val tight = StructType(Seq(StructField("k", IntegerType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val loose = StructType(Seq(StructField("k", IntegerType, nullable = true),
+      StructField("v", ArrayType(DoubleType, containsNull = true), nullable = true)))
+    store.atomicOverwrite("t", spark.createDataFrame(
+      java.util.List.of(Row(1, Seq(1.0, 2.0)), Row(2, Seq(3.0))), tight))
+    store.append("t", spark.createDataFrame(
+      java.util.List.of(Row(3, Seq(4.0))), loose)) // legal per the drift guard
+    val gens = store.generations("t")
+    val diff = store.generationDiff("t", gens(1), gens.head)
+    assert(diff.filter(col("__change") === "insert").count() == 1)
+    assert(diff.filter(col("__change") === "delete").count() == 0)
+    // a VALUE-type change still refuses loudly
+    val other = new TableStore(spark, Files.createTempDirectory("graft-gdiff-null2").toString,
+      CommitMode.Pointer, keepGenerations = 3)
+    other.atomicOverwrite("t", Seq((1, 1.0)).toDF("k", "v"))
+    other.atomicOverwrite("t", Seq((1, "s")).toDF("k", "v"))
+    val g2 = other.generations("t")
+    val e = intercept[IllegalStateException](other.generationDiff("t", g2(1), g2.head).count())
+    assert(e.getMessage.contains("column type changed"), e.getMessage)
+  }
+
   test("generationDiffEvidence totals come from commit sidecars, not a table walk") {
     val root = Files.createTempDirectory("graft-gdev").toString
     val store = new TableStore(spark, root, CommitMode.Pointer, keepGenerations = 3)

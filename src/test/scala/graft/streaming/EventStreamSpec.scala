@@ -52,6 +52,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("StringType"), e.getMessage)
   }
 
+  test("read over an empty directory starts with RawSchema instead of failing the probe") {
+    // a not-yet-populated source dir is a normal file-stream startup state:
+    // the producer writes its first batch after the consumer opens
+    val empty = java.nio.file.Files.createTempDirectory("graft-stream-empty").toString
+    val events = EventStream.read(spark, empty) // must not throw
+    assert(events.isStreaming)
+    // falls back to the documented ns-long RawSchema, ts normalized to timestamp
+    assert(events.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // and the stream is drivable: a ns-long file landing AFTER open is read
+    val batch = graft.io.Tables.load(spark, TestSpark.Sf0001, "events").limit(50)
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")) * 1000 as "ts",
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    batch.write.mode("append").parquet(empty)
+    val q = events.select("event_id").writeStream
+      .outputMode("append").format("memory").queryName("late_start").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("late_start").count() == 50)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch aggregation") {
     val q = EventStream.windowedCounts(EventStream.read(spark, dir), "1 hour", "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("wc").start()
