@@ -33,6 +33,9 @@ object ScaleSmoke {
     val out = "/tmp/graft_scale"
     val spark = io.Sessions.builder("local[32]", 64).appName("graft-scale-smoke").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("stress")) { // iterate on the stress section alone
+      storeStress(spark, out); println("[scale] DONE (stress only)"); spark.stop(); return
+    }
     import spark.implicits._
 
     // ---- build replicated inputs (ids perturbed so keys stay unique) ----
@@ -385,9 +388,237 @@ object ScaleSmoke {
           "vec_id", "embedding", 5))
       }
 
+    // ================= partial-probe recall curves (IVF family) =========
+    // Every ANN driver gate runs at the exact full-probe point (that's what
+    // makes it oracle-checkable); production runs nprobe << nlist. This
+    // section measures what that regime actually returns, at the 40k point,
+    // for all three index variants: float, int8-SQ, and grown-under-a-
+    // frozen-quantizer. The corpus is the 20x replication with per-replica
+    // multiplicative jitter (amplitude 0.5, deterministic phases): identical
+    // replicas would share a list assignment and make every curve trivially
+    // 1.0 — jittered groups spread across lists, so partial probes can
+    // actually miss, which is the regime worth measuring.
+    time("build embeddings 40k jittered") {
+      emb.crossJoin(spark.range(20).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") * 20 + col("rep"))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) + lit(0.5) *
+              sin((i + 1).cast("double") * (col("rep") + 1).cast("double") * lit(2.39996))))
+              .cast("float")))
+        .drop("rep").repartition(16)
+        .write.mode("overwrite").parquet(s"$out/embeddings40k_jit")
+    }
+    val embJ = spark.read.parquet(s"$out/embeddings40k_jit")
+    val rs = new graft.store.TableStore(spark, s"$out/recall_store",
+      graft.store.CommitMode.Pointer)
+    // ~200 queries spread across replicas; ground truth = exact brute top-10
+    val rq = embJ.filter(pmod(col("vec_id"), lit(199L)) === 3L)
+    val truth = time("recall: exact top-10 ground truth (~200 queries)") {
+      val t = graft.ext.Similarity.topK(embJ, rq, "vec_id", "embedding", 10).persist()
+      t.count(); graft.ext.Dedup.unpersistAll(); t
+    }
+    val truthN = truth.count().toDouble
+    def hitRate(res: DataFrame): Double = {
+      val h = res.join(truth, Seq("query_id", "neighbor_id")).count() / truthN
+      graft.ext.Dedup.unpersistAll(); h
+    }
+    val fIdx = time("recall: float IVF build (nlist=16)") {
+      val i = graft.ext.Similarity.buildIndex(rs, "r_ivf", embJ, "vec_id", "embedding",
+        nlist = 16)
+      graft.ext.Dedup.unpersistAll(); i
+    }
+    val sIdx = time("recall: int8-SQ IVF build (nlist=16)") {
+      val i = graft.ext.Similarity.buildIndexQuantized(rs, "r_sq", embJ, "vec_id",
+        "embedding", nlist = 16)
+      graft.ext.Dedup.unpersistAll(); i
+    }
+    val curve = Seq(2, 4, 8, 16).map { np =>
+      val rf = hitRate(graft.ext.Similarity.searchIndex(rs, fIdx, rq,
+        "vec_id", "embedding", 10, nprobe = np))
+      val r8 = hitRate(graft.ext.Similarity.searchIndexQuantized(rs, sIdx, rq,
+        "vec_id", "embedding", 10, nprobe = np))
+      println(f"[scale]   recall@10 nprobe=$np%2d/16: float=$rf%.4f int8=$r8%.4f " +
+        f"int8 delta=${r8 - rf}%+.4f")
+      (np, rf, r8)
+    }
+    // contract floors: a quarter-probe must stay useful; a full probe IS the
+    // exact search (same scoring + tie order as the brute-force truth)
+    val atQuarter = curve.find(_._1 == 4).get
+    require(atQuarter._2 >= 0.9,
+      f"float IVF recall@10 collapsed at nprobe=4/16: ${atQuarter._2}%.4f < 0.9")
+    val atFull = curve.find(_._1 == 16).get
+    require(atFull._2 == 1.0,
+      f"full-probe float search must equal exact top-10, got recall ${atFull._2}%.4f")
+
+    // ---- grown index: appended vectors under the FROZEN quantizer ------
+    // the rows most likely to suffer at partial probe — measured separately.
+    // 90% base build; 10% appended in 10 generations (the many-small-files
+    // ingest shape compactClustered exists for).
+    val baseC = embJ.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
+    val growC = embJ.filter(pmod(col("vec_id"), lit(10L)) === 9L)
+    val gIdx = time("recall: grown-index base build (90%)") {
+      val i = graft.ext.Similarity.buildIndex(rs, "r_grow", baseC, "vec_id", "embedding",
+        nlist = 16)
+      graft.ext.Dedup.unpersistAll(); i
+    }
+    time("recall: append 10% in 10 generations") {
+      for (b <- 0 until 10)
+        graft.ext.Similarity.appendToIndex(rs, gIdx,
+          growC.filter(pmod(col("vec_id"), lit(100L)) === (9L + 10L * b)),
+          "vec_id", "embedding")
+    }
+    // queries drawn FROM the appended batch; truth over the full grown corpus
+    val gq = growC.filter(pmod(col("vec_id"), lit(19L)) === 3L)
+    val gTruth = time("recall: grown-corpus ground truth (appended queries)") {
+      val t = graft.ext.Similarity.topK(embJ, gq, "vec_id", "embedding", 10).persist()
+      t.count(); graft.ext.Dedup.unpersistAll(); t
+    }
+    val gTruthN = gTruth.count().toDouble
+    def gHitRate(res: DataFrame): Double = {
+      val h = res.join(gTruth, Seq("query_id", "neighbor_id")).count() / gTruthN
+      graft.ext.Dedup.unpersistAll(); h
+    }
+    val gCurve = Seq(4, 16).map { np =>
+      val r = gHitRate(graft.ext.Similarity.searchIndex(rs, gIdx, gq,
+        "vec_id", "embedding", 10, nprobe = np))
+      println(f"[scale]   grown-index recall@10 (appended queries) nprobe=$np%2d/16: $r%.4f")
+      (np, r)
+    }
+    require(gCurve.find(_._1 == 16).get._2 == 1.0,
+      "full-probe search over the grown index lost appended vectors")
+
+    // ---- compaction folds the 11-generation index back into the layout --
+    // file count = what the CURRENT manifest resolves to (what a probe must
+    // open) — NOT a directory walk: retained prior generations legitimately
+    // keep their files on disk until vacuum
+    def dataFileCount(table: String): Long = rs.read(table).inputFiles.length.toLong
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val preFiles = dataFileCount("r_grow")
+    val (preRes, preSec) = timed {
+      val r = graft.ext.Similarity.searchIndex(rs, gIdx, gq,
+        "vec_id", "embedding", 10, nprobe = 4).persist()
+      r.count(); graft.ext.Dedup.unpersistAll(); r
+    }
+    time("compactClustered r_grow (list layout restored)") {
+      rs.compactClustered("r_grow", Seq("list"), numFiles = 16)
+    }
+    val postFiles = dataFileCount("r_grow")
+    val (postRes, postSec) = timed {
+      val r = graft.ext.Similarity.searchIndex(rs, gIdx, gq,
+        "vec_id", "embedding", 10, nprobe = 4).persist()
+      r.count(); graft.ext.Dedup.unpersistAll(); r
+    }
+    val diverge = preRes.exceptAll(postRes).count() + postRes.exceptAll(preRes).count()
+    preRes.unpersist(); postRes.unpersist()
+    println(f"[scale]   compaction: files $preFiles -> $postFiles, " +
+      f"nprobe=4 search $preSec%.2f s -> $postSec%.2f s, result divergence rows=$diverge")
+    require(diverge == 0, "compaction changed search results")
+    require(postFiles < preFiles,
+      s"compaction did not reduce the file count: $preFiles -> $postFiles")
+    truth.unpersist(); gTruth.unpersist()
+
+    storeStress(spark, out)
+
     println(s"[scale] pair/cluster counts: lsh=$lsh simhash=$sh clusters=$cc " +
       s"cosine@0.9=$cp cosine_wide@0.9=$cpw range_pairs=$rj asof_rows=$aj")
     println("[scale] DONE")
     spark.stop()
+  }
+
+  /** Store concurrency stress, runnable standalone
+    * (`runMain graft.ScaleSmoke stress` skips the data builds): racing
+    * appenders are spec'd (4-writer O_EXCL test); this is the three-party
+    * interleaving at job scale — an appender committing generations, a
+    * reader pinned to the newest retained generation, and a vacuum loop
+    * reclaiming beyond keepGenerations. No lost commit, no torn read. */
+  private def storeStress(spark: org.apache.spark.sql.SparkSession, out: String): Unit = {
+    time("store stress: appender + reader + vacuum loop") {
+      val root = s"$out/stress_store_${System.nanoTime()}" // fresh per run
+      val cs = new graft.store.TableStore(spark, root,
+        graft.store.CommitMode.Pointer, keepGenerations = 3)
+      cs.atomicOverwrite("t", spark.range(1000L).toDF("id"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val vacuums = new java.util.concurrent.atomic.AtomicInteger(0)
+      val appender = new Thread(() => {
+        try for (i <- 0 until 12)
+          cs.append("t", spark.range(10000L + i * 100, 10000L + i * 100 + 100).toDF("id"))
+        catch { case t: Throwable => errs.add(t) } finally stopFlag.set(true)
+      }, "stress-appender")
+      val readerT = new Thread(() => {
+        try while (!stopFlag.get) {
+          val gens = cs.generations("t")
+          if (gens.nonEmpty) {
+            // the newest generation is always retained: must read cleanly
+            // mid-race with a complete multiple-of-100 row count
+            val n = cs.readGeneration("t", gens.head).count()
+            require(n >= 1000 && n % 100 == 0, s"torn read: $n rows")
+            // the OLDEST listed generation may race with vacuum: either a
+            // clean full read or the friendly no-marker refusal — never a
+            // partial result
+            try {
+              val o = cs.readGeneration("t", gens.last).count()
+              require(o >= 1000 && o % 100 == 0, s"torn old-gen read: $o rows")
+            } catch {
+              case e: IllegalArgumentException
+                if e.getMessage.contains("no committed marker") => ()
+            }
+            reads.incrementAndGet()
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      }, "stress-reader")
+      val vacuumer = new Thread(() => {
+        try while (!stopFlag.get) {
+          // contention with the appender's commit lock is the DESIGNED
+          // fail-fast refusal (vacuum never waits) — retry next tick
+          try { cs.vacuum("t", keep = 3); vacuums.incrementAndGet() }
+          catch { case _: graft.store.ConcurrentWriteException => () }
+          Thread.sleep(25)
+        } catch { case t: Throwable => errs.add(t) }
+      }, "stress-vacuum")
+      Seq(appender, readerT, vacuumer).foreach(_.start())
+      Seq(appender, readerT, vacuumer).foreach(_.join(120000))
+      require(errs.isEmpty, s"store stress raced into errors: " +
+        errs.toArray.take(3).mkString(" | "))
+      val finalRows = cs.read("t").count()
+      require(finalRows == 1000L + 12 * 100,
+        s"lost commit under stress: $finalRows rows, expected ${1000 + 1200}")
+      println(s"[scale]   stress: ${reads.get} clean concurrent reads, " +
+        s"${vacuums.get} vacuum passes, 12 appends all committed")
+    }
+    // lock TTL self-heal: a crashed writer's lock must break after the TTL
+    time("store stress: stale lock self-heals after TTL") {
+      // appendLockWaitMs = 0: the refusal must be observable — the default
+      // 30 s wait would outlive the 5 s TTL and mask it. The TTL must stay
+      // LONGER than one Spark write: the in-flight-generation orphan grace
+      // equals the TTL, so a TTL shorter than a write lets the lock-break
+      // recovery sweep the breaking append's OWN uncommitted dir (the
+      // documented sizing rule — "size the TTL above the longest expected
+      // rewrite" — observed directly at 1.5 s).
+      val root = s"$out/stress_ttl_${System.nanoTime()}"
+      val ts = new graft.store.TableStore(spark, root,
+        graft.store.CommitMode.Pointer, lockTtlMs = 5000L, appendLockWaitMs = 0L)
+      ts.atomicOverwrite("t", spark.range(100L).toDF("id"))
+      // fake a crashed writer: an orphaned lock file nobody will release
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/t.lock"),
+        "crashed-writer")
+      intercept(ts.append("t", spark.range(100L, 200L).toDF("id")))
+      Thread.sleep(5200L)
+      ts.append("t", spark.range(100L, 200L).toDF("id")) // TTL passed: self-heals
+      require(ts.read("t").count() == 200L, "self-healed append lost rows")
+    }
+  }
+
+  /** Expect `body` to throw (concurrency refusals in the stress section);
+    * rethrow nothing, fail if it DIDN'T throw. */
+  private def intercept(body: => Any): Unit = {
+    val threw = try { body; false } catch { case _: Throwable => true }
+    require(threw, "expected the operation to be refused, but it succeeded")
   }
 }

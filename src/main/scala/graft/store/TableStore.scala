@@ -1349,7 +1349,9 @@ final class TableStore(spark: SparkSession, root: String,
           // restored immediately after, when both loop back to the
           // create-if-absent below and exactly one wins the CAS. The loser
           // waits or fails with ConcurrentWriteException; it never proceeds.
-          recover(table)
+          // TTL-sized orphan grace: OUR OWN append may have an in-flight
+          // uncommitted gen dir (written pre-lock) that grace 0 would reap.
+          recoverWith(table, orphanGraceMs = lockTtlMs)
         case Some(_) if System.currentTimeMillis < deadline => Thread.sleep(100)
         case Some(_) => conflict(null)
         case None =>
@@ -1875,7 +1877,18 @@ final class TableStore(spark: SparkSession, root: String,
     * saw it). Always clears the writer lock a crashed writer left behind;
     * ONLY run recovery when no writer is live — it releases the mutual
     * exclusion. */
-  def recover(table: String): Unit = {
+  def recover(table: String): Unit = recoverWith(table, orphanGraceMs = 0L)
+
+  /** [[recover]] with an orphan-dir grace window. The explicit-`recover`
+    * grace is 0 (documented: no writers live, so every unreferenced dir is
+    * a crashed writer's). The STALE-LOCK BREAK path must NOT use 0: a
+    * pointer-mode append writes its generation dir BEFORE taking the lock,
+    * so the writer that breaks a crashed peer's lock has its own fresh
+    * uncommitted dir on disk — a grace-0 sweep would reap it and fail the
+    * very append that healed the table (observed in ScaleSmoke's TTL
+    * stress). The crashed peer's leftover is older than the TTL by
+    * definition, so the TTL-sized grace still reclaims it. */
+  private def recoverWith(table: String, orphanGraceMs: Long): Unit = {
     val f = fs
     val live = new Path(tablePath(table))
     val parent = new Path(root)
@@ -1912,10 +1925,10 @@ final class TableStore(spark: SparkSession, root: String,
             case _ => ()
           }
         }
-        // grace 0: recover is documented to run only with no writers live,
-        // so a fresh unreferenced gen dir here is a crashed writer's, not an
-        // in-flight append's
-        cleanupGenerations(table, orphanGraceMs = 0L)
+        // grace 0 only for explicit recover (no writers live); the
+        // lock-break path passes the TTL so the breaking writer's own
+        // in-flight dir survives — see [[recoverWith]]
+        cleanupGenerations(table, orphanGraceMs = orphanGraceMs)
       }
     }
   }
