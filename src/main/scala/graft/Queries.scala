@@ -80,6 +80,25 @@ object Queries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stage the events fixture into a stream-source dir, LAYOUT-AGNOSTIC:
+    * sf0.1 ships `events.parquet` as one file, but scaled replicas
+    * (`BuildScaled`) ship it as a parquet DIRECTORY of part files — a plain
+    * `Files.copy` of a directory copies only the empty dir entry, the
+    * stream reads zero rows, and the gate dies far from the cause (the sf1
+    * 10× probe hit exactly this). Part files land directly in `in` (the
+    * file stream source does not recurse into subdirs), `prefix`ed so
+    * repeated stagings of the same fixture never collide. */
+  private def stageEvents(d: String, in: java.nio.file.Path, prefix: String): Unit = {
+    val src = java.nio.file.Paths.get(d, "events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val st = java.nio.file.Files.list(src)
+      try st.forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, in.resolve(s"$prefix-${p.getFileName}"))
+      } finally st.close()
+    } else java.nio.file.Files.copy(src, in.resolve(s"$prefix.parquet"))
+  }
+
   /** events + deterministic synthetic `update_ts` (no update-date column in
     * the fixtures — FIXTURES.md): `ts + (event_id % 7) days`. */
   private def eventsWithUpdateTs(s: SparkSession, d: String): DataFrame =
@@ -1137,8 +1156,7 @@ object Queries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sess")
       val in = tmp.resolve("in")
       java.nio.file.Files.createDirectories(in)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        in.resolve("events.parquet"))
+      stageEvents(d, in, "events")
       val out = s"$tmp/out"
       def drain(): Unit = {
         val q = graft.streaming.EventStream.sessionize(
@@ -1184,10 +1202,8 @@ object Queries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
       val in = tmp.resolve("in")
       java.nio.file.Files.createDirectories(in)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        in.resolve("f0.parquet"))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(d, "events.parquet"),
-        in.resolve("f1.parquet"))
+      stageEvents(d, in, "f0")
+      stageEvents(d, in, "f1")
       val q = graft.streaming.EventStream.dedupedEvents(
           graft.streaming.EventStream.read(s, in.toString), watermark = "31 days")
         .writeStream.format("memory").queryName("stream_dd")
