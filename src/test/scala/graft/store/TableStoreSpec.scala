@@ -851,6 +851,69 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.generationDiff("t", 999L, gens.head))
   }
 
+  test("compactClustered folds append generations back into disjoint sorted files") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, Files.createTempDirectory("graft-cclu").toString,
+      CommitMode.Pointer, keepGenerations = 2)
+    store.atomicOverwriteClustered("t",
+      spark.range(0L, 800L).selectExpr("id AS k", "id * 2 AS v"), Seq("k"), 4)
+    // three ingest batches: each append publishes its own generation whose
+    // files sit OUTSIDE the clustered layout
+    for (b <- 0 until 3)
+      store.append("t", spark.range(800L + b * 100, 800L + b * 100 + 100)
+        .selectExpr("id AS k", "id * 2 AS v"))
+    val before = store.read("t")
+    val beforeRows = before.orderBy("k").as[(Long, Long)].collect().toSeq
+    val beforeFiles = before.inputFiles.length
+    assert(beforeFiles > 4, s"appends must add files: $beforeFiles")
+    store.compactClustered("t", Seq("k"), numFiles = 4)
+    val after = store.read("t")
+    // 1. multiset unchanged
+    assert(after.orderBy("k").as[(Long, Long)].collect().toSeq == beforeRows)
+    // 2. file count restored to the layout target
+    assert(after.inputFiles.length == 4, s"expected 4 files, got ${after.inputFiles.length}")
+    // 3. the rewritten files carry DISJOINT k ranges (the probe-skip
+    //    contract plain compact's hash repartition would destroy)
+    val ranges = after.inputFiles.toSeq.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), new org.apache.hadoop.conf.Configuration()))
+      try {
+        val blocks = r.getFooter.getBlocks
+        val idx = r.getFooter.getFileMetaData.getSchema.getFieldIndex("k")
+        val stats = (0 until blocks.size()).map(i => blocks.get(i).getColumns.get(idx).getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+          stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+      } finally r.close()
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"post-compaction ranges overlap: $a vs $b")
+      case _ => ()
+    }
+    // 4. a key predicate still answers exactly
+    assert(store.read("t").filter(col("k") === 1050L).count() == 1)
+  }
+
+  test("breaking a stale lock heals the table AND commits the breaking append in one call") {
+    // pointer-mode append writes its gen dir BEFORE taking the lock; the
+    // stale-break recovery must not sweep that in-flight dir (grace = TTL,
+    // not 0) — regression pin for the ScaleSmoke-found defect
+    val root = Files.createTempDirectory("graft-ttl").toString
+    val store = new TableStore(spark, root, CommitMode.Pointer,
+      lockTtlMs = 60000L, appendLockWaitMs = 0L)
+    store.atomicOverwrite("t", spark.range(100L).toDF("id"))
+    // a "crashed writer's" lock, backdated beyond the TTL (no sleeping)
+    val lock = java.nio.file.Paths.get(s"$root/t.lock")
+    java.nio.file.Files.writeString(lock, "crashed")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 120000L))
+    store.append("t", spark.range(100L, 200L).toDF("id")) // one call: break + heal + commit
+    assert(store.read("t").count() == 200L, "the healing append must commit its own rows")
+    assert(!java.nio.file.Files.exists(lock) ||
+      java.nio.file.Files.readString(lock) != "crashed", "stale lock must be replaced")
+  }
+
   test("generationDiff tolerates nullability-only schema differences between generations") {
     // append's drift guard PERMITS nullability-only drift (stripNullability),
     // so two healthy generations can disagree on array containsNull / field
