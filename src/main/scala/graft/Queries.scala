@@ -780,6 +780,14 @@ object Queries {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    // cross-corpus novelty: fraction of each doc's distinct trigrams unseen
+    // in the reference slice (every tenth doc) — the data-mixing signal;
+    // NULL-text docs pre-filtered (no grams to score)
+    "text_novelty" -> ((s, d) => {
+      val nn = docs(s, d).filter(col("text").isNotNull)
+      TextAnalysis.noveltyScores(nn, nn.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+    }),
     // sliding context windows (40-token chunks every 30): fan-out explode,
     // no shuffle — the RAG/embedding chunker over the whole corpus
     "text_chunk_windows" -> ((s, d) =>
@@ -824,6 +832,10 @@ object Queries {
     // corpus-assembly primitive (bucket-prefix plan, no global-order window)
     "sampling_budget_select" -> ((s, d) =>
       Sampling.budgetSelect(docs(s, d), "doc_id", "n_chars", 60000L)),
+    // temperature-flattened language mixing (α = 0.5 → sqrt weights, the
+    // IEEE-correctly-rounded point, so the oracle derives identical rates)
+    "sampling_temperature" -> ((s, d) =>
+      Sampling.temperatureSample(docs(s, d), "lang", "doc_id", alpha = 0.5, budget = 150L)),
     // per-group quantile gate: keep docs at or above their language's median
     // length — the "top half by quality, per language" selection rule; one
     // grouped pass for thresholds, broadcast back over the corpus
@@ -937,6 +949,18 @@ object Queries {
       Dedup.decontaminate(doc.filter(col("doc_id") >= 10), doc.filter(col("doc_id") < 10),
         "doc_id", "text", n = 3, minOverlap = 2)
     }),
+    // membership decontamination at blocklist scale: Bloom prefilter (built
+    // from Spark's own runtime-filter expressions) + exact confirm join —
+    // every seventh doc's content fingerprint is the blocklist, result is
+    // exactly the NOT-IN-by-fingerprint corpus (left-anti null semantics)
+    "dedup_decontaminate_bloom" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.decontaminateExactBloom(doc, doc.filter(col("doc_id") % 7 === 2), "text")
+    }),
+    // substring-level dedup (Lee et al. 2022 shape): merged per-doc token
+    // intervals covered by any 8-gram occurring in >= 2 distinct docs
+    "dedup_span_exact" -> ((s, d) =>
+      Dedup.duplicateSpans(docs(s, d), "doc_id", "text", n = 8)),
     // dup clusters: transitive closure over the exact Jaccard pairs, each
     // cluster labeled by its minimum doc id (the canonical keeper)
     "dedup_clusters" -> ((s, d) =>
@@ -1860,6 +1884,18 @@ object Queries {
          |  FROM documents
          | WHERE CAST(${duckIdHash("doc_id")} % 1000000 AS DOUBLE)
          |       < least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0), 1) * 1000000""".stripMargin,
+    // α = 0.5 temperature mixing: sqrt is IEEE-correctly-rounded, so both
+    // engines derive bit-identical per-language rates; the arithmetic shape
+    // (budget·w)/(sw·n) mirrors the Spark expression exactly
+    "sampling_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |sm AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS sw FROM c),
+         |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+         |               (150.0 * sqrt(CAST(n AS DOUBLE))) / (sw * CAST(n AS DOUBLE))) AS rate
+         |        FROM c, sm)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |  FROM documents d JOIN r USING (lang)
+         | WHERE CAST(${duckIdHash("doc_id")} % 1000000 AS DOUBLE) < rate * 1000000""".stripMargin,
     "sampling_stratified_quotas" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM (
          |  SELECT d.*, q.quota, row_number() OVER (PARTITION BY d.lang
@@ -1897,6 +1933,26 @@ object Queries {
         |SELECT doc_id, len(gr) AS n_grams, len(list_distinct(gr)) AS n_distinct_grams,
         |       1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr) AS dup_gram_ratio
         |  FROM g""".stripMargin,
+    // distinct-trigram novelty vs the doc_id%10=0 reference slice; string
+    // grams here ≡ Spark's hashed grams modulo 64-bit collisions
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id,
+        |             CASE WHEN len(tk) >= 3
+        |                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+        |                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |                  ELSE [array_to_string(tk, ' ')] END AS sh
+        |        FROM t),
+        |ref AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 0),
+        |ds AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |seen AS (SELECT ds.doc_id, count(*) AS ns FROM ds JOIN ref USING (g)
+        |          GROUP BY ds.doc_id)
+        |SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(seen.ns, 0) AS BIGINT) AS n_seen,
+        |       CAST(len(sh) - coalesce(seen.ns, 0) AS DOUBLE)
+        |         / CAST(len(sh) AS DOUBLE) AS novelty
+        |  FROM s LEFT JOIN seen ON s.doc_id = seen.doc_id""".stripMargin,
     "text_chunk_windows" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
         |c AS (SELECT doc_id, tk, len(tk) AS n,
@@ -2036,6 +2092,35 @@ object Queries {
          |SELECT d.* FROM documents d
          | WHERE d.doc_id >= 10
          |   AND d.doc_id NOT IN (SELECT doc_id FROM hits WHERE h >= 2)""".stripMargin,
+    // exact NOT-IN by content fingerprint (left-anti null semantics: NULL
+    // fingerprints kept, blocklist NULLs ignored) — the bloom prefilter is
+    // an implementation detail the result must be invisible to
+    "dedup_decontaminate_bloom" ->
+      """WITH fp AS (SELECT doc_id,
+        |              md5(array_to_string(list_sort(list_distinct(
+        |                regexp_split_to_array(text, '\s+'))), ' ')) AS f
+        |              FROM documents),
+        |bl AS (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 2 AND f IS NOT NULL)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |  FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+        | WHERE fp.f IS NULL OR fp.f NOT IN (SELECT f FROM bl)""".stripMargin,
+    // duplicated 8-gram spans, merged per doc (gaps-and-islands); DuckDB
+    // compares gram STRINGS where Spark compares gram hashes — identical
+    // modulo 64-bit collisions, the shingle-family contract
+    "dedup_span_exact" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+        |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t WHERE len(tk) >= 8),
+        |g AS (SELECT doc_id, i, array_to_string(tk[i:i+7], chr(1)) AS gram FROM p),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+        |x AS (SELECT doc_id, i, max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM m),
+        |y AS (SELECT doc_id, i, CASE WHEN pe IS NULL OR i > pe + 1 THEN 1 ELSE 0 END AS brk FROM x),
+        |z AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl FROM y)
+        |SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start,
+        |       CAST(max(i) + 6 AS BIGINT) AS span_end,
+        |       CAST(max(i) - min(i) + 8 AS BIGINT) AS span_tokens
+        |  FROM z GROUP BY doc_id, isl""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" ->

@@ -736,4 +736,132 @@ object Dedup {
     docs.join(graft.ops.Ops.hintIfSmall(members.select(col(idCol))), Seq(idCol), "left_anti")
       .unionByName(winners)
   }
+
+  /**
+   * Exact anti-join with a Bloom prefilter — the decontamination shape for a
+   * blocklist too large to broadcast: `big NOT IN keys` where `big` is the
+   * 100 TB side. A plain `left_anti` join shuffles the ENTIRE big side on
+   * the key; here the blocklist is aggregated once into a Bloom filter
+   * (mergeable per-partition partials — the blocklist never funnels through
+   * one task; only the final ~MB filter bytes reach the driver, a bounded
+   * metadata collect), the filter is shipped as a literal into a codegen'd
+   * scan-side probe, and only rows the filter flags (true matches + ~fpp
+   * false positives) enter the exact confirm join. Result is EXACT
+   * (`might_contain` has no false negatives, the confirm join removes the
+   * false positives): ≡ `big.join(keys, key, "left_anti")` row for row.
+   *
+   * NULL semantics are the left-anti ones, not SQL NOT-IN: a NULL key on
+   * the big side matches nothing and is KEPT (`xxhash64(NULL)` yields the
+   * seed, so such rows may take the suspect branch — the confirm join then
+   * keeps them); NULL blocklist keys are dropped before the build.
+   *
+   * The big side is referenced by two branch filters — over a parquet scan
+   * that is two cheap scans of the SAME pruned columns (the second discards
+   * ~everything scan-side with zero shuffle); a caller with an expensive
+   * derived `big` should persist it first.
+   */
+  def bloomAntiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
+      expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.graftx.BloomFunctions._
+    val k = keys.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val n = if (expectedItems > 0) expectedItems else k.count()
+    if (n == 0) return big // empty blocklist: nothing can match
+    val filterBytes = k.agg(bloom_filter_agg(xxhash64(col(keyCol)), n))
+      .head().getAs[Array[Byte]](0)
+    val might = bloom_might_contain(filterBytes, xxhash64(col(keyCol)))
+    val clean = big.filter(!might)
+    val suspects = big.filter(might)
+    clean.unionByName(suspects.join(k, Seq(keyCol), "left_anti"))
+  }
+
+  /**
+   * Fingerprint-keyed decontamination via [[bloomAntiJoin]]: drop every
+   * corpus document whose [[contentFingerprint]] appears in the blocklist —
+   * exact-duplicate (token-set) contamination, the membership complement to
+   * the shingle-overlap [[decontaminate]]. The corpus never shuffles its
+   * text; blocklist fingerprints build the filter distributed-side. NULL
+   * text ⇒ NULL fingerprint ⇒ kept (nothing to match on), per the
+   * [[bloomAntiJoin]] null contract.
+   */
+  def decontaminateExactBloom(docs: DataFrame, blocklist: DataFrame,
+      textCol: String): DataFrame = {
+    val taken = docs.columns.toSet
+    val fp = Iterator.from(0).map(i => s"__fp$i").find(!taken(_)).get
+    bloomAntiJoin(
+      docs.withColumn(fp, contentFingerprint(col(textCol))),
+      blocklist.select(contentFingerprint(col(textCol)).as(fp)), fp).drop(fp)
+  }
+
+  /**
+   * Exact duplicate-SPAN detection — substring-level dedup in the style of
+   * "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+   * ACL 2022; the reference's dedup surface stops at whole-row/near-dup,
+   * this is the finer-grained member of the family): find every token span
+   * of length ≥ `n` that occurs in MORE THAN ONE document, and return the
+   * per-document maximal duplicated regions as merged `[span_start,
+   * span_end]` token intervals (0-based, inclusive).
+   *
+   * Plan shape (all shuffles on gram hash / doc id — no pair join ever
+   * forms, unlike similarity dedup; spans need only "does this gram occur
+   * elsewhere", a groupBy):
+   *   1. per-doc token-hash arrays → positional `n`-gram hashes (same
+   *      hashing contract as [[hashedShingleSets]]: gram = xxhash64 of its
+   *      n token xxhash64s, exact modulo 64-bit collisions — the array is
+   *      materialized BEFORE the positional explode so Generate cannot
+   *      re-run the gram subtree per element);
+   *   2. grams held by ≥ 2 distinct docs (one grouped count-distinct);
+   *   3. semi-join marks duplicated start positions;
+   *   4. classic gaps-and-islands per doc merges overlapping/adjacent
+   *      `[pos, pos+n−1]` intervals (window over the doc's positions —
+   *      per-document state, the natural partition at corpus scale).
+   *
+   * Documents shorter than `n` tokens have no spans (cross-doc WHOLE-doc
+   * duplication is [[exact]]/[[contentFingerprint]]'s job). Returns
+   * `(idCol, span_start, span_end, span_tokens)`.
+   */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"span gram length must be >= 2: $n")
+    val th = col("th")
+    val gramArrays = persistTracked(docs
+      .select(col(idCol), transform(TextAnalysis.tokens(col(textCol)), tok => xxhash64(tok)).as("th"))
+      .filter(size(th) >= n)
+      .select(col(idCol), transform(sequence(lit(0), size(th) - n),
+        i => xxhash64((1 to n).map(k => element_at(th, i + lit(k))): _*)).as("gs")))
+    val pos = gramArrays.select(col(idCol), posexplode(col("gs")).as(Seq("pos", "g")))
+    val dupG = pos.groupBy("g").agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val marked = pos.join(dupG, Seq("g"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__brk", when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col(idCol), col("span_start").cast("long"), col("span_end").cast("long"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+  }
+
+  /**
+   * Apply [[duplicateSpans]] output: rewrite each document's text with the
+   * duplicated-span tokens removed (whitespace-retokenized — the same token
+   * definition the spans were computed over). Documents with no spans pass
+   * through unchanged. The span list joins per doc id (hint-if-small: span
+   * tables are usually far smaller than the corpus) and the token filter is
+   * a per-row map — no extra shuffle beyond the join.
+   */
+  def stripDuplicateSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String, outCol: String = "clean_text"): DataFrame = {
+    val sp = graft.ops.Ops.hintIfSmall(spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sps")))
+    docs.join(sp, Seq(idCol), "left_outer")
+      .withColumn(outCol, when(col("__sps").isNull, col(textCol)).otherwise(
+        concat_ws(" ", filter(TextAnalysis.tokens(col(textCol)), (tok, i) =>
+          !exists(col("__sps"), b =>
+            i >= b("span_start") && i <= b("span_end"))))))
+      .drop("__sps")
+  }
 }

@@ -221,4 +221,47 @@ object Sampling {
       .filter(col(scoreCol) >= col(thr))
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  /**
+   * Temperature-based mixture sampling — the multilingual/multi-domain
+   * re-balancing rule from the XLM/mT5 line of work: sample domain `d` with
+   * probability `p_d ∝ n_d^α`, flattening the natural distribution so
+   * low-resource domains are up-weighted relative to their share (α = 1
+   * keeps natural proportions, α → 0 approaches uniform). Given a total row
+   * `budget`, each domain's keep rate is
+   * `min(1, budget · p_d / n_d)` — rates > 1 clamp (a tiny domain can't
+   * supply more than itself; the realized total then lands slightly under
+   * budget, the standard behavior).
+   *
+   * Selection is the deterministic [[idHash]] permille-style filter, so the
+   * sample is reproducible, engine-portable, and composable like every
+   * operator here. Plan: one grouped count (domain cardinality — languages/
+   * sources — so the counts frame is tiny), the normalizer as a one-row
+   * broadcast, then a pure per-row filter: the corpus itself never
+   * shuffles.
+   *
+   * α = 0.5 (the common temperature √-flatten) is computed via `sqrt` —
+   * correctly rounded per IEEE-754, so any engine derives bit-identical
+   * rates; other α use `pow` (documented ≤ 1 ulp, which an oracle on
+   * another libm may round differently at the keep boundary — immaterial
+   * for sampling, but the gate pins α = 0.5 for exactness).
+   */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of range (0,1]: $alpha")
+    require(budget > 0, s"budget must be positive: $budget")
+    val nD = col("__n").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val rate = freshCol(df, "__rate")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wExpr)
+    val norm = counts.agg(sum(col("__w")).as("__s"))
+    val rates = counts.crossJoin(broadcast(norm))
+      .select(col(domainCol),
+        least(lit(1.0), (lit(budget.toDouble) * col("__w")) / (col("__s") * nD))
+          .as(rate))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter((idHash(col(idCol)) % 1000000L).cast("double") < col(rate) * 1000000.0)
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
 }

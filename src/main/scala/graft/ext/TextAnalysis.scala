@@ -229,4 +229,43 @@ object TextAnalysis {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
+
+  /**
+   * Cross-corpus n-gram NOVELTY score — the data-mixing signal "how much of
+   * this document has the reference corpus already seen": per document, the
+   * fraction of its distinct token `n`-grams absent from the reference's
+   * gram set. High novelty ⇒ new content worth keeping; near-zero ⇒
+   * boilerplate / already-covered text (the soft complement to
+   * [[graft.ext.Dedup.decontaminate]]'s hard drop).
+   *
+   * Plan: both sides shingle via [[graft.ext.Dedup.hashedShingleSets]]
+   * (8-byte gram hashes — exact modulo 64-bit collisions, the family-wide
+   * contract), the reference reduces to its DISTINCT grams, and the corpus
+   * explodes its grams once for a semi-join + per-doc count. Everything
+   * shuffles on gram hash / doc id — at 100 TB the reference gram set is a
+   * plain shuffle join side (broadcast when it fits; AQE decides), never a
+   * driver structure. Documents shorter than `n` tokens score their single
+   * whole-doc shingle, matching the shingle contract. NULL text hashes to a
+   * sentinel shingle, so pre-filter NULLs when they shouldn't score.
+   *
+   * Returns `(idCol, n_grams, n_seen, novelty)` with
+   * `novelty = (n_grams − n_seen) / n_grams` (exact IEEE division — the
+   * oracle computes the identical double).
+   */
+  def noveltyScores(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    // both shingle frames materialized BEFORE explode — Generate re-evaluates
+    // its child per emitted element (the decontaminate/IVF deferred-eval trap)
+    val refG = Caches.track(Dedup.hashedShingleSets(reference, idCol, textCol, n))
+      .select(explode(col("hs")).as("g")).distinct()
+    val docSh = Caches.track(Dedup.hashedShingleSets(docs, idCol, textCol, n))
+    val seen = docSh.select(col(idCol), explode(col("hs")).as("g"))
+      .join(refG, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    docSh.select(col(idCol), col("sz").cast("long").as("n_grams"))
+      .join(seen, Seq(idCol), "left_outer")
+      .na.fill(0L, Seq("n_seen"))
+      .withColumn("novelty",
+        (col("n_grams") - col("n_seen")).cast("double") / col("n_grams").cast("double"))
+  }
 }

@@ -347,4 +347,64 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val got = Dedup.bucketPairs(keyed, "k", "id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("duplicateSpans: islands merge, disjoint spans stay split, within-doc repeats don't mark") {
+    val corpus = Seq(
+      (1L, "a b c d M N e f g h"), // shares "a b c d" with 2 and "e f g h" with 3
+      (2L, "x y a b c d z q"),
+      (3L, "e f g h u v w"),
+      (4L, "p q"),                 // < n tokens: no spans possible
+      (5L, "m m m m"))             // repeated gram but only within ONE doc
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: marked starts {0,1} -> [0,3], then {6,7} -> [6,9]; 6 > 3+1 so
+    // the two regions stay separate islands
+    assert(got == Set(
+      (1L, 0L, 3L, 4L), (1L, 6L, 9L, 4L),
+      (2L, 2L, 5L, 4L),
+      (3L, 0L, 3L, 4L)))
+  }
+
+  test("duplicateSpans merges overlapping and adjacent gram intervals into one span") {
+    // docs share tokens 0..5 -> starts {0,1,2,3} with n=3: every interval
+    // overlaps the next, one island [0,5]
+    val corpus = Seq((1L, "a b c d e f Q"), (2L, "a b c d e f R")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 5L, 6L), (2L, 0L, 5L, 6L)))
+  }
+
+  test("stripDuplicateSpans removes exactly the span tokens; spanless docs pass through") {
+    val corpus = Seq(
+      (1L, "a b c d M N e f g h"),
+      (2L, "x y a b c d z q"),
+      (4L, "p q")).toDF("doc_id", "text")
+    val spans = Seq((1L, 0L, 3L, 4L), (1L, 6L, 9L, 4L), (2L, 2L, 5L, 4L))
+      .toDF("doc_id", "span_start", "span_end", "span_tokens")
+    val got = Dedup.stripDuplicateSpans(corpus, spans, "doc_id", "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "M N", 2L -> "x y z q", 4L -> "p q"))
+  }
+
+  test("bloomAntiJoin is row-identical to a plain left_anti join") {
+    val big = spark.range(0, 5000).select(col("id"),
+      concat(lit("k"), (col("id") % 700).cast("string")).as("key"))
+    val keys = spark.range(0, 5000, 9).select(
+      concat(lit("k"), (col("id") % 700).cast("string")).as("key"))
+    val expect = big.join(keys.distinct(), Seq("key"), "left_anti")
+      .select("id", "key").as[(Long, String)].collect().toSet
+    val got = Dedup.bloomAntiJoin(big, keys, "key")
+      .select("id", "key").as[(Long, String)].collect().toSet
+    assert(got == expect && got.nonEmpty && got.size < 5000)
+  }
+
+  test("bloomAntiJoin: empty blocklist is identity; NULL keys are kept (left-anti semantics)") {
+    val big = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c")).toDF("id", "key")
+    val none = Seq.empty[String].toDF("key")
+    assert(Dedup.bloomAntiJoin(big, none, "key").count() == 3)
+    val bl = Seq("a", null.asInstanceOf[String]).toDF("key")
+    val got = Dedup.bloomAntiJoin(big, bl, "key").select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L)) // "a" dropped; NULL-key row kept; blocklist NULL ignored
+  }
 }

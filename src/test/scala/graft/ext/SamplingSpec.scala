@@ -172,4 +172,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(windows.map(_.partitionSpec.size).sorted == Seq(1, 2), s"plan:\n$lp")
     assert(lp.toString.contains("SPARK_PARTITION_ID"), s"plan:\n$lp")
   }
+
+  test("temperatureSample: α=1 reduces to one uniform budget/N rate across domains") {
+    // p_d ∝ n_d at α=1 ⇒ rate_d = budget·(n_d/N)/n_d = budget/N for every d,
+    // so the selection must equal the plain global hash-fraction at that rate
+    val got = Sampling.temperatureSample(docs, "lang", "doc_id", alpha = 1.0, budget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    val n = docs.count()
+    val expect = docs
+      .filter((Sampling.idHash(col("doc_id")) % 1000000L).cast("double")
+        < lit(100.0 / n) * 1000000.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("temperatureSample: α=0.5 up-weights low-resource domains; big budget keeps all") {
+    val df = (0 until 900).map(i => (i.toLong, if (i < 800) "big" else "small"))
+      .toDF("id", "dom")
+    val kept = Sampling.temperatureSample(df, "dom", "id", alpha = 0.5, budget = 300L)
+    val byDom = kept.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // keep RATE must be strictly higher for the small domain (flattening)
+    val rBig = byDom.getOrElse("big", 0L).toDouble / 800
+    val rSmall = byDom.getOrElse("small", 0L).toDouble / 100
+    assert(rSmall > rBig, s"small=$rSmall big=$rBig")
+    // a budget >= N clamps every rate at 1.0: everything survives
+    assert(Sampling.temperatureSample(df, "dom", "id", 0.5, 10000L).count() == 900)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureSample(df, "dom", "id", alpha = 0.0, budget = 10L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureSample(df, "dom", "id", alpha = 0.5, budget = 0L))
+  }
 }

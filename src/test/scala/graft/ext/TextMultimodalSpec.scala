@@ -260,4 +260,19 @@ class TextMultimodalSpec extends AnyFunSuite {
       && sql.contains("DATE '2024-01-05'"))
     assertThrows[NoSuchElementException](reg.sqlFor("nope", java.time.LocalDate.now(), java.time.LocalDate.now()))
   }
+
+  test("noveltyScores: 0 for covered text, 1 for unseen, exact fraction in between") {
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams {abc,bcd,cde}
+    val corpus = Seq(
+      (1L, "a b c d e"),     // all 3 grams seen -> novelty 0
+      (2L, "p q r s"),       // grams {pqr,qrs}, none seen -> novelty 1
+      (3L, "a b c p q r"),   // grams {abc,bcp,cpq,pqr}: 1 of 4 seen -> 0.75
+      (4L, "a b"))           // short doc: single whole-doc shingle, unseen -> 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(corpus, ref, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 3L, 0.0), (2L, 2L, 0L, 1.0), (3L, 4L, 1L, 0.75), (4L, 1L, 0L, 1.0)))
+    Dedup.unpersistAll()
+  }
 }
