@@ -419,6 +419,9 @@ object Queries {
         graft.store.CommitMode.Pointer, keepGenerations = 3)
       val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), trunc(col("o_orderdate"), "month").as("o_month"))
+      // bounded driver collect: distinct months of the fixture's ~7-year
+      // order span (≤ ~84 rows of metadata — the partition list the
+      // overwrite call needs, not data)
       val months = ord.select("o_month").distinct().collect()
         .map(_.getDate(0).toLocalDate).sortBy(_.toString).toSeq
       store.overwriteDatePartitions("ord_pd", ord, "o_month", months)
@@ -961,6 +964,15 @@ object Queries {
     // intervals covered by any 8-gram occurring in >= 2 distinct docs
     "dedup_span_exact" -> ((s, d) =>
       Dedup.duplicateSpans(docs(s, d), "doc_id", "text", n = 8)),
+    // the span APPLICATION: duplicated-span tokens removed (docs with spans
+    // are whitespace-retokenized and rejoined; spanless docs — including
+    // NULL text — pass through byte-identical)
+    "dedup_span_strip" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.stripDuplicateSpans(doc,
+        Dedup.duplicateSpans(doc, "doc_id", "text", n = 8), "doc_id", "text")
+        .select("doc_id", "clean_text")
+    }),
     // dup clusters: transitive closure over the exact Jaccard pairs, each
     // cluster labeled by its minimum doc id (the canonical keeper)
     "dedup_clusters" -> ((s, d) =>
@@ -1321,6 +1333,24 @@ object Queries {
       |                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
       |                  ELSE [array_to_string(tk, ' ')] END AS sh
       |        FROM t)""".stripMargin
+
+  /** Shared CTE chain for the duplicate-SPAN oracles: positional 8-gram
+    * strings → grams in ≥ 2 distinct docs → marked 1-based start positions →
+    * gaps-and-islands → per-island spans `sp(doc_id, s, e)` in the Spark
+    * output's 0-based inclusive coordinates. DuckDB compares gram STRINGS
+    * where Spark compares gram hashes — identical modulo 64-bit collisions,
+    * the shingle-family contract. */
+  private val spanIslandCtes =
+    """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+      |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t WHERE len(tk) >= 8),
+      |g AS (SELECT doc_id, i, array_to_string(tk[i:i+7], chr(1)) AS gram FROM p),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+      |x AS (SELECT doc_id, i, max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM m),
+      |y AS (SELECT doc_id, i, CASE WHEN pe IS NULL OR i > pe + 1 THEN 1 ELSE 0 END AS brk FROM x),
+      |z AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl FROM y),
+      |sp AS (SELECT doc_id, min(i) - 1 AS s, max(i) + 6 AS e FROM z GROUP BY doc_id, isl)""".stripMargin
 
   /** Tokenized-documents CTE (`t`) — same definition `trigramCte` opens with,
     * split out so oracles that already carry the trigram CTEs can append
@@ -2104,23 +2134,30 @@ object Queries {
         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
         |  FROM documents d JOIN fp ON d.doc_id = fp.doc_id
         | WHERE fp.f IS NULL OR fp.f NOT IN (SELECT f FROM bl)""".stripMargin,
-    // duplicated 8-gram spans, merged per doc (gaps-and-islands); DuckDB
-    // compares gram STRINGS where Spark compares gram hashes — identical
-    // modulo 64-bit collisions, the shingle-family contract
+    // duplicated 8-gram spans, merged per doc (gaps-and-islands)
     "dedup_span_exact" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
-        |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM t WHERE len(tk) >= 8),
-        |g AS (SELECT doc_id, i, array_to_string(tk[i:i+7], chr(1)) AS gram FROM p),
-        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |m AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
-        |x AS (SELECT doc_id, i, max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM m),
-        |y AS (SELECT doc_id, i, CASE WHEN pe IS NULL OR i > pe + 1 THEN 1 ELSE 0 END AS brk FROM x),
-        |z AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl FROM y)
-        |SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start,
-        |       CAST(max(i) + 6 AS BIGINT) AS span_end,
-        |       CAST(max(i) - min(i) + 8 AS BIGINT) AS span_tokens
-        |  FROM z GROUP BY doc_id, isl""".stripMargin,
+      s"""$spanIslandCtes
+         |SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end,
+         |       CAST(e - s + 1 AS BIGINT) AS span_tokens
+         |  FROM sp""".stripMargin,
+    // span application: for docs WITH spans, tokens at covered indexes
+    // removed and survivors rejoined on single spaces; spanless docs pass
+    // through byte-identical (Spark keeps their ORIGINAL text, so the
+    // oracle must not retokenize them)
+    "dedup_span_strip" ->
+      s"""$spanIslandCtes,
+         |tok AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i
+         |          FROM t WHERE doc_id IN (SELECT doc_id FROM sp)),
+         |cov AS (SELECT doc_id, unnest(range(s + 1, e + 2)) AS i FROM sp),
+         |keep AS (SELECT tok.doc_id, tok.w, tok.i FROM tok
+         |          WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                             WHERE cov.doc_id = tok.doc_id AND cov.i = tok.i)),
+         |clean AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS ct
+         |            FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN d.doc_id IN (SELECT doc_id FROM sp)
+         |            THEN coalesce(c.ct, '') ELSE d.text END AS clean_text
+         |  FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" ->

@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 
 /**
  * Scale smoke — NOT part of the driver contract: replicates the sf0.1
- * fixtures 10–20× into /tmp (12 M lineitem rows, 1 M events, 20 k docs and
- * vectors with exact-duplicate groups) and drives the headline operators at
- * that size on local[32]. The point is evidence for the 100 TB design
- * claims: shuffle-based plans that survive a data-size jump with sublinear
- * wall-clock growth, no driver-side collections, no OOM. Replicated docs/
- * vectors are IDENTICAL within a group, which stresses the dedup family
- * with ~2 000 ten-member duplicate clusters.
+ * fixtures 10–20× into /tmp (12 M lineitem rows, 1 M events, 50 k docs and
+ * 20 k vectors with exact-duplicate groups) and drives the headline
+ * operators at that size on local[32]. The point is evidence for the 100 TB
+ * design claims: shuffle-based plans that survive a data-size jump with
+ * sublinear wall-clock growth, no driver-side collections, no OOM.
+ * Replicated docs/vectors are IDENTICAL within a group, which stresses the
+ * dedup family with ~5 000 ten-member duplicate clusters.
  *
  * Usage: `runMain graft.ScaleSmoke` (writes/reads under /tmp/graft_scale).
  */
@@ -56,7 +56,7 @@ object ScaleSmoke {
     // it every downstream doc/vector operator would run its scan-side work
     // in ONE task and the smoke would measure serial execution, not the plan
     val docs = io.Tables.load(spark, base, "documents")
-    time("build documents x10 (20k)") {
+    time("build documents x10 (50k)") {
       docs.crossJoin(spark.range(10).toDF("rep"))
         .withColumn("doc_id", col("doc_id") * 10 + col("rep")).drop("rep")
         .repartition(16)
@@ -230,48 +230,95 @@ object ScaleSmoke {
       consume(graft.ext.TimeSeries.dailyGridFill(daily, "user_id", "day", Seq("total_value")))
     }
 
-    // ---- dedup family at 20k docs with 10-member duplicate groups ----
-    time("exact dedup 20k docs") {
+    // ---- dedup family at 50k docs with 10-member duplicate groups ----
+    time("exact dedup 50k docs") {
       consume(graft.ext.Dedup.exact(bigDocs, Seq("text"), "doc_id"))
     }
     // quadratic-per-(block × band) by contract: lang blocking × the
     // operator's INTERNAL width-64 length banding (adjacent-bucket probe, no
-    // boundary blindness) keeps candidate groups small at 20k docs — the
+    // boundary blindness) keeps candidate groups small at 50k docs — the
     // selectivity discipline any edit-distance pass needs; replicated dup
     // groups guarantee hits
-    time("edit-distance pairs 20k docs, lang blocks + length bands") {
+    time("edit-distance pairs 50k docs, lang blocks + length bands") {
       consume(graft.ext.Dedup.editDistancePairs(
         bigDocs, "doc_id", "text", Seq("lang"), maxDist = 5, prefixLen = 40))
     }
-    val lsh = time("minhash-LSH pairs 20k docs") {
+    val lsh = time("minhash-LSH pairs 50k docs") {
       val n = graft.ext.Dedup.minhashLshPairs(bigDocs, "doc_id", "text", 3, 64, 16, 0.8).count()
       graft.ext.Dedup.unpersistAll(); n
     }
     // persisted LSH ingest index: archive shingled + bucketed ONCE, then
     // each batch probe pays only its own shingling + the bucket join
     val lshStore = new graft.store.TableStore(spark, s"$out/lsh_store")
-    time("LSH ingest index BUILD, 16k-doc archive (once)") {
+    time("LSH ingest index BUILD, 40k-doc archive (once)") {
       graft.ext.Dedup.buildLshIndex(lshStore, "archive_lsh",
         bigDocs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       graft.ext.Dedup.unpersistAll()
     }
-    time("LSH ingest probe, 4k-doc batch vs stored archive") {
+    time("LSH ingest probe, 10k-doc batch vs stored archive") {
       val idx = graft.ext.Dedup.loadLshIndex(lshStore, "archive_lsh")
       val n = graft.ext.Dedup.dedupeAgainstLshIndex(lshStore, idx,
         bigDocs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.8).count()
       graft.ext.Dedup.unpersistAll()
       println(s"[scale]   batch survivors after archive dedup: $n")
     }
-    val sh = time("simhash pairs 20k docs") {
+    val sh = time("simhash pairs 50k docs") {
       val n = graft.ext.Dedup.simhashPairs(bigDocs, "doc_id", "text", 3).count()
       graft.ext.Dedup.unpersistAll(); n
     }
-    val cc = time("dup clusters 20k docs") {
+    val cc = time("dup clusters 50k docs") {
       val pairs = graft.ext.Dedup.minhashLshPairs(bigDocs, "doc_id", "text", 3, 64, 16, 0.8)
       val n = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .agg(countDistinct(col("cluster"))).as[Long].head()
       graft.ext.Dedup.unpersistAll(); n
     }
+    // ---- round-15 additions: span dedup / bloom anti-join / novelty ----
+    // the 10x replica corpus makes every >= 8-token doc FULLY duplicated, so
+    // span detection has an exact falsifiable contract: exactly one span per
+    // eligible doc, covering the doc's whole token range
+    time("duplicate spans 50k docs (8-gram)") {
+      val spans = graft.ext.Dedup.duplicateSpans(bigDocs, "doc_id", "text", 8)
+      val nTok = size(graft.ext.TextAnalysis.tokens(col("text")))
+      val bad = spans.join(bigDocs, "doc_id")
+        .filter(col("span_start") =!= 0 || col("span_end") =!= nTok - 1).count()
+      val n = spans.count()
+      val eligible = bigDocs.filter(nTok >= 8).count()
+      require(bad == 0 && n == eligible,
+        s"replicated corpus must whole-doc-span every eligible doc: n=$n eligible=$eligible bad=$bad")
+      graft.ext.Dedup.unpersistAll()
+      println(s"[scale]   spans: $n (all full-doc, as replication demands)")
+    }
+    time("strip duplicate spans 50k docs") {
+      val spans = graft.ext.Dedup.duplicateSpans(bigDocs, "doc_id", "text", 8)
+      consume(graft.ext.Dedup.stripDuplicateSpans(bigDocs, spans, "doc_id", "text"))
+      graft.ext.Dedup.unpersistAll()
+    }
+    // bloom prefilter + confirm join must be row-identical to the plain
+    // anti-join at scale (2% blocklist: the clean branch carries ~98% of
+    // rows with zero shuffle)
+    time("bloom anti-join 50k docs vs ~2% fingerprint blocklist") {
+      val fpd = bigDocs.select(col("doc_id"),
+        graft.ext.Dedup.contentFingerprint(col("text")).as("fp"))
+      val bl = fpd.filter(col("doc_id") % 50 === 0).select("fp")
+      val viaBloom = graft.ext.Dedup.bloomAntiJoin(fpd, bl, "fp").count()
+      val viaAnti = fpd.join(bl.filter(col("fp").isNotNull).distinct(), Seq("fp"), "left_anti").count()
+      require(viaBloom == viaAnti, s"bloom path diverged: $viaBloom vs $viaAnti")
+      println(s"[scale]   survivors: $viaBloom (bloom == anti-join)")
+    }
+    // novelty vs a reference slice that contains a replica of every base
+    // doc: every gram is covered, so max novelty must be exactly 0
+    time("novelty 50k docs vs 10k-doc replica reference") {
+      val nn = bigDocs.filter(col("text").isNotNull)
+      val mx = graft.ext.TextAnalysis.noveltyScores(
+        nn, nn.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3)
+        .agg(max(col("novelty"))).as[Double].head()
+      require(mx == 0.0, s"replica reference must cover every gram: max novelty $mx")
+      graft.ext.Dedup.unpersistAll()
+    }
+    time("temperature sample 1M events by event_type (alpha 0.5)") {
+      consume(graft.ext.Sampling.temperatureSample(bigEv, "event_type", "event_id", 0.5, 100000L))
+    }
+
     // the adversarial CC topology: a 1M-link PATH (diameter = edge count).
     // Min-label propagation would need a million rounds; star contraction
     // must label all nodes with the component min in ~log alternations

@@ -17,9 +17,12 @@ class PlanSweepSpec extends AnyFunSuite {
     *  - text_tfidf: the distinct-doc count N is a single broadcast row
     *    attached to every token group (a scalar, not a table);
     *  - join_salted_skew: the dim side fans out across the tiny salt range
-    *    (rows × 8) before the keyed join — the salting expansion itself. */
+    *    (rows × 8) before the keyed join — the salting expansion itself;
+    *  - sampling_temperature: the weight normalizer Σ n_d^α is a single
+    *    broadcast row attached to the (domain-cardinality-sized) counts
+    *    frame — same scalar shape as text_tfidf's N. */
   private val broadcastAllPairsByDesign =
-    Set("sim_topk", "text_tfidf", "join_salted_skew")
+    Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
