@@ -783,6 +783,12 @@ object Queries {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    // corpus-unigram surprisal (model-free perplexity stand-in); gated at 6
+    // decimals — ln and float-sum order differ by ulps across libms
+    "text_surprisal" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_surprisal"), 6).as("avg_surprisal"))),
     // cross-corpus novelty: fraction of each doc's distinct trigrams unseen
     // in the reference slice (every tenth doc) — the data-mixing signal;
     // NULL-text docs pre-filtered (no grams to score)
@@ -839,6 +845,16 @@ object Queries {
     // IEEE-correctly-rounded point, so the oracle derives identical rates)
     "sampling_temperature" -> ((s, d) =>
       Sampling.temperatureSample(docs(s, d), "lang", "doc_id", alpha = 0.5, budget = 150L)),
+    // leakage-safe splits: near-dup cluster members must land in ONE split
+    // (the split boundary can only fall between clusters)
+    "sampling_split_cluster_safe" -> ((s, d) => {
+      val doc = docs(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.jaccardPairs(doc, "doc_id", "text", 3, 0.8), "doc_a", "doc_b")
+      Sampling.assignSplitsClusterSafe(doc, clusters, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
     // per-group quantile gate: keep docs at or above their language's median
     // length — the "top half by quality, per language" selection rule; one
     // grouped pass for thresholds, broadcast back over the corpus
@@ -1427,7 +1443,10 @@ object Queries {
   /** Duplicate clusters = transitive closure of the near-dup pair graph,
     * labeled with the min reachable doc id (DuckDB recursive CTE ≡ the
     * engine's iterative min-label propagation). */
-  private val dedupClustersSql =
+  /** Recursive transitive-closure CTE chain over the exact Jaccard pairs —
+    * ends at `reach(node, label)`; shared by the clusters gate and the
+    * cluster-safe split gate. */
+  private val clusterCtes =
     s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
@@ -1435,7 +1454,10 @@ object Queries {
        |reach(node, label) AS (
        |  SELECT src AS node, src AS label FROM e
        |  UNION
-       |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node)
+       |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""$clusterCtes
        |SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin
 
   /** The engine's 60-bit portable id hash ([[Sampling.idHash]]) spelled in
@@ -1914,6 +1936,19 @@ object Queries {
          |  FROM documents
          | WHERE CAST(${duckIdHash("doc_id")} % 1000000 AS DOUBLE)
          |       < least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0), 1) * 1000000""".stripMargin,
+    // cluster-safe splits: split key = cluster label (min member id) for
+    // clustered docs, own id for singletons; cumulative-ppm thresholds on
+    // the portable id hash — 0.8/0.1/0.1 → 800000/900000
+    "sampling_split_cluster_safe" ->
+      s"""$clusterCtes,
+         |cl AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+         |k AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS key
+         |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.node),
+         |h AS (SELECT doc_id, ${duckIdHash("key")} % 1000000 AS b FROM k)
+         |SELECT doc_id, CASE WHEN b < 800000 THEN 'train'
+         |                    WHEN b < 900000 THEN 'val'
+         |                    ELSE 'test' END AS split
+         |  FROM h""".stripMargin,
     // α = 0.5 temperature mixing: sqrt is IEEE-correctly-rounded, so both
     // engines derive bit-identical per-language rates; the arithmetic shape
     // (budget·w)/(sw·n) mirrors the Spark expression exactly
@@ -1963,6 +1998,16 @@ object Queries {
         |SELECT doc_id, len(gr) AS n_grams, len(list_distinct(gr)) AS n_distinct_grams,
         |       1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr) AS dup_gram_ratio
         |  FROM g""".stripMargin,
+    // corpus-unigram surprisal: avg ln(N/freq) per doc, rounded to 6
+    "text_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+        |               FROM documents),
+        |f AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+        |n AS (SELECT sum(f) AS n FROM f)
+        |SELECT tok.doc_id, count(*) AS n_tokens,
+        |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
+        |  FROM tok JOIN f USING (w), n
+        | GROUP BY tok.doc_id""".stripMargin,
     // distinct-trigram novelty vs the doc_id%10=0 reference slice; string
     // grams here ≡ Spark's hashed grams modulo 64-bit collisions
     "text_novelty" ->

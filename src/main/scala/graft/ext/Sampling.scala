@@ -81,6 +81,32 @@ object Sampling {
     df.withColumn(splitCol, chained.otherwise(lit(splits.last._1)))
   }
 
+  /**
+   * [[assignSplits]] with the near-dup LEAKAGE GUARD: all members of a
+   * duplicate cluster land in the SAME split. Plain per-id assignment
+   * leaks: two near-identical documents can fall on opposite sides of the
+   * train/test boundary, and the model is then evaluated on (a paraphrase
+   * of) its own training data — the standard contamination failure the
+   * dedup pipeline exists to prevent. Here the split key is the cluster
+   * label (its canonical min-id member) for clustered docs and the doc's
+   * own id for singletons, so the boundary can only fall BETWEEN clusters.
+   *
+   * `clusters` is `(node, cluster)` membership as produced by
+   * [[graft.ext.Dedup.connectedComponents]] over any pair operator.
+   * Membership is usually far smaller than the corpus (hint-if-small
+   * broadcast); the corpus itself never shuffles. NULL ids keep the NULL →
+   * NULL-split contract.
+   */
+  def assignSplitsClusterSafe(df: DataFrame, clusters: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    val key = freshCol(df, "__splitkey")
+    val m = graft.ops.Ops.hintIfSmall(
+      clusters.select(col("node").as(idCol), col("cluster").as(key)))
+    val keyed = df.join(m, Seq(idCol), "left_outer")
+      .withColumn(key, coalesce(col(key), col(idCol)))
+    assignSplits(keyed, key, splits, splitCol).drop(key)
+  }
+
   /** A temp-column name guaranteed absent from `df`'s schema (a fixed
     * `"__rn"` would silently clobber — or collide with — a user column). */
   private def freshCol(df: DataFrame, base: String): String = {

@@ -252,6 +252,37 @@ object TextAnalysis {
    * `novelty = (n_grams − n_seen) / n_grams` (exact IEEE division — the
    * oracle computes the identical double).
    */
+  /**
+   * Corpus-unigram SURPRISAL — the model-free stand-in for the classic
+   * LM-perplexity quality filter: score each document by the average
+   * negative log-probability of its tokens under the corpus's own unigram
+   * distribution, `avg(ln(N / freq(token)))`. Gibberish / rare-script text
+   * scores high (all rare tokens), degenerate boilerplate scores low (all
+   * common tokens); both tails are the usual filter targets.
+   *
+   * Plan: one token-keyed grouped count (the vocabulary), a scalar total
+   * attached as a one-row broadcast (same shape as tfidf's N), a
+   * token-keyed join back, one per-doc aggregation — every shuffle keyed on
+   * token or doc id, nothing driver-side. The corpus scan runs twice
+   * (vocabulary + join side) — both column-pruned to (id, text).
+   *
+   * NULL-text docs have no tokens and are absent from the output (explode
+   * emits nothing), matching the SQL `unnest` convention. Returns
+   * `(idCol, n_tokens, avg_surprisal)`; callers gating against another
+   * engine should round `avg_surprisal` (ln and summation order differ by
+   * ulps across libms).
+   */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    val freq = tok.groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    val total = freq.agg(sum(col("__f")).as("__n"))
+    tok.join(freq, Seq("__w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("__n").cast("double") / col("__f").cast("double"))).as("avg_surprisal"))
+  }
+
   def noveltyScores(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     // both shingle frames materialized BEFORE explode — Generate re-evaluates

@@ -20,9 +20,12 @@ class PlanSweepSpec extends AnyFunSuite {
     *    (rows × 8) before the keyed join — the salting expansion itself;
     *  - sampling_temperature: the weight normalizer Σ n_d^α is a single
     *    broadcast row attached to the (domain-cardinality-sized) counts
-    *    frame — same scalar shape as text_tfidf's N. */
+    *    frame — same scalar shape as text_tfidf's N;
+    *  - text_surprisal: the corpus token total N is the same one-row
+    *    broadcast scalar. */
   private val broadcastAllPairsByDesign =
-    Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature")
+    Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature",
+      "text_surprisal")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

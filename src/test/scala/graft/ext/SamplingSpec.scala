@@ -173,6 +173,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(lp.toString.contains("SPARK_PARTITION_ID"), s"plan:\n$lp")
   }
 
+  test("assignSplitsClusterSafe: cluster members share one split, singletons keep per-id labels") {
+    // find two ids whose PER-ID splits differ, then cluster them together:
+    // the guard must collapse them onto the cluster label's split
+    val ids = (0L until 200L)
+    val df = ids.toDF("doc_id")
+    val plain = Sampling.assignSplits(df, "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+      .as[(Long, String)].collect().toMap
+    val (a, b) = ids.flatMap(i => ids.map(j => (i, j)))
+      .find { case (i, j) => i < j && plain(i) != plain(j) }.get
+    val clusters = Seq((a, a), (b, a)).toDF("node", "cluster") // b joins a's cluster
+    val safe = Sampling.assignSplitsClusterSafe(df, clusters, "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2)).as[(Long, String)].collect().toMap
+    assert(safe(a) == plain(a) && safe(b) == plain(a),
+      s"cluster ($a,$b) must share $a's split: ${safe(a)}/${safe(b)} vs plain ${plain(a)}/${plain(b)}")
+    // every unclustered id keeps its per-id assignment
+    assert(ids.filter(i => i != a && i != b).forall(i => safe(i) == plain(i)))
+  }
+
   test("temperatureSample: α=1 reduces to one uniform budget/N rate across domains") {
     // p_d ∝ n_d at α=1 ⇒ rate_d = budget·(n_d/N)/n_d = budget/N for every d,
     // so the selection must equal the plain global hash-fraction at that rate

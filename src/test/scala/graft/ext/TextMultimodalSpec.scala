@@ -261,6 +261,19 @@ class TextMultimodalSpec extends AnyFunSuite {
     assertThrows[NoSuchElementException](reg.sqlFor("nope", java.time.LocalDate.now(), java.time.LocalDate.now()))
   }
 
+  test("unigramSurprisal: exact unigram math; rare tokens score higher; NULL text absent") {
+    // corpus tokens: a,a,a,b -> N=4, freq(a)=3, freq(b)=1
+    val corpus = Seq((1L, "a a"), (2L, "a b"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lnA = math.log(4.0 / 3.0)
+    assert(got.keySet == Set(1L, 2L)) // NULL-text doc emits no tokens
+    assert(got(1L)._1 == 2L && math.abs(got(1L)._2 - lnA) < 1e-12)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - (lnA + math.log(4.0)) / 2) < 1e-12)
+    assert(got(2L)._2 > got(1L)._2) // the rare-token doc is more surprising
+  }
+
   test("noveltyScores: 0 for covered text, 1 for unseen, exact fraction in between") {
     val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams {abc,bcd,cde}
     val corpus = Seq(
