@@ -996,6 +996,10 @@ object Queries {
         Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
+    // near-superset pairs (containment vs the smaller set) — catches
+    // truncated/boilerplate-wrapped copies Jaccard under-scores
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "doc_id", "text", 3, 0.9)),
     // gated with the md5-based token hash (computable bit-identically in
     // DuckDB) so the full SimHash pipeline is oracle-checked; production
     // default stays xxhash64 (Dedup.xxTokenHash)
@@ -2204,6 +2208,15 @@ object Queries {
          |            THEN coalesce(c.ct, '') ELSE d.text END AS clean_text
          |  FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
+    // brute-force containment over all pairs (the prefix×full-index plan
+    // must reproduce it exactly)
+    "dedup_containment" ->
+      s"""$trigramCte,
+         |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.sh, b.sh))::DOUBLE
+         |               / least(len(a.sh), len(b.sh)) AS containment
+         |        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, containment FROM c WHERE containment >= 0.9""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" ->
       // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical

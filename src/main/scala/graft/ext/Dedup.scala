@@ -152,18 +152,75 @@ object Dedup {
     // the shingling subtree runs once, not three times
     val sets = persistTracked(hashedShingleSets(docs, idCol, textCol, n))
     val exploded = sets.select(col(idCol), explode(col("hs")).as("s"))
+    verifyPairs(bucketPairs(dfRankedPrefixes(exploded, idCol, threshold), "s", idCol),
+      sets, idCol, threshold)
+  }
+
+  /** The AllPairs/PPJoin prefix frame shared by [[jaccardPairs]] and
+    * [[containmentPairs]]: each doc's shingles in the GLOBAL canonical
+    * (document-frequency asc, hash asc) order, truncated to the first
+    * `sz − ceil(threshold·sz) + 1` — any pair sharing ≥ `threshold·sz` of
+    * this doc's shingles must collide inside this prefix (pigeonhole), so
+    * candidate generation from prefix collisions is exact. Rarest-first
+    * ordering doubles as skew discipline: prefixes concentrate on LOW-df
+    * shingles, so no posting list explodes. */
+  private def dfRankedPrefixes(exploded: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
-    // global canonical order: (df asc, hash asc); prefix length per doc
     val ordered = exploded.join(freq, "s")
       .groupBy(idCol)
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
       .select(col(idCol),
         transform(col("ranked"), r => r.getField("s")).as("ordered"))
-    val prefixed = ordered
+    ordered
       .withColumn("plen",
         (size(col("ordered")) - ceil(lit(threshold) * size(col("ordered"))) + 1).cast("int"))
       .select(col(idCol), explode(slice(col("ordered"), lit(1), col("plen"))).as("s"))
-    verifyPairs(bucketPairs(prefixed, "s", idCol), sets, idCol, threshold)
+  }
+
+  /**
+   * Exact CONTAINMENT similarity join — the near-SUPERSET dup mode Jaccard
+   * is blind to: pairs `(doc_a < doc_b)` where the smaller shingle set is
+   * contained in the other at `|A∩B| / min(|A|,|B|) ≥ threshold`. A
+   * document wrapped in 3× its length of boilerplate (or a truncated copy)
+   * has Jaccard ≈ 1/3 but containment ≈ 1 — the RealNews/C4-style "this is
+   * a subset of that" signal.
+   *
+   * Exactness argument: wlog |A| ≤ |B| and C ≥ t ⇒ A shares
+   * `c ≥ ceil(t·|A|)` shingles with B; A's df-ranked prefix has length
+   * `|A| − ceil(t·|A|) + 1`, and c common shingles cannot all fit in the
+   * `ceil(t·|A|) − 1`-long suffix — so at least one of A's PREFIX shingles
+   * is in B's FULL set. Candidates therefore come from `prefix(X) ⋈
+   * full-inverted-index(Y)` (asymmetric — unlike Jaccard's prefix×prefix;
+   * the full-index side is the extra exactness cost), both directions
+   * covered because every doc contributes its prefix. Verification is the
+   * codegen'd sorted-merge intersection. Shuffles: df count, prefix
+   * re-sort, candidate join, verify join — all on shingle/doc keys, and
+   * prefixes concentrate on rare shingles so the index join stays
+   * skew-resistant.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold out of (0,1]: $threshold")
+    import org.apache.spark.sql.graftx.VectorFunctions.sorted_intersect_count
+    val sets = persistTracked(hashedShingleSets(docs, idCol, textCol, n))
+    val exploded = persistTracked(sets.select(col(idCol), explode(col("hs")).as("s")))
+    val prefixes = dfRankedPrefixes(exploded, idCol, threshold)
+      .select(col(idCol).as("__pid"), col("s"))
+    val full = exploded.select(col(idCol).as("__fid"), col("s"))
+    val cand = prefixes.join(full, Seq("s"))
+      .filter(col("__pid") =!= col("__fid"))
+      .select(least(col("__pid"), col("__fid")).as("doc_a"),
+        greatest(col("__pid"), col("__fid")).as("doc_b"))
+      .distinct()
+    val sa = sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val sb = sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("c", sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .withColumn("containment",
+        col("c").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
   }
 
   /** Exact-Jaccard verification of candidate pairs against the hashed

@@ -387,6 +387,34 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == Map(1L -> "M N", 2L -> "x y z q", 4L -> "p q"))
   }
 
+  test("containmentPairs finds near-supersets that Jaccard under-scores; equals brute force") {
+    // doc 2 = doc 1 wrapped in ~3x boilerplate: containment(1 in 2) = 1.0,
+    // Jaccard ~ 1/3 — the pair the containment mode exists for
+    val core = (1 to 20).map(i => s"w$i").mkString(" ")
+    val wrap = (100 to 140).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, core), (2L, s"$wrap $core"), (3L, "x y z q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.9).count() == 0)
+    // brute-force equivalence on a denser corpus (dup groups + partial overlaps)
+    val dense = (0L until 40L).map(i => (i, ((i % 7) to (i % 7 + 10 + (i % 5))).map(k => s"t${k}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(dense, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = Dedup.hashedShingleSets(dense, "doc_id", "text", 3)
+      .select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      cont = inter.toDouble / math.min(sets(a).size, sets(b).size)
+      if cont >= 0.8
+    } yield (a, b, cont)).toSet
+    assert(fast == brute, s"fast ${fast.size} vs brute ${brute.size}")
+  }
+
   test("bloomAntiJoin is row-identical to a plain left_anti join") {
     val big = spark.range(0, 5000).select(col("id"),
       concat(lit("k"), (col("id") % 700).cast("string")).as("key"))
