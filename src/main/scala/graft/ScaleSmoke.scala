@@ -293,6 +293,21 @@ object ScaleSmoke {
       consume(graft.ext.Dedup.stripDuplicateSpans(bigDocs, spans, "doc_id", "text"))
       graft.ext.Dedup.unpersistAll()
     }
+    // containment dominates Jaccard pointwise (|A∩B|/min ≥ |A∩B|/|A∪B|),
+    // so at the same threshold the Jaccard pairs must be a SUBSET of the
+    // containment pairs — a mathematical invariant, require'd exactly
+    time("containment pairs 50k docs (@0.9) ⊇ jaccard pairs (@0.9)") {
+      val cont = graft.ext.Dedup.containmentPairs(bigDocs, "doc_id", "text", 3, 0.9)
+        .select("doc_a", "doc_b")
+      val jac = graft.ext.Dedup.jaccardPairs(bigDocs, "doc_id", "text", 3, 0.9)
+        .select("doc_a", "doc_b")
+      val missing = jac.exceptAll(cont).count()
+      val (nc, nj) = (cont.count(), jac.count())
+      require(missing == 0 && nc >= nj && nj > 0,
+        s"containment must dominate jaccard: cont=$nc jac=$nj missing=$missing")
+      graft.ext.Dedup.unpersistAll()
+      println(s"[scale]   containment pairs: $nc (jaccard@0.9: $nj, subset holds)")
+    }
     // bloom prefilter + confirm join must be row-identical to the plain
     // anti-join at scale (2% blocklist: the clean branch carries ~98% of
     // rows with zero shuffle)

@@ -877,7 +877,7 @@ object Dedup {
    * `(idCol, span_start, span_end, span_tokens)`.
    */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, withinDoc: Boolean = false): DataFrame = {
     require(n >= 2, s"span gram length must be >= 2: $n")
     val th = col("th")
     val gramArrays = persistTracked(docs
@@ -886,8 +886,16 @@ object Dedup {
       .select(col(idCol), transform(sequence(lit(0), size(th) - n),
         i => xxhash64((1 to n).map(k => element_at(th, i + lit(k))): _*)).as("gs")))
     val pos = gramArrays.select(col(idCol), posexplode(col("gs")).as(Seq("pos", "g")))
-    val dupG = pos.groupBy("g").agg(count_distinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
+    // withinDoc = the full Lee-et-al contract (ANY second occurrence marks,
+    // including a repeat inside the same document); default marks cross-doc
+    // duplication only, leaving within-doc repetition to the repetition
+    // quality score
+    val dupG =
+      if (withinDoc)
+        pos.groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("g")
+      else
+        pos.groupBy("g").agg(count_distinct(col(idCol)).as("nd"))
+          .filter(col("nd") >= 2).select("g")
     val marked = pos.join(dupG, Seq("g"), "left_semi")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos") + lit(n - 1))

@@ -366,6 +366,18 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       (3L, 0L, 3L, 4L)))
   }
 
+  test("duplicateSpans withinDoc=true marks same-doc repeats the cross-doc default ignores") {
+    val corpus = Seq(
+      (5L, "m n o p Q m n o p"), // "m n o p" repeats WITHIN the doc only
+      (6L, "u v w x y z a b"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(corpus, "doc_id", "text", n = 3).count() == 0)
+    val got = Dedup.duplicateSpans(corpus, "doc_id", "text", n = 3, withinDoc = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // starts {0,1} -> [0,3] and {5,6} -> [5,8]; the gap at Q splits islands
+    assert(got == Set((5L, 0L, 3L, 4L), (5L, 5L, 8L, 4L)))
+  }
+
   test("duplicateSpans merges overlapping and adjacent gram intervals into one span") {
     // docs share tokens 0..5 -> starts {0,1,2,3} with n=3: every interval
     // overlaps the next, one island [0,5]
