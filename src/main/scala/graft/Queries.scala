@@ -797,6 +797,16 @@ object Queries {
       TextAnalysis.noveltyScores(nn, nn.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 3)
     }),
+    // Moore–Lewis / DSIR domain scoring: rank every doc by how target-like
+    // its tokens are (target = the src0 slice), add-one smoothing over the
+    // joint vocabulary; rounded at 6 decimals (ln/sum order differs by ulps
+    // across libms, same contract as text_surprisal)
+    "text_ce_diff" -> ((s, d) => {
+      val doc = docs(s, d)
+      TextAnalysis.crossEntropyDiff(doc, doc.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), round(col("ce_diff"), 6).as("ce_diff"))
+    }),
     // sliding context windows (40-token chunks every 30): fan-out explode,
     // no shuffle — the RAG/embedding chunker over the whole corpus
     "text_chunk_windows" -> ((s, d) =>
@@ -1007,6 +1017,19 @@ object Queries {
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3, Dedup.md5TokenHash)),
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)),
+    // SemDeDup (Abbas et al. 2023): embedding-space near-dup groups collapsed
+    // to their best member by document quality (n_chars desc, id asc tie) —
+    // vec_id ≡ doc_id in the fixtures, so the quality column cross-joins the
+    // two modalities; singletons pass through untouched. Exact pair recall at
+    // this threshold (IVF blocking), so the brute-force recursive-CTE oracle
+    // reproduces the survivor set row-for-row.
+    "dedup_semantic_keepbest" -> ((s, d) => {
+      val q = emb(s, d).join(
+        docs(s, d).select(col("doc_id").as("vec_id"), col("n_chars")), Seq("vec_id"))
+      Similarity.semanticDedup(q, "vec_id", "embedding", 0.45,
+        Seq(col("n_chars").desc, col("vec_id").asc))
+        .select("vec_id", "label", "n_chars")
+    }),
     // wide-threshold routed scale path: LSH pre-filter + exact verification.
     // Gated on its CONTRACT (violations must be empty): zero false
     // positives vs the exact operator at the same threshold, and zero
@@ -2012,6 +2035,24 @@ object Queries {
         |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
         |  FROM tok JOIN f USING (w), n
         | GROUP BY tok.doc_id""".stripMargin,
+    // Moore–Lewis cross-entropy difference vs the src0 target slice:
+    // identical smoothing formulation ((c+1)/(N+V) over the joint vocab)
+    "text_ce_diff" ->
+      """WITH tokr AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+        |                FROM documents),
+        |tokt AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |           FROM documents WHERE source = 'src0'),
+        |fr AS (SELECT w, count(*) AS fr FROM tokr GROUP BY w),
+        |ft AS (SELECT w, count(*) AS ft FROM tokt GROUP BY w),
+        |vf AS (SELECT coalesce(fr.w, ft.w) AS w, coalesce(fr.fr, 0) AS fr,
+        |              coalesce(ft.ft, 0) AS ft
+        |         FROM fr FULL OUTER JOIN ft ON fr.w = ft.w),
+        |tot AS (SELECT sum(fr) AS nr, sum(ft) AS nt, count(*) AS v FROM vf)
+        |SELECT tokr.doc_id, count(*) AS n_tokens,
+        |       round(avg(ln(CAST(vf.ft + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE))
+        |               - ln(CAST(vf.fr + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE))), 6) AS ce_diff
+        |  FROM tokr JOIN vf USING (w), tot
+        | GROUP BY tokr.doc_id""".stripMargin,
     // distinct-trigram novelty vs the doc_id%10=0 reference slice; string
     // grams here ≡ Spark's hashed grams modulo 64-bit collisions
     "text_novelty" ->
@@ -2242,6 +2283,33 @@ object Queries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+    // SemDeDup survivor set: brute-force cosine pairs → recursive-CTE
+    // components (min-id label) → per-cluster winner by (n_chars DESC,
+    // vec_id ASC) + all singletons
+    "dedup_semantic_keepbest" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(node, label) AS (
+        |  SELECT src AS node, src AS label FROM e
+        |  UNION
+        |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node),
+        |cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |q AS (SELECT em.vec_id, em.label, d.n_chars
+        |        FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+        |win AS (SELECT vec_id, label, n_chars FROM (
+        |          SELECT q.*, cl.cluster,
+        |                 row_number() OVER (PARTITION BY cl.cluster
+        |                     ORDER BY q.n_chars DESC, q.vec_id ASC) AS rn
+        |            FROM q JOIN cl ON q.vec_id = cl.node)
+        |         WHERE rn = 1)
+        |SELECT vec_id, label, n_chars FROM q
+        | WHERE vec_id NOT IN (SELECT node FROM cl)
+        |UNION ALL
+        |SELECT vec_id, label, n_chars FROM win""".stripMargin,
     "dedup_cosine_lsh_routed" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS id_a,
         |       CAST(NULL AS BIGINT) AS id_b

@@ -578,4 +578,44 @@ object Similarity {
     if (threshold >= tightThreshold || emb.count() <= exactMaxRows)
       cosinePairs(emb, idCol, vecCol, threshold, nlist, seed = seed)
     else cosinePairsLsh(emb, idCol, vecCol, threshold, bands, rowsPerBand, seed)
+
+  /**
+   * Semantic dedup (the SemDeDup shape, Abbas et al. 2023,
+   * arXiv:2303.09540): collapse groups of semantically near-identical
+   * documents — detected in EMBEDDING space, so paraphrases and
+   * templated rewrites that share no n-grams still cluster — to one
+   * representative each, chosen by a caller-supplied quality ordering.
+   *
+   * Composition of three operators already pinned individually:
+   * [[cosinePairs]] (exact cosine ≥ `threshold`, IVF-blocked — the
+   * candidate restriction SemDeDup gets from its k-means clusters, here
+   * with exact recall instead of cluster-boundary blindness) →
+   * [[graft.ext.Dedup.connectedComponents]] (pairwise hits → duplicate
+   * groups) → [[graft.ext.Dedup.keepBest]] (one winner per group under
+   * `ordering`, singletons pass through untouched, the corpus itself
+   * never shuffles).
+   *
+   * `emb` carries the id, the vector, AND whatever quality columns
+   * `ordering` ranks by (pre-join them; the fixture gate ranks by the
+   * document's `n_chars`). `ordering` must be total — tie-break on the
+   * id — for a deterministic survivor set. Returns the surviving rows of
+   * `emb` with its full schema.
+   *
+   * EAGER like [[graft.ext.Dedup.connectedComponents]] (convergence
+   * detection runs jobs at call time); compute once and reuse.
+   *
+   * Scale: pair formation is IVF-blocked (near-dup thresholds probe ~1–2
+   * lists), components contract in O(log) rounds, and keep-best
+   * broadcasts only cluster MEMBERS — at 100 TB the corpus-sized frames
+   * move through exactly one keyed shuffle (the pair join), never a
+   * window over the full corpus. For wide thresholds at scale route the
+   * pair step through [[cosinePairsRouted]] yourself and feed the pairs
+   * to `connectedComponents`/`keepBest` directly.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      ordering: Seq[Column], nlist: Int = 16): DataFrame = {
+    val pairs = cosinePairs(emb, idCol, vecCol, threshold, nlist)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    Dedup.keepBest(emb, clusters, idCol, ordering)
+  }
 }

@@ -299,4 +299,62 @@ object TextAnalysis {
       .withColumn("novelty",
         (col("n_grams") - col("n_seen")).cast("double") / col("n_grams").cast("double"))
   }
+
+  /**
+   * Cross-entropy-difference domain scoring — the Moore–Lewis (ACL 2010)
+   * "intelligent selection" signal that DSIR (Xie et al. 2023,
+   * arXiv:2302.03169) generalizes with hashed n-gram features: score each
+   * raw-corpus document by how much more likely its tokens are under the
+   * TARGET domain's unigram distribution than under the raw corpus's own —
+   * the standard "select pretraining data that looks like the target
+   * domain" ranking (take the top-scoring docs, or sample ∝ exp(score)).
+   *
+   * Per raw document: `ce_diff = avg over tokens of
+   * ln p̂_target(w) − ln p̂_raw(w)`, with add-one smoothing over the JOINT
+   * vocabulary (`p̂(w) = (c(w)+1)/(N+V)`, V = |vocab(raw ∪ target)|) so
+   * tokens unseen in the target score finitely negative instead of −∞.
+   * Positive ⇒ more target-like than the corpus average; the avg (not sum)
+   * keeps the score length-invariant, per Moore–Lewis's per-word
+   * cross-entropy formulation.
+   *
+   * Plan shape (the 100 TB posture, same as [[unigramSurprisal]]): one
+   * explode + one token-keyed count per corpus, a full-outer merge into a
+   * single vocabulary frame (smoothing totals fall out of ONE agg over
+   * it), then a token-keyed join back to the raw token stream — the
+   * corpus-sized frames move through keyed shuffles only, the three
+   * scalars travel as one broadcast row, and the vocabulary frame is
+   * broadcast when small (size-gated). NULL-text docs emit no tokens and
+   * are absent from the output (SQL `unnest` convention).
+   *
+   * Returns `(idCol, n_tokens, ce_diff)`. Callers gating against another
+   * engine should round `ce_diff` (ln/summation order differ by ulps
+   * across libms).
+   */
+  def crossEntropyDiff(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tokR = raw.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    // both count frames are vocab-sized (tiny next to the corpora) and each
+    // is referenced twice (scalar totals + the per-token join) — persisted
+    // so neither reference re-scans its corpus. A single full-outer vocab
+    // frame instead costs a sort-merge join where these cost none.
+    val freqR = Caches.track(tokR.groupBy(col("__w")).agg(count(lit(1)).as("__fr")))
+    val freqT = Caches.track(target.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__ft")))
+    // N_raw, N_target, and the joint-vocab size in ONE pass over the two
+    // cached count frames; travels as a single broadcast row
+    val totals = freqR.select(col("__w"), col("__fr").as("__c"), lit(0).as("__t"))
+      .unionByName(freqT.select(col("__w"), col("__ft").as("__c"), lit(1).as("__t")))
+      .agg(sum(when(col("__t") === 0, col("__c"))).as("__nr"),
+        sum(when(col("__t") === 1, col("__c"))).as("__nt"),
+        count_distinct(col("__w")).as("__v"))
+    tokR.join(graft.ops.Ops.hintIfSmall(freqR), Seq("__w"))
+      .join(graft.ops.Ops.hintIfSmall(freqT), Seq("__w"), "left_outer")
+      .na.fill(0L, Seq("__ft"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log((col("__ft") + lit(1L)).cast("double") / (col("__nt") + col("__v")).cast("double"))
+          - log((col("__fr") + lit(1L)).cast("double") / (col("__nr") + col("__v")).cast("double")))
+          .as("ce_diff"))
+  }
 }

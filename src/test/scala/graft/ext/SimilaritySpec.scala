@@ -178,4 +178,22 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     graft.ext.Dedup.unpersistAll()
     assert((forced -- exactWide).isEmpty, "routed LSH regime must keep zero false positives")
   }
+
+  test("semanticDedup keeps the best member per embedding cluster, singletons untouched") {
+    // v0 ≈ v1 ≈ v2 one cluster (cos ~1), v3 orthogonal singleton, v4 ≈ v5
+    // a second cluster; quality picks the winner, id breaks the 30-30 tie
+    val rows = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f), 10L),
+      (1L, Array(1.0f, 0.0f, 0.01f), 50L),  // cluster-0 winner (quality 50)
+      (2L, Array(1.0f, 0.01f, 0.01f), 20L),
+      (3L, Array(0.0f, 1.0f, 0.0f), 5L),    // singleton survives as-is
+      (4L, Array(0.0f, 0.01f, 1.0f), 30L),  // cluster-4 winner (tie on 30, min id)
+      (5L, Array(0.01f, 0.0f, 1.0f), 30L))
+    val df = rows.toDF("id", "vec", "quality")
+    val got = Similarity.semanticDedup(df, "id", "vec", 0.9,
+      Seq(col("quality").desc, col("id").asc), nlist = 2)
+      .select("id").as[Long].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    assert(got == Set(1L, 3L, 4L))
+  }
 }

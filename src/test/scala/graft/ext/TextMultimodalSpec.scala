@@ -274,6 +274,19 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2) // the rare-token doc is more surprising
   }
 
+  test("crossEntropyDiff: hand-computed Moore-Lewis scores with add-one smoothing") {
+    // raw: d1 "a a b", d2 "c"; target: d1 only. Joint vocab {a,b,c} V=3,
+    // N_raw=4, N_tgt=3. Every d1 token scores ln((c_t+1)/6) - ln((c_r+1)/7):
+    // a: ln(3/6)-ln(3/7) = ln(7/6); b: ln(2/6)-ln(2/7) = ln(7/6) -> avg ln(7/6).
+    // d2's 'c' is target-unseen: ln(1/6)-ln(2/7) = ln(7/12) < 0.
+    val raw = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.crossEntropyDiff(raw, raw.filter($"doc_id" === 1L), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 1L)))
+    assert(math.abs(got(0)._3 - math.log(7.0 / 6.0)) < 1e-12)
+    assert(math.abs(got(1)._3 - math.log(7.0 / 12.0)) < 1e-12)
+  }
+
   test("noveltyScores: 0 for covered text, 1 for unseen, exact fraction in between") {
     val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text") // grams {abc,bcd,cde}
     val corpus = Seq(
