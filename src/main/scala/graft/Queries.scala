@@ -807,6 +807,28 @@ object Queries {
           "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), round(col("ce_diff"), 6).as("ce_diff"))
     }),
+    // BPE tokenizer induction (Sennrich et al. 2016): 16 merges learned from
+    // the corpus — iterative argmax is not SQL-expressible, so the merge
+    // table itself is a rows-only gate (merge-order optimality is pinned by
+    // the classic worked example in TextMultimodalSpec) ...
+    "text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", 16)),
+    // ... and segmentation correctness IS oracle-gated, as the conservation
+    // contract: applying the learned merges to every doc and re-joining the
+    // subword tokens must reconstruct the whitespace-normalized text
+    // exactly — any merge/segment bug that drops, duplicates, or reorders a
+    // symbol produces a violation row, and the oracle is the empty set
+    "text_bpe_contract" -> ((s, d) => {
+      val doc = docs(s, d).filter(col("text").isNotNull)
+      val merges = TextAnalysis.bpeTrain(doc, "doc_id", "text", 16)
+      val seg = TextAnalysis.bpeSegment(doc, merges, "doc_id", "text")
+      val rejoined = seg.select(col("doc_id"),
+        trim(regexp_replace(concat_ws("", col("bpe_tokens")), "</w>", " ")).as("rejoined"))
+      doc.select(col("doc_id"), array_join(split(col("text"), "\\s+"), " ").as("orig"))
+        .join(rejoined, Seq("doc_id"))
+        .filter(col("orig") =!= col("rejoined"))
+        .select(col("doc_id"), col("orig"), col("rejoined"))
+    }),
     // sliding context windows (40-token chunks every 30): fan-out explode,
     // no shuffle — the RAG/embedding chunker over the whole corpus
     "text_chunk_windows" -> ((s, d) =>
@@ -2035,6 +2057,11 @@ object Queries {
         |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
         |  FROM tok JOIN f USING (w), n
         | GROUP BY tok.doc_id""".stripMargin,
+    // BPE conservation contract: violations must be empty (see the gate)
+    "text_bpe_contract" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS orig,
+        |       CAST(NULL AS VARCHAR) AS rejoined
+        |  FROM documents WHERE FALSE""".stripMargin,
     // Moore–Lewis cross-entropy difference vs the src0 target slice:
     // identical smoothing formulation ((c+1)/(N+V) over the joint vocab)
     "text_ce_diff" ->

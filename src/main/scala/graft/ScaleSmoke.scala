@@ -333,6 +333,25 @@ object ScaleSmoke {
     time("temperature sample 1M events by event_type (alpha 0.5)") {
       consume(graft.ext.Sampling.temperatureSample(bigEv, "event_type", "event_id", 0.5, 100000L))
     }
+    // Moore-Lewis domain scoring at 50k docs: the target slice is the src0
+    // replicas, so target docs must outscore the rest on average (their
+    // tokens ARE the target distribution) and every score must be finite
+    // (add-one smoothing leaves no -inf even for target-unseen tokens)
+    time("cross-entropy domain scoring 50k docs vs src0 target") {
+      val ce = graft.ext.TextAnalysis.crossEntropyDiff(
+        bigDocs, bigDocs.filter(col("source") === "src0"), "doc_id", "text")
+        .join(bigDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val (tgt, rest, inf) = ce.agg(
+        avg(when(col("source") === "src0", col("ce_diff"))),
+        avg(when(col("source") =!= "src0", col("ce_diff"))),
+        sum(when(col("ce_diff").isNull || isnan(col("ce_diff")) ||
+          abs(col("ce_diff")) === Double.PositiveInfinity, 1L).otherwise(0L)))
+        .as[(Double, Double, Long)].head()
+      graft.ext.Dedup.unpersistAll()
+      println(f"[scale]   ce_diff: target avg $tgt%.4f vs rest avg $rest%.4f")
+      require(inf == 0L, s"$inf non-finite ce_diff scores")
+      require(tgt > rest, f"target slice must outscore the rest: $tgt%.4f <= $rest%.4f")
+    }
 
     // the adversarial CC topology: a 1M-link PATH (diameter = edge count).
     // Min-label propagation would need a million rounds; star contraction
@@ -359,6 +378,22 @@ object ScaleSmoke {
     time("IVF ANN top-5, 100 queries") {
       consume(graft.ext.Similarity.annTopK(bigEmb,
         bigEmb.filter(col("vec_id") < 100), "vec_id", "embedding", 5))
+    }
+    // SemDeDup at 20k vectors (~2k ten-member identical groups): since ANY
+    // pair >= t lands in one cluster and keepBest keeps one member each,
+    // the survivor set must be PAIRWISE below t — re-running the exact pair
+    // search over the survivors is the falsifiable form of "deduped"
+    time("semantic dedup 20k vectors (t=0.9) + survivor re-check") {
+      val kept = graft.ext.Similarity.semanticDedup(
+        bigEmb, "vec_id", "embedding", 0.9, Seq(col("vec_id").asc))
+        .select("vec_id", "embedding").localCheckpoint()
+      val n = kept.count()
+      val residual = graft.ext.Similarity.cosinePairs(
+        kept, "vec_id", "embedding", 0.9).count()
+      graft.ext.Dedup.unpersistAll()
+      println(s"[scale]   semantic dedup: 20000 -> $n survivors, residual pairs $residual")
+      require(n < 2100, s"10-member identical groups must collapse: $n survivors")
+      require(residual == 0L, s"survivors must be pairwise below threshold: $residual pairs")
     }
 
     // ---- wide-threshold routed pair search at 40k vectors (the r11 "done"

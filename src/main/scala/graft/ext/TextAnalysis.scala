@@ -301,6 +301,121 @@ object TextAnalysis {
   }
 
   /**
+   * BPE vocabulary induction (Sennrich et al. 2016, arXiv:1508.07909) —
+   * learn `numMerges` byte-pair merges from the corpus, the tokenizer-
+   * training step of an LLM data pipeline. Words are seeded as character
+   * sequences with a terminal `</w>` symbol; each round merges the
+   * globally most frequent adjacent symbol pair (count desc, then
+   * lexicographic pair asc — a TOTAL order, so the learned table is
+   * deterministic on any cluster/partitioning).
+   *
+   * Scale shape: the corpus is scanned ONCE (word histogram); every merge
+   * round then runs over the WORD-TYPE table — bounded by distinct words,
+   * orders of magnitude smaller than a 100 TB corpus — as ONE job: a
+   * grouped count of adjacent pairs (weighted by word frequency) whose
+   * scan side applies the merges so far as a chain of codegen'd
+   * [[org.apache.spark.sql.graftx.BpeMergeAdjacent]] rewrites. The chain
+   * is collapsed into a materialized word-type frame every
+   * `checkpointEvery` rounds (lineage truncation, the
+   * [[graft.ext.Dedup.connectedComponents]] discipline) — so per-round
+   * work carries at most `checkpointEvery` extra narrow expression evals
+   * per word type, and job count amortizes to `1 + 1/checkpointEvery` per
+   * round instead of the naive 2 (measured ~2× wall-clock on small
+   * vocabularies, where per-job overhead dominates). The driver receives
+   * exactly ONE row per round (the argmax pair). Rounds stop early when
+   * no pair reaches `minPairCount`.
+   *
+   * EAGER (one argmax job per round at call time). Returns the merge
+   * table `(rank, left, right, pair_count)` — feed it to [[bpeSegment]].
+   */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, checkpointEvery: Int = 8): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(checkpointEvery > 0, s"checkpointEvery must be positive: $checkpointEvery")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.graftx.TextFunctions.bpe_merge_adjacent
+    // corpus scan happens exactly once: word types + frequencies, seeded as
+    // char symbols + terminal marker
+    var types = docs.select(explode(tokens(col(textCol))).as("__word"))
+      .groupBy(col("__word")).agg(count(lit(1)).as("__freq"))
+      .select(concat(split(col("__word"), ""), array(lit("</w>"))).as("__syms"),
+        col("__freq"))
+      .localCheckpoint()
+    // merges not yet folded into `types`, applied lazily as an expression
+    // chain on every reference until the next collapse
+    var chain: Column = col("__syms")
+    var chainDepth = 0
+    def collapse(): Unit = if (chainDepth > 0) {
+      val prev = types
+      types = types.select(chain.as("__syms"), col("__freq")).localCheckpoint()
+      prev.unpersist(blocking = false)
+      chain = col("__syms")
+      chainDepth = 0
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // adjacent-pair histogram over word TYPES weighted by word frequency;
+      // zip of the two shifted slices forms the pairs without a HOF lambda
+      val best = types.select(chain.as("__syms"), col("__freq"))
+        .filter(size(col("__syms")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("__syms"), lit(1), size(col("__syms")) - 1),
+          slice(col("__syms"), lit(2), size(col("__syms")) - 1))).as("__p"), col("__freq"))
+        .groupBy(col("__p.0").as("__l"), col("__p.1").as("__r"))
+        .agg(sum(col("__freq")).as("__c"))
+        .orderBy(col("__c").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, c))
+        chain = bpe_merge_adjacent(chain, lit(l), lit(r))
+        chainDepth += 1
+        if (chainDepth >= checkpointEvery) collapse()
+        rank += 1
+      }
+    }
+    types.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /**
+   * Apply a learned [[bpeTrain]] merge table: segment every document into
+   * BPE subword tokens. The merge table (≤ numMerges rows) is collected to
+   * the driver and unrolled — in rank order, the published application
+   * order — into a chain of codegen'd
+   * [[org.apache.spark.sql.graftx.BpeMergeAdjacent]] rewrites over the
+   * per-word symbol arrays, so segmentation is ONE narrow projection over
+   * the corpus: no join, no shuffle, no per-row interpretation. Returns
+   * `(idCol, bpe_tokens array<string>)` with the `</w>` markers kept
+   * (concatenating tokens and stripping markers reconstructs the text's
+   * words — the conservation contract the gate checks).
+   */
+  def bpeSegment(docs: DataFrame, merges: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftx.TextFunctions.bpe_merge_adjacent
+    // rank order is the application contract; numMerges is small by
+    // construction (a vocabulary budget), so the expression chain stays
+    // within codegen limits for any realistic merge table
+    val table = merges.select(col("rank"), col("left"), col("right"))
+      .orderBy(col("rank").asc).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val seeded = docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__word")))
+      .select(col(idCol), col("__pos"),
+        concat(split(col("__word"), ""), array(lit("</w>"))).as("__syms"))
+    val merged = table.foldLeft(seeded.col("__syms")) { case (c, (l, r)) =>
+      bpe_merge_adjacent(c, lit(l), lit(r))
+    }
+    seeded.select(col(idCol), col("__pos"), merged.as("__syms"))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("__pos"), col("__syms"))))
+        .getField("__syms")).as("bpe_tokens"))
+  }
+
+  /**
    * Cross-entropy-difference domain scoring — the Moore–Lewis (ACL 2010)
    * "intelligent selection" signal that DSIR (Xie et al. 2023,
    * arXiv:2302.03169) generalizes with hashed n-gram features: score each

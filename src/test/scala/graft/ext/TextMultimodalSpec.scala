@@ -274,6 +274,34 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2) // the rare-token doc is more surprising
   }
 
+  test("bpeTrain learns Sennrich's classic merge order; bpeSegment reassembles words") {
+    // 5x low, 2x lower, 6x newest, 3x widest — the paper's worked example.
+    // Pair counts: (e,s)=(s,t)=(t,</w>)=9 tie -> lexicographic left wins.
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, "doc_id", "text", 5)
+    val got = merges.orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+    val seg = TextAnalysis.bpeSegment(
+      Seq((9L, "low newest")).toDF("doc_id", "text"), merges, "doc_id", "text")
+      .as[(Long, Seq[String])].head()
+    assert(seg == ((9L, Seq("low", "</w>", "n", "e", "w", "est</w>"))))
+    // conservation: tokens concatenated and stripped of markers == the text
+    val joined = seg._2.mkString.replace("</w>", " ").trim
+    assert(joined == "low newest")
+  }
+
+  test("bpeTrain stops early when no pair reaches minPairCount") {
+    val corpus = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every adjacent pair occurs once; minPairCount=2 -> zero merges
+    assert(TextAnalysis.bpeTrain(corpus, "doc_id", "text", 10).count() == 0L)
+  }
+
   test("crossEntropyDiff: hand-computed Moore-Lewis scores with add-one smoothing") {
     // raw: d1 "a a b", d2 "c"; target: d1 only. Joint vocab {a,b,c} V=3,
     // N_raw=4, N_tgt=3. Every d1 token scores ln((c_t+1)/6) - ln((c_r+1)/7):

@@ -78,4 +78,23 @@ class CodegenSpec extends AnyFunSuite {
     assert(fromCodegen.sameElements(interp))
     assert(fromCodegen.length == 32)
   }
+
+  test("BpeMergeAdjacent codegen compiles, matches interpreted eval, left-to-right non-overlap") {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    def syms(xs: String*) = new GenericArrayData(xs.map(u).toArray)
+    val e = BpeMergeAdjacent(
+      BoundReference(0, ArrayType(StringType), nullable = true),
+      BoundReference(1, StringType, nullable = true),
+      BoundReference(2, StringType, nullable = true))
+    // [a a a] merging (a,a) -> [aa a]: the published non-overlap contract
+    val in = row(syms("a", "a", "a"), u("a"), u("a"))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    def strings(a: ArrayData) = (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    assert(strings(proj(in).getArray(0)) == Seq("aa", "a"))
+    assert(strings(e.eval(in).asInstanceOf[ArrayData]) == Seq("aa", "a"))
+    val in2 = row(syms("l", "o", "w", "</w>"), u("l"), u("o"))
+    assert(strings(proj(in2).getArray(0)) == Seq("lo", "w", "</w>"))
+  }
 }
