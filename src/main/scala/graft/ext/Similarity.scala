@@ -171,14 +171,17 @@ object Similarity {
     centroids
   }
 
-  /** IVF list assignment: argmax of `vec_dot(v, centroid_c)` — `nlist`
-    * codegen'd dot products per row, no shuffle. Uses
-    * `array_position(scores, array_max(scores))` so the expression tree is
-    * LINEAR in `nlist` (a naive when-chain fold that embeds the accumulator
-    * in both branches is O(2^nlist) nodes and hangs codegen at nlist=16).
-    * Ties resolve to the first (lowest) list id. */
+  /** IVF list assignment: argmax of `vec_dot(v, centroid_c)` — all `nlist`
+    * dot products from ONE codegen'd `centroid_dots` (the matrix travels as
+    * a single plan reference; a CreateArray of per-centroid `dot` children
+    * blows janino's 64 KB method limit at nlist×dim ≈ 16×1024 and drops the
+    * stage to interpreted eval). Uses `array_position(scores,
+    * array_max(scores))` so the expression tree is LINEAR in `nlist` (a
+    * naive when-chain fold that embeds the accumulator in both branches is
+    * O(2^nlist) nodes and hangs codegen at nlist=16). Ties resolve to the
+    * first (lowest) list id. */
   private def listAssignment(v: Column, centroids: Array[Array[Double]]): Column = {
-    val scores = array(centroids.map(c => dot(v, typedLit(c.toSeq))): _*)
+    val scores = org.apache.spark.sql.graftx.VectorFunctions.centroid_dots(v, centroids)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
@@ -448,12 +451,14 @@ object Similarity {
     val cents = trainCentroids(emb, vecCol, lists, sampleSize, seed)
     val u = unitized(emb, idCol, vecCol, "id", "v")
     // clamp into acos' domain; +1e-9 absorbs float rounding at the boundary.
-    // Built as a plain CreateArray of per-centroid expressions, NOT
-    // transform(sims, lambda): a higher-order lambda has no codegen and
-    // would force this whole projection — including the nlist dim-d dot
-    // products per row — into interpreted eval (see `unitized`)
-    val angles = array(cents.map(c =>
-      acos(greatest(lit(-1.0), least(lit(1.0), dot(col("v"), typedLit(c.toSeq)))))): _*)
+    // ONE codegen'd centroid_angles expression, NOT transform(sims, lambda)
+    // (a higher-order lambda has no codegen and would force this whole
+    // projection — including the nlist dim-d dot products per row — into
+    // interpreted eval, see `unitized`) and NOT a CreateArray of per-
+    // centroid acos(dot(...)) children (at nlist×dim ≈ 16×1024 that
+    // generates past janino's 64 KB method limit and the stage silently
+    // falls back to interpreted eval anyway — the r15 ScaleSmoke find)
+    val angles = org.apache.spark.sql.graftx.VectorFunctions.centroid_angles(col("v"), cents)
     // cached: index and probe sides both project from this subtree
     // (Caches.unpersistAll releases it after the query is consumed)
     val withAngles = Caches.track(u.select(col("id"), col("v"), angles.as("__angles")))

@@ -335,6 +335,73 @@ case class VectorNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * All-centroids similarity of one vector against a LITERAL centroid matrix
+ * in a single expression: returns `array<double>` of either the dot
+ * products or (with `asAngles`) `acos(clamp(dot))` angles, one per matrix
+ * row, summed in element order (bit-identical to a [[VectorDot]] per row).
+ *
+ * Exists for CODEGEN SIZE, not just speed: the alternative — a
+ * `CreateArray` of `nlist` inline `acos(dot(v, typedLit(centroid)))`
+ * children — generates O(nlist × surrounding-projection) Java that at
+ * nlist=16 × dim=1024 blows janino's 64 KB method limit, silently dropping
+ * the WHOLE stage (the entire pair-scan dot-product loop included) to
+ * interpreted eval. Here the matrix travels as ONE plan reference
+ * (`double[][]`) and the generated code is a fixed ~10-line nested loop
+ * regardless of `nlist × dim`.
+ */
+case class CentroidSims(child: Expression, matrix: Array[Array[Double]], asAngles: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(matrix.nonEmpty, "centroid matrix must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = if (asAngles) "centroid_angles" else "centroid_dots"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](matrix.length)
+    var c = 0
+    while (c < matrix.length) {
+      val row = matrix(c)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += row(i) * v.getDouble(i); i += 1 }
+      out(c) = if (asAngles) math.acos(math.max(-1.0, math.min(1.0, s))) else s
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("centroids", matrix, "double[][]")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val store = if (asAngles)
+        s"$out[$c] = java.lang.Math.acos(java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $s)));"
+      else s"$out[$c] = $s;"
+      s"""
+         |double[] $out = new double[${matrix.length}];
+         |for (int $c = 0; $c < ${matrix.length}; $c++) {
+         |  double[] $row = $m[$c];
+         |  int $n = java.lang.Math.min($row.length, $a.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $row[$i] * $a.getDouble($i); }
+         |  $store
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -355,4 +422,12 @@ object VectorFunctions {
   /** Codegen'd unit normalization (float/double array → unit double array). */
   def vec_normalize(a: Column): Column =
     ExpressionUtils.column(VectorNormalize(ExpressionUtils.expression(a)))
+
+  /** Codegen'd all-centroid dot products against a literal matrix. */
+  def centroid_dots(v: Column, matrix: Array[Array[Double]]): Column =
+    ExpressionUtils.column(CentroidSims(ExpressionUtils.expression(v), matrix, asAngles = false))
+
+  /** Codegen'd all-centroid angles `acos(clamp(dot))` against a literal matrix. */
+  def centroid_angles(v: Column, matrix: Array[Array[Double]]): Column =
+    ExpressionUtils.column(CentroidSims(ExpressionUtils.expression(v), matrix, asAngles = true))
 }

@@ -79,6 +79,26 @@ class CodegenSpec extends AnyFunSuite {
     assert(fromCodegen.length == 32)
   }
 
+  test("CentroidSims codegen compiles, matches interpreted eval, dots and angles") {
+    val m = Array(Array(1.0, 0.0), Array(0.6, 0.8))
+    val in = row(doubles(0.6, 0.8))
+    val dotsE = CentroidSims(BoundReference(0, doubleArray, nullable = true), m, asAngles = false)
+    val dotsProj = GenerateUnsafeProjection.generate(Seq(dotsE))
+    val gotDots = dotsProj(in).getArray(0).toDoubleArray()
+    assert(gotDots.sameElements(dotsE.eval(in).asInstanceOf[ArrayData].toDoubleArray()))
+    assert(gotDots.sameElements(Array(0.6, 1.0)))
+    val angE = CentroidSims(BoundReference(0, doubleArray, nullable = true), m, asAngles = true)
+    val angProj = GenerateUnsafeProjection.generate(Seq(angE))
+    val gotAng = angProj(in).getArray(0).toDoubleArray()
+    assert(gotAng.sameElements(angE.eval(in).asInstanceOf[ArrayData].toDoubleArray()))
+    assert(gotAng(0) == math.acos(0.6) && gotAng(1) == 0.0) // clamp holds 1.0000...1 at 0
+    // the motivating case: nlist x dim big enough that the CreateArray
+    // formulation overflowed janino's 64 KB method limit — this must compile
+    val wide = Array.tabulate(16, 1024)((c, i) => (c * 1024 + i) / 16384.0)
+    val wideE = CentroidSims(BoundReference(0, doubleArray, nullable = true), wide, asAngles = true)
+    GenerateUnsafeProjection.generate(Seq(wideE)) // throws on janino failure
+  }
+
   test("BpeMergeAdjacent codegen compiles, matches interpreted eval, left-to-right non-overlap") {
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
