@@ -1297,6 +1297,43 @@ object Queries {
     // is staged TWICE (every event a true duplicate), the stream must emit
     // each event_id once. Watermark spans the fixture (31 days > the 30-day
     // event range) so no dedup state evicts mid-drain.
+    // streaming ingest dedup: the batch `dedup_incremental_fuzzy` split
+    // (index = docs < 250, incoming = docs >= 250) arriving as TWO staged
+    // parquet files drained one per micro-batch (maxFilesPerTrigger=1) —
+    // each micro-batch probes the persisted LSH index via foreachBatch and
+    // appends its survivors to a store table; the final survivor set must
+    // be row-identical to the batch path (shared brute-force oracle).
+    // Survivors vs a STATIC index are micro-batch-order independent, so the
+    // gate is deterministic whatever order the file source picks; the
+    // sequential grow-the-index variant is spec-pinned (IngestStreamSpec).
+    "stream_ingest_dedup" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ingest-store").toString)
+      val doc = docs(s, d)
+      Dedup.buildLshIndex(store, "corpus_lsh", doc.filter(col("doc_id") < 250), "doc_id", "text")
+      val idx = Dedup.loadLshIndex(store, "corpus_lsh")
+      val in = java.nio.file.Files.createTempDirectory("graft-ingest-in").resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val w = in.getParent.resolve(s"${name}_w")
+        df.coalesce(1).write.mode("overwrite").parquet(w.toString)
+        val st = java.nio.file.Files.list(w)
+        try st.forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, in.resolve(s"$name.parquet"))
+        } finally st.close()
+      }
+      stage(doc.filter(col("doc_id") >= 250 && col("doc_id") < 375), "b0")
+      stage(doc.filter(col("doc_id") >= 375), "b1")
+      val q = graft.streaming.IngestStream.dedupToStore(
+        graft.streaming.IngestStream.readDocs(s, in.toString),
+        store, idx, "doc_id", "text", 0.8, "survivors")
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("stream_ingest_dedup did not drain within 300 s")
+      }
+      store.read("survivors").select("doc_id", "text", "lang", "source", "n_chars")
+    }),
     "stream_dedup" -> ((s, d) => withStatePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       s.catalog.dropTempView("stream_dd")
@@ -1398,6 +1435,20 @@ object Queries {
       |                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
       |                  ELSE [array_to_string(tk, ' ')] END AS sh
       |        FROM t)""".stripMargin
+
+  /** Brute-force batch×corpus Jaccard survivors (index = docs < 250, batch
+    * = docs ≥ 250, t = 0.8) — shared by the batch (`dedup_incremental_fuzzy`)
+    * and streaming (`stream_ingest_dedup`) ingest-dedup gates, which must
+    * land the identical survivor set. */
+  private lazy val incrementalFuzzySql =
+    s"""$trigramCte,
+       |hits AS (SELECT DISTINCT b.doc_id
+       |           FROM s b JOIN s c ON b.doc_id >= 250 AND c.doc_id < 250
+       |          WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+       |                  / len(list_distinct(b.sh || c.sh)) >= 0.8)
+       |SELECT * FROM documents
+       | WHERE doc_id >= 250 AND text IS NOT NULL
+       |   AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
 
   /** Shared CTE chain for the duplicate-SPAN oracles: positional 8-gram
     * strings → grams in ≥ 2 distinct docs → marked 1-based start positions →
@@ -2183,15 +2234,10 @@ object Queries {
         | WHERE doc_id IN (SELECT doc_id FROM keep)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql,
     // brute-force batch×corpus Jaccard at the verified-exact operating point
-    "dedup_incremental_fuzzy" ->
-      s"""$trigramCte,
-         |hits AS (SELECT DISTINCT b.doc_id
-         |           FROM s b JOIN s c ON b.doc_id >= 250 AND c.doc_id < 250
-         |          WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
-         |                  / len(list_distinct(b.sh || c.sh)) >= 0.8)
-         |SELECT * FROM documents
-         | WHERE doc_id >= 250 AND text IS NOT NULL
-         |   AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+    "dedup_incremental_fuzzy" -> incrementalFuzzySql,
+    // the STREAMING ingest path must land exactly the batch path's survivor
+    // set: same index split, same threshold, same brute-force oracle
+    "stream_ingest_dedup" -> incrementalFuzzySql,
     // two-stage brute force: batch-1 survivors join the reference corpus
     // before batch 2 is compared (the growing-index loop's oracle)
     "dedup_incremental_fuzzy_grow" ->

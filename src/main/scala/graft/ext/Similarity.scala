@@ -216,15 +216,18 @@ object Similarity {
   }
 
   /** Per-query probe set (`query_id`, `qv`, `list`): the `nprobe` nearest
-    * centroids by sorting (−dot, list) pairs. */
+    * centroids by sorting (angle, list) pairs — angle asc ≡ dot desc (acos
+    * is monotone decreasing). All centroid angles come from one codegen'd
+    * `centroid_angles` (the per-centroid struct CreateArray had the same
+    * janino 64 KB hazard as [[listAssignment]] at wide nlist × dim). */
   private def probes(cents: Array[Array[Double]], queries: DataFrame,
       idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val q0 = unitized(queries, idCol, vecCol, "query_id", "qv")
-      .withColumn("cd", array(cents.zipWithIndex.map { case (cent, i) =>
-        struct((-dot(col("qv"), typedLit(cent.toSeq))).as("nd"), lit(i).as("l"))
-      }: _*))
+      .withColumn("cd", arrays_zip(
+        org.apache.spark.sql.graftx.VectorFunctions.centroid_angles(col("qv"), cents),
+        sequence(lit(0), lit(cents.length - 1))))
     q0.select(col("query_id"), col("qv"),
-      explode(transform(slice(array_sort(col("cd")), 1, nprobe), p => p.getField("l"))).as("list"))
+      explode(transform(slice(array_sort(col("cd")), 1, nprobe), p => p.getField("1"))).as("list"))
   }
 
   /** Probe join + exact re-rank shared by [[annTopK]] and [[searchIndex]]:
@@ -527,16 +530,13 @@ object Similarity {
     // sides (Caches.unpersistAll releases it)
     val u = Caches.track(unitized(emb, idCol, vecCol, "id", "v"))
     // per-band bucket keys: rowsPerBand sign bits packed into a long, then
-    // hashed with the band ordinal so bands never collide with each other.
-    // Plain expression arithmetic (no higher-order lambdas) keeps the whole
-    // bands x rowsPerBand dot-product block inside codegen.
-    val bandKeys = array((0 until bands).map { b =>
-      val packed = (0 until rowsPerBand).map { j =>
-        when(dot(col("v"), typedLit(planes(b * rowsPerBand + j).toSeq)) >= 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      xxhash64(lit(b), packed)
-    }: _*)
+    // mixed with the band ordinal so bands never collide with each other —
+    // ONE codegen'd sign_band_keys expression (the plane matrix travels as
+    // a single plan reference; the previous bands x rowsPerBand inline
+    // when(dot(...)) block overflowed janino's 64 KB method limit at
+    // 144 planes and silently ran interpreted — the r15 ScaleSmoke find)
+    val bandKeys = org.apache.spark.sql.graftx.VectorFunctions.sign_band_keys(
+      col("v"), planes, bands, rowsPerBand)
     val keyed = u.select(col("id"), explode(bandKeys).as("bucket"))
     val candidates = graft.ext.Dedup.bucketPairs(keyed, "bucket", "id")
     // Verification fetches both vectors per candidate pair. The candidate

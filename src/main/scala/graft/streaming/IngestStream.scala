@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import graft.store.TableStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming document-ingest dedup: a file stream of incoming documents is
+ * probed, micro-batch by micro-batch, against a PERSISTED LSH dedup index
+ * ([[graft.ext.Dedup.buildLshIndex]]), and only the near-dup survivors
+ * reach the sink table — the streaming form of the ingest loop the batch
+ * gates `dedup_incremental_fuzzy`/`_grow` pin (SURVEY §2.11/§2.12: the
+ * "continuously arriving crawl" shape, where dedup must happen before
+ * storage, not as a nightly batch).
+ *
+ * Mechanics: `foreachBatch` applies [[Dedup.dedupeAgainstLshIndex]] to
+ * each micro-batch — a stream-static join against the stored bucket/set
+ * tables, which Structured Streaming permits without watermarks because
+ * the static side is re-read per batch — then appends survivors to
+ * `sink` (an O(1)-committed [[TableStore]] generation per batch). With
+ * `grow = true` each batch's survivors are ALSO appended to the index
+ * ([[Dedup.appendToLshIndex]]) before the next micro-batch runs —
+ * foreachBatch executes micro-batches strictly sequentially, so batch
+ * N+1 dedupes against archive ∪ all prior survivors exactly like the
+ * batch grow loop.
+ *
+ * Scale posture: per micro-batch cost tracks the BATCH (shingle + probe
+ * the stored buckets), never the archive — the corpus is shingled once
+ * at index build; state lives in the store, not in Spark streaming
+ * state, so a restart resumes from the checkpoint with nothing to
+ * rebuild.
+ */
+object IngestStream {
+
+  def dedupToStore(stream: DataFrame, store: TableStore, index: Dedup.LshIndex,
+      idCol: String, textCol: String, threshold: Double, sink: String,
+      grow: Boolean = false, checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // survivors feed the sink append AND (under grow) the index append —
+        // localCheckpoint so the LSH probe pipeline runs once per batch, and
+        // lineage does not accumulate across micro-batches
+        val survivors = Dedup.dedupeAgainstLshIndex(
+          store, index, batch, idCol, textCol, threshold).localCheckpoint()
+        store.append(sink, survivors)
+        if (grow) Dedup.appendToLshIndex(store, index, survivors, idCol, textCol)
+        Dedup.unpersistAll() // per-batch tracked caches (shingle sets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    // an explicit checkpoint makes the ingest loop RESUMABLE: a second
+    // AvailableNow drain over the same checkpoint processes only files the
+    // first drain has not committed (pinned by IngestStreamSpec)
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
+  /** Open a parquet file stream over staged document files, schema probed
+    * from a batch footer read of the same path (the schema-on-source
+    * discipline of [[EventStream.read]]; documents carry no event-time
+    * column, so no normalization applies). */
+  def readDocs(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val probed = spark.read.parquet(dir).schema
+    spark.readStream.schema(probed)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+  }
+}

@@ -402,6 +402,92 @@ case class CentroidSims(child: Expression, matrix: Array[Array[Double]], asAngle
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/**
+ * Banded sign-random-projection bucket keys in one expression: for each of
+ * `bands` bands, the signs of `rowsPerBand` hyperplane dot products are
+ * packed into a long and mixed with the band ordinal (splitmix64 over
+ * `packed XOR band·golden`, [[MinHashSignature.mix]]) so bands never share
+ * buckets. Returns `array<long>` of the `bands` bucket keys.
+ *
+ * Same codegen-size rationale as [[CentroidSims]]: the previous
+ * formulation — `bands × rowsPerBand` inline `when(dot(v, typedLit(plane))
+ * ≥ 0, …)` children — generates O(bands × rowsPerBand ×
+ * surrounding-projection) Java and overflows janino's 64 KB method limit
+ * at production widths (144 planes × dim ≥ 128), silently dropping the
+ * whole band-projection stage to interpreted eval. Here the plane matrix
+ * is ONE plan reference and the loop is fixed-size.
+ *
+ * Vectors colliding in a band collide under ANY key mixing (equal packed
+ * signs ⇒ equal key), so the LSH recall contract is a function of the
+ * planes alone — the mixing only decorrelates accidental cross-pattern
+ * bucket collisions.
+ */
+case class SignBandKeys(child: Expression, planes: Array[Array[Double]],
+    bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62,
+    s"bands/rowsPerBand must be positive (rowsPerBand <= 62): $bands x $rowsPerBand")
+  require(planes.length == bands * rowsPerBand,
+    s"need ${bands * rowsPerBand} planes, got ${planes.length}")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_band_keys"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var packed = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val row = planes(b * rowsPerBand + j)
+        val n = math.min(row.length, v.numElements())
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += row(i) * v.getDouble(i); i += 1 }
+        if (s >= 0) packed |= (1L << j)
+        j += 1
+      }
+      out(b) = MinHashSignature.mix(packed ^ (b * 0x9E3779B97F4A7C15L))
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val packed = ctx.freshName("packed")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $packed = 0L;
+         |  for (int $j = 0; $j < $rowsPerBand; $j++) {
+         |    double[] $row = $m[$b * $rowsPerBand + $j];
+         |    int $n = java.lang.Math.min($row.length, $a.numElements());
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $s += $row[$i] * $a.getDouble($i); }
+         |    if ($s >= 0) $packed |= (1L << $j);
+         |  }
+         |  $out[$b] = org.apache.spark.sql.graftx.MinHashSignature.mix(
+         |    $packed ^ ($b * 0x9E3779B97F4A7C15L));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def vec_dot(a: Column, b: Column): Column =
@@ -430,4 +516,9 @@ object VectorFunctions {
   /** Codegen'd all-centroid angles `acos(clamp(dot))` against a literal matrix. */
   def centroid_angles(v: Column, matrix: Array[Array[Double]]): Column =
     ExpressionUtils.column(CentroidSims(ExpressionUtils.expression(v), matrix, asAngles = true))
+
+  /** Codegen'd banded sign-random-projection bucket keys. */
+  def sign_band_keys(v: Column, planes: Array[Array[Double]], bands: Int,
+      rowsPerBand: Int): Column =
+    ExpressionUtils.column(SignBandKeys(ExpressionUtils.expression(v), planes, bands, rowsPerBand))
 }

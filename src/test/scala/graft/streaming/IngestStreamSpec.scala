@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import graft.store.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IngestStreamSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def stage(df: DataFrame, in: java.nio.file.Path, name: String): Unit = {
+    val w = in.getParent.resolve(s"${name}_w")
+    df.coalesce(1).write.mode("overwrite").parquet(w.toString)
+    val st = java.nio.file.Files.list(w)
+    try st.forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, in.resolve(s"$name.parquet"))
+    } finally st.close()
+  }
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    assert(q.awaitTermination(120000L), "ingest stream did not drain")
+
+  test("static-index streaming dedup lands the batch path's survivor set") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("ingest-spec-static").toString)
+    val archive = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e f"),  // dup of the archive -> dropped
+      (11L, "p q r s t u"),  // novel -> survives
+      (20L, "p q r s t u")   // dup of 11 but the index is STATIC -> survives
+    ).toDF("doc_id", "text")
+    Dedup.buildLshIndex(store, "idx", archive, "doc_id", "text")
+    val idx = Dedup.loadLshIndex(store, "idx")
+    val expected = Dedup.dedupeAgainstLshIndex(store, idx, batch, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.unpersistAll()
+    val in = java.nio.file.Files.createTempDirectory("ingest-spec-in").resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    stage(batch, in, "b0")
+    drain(IngestStream.dedupToStore(IngestStream.readDocs(spark, in.toString),
+      store, idx, "doc_id", "text", 0.8, "surv"))
+    val got = store.read("surv").select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got == Set(10L, 11L, 20L) -- Set(10L))
+  }
+
+  test("grow=true: a later micro-batch dedupes against earlier survivors; checkpoint resumes") {
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("ingest-spec-grow").toString)
+    val archive = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    Dedup.buildLshIndex(store, "idx", archive, "doc_id", "text")
+    val idx = Dedup.loadLshIndex(store, "idx")
+    val in = java.nio.file.Files.createTempDirectory("ingest-spec-gin").resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val ck = java.nio.file.Files.createTempDirectory("ingest-spec-ck").toString
+    // drain 1: doc 10 dups the archive (drop), doc 11 is novel (survive+grow)
+    stage(Seq((10L, "a b c d e f"), (11L, "p q r s t u")).toDF("doc_id", "text"), in, "b0")
+    drain(IngestStream.dedupToStore(IngestStream.readDocs(spark, in.toString),
+      store, idx, "doc_id", "text", 0.8, "surv", grow = true, checkpoint = Some(ck)))
+    // drain 2 over the SAME checkpoint: only the new file is processed;
+    // doc 20 dups batch-1 survivor 11 ONLY -> dropped iff the grow took
+    stage(Seq((20L, "p q r s t u"), (21L, "x y z w v k")).toDF("doc_id", "text"), in, "b1")
+    drain(IngestStream.dedupToStore(IngestStream.readDocs(spark, in.toString),
+      store, idx, "doc_id", "text", 0.8, "surv", grow = true, checkpoint = Some(ck)))
+    val got = store.read("surv").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 21L),
+      s"grow must drop doc 20 against batch-1 survivor 11, resume must not reprocess b0: $got")
+  }
+}

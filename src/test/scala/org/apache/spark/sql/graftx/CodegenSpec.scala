@@ -99,6 +99,26 @@ class CodegenSpec extends AnyFunSuite {
     GenerateUnsafeProjection.generate(Seq(wideE)) // throws on janino failure
   }
 
+  test("SignBandKeys codegen compiles, matches interpreted eval, band separation") {
+    // 2 bands x 2 rows: v=(1,0) signs = (+,-,+,+) -> band0 packed=0b01, band1 packed=0b11
+    val planes = Array(Array(1.0, 0.0), Array(-1.0, 0.5), Array(0.5, 0.0), Array(2.0, -1.0))
+    val e = SignBandKeys(BoundReference(0, doubleArray, nullable = true), planes, 2, 2)
+    val in = row(doubles(1.0, 0.0))
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val got = proj(in).getArray(0).toLongArray()
+    assert(got.sameElements(e.eval(in).asInstanceOf[ArrayData].toLongArray()))
+    assert(got.length == 2 && got(0) != got(1)) // band mixing separates equal sign patterns? no:
+    // packed differs (01 vs 11) AND band ordinal mixes; equal packed across bands must differ too
+    val e2 = SignBandKeys(BoundReference(0, doubleArray, nullable = true),
+      Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(1.0, 0.0), Array(1.0, 0.0)), 2, 2)
+    val got2 = e2.eval(in).asInstanceOf[ArrayData].toLongArray()
+    assert(got2(0) != got2(1), "identical sign patterns in different bands must not share buckets")
+    // the motivating case: 144 planes x dim 512 must still compile
+    val wide = Array.tabulate(144, 512)((p, i) => ((p * 512 + i) % 97 - 48) / 48.0)
+    GenerateUnsafeProjection.generate(Seq(
+      SignBandKeys(BoundReference(0, doubleArray, nullable = true), wide, 12, 12)))
+  }
+
   test("BpeMergeAdjacent codegen compiles, matches interpreted eval, left-to-right non-overlap") {
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
