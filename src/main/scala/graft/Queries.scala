@@ -877,6 +877,13 @@ object Queries {
     // IEEE-correctly-rounded point, so the oracle derives identical rates)
     "sampling_temperature" -> ((s, d) =>
       Sampling.temperatureSample(docs(s, d), "lang", "doc_id", alpha = 0.5, budget = 150L)),
+    // equal-frequency discretization: order-price deciles; thresholds are
+    // exact interpolated percentiles (≡ quantile_cont) and on-threshold
+    // values fall LOWER — boundary-safe here because 2-decimal price gaps
+    // (≥ 0.01) dwarf interpolation ulps
+    "sampling_quantile_bins" -> ((s, d) =>
+      Sampling.quantileBins(orders(s, d), "o_totalprice", 10)
+        .select("o_orderkey", "bin")),
     // leakage-safe splits: near-dup cluster members must land in ONE split
     // (the split boundary can only fall between clusters)
     "sampling_split_cluster_safe" -> ((s, d) => {
@@ -2052,6 +2059,16 @@ object Queries {
     // α = 0.5 temperature mixing: sqrt is IEEE-correctly-rounded, so both
     // engines derive bit-identical per-language rates; the arithmetic shape
     // (budget·w)/(sw·n) mirrors the Spark expression exactly
+    // decile thresholds via quantile_cont ≡ Spark percentile; strictly-
+    // below counting reproduces the ties-fall-lower contract
+    "sampling_quantile_bins" ->
+      """WITH t AS (SELECT quantile_cont(o_totalprice,
+        |                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS th
+        |             FROM orders)
+        |SELECT o_orderkey,
+        |       CASE WHEN o_totalprice IS NULL THEN NULL
+        |            ELSE 1 + len(list_filter(t.th, x -> o_totalprice > x)) END AS bin
+        |  FROM orders, t""".stripMargin,
     "sampling_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |sm AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS sw FROM c),

@@ -249,6 +249,43 @@ object Sampling {
   }
 
   /**
+   * Equal-frequency discretization: assign every row its `k`-quantile
+   * bucket of `valueCol` — the feature-binning step of a training
+   * pipeline (score deciles for quality tiers, length buckets for batch
+   * shaping, stratification keys for [[stratified]]).
+   *
+   * Contract (spelled identically in the SQL oracle): thresholds are the
+   * exact interpolated `percentile(valueCol, i/k)` for `i = 1..k−1`
+   * (≡ DuckDB `quantile_cont`, both the (n−1)·q linear interpolation);
+   * `bin = 1 + #{thresholds strictly below the value}` — values exactly
+   * ON a threshold fall in the LOWER bin, NULL values get a NULL bin.
+   *
+   * Plan: one aggregation computes all `k−1` thresholds, which travel as
+   * a single broadcast row; bin assignment is then a pure per-row
+   * projection (a sum of `when`s, codegen-friendly — a higher-order
+   * `filter` lambda would drop the projection out of codegen). The corpus
+   * never shuffles. Exact `percentile` buffers values per partition —
+   * at the 100 TB scale pass `approx = true` (`percentile_approx`,
+   * constant memory, the [[groupQuantileFilter]] trade).
+   */
+  def quantileBins(df: DataFrame, valueCol: String, k: Int, binCol: String = "bin",
+      approx: Boolean = false): DataFrame = {
+    require(k >= 2, s"need at least 2 bins: $k")
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val thrFn = if (approx)
+      s"percentile_approx(`$valueCol`, array(${probs.mkString(",")}), 10000)"
+    else s"percentile(`$valueCol`, array(${probs.mkString(",")}))"
+    val thr = freshCol(df, "__qthr")
+    val thresholds = df.agg(expr(thrFn).as(thr))
+    val binExpr = probs.indices
+      .map(i => when(col(valueCol) > element_at(col(thr), i + 1), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.crossJoin(broadcast(thresholds))
+      .withColumn(binCol, when(col(valueCol).isNull, lit(null)).otherwise(binExpr))
+      .drop(thr)
+  }
+
+  /**
    * Temperature-based mixture sampling — the multilingual/multi-domain
    * re-balancing rule from the XLM/mT5 line of work: sample domain `d` with
    * probability `p_d ∝ n_d^α`, flattening the natural distribution so

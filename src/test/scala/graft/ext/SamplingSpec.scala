@@ -66,6 +66,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(Set(4, 20).subsetOf(approx)) // group maxima always survive any quantile
   }
 
+  test("quantileBins: equal-frequency deciles, ties fall lower, NULL stays NULL") {
+    val df = (1 to 100).map(v => (v.toLong, Some(v.toDouble)))
+      .:+((0L, Option.empty[Double])).toDF("id", "v")
+    val got = Sampling.quantileBins(df, "v", 4)
+    // thresholds (n−1)·q over 1..100: 25.75 / 50.5 / 75.25 → 25 rows per bin
+    val counts = got.filter($"v".isNotNull).groupBy("bin").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts == Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+    assert(got.filter($"id" === 0L).select("bin").head().isNullAt(0))
+    // a value exactly ON a threshold lands in the LOWER bin: median of
+    // {1,2,3} is exactly 2 → 2 gets bin 1
+    val tie = Sampling.quantileBins(Seq(1.0, 2.0, 3.0).toDF("v"), "v", 2)
+      .orderBy("v").select("bin").as[Int].collect().toSeq
+    assert(tie == Seq(1, 1, 2))
+    // sketch path: bins are monotone in v and span 1..k
+    val approx = Sampling.quantileBins(df.filter($"v".isNotNull), "v", 4, approx = true)
+      .orderBy("v").select("bin").as[Int].collect().toSeq
+    assert(approx == approx.sorted && approx.head == 1 && approx.last == 4)
+  }
+
   test("hashFraction permille bounds: 0 keeps nothing, 1000 keeps everything") {
     assert(Sampling.hashFraction(docs, "doc_id", 0).count() == 0L)
     assert(Sampling.hashFraction(docs, "doc_id", 1000).count() == docs.count())
