@@ -913,6 +913,18 @@ object Queries {
       Ops.rangeJoin(clicks, errors, "ts", "ts", java.time.Duration.ofSeconds(60))
         .select("click_id", "error_id")
     }),
+    // interval-OVERLAP join: click/error SPANS (deterministic variable
+    // lengths, event_id % 60 s) that intersect — both sides name their
+    // bounds (s, e), exercising the collision-safe rename like range_join
+    "interval_join_events" -> ((s, d) => {
+      val ev = events(s, d)
+      def spans(tpe: String, idName: String) = ev.filter(col("event_type") === tpe)
+        .select(col("event_id").as(idName), col("ts").as("s"),
+          expr("ts + make_dt_interval(0, 0, 0, cast(event_id % 60 as double))").as("e"))
+      Ops.intervalJoin(spans("click", "click_id"), spans("error", "error_id"),
+        "s", "e", "s", "e", java.time.Duration.ofSeconds(60))
+        .select("click_id", "error_id")
+    }),
 
     // ---- dedup (§2.12) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), Seq("lang", "source"), "doc_id")),
@@ -2197,6 +2209,18 @@ object Queries {
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |  FROM pii""".stripMargin,
     "range_join_events" -> rangeJoinEventsSql,
+    // overlap of [ts, ts + (event_id % 60)s] spans; touching endpoints count
+    "interval_join_events" ->
+      """WITH c AS (SELECT event_id AS click_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 60) * 1000000 AS e
+        |             FROM events WHERE event_type = 'click'),
+        |er AS (SELECT event_id AS error_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 60) * 1000000 AS e
+        |         FROM events WHERE event_type = 'error')
+        |SELECT click_id, error_id FROM c, er
+        | WHERE c.s <= er.e AND er.s <= c.e""".stripMargin,
     // the streaming band join must equal the batch range join exactly
     "stream_correlated" -> rangeJoinEventsSql,
     "text_term_stats" ->

@@ -274,6 +274,70 @@ object Ops {
   }
 
   /**
+   * Interval-OVERLAP join without an equi key: all pairs whose
+   * `[start, end]` intervals intersect (touching endpoints count:
+   * `sL ≤ eR AND sR ≤ eL`) — session-vs-session correlation, outage
+   * windows × request spans, any two interval sets. The naive form is a
+   * cross join with two inequality filters; here the range predicate
+   * becomes an EQUI join on a `maxSpan`-wide time-grid band, the
+   * [[rangeJoin]] discipline extended to intervals.
+   *
+   * Banding correctness (why ±1 on the start band suffices): both spans
+   * are ≤ `maxSpan` = the band width `w`. For an overlapping pair,
+   * `sR ∈ [sL − spanR, eL] ⊆ [sL − w, sL + w]`, and `floor((sL − w)/w) =
+   * band(sL) − 1`, `band(eL) ≤ band(sL) + 1` — so the right START band is
+   * always within ±1 of the left start band. The left explodes to
+   * `{b−1, b, b+1}`, the right keys on `band(sR)` alone, every true pair
+   * meets on exactly ONE key (no dedup pass), and the exact predicate
+   * prunes the rest. ONE shuffle on the band key.
+   *
+   * The `maxSpan` bound is a RECALL contract, not a hint: a row whose
+   * span exceeds it can silently miss matches. `guard` (default on)
+   * therefore runs one eager aggregation per side asserting
+   * `max(end − start) ≤ maxSpan` (plus [[assertBandCardinality]] on the
+   * right start, the band-degeneration check) and fails loudly — the
+   * same re-evaluation trade as [[rangeJoin]]'s `guardBands`: free on
+   * direct source scans, persist first for expensive derived inputs.
+   * NULL or inverted (`end < start`) intervals never match, as in SQL.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
+      maxSpan: java.time.Duration, rightSuffix: String = "_r",
+      guard: Boolean = true): DataFrame = {
+    val spanUs = maxSpan.toNanos / 1000
+    require(spanUs > 0, "maxSpan must be positive")
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    if (guard) {
+      def assertSpans(df: DataFrame, s: String, e: String, side: String): Unit = {
+        val mx = df.agg(max(us(col(e)) - us(col(s)))).head()
+        if (!mx.isNullAt(0) && mx.getLong(0) > spanUs) throw new IllegalStateException(
+          s"intervalJoin $side side: max span ${mx.getLong(0)} us exceeds maxSpan " +
+            s"$maxSpan — banded recall would silently drop matches; widen maxSpan " +
+            "(cost: hotter bands) or split oversized intervals first")
+      }
+      assertSpans(left, leftStart, leftEnd, "left")
+      assertSpans(right, rightStart, rightEnd, "right")
+      assertBandCardinality(right, rightStart, maxSpan)
+    }
+    val leftCols = left.columns.toSet
+    val renamed = right.columns.map(c => if (leftCols(c)) c + rightSuffix else c)
+    require(renamed.toSet.size == renamed.length && !renamed.exists(leftCols),
+      s"intervalJoin rightSuffix '$rightSuffix' does not disambiguate: " +
+        s"renamed right columns ${renamed.mkString(",")} still collide")
+    def ren(c: String) = if (leftCols(c)) c + rightSuffix else c
+    val (rS, rE) = (ren(rightStart), ren(rightEnd))
+    val taken = leftCols ++ renamed
+    val band = Iterator.from(0).map(i => s"__band$i").find(!taken(_)).get
+    def bandOf(t: Column): Column = floor(us(t) / lit(spanUs))
+    val l = left.withColumn(band, explode(array(
+      bandOf(col(leftStart)) - 1, bandOf(col(leftStart)), bandOf(col(leftStart)) + 1)))
+    val r = right.toDF(renamed.toIndexedSeq: _*).withColumn(band, bandOf(col(rS)))
+    l.join(r, Seq(band))
+      .filter(us(col(leftStart)) <= us(col(rE)) && us(col(rS)) <= us(col(leftEnd)))
+      .drop(band)
+  }
+
+  /**
    * Contiguous global ordinals `0..n−1` in the total order of `orderCols`,
    * WITHOUT a global single-partition sort: the naive
    * `row_number() OVER (ORDER BY …)` plans `Exchange SinglePartition` —

@@ -138,6 +138,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 12L))) // 11 is 60.000001 s away
   }
 
+  test("intervalJoin: brute-force equivalence on deterministic spans, touching included") {
+    // 40 left x 40 right intervals with varying starts/spans (all <= 60 s):
+    // banding must reproduce the cross-join-with-predicate pair set exactly
+    val mk = (n: Int, off: Int) => (0 until n).map { i =>
+      val s = ts("2024-01-01 00:00:00").getTime + (i * 37000L + off * 1000L)
+      (i.toLong, new java.sql.Timestamp(s), new java.sql.Timestamp(s + (i % 61) * 1000L))
+    }
+    val l = mk(40, 0).toDF("l_id", "s", "e")
+    val r = mk(40, 29).toDF("r_id", "s", "e")
+    val got = Ops.intervalJoin(l, r, "s", "e", "s", "e", java.time.Duration.ofSeconds(60))
+    assert(got.columns.toSeq == Seq("l_id", "s", "e", "r_id", "s_r", "e_r"))
+    val gotPairs = got.select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val brute = l.crossJoin(r.toDF("r_id", "rs", "re"))
+      .filter(col("s") <= col("re") && col("rs") <= col("e"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(gotPairs == brute, s"banded=${gotPairs.size} brute=${brute.size}")
+    // touching endpoints count (closed intervals)
+    val t1 = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:10"))).toDF("l_id", "s", "e")
+    val t2 = Seq((2L, ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:20"))).toDF("r_id", "s", "e")
+    assert(Ops.intervalJoin(t1, t2, "s", "e", "s", "e",
+      java.time.Duration.ofSeconds(60), guard = false).count() == 1L)
+  }
+
+  test("intervalJoin: an oversized span fails the guard loudly, not silently under-recalls") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:02:30"))).toDF("l_id", "s", "e")
+    val r = Seq((2L, ts("2024-01-01 00:01:00"), ts("2024-01-01 00:01:30"))).toDF("r_id", "s", "e")
+    val ex = intercept[IllegalStateException](
+      Ops.intervalJoin(l, r, "s", "e", "s", "e", java.time.Duration.ofSeconds(60)))
+    assert(ex.getMessage.contains("max span"))
+  }
+
   test("rangeJoin: identically-named time columns work; right side gets _r suffix") {
     // the canonical event-correlation shape — both streams call it `ts`
     // (pre-fix this threw AnalysisException: ambiguous reference)
