@@ -7,10 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * gate for that operator — fail here first. */
 class ContractSpec extends AnyFunSuite {
 
+  /** Gates deliberately shipped WITHOUT an oracle (driver falls back to its
+    * rows-only check). Each needs a reason here and a spec pinning what the
+    * oracle can't:
+    *  - text_bpe_merges: the merge table is the fixpoint of an iterative
+    *    argmax — not SQL-expressible; merge-order optimality is pinned on
+    *    the Sennrich worked example (TextMultimodalSpec) and segmentation
+    *    correctness is oracle-gated separately (text_bpe_contract). */
+  private val rowsOnlyByDesign = Set("text_bpe_merges")
+
   test("every gated query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q.diff(o).isEmpty, s"queries without oracles: ${q.diff(o).toSeq.sorted}")
+    assert(q.diff(o) == rowsOnlyByDesign.filter(q),
+      s"queries without oracles beyond the documented rows-only set: " +
+        s"${(q.diff(o) -- rowsOnlyByDesign).toSeq.sorted}")
     assert(o.diff(q).isEmpty, s"oracles without queries: ${o.diff(q).toSeq.sorted}")
   }
 

@@ -22,10 +22,14 @@ class PlanSweepSpec extends AnyFunSuite {
     *    broadcast row attached to the (domain-cardinality-sized) counts
     *    frame — same scalar shape as text_tfidf's N;
     *  - text_surprisal: the corpus token total N is the same one-row
-    *    broadcast scalar. */
+    *    broadcast scalar;
+    *  - text_ce_diff: the (N_raw, N_target, V) smoothing totals are one
+    *    broadcast row attached to the token stream — same scalar shape;
+    *  - sampling_quantile_bins: the k−1 quantile thresholds are a single
+    *    broadcast row attached per-row for the bin projection. */
   private val broadcastAllPairsByDesign =
     Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature",
-      "text_surprisal")
+      "text_surprisal", "text_ce_diff", "sampling_quantile_bins")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
