@@ -1439,7 +1439,13 @@ object Queries {
     // counts as id arithmetic — rows match only if decoding actually ran.
     "mm_decode_real" -> ((s, d) =>
       Multimodal.decodeRealRoundTrip(s,
-        orders(s, d).filter(col("o_orderkey") <= 32).select(col("o_orderkey").as("id"))))
+        orders(s, d).filter(col("o_orderkey") <= 32).select(col("o_orderkey").as("id")))),
+    // perceptual image near-dup: every planted off-grid-perturbed twin must
+    // pair with its original through REAL PNG decode → aHash → hamming
+    // banding; violations (missed planted pairs) must be empty
+    "mm_image_near_dup" -> ((s, d) =>
+      Multimodal.imageNearDupRoundTrip(s,
+        orders(s, d).filter(col("o_orderkey") <= 24).select(col("o_orderkey").as("id"))))
   )
 
   // =========================================================================
@@ -2502,7 +2508,11 @@ object Queries {
         |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 4 + 2 ELSE 0 END AS INT) AS height,
         |       CASE WHEN o_orderkey % 2 = 0 THEN (o_orderkey % 5 + 3) * (o_orderkey % 4 + 2) ELSE 0 END AS n_pixels,
         |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey * 10 + 50 ELSE 0 END AS pcm_frames
-        |  FROM orders WHERE o_orderkey <= 32""".stripMargin
+        |  FROM orders WHERE o_orderkey <= 32""".stripMargin,
+    // planted perceptual-twin pairs must all be found → violations empty
+    "mm_image_near_dup" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
+        |  FROM orders WHERE FALSE""".stripMargin
     // every gated query has an oracle: the approximate ops are gated at their
     // exact operating points (sim_ann_ivf at full probe, dedup_minhash_lsh
     // verified-exact) with the approximate points covered by specs

@@ -526,15 +526,28 @@ object Dedup {
     * on k segments is popcounted k (≤ 4) times, deduped by the final
     * distinct. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxBits: Int = 3,
-      tokenHash: Column => Column = xxTokenHash): DataFrame = {
+      tokenHash: Column => Column = xxTokenHash): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol, tokenHash), idCol, "simhash", maxBits)
+
+  /**
+   * All pairs of 64-bit fingerprints within hamming distance `maxBits` —
+   * the pairing stage of [[simhashPairs]], exposed for ANY 64-bit
+   * fingerprint family (SimHash text prints, perceptual image hashes —
+   * [[Multimodal.imageHashes]]). Banding on 4 × 16-bit segments: by
+   * pigeonhole, any pair within hamming 3 agrees EXACTLY on at least one
+   * segment, so candidates come from segment-equality buckets (one
+   * shuffle) and recall is exact for `maxBits ≤ 3`; the codegen'd
+   * `bit_count(xor)` verifies. Output `(doc_a < doc_b, hamming)`.
+   */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+      maxBits: Int = 3): DataFrame = {
     require(maxBits <= 3, "4x16-bit banding guarantees recall only up to hamming distance 3")
-    val fps = simhash(docs, idCol, textCol, tokenHash)
     val segs = array((0 until 4).map(j =>
       struct(lit(j).as("seg"),
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)
-    val keyed = fps.select(col(idCol).as("id"), col("simhash"), explode(segs).as("sg"))
-    val l = keyed.select(col("sg"), col("id").as("doc_a"), col("simhash").as("fp_a"))
-    val r = keyed.select(col("sg"), col("id").as("doc_b"), col("simhash").as("fp_b"))
+        shiftright(col(fpCol), j * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)
+    val keyed = fps.select(col(idCol).as("id"), col(fpCol).as("__fp"), explode(segs).as("sg"))
+    val l = keyed.select(col("sg"), col("id").as("doc_a"), col("__fp").as("fp_a"))
+    val r = keyed.select(col("sg"), col("id").as("doc_b"), col("__fp").as("fp_b"))
     l.join(r, Seq("sg"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

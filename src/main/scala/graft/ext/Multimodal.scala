@@ -230,6 +230,100 @@ object Multimodal {
     }
   }
 
+  /**
+   * 64-bit perceptual average-hash (aHash, the pHash-family baseline) of
+   * one REAL decoded image: sample an 8×8 grid of pixels at
+   * `(⌊cx·w/8⌋, ⌊cy·h/8⌋)`, integer ITU-R 601 luminance per sample
+   * (`(299r + 587g + 114b) / 1000`), threshold each sample against the
+   * integer mean of the 64 (`≥ mean` ⇒ bit set, row-major bit order) —
+   * every step integer arithmetic, so the hash is bit-deterministic on
+   * any JVM. Visually near-identical images (recompressions, small
+   * edits off the sample grid) land within a few hamming bits, which is
+   * what [[graft.ext.Dedup.hammingPairs]] pairs on — the image analog of
+   * the SimHash text family. Undecodable payloads throw, never a
+   * byte-derived stand-in. */
+  def averageHash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "averageHash64: no JDK reader decoded this image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = new Array[Int](64)
+    var i = 0
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val rgb = img.getRGB(cx * w / 8, cy * h / 8)
+        lum(i) = ((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+        i += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = lum.sum / 64
+    var hash = 0L
+    var j = 0
+    while (j < 64) { if (lum(j) >= mean) hash |= (1L << j); j += 1 }
+    hash
+  }
+
+  /** Deterministic JDK-encoded PNG, LARGE variant (w = 16+id%8,
+    * h = 16+id%4) for the perceptual-hash gate: at w,h ≥ 16 the aHash
+    * sample grid `⌊c·dim/8⌋` only touches coordinates ≥ 2 (besides 0), so
+    * pixel (1,1) is provably OFF-grid — `perturb` flips it, producing a
+    * visually-near-identical twin whose aHash is bit-identical. */
+  def encodePngDeterministicLarge(id: Long, perturb: Boolean): Array[Byte] = {
+    val w = (16 + id % 8).toInt
+    val h = (16 + id % 4).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    if (perturb) img.setRGB(1, 1, img.getRGB(1, 1) ^ 0x7F7F7F)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Perceptual near-dup contract, driver-gatable like
+    * [[decodeRealRoundTrip]]: for each input `id`, ENCODE a deterministic
+    * large PNG and an off-grid-perturbed twin (id → `−id−1`), hash both
+    * through the REAL decode ([[imageHashes]]), pair with
+    * [[graft.ext.Dedup.hammingPairs]] — and emit every PLANTED twin pair
+    * the pairing missed. The oracle is the empty set: a row appears only
+    * if the codec, the hash, or the banded pair search dropped a
+    * near-identical image pair. */
+  def imageNearDupRoundTrip(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = ids.select(col("id").cast("long")).as[Long].flatMap { id =>
+      Seq((id, encodePngDeterministicLarge(id, perturb = false)),
+        (-id - 1, encodePngDeterministicLarge(id, perturb = true)))
+    }.toDF("id", "payload")
+    val pairs = graft.ext.Dedup.hammingPairs(imageHashes(spark, media), "id", "ahash", 3)
+    val expected = ids.select((-col("id").cast("long") - 1).as("doc_a"),
+      col("id").cast("long").as("doc_b"))
+    expected.join(pairs.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+  }
+
+  /** Perceptual hashes for a frame of `(id, payload)` image rows —
+    * partition-wise like [[extractFeatures]] (ImageIO context per
+    * partition, no shuffle, bytes never leave their executor). Output
+    * `(idCol, ahash)`; feed to [[graft.ext.Dedup.hammingPairs]] for
+    * near-dup pair search with exact recall at hamming ≤ 3. */
+  def imageHashes(spark: SparkSession, media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, payload) => (id, averageHash64(payload)) })
+      .toDF(idCol, "ahash")
+  }
+
   /** Frame sampling plumbing: every `stride`-th fixed-size window of the
     * payload bytes stands in for a decoded frame (`frame_idx`, `frame`).
     * With a real codec the slice becomes a decoded frame buffer; the

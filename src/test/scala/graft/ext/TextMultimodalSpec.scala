@@ -175,6 +175,33 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(frames.agg(max(length(col("frame")))).head().getInt(0) <= 32)
   }
 
+  test("averageHash64: deterministic, off-grid perturbation invariant, on-grid flips bits") {
+    val base = Multimodal.encodePngDeterministicLarge(7L, perturb = false)
+    assert(Multimodal.averageHash64(base) == Multimodal.averageHash64(base))
+    // the twin flips pixel (1,1) — off the >=16px sample grid — same hash
+    val twin = Multimodal.encodePngDeterministicLarge(7L, perturb = true)
+    assert(!base.sameElements(twin))
+    assert(Multimodal.averageHash64(base) == Multimodal.averageHash64(twin))
+    // blanking an entire sampled region must move at least one bit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    for (x <- 0 until img.getWidth; y <- 0 until img.getHeight if x < 6 && y < 6)
+      img.setRGB(x, y, 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    assert(Multimodal.averageHash64(base) != Multimodal.averageHash64(out.toByteArray))
+  }
+
+  test("hammingPairs: exact recall at distance <= 3, distant prints never pair") {
+    val fps = Seq(
+      (1L, 0L), (2L, 1L),                      // distance 1 -> pair
+      (3L, 0x0707L),                           // distance 5 from id 1 -> no pair with 1
+      (4L, 0x0706L), (5L, -1L)                 // 4 is distance 1 from 3; 5 far from all
+    ).toDF("doc_id", "fp")
+    val got = graft.ext.Dedup.hammingPairs(fps, "doc_id", "fp", 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("tfidf: N is distinct-doc based, so an every-doc token weighs exactly 0") {
     // doc 1 appears TWICE — count(*)-based N would be 3 and give 'common'
     // (present in both distinct docs) a nonzero weight (ADVICE r5)
