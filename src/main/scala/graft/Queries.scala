@@ -498,6 +498,18 @@ object Queries {
           col("asof.event_id").as("prior_error_id"),
           col("asof.ts").as("prior_error_ts"))
     }),
+    // forward as-of: each click gets the user's NEXT error at or after it
+    // (pandas merge_asof direction='forward'; DuckDB ASOF <=)
+    "asof_next_error" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+      val errors = ev.filter(col("event_type") === "error")
+      Ops.asOfJoin(clicks, errors, "user_id", "ts", "ts", "event_id", "event_id",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.event_id").as("next_error_id"),
+          col("asof.ts").as("next_error_ts"))
+    }),
 
     // ---- sproc analog (§2.9 O1) ----
     "o1_sql_step" -> ((s, d) => {
@@ -1783,6 +1795,12 @@ object Queries {
         |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
         |       e.event_id AS prior_error_id, CAST(e.ts AS TIMESTAMP) AS prior_error_ts
         |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "asof_next_error" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |       e.event_id AS next_error_id, CAST(e.ts AS TIMESTAMP) AS next_error_ts
+        |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts <= e.ts""".stripMargin,
     // DuckDB's date_trunc('day', ts) returns DATE (Spark's returns timestamp)
     // — re-cast the day key so both engines materialize a day timestamp
     "o1_sql_step" ->

@@ -161,30 +161,44 @@ object Ops {
    * Right columns come back nested in `asofCol` (null when no right row
    * precedes the left row). Ties at equal time: the right side is visible
    * to the left row (<= semantics, matching DuckDB ASOF `>=`).
+   *
+   * `direction = "forward"` flips the lookup to the EARLIEST right row
+   * with `rightTime >= leftTime` (pandas `merge_asof` forward; DuckDB
+   * ASOF `<=`): the window frame becomes current-row-to-following with a
+   * running `first`, and the tie ordering flips (right rows at the SAME
+   * time must sort AFTER the left row to stay inside the forward frame —
+   * in the backward case they must sort before). Same one-shuffle plan.
    */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, leftId: String, rightId: String,
-      asofCol: String = "asof"): DataFrame = {
+      asofCol: String = "asof", direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin direction must be 'backward' or 'forward': $direction")
+    val forward = direction == "forward"
     val rightStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     // NULL right timestamps would sort FIRST (nulls-first ascending) and
     // become every row's "earliest" match; ASOF semantics (and DuckDB's
     // oracle) never match a NULL time — drop them
+    val (rightTag, leftTag) = if (forward) (1, 0) else (0, 1)
     val taggedRight = right.filter(col(rightTime).isNotNull)
       .select(col(key), col(rightTime).as("__t"),
-        lit(0).as("__side"), col(rightId).as("__id"), rightStruct.as(asofCol))
+        lit(rightTag).as("__side"), col(rightId).as("__id"), rightStruct.as(asofCol))
     val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val taggedLeft = left.select(col(key), col(leftTime).as("__t"),
-      lit(1).as("__side"), col(leftId).as("__id"),
+      lit(leftTag).as("__side"), col(leftId).as("__id"),
       lit(null).cast(taggedRight.schema(asofCol).dataType).as(asofCol),
       leftStruct.as("__row"))
     val unioned = taggedLeft.unionByName(taggedRight.withColumn("__row", lit(null).cast(taggedLeft.schema("__row").dataType)))
-    val w = Window.partitionBy(key)
-      .orderBy(col("__t"), col("__side"), col("__id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__id"))
+    val (w, pick) =
+      if (forward) (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        first(col(asofCol), ignoreNulls = true))
+      else (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        last(col(asofCol), ignoreNulls = true))
     unioned
-      .withColumn("__asof", last(col(asofCol), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__asof", pick.over(w))
+      .filter(col("__side") === leftTag)
       .select(left.columns.toIndexedSeq.map(c => col(s"__row.`$c`").as(c)) :+
         col("__asof").as(asofCol): _*)
   }

@@ -106,6 +106,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(5.0), 2L -> Some(6.0), 3L -> None, 4L -> None))
   }
 
+  test("asOfJoin forward picks the earliest right row at or after each left row") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L, 5.0),
+      (1L, t("2024-01-01 10:05:00"), 101L, 6.0),
+      (2L, t("2024-01-01 10:01:00"), 102L, 9.0)
+    ).toDF("k", "qt", "qid", "px")
+    val trades = Seq(
+      (1L, t("2024-01-01 10:03:00"), 1L), // next quote is 101 → 6.0
+      (1L, t("2024-01-01 10:05:00"), 2L), // tie with quote 101 → >= visible → 6.0
+      (1L, t("2024-01-01 10:06:00"), 5L), // after the last quote → null
+      (2L, t("2024-01-01 10:00:30"), 3L), // before quote 102 → 9.0
+      (3L, t("2024-01-01 12:00:00"), 4L)  // key with no quotes at all → null
+    ).toDF("k", "tt", "tid")
+    val got = Ops.asOfJoin(trades, quotes, "k", "tt", "qt", "tid", "qid",
+        direction = "forward")
+      .select($"tid", $"asof.px".as("px")).as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(6.0), 2L -> Some(6.0), 5L -> None, 3L -> Some(9.0), 4L -> None))
+    intercept[IllegalArgumentException](
+      Ops.asOfJoin(trades, quotes, "k", "tt", "qt", "tid", "qid", direction = "nearest"))
+  }
+
   test("saltedJoin: same result as a plain join, keys spread over salts") {
     val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
     val right = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("k", "w")
