@@ -329,6 +329,15 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeTrain(corpus, "doc_id", "text", 10).count() == 0L)
   }
 
+  test("bpeTrain is partitioning-invariant (total-order argmax tie-break)") {
+    val docs = (0 until 40).map(i => (i.toLong, s"alpha beta gam${i % 4} delta"))
+      .toDF("doc_id", "text")
+    def merges(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeTrain(df, "doc_id", "text", 6)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges(docs.repartition(1)) == merges(docs.repartition(13)))
+  }
+
   test("crossEntropyDiff: hand-computed Moore-Lewis scores with add-one smoothing") {
     // raw: d1 "a a b", d2 "c"; target: d1 only. Joint vocab {a,b,c} V=3,
     // N_raw=4, N_tgt=3. Every d1 token scores ln((c_t+1)/6) - ln((c_r+1)/7):
