@@ -896,6 +896,11 @@ object Queries {
     "sampling_quantile_bins" -> ((s, d) =>
       Sampling.quantileBins(orders(s, d), "o_totalprice", 10)
         .select("o_orderkey", "bin")),
+    // deterministic contrastive negatives: 3 hash-drawn partners per doc,
+    // partner ordinal = idHash("id:j") mod n — reproducible on any engine,
+    // self-collisions dropped
+    "sampling_negative_pairs" -> ((s, d) =>
+      Sampling.negativePairs(docs(s, d).select("doc_id"), "doc_id", 3)),
     // leakage-safe splits: near-dup cluster members must land in ONE split
     // (the split boundary can only fall between clusters)
     "sampling_split_cluster_safe" -> ((s, d) => {
@@ -2105,6 +2110,18 @@ object Queries {
         |       CASE WHEN o_totalprice IS NULL THEN NULL
         |            ELSE 1 + len(list_filter(t.th, x -> o_totalprice > x)) END AS bin
         |  FROM orders, t""".stripMargin,
+    // same ordinal + 60-bit-hash-mod-n arithmetic, self-collisions dropped
+    "sampling_negative_pairs" ->
+      s"""WITH o AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS ord
+         |             FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |a AS (SELECT o.doc_id AS anchor_id, o.ord AS aord, js.j,
+         |             CAST('0x' || substr(md5(CAST(o.doc_id AS VARCHAR) || ':' ||
+         |                  CAST(js.j AS VARCHAR)), 1, 15) AS BIGINT) % n.n AS pord
+         |        FROM o, n, (SELECT unnest(range(0, 3)) AS j) js)
+         |SELECT a.anchor_id, a.j, p.doc_id AS negative_id
+         |  FROM a JOIN o p ON a.pord = p.ord
+         | WHERE a.pord <> a.aord""".stripMargin,
     "sampling_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |sm AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS sw FROM c),

@@ -249,6 +249,46 @@ object Sampling {
   }
 
   /**
+   * Deterministic contrastive negative sampling: for every anchor row, `k`
+   * pseudo-random partner rows drawn uniformly from the corpus — the
+   * negative-pair generator of contrastive embedding training (word2vec
+   * negative sampling, Mikolov et al. 2013; DPR-style retrieval training).
+   * `df.sample`/`rand()` would re-draw per run AND per partitioning; here
+   * partner choice is a pure function of `(anchor id, j)`, so the pair set
+   * is reproducible on any engine — the same portability contract as
+   * [[idHash]] selection everywhere else in this module.
+   *
+   * Shape: anchors get contiguous ordinals `0..n−1`
+   * ([[graft.ops.Ops.globalOrdinals]] — range-partitioned, no
+   * single-partition exchange), partner ordinal =
+   * `idHash("<id>:<j>") mod n` (n travels as one broadcast row), and ONE
+   * keyed join on the ordinal fetches the partner id. Hash collisions
+   * with the anchor itself are DROPPED (that anchor gets k−1 negatives
+   * for that j) — the standard trade; re-rolling would make each draw
+   * depend on the previous one and break per-row determinism.
+   *
+   * EAGER like `globalOrdinals` (two ordinal jobs at call time). Returns
+   * `(anchor_id, j, negative_id)`.
+   */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+      numParts: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val ord = freshCol(df, "__negord")
+    val orded = graft.ops.Ops.globalOrdinals(
+      df.select(col(idCol)), Seq(col(idCol).asc), numParts, ord)
+    val n = orded.agg(count(lit(1)).as("__n"))
+    val anchors = orded.crossJoin(broadcast(n))
+      .select(col(idCol).as("anchor_id"), col(ord).as("__aord"), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("__pord",
+        idHash(concat(col("anchor_id").cast("string"), lit(":"), col("j").cast("string")))
+          % col("__n"))
+    anchors.filter(col("__pord") =!= col("__aord"))
+      .join(orded.select(col(ord).as("__pord"), col(idCol).as("negative_id")), Seq("__pord"))
+      .select("anchor_id", "j", "negative_id")
+  }
+
+  /**
    * Equal-frequency discretization: assign every row its `k`-quantile
    * bucket of `valueCol` — the feature-binning step of a training
    * pipeline (score deciles for quality tiers, length buckets for batch

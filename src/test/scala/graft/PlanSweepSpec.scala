@@ -26,10 +26,13 @@ class PlanSweepSpec extends AnyFunSuite {
     *  - text_ce_diff: the (N_raw, N_target, V) smoothing totals are one
     *    broadcast row attached to the token stream — same scalar shape;
     *  - sampling_quantile_bins: the k−1 quantile thresholds are a single
-    *    broadcast row attached per-row for the bin projection. */
+    *    broadcast row attached per-row for the bin projection;
+    *  - sampling_negative_pairs: the corpus size n (the hash modulus) is
+    *    the same one-row broadcast scalar. */
   private val broadcastAllPairsByDesign =
     Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature",
-      "text_surprisal", "text_ce_diff", "sampling_quantile_bins")
+      "text_surprisal", "text_ce_diff", "sampling_quantile_bins",
+      "sampling_negative_pairs")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

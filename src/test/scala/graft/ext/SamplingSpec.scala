@@ -86,6 +86,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(approx == approx.sorted && approx.head == 1 && approx.last == 4)
   }
 
+  test("negativePairs: deterministic, partitioning-invariant, self excluded, ids from corpus") {
+    val ids = (0L until 50L).toDF("id")
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Sampling.negativePairs(df, "id", 3).orderBy("anchor_id", "j")
+        .as[(Long, Int, Long)].collect().toSeq
+    val got = draw(ids.repartition(7))
+    assert(got == draw(ids.repartition(1)))
+    assert(got.forall { case (a, _, n) => a != n && n >= 0 && n < 50 })
+    // every anchor draws k or k-1 (a dropped self-collision) negatives
+    val perAnchor = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perAnchor.size == 50 && perAnchor.values.forall(c => c == 3 || c == 2))
+    // per-(anchor, j) the draw is unique
+    assert(got.map(t => (t._1, t._2)).distinct.size == got.size)
+  }
+
   test("hashFraction permille bounds: 0 keeps nothing, 1000 keeps everything") {
     assert(Sampling.hashFraction(docs, "doc_id", 0).count() == 0L)
     assert(Sampling.hashFraction(docs, "doc_id", 1000).count() == docs.count())
