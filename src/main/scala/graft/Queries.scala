@@ -1148,6 +1148,14 @@ object Queries {
       val e = emb(s, d)
       Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // hard-negative mining (DPR shape): top-5 most-similar NON-duplicates —
+    // the query's cos>=0.45 cluster-mates are excluded BEFORE the rank, so
+    // every query still gets exactly k negatives
+    "pipeline_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, 0.45)
+    }),
     // gated at nprobe = nlist: full-probe IVF is EXACTLY brute force (every
     // list is scanned), so the brute-force top-k oracle applies and the whole
     // IVF plan (quantizer training, list assignment, probe join, re-rank) is
@@ -1561,6 +1569,23 @@ object Queries {
       |    FROM s),
       |c AS (SELECT user_id, session_id, count(*) AS n FROM g GROUP BY 1, 2)
       |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session FROM c GROUP BY user_id""".stripMargin
+
+  /** Shared recursive-CTE chain: embedding near-dup clusters at cos ≥ 0.45
+    * (brute-force pairs → undirected reach → min-label components `cl`) —
+    * the oracle counterpart of cosinePairs + connectedComponents, used by
+    * the SemDeDup and hard-negative gates. */
+  private val embClusterCtes =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+      |reach(node, label) AS (
+      |  SELECT src AS node, src AS label FROM e
+      |  UNION
+      |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node),
+      |cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)""".stripMargin
 
   private val bruteForceTopKSql =
     """SELECT query_id, neighbor_id FROM (
@@ -2442,29 +2467,35 @@ object Queries {
     // components (min-id label) → per-cluster winner by (n_chars DESC,
     // vec_id ASC) + all singletons
     "dedup_semantic_keepbest" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
-        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
-        |reach(node, label) AS (
-        |  SELECT src AS node, src AS label FROM e
-        |  UNION
-        |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node),
-        |cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
-        |q AS (SELECT em.vec_id, em.label, d.n_chars
-        |        FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
-        |win AS (SELECT vec_id, label, n_chars FROM (
-        |          SELECT q.*, cl.cluster,
-        |                 row_number() OVER (PARTITION BY cl.cluster
-        |                     ORDER BY q.n_chars DESC, q.vec_id ASC) AS rn
-        |            FROM q JOIN cl ON q.vec_id = cl.node)
-        |         WHERE rn = 1)
-        |SELECT vec_id, label, n_chars FROM q
-        | WHERE vec_id NOT IN (SELECT node FROM cl)
-        |UNION ALL
-        |SELECT vec_id, label, n_chars FROM win""".stripMargin,
+      s"""$embClusterCtes,
+         |q AS (SELECT em.vec_id, em.label, d.n_chars
+         |        FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+         |win AS (SELECT vec_id, label, n_chars FROM (
+         |          SELECT q.*, cl.cluster,
+         |                 row_number() OVER (PARTITION BY cl.cluster
+         |                     ORDER BY q.n_chars DESC, q.vec_id ASC) AS rn
+         |            FROM q JOIN cl ON q.vec_id = cl.node)
+         |         WHERE rn = 1)
+         |SELECT vec_id, label, n_chars FROM q
+         | WHERE vec_id NOT IN (SELECT node FROM cl)
+         |UNION ALL
+         |SELECT vec_id, label, n_chars FROM win""".stripMargin,
+    // hard negatives: brute-force top-k with the query's cluster-mates
+    // excluded BEFORE the rank (same rank/tie convention as sim_topk)
+    "pipeline_hard_negatives" ->
+      s"""$embClusterCtes,
+         |mates AS (SELECT a.node AS qid, b.node AS nid
+         |            FROM cl a JOIN cl b ON a.cluster = b.cluster)
+         |SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |                      c.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |   WHERE q.vec_id < 10
+         |     AND NOT EXISTS (SELECT 1 FROM mates m
+         |                      WHERE m.qid = q.vec_id AND m.nid = c.vec_id)) x
+         | WHERE rn <= 5""".stripMargin,
     "dedup_cosine_lsh_routed" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS id_a,
         |       CAST(NULL AS BIGINT) AS id_b

@@ -623,4 +623,38 @@ object Similarity {
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
     Dedup.keepBest(emb, clusters, idCol, ordering)
   }
+
+  /**
+   * Hard-negative mining — the contrastive-retrieval training shape (DPR,
+   * Karpukhin et al. 2020: the best negatives are the most similar
+   * NON-duplicates): for each query vector, the top-`k` most cosine-similar
+   * corpus vectors EXCLUDING the query's own near-dup cluster. A plain
+   * [[topK]] would surface the paraphrases/duplicates themselves — the
+   * one thing a negative must never be (a false negative poisons the
+   * contrastive loss) — so exclusion must happen BEFORE the rank, not by
+   * post-filtering the top-k (which would return fewer than `k`).
+   *
+   * Composition: exact [[cosinePairs]] at `dupThreshold` → connected
+   * components → the cluster-mate pair set (membership² within clusters —
+   * tiny, size-gated broadcast); the scored query×corpus frame anti-joins
+   * the mates and ranks what's left, [[topK]]'s exact plan otherwise
+   * (broadcast queries, narrow 24-byte rank rows). EAGER like every
+   * components consumer.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dupThreshold: Double, nlist: Int = 16): DataFrame = {
+    val pairs = cosinePairs(corpus, idCol, vecCol, dupThreshold, nlist)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val mates = graft.ops.Ops.hintIfSmall(
+      clusters.as("a").join(clusters.as("b"), col("a.cluster") === col("b.cluster"))
+        .select(col("a.node").as("query_id"), col("b.node").as("neighbor_id")))
+    val q = broadcast(unitized(queries, idCol, vecCol, "query_id", "qv"))
+    val c = Caches.track(unitized(corpus, idCol, vecCol, "neighbor_id", "cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      .join(mates, Seq("query_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+  }
 }

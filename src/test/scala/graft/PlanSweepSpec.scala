@@ -32,7 +32,10 @@ class PlanSweepSpec extends AnyFunSuite {
   private val broadcastAllPairsByDesign =
     Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature",
       "text_surprisal", "text_ce_diff", "sampling_quantile_bins",
-      "sampling_negative_pairs")
+      "sampling_negative_pairs",
+      // hard negatives ranks the same brute-force broadcast query×corpus
+      // scan as sim_topk (minus the cluster-mate anti-join)
+      "pipeline_hard_negatives")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

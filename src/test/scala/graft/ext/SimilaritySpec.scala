@@ -179,6 +179,27 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert((forced -- exactWide).isEmpty, "routed LSH regime must keep zero false positives")
   }
 
+  test("hardNegatives excludes cluster-mates before the rank; topK would include them") {
+    // v0 ≈ v1 (near-dup pair); v2..v4 progressively less similar to v0
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.01f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),  // v0's near-dup -> excluded
+      (2L, Array(0.9f, 0.4f, 0.2f)),
+      (3L, Array(0.5f, 0.8f, 0.3f)),
+      (4L, Array(0.0f, 0.1f, 1.0f)))
+    val df = rows.toDF("id", "vec")
+    val queries = df.filter($"id" === 0L)
+    val naive = Similarity.topK(df, queries, "id", "vec", 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    assert(naive.contains(1L), "precondition: the near-dup IS the naive top hit")
+    val hard = Similarity.hardNegatives(df, queries, "id", "vec", 2, 0.9, nlist = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    assert(!hard.contains(1L), "the near-dup must never be a negative")
+    assert(hard == Set(2L, 3L), s"still exactly k negatives, the next-best: $hard")
+  }
+
   test("semanticDedup keeps the best member per embedding cluster, singletons untouched") {
     // v0 ≈ v1 ≈ v2 one cluster (cos ~1), v3 orthogonal singleton, v4 ≈ v5
     // a second cluster; quality picks the winner, id breaks the 30-30 tie
