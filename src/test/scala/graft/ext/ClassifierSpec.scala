@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toyCorpus = (0 until 40).map { i =>
+    if (i % 2 == 0) (i.toLong, "good clean prose text", 1)
+    else (i.toLong, "spam junk noise garbage", 0)
+  }.toDF("doc_id", "text", "label")
+
+  test("hashedFeatures: normalized counts, bias slot, NULL text absent") {
+    val docs = Seq((1L, "a a b"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val f = Classifier.hashedFeatures(docs, "doc_id", "text", 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(f.keySet == Set(1L)) // NULL text emits no features
+    val v = f(1L)
+    assert(v.length == 9 && v.last == 1.0) // dim + bias
+    assert(math.abs(v.sum - (1.0 + 1.0)) < 1e-12) // counts sum to 1 + bias 1
+    assert(v.count(_ > 0) <= 3) // at most two token slots + bias
+  }
+
+  test("trainLogistic separates a separable toy corpus; scores order correctly") {
+    val feats = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 32)
+      .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
+    val model = Classifier.trainLogistic(feats, "label", steps = 30, learningRate = 5.0)
+    Dedup.unpersistAll()
+    assert(model.trainAccuracy == 1.0, s"separable corpus must fit: ${model.trainAccuracy}")
+    assert(model.trainLogLoss < 0.5, s"loss should have dropped: ${model.trainLogLoss}")
+    val scores = Classifier.score(
+      Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 32), model, "doc_id")
+      .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
+      .select("label", "score").as[(Int, Double)].collect()
+    val pos = scores.filter(_._1 == 1).map(_._2).min
+    val neg = scores.filter(_._1 == 0).map(_._2).max
+    assert(pos > 0.5 && neg < 0.5, s"scores must separate at 0.5: min-pos $pos, max-neg $neg")
+  }
+
+  test("training accuracy is partitioning-stable") {
+    def acc(parts: Int): Double = {
+      val c = toyCorpus.repartition(parts)
+      val feats = Classifier.hashedFeatures(c, "doc_id", "text", 32)
+        .join(c.select("doc_id", "label"), Seq("doc_id"))
+      val m = Classifier.trainLogistic(feats, "label", steps = 15, learningRate = 5.0)
+      Dedup.unpersistAll()
+      m.trainAccuracy
+    }
+    assert(acc(1) == acc(11))
+  }
+}
