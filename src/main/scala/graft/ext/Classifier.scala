@@ -73,19 +73,26 @@ object Classifier {
   def trainLogistic(data: DataFrame, labelCol: String, steps: Int,
       learningRate: Double): Model = {
     require(steps > 0 && learningRate > 0, s"bad hyperparams: $steps, $learningRate")
+    val spark = data.sparkSession
+    import spark.implicits._
     val cached = Caches.track(data.select(col("features"),
       col(labelCol).cast("double").as("__y")))
     val dim = cached.select(size(col("features"))).head().getInt(0)
     val nRows = cached.count().toDouble
     var w = new Array[Double](dim)
     val gsq = new Array[Double](dim)
+    // weights travel as a broadcast ONE-ROW FRAME, not a literal: a fresh
+    // typedLit per step changes the generated source, so every iteration
+    // would pay a full janino compile (measured: the compile dominates the
+    // whole training). With the identical plan shape each step, Spark's
+    // codegen cache compiles once and steps only pay the (tiny) broadcast.
+    def withW = cached.crossJoin(broadcast(Seq(Tuple1(w.toSeq)).toDF("__w")))
     var step = 0
     while (step < steps) {
-      val wLit = typedLit(w.toSeq)
       // err = sigmoid(w·x) − y per row; gradient_j = Σ err · x_j / n
-      val grads = cached
+      val grads = withW
         .withColumn("__err",
-          lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), wLit))) - col("__y"))
+          lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), col("__w")))) - col("__y"))
         .select(posexplode(col("features")).as(Seq("__j", "__x")), col("__err"))
         .groupBy(col("__j")).agg(sum(col("__x") * col("__err")).as("__g"))
         .collect()
@@ -99,15 +106,14 @@ object Classifier {
       }
       step += 1
     }
-    val wLit = typedLit(w.toSeq)
-    val m = cached.select(
-      avg(when((vec_dot(col("features"), wLit) > 0.0) === (col("__y") > 0.5), 1.0)
+    val m = withW.select(
+      avg(when((vec_dot(col("features"), col("__w")) > 0.0) === (col("__y") > 0.5), 1.0)
         .otherwise(0.0)).as("acc"),
       // clamped log-loss (pure diagnostics; clamping only guards ln(0))
       avg(-(col("__y") * log(greatest(lit(1e-12),
-          lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), wLit)))))
+          lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), col("__w"))))))
         + (lit(1.0) - col("__y")) * log(greatest(lit(1e-12),
-          lit(1.0) - lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), wLit))))))
+          lit(1.0) - lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), col("__w")))))))
       ).as("loss")).head()
     Model(w, m.getDouble(0), m.getDouble(1), steps)
   }
