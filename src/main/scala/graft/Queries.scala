@@ -459,6 +459,17 @@ object Queries {
       require(batchNo == 2, s"o13: two commits after the cursor, drained $batchNo")
       acc.get
     }),
+    // JSONL shard export round-trip: the corpus written as line-JSON shards
+    // (<= 100 records each — the training-stack delivery format) and read
+    // back under the SOURCE schema must equal the table itself; escaping,
+    // NULLs, and int widths all ride the gate hash
+    "o14_export_jsonl" -> ((s, d) => {
+      val doc = docs(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+      graft.io.Export.jsonlShards(doc, dir, maxRecordsPerShard = 100,
+        compression = Some("gzip"))
+      graft.io.Export.readJsonl(s, dir, doc.schema)
+    }),
     // two-dimensional pruned read over the z-order layout: the Morton curve
     // keeps every file rectangle-ish in (o_orderkey, o_custkey), so a band
     // on EITHER dimension alone opens a strict subset of the 16 files and
@@ -1814,6 +1825,8 @@ object Queries {
         |  FROM orders
         | WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '1997-03-01'
         |   AND o_orderkey % 2 = 1""".stripMargin,
+    // JSONL round-trip ≡ the table itself
+    "o14_export_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "o13_change_feed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, 'insert' AS __change, 1 AS batch
         |  FROM orders WHERE o_orderkey % 3 = 1

@@ -1,0 +1,35 @@
+package graft.io
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("jsonlShards: record cap splits shards; hostile strings round-trip; gzip reads back") {
+    // strings that stress JSON escaping: quotes, backslashes, newlines,
+    // unicode, tabs — plus NULLs in both column types
+    val rows = Seq(
+      (1L, """he said "hi" \ bye"""),
+      (2L, "line1\nline2\ttabbed"),
+      (3L, "unicode: é中文 😀"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "")) ++ (6L to 25L).map(i => (i, s"filler $i"))
+    val df = rows.toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("export-spec").toString + "/out"
+    Export.jsonlShards(df.repartition(1), dir, maxRecordsPerShard = 10)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    assert(files.length >= 3, s"25 rows at cap 10 must roll >= 3 shards: ${files.length}")
+    val back = Export.readJsonl(spark, dir, df.schema)
+      .as[(Long, Option[String])].collect().toSet
+    assert(back == rows.map { case (i, t) => (i, Option(t)) }.toSet)
+    // gzip variant round-trips identically
+    val gzDir = java.nio.file.Files.createTempDirectory("export-spec-gz").toString + "/out"
+    Export.jsonlShards(df, gzDir, 10, compression = Some("gzip"))
+    assert(new java.io.File(gzDir).listFiles().exists(_.getName.endsWith(".json.gz")))
+    val backGz = Export.readJsonl(spark, gzDir, df.schema)
+      .as[(Long, Option[String])].collect().toSet
+    assert(backGz == back)
+  }
+}
