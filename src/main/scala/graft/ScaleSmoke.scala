@@ -333,6 +333,23 @@ object ScaleSmoke {
     time("temperature sample 1M events by event_type (alpha 0.5)") {
       consume(graft.ext.Sampling.temperatureSample(bigEv, "event_type", "event_id", 0.5, 100000L))
     }
+    // quality-classifier training at 50k docs: the same linearly-separable
+    // text-derived label as the gate; the trainer must still fit it at 10x
+    // corpus (per-step cost is ONE aggregation — scale shows up in the
+    // constant, not the step count)
+    time("train quality classifier 50k docs (60 steps)") {
+      val nn = bigDocs.filter(col("text").isNotNull)
+      def cnt(t: String) = size(filter(split(col("text"), "\\s+"), w => w === t))
+      val labeled = nn.select(col("doc_id"),
+        (cnt("table") > cnt("row")).cast("int").as("label"))
+      val feats = graft.ext.Classifier.hashedFeatures(nn, "doc_id", "text", 128)
+        .join(labeled, Seq("doc_id"))
+      val m = graft.ext.Classifier.trainLogistic(feats, "label", 60, 15.0)
+      graft.ext.Dedup.unpersistAll()
+      println(f"[scale]   classifier: acc=${m.trainAccuracy}%.4f loss=${m.trainLogLoss}%.4f")
+      require(m.trainAccuracy >= 0.95,
+        f"separable label must train at scale: ${m.trainAccuracy}%.4f")
+    }
     // Moore-Lewis domain scoring at 50k docs: the target slice is the src0
     // replicas, so target docs must outscore the rest on average (their
     // tokens ARE the target distribution) and every score must be finite
