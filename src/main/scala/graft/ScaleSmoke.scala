@@ -255,12 +255,41 @@ object ScaleSmoke {
         bigDocs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       graft.ext.Dedup.unpersistAll()
     }
-    time("LSH ingest probe, 10k-doc batch vs stored archive") {
+    val batchSurvivors = time("LSH ingest probe, 10k-doc batch vs stored archive") {
       val idx = graft.ext.Dedup.loadLshIndex(lshStore, "archive_lsh")
       val n = graft.ext.Dedup.dedupeAgainstLshIndex(lshStore, idx,
         bigDocs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.8).count()
       graft.ext.Dedup.unpersistAll()
       println(s"[scale]   batch survivors after archive dedup: $n")
+      n
+    }
+    // the STREAMING ingest path at the same scale: the identical 10k-doc
+    // batch arrives as four staged files drained one per micro-batch against
+    // the same stored index — the survivor set must match the batch path
+    // exactly (static index ⇒ micro-batch-order independent)
+    time("STREAMING LSH ingest, 10k docs in 4 micro-batches") {
+      val idx = graft.ext.Dedup.loadLshIndex(lshStore, "archive_lsh")
+      val in = java.nio.file.Files.createTempDirectory("scale-ingest").resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val batch = bigDocs.filter(col("doc_id") % 5 === 0)
+      (0 until 4).foreach { i =>
+        val w = in.getParent.resolve(s"b${i}_w")
+        batch.filter(col("doc_id") % 20 === i * 5).coalesce(1)
+          .write.mode("overwrite").parquet(w.toString)
+        val st = java.nio.file.Files.list(w)
+        try st.forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, in.resolve(s"b$i.parquet"))
+        } finally st.close()
+      }
+      val q = graft.streaming.IngestStream.dedupToStore(
+        graft.streaming.IngestStream.readDocs(spark, in.toString),
+        lshStore, idx, "doc_id", "text", 0.8, "stream_survivors")
+      require(q.awaitTermination(300000L), "streaming ingest did not drain")
+      val n = lshStore.read("stream_survivors").count()
+      println(s"[scale]   streaming survivors: $n (batch path: $batchSurvivors)")
+      require(n == batchSurvivors,
+        s"streaming ingest diverged from the batch path: $n vs $batchSurvivors")
     }
     val sh = time("simhash pairs 50k docs") {
       val n = graft.ext.Dedup.simhashPairs(bigDocs, "doc_id", "text", 3).count()

@@ -329,6 +329,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeTrain(corpus, "doc_id", "text", 10).count() == 0L)
   }
 
+  test("bpe property: segmentation conserves every document for random corpora and merge counts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genWord = Gen.choose(1, 5).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val genDoc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, genWord)).map(_.mkString(" "))
+    val genCorpus = Gen.resize(10, Gen.nonEmptyListOf(genDoc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = Prop.forAll(genCorpus, Gen.choose(1, 12)) { (corpus, merges) =>
+      val df = corpus.toDF("doc_id", "text")
+      val table = TextAnalysis.bpeTrain(df, "doc_id", "text", merges, minPairCount = 1L)
+      val seg = TextAnalysis.bpeSegment(df, table, "doc_id", "text")
+        .as[(Long, Seq[String])].collect().toMap
+      corpus.forall { case (id, text) =>
+        seg(id).mkString.replace("</w>", " ").trim ==
+          text.split("\\s+").mkString(" ")
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop).passed)
+  }
+
   test("bpeTrain is partitioning-invariant (total-order argmax tie-break)") {
     val docs = (0 until 40).map(i => (i.toLong, s"alpha beta gam${i % 4} delta"))
       .toDF("doc_id", "text")

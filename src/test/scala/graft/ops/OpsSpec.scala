@@ -183,6 +183,30 @@ class OpsSpec extends AnyFunSuite {
       java.time.Duration.ofSeconds(60), guard = false).count() == 1L)
   }
 
+  test("intervalJoin property: banded == brute force on random interval sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = ts("2024-01-01 00:00:00").getTime
+    // starts spread over ~6 band-widths, spans up to exactly the band width
+    val genIv = Gen.zip(Gen.choose(0L, 360000L), Gen.choose(0L, 60000L))
+    val genSide = Gen.resize(14, Gen.nonEmptyListOf(genIv)).map(_.zipWithIndex.map {
+      case ((off, span), i) =>
+        (i.toLong, new java.sql.Timestamp(base + off), new java.sql.Timestamp(base + off + span))
+    })
+    val prop = Prop.forAll(genSide, genSide) { (ls, rs) =>
+      val l = ls.toDF("l_id", "s", "e")
+      val r = rs.toDF("r_id", "s", "e")
+      val got = Ops.intervalJoin(l, r, "s", "e", "s", "e",
+          java.time.Duration.ofSeconds(60), guard = false)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (li, lsr, le) <- ls; (ri, rsr, re) <- rs
+        if lsr.getTime <= re.getTime && rsr.getTime <= le.getTime
+      } yield (li, ri)).toSet
+      got == want
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop).passed)
+  }
+
   test("intervalJoin: an oversized span fails the guard loudly, not silently under-recalls") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:02:30"))).toDF("l_id", "s", "e")
     val r = Seq((2L, ts("2024-01-01 00:01:00"), ts("2024-01-01 00:01:30"))).toDF("r_id", "s", "e")
