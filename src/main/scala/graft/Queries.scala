@@ -746,6 +746,17 @@ object Queries {
     // count on the computed bin — at most `bins` partials per partition
     "profile_histogram" -> ((s, d) =>
       ext.Profiling.histogram(events(s, d), "value", bins = 20)),
+    // PSI distribution drift between two snapshot halves (event_id parity):
+    // reference-derived equi-width bins, edge-clamped, Laplace-smoothed
+    // shares; rounded at 6 (ln/division ulps differ across libms)
+    "profile_psi_drift" -> ((s, d) => {
+      val ev = events(s, d)
+      ext.Profiling.psiDrift(ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "value", bins = 10)
+        .select(col("bin"), round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("psi_contrib"), 6).as("psi_contrib"))
+    }),
     // cohort retention: users grouped by first-activity day, distinct-user
     // counts per (cohort, day offset) — two key shuffles, both on user/day
     "agg_user_retention" -> ((s, d) => {
@@ -2017,6 +2028,31 @@ object Queries {
         |SELECT c.bin, mw.lo + c.bin * mw.w AS bin_lo,
         |       mw.lo + (c.bin + 1) * mw.w AS bin_hi, c.n
         |  FROM c, mw""".stripMargin,
+    // identical edges/clamp/smoothing/contribution arithmetic; the spine
+    // (range(10)) makes empty bins present on both engines
+    "profile_psi_drift" ->
+      """WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |            WHERE event_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |c AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |       WHERE event_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+        |mw AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS w FROM mm),
+        |rb AS (SELECT GREATEST(0, LEAST(9, CAST(floor((v - mw.lo) / mw.w) AS INT))) AS bin
+        |         FROM r, mw),
+        |cb AS (SELECT GREATEST(0, LEAST(9, CAST(floor((v - mw.lo) / mw.w) AS INT))) AS bin
+        |         FROM c, mw),
+        |rc AS (SELECT bin, count(*) AS cr FROM rb GROUP BY bin),
+        |ccn AS (SELECT bin, count(*) AS ccnt FROM cb GROUP BY bin),
+        |tot AS (SELECT (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM c) AS nc),
+        |s AS (SELECT CAST(b.range AS INT) AS bin,
+        |             (coalesce(rc.cr, 0) + 0.5) / (tot.nr + 0.5 * 10) AS p,
+        |             (coalesce(ccn.ccnt, 0) + 0.5) / (tot.nc + 0.5 * 10) AS q
+        |        FROM range(10) b
+        |        LEFT JOIN rc ON rc.bin = b.range
+        |        LEFT JOIN ccn ON ccn.bin = b.range, tot)
+        |SELECT bin, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+        |       round((p - q) * ln(p / q), 6) AS psi_contrib
+        |  FROM s""".stripMargin,
     "agg_user_retention" ->
       """WITH e AS (SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)

@@ -271,11 +271,20 @@ object ScaleSmoke {
       val idx = graft.ext.Dedup.loadLshIndex(lshStore, "archive_lsh")
       val in = java.nio.file.Files.createTempDirectory("scale-ingest").resolve("in")
       java.nio.file.Files.createDirectories(in)
+      // 100 PLANTED NOVEL docs (vocabulary disjoint from the corpus) ride
+      // along so the agreement check cannot pass vacuously at 0 survivors:
+      // every archive replica must drop, every planted doc must survive
+      val planted = spark.range(100)
+        .select((-col("id") - 1).as("doc_id"),
+          concat(lit("novelterm"), col("id"), lit(" zzqx"), col("id"),
+            lit(" wvut"), col("id")).as("text"),
+          lit("xx").as("lang"), lit("planted").as("source"), lit(42L).as("n_chars"))
       val batch = bigDocs.filter(col("doc_id") % 5 === 0)
       (0 until 4).foreach { i =>
         val w = in.getParent.resolve(s"b${i}_w")
-        batch.filter(col("doc_id") % 20 === i * 5).coalesce(1)
-          .write.mode("overwrite").parquet(w.toString)
+        batch.filter(col("doc_id") % 20 === i * 5)
+          .unionByName(planted.filter(pmod(-col("doc_id") - 1, lit(4)) === i))
+          .coalesce(1).write.mode("overwrite").parquet(w.toString)
         val st = java.nio.file.Files.list(w)
         try st.forEach { p =>
           if (p.toString.endsWith(".parquet"))
@@ -286,10 +295,13 @@ object ScaleSmoke {
         graft.streaming.IngestStream.readDocs(spark, in.toString),
         lshStore, idx, "doc_id", "text", 0.8, "stream_survivors")
       require(q.awaitTermination(300000L), "streaming ingest did not drain")
-      val n = lshStore.read("stream_survivors").count()
-      println(s"[scale]   streaming survivors: $n (batch path: $batchSurvivors)")
-      require(n == batchSurvivors,
-        s"streaming ingest diverged from the batch path: $n vs $batchSurvivors")
+      val surv = lshStore.read("stream_survivors")
+      val n = surv.count()
+      val novel = surv.filter(col("doc_id") < 0).count()
+      println(s"[scale]   streaming survivors: $n (novel $novel/100; batch-path replicas: $batchSurvivors)")
+      require(novel == 100L, s"every planted novel doc must survive: $novel")
+      require(n - novel == batchSurvivors,
+        s"streaming ingest diverged from the batch path on the replica set: ${n - novel} vs $batchSurvivors")
     }
     val sh = time("simhash pairs 50k docs") {
       val n = graft.ext.Dedup.simhashPairs(bigDocs, "doc_id", "text", 3).count()

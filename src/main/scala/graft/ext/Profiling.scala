@@ -79,6 +79,58 @@ object Profiling {
         (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"), col("n"))
   }
 
+  /**
+   * Population-stability-index drift between two corpus snapshots — the
+   * monitoring signal of a recurring-ingest pipeline ("did this crawl's
+   * score/length/quality distribution move?"; PSI is the standard
+   * credit-scoring drift measure, > 0.2 conventionally "significant").
+   *
+   * Contract (spelled identically in the SQL oracle): bin edges are
+   * equi-width over the REFERENCE's observed [min, max] (degenerate range
+   * ⇒ width 1), both sides clamp out-of-range values into the edge bins
+   * (standard PSI practice — new mass outside the reference range shows
+   * up as edge-bin drift, never disappears), NULL/NaN excluded, and
+   * per-bin shares are smoothed as `(count + 0.5) / (n + 0.5·bins)`
+   * (Laplace-style, so an empty bin contributes finitely). Returns one
+   * row per bin: `(bin, p_ref, p_cur, psi_contrib)` with
+   * `psi_contrib = (p_ref − p_cur)·ln(p_ref/p_cur)`; `sum(psi_contrib)`
+   * is the PSI.
+   *
+   * Plan: one eager min/max on the reference (literal edges keep the
+   * grouped counts codegen'd, the [[histogram]] trade), one grouped count
+   * per side, both joined onto a `bins`-row spine — every corpus-sized
+   * frame moves through exactly one aggregation; totals ride as one
+   * broadcast row each.
+   */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    def clean(df: DataFrame) = {
+      val v = col(valueCol).cast("double")
+      df.filter(v.isNotNull && !isnan(v)).select(v.as("__v"))
+    }
+    val (r, c) = (clean(ref), clean(cur))
+    val mm = r.agg(min(col("__v")), max(col("__v"))).head()
+    require(!mm.isNullAt(0), s"psiDrift: reference has no non-null '$valueCol' values")
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    val w = if (hi > lo) (hi - lo) / bins else 1.0
+    def counts(df: DataFrame, name: String) = df
+      .select(greatest(lit(0), least(lit(bins - 1),
+        floor((col("__v") - lit(lo)) / lit(w)))).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(name))
+    val spine = ref.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+    val nr = r.agg(count(lit(1)).as("__nr"))
+    val nc = c.agg(count(lit(1)).as("__nc"))
+    val p = (col("__cr") + lit(0.5)) / (col("__nr") + lit(0.5 * bins))
+    val q = (col("__cc") + lit(0.5)) / (col("__nc") + lit(0.5 * bins))
+    spine.join(counts(r, "__cr"), Seq("bin"), "left_outer")
+      .join(counts(c, "__cc"), Seq("bin"), "left_outer")
+      .na.fill(0L, Seq("__cr", "__cc"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .select(col("bin"), p.as("p_ref"), q.as("p_cur"),
+        ((p - q) * log(p / q)).as("psi_contrib"))
+  }
+
   /** Sketch-based profile for scales where exact `count(DISTINCT)` /
     * `percentile` are infeasible: HyperLogLog++ distinct estimates per key
     * column and approximate percentiles per numeric column, one aggregation

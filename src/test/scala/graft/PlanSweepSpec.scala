@@ -35,7 +35,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "sampling_negative_pairs",
       // hard negatives ranks the same brute-force broadcast query×corpus
       // scan as sim_topk (minus the cluster-mate anti-join)
-      "pipeline_hard_negatives")
+      "pipeline_hard_negatives",
+      // PSI drift attaches the two one-row count totals to the bins-row
+      // spine — the same broadcast-scalar shape
+      "profile_psi_drift")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

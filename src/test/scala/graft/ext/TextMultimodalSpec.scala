@@ -261,6 +261,28 @@ class TextMultimodalSpec extends AnyFunSuite {
       Seq((0, 0.0, 2.5, 1L), (2, 5.0, 7.5, 1L), (3, 7.5, 10.0, 1L)))
   }
 
+  test("Profiling.psiDrift: identical halves score 0, a shift scores positive, edges clamp") {
+    val ref = (0 until 100).map(i => Tuple1((i % 10).toDouble)).toDF("value")
+    // identical distribution: p == q in every bin -> every contrib exactly 0
+    val same = Profiling.psiDrift(ref, ref, "value", 10)
+      .agg(sum(abs($"psi_contrib"))).as[Double].head()
+    assert(same == 0.0)
+    // shifted distribution scores strictly positive
+    val cur = (0 until 100).map(i => Tuple1((i % 5).toDouble)).toDF("value")
+    val psi = Profiling.psiDrift(ref, cur, "value", 10)
+      .agg(sum($"psi_contrib")).as[Double].head()
+    assert(psi > 0.1, s"a halved support must register drift: $psi")
+    // out-of-range current values clamp into the edge bins, never vanish
+    // (100 rows so the Laplace pseudo-counts (0.5 x 10 bins) don't dominate)
+    val far = (0 until 100).map(i => Tuple1(if (i % 2 == 0) -100.0 else 1000.0)).toDF("value")
+    val edges = Profiling.psiDrift(ref, far, "value", 10)
+      .filter($"bin" === 0 || $"bin" === 9).agg(sum($"p_cur")).as[Double].head()
+    assert(edges > 0.9, s"all far mass in edge bins (smoothed): $edges")
+    // reference with no usable values refuses loudly
+    intercept[IllegalArgumentException](Profiling.psiDrift(
+      Seq(Tuple1(Option.empty[Double])).toDF("value"), ref, "value", 10))
+  }
+
   test("Profiling.approxProfile: sketch estimates track exact answers on fixtures") {
     val ev = graft.io.Tables.load(spark, graft.TestSpark.Sf0001, "events")
     val rows = Profiling.approxProfile(ev, Seq("user_id", "event_type"), Seq("value"))
