@@ -847,6 +847,11 @@ object Queries {
     // the classic worked example in TextMultimodalSpec) ...
     "text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", 16)),
+    // ... the FIRST merge alone IS SQL-expressible (one argmax over the
+    // weighted adjacent-pair histogram with the total-order tie-break), so
+    // the trainer's core round is hash-gated even though the fixpoint isn't
+    "text_bpe_first_merge" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", 1)),
     // ... and segmentation correctness IS oracle-gated, as the conservation
     // contract: applying the learned merges to every doc and re-joining the
     // subword tokens must reconstruct the whitespace-normalized text
@@ -2275,6 +2280,18 @@ object Queries {
         |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
         |  FROM tok JOIN f USING (w), n
         | GROUP BY tok.doc_id""".stripMargin,
+    // the trainer's first argmax round, re-derived: char symbols + '</w>',
+    // adjacent pairs weighted by word occurrences, (count DESC, l, r) order
+    "text_bpe_first_merge" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |             FROM documents),
+        |s AS (SELECT list_append(regexp_split_to_array(word, ''), '</w>') AS sym FROM w),
+        |p AS (SELECT sym[CAST(i AS INT)] AS l, sym[CAST(i AS INT) + 1] AS r
+        |        FROM s, unnest(range(1, len(sym))) AS t(i))
+        |SELECT CAST(0 AS INT) AS rank, l AS "left", r AS "right",
+        |       count(*) AS pair_count
+        |  FROM p GROUP BY l, r
+        | ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin,
     // BPE conservation contract: violations must be empty (see the gate)
     "text_bpe_contract" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS orig,
