@@ -842,9 +842,11 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), round(col("ce_diff"), 6).as("ce_diff"))
     }),
     // BPE tokenizer induction (Sennrich et al. 2016): 16 merges learned from
-    // the corpus — iterative argmax is not SQL-expressible, so the merge
-    // table itself is a rows-only gate (merge-order optimality is pinned by
-    // the classic worked example in TextMultimodalSpec) ...
+    // the corpus — the iterative argmax fixpoint is unrolled in the oracle as
+    // 16 chained MATERIALIZED CTEs (bpeMergesOracle below), so the FULL merge
+    // table is hash-gated, not just the first round; merge-order optimality
+    // is additionally pinned by the classic worked example in
+    // TextMultimodalSpec ...
     "text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", 16)),
     // ... the FIRST merge alone IS SQL-expressible (one argmax over the
@@ -1698,7 +1700,48 @@ object Queries {
        |  JOIN pred USING (doc_id)
        | WHERE q.n_tokens >= 5 AND pred.pred_lang = d.lang""".stripMargin
 
+  /** DuckDB oracle for the full [[graft.ext.TextAnalysis.bpeTrain]] merge
+    * table: the iterative argmax fixpoint unrolled as `numMerges` chained
+    * CTE rounds. Round k's argmax (`m_k`: count DESC, then lexicographic
+    * (l, r) — the trainer's total order) feeds round k+1's symbol table
+    * (`s_{k+1}`), whose merge application replicates
+    * [[org.apache.spark.sql.graftx.BpeMergeAdjacent]]'s greedy left-to-right
+    * scan-with-skip EXACTLY via `list_reduce` over a chr(30)-separated
+    * string accumulator: merging appends `r` with no separator, so the fresh
+    * token `l||r` can never re-match as a left side in the same round
+    * (`l||r != l` always, and symbols never contain the separator — the two
+    * facts that make fold ≡ scan). CTEs MUST be MATERIALIZED: each round
+    * references its predecessor twice (pair histogram + rewrite), so
+    * DuckDB's default CTE inlining would replicate the corpus scan 2^k
+    * times. Rounds with a best count below the trainer's `minPairCount` (2)
+    * are filtered out, mirroring early stop. */
+  private def bpeMergesOracle(numMerges: Int): String = {
+    val sep = "chr(30)"
+    val head = Seq(
+      """w AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)""",
+      "h AS (SELECT word, count(*) AS freq FROM w GROUP BY word)",
+      "s0 AS MATERIALIZED (SELECT list_append(regexp_split_to_array(word, ''), '</w>') AS sym, freq FROM h)")
+    val rounds = (0 until numMerges).flatMap { k =>
+      val argmax =
+        s"""m$k AS MATERIALIZED (SELECT l, r, c FROM (
+           |  SELECT sym[CAST(i AS INT)] AS l, sym[CAST(i AS INT)+1] AS r, sum(freq) AS c
+           |    FROM s$k, unnest(range(1, len(sym))) AS t(i) GROUP BY 1, 2)
+           |  ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      val rewrite = if (k == numMerges - 1) Nil else Seq(
+        s"""s${k + 1} AS MATERIALIZED (SELECT CASE WHEN len(sym) < 2 THEN sym ELSE string_split(
+           |  list_reduce(sym, (acc, x) -> CASE WHEN x = m$k.r AND (acc = m$k.l OR ends_with(acc, $sep || m$k.l))
+           |                               THEN acc || x ELSE acc || $sep || x END), $sep) END AS sym, freq
+           |  FROM s$k, m$k)""".stripMargin)
+      argmax +: rewrite
+    }
+    val union = (0 until numMerges).map { k =>
+      s"""SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM m$k WHERE c >= 2"""
+    }.mkString("\nUNION ALL ")
+    "WITH " + (head ++ rounds).mkString(",\n") + "\n" + union
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeMergesOracle(16),
     "s1_full_scan" -> "SELECT * FROM customer",
     "s2_window_scan" ->
       s"SELECT * FROM lineitem WHERE l_shipdate BETWEEN $liStartLit AND $liEndLit",

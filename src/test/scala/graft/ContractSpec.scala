@@ -9,12 +9,10 @@ class ContractSpec extends AnyFunSuite {
 
   /** Gates deliberately shipped WITHOUT an oracle (driver falls back to its
     * rows-only check). Each needs a reason here and a spec pinning what the
-    * oracle can't:
-    *  - text_bpe_merges: the merge table is the fixpoint of an iterative
-    *    argmax — not SQL-expressible; merge-order optimality is pinned on
-    *    the Sennrich worked example (TextMultimodalSpec) and segmentation
-    *    correctness is oracle-gated separately (text_bpe_contract). */
-  private val rowsOnlyByDesign = Set("text_bpe_merges")
+    * oracle can't. EMPTY since round 16: text_bpe_merges — the last holdout —
+    * now hash-gates the full merge table via the chained-CTE fixpoint unroll
+    * (Queries.bpeMergesOracle). */
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every gated query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
