@@ -37,10 +37,43 @@ private[ext] object Caches {
   /** Record an already-persisted frame for release by [[unpersistAll]]. */
   def register(df: DataFrame): DataFrame = { buf += df; df }
 
+  /** The RDD actually holding a localCheckpoint's blocks. `Dataset
+    * .unpersist` on a checkpointed frame is a NO-OP — it goes through the
+    * CacheManager while the checkpoint persists at the RDD level — so
+    * releasing one means unpersisting the `LogicalRDD` leaf's RDD. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Eagerly release a frame produced by [[trackCheckpoint]] (or any bare
+    * `localCheckpoint()`) — the release path iterative builders use when
+    * they collapse lineage round over round. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** Eager `localCheckpoint` tracked for REAL release by [[unpersistAll]]:
+    * materializes the frame once and replaces its plan with a leaf
+    * `LogicalRDD`, so downstream re-plans (iterative-trainer steps, probe
+    * loops) stop paying per-iteration analysis of the full build lineage. */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ckBuf += ck
+    ck
+  }
+
+  private val checkpointed =
+    new java.util.concurrent.ConcurrentHashMap[Long, scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  private def ckBuf = checkpointed.computeIfAbsent(
+    Thread.currentThread().getId, _ => scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
   /** Release the caches tracked by the CALLING thread (see class doc). */
   def unpersistAll(): Unit = {
     val b = persisted.remove(Thread.currentThread().getId)
     if (b != null) b.foreach(_.unpersist(blocking = false))
+    val c = checkpointed.remove(Thread.currentThread().getId)
+    if (c != null) c.foreach(releaseCheckpoint)
   }
 
   /** Release every thread's caches — session-teardown / test-suite cleanup
@@ -50,6 +83,11 @@ private[ext] object Caches {
     while (it.hasMoreElements) {
       val b = persisted.remove(it.nextElement())
       if (b != null) b.foreach(_.unpersist(blocking = false))
+    }
+    val ck = checkpointed.keys()
+    while (ck.hasMoreElements) {
+      val c = checkpointed.remove(ck.nextElement())
+      if (c != null) c.foreach(releaseCheckpoint)
     }
   }
 }

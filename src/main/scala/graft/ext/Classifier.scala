@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
  * quality-filter trainer of the LLM-data pipeline (the fastText-style
  * "does this look like reference text" scorer of CCNet/GPT-3-line
  * filtering, Joulin et al. 2016; hashing-trick features per Weinberger
- * et al. 2009): logistic regression by full-batch gradient descent where
- * each iteration is ONE distributed aggregation.
+ * et al. 2009): logistic regression by gradient descent where each
+ * iteration is ONE distributed aggregation — full-batch Adagrad or
+ * preconditioned Adam over deterministic mini-batch hash slices.
  *
  * Scale shape: the hashed feature frame is built once (token explode →
  * slot counts → dense `array<double>`, length-normalized) and cached;
@@ -17,10 +18,10 @@ import org.apache.spark.sql.functions._
  * BROADCAST weight literal, and the gradient is a `posexplode` +
  * per-slot sum — a `dim`-row aggregate, so the driver receives O(dim)
  * doubles per step regardless of corpus size (the classic
- * parameter-server-free batch GD layout; mini-batching and momentum are
- * orthogonal refinements). Weights update on the driver in constant
- * memory. Training is deterministic up to floating-point partial-sum
- * order (zero init, fixed rate and steps) — accuracy-level results are
+ * parameter-server-free batch GD layout). Weights update on the driver
+ * in constant memory. Training is deterministic up to floating-point
+ * partial-sum order (zero init, fixed rate and steps; mini-batch slices
+ * are hash-selected, not RNG-drawn) — accuracy-level results are
  * partitioning-stable, pinned by spec.
  */
 object Classifier {
@@ -62,60 +63,159 @@ object Classifier {
       trainLogLoss: Double, steps: Int)
 
   /**
-   * Full-batch logistic regression over `(features array<double>,
-   * labelCol ∈ {0,1})`, with ADAGRAD per-coordinate step scaling (Duchi
-   * et al. 2011) — plain GD stalls here because the feature scales are
-   * badly mixed (length-normalized token slots ~1/n_tokens vs the 1.0
-   * bias slot), and Adagrad's `lr / √Σg²` equalizes them without any
-   * per-slot standardization pass. One aggregation job per step; EAGER.
-   * The feature frame is cached for the duration.
+   * Logistic regression over `(features array<double>, labelCol ∈ {0,1})`,
+   * with ADAGRAD per-coordinate step scaling (Duchi et al. 2011) — plain GD
+   * stalls here because the feature scales are badly mixed
+   * (length-normalized token slots ~1/n_tokens vs the 1.0 bias slot), and
+   * Adagrad's `lr / √Σg²` equalizes them without any per-slot
+   * standardization pass.
+   *
+   * Job shape: `steps` aggregation jobs total — `steps − 1` gradient
+   * updates, then ONE final job whose gradient is discarded and whose FUSED
+   * metrics columns (accuracy + clamped log-loss, computed in the same
+   * grouped aggregate as the gradient — every group's `avg` over the batch
+   * equals the batch metric, read from group 0) describe EXACTLY the
+   * returned weights. Fusing removes the separate metrics pass the previous
+   * layout paid, and because the metric columns ride every step's job the
+   * plan shape — and therefore the one janino compile — is shared by all
+   * steps. EAGER; the feature frame is cached for the duration.
+   *
+   * `samplePermille` = 0 means AUTO: target ~1000 rows per mini-batch
+   * (`clamp(1e6 / nRows, 250, 1000)` permille), so small corpora train
+   * full-batch and large ones sample — the knob the 0-config gate uses.
+   * Any other `samplePermille` < 1000 switches gradient steps to MINI-BATCH over a
+   * deterministic per-step hash slice (`xxhash64(features, step) pmod 1000 <
+   * samplePermille` — the [[Sampling.hashFraction]] discipline keyed by the
+   * feature vector itself, salted by step so successive steps see different
+   * slices; reproducible on any cluster/partitioning, no RNG state). Each
+   * sampled gradient normalizes by ITS OWN row count (read from the same
+   * aggregate), and the final metrics job is ALWAYS full-batch — the
+   * fastText-lineage shape that keeps a 100 TB corpus from paying
+   * `steps` full passes. The step salt travels in the broadcast one-row
+   * frame, NOT as a literal, so sampled steps also share one compiled plan.
    */
   def trainLogistic(data: DataFrame, labelCol: String, steps: Int,
-      learningRate: Double): Model = {
+      learningRate: Double, samplePermille: Int = 1000,
+      optimizer: String = "adagrad"): Model = {
     require(steps > 0 && learningRate > 0, s"bad hyperparams: $steps, $learningRate")
+    require(samplePermille >= 0 && samplePermille <= 1000,
+      s"samplePermille must be in [0, 1000] (0 = auto): $samplePermille")
+    require(optimizer == "adagrad" || optimizer == "adam",
+      s"optimizer must be adagrad|adam: $optimizer")
     val spark = data.sparkSession
     import spark.implicits._
-    val cached = Caches.track(data.select(col("features"),
+    // localCheckpoint, not cache: per-step plans embed the training frame's
+    // logical tree, so with a plain cache every one of `steps` driver-side
+    // re-plans re-analyzes the full feature-build lineage — bounded here,
+    // but it grows with whatever pipeline feeds `data`. The checkpoint swaps
+    // that tree for a leaf LogicalRDD (steps analyze a 4-node plan) and has
+    // a REAL release path (Caches.releaseCheckpoint; Dataset.unpersist on
+    // checkpointed frames is a silent no-op).
+    val full = Caches.trackCheckpoint(data.select(col("features"),
       col(labelCol).cast("double").as("__y")))
+    // right-size the per-step task count to the DATA: the materialized frame
+    // inherits the feature build's shuffle partitioning (32+), but a step
+    // job over a small corpus then pays ~32 near-empty tasks × steps in
+    // pure scheduling. coalesce reads the SAME blocks through fewer tasks
+    // (no shuffle, no re-materialize); a 100 TB feature frame keeps its
+    // parallelism because n/20k dominates the executor count there.
+    val nRows = full.count()
+    val pmEff = if (samplePermille == 0)
+      math.min(1000L, math.max(250L, 1000000L / math.max(1L, nRows))).toInt
+    else samplePermille
+    val targetParts = math.max(1L, math.min(nRows / 20000L + 1L,
+      full.rdd.getNumPartitions.toLong)).toInt
+    val cached = if (targetParts < full.rdd.getNumPartitions)
+      full.coalesce(targetParts) else full
     val dim = cached.select(size(col("features"))).head().getInt(0)
-    val nRows = cached.count().toDouble
     var w = new Array[Double](dim)
     val gsq = new Array[Double](dim)
-    // weights travel as a broadcast ONE-ROW FRAME, not a literal: a fresh
-    // typedLit per step changes the generated source, so every iteration
-    // would pay a full janino compile (measured: the compile dominates the
-    // whole training). With the identical plan shape each step, Spark's
-    // codegen cache compiles once and steps only pay the (tiny) broadcast.
-    def withW = cached.crossJoin(broadcast(Seq(Tuple1(w.toSeq)).toDF("__w")))
-    var step = 0
-    while (step < steps) {
-      // err = sigmoid(w·x) − y per row; gradient_j = Σ err · x_j / n
-      val grads = withW
-        .withColumn("__err",
-          lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), col("__w")))) - col("__y"))
-        .select(posexplode(col("features")).as(Seq("__j", "__x")), col("__err"))
-        .groupBy(col("__j")).agg(sum(col("__x") * col("__err")).as("__g"))
+    // weights (and the sampling salt) travel as a broadcast ONE-ROW FRAME,
+    // not a literal: a fresh typedLit per step changes the generated source,
+    // so every iteration would pay a full janino compile (measured: the
+    // compile dominates the whole training). With the identical plan shape
+    // each step, Spark's codegen cache compiles once and steps only pay the
+    // (tiny) broadcast.
+    def job(salt: Long, sampled: Boolean): Array[Row] = {
+      val base = cached.crossJoin(broadcast(Seq((w.toSeq, salt)).toDF("__w", "__salt")))
+      val sliced = if (sampled)
+        base.filter(pmod(xxhash64(col("features"), col("__salt")), lit(1000L))
+          < lit(pmEff.toLong))
+      else base
+      // p = σ(w·x) once per row, pre-explode; err/acc/loss derive from it
+      sliced
+        .withColumn("__p",
+          lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), col("__w")))))
+        .withColumn("__err", col("__p") - col("__y"))
+        .withColumn("__acc",
+          when((col("__p") > 0.5) === (col("__y") > 0.5), 1.0).otherwise(0.0))
+        // clamped log-loss (pure diagnostics; clamping only guards ln(0))
+        .withColumn("__loss",
+          -(col("__y") * log(greatest(lit(1e-12), col("__p")))
+            + (lit(1.0) - col("__y")) * log(greatest(lit(1e-12), lit(1.0) - col("__p")))))
+        .select(posexplode(col("features")).as(Seq("__j", "__x")),
+          col("__err"), col("__acc"), col("__loss"))
+        .groupBy(col("__j"))
+        .agg(sum(col("__x") * col("__err")).as("__g"), count(lit(1)).as("__n"),
+          avg(col("__acc")).as("__acc"), avg(col("__loss")).as("__loss"))
         .collect()
+    }
+    // Diagonal preconditioning for the adam path: training runs in the
+    // IMPLICITLY standardized space x' = x / std (per-slot population std,
+    // ONE extra aggregation job) without touching the distributed plan —
+    // margin w·x is scale-invariant under (w, x) → (w·std, x/std), so the
+    // driver just divides each incoming gradient by std_j, runs Adam in the
+    // scaled space, and divides the update by std_j on the way back into
+    // raw-space weights. In the scaled space every slot has unit variance,
+    // so the separator's coordinates are O(1-10) instead of O(n_tokens) and
+    // convergence stops being bound by the token-slot/bias scale gap
+    // (standard GLM preprocessing, done as pure driver arithmetic).
+    val precond: Array[Double] =
+      if (optimizer == "adam") {
+        val s = new Array[Double](dim)
+        cached.select(posexplode(col("features")).as(Seq("__j", "__x")))
+          .groupBy(col("__j")).agg(stddev_pop(col("__x")).as("__s"))
+          .collect().foreach { r: Row => s(r.getInt(0)) = r.getDouble(1) }
+        s.map(v => if (v > 1e-9) v else 1.0) // constant slots (bias): no-op
+      } else Array.fill(dim)(1.0)
+    // Adam state (Kingma & Ba 2015, arXiv:1412.6980): bias-corrected first/
+    // second moments move every coordinate ~learningRate per step regardless
+    // of gradient SCALE — which is what the mixed-scale feature space needs
+    // (the bias slot's x=1.0 vs token slots' ~1/n_tokens leaves Adagrad's
+    // √Σg² displacement cap orders of magnitude apart per coordinate)
+    val mom = new Array[Double](dim)
+    val vel = new Array[Double](dim)
+    val (b1, b2) = (0.9, 0.999)
+    var step = 0
+    while (step < steps - 1) {
+      val rows = job(step.toLong, sampled = pmEff < 1000)
       val g = new Array[Double](dim)
-      grads.foreach { r: Row => g(r.getInt(0)) = r.getDouble(1) / nRows }
+      rows.foreach { r: Row =>
+        g(r.getInt(0)) = r.getDouble(1) / math.max(1L, r.getLong(2)).toDouble
+      }
       var j = 0
       while (j < dim) {
-        gsq(j) += g(j) * g(j)
-        if (gsq(j) > 0) w(j) -= learningRate * g(j) / math.sqrt(gsq(j) + 1e-10)
+        if (optimizer == "adam") {
+          val gs = g(j) / precond(j) // gradient in the standardized space
+          mom(j) = b1 * mom(j) + (1 - b1) * gs
+          vel(j) = b2 * vel(j) + (1 - b2) * gs * gs
+          val mh = mom(j) / (1 - math.pow(b1, step + 1))
+          val vh = vel(j) / (1 - math.pow(b2, step + 1))
+          w(j) -= learningRate * mh / ((math.sqrt(vh) + 1e-10) * precond(j))
+        } else {
+          gsq(j) += g(j) * g(j)
+          if (gsq(j) > 0) w(j) -= learningRate * g(j) / math.sqrt(gsq(j) + 1e-10)
+        }
         j += 1
       }
       step += 1
     }
-    val m = withW.select(
-      avg(when((vec_dot(col("features"), col("__w")) > 0.0) === (col("__y") > 0.5), 1.0)
-        .otherwise(0.0)).as("acc"),
-      // clamped log-loss (pure diagnostics; clamping only guards ln(0))
-      avg(-(col("__y") * log(greatest(lit(1e-12),
-          lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), col("__w"))))))
-        + (lit(1.0) - col("__y")) * log(greatest(lit(1e-12),
-          lit(1.0) - lit(1.0) / (lit(1.0) + exp(-vec_dot(col("features"), col("__w")))))))
-      ).as("loss")).head()
-    Model(w, m.getDouble(0), m.getDouble(1), steps)
+    // final job: full-batch, gradient discarded — its metrics describe the
+    // exact weights returned
+    val fin = job(steps.toLong, sampled = false)
+    val m0 = fin.find(_.getInt(0) == 0).getOrElse(
+      throw new IllegalStateException("empty training frame: no feature rows"))
+    Model(w, m0.getDouble(3), m0.getDouble(4), steps)
   }
 
   /** Score a corpus with a trained model: `(idCol, score)` where score =

@@ -40,6 +40,42 @@ class ClassifierSpec extends AnyFunSuite {
     assert(pos > 0.5 && neg < 0.5, s"scores must separate at 0.5: min-pos $pos, max-neg $neg")
   }
 
+  test("adam + diagonal preconditioning separates the toy corpus in few steps") {
+    val feats = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 32)
+      .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
+    val model = Classifier.trainLogistic(feats, "label", steps = 12,
+      learningRate = 0.3, optimizer = "adam")
+    Dedup.unpersistAll()
+    assert(model.trainAccuracy == 1.0,
+      s"separable corpus must fit in 12 adam steps: ${model.trainAccuracy}")
+  }
+
+  test("sampled-step mode: deterministic (same slices, same model) and still fits") {
+    // 400 docs so a 500-permille slice holds ~200 docs per step — enough
+    // gradient SNR for the toy problem
+    val corpus = (0 until 400).map { i =>
+      if (i % 2 == 0) (i.toLong, "good clean prose text", 1)
+      else (i.toLong, "spam junk noise garbage", 0)
+    }.toDF("doc_id", "text", "label")
+    def train() = {
+      val feats = Classifier.hashedFeatures(corpus, "doc_id", "text", 32)
+        .join(corpus.select("doc_id", "label"), Seq("doc_id"))
+      val m = Classifier.trainLogistic(feats, "label", steps = 12,
+        learningRate = 0.3, samplePermille = 500, optimizer = "adam")
+      Dedup.unpersistAll()
+      m
+    }
+    val (a, b) = (train(), train())
+    assert(a.trainAccuracy == 1.0, s"sampled adam must still fit: ${a.trainAccuracy}")
+    // hash-selected slices carry no RNG state: training twice is bit-stable
+    assert(a.weights.sameElements(b.weights), "sampled training must be deterministic")
+    // final metrics are full-batch even in sampled mode: with a perfectly
+    // duplicated corpus any sub-batch metric would also be 1.0, so pin the
+    // log-loss too (identical across the two runs => measured on the same
+    // full batch with the same weights)
+    assert(a.trainLogLoss == b.trainLogLoss)
+  }
+
   test("training accuracy is partitioning-stable") {
     def acc(parts: Int): Double = {
       val c = toyCorpus.repartition(parts)
