@@ -2088,9 +2088,9 @@ object Queries {
     // (range(10)) makes empty bins present on both engines
     "profile_psi_drift" ->
       """WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events
-        |            WHERE event_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |            WHERE event_id % 2 = 0 AND value IS NOT NULL AND isfinite(CAST(value AS DOUBLE))),
         |c AS (SELECT CAST(value AS DOUBLE) AS v FROM events
-        |       WHERE event_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |       WHERE event_id % 2 = 1 AND value IS NOT NULL AND isfinite(CAST(value AS DOUBLE))),
         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
         |mw AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS w FROM mm),
         |rb AS (SELECT GREATEST(0, LEAST(9, CAST(floor((v - mw.lo) / mw.w) AS INT))) AS bin

@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
  * must flush from the building thread (or use [[unpersistEverything]] at
  * session teardown, which releases all threads' caches).
  */
-private[ext] object Caches {
+private[graft] object Caches {
 
   private val persisted =
     new java.util.concurrent.ConcurrentHashMap[Long, scala.collection.mutable.ArrayBuffer[DataFrame]]()

@@ -658,12 +658,21 @@ object Dedup {
    * construction.
    */
   def appendToLshIndex(store: graft.store.TableStore, index: LshIndex, batch: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String, idempotencyKey: Option[String] = None): Unit = {
     val sets = persistTracked(hashedShingleSets(
       batch.filter(col(textCol).isNotNull), idCol, textCol, index.n))
-    store.append(index.table, sets.withColumnRenamed(idCol, "id"))
-    store.append(s"${index.table}_buckets",
-      lshBuckets(sets, idCol, index.numHashes, index.bands).withColumnRenamed(idCol, "id"))
+    val buckets = lshBuckets(sets, idCol, index.numHashes, index.bands)
+      .withColumnRenamed(idCol, "id")
+    idempotencyKey match {
+      case None =>
+        store.append(index.table, sets.withColumnRenamed(idCol, "id"))
+        store.append(s"${index.table}_buckets", buckets)
+      case Some(k) =>
+        // each segment table keys independently, so a replay that crashed
+        // between the two appends resumes by skipping the committed one
+        store.appendIdempotent(index.table, sets.withColumnRenamed(idCol, "id"), k)
+        store.appendIdempotent(s"${index.table}_buckets", buckets, k)
+    }
   }
 
   /** Reload a persisted LSH index's parameters (one meta row). */

@@ -106,7 +106,12 @@ object Profiling {
     require(bins >= 2, s"need at least 2 bins: $bins")
     def clean(df: DataFrame) = {
       val v = col(valueCol).cast("double")
-      df.filter(v.isNotNull && !isnan(v)).select(v.as("__v"))
+      // ±Infinity excluded alongside NaN: an infinite value would land in
+      // an edge bin here but error/diverge in integer-cast engines (the
+      // floor result overflows int before the clamp) — non-finite inputs
+      // are drift of a kind PSI's binning cannot represent either way
+      df.filter(v.isNotNull && !isnan(v) && abs(v) =!= lit(Double.PositiveInfinity))
+        .select(v.as("__v"))
     }
     val (r, c) = (clean(ref), clean(cur))
     val mm = r.agg(min(col("__v")), max(col("__v"))).head()

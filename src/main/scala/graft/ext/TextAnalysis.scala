@@ -348,7 +348,10 @@ object TextAnalysis {
     def collapse(): Unit = if (chainDepth > 0) {
       val prev = types
       types = types.select(chain.as("__syms"), col("__freq")).localCheckpoint()
-      prev.unpersist(blocking = false)
+      // NOT prev.unpersist: Dataset.unpersist on a localCheckpointed frame
+      // is a silent no-op (CacheManager path; the blocks are RDD-level) —
+      // release the checkpoint's RDD or every collapse leaks one
+      Caches.releaseCheckpoint(prev)
       chain = col("__syms")
       chainDepth = 0
     }
@@ -377,7 +380,7 @@ object TextAnalysis {
         rank += 1
       }
     }
-    types.unpersist(blocking = false)
+    Caches.releaseCheckpoint(types) // see collapse(): plain unpersist is a no-op here
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }

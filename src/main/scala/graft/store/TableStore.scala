@@ -1245,18 +1245,7 @@ final class TableStore(spark: SparkSession, root: String,
     // tighter containsNull/nullable flags than the parquet round-trip of
     // the same data, and mixed-nullability footers merge cleanly — only a
     // VALUE-type change poisons the table
-    def checkDrift(): Unit = if (exists(table)) {
-      val current = readEvolved(table).schema
-      val drifted = df.schema.flatMap { f =>
-        current.find(_.name == f.name).collect {
-          case c if stripNullability(c.dataType) != stripNullability(f.dataType) =>
-            s"${f.name}: ${c.dataType} -> ${f.dataType}"
-        }
-      }
-      if (drifted.nonEmpty) throw new IllegalArgumentException(
-        s"append('$table'): column type drift is not appendable — ${drifted.mkString("; ")}; " +
-          "cast the batch to the table's types (new columns are fine, type changes are not)")
-    }
+    def checkDrift(): Unit = checkAppendDrift(table, df)
     if (!pointerMode) {
       val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
       try {
@@ -1298,6 +1287,115 @@ final class TableStore(spark: SparkSession, root: String,
         // the refused append's gen dir is reclaimed, nothing was published.
         try checkDrift() catch { case e: Throwable => fs.delete(gen, true); throw e }
         commitPointer(table, prev :+ (WholeTable -> gen.getName), "append")
+      } finally fs.delete(lock, false)
+    }
+  }
+
+  /** ADDITIVE-only schema guard shared by the append paths (see the
+    * [[append]] comment block for the full rationale): a new column reads
+    * as NULL for old rows, a VALUE-type change poisons the table. */
+  private def checkAppendDrift(table: String, df: DataFrame): Unit = if (exists(table)) {
+    val current = readEvolved(table).schema
+    val drifted = df.schema.flatMap { f =>
+      current.find(_.name == f.name).collect {
+        case c if stripNullability(c.dataType) != stripNullability(f.dataType) =>
+          s"${f.name}: ${c.dataType} -> ${f.dataType}"
+      }
+    }
+    if (drifted.nonEmpty) throw new IllegalArgumentException(
+      s"append('$table'): column type drift is not appendable — ${drifted.mkString("; ")}; " +
+        "cast the batch to the table's types (new columns are fine, type changes are not)")
+  }
+
+  private def sanitizeIdemKey(key: String): String = {
+    require(key.nonEmpty && key.length <= 128, s"idempotency key must be 1-128 chars: '$key'")
+    key.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
+  }
+
+  /** Has `appendIdempotent(table, _, key)` already committed? Pointer mode
+    * answers from the current manifest (the gen-dir name carries the key);
+    * rename mode from the key marker file. */
+  def idempotentKeyCommitted(table: String, key: String): Boolean = {
+    val k = sanitizeIdemKey(key)
+    if (pointerMode)
+      currentManifest(table).exists(_._2.exists(_._2.startsWith(s"_gen-idem-$k.")))
+    else fs.exists(new Path(tablePath(table), s"_idem.$k"))
+  }
+
+  /**
+   * EXACTLY-ONCE append keyed by `key`: a second call with the same key is
+   * a no-op (returns false), no matter where a previous attempt crashed —
+   * the primitive an at-least-once caller (Structured Streaming's
+   * `foreachBatch`, whose micro-batch replays on any crash between the sink
+   * write and the checkpoint commit) needs to make its sink writes
+   * idempotent; `key` is typically the micro-batch id (the Delta
+   * `txnAppId`/`txnVersion` discipline, one key per logical batch).
+   *
+   * Pointer mode: the batch writes to a fresh `_gen-idem-<key>.<nonce>`
+   * dir and the KEY RIDES THE COMMITTED GEN-DIR NAME, so "was this batch
+   * committed" is a manifest read and commit-or-skip is arbitrated by the
+   * same O_EXCL marker create as every other pointer commit — the key
+   * check re-runs under the writer lock, and an uncommitted dir from a
+   * crashed attempt is unreachable garbage the orphan sweep reclaims.
+   *
+   * Rename mode: the batch stages to a hidden `_idem_stage.<key>` dir,
+   * then moves into the table under DETERMINISTIC names
+   * (`idem-<key>-<i>.parquet`) with any same-key leftovers from a crashed
+   * attempt deleted first (all under the writer lock), and finally the
+   * `_idem.<key>` marker commits the key. Every crash window replays
+   * clean: before the marker, a replay re-deletes and re-moves (no
+   * duplicate can survive because stale files are removed by NAME before
+   * the fresh set lands); after the marker, the key check skips.
+   */
+  def appendIdempotent(table: String, df: DataFrame, key: String): Boolean = {
+    refuseIfCatalogBucketed(table, "appendIdempotent")
+    val k = sanitizeIdemKey(key)
+    if (idempotentKeyCommitted(table, k)) return false
+    if (pointerMode) {
+      checkAppendDrift(table, df) // advisory: fail before the data write
+      val dir = new Path(tablePath(table))
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val gen = new Path(dir, s"_gen-idem-$k.${nonce()}")
+      df.write.mode("overwrite").parquet(gen.toString)
+      writeStats(gen)
+      val lock = acquireWriteLock(table, "appendIdempotent", waitMs = appendLockWaitMs)
+      try {
+        val prev = currentManifest(table).map(_._2).getOrElse(Nil)
+        if (prev.exists(_._2.startsWith(s"_gen-idem-$k."))) {
+          fs.delete(gen, true) // lost the key race — the batch is already in
+          return false
+        }
+        if (prev.exists(_._1 != WholeTable)) {
+          fs.delete(gen, true)
+          throw new IllegalStateException(
+            s"appendIdempotent('$table'): table has partition-scoped generations; append " +
+              "through overwriteDatePartitions (or compact first)")
+        }
+        try checkAppendDrift(table, df) catch { case e: Throwable => fs.delete(gen, true); throw e }
+        commitPointer(table, prev :+ (WholeTable -> gen.getName), "appendIdempotent")
+      } finally fs.delete(lock, false)
+      true
+    } else {
+      val dir = new Path(tablePath(table))
+      val marker = new Path(dir, s"_idem.$k")
+      val lock = acquireWriteLock(table, "appendIdempotent", waitMs = appendLockWaitMs)
+      try {
+        if (fs.exists(marker)) return false // decisive re-check under the lock
+        checkAppendDrift(table, df)
+        val stage = new Path(dir, s"_idem_stage.$k")
+        df.write.mode("overwrite").parquet(stage.toString)
+        // remove a crashed attempt's partial move by NAME, then land the
+        // fresh set — both orderings of crash-and-replay converge
+        fs.globStatus(new Path(dir, s"idem-$k-*")).foreach(s => fs.delete(s.getPath, false))
+        listDataFiles(stage).zipWithIndex.foreach { case (s, i) =>
+          val ext = s.getPath.getName.dropWhile(_ != '.')
+          if (!fs.rename(s.getPath, new Path(dir, s"idem-$k-$i$ext")))
+            throw new IOException(s"appendIdempotent('$table'): rename of ${s.getPath} failed")
+        }
+        fs.delete(stage, true)
+        val out = createAtomically(marker)
+        try out.write(s"graft-idem v1\nkey\t$k".getBytes("UTF-8")) finally out.close()
+        true
       } finally fs.delete(lock, false)
     }
   }

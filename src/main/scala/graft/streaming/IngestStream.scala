@@ -30,6 +30,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * at index build; state lives in the store, not in Spark streaming
  * state, so a restart resumes from the checkpoint with nothing to
  * rebuild.
+ *
+ * Exactly-once: `foreachBatch` is only AT-LEAST-once — a crash between
+ * the sink write and the streaming checkpoint commit REPLAYS the
+ * micro-batch on resume — so every write inside the batch body is
+ * batchId-keyed through [[TableStore.appendIdempotent]] (sink and, under
+ * grow, both LSH segment tables): a replayed batch's appends are no-ops
+ * for whatever the crashed attempt already committed and complete the
+ * rest, converging on the same store state as a clean run. (A replay
+ * after the grow-append committed recomputes survivors against an index
+ * that already holds them — every doc then collides with itself at
+ * jaccard 1.0, the survivor set is empty, and the keyed appends skip:
+ * consistent from both directions.)
  */
 object IngestStream {
 
@@ -37,15 +49,17 @@ object IngestStream {
       idCol: String, textCol: String, threshold: Double, sink: String,
       grow: Boolean = false, checkpoint: Option[String] = None): StreamingQuery = {
     val writer = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // survivors feed the sink append AND (under grow) the index append —
-        // localCheckpoint so the LSH probe pipeline runs once per batch, and
-        // lineage does not accumulate across micro-batches
-        val survivors = Dedup.dedupeAgainstLshIndex(
-          store, index, batch, idCol, textCol, threshold).localCheckpoint()
-        store.append(sink, survivors)
-        if (grow) Dedup.appendToLshIndex(store, index, survivors, idCol, textCol)
-        Dedup.unpersistAll() // per-batch tracked caches (shingle sets)
+        // localCheckpoint so the LSH probe pipeline runs once per batch,
+        // tracked so the per-batch release below actually frees the blocks
+        // (Dataset.unpersist on a checkpointed frame is a silent no-op)
+        val survivors = graft.ext.Caches.trackCheckpoint(
+          Dedup.dedupeAgainstLshIndex(store, index, batch, idCol, textCol, threshold))
+        store.appendIdempotent(sink, survivors, s"stream-$batchId")
+        if (grow) Dedup.appendToLshIndex(store, index, survivors, idCol, textCol,
+          idempotencyKey = Some(s"stream-$batchId"))
+        Dedup.unpersistAll() // per-batch tracked caches + the checkpoint above
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -281,6 +281,14 @@ class TextMultimodalSpec extends AnyFunSuite {
     // reference with no usable values refuses loudly
     intercept[IllegalArgumentException](Profiling.psiDrift(
       Seq(Tuple1(Option.empty[Double])).toDF("value"), ref, "value", 10))
+    // ±Infinity is excluded like NaN, not clamped into edge bins: infinite
+    // inputs on either side must not move any bin's share (they would
+    // diverge across engines — floor(inf) overflows an int cast pre-clamp)
+    val inf = ref.union(Seq(Tuple1(Double.PositiveInfinity),
+      Tuple1(Double.NegativeInfinity), Tuple1(Double.NaN)).toDF("value"))
+    val viaInf = Profiling.psiDrift(inf, inf, "value", 10)
+      .agg(sum(abs($"psi_contrib"))).as[Double].head()
+    assert(viaInf == 0.0, s"non-finite rows must drop out cleanly: $viaInf")
   }
 
   test("Profiling.approxProfile: sketch estimates track exact answers on fixtures") {

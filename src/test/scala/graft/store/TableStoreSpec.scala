@@ -1307,6 +1307,52 @@ class TableStoreSpec extends AnyFunSuite {
       "day", Seq(java.time.LocalDate.of(2024, 1, 1)))
     assert(store.read("t").select("v").as[Int].collect().toSeq == Seq(10))
   }
+
+  test("appendIdempotent: same key commits once, distinct keys accumulate (rename mode)") {
+    val store = freshStore()
+    assert(store.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"))
+    assert(!store.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"),
+      "replaying a committed key must be a no-op")
+    assert(store.read("t").count() == 1)
+    assert(store.appendIdempotent("t", Seq((2, "b")).toDF("k", "v"), "b1"))
+    assert(store.read("t").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    assert(store.idempotentKeyCommitted("t", "b0") && store.idempotentKeyCommitted("t", "b1"))
+    assert(!store.idempotentKeyCommitted("t", "b2"))
+    // plain appends interleave fine with keyed ones
+    store.append("t", Seq((3, "c")).toDF("k", "v"))
+    assert(store.read("t").count() == 3)
+  }
+
+  test("appendIdempotent: same key commits once, distinct keys accumulate (pointer mode)") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ptr-idem").toString, CommitMode.Pointer)
+    assert(store.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"))
+    assert(!store.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"))
+    assert(store.appendIdempotent("t", Seq((2, "b")).toDF("k", "v"), "b1"))
+    assert(store.read("t").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    assert(store.idempotentKeyCommitted("t", "b0"))
+    assert(!store.idempotentKeyCommitted("t", "b9"))
+    // generations/time-travel still see keyed appends as ordinary commits
+    assert(store.generations("t").size == 2)
+  }
+
+  test("appendIdempotent converges after a crash mid-move (rename mode)") {
+    // simulate the worst rename-mode crash window: data files landed but the
+    // key marker did not — the on-disk state a replay must repair without
+    // duplicating. Forge it by committing normally, then deleting the marker
+    // (exactly the pre-marker state: data in place under idem-<key> names).
+    val store = freshStore()
+    assert(store.appendIdempotent("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), "b0"))
+    val dir = new java.io.File(store.tablePath("t"))
+    val marker = new java.io.File(dir, "_idem.b0")
+    assert(marker.exists); assert(marker.delete())
+    assert(!store.idempotentKeyCommitted("t", "b0"))
+    // replay: must land EXACTLY the batch once (stale same-key files are
+    // replaced by name, not appended to)
+    assert(store.appendIdempotent("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), "b0"))
+    assert(store.read("t").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    assert(store.read("t").count() == 2, "replay after a mid-move crash must not duplicate")
+  }
 }
 
 /** Latches for the racing-writer test (top-level so executor-side lambda

@@ -69,4 +69,39 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(got == Set(11L, 21L),
       s"grow must drop doc 20 against batch-1 survivor 11, resume must not reprocess b0: $got")
   }
+
+  test("a replayed micro-batch (crash before checkpoint commit) does not duplicate") {
+    // foreachBatch is at-least-once: Structured Streaming replays a batch
+    // whose sink writes landed but whose checkpoint commit did not. Forge
+    // exactly that state by draining once, then deleting the checkpoint's
+    // commit record for batch 0 — the next drain re-runs batch 0 with the
+    // SAME batchId, and the batchId-keyed appends must all no-op.
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("ingest-spec-replay").toString)
+    val archive = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    Dedup.buildLshIndex(store, "idx", archive, "doc_id", "text")
+    val idx = Dedup.loadLshIndex(store, "idx")
+    val in = java.nio.file.Files.createTempDirectory("ingest-spec-rin").resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val ck = java.nio.file.Files.createTempDirectory("ingest-spec-rck")
+    stage(Seq((10L, "a b c d e f"), (11L, "p q r s t u")).toDF("doc_id", "text"), in, "b0")
+    drain(IngestStream.dedupToStore(IngestStream.readDocs(spark, in.toString),
+      store, idx, "doc_id", "text", 0.8, "surv", grow = true, checkpoint = Some(ck.toString)))
+    val sink1 = store.read("surv").select("doc_id").as[Long].collect().toSeq.sorted
+    val sets1 = store.read("idx").count()
+    val buckets1 = store.read("idx_buckets").count()
+    assert(sink1 == Seq(11L), s"batch-1 survivors: $sink1")
+    assert(java.nio.file.Files.deleteIfExists(ck.resolve("commits").resolve("0")),
+      "checkpoint commit record for batch 0 must exist to forge the crash window")
+    // the local ChecksumFileSystem's crc sidecar must go with it, or the
+    // replay's atomic rename of the re-written commit record fails
+    java.nio.file.Files.deleteIfExists(ck.resolve("commits").resolve(".0.crc"))
+    drain(IngestStream.dedupToStore(IngestStream.readDocs(spark, in.toString),
+      store, idx, "doc_id", "text", 0.8, "surv", grow = true, checkpoint = Some(ck.toString)))
+    assert(store.read("surv").select("doc_id").as[Long].collect().toSeq.sorted == sink1,
+      "replay must not duplicate sink rows")
+    assert(store.read("idx").count() == sets1 &&
+      store.read("idx_buckets").count() == buckets1,
+      "replay must not duplicate LSH index segments")
+  }
 }
