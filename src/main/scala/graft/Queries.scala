@@ -1252,6 +1252,21 @@ object Queries {
       Similarity.searchIndexQuantized(store, idx, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5, nprobe = 16)
     }),
+    // two-stage retrieval: int8-SQ first stage -> exact float re-rank of a
+    // 4k candidate pool. Gated at full probe, where the pool provably
+    // contains the true top-k on this fixture, so the composed pipeline
+    // (SQ probe + keyed float fetch + exact re-rank) must equal brute force
+    // exactly; the partial-probe benefit (re-rank recovering the int8
+    // recall tax at nprobe=4) is pinned by SimilaritySpec + ScaleSmoke
+    "sim_ann_rerank" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivf-rr").toString)
+      val e = emb(s, d)
+      Similarity.buildIndexQuantized(store, "ivf_rr", e, "vec_id", "embedding", nlist = 16)
+      val idx = Similarity.loadIndex(store, "ivf_rr")
+      Similarity.searchIndexRerank(store, idx, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nprobe = 16)
+    }),
     // the growing-index ANN loop: index built on vectors < 300, the rest
     // appended via appendToIndex (assigned by the STORED quantizer, corpus
     // appended as its own generation). Searched at the exact full-probe
@@ -2679,6 +2694,7 @@ object Queries {
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "sim_ann_ivf_persisted" -> bruteForceTopKSql, // persisted index, same exact point
     "sim_ann_ivf_persisted_grow" -> bruteForceTopKSql, // grown index, same exact point
+    "sim_ann_rerank" -> bruteForceTopKSql, // SQ stage-1 + float re-rank, full probe
     // IVF+SQ at full probe: DuckDB re-derives the identical int8 payload
     // (same unit-norm, same 127/max|x| scale, same floor(x*scale+0.5)) and
     // ranks by the same dequantized dot, ties by neighbor id

@@ -79,6 +79,35 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       s"probe lists must push down to the index scan:\n${plan.take(3000)}")
   }
 
+  test("two-stage rerank: exact at full probe; recovers the int8 tax at partial probe") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-rr-spec").toString)
+    Similarity.buildIndexQuantized(store, "rr", emb, "vec_id", "embedding", nlist = 16)
+    val idx = Similarity.loadIndex(store, "rr")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(emb, q, "vec_id", "embedding", 5)
+      .as[(Long, Long)].collect().toSet
+    // full probe + 4x pool: the composed pipeline is exactly brute force
+    val full = Similarity.searchIndexRerank(store, idx, emb, q, "vec_id", "embedding",
+      5, nprobe = 16).as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe rerank must equal brute force")
+    // partial probe: re-ranking the int8 pool at full precision must do at
+    // least as well as ranking by the quantized score alone — the whole
+    // point of the second stage (>= because the int8 ranking error only
+    // reorders WITHIN the pool; the pool itself is shared)
+    def recall(got: Set[(Long, Long)]) = (exact intersect got).size.toDouble / exact.size
+    val sqOnly = recall(Similarity.searchIndexQuantized(store, idx, q,
+      "vec_id", "embedding", 5, nprobe = 4).as[(Long, Long)].collect().toSet)
+    val rr = recall(Similarity.searchIndexRerank(store, idx, emb, q,
+      "vec_id", "embedding", 5, nprobe = 4).as[(Long, Long)].collect().toSet)
+    assert(rr >= sqOnly, s"rerank recall $rr must not trail int8-only $sqOnly")
+    // the absolute level at nprobe=4/16 is capped by coarse-quantizer list
+    // recall (which re-ranking cannot recover — the candidate never enters
+    // the pool); 0.5 floors "the probe depth is still usable", while the
+    // re-rank CONTRACT is the >= above and the full-probe equality
+    assert(rr >= 0.5, s"rerank recall at nprobe=4 unusable: $rr")
+  }
+
   test("cosinePairs (IVF-blocked) equals exact all-pairs on fixtures") {
     // reference: plain O(n²) scan — fine at sf0.001, what the blocked
     // version must reproduce exactly (the threshold-aware multi-assignment
