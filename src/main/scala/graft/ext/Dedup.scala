@@ -673,6 +673,12 @@ object Dedup {
         store.appendIdempotent(index.table, sets.withColumnRenamed(idCol, "id"), k)
         store.appendIdempotent(s"${index.table}_buckets", buckets, k)
     }
+    // opt-in growth bound (store.autoCompactFiles): hundreds of ingest
+    // batches otherwise degrade probe-time file skipping silently; the
+    // rewrite restores the build-time layouts and carries exactly-once keys
+    store.maybeAutoCompactClustered(s"${index.table}_buckets",
+      Seq("band", "bucket"), index.bands)
+    store.maybeAutoCompact(index.table, index.bands)
   }
 
   /** Reload a persisted LSH index's parameters (one meta row). */

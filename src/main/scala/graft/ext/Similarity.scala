@@ -297,10 +297,14 @@ object Similarity {
    * groups either way.
    */
   def appendToIndex(store: graft.store.TableStore, index: IvfIndex, batch: DataFrame,
-      idCol: String, vecCol: String): Unit =
+      idCol: String, vecCol: String): Unit = {
     store.append(index.table,
       unitized(batch, idCol, vecCol, "neighbor_id", "cv")
         .withColumn("list", listAssignment(col("cv"), index.centroids)))
+    // opt-in growth bound (store.autoCompactFiles): re-clustering on `list`
+    // restores the build-time probe file skipping after many small appends
+    store.maybeAutoCompactClustered(index.table, Seq("list"), index.centroids.length)
+  }
 
   /**
    * Build and persist an IVF+SQ index — the [[buildIndex]] layout with the

@@ -82,11 +82,19 @@ final class TableStore(spark: SparkSession, root: String,
       * consumers — a table may churn hourly (small `keepGenerations`) while
       * nightly run snapshots must stay reproducible for a week. Every
       * generation a retained snapshot pins survives per-table vacuum. */
-    keepSnapshots: Int = 0) {
+    keepSnapshots: Int = 0,
+    /** Auto-compaction threshold for append-grown index tables (0 = off):
+      * when a grower's post-append data-file count exceeds this, the table
+      * is folded back into its clustered layout — see
+      * [[maybeAutoCompactClustered]]. Opt-in because compaction cost is a
+      * full table rewrite: size it so the rewrite amortizes over the
+      * appends it absorbs (≥ several × the build's file count). */
+    val autoCompactFiles: Int = 0) {
 
   require(keepGenerations >= 2,
     s"keepGenerations must be >= 2 (current + previous, the reader-isolation minimum): $keepGenerations")
   require(keepSnapshots >= 0, s"keepSnapshots must be >= 0 (0 = inherit keepGenerations): $keepSnapshots")
+  require(autoCompactFiles >= 0, s"autoCompactFiles must be >= 0 (0 = off): $autoCompactFiles")
 
   /** Resolved snapshot-marker retention (see `keepSnapshots`). */
   private val snapshotRetention: Int = if (keepSnapshots > 0) keepSnapshots else keepGenerations
@@ -1317,9 +1325,29 @@ final class TableStore(spark: SparkSession, root: String,
     * rename mode from the key marker file. */
   def idempotentKeyCommitted(table: String, key: String): Boolean = {
     val k = sanitizeIdemKey(key)
+    // pointer mode also honors `_idem.<k>` markers: compaction folds the
+    // keyed gen dirs into one plain generation and materializes the keys it
+    // retired as markers (see [[atomicOverwriteAs]] carryIdemKeys) — without
+    // them, a post-compaction replay of an old batch would re-append
     if (pointerMode)
-      currentManifest(table).exists(_._2.exists(_._2.startsWith(s"_gen-idem-$k.")))
+      currentManifest(table).exists(_._2.exists(_._2.startsWith(s"_gen-idem-$k."))) ||
+        fs.exists(new Path(tablePath(table), s"_idem.$k"))
     else fs.exists(new Path(tablePath(table), s"_idem.$k"))
+  }
+
+  /** Every idempotency key committed to `table`, from both records (gen-dir
+    * names in the current manifest and `_idem.*` markers). */
+  private def committedIdemKeys(table: String): Set[String] = {
+    val dir = new Path(tablePath(table))
+    val markers =
+      if (!fs.exists(dir)) Set.empty[String]
+      else fs.globStatus(new Path(dir, "_idem.*")).map(_.getPath.getName.drop(6)).toSet
+    val fromManifest =
+      if (!pointerMode) Set.empty[String]
+      else currentManifest(table).toSeq.flatMap(_._2).map(_._2)
+        .filter(_.startsWith("_gen-idem-"))
+        .map(g => g.drop("_gen-idem-".length).takeWhile(_ != '.')).toSet
+    markers ++ fromManifest
   }
 
   /**
@@ -1487,13 +1515,24 @@ final class TableStore(spark: SparkSession, root: String,
   /** [[atomicOverwrite]] with the operation name wrappers like [[compact]]
     * want recorded in the commit audit sidecar ([[history]]'s `op`). */
   private def atomicOverwriteAs(table: String, df: DataFrame, partitionBy: Seq[String],
-      op: String): Unit = {
+      op: String, carryIdemKeys: Boolean = false): Unit = {
     refuseIfCatalogBucketed(table, op)
     val lock = acquireWriteLock(table, op)
     try {
       if (pointerMode) {
         val dir = new Path(tablePath(table))
         if (!fs.exists(dir)) fs.mkdirs(dir)
+        // compaction (carryIdemKeys) retires keyed `_gen-idem-*` dirs from
+        // the manifest; materialize their keys as `_idem.*` markers FIRST —
+        // the markers assert an already-true fact, so writing them before
+        // the commit leaves every crash window consistent
+        if (carryIdemKeys) committedIdemKeys(table).foreach { k =>
+          val m = new Path(dir, s"_idem.$k")
+          if (!fs.exists(m)) {
+            val out = fs.create(m, true)
+            try out.write(s"graft-idem v1\nkey\t$k".getBytes("UTF-8")) finally out.close()
+          }
+        }
         val gen = new Path(dir, s"_gen-${nonce()}")
         val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
         writer.mode("overwrite").parquet(gen.toString)
@@ -1506,6 +1545,15 @@ final class TableStore(spark: SparkSession, root: String,
         val old = new Path(tablePath(table) + s".old-$nn")
         val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
         writer.mode("overwrite").parquet(tmp.toString)
+        // compaction must not forget exactly-once keys: copy the `_idem.*`
+        // markers into the about-to-publish dir BEFORE the swap, so both
+        // crash outcomes (old state, new state) retain every key
+        if (carryIdemKeys && fs.exists(live))
+          fs.globStatus(new Path(live, "_idem.*")).foreach { s =>
+            val out = fs.create(new Path(tmp, s.getPath.getName), true)
+            try out.write(s"graft-idem v1\nkey\t${s.getPath.getName.drop(6)}".getBytes("UTF-8"))
+            finally out.close()
+          }
         val hadLive = fs.exists(live)
         if (hadLive && !fs.rename(live, old))
           throw new IOException(s"atomicOverwrite: could not retire $live")
@@ -1876,7 +1924,7 @@ final class TableStore(spark: SparkSession, root: String,
       if (pcols.isEmpty) df.repartition(targetFiles)
       else df.repartition(targetFiles,
         pcols.map(org.apache.spark.sql.functions.col): _*)
-    atomicOverwriteAs(table, compacted, pcols, "compact")
+    atomicOverwriteAs(table, compacted, pcols, "compact", carryIdemKeys = true)
   }
 
   /** Clustered small-file compaction — [[compact]] for a range-clustered
@@ -1891,8 +1939,56 @@ final class TableStore(spark: SparkSession, root: String,
     * but DESTROY the clustering (hash repartition), silently degrading every
     * later probe to a full-file read. Reads merged footers (heals evolved
     * schemas) and swaps atomically like [[compact]]. */
-  def compactClustered(table: String, clusterCols: Seq[String], numFiles: Int): Unit =
-    atomicOverwriteClustered(table, readEvolved(table), clusterCols, numFiles)
+  def compactClustered(table: String, clusterCols: Seq[String], numFiles: Int): Unit = {
+    require(clusterCols.nonEmpty, "compactClustered needs at least one cluster column")
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    atomicOverwriteAs(table,
+      readEvolved(table).repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
+      Nil, "compactClustered", carryIdemKeys = true)
+  }
+
+  /** Data files currently reachable through `table`'s committed state —
+    * the growth signal auto-compaction thresholds on. Pointer mode walks
+    * the current manifest's generation dirs; rename mode the live dir.
+    * Driver-side metadata listing only (no footers opened). */
+  def dataFileCount(table: String): Int = {
+    if (!exists(table)) return 0
+    val dir = new Path(tablePath(table))
+    if (pointerMode)
+      currentManifest(table).toSeq.flatMap(_._2).map(_._2).distinct
+        .map(g => new Path(dir, g)).filter(fs.exists(_))
+        .map(listDataFiles(_).size).sum
+    else listDataFiles(dir).size
+  }
+
+  /**
+   * Opt-in auto-compaction for append-grown clustered tables (LSH/IVF
+   * index segments): when the store was built with `autoCompactFiles > 0`
+   * and `table`'s reachable data-file count exceeds it, fold the table
+   * back into `numFiles` range-clustered files ([[compactClustered]] —
+   * restores the build-time footer-skip layout AND carries exactly-once
+   * append keys). Returns whether a compaction ran. Called by the index
+   * growers ([[graft.ext.Dedup.appendToLshIndex]],
+   * [[graft.ext.Similarity.appendToIndex]]) after each append, so hundreds
+   * of ingest batches cannot silently degrade probe time; the threshold
+   * bounds the rewrite frequency (each compaction buys `autoCompactFiles −
+   * numFiles` further appends before the next).
+   */
+  def maybeAutoCompactClustered(table: String, clusterCols: Seq[String],
+      numFiles: Int): Boolean = {
+    val run = autoCompactFiles > 0 && dataFileCount(table) > autoCompactFiles
+    if (run) compactClustered(table, clusterCols, numFiles)
+    run
+  }
+
+  /** [[maybeAutoCompactClustered]] for unclustered append chains (the LSH
+    * shingle-set table): plain [[compact]] to `targetFiles`. */
+  def maybeAutoCompact(table: String, targetFiles: Int): Boolean = {
+    val run = autoCompactFiles > 0 && dataFileCount(table) > autoCompactFiles
+    if (run) compact(table, targetFiles)
+    run
+  }
 
   /** Partition-scoped small-file compaction — the date-partitioned form of
     * [[compact]]: rewrite ONLY the named `partCol=<day>` partitions, one

@@ -174,6 +174,54 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(kept.nonEmpty)
   }
 
+  test("auto-compaction bounds a growing LSH index; results and keys survive") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-lsh-ac").toString,
+      autoCompactFiles = 20)
+    val corpus = docs.filter(col("doc_id") < 200)
+    val idx = Dedup.buildLshIndex(store, "ac_lsh", corpus, "doc_id", "text")
+    // growth loop: 8 keyed batches of survivors (disjoint id ranges) — the
+    // ingest shape. Each append adds files to both segment tables; the
+    // threshold must fold them back before the chain runs away.
+    var perBatch = 0
+    (0 until 8).foreach { i =>
+      val batch = docs.filter(col("doc_id") >= 200 + i * 25 && col("doc_id") < 225 + i * 25)
+      Dedup.appendToLshIndex(store, idx, batch, "doc_id", "text",
+        idempotencyKey = Some(s"g$i"))
+      perBatch = math.max(perBatch, store.dataFileCount("ac_lsh_buckets"))
+      Dedup.unpersistAll()
+    }
+    // boundedness is the contract: the observed ceiling must sit at
+    // threshold + one batch's files (the trigger fires on the append AFTER
+    // the threshold is crossed and folds back to `bands` files), far below
+    // the ~8-generation chain an unbounded grow loop would accumulate
+    assert(store.dataFileCount("ac_lsh_buckets") <= 20 + 16,
+      s"bucket chain unbounded: ${store.dataFileCount("ac_lsh_buckets")}")
+    assert(perBatch <= 20 + 16, s"auto-compaction never engaged: peak $perBatch files")
+    // exactly-once keys survive the compaction rewrites: every replay no-ops
+    (0 until 8).foreach { i =>
+      val batch = docs.filter(col("doc_id") >= 200 + i * 25 && col("doc_id") < 225 + i * 25)
+      val rows = store.read("ac_lsh").count()
+      Dedup.appendToLshIndex(store, idx, batch, "doc_id", "text",
+        idempotencyKey = Some(s"g$i"))
+      Dedup.unpersistAll()
+      assert(store.read("ac_lsh").count() == rows, s"replay of g$i duplicated index rows")
+    }
+    // the compacted+grown index still answers identically to a fresh build
+    // over the same corpus
+    val probe = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val gotGrown = Dedup.dedupeAgainstLshIndex(store, idx, probe, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.unpersistAll()
+    val store2 = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-lsh-ac2").toString)
+    val idx2 = Dedup.buildLshIndex(store2, "ref_lsh",
+      docs.filter(col("doc_id") < 400), "doc_id", "text")
+    val gotFresh = Dedup.dedupeAgainstLshIndex(store2, idx2, probe, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotGrown == gotFresh, "compaction changed probe results")
+  }
+
   test("minhash-LSH pairs equal exact prefix-filtered Jaccard pairs on fixtures") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

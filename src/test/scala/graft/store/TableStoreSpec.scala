@@ -1336,6 +1336,49 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.generations("t").size == 2)
   }
 
+  test("compaction carries exactly-once append keys in both modes") {
+    // rename mode: markers are copied into the about-to-publish dir
+    val r = freshStore()
+    assert(r.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"))
+    r.compact("t", 1)
+    assert(r.idempotentKeyCommitted("t", "b0"), "rename compact lost the key")
+    assert(!r.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"))
+    assert(r.read("t").count() == 1)
+    // pointer mode: the key rode the gen-dir name; compaction folds that
+    // dir away and must materialize the key as a marker first
+    val p = new TableStore(spark,
+      Files.createTempDirectory("graft-ptr-ck").toString, CommitMode.Pointer)
+    assert(p.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"))
+    p.compactClustered("t", Seq("k"), 1)
+    assert(p.idempotentKeyCommitted("t", "b0"), "pointer compact lost the key")
+    assert(!p.appendIdempotent("t", Seq((1, "a")).toDF("k", "v"), "b0"))
+    assert(p.read("t").count() == 1)
+  }
+
+  test("maybeAutoCompactClustered fires exactly when the file count exceeds the threshold") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ac").toString, autoCompactFiles = 6)
+    store.atomicOverwriteClustered("t", (0 until 40).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), 4)
+    // appends below the threshold never trigger
+    var fired = 0
+    (0 until 10).foreach { i =>
+      store.append("t", Seq((100 + i, "x")).toDF("k", "v"))
+      if (store.maybeAutoCompactClustered("t", Seq("k"), 4)) fired += 1
+    }
+    // 4 base files + 1 per append: counts 5,6 pass, 7 fires (folds to 4),
+    // then 5,6 pass, 7 fires... = exactly 3 triggers in 10 appends
+    assert(fired == 3, s"expected 3 threshold crossings in 10 appends, got $fired")
+    assert(store.dataFileCount("t") <= 6 + 1)
+    assert(store.read("t").count() == 50)
+    // a store built without the knob never fires
+    val off = freshStore()
+    off.atomicOverwriteClustered("t", (0 until 40).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), 4)
+    (0 until 10).foreach(i => off.append("t", Seq((100 + i, "x")).toDF("k", "v")))
+    assert(!off.maybeAutoCompactClustered("t", Seq("k"), 4))
+  }
+
   test("appendIdempotent converges after a crash mid-move (rename mode)") {
     // simulate the worst rename-mode crash window: data files landed but the
     // key marker did not — the on-disk state a replay must repair without
