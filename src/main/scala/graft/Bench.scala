@@ -32,7 +32,17 @@ object Bench {
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
-    val results = selected.map { case (name, fn) =>
+    // --runs N (or SPARK_GRAFT_RUNS): repeat the whole selected surface N
+    // times and report per-query MEDIANS plus spread, so a round record is
+    // one command instead of hand-assembled medians-of-3. Runs iterate
+    // OUTER (run 1 of everything, then run 2...), not per-query back-to-back
+    // — back-to-back repeats would overstate warmth (OS page cache + JIT hot
+    // from the identical plan milliseconds earlier) relative to how the
+    // driver encounters each query.
+    val runs = args.sliding(2).collectFirst { case Array("--runs", n) => n.toInt }
+      .orElse(sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)).getOrElse(1)
+    require(runs >= 1, s"--runs must be >= 1: $runs")
+    def oneRun(): Map[String, Option[Double]] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE — in the JSON itself, not only on
       // stderr: a fast-failing query would otherwise read as a green
@@ -46,6 +56,27 @@ object Bench {
       graft.ext.Dedup.unpersistAll() // caches must not leak into the next query
       name -> (if (ok) Some(dt) else None)
     }
+    val allRuns = (1 to runs).map { r =>
+      if (runs > 1) System.err.println(s"[bench] run $r/$runs")
+      oneRun()
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // a query is failed if ANY run failed it; medians are over its runs
+    val results: Map[String, Option[Double]] = selected.keys.map { name =>
+      val samples = allRuns.map(_(name))
+      name -> (if (samples.exists(_.isEmpty)) None else Some(median(samples.flatten)))
+    }.toMap
+    // per-query spread (max-min over runs) — only emitted for multi-run mode
+    val spreadJson = if (runs > 1) {
+      val sp = selected.keys.flatMap { name =>
+        val ok = allRuns.flatMap(_(name))
+        if (ok.size == runs) Some(s"\"" + name + "\":" + f"${ok.max - ok.min}%.3f") else None
+      }
+      s""","spread":${sp.mkString("{", ",", "}")}"""
+    } else ""
     // failures serialize as null (unmistakably not a timing) + a failed list
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
@@ -57,7 +88,7 @@ object Bench {
     // the driver archives the last ~2 kB of stdout, so only the line's tail
     // is guaranteed to survive into BENCH_r*.json (r10 lost the total to
     // head truncation).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"filtered":${only.isDefined},"sf":"$sfDir","total_s":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spreadJson,"failed":$failed,"n_queries":${results.size},"runs":$runs,"filtered":${only.isDefined},"sf":"$sfDir","total_s":$total}"""
     println(line)
     // ALSO persist the full line as a file artifact: the driver archives only
     // the last ~2 kB of stdout, which dropped 52 of 110 per-query timings
