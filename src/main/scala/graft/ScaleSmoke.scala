@@ -291,6 +291,12 @@ object ScaleSmoke {
             java.nio.file.Files.copy(p, in.resolve(s"b$i.parquet"))
         } finally st.close()
       }
+      // the sink must start EMPTY: /tmp/graft_scale persists across smoke
+      // runs on a long-lived box, and a prior run's appended survivors would
+      // double-count the planted novels (observed: novel=200/100)
+      new org.apache.hadoop.fs.Path(lshStore.tablePath("stream_survivors"))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(lshStore.tablePath("stream_survivors")), true)
       val q = graft.streaming.IngestStream.dedupToStore(
         graft.streaming.IngestStream.readDocs(spark, in.toString),
         lshStore, idx, "doc_id", "text", 0.8, "stream_survivors")
@@ -375,17 +381,19 @@ object ScaleSmoke {
       consume(graft.ext.Sampling.temperatureSample(bigEv, "event_type", "event_id", 0.5, 100000L))
     }
     // quality-classifier training at 50k docs: the same linearly-separable
-    // text-derived label as the gate; the trainer must still fit it at 10x
-    // corpus (per-step cost is ONE aggregation — scale shows up in the
-    // constant, not the step count)
-    time("train quality classifier 50k docs (60 steps)") {
+    // text-derived label AND the same retuned configuration as the gate
+    // (preconditioned Adam, 40 jobs, auto mini-batch — at 50k docs auto
+    // resolves to 250-permille hash slices, the sampled regime the gate
+    // only reaches at sf0.1); the trainer must still fit at 10x corpus
+    time("train quality classifier 50k docs (adam, 40 jobs, sampled)") {
       val nn = bigDocs.filter(col("text").isNotNull)
       def cnt(t: String) = size(filter(split(col("text"), "\\s+"), w => w === t))
       val labeled = nn.select(col("doc_id"),
         (cnt("table") > cnt("row")).cast("int").as("label"))
       val feats = graft.ext.Classifier.hashedFeatures(nn, "doc_id", "text", 128)
         .join(labeled, Seq("doc_id"))
-      val m = graft.ext.Classifier.trainLogistic(feats, "label", 60, 15.0)
+      val m = graft.ext.Classifier.trainLogistic(feats, "label", 40, 0.3,
+        samplePermille = 0, optimizer = "adam")
       graft.ext.Dedup.unpersistAll()
       println(f"[scale]   classifier: acc=${m.trainAccuracy}%.4f loss=${m.trainLogLoss}%.4f")
       require(m.trainAccuracy >= 0.95,
