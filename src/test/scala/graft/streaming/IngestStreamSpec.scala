@@ -70,6 +70,39 @@ class IngestStreamSpec extends AnyFunSuite {
       s"grow must drop doc 20 against batch-1 survivor 11, resume must not reprocess b0: $got")
   }
 
+  test("grow loop under autoCompactFiles keeps the index bounded mid-stream; results unchanged") {
+    // the full composition: streaming ingest with grow=true against a store
+    // that auto-compacts — compactions fire BETWEEN micro-batches (inside
+    // appendToLshIndex) and must neither lose index segments nor forget the
+    // batch's exactly-once keys
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("ingest-spec-ac").toString,
+      autoCompactFiles = 8)
+    val archive = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    Dedup.buildLshIndex(store, "idx", archive, "doc_id", "text")
+    val idx = Dedup.loadLshIndex(store, "idx")
+    val in = java.nio.file.Files.createTempDirectory("ingest-spec-acin").resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val ck = java.nio.file.Files.createTempDirectory("ingest-spec-acck").toString
+    // six novel single-doc files -> six micro-batches, each growing the index
+    val texts = Seq("p q r s t u", "g h i j k l", "m n o aa bb cc",
+      "dd ee ff gg hh ii", "jj kk ll mm nn oo", "pp qq rr ss tt uu")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      stage(Seq((10L + i, t)).toDF("doc_id", "text"), in, s"b$i")
+    }
+    drain(IngestStream.dedupToStore(IngestStream.readDocs(spark, in.toString),
+      store, idx, "doc_id", "text", 0.8, "surv", grow = true, checkpoint = Some(ck)))
+    assert(store.read("surv").count() == 6, "all six novel docs must survive")
+    assert(store.dataFileCount("idx_buckets") <= 8 + 16,
+      s"auto-compaction must bound the mid-stream chain: ${store.dataFileCount("idx_buckets")}")
+    // the compacted grown index still drops a dup of a mid-stream survivor
+    val late = Seq((100L, "g h i j k l"), (101L, "zz yy xx wv uu ts")).toDF("doc_id", "text")
+    val kept = Dedup.dedupeAgainstLshIndex(store, idx, late, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.unpersistAll()
+    assert(kept == Set(101L), s"grown+compacted index must still catch the dup: $kept")
+  }
+
   test("a replayed micro-batch (crash before checkpoint commit) does not duplicate") {
     // foreachBatch is at-least-once: Structured Streaming replays a batch
     // whose sink writes landed but whose checkpoint commit did not. Forge
