@@ -1336,6 +1336,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.generations("t").size == 2)
   }
 
+  test("racing appendIdempotent writers with the SAME key: exactly one commits") {
+    // the pointer-mode arbitration path: both writers pass the fast key
+    // check, both write private gen dirs, the key re-check under the writer
+    // lock (or the O_EXCL marker create) must let exactly one publish
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ptr-race").toString, CommitMode.Pointer)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            store.appendIdempotent("t", Seq((i, s"w$i")).toDF("k", "v"), "b0")
+          }
+        })
+      }
+      gate.countDown()
+      val committed = results.map(_.get())
+      assert(committed.count(identity) == 1,
+        s"exactly one same-key writer must win: $committed")
+      assert(store.read("t").count() == 1, "the loser's batch must not be published")
+      assert(store.generations("t").size == 1)
+    } finally pool.shutdown()
+  }
+
   test("compaction carries exactly-once append keys in both modes") {
     // rename mode: markers are copied into the about-to-publish dir
     val r = freshStore()
