@@ -470,6 +470,16 @@ object Queries {
         compression = Some("gzip"))
       graft.io.Export.readJsonl(s, dir, doc.schema)
     }),
+    // CSV shard round-trip under the RFC-4180 dialect (doubled-quote
+    // escaping, \N null sentinel): the re-read must reproduce the table
+    // exactly — same identity oracle as the JSONL gate
+    "o15_export_csv" -> ((s, d) => {
+      val doc = docs(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/docs"
+      graft.io.Export.csvShards(doc, dir, maxRecordsPerShard = 100,
+        compression = Some("gzip"))
+      graft.io.Export.readCsv(s, dir, doc.schema)
+    }),
     // two-dimensional pruned read over the z-order layout: the Morton curve
     // keeps every file rectangle-ish in (o_orderkey, o_custkey), so a band
     // on EITHER dimension alone opens a strict subset of the 16 files and
@@ -1909,6 +1919,7 @@ object Queries {
         |   AND o_orderkey % 2 = 1""".stripMargin,
     // JSONL round-trip ≡ the table itself
     "o14_export_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "o15_export_csv" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "o13_change_feed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, 'insert' AS __change, 1 AS batch
         |  FROM orders WHERE o_orderkey % 3 = 1

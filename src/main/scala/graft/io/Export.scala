@@ -34,4 +34,38 @@ object Export {
 
   def readJsonl(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(dir)
+
+  /**
+   * CSV/TSV shard export — the other interchange format training and
+   * labeling stacks commonly ingest (spreadsheet-adjacent tooling, TSV
+   * corpora). Same task-local file rolling as [[jsonlShards]] (no
+   * repartition at any corpus size). Dialect pinned to RFC 4180: fields
+   * quoted when needed, embedded quotes DOUBLED (`escape = "` — Spark's
+   * default backslash escaping is not RFC and many readers reject it),
+   * header row per shard. NULL is written as the sentinel `\N` (the
+   * de-facto convention) so it stays distinguishable from the empty
+   * string — the round-trip fidelity CSV famously loses by default.
+   */
+  def csvShards(df: DataFrame, dir: String, maxRecordsPerShard: Int,
+      compression: Option[String] = None, delimiter: String = ","): Unit = {
+    require(maxRecordsPerShard > 0, s"maxRecordsPerShard must be positive: $maxRecordsPerShard")
+    val w = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerShard.toLong.toString)
+      .option("header", "true").option("sep", delimiter)
+      .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "\\N")
+    compression.fold(w)(c => w.option("compression", c)).csv(dir)
+  }
+
+  /** Read [[csvShards]] output under an EXPLICIT schema (inference would
+    * silently widen/narrow types — same discipline as [[readJsonl]]).
+    * `multiLine` handles quoted embedded newlines; the quote/escape/null
+    * options mirror the writer exactly. */
+  def readCsv(spark: SparkSession, dir: String, schema: StructType,
+      delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("sep", delimiter)
+      .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "\\N").option("multiLine", "true")
+      .csv(dir)
 }

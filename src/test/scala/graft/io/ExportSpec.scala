@@ -32,4 +32,38 @@ class ExportSpec extends AnyFunSuite {
       .as[(Long, Option[String])].collect().toSet
     assert(backGz == back)
   }
+
+  test("csvShards: RFC-4180 dialect round-trips hostile strings; null != empty; TSV variant") {
+    // CSV's classic fidelity traps: embedded delimiters, doubled quotes,
+    // quoted newlines (multiLine read), the \N-vs-empty-string distinction,
+    // unicode, and a field that literally starts with the quote char
+    val rows = Seq(
+      (1L, """he said "hi", then "bye""""),
+      (2L, "line1\nline2,with,commas"),
+      (3L, "unicode: é中文 😀"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),
+      (6L, "\"leading quote"),
+      (7L, "trailing backslash \\")) ++ (8L to 25L).map(i => (i, s"filler $i"))
+    val df = rows.toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("export-csv").toString + "/out"
+    Export.csvShards(df.repartition(1), dir, maxRecordsPerShard = 10)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length >= 3, s"25 rows at cap 10 must roll >= 3 shards: ${files.length}")
+    val back = Export.readCsv(spark, dir, df.schema)
+      .as[(Long, Option[String])].collect().toSet
+    assert(back == rows.map { case (i, t) => (i, Option(t)) }.toSet,
+      s"CSV round-trip diverged: ${back.toSeq.sortBy(_._1).take(8)}")
+    // the dialect on the wire is RFC 4180: doubled quotes, not backslashes
+    val raw = files.toSeq.flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toList)
+    assert(raw.exists(_.contains("\"\"hi\"\"")), "embedded quotes must be doubled on the wire")
+    // gzip + tab-delimited variant round-trips identically
+    val tsvDir = java.nio.file.Files.createTempDirectory("export-tsv").toString + "/out"
+    Export.csvShards(df, tsvDir, 10, compression = Some("gzip"), delimiter = "\t")
+    assert(new java.io.File(tsvDir).listFiles().exists(_.getName.endsWith(".csv.gz")))
+    val backTsv = Export.readCsv(spark, tsvDir, df.schema, delimiter = "\t")
+      .as[(Long, Option[String])].collect().toSet
+    assert(backTsv == back)
+  }
 }
