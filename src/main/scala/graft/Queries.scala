@@ -470,6 +470,17 @@ object Queries {
         compression = Some("gzip"))
       graft.io.Export.readJsonl(s, dir, doc.schema)
     }),
+    // ORC shard round-trip over EVENTS — the table with the types that
+    // classically shift across columnar formats (micros-NTZ timestamps,
+    // raw doubles): the re-read must be value-identical to the parquet
+    // source under the same identity oracle the a-gates use
+    "o16_export_orc" -> ((s, d) => {
+      val ev = events(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/ev"
+      graft.io.Export.orcShards(ev, dir, maxRecordsPerShard = 2000,
+        compression = Some("zstd"))
+      graft.io.Export.readOrc(s, dir)
+    }),
     // CSV shard round-trip under the RFC-4180 dialect (doubled-quote
     // escaping, \N null sentinel): the re-read must reproduce the table
     // exactly — same identity oracle as the JSONL gate
@@ -1920,6 +1931,7 @@ object Queries {
     // JSONL round-trip ≡ the table itself
     "o14_export_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "o15_export_csv" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "o16_export_orc" -> s"SELECT $evCols FROM events",
     "o13_change_feed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, 'insert' AS __change, 1 AS batch
         |  FROM orders WHERE o_orderkey % 3 = 1

@@ -68,4 +68,21 @@ object Export {
       .option("quote", "\"").option("escape", "\"")
       .option("nullValue", "\\N").option("multiLine", "true")
       .csv(dir)
+
+  /** ORC shard export — the OTHER columnar interchange format (Hive-lineage
+    * stacks read ORC where parquet isn't an option). Same task-local
+    * rolling; types — above all timestamps, where cross-format round-trips
+    * classically shift — are gated value-identical over the events table
+    * (`o16_export_orc`). Schema travels in the ORC footer, so read-back
+    * takes no explicit schema; the gate's oracle catches any silent type
+    * re-mapping instead. */
+  def orcShards(df: DataFrame, dir: String, maxRecordsPerShard: Int,
+      compression: Option[String] = None): Unit = {
+    require(maxRecordsPerShard > 0, s"maxRecordsPerShard must be positive: $maxRecordsPerShard")
+    val w = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerShard.toLong.toString)
+    compression.fold(w)(c => w.option("compression", c)).orc(dir)
+  }
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame = spark.read.orc(dir)
 }

@@ -66,4 +66,32 @@ class ExportSpec extends AnyFunSuite {
       .as[(Long, Option[String])].collect().toSet
     assert(backTsv == back)
   }
+
+  test("orcShards: timestamps and doubles round-trip bit-identically; shards roll; zstd") {
+    import org.apache.spark.sql.functions._
+    // micros-NTZ timestamps (incl. a sub-millisecond value), NaN/negative
+    // doubles, NULLs — the values cross-format round-trips classically lose
+    val df = spark.range(25)
+      .select(col("id"),
+        when(col("id") === 4, lit(null).cast("timestamp_ntz"))
+          .otherwise(timestamp_micros(lit(1700000000000123L) + col("id"))
+            .cast("timestamp_ntz")).as("ts"),
+        when(col("id") === 5, lit(Double.NaN))
+          .when(col("id") === 6, lit(null).cast("double"))
+          .otherwise(col("id") * -1.5e-7).as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("export-orc").toString + "/out"
+    Export.orcShards(df.repartition(1), dir, maxRecordsPerShard = 10,
+      compression = Some("zstd"))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".orc"))
+    assert(files.length >= 3, s"25 rows at cap 10 must roll >= 3 shards: ${files.length}")
+    val back = Export.readOrc(spark, dir)
+    // nullability is metadata, not a value type (file formats relax it);
+    // the VALUE types must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"ORC footer must preserve value types exactly: ${back.schema} vs ${df.schema}")
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a.zip(b).forall { case (x, y) => x == y }, s"value drift: ${a.diff(b).take(3)}")
+  }
 }
