@@ -470,6 +470,23 @@ object Queries {
         compression = Some("gzip"))
       graft.io.Export.readJsonl(s, dir, doc.schema)
     }),
+    // WET (Common Crawl extracted-text) ingest: documents encoded as
+    // standard WARC/1.0 conversion records (Content-Length in UTF-8 bytes,
+    // language in the real WET header), then parsed back byte-exactly —
+    // the identity oracle proves the framing (a char-based parser would
+    // already diverge on the fixture's multibyte text)
+    "o17_ingest_wet" -> ((s, d) => {
+      val doc = docs(s, d).filter(col("text").isNotNull)
+      val dir = java.nio.file.Files.createTempDirectory("graft-wet").toString + "/wet"
+      graft.io.Warc.writeWet(doc.select(
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("uri"),
+          lit("2024-01-01T00:00:00Z").as("wdate"),
+          col("lang"), col("text")),
+        dir, "uri", "wdate", "lang", "text", maxRecordsPerShard = 100)
+      graft.io.Warc.readWet(s, dir)
+        .select(regexp_extract(col("uri"), "urn:graft:doc:(\\d+)", 1)
+          .cast("bigint").as("doc_id"), col("lang"), col("text"))
+    }),
     // ORC shard round-trip over EVENTS — the table with the types that
     // classically shift across columnar formats (micros-NTZ timestamps,
     // raw doubles): the re-read must be value-identical to the parquet
@@ -1932,6 +1949,7 @@ object Queries {
     "o14_export_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "o15_export_csv" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "o16_export_orc" -> s"SELECT $evCols FROM events",
+    "o17_ingest_wet" -> "SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL",
     "o13_change_feed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, 'insert' AS __change, 1 AS batch
         |  FROM orders WHERE o_orderkey % 3 = 1

@@ -94,4 +94,41 @@ class ExportSpec extends AnyFunSuite {
     val b = back.orderBy("id").collect().toSeq
     assert(a.zip(b).forall { case (x, y) => x == y }, s"value drift: ${a.diff(b).take(3)}")
   }
+
+  test("WET: byte-exact round-trip of multibyte + blank-line content; raw-stream dialects") {
+    // the two killers of line-based WET parsers: multi-byte UTF-8 (byte
+    // Content-Length != char count) and a BLANK LINE inside the content
+    // (indistinguishable from the header terminator without byte framing)
+    val rows = Seq(
+      ("u:1", "2024-01-01T00:00:00Z", "en", "plain ascii text"),
+      ("u:2", "2024-01-01T00:00:00Z", "zh", "多字节 é 😀 content"),
+      ("u:3", "2024-01-01T00:00:00Z", null.asInstanceOf[String],
+        "para one\n\npara two after a blank line"),
+      ("u:4", "2024-01-01T00:00:00Z", "de", ""))
+    val df = rows.toDF("uri", "wdate", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("export-wet").toString + "/out"
+    Warc.writeWet(df, dir, "uri", "wdate", "lang", "text", maxRecordsPerShard = 2)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".txt.gz")))
+    val back = Warc.readWet(spark, dir)
+      .as[(String, String, Option[String], String)].collect().toSet
+    assert(back == rows.map { case (u, d2, l, t) => (u, d2, Option(l), t) }.toSet,
+      s"WET round-trip diverged: $back")
+    // hand-framed raw streams: CRLF and bare-LF header dialects both parse
+    def stream(nl: String): Array[Byte] = {
+      val body = "héllo\n\nwörld" // 14 chars, 16 UTF-8 bytes
+      val len = body.getBytes("UTF-8").length
+      (s"WARC/1.0${nl}WARC-Target-URI: u:x${nl}Content-Length: $len$nl$nl" +
+        body + nl + nl).getBytes("UTF-8")
+    }
+    Seq("\r\n", "\n").foreach { nl =>
+      val rec = Warc.parseWetStream("test", stream(nl)).toSeq
+      assert(rec.map(r => (r.uri, r.text)) == Seq(("u:x", "héllo\n\nwörld")),
+        s"dialect '$nl' mis-framed: $rec")
+    }
+    // a truncated stream fails loudly with position info, never silently drops
+    val truncated = stream("\r\n").dropRight(8)
+    val e = intercept[IllegalArgumentException](
+      Warc.parseWetStream("test", truncated).toSeq)
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+  }
 }
