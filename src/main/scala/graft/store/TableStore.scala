@@ -1303,7 +1303,16 @@ final class TableStore(spark: SparkSession, root: String,
     * [[append]] comment block for the full rationale): a new column reads
     * as NULL for old rows, a VALUE-type change poisons the table. */
   private def checkAppendDrift(table: String, df: DataFrame): Unit = if (exists(table)) {
-    val current = readEvolved(table).schema
+    // a CONCURRENT writer's mkdirs/in-flight write can make the table
+    // momentarily "exist" as an empty or markers-pending dir that no read
+    // resolves (observed: the advisory pre-lock check racing a first
+    // pointer-mode append). The check is a guard, not a gate: on an
+    // unreadable transient state, skip — the decisive invocation under the
+    // writer lock sees settled state, and a genuinely broken table fails
+    // the read/write itself, loudly, right after
+    val current = try readEvolved(table).schema catch {
+      case scala.util.control.NonFatal(_) => return
+    }
     val drifted = df.schema.flatMap { f =>
       current.find(_.name == f.name).collect {
         case c if stripNullability(c.dataType) != stripNullability(f.dataType) =>
