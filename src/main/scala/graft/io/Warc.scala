@@ -40,19 +40,27 @@ object Warc {
    */
   def readWet(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, raw) =>
-        val bytes =
-          if (path.endsWith(Gz)) {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(raw))
-            try in.readAllBytes() finally in.close()
-          } else raw
-        parseWetStream(path, bytes)
-      })
+    parsePartitions(
+      spark.read.format("binaryFile").load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])])
       .toDF("uri", "date", "lang", "text")
+  }
+
+  /** The shared inflate+frame step over `(path, rawBytes)` rows — one task
+    * per file; also legal on a STREAMING Dataset (typed map, no shuffle),
+    * which [[graft.streaming.IngestStream.readWetDocs]] uses. */
+  def parsePartitions(files: Dataset[(String, Array[Byte])]): Dataset[WetRecord] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.flatMap { case (path, raw) =>
+      val bytes =
+        if (path.endsWith(Gz)) {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw))
+          try in.readAllBytes() finally in.close()
+        } else raw
+      parseWetStream(path, bytes)
+    })
   }
 
   /** Frame one inflated WET stream into records (exposed for specs). */

@@ -103,6 +103,35 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(kept == Set(101L), s"grown+compacted index must still catch the dup: $kept")
   }
 
+  test("WET file stream: landed .gz crawl files parse and dedup to the batch-path survivors") {
+    // the literal continuously-arriving-crawl composition: WET shards land
+    // in a directory, each micro-batch parses byte-exactly and probes the
+    // stored LSH index; survivors (keyed by uri) reach the store
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("ingest-spec-wet").toString)
+    val archive = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    Dedup.buildLshIndex(store, "idx", archive, "doc_id", "text")
+    val idx = Dedup.loadLshIndex(store, "idx")
+    val in = java.nio.file.Files.createTempDirectory("ingest-spec-wetin").toString + "/in"
+    def wet(name: String, rows: Seq[(String, String)]): Unit =
+      graft.io.Warc.writeWet(
+        rows.toDF("uri", "text")
+          .select(col("uri"), lit("2024-01-01T00:00:00Z").as("wdate"),
+            lit("en").as("lang"), col("text")),
+        s"$in/$name", "uri", "wdate", "lang", "text", maxRecordsPerShard = 10)
+    // writeWet targets one dir per call; stage two "crawl dumps"
+    wet("dump0", Seq(("u:10", "a b c d e f"), ("u:11", "p q r s t u")))
+    wet("dump1", Seq(("u:20", "multi byte é 中文 content here"), ("u:21", "a b c d e f")))
+    val stream = IngestStream.readWetDocs(spark, s"$in/*", maxFilesPerTrigger = 1)
+    drain(IngestStream.dedupToStore(stream, store, idx, "uri", "text", 0.8, "surv"))
+    val got = store.read("surv").select("uri").as[String].collect().toSet
+    // u:10 and u:21 dup the archive; the multibyte doc must survive intact
+    assert(got == Set("u:11", "u:20"), s"wet-stream survivors: $got")
+    val text20 = store.read("surv").filter(col("uri") === "u:20")
+      .select("text").as[String].head()
+    assert(text20 == "multi byte é 中文 content here", s"byte framing corrupted: '$text20'")
+  }
+
   test("a replayed micro-batch (crash before checkpoint commit) does not duplicate") {
     // foreachBatch is at-least-once: Structured Streaming replays a batch
     // whose sink writes landed but whose checkpoint commit did not. Forge
