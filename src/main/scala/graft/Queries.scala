@@ -40,6 +40,41 @@ object Queries {
   private def customer(s: SparkSession, d: String) = Tables.load(s, d, "customer")
   private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
   private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** SQL twin of [[synthUrls]] (a CTE named `u`), used by both
+    * `text_url_*` oracles. */
+  private val synthUrlSql =
+    """u AS (SELECT doc_id,
+      |  CASE doc_id % 6
+      |    WHEN 0 THEN 'HTTPS://Example.COM:443/Path/' || doc_id ||
+      |                '?utm_source=x&utm_medium=y&id=' || doc_id || '#frag'
+      |    WHEN 1 THEN 'http://WWW.News.Example.co.uk:80/a/' || doc_id
+      |    WHEN 2 THEN 'https://blog.example.org:8443/p?gclid=abc&q=' || doc_id
+      |    WHEN 3 THEN 'http://sub.Tracker.NET/t?fbclid=zz&utm_campaign=c'
+      |    WHEN 4 THEN 'https://example.com/plain/' || doc_id
+      |    ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents)""".stripMargin
+
+  /** Deterministic URL fixture for the `text_url_*` gates: six shapes keyed
+    * by `doc_id % 6`, covering every [[graft.ext.Urls.canonicalizeUrl]]
+    * step (shared by the Spark gates and — re-derived in SQL — their
+    * oracles). */
+  private def synthUrls(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(lit("HTTPS://Example.COM:443/Path/"), id,
+          lit("?utm_source=x&utm_medium=y&id="), id, lit("#frag")))
+      .when(pmod(col("doc_id"), lit(6)) === 1,
+        concat(lit("http://WWW.News.Example.co.uk:80/a/"), id))
+      .when(pmod(col("doc_id"), lit(6)) === 2,
+        concat(lit("https://blog.example.org:8443/p?gclid=abc&q="), id))
+      .when(pmod(col("doc_id"), lit(6)) === 3,
+        lit("http://sub.Tracker.NET/t?fbclid=zz&utm_campaign=c"))
+      .when(pmod(col("doc_id"), lit(6)) === 4,
+        concat(lit("https://example.com/plain/"), id))
+      .otherwise(concat(lit("not a url "), id)).as("url"))
+  }
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
@@ -851,6 +886,27 @@ object Queries {
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    // URL hygiene (the RefinedWeb/C4 step after crawl ingest): URLs
+    // synthesized deterministically from doc_id to cover every
+    // canonicalization case — mixed-case scheme/host, default and
+    // non-default ports, fragments, CONSECUTIVE tracking params, all-params-
+    // stripped, and a bare non-URL string — each of the five steps mirrored
+    // verbatim in the DuckDB oracle, so the whole rewrite is hash-gated
+    "text_url_canonicalize" -> ((s, d) => {
+      val u = synthUrls(s, d)
+      u.select(col("doc_id"), col("url"),
+        ext.Urls.canonicalizeUrl(col("url")).as("canonical"),
+        ext.Urls.urlHost(col("url")).as("host"),
+        ext.Urls.registrableDomainApprox(ext.Urls.urlHost(col("url"))).as("domain"))
+    }),
+    // domain blocklist filter: host == domain or any subdomain; blocklist
+    // broadcast, corpus un-shuffled
+    "text_url_filter_blocked" -> ((s, d) => {
+      import s.implicits._
+      val blocked = Seq("example.com", "tracker.net").toDF("domain")
+      ext.Urls.filterBlockedDomains(synthUrls(s, d), "url", blocked)
+        .select("doc_id", "url")
+    }),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
@@ -2209,6 +2265,53 @@ object Queries {
         |       len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))::DOUBLE / len(tk) AS stopword_ratio,
         |       len(tk) < 30 AS short_doc
         |  FROM t""".stripMargin,
+    "text_url_canonicalize" ->
+      s"""WITH $synthUrlSql,
+         |nf AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
+         |pf AS (SELECT doc_id, url, nofrag,
+         |              regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+         |         FROM nf),
+         |lw AS (SELECT doc_id, url,
+         |              lower(prefix) || substring(nofrag, length(prefix) + 1) AS lowered
+         |         FROM pf),
+         |np AS (SELECT doc_id, url,
+         |              regexp_replace(
+         |                regexp_replace(lowered, '^(http://[^/?#:]*):80([/?#].*)?$$', '\\1\\2'),
+         |                '^(https://[^/?#:]*):443([/?#].*)?$$', '\\1\\2') AS noport
+         |         FROM lw),
+         |q AS (SELECT doc_id, url,
+         |             CASE WHEN instr(noport, '?') > 0
+         |                  THEN substring(noport, 1, instr(noport, '?') - 1)
+         |                  ELSE noport END AS base,
+         |             CASE WHEN instr(noport, '?') > 0
+         |                  THEN substring(noport, instr(noport, '?') + 1)
+         |                  ELSE NULL END AS query
+         |        FROM np),
+         |k AS (SELECT doc_id, url, base, query,
+         |             list_filter(string_split(query, '&'), p ->
+         |               NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+         |                    OR starts_with(p, 'fbclid=') OR p = 'gclid' OR p = 'fbclid')) AS kept
+         |        FROM q),
+         |h AS (SELECT doc_id, lower(split_part(
+         |               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |               ':', 1)) AS host FROM u)
+         |SELECT k.doc_id, k.url,
+         |       CASE WHEN query IS NULL THEN base
+         |            WHEN len(kept) = 0 THEN base
+         |            ELSE base || '?' || array_to_string(kept, '&') END AS canonical,
+         |       h.host,
+         |       CASE WHEN len(string_split(h.host, '.')) <= 2 THEN h.host
+         |            ELSE string_split(h.host, '.')[-2] || '.' || string_split(h.host, '.')[-1]
+         |            END AS domain
+         |  FROM k JOIN h ON k.doc_id = h.doc_id""".stripMargin,
+    "text_url_filter_blocked" ->
+      s"""WITH $synthUrlSql,
+         |h AS (SELECT doc_id, url, lower(split_part(
+         |               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |               ':', 1)) AS host FROM u)
+         |SELECT doc_id, url FROM h
+         | WHERE NOT (host = 'example.com' OR host LIKE '%.example.com'
+         |            OR host = 'tracker.net' OR host LIKE '%.tracker.net')""".stripMargin,
     "text_langid" ->
       s"""WITH $langScoreCtes
          |SELECT doc_id,

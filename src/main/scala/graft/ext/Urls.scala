@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL hygiene — the corpus-pipeline step between crawl ingest and dedup
+ * (RefinedWeb §"URL filtering", C4's host-level dedup key): canonicalize
+ * crawl URIs so that cosmetic variants (case of scheme/host, default
+ * ports, fragments, tracking parameters) collapse to one key, derive the
+ * host / approximate registrable domain, and drop documents from blocked
+ * domains.
+ *
+ * Everything is composed from codegen'd string/array functions — no
+ * UDFs, no regex fixed-point rewrites (a single-pass `regexp_replace`
+ * cannot strip CONSECUTIVE tracking parameters because the scan resumes
+ * past the consumed separator; splitting the query string and filtering
+ * parts is exact on every engine instead). Every step is mirrored
+ * verbatim in the DuckDB oracle, so the whole canonicalization is
+ * hash-gated, not just spot-checked.
+ *
+ * Scale shape: pure narrow projections; the blocklist filter broadcasts
+ * the (small) domain list and keeps the corpus un-shuffled.
+ */
+object Urls {
+
+  /** Lowercased `host[:port]`-stripped-to-host authority of `u` (empty
+    * string when `u` has no `scheme://` authority). Ports are removed for
+    * the HOST key on purpose — host keys dedup/block by site, and a
+    * port-distinguished site is not a case the corpus pipeline serves. */
+  def urlHost(u: Column): Column =
+    lower(substring_index(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      ":", 1))
+
+  /** Approximate registrable domain: the last two dot-labels of the host
+    * (`news.bbc.co.uk` → `co.uk` — WRONG for multi-label public suffixes,
+    * right for the common `domain.tld` case; an exact answer needs the
+    * public-suffix list, which is a data dependency, not an operator —
+    * callers with the list can join it against [[urlHost]] instead). */
+  def registrableDomainApprox(host: Column): Column = {
+    val parts = split(host, "\\.")
+    when(size(parts) <= 2, host)
+      .otherwise(concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+  }
+
+  /**
+   * Canonical URL, five deterministic steps:
+   *  1. trim surrounding whitespace;
+   *  2. drop the fragment (`#…` — never sent to servers);
+   *  3. lowercase the `scheme://authority` prefix ONLY (path and query
+   *     stay case-significant per RFC 3986);
+   *  4. strip default ports (`:80` for http, `:443` for https);
+   *  5. remove tracking query parameters (`utm_*`, `gclid`, `fbclid`) by
+   *     splitting the query on `&` and filtering parts — exact for any
+   *     number of consecutive parameters — dropping the `?` entirely when
+   *     nothing survives.
+   * Inputs without a `scheme://` pass through steps 1–2 unchanged
+   * (nothing to lowercase or port-strip; a bare string has no authority).
+   */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val lowered = concat(lower(prefix),
+      substring(noFrag, length(prefix) + 1, lit(2147483647)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    val base = substring_index(noPort, "?", 1)
+    val query = when(noPort.contains("?"),
+      noPort.substr(instr(noPort, "?") + 1, lit(2147483647)))
+      .otherwise(lit(null))
+    val kept = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("gclid=") || p.startsWith("fbclid=") ||
+        p === "gclid" || p === "fbclid"))
+    when(query.isNull, base)
+      .when(size(kept) === 0, base)
+      .otherwise(concat(base, lit("?"), array_join(kept, "&")))
+  }
+
+  /**
+   * Drop rows whose URL's host is a blocked domain or any subdomain of
+   * one. `blocked` is one `domain` column (lowercase registrable domains);
+   * matching is "some label-boundary suffix of the host equals a blocked
+   * domain" — identical to the standard `host == d OR host endswith
+   * ".d"` semantics, but expressed as an EQUI join: each host explodes
+   * into its ≤ #labels dot-suffixes (`a.b.c` → `a.b.c`, `b.c`, `c`) and
+   * the hit set anti-joins back by URL. An `endswith`-style OR condition
+   * would plan a nested-loop join (every row × every blocked domain),
+   * which also caps the blocklist at broadcast size; the suffix join
+   * shuffles on the suffix key, so a UT1-scale multi-million-domain
+   * blocklist works unchanged — and a small one still broadcasts via AQE.
+   */
+  def filterBlockedDomains(df: DataFrame, urlCol: String, blocked: DataFrame): DataFrame = {
+    val host = urlHost(col(urlCol))
+    val parts = split(host, "\\.")
+    val suffixes = transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+    val hitUrls = df.select(col(urlCol).as("__u"), explode(suffixes).as("__suf"))
+      .join(blocked.select(lower(col("domain")).as("__suf")), Seq("__suf"))
+      .select(col("__u")).distinct()
+    df.join(hitUrls, df(urlCol) === hitUrls("__u"), "left_anti")
+  }
+}
