@@ -24,13 +24,28 @@ import org.apache.spark.sql.functions._
  */
 object Urls {
 
-  /** Lowercased `host[:port]`-stripped-to-host authority of `u` (empty
-    * string when `u` has no `scheme://` authority). Ports are removed for
-    * the HOST key on purpose — host keys dedup/block by site, and a
-    * port-distinguished site is not a case the corpus pipeline serves. */
-  def urlHost(u: Column): Column =
-    lower(substring_index(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
-      ":", 1))
+  /** `scheme://` + optional `userinfo@` matcher; group 1 is the
+    * `host[:port]` part of the authority with any userinfo (up to the LAST
+    * `@` before the path — greedy, same in RE2/DuckDB and Java regex)
+    * already stripped. Userinfo MUST be stripped before host extraction:
+    * `http://evil@blocked.com/` has authority `evil@blocked.com`, and a
+    * host key cut from the raw authority would both miss the blocklist and
+    * fragment dedup keys by login. */
+  private val HostPortRe = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)"
+
+  /** Lowercased host of `u` (empty string when `u` has no `scheme://`
+    * authority): userinfo stripped (see [[HostPortRe]]), then the port
+    * removed — at the first `:` for regular hosts (hostnames cannot
+    * contain colons), or after the closing `]` for an IPv6 bracket
+    * literal (`[::1]:8080` → `[::1]`, bracket kept so the key stays
+    * unambiguous vs a hostname). Ports are removed for the HOST key on
+    * purpose — host keys dedup/block by site, and a port-distinguished
+    * site is not a case the corpus pipeline serves. */
+  def urlHost(u: Column): Column = {
+    val auth = regexp_extract(u, HostPortRe, 1)
+    lower(when(auth.startsWith("["), regexp_extract(auth, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(substring_index(auth, ":", 1)))
+  }
 
   /** Approximate registrable domain: the last two dot-labels of the host
     * (`news.bbc.co.uk` → `co.uk` — WRONG for multi-label public suffixes,
@@ -47,35 +62,64 @@ object Urls {
    * Canonical URL, five deterministic steps:
    *  1. trim surrounding whitespace;
    *  2. drop the fragment (`#…` — never sent to servers);
-   *  3. lowercase the `scheme://authority` prefix ONLY (path and query
-   *     stay case-significant per RFC 3986);
-   *  4. strip default ports (`:80` for http, `:443` for https);
-   *  5. remove tracking query parameters (`utm_*`, `gclid`, `fbclid`) by
-   *     splitting the query on `&` and filtering parts — exact for any
-   *     number of consecutive parameters — dropping the `?` entirely when
-   *     nothing survives.
+   *  3. lowercase the scheme and `host[:port]` ONLY (path and query stay
+   *     case-significant per RFC 3986, and so does any `userinfo@` — login
+   *     names are case-sensitive, so the userinfo passes through verbatim);
+   *  4. strip default ports (`:80` for http, `:443` for https), seeing
+   *     through userinfo and IPv6 bracket literals (`http://u:p@h:80/` and
+   *     `http://[::1]:80/` both lose the port);
+   *  5. remove tracking query parameters (default policy: `utm_*` by
+   *     prefix, `gclid`/`fbclid` by name — both configurable) by splitting
+   *     the query on `&` and filtering parts — exact for any number of
+   *     consecutive parameters — dropping the `?` entirely when nothing
+   *     survives.
    * Inputs without a `scheme://` pass through steps 1–2 unchanged
    * (nothing to lowercase or port-strip; a bare string has no authority).
    */
-  def canonicalizeUrl(u: Column): Column = {
+  def canonicalizeUrl(u: Column,
+      trackingPrefixes: Seq[String] = DefaultTrackingPrefixes,
+      trackingNames: Seq[String] = DefaultTrackingNames): Column = {
     val noFrag = regexp_replace(trim(u), "#.*$", "")
-    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    val lowered = concat(lower(prefix),
-      substring(noFrag, length(prefix) + 1, lit(2147483647)))
+    val scheme = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val userinfo = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)", 1)
+    val hostport = regexp_extract(noFrag, HostPortRe, 1)
+    val prefixLen = length(scheme) + lit(3) + length(userinfo) + length(hostport)
+    val lowered = when(scheme === "", noFrag)
+      .otherwise(concat(lower(scheme), lit("://"), userinfo, lower(hostport),
+        substring(noFrag, prefixLen + 1, lit(2147483647))))
+    // the host alternation sees through `userinfo@` and keeps IPv6 bracket
+    // literals whole, so `:80`/`:443` here can only be a real port
+    val hostPat = "(?:[^/?#]*@)?(?:\\[[^\\]]*\\]|[^/?#:]*)"
     val noPort = regexp_replace(
-      regexp_replace(lowered, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
-      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+      regexp_replace(lowered, s"^(http://$hostPat):80([/?#].*)?$$", "$1$2"),
+      s"^(https://$hostPat):443([/?#].*)?$$", "$1$2")
     val base = substring_index(noPort, "?", 1)
     val query = when(noPort.contains("?"),
       noPort.substr(instr(noPort, "?") + 1, lit(2147483647)))
       .otherwise(lit(null))
-    val kept = filter(split(query, "&"), p =>
-      !(p.startsWith("utm_") || p.startsWith("gclid=") || p.startsWith("fbclid=") ||
-        p === "gclid" || p === "fbclid"))
+    val kept = filter(split(query, "&"), p => !isTracking(p, trackingPrefixes, trackingNames))
     when(query.isNull, base)
       .when(size(kept) === 0, base)
       .otherwise(concat(base, lit("?"), array_join(kept, "&")))
   }
+
+  /** Default tracking-parameter policy (the public-pipeline baseline):
+    * any `utm_*` family parameter by prefix, plus the Google/Facebook
+    * click ids by exact name. Deployments with their own hygiene list pass
+    * it to [[canonicalizeUrl]] — the policy is configuration, like the
+    * blocklist, not a constant of the operator. */
+  val DefaultTrackingPrefixes: Seq[String] = Seq("utm_")
+  val DefaultTrackingNames: Seq[String] = Seq("gclid", "fbclid")
+
+  /** True when query part `p` is a tracking parameter under the policy: it
+    * starts with a listed prefix, or its NAME equals a listed name (bare
+    * `gclid` or valued `gclid=…` — a name that merely PREFIXES another
+    * name, e.g. `gclid2=…`, is kept). Static lists fold to a static
+    * codegen'd boolean — no per-row loop. */
+  private def isTracking(p: Column, prefixes: Seq[String], names: Seq[String]): Column =
+    (prefixes.map(pre => p.startsWith(pre)) ++
+      names.flatMap(n => Seq(p === n, p.startsWith(n + "="))))
+      .foldLeft(lit(false))(_ || _)
 
   /**
    * Drop rows whose URL's host is a blocked domain or any subdomain of
