@@ -15,15 +15,27 @@ import org.apache.spark.sql.functions._
  * multi-byte characters or blank lines (a blank line inside the content
  * is indistinguishable from the header terminator to a line-based
  * parser). That byte-level framing has no Catalyst expression, so the
- * parse runs partition-wise over `binaryFile` rows (one task per `.gz`
- * member — gzip is non-splittable regardless, so per-file parallelism is
- * already the ceiling; the standard Common Crawl layout is tens of
- * thousands of ~150 MB WET files, which spreads perfectly). Same
- * justification as [[graft.ext.Multimodal.decodeReal]]'s JDK codecs.
+ * parse runs partition-wise over file PATHS (one task per `.gz` member —
+ * gzip is non-splittable regardless, so per-file parallelism is already
+ * the ceiling; the standard Common Crawl layout is tens of thousands of
+ * ~150 MB WET files, which spreads perfectly). Same justification as
+ * [[graft.ext.Multimodal.decodeReal]]'s JDK codecs.
  *
- * Scale shape: no shuffle — read, inflate, frame, emit. Malformed
- * records fail LOUDLY with the file path and byte offset (a silently
- * skipped record is a corpus-count bug found months later).
+ * Memory is O(record), not O(file): each task opens its file through the
+ * Hadoop filesystem and pulls a buffered (gzip-inflating) byte stream
+ * through an INCREMENTAL framer — at no point does the inflated file
+ * body exist as one array. This is the difference between "works on the
+ * fixture" and "works on a real ~150 MB gz / ~1 GB inflated crawl shard
+ * with 32 concurrent tasks per executor": whole-file inflation at that
+ * shape is 32 GB of transient arrays per executor (an OOM machine), and
+ * the old `binaryFile`-content route additionally capped members at
+ * 2 GiB (the JVM array limit). The path-based route has neither limit —
+ * `WarcStreamSpec` pins it by framing a > 2 GiB synthetic stream, which
+ * a whole-file design cannot even represent.
+ *
+ * Scale shape: no shuffle — list, open, inflate, frame, emit. Malformed
+ * records fail LOUDLY with the file path and inflated-byte offset (a
+ * silently skipped record is a corpus-count bug found months later).
  */
 object Warc {
 
@@ -34,50 +46,93 @@ object Warc {
 
   private val Gz = ".gz"
 
+  /** Headers are a few hundred bytes by spec; a "header" still unterminated
+    * after 1 MiB is a mis-framed stream — fail with the offset instead of
+    * buffering the rest of the file hunting for a blank line. */
+  private val MaxHeaderBytes = 1 << 20
+
   /**
    * Parse a directory of WET files (gzipped or plain) into
-   * `(uri, date, lang, text)` rows.
+   * `(uri, date, lang, text)` rows. `binaryFile` does the listing/glob
+   * only — pruning to `path` means the source never materializes file
+   * contents (and its 2 GiB content cap never applies); each task opens
+   * its own byte stream via [[parseFiles]].
    */
   def readWet(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    parsePartitions(
-      spark.read.format("binaryFile").load(dir)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])])
+    parseFiles(spark.read.format("binaryFile").load(dir)
+      .select(col("path")).as[String])
       .toDF("uri", "date", "lang", "text")
   }
 
-  /** The shared inflate+frame step over `(path, rawBytes)` rows — one task
-    * per file; also legal on a STREAMING Dataset (typed map, no shuffle),
-    * which [[graft.streaming.IngestStream.readWetDocs]] uses. */
-  def parsePartitions(files: Dataset[(String, Array[Byte])]): Dataset[WetRecord] = {
-    import files.sparkSession.implicits._
-    files.mapPartitions(_.flatMap { case (path, raw) =>
-      val bytes =
-        if (path.endsWith(Gz)) {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw))
-          try in.readAllBytes() finally in.close()
-        } else raw
-      parseWetStream(path, bytes)
+  /** The shared open+inflate+frame step over file-path rows — one task per
+    * file, O(record) memory (see the object scaladoc); also legal on a
+    * STREAMING Dataset (typed map, no shuffle), which
+    * [[graft.streaming.IngestStream.readWetDocs]] uses. Paths resolve
+    * through the session's Hadoop conf, so any supported filesystem
+    * scheme (local, HDFS, object stores) works unchanged. */
+  def parseFiles(paths: Dataset[String]): Dataset[WetRecord] = {
+    import paths.sparkSession.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      paths.sparkSession.sessionState.newHadoopConf())
+    paths.mapPartitions(_.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val raw = new java.io.BufferedInputStream(
+        hp.getFileSystem(conf.value).open(hp), 1 << 16)
+      val in = if (p.endsWith(Gz))
+        new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
+      parseWetInputStream(p, in)
     })
   }
 
-  /** Frame one inflated WET stream into records (exposed for specs). */
+  /** Frame one in-memory WET stream into records (spec entry point; the
+    * production path streams — [[parseWetInputStream]]). */
   private[io] def parseWetStream(path: String, bytes: Array[Byte]): Iterator[WetRecord] =
+    parseWetInputStream(path, new java.io.ByteArrayInputStream(bytes))
+
+  /**
+   * Incrementally frame a WET byte stream into records. Pull-based and
+   * O(one record) in memory: the header accumulates into a small buffer
+   * until its CRLFCRLF (or LFLF — both dialects, like the old array
+   * framer) terminator, then EXACTLY `Content-Length` bytes are read as
+   * the text. Owns `in0`: the stream closes at exhaustion and before any
+   * framing failure throws. `pos` in failure messages is the offset in
+   * INFLATED bytes — what a `zcat | head -c` repro needs.
+   */
+  private[io] def parseWetInputStream(path: String,
+      in0: java.io.InputStream): Iterator[WetRecord] =
     new Iterator[WetRecord] {
-      private var pos = 0
-      private def fail(msg: String) =
+      private val in = new java.io.PushbackInputStream(in0, 1)
+      private var pos = 0L
+      private var closed = false
+      private def closeQuietly(): Unit = if (!closed) {
+        closed = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+      private def fail(msg: String): Nothing = {
+        closeQuietly()
         throw new IllegalArgumentException(s"WET parse: $msg at $path:$pos")
-      private def skipBlank(): Unit =
-        while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      }
+      private def read1(): Int = {
+        val b = in.read()
+        if (b >= 0) pos += 1
+        b
+      }
+      // the inter-record blank lines (2 CRLFs by spec, tolerant of any
+      // CR/LF run — same tolerance as the old array framer's skipBlank)
+      private def skipBlank(): Unit = {
+        var b = read1()
+        while (b == '\r' || b == '\n') b = read1()
+        if (b >= 0) { in.unread(b); pos -= 1 } else closeQuietly()
+      }
       skipBlank()
-      def hasNext: Boolean = pos < bytes.length
+      def hasNext: Boolean = !closed && {
+        val b = in.read()
+        if (b < 0) { closeQuietly(); false } else { in.unread(b); true }
+      }
       def next(): WetRecord = {
-        // header block: everything up to the first blank line, ASCII by spec
-        val hdrEnd = indexOfBlankLine(bytes, pos)
-        if (hdrEnd < 0) fail("record header without blank-line terminator")
-        val header = new String(bytes, pos, hdrEnd - pos, "UTF-8")
+        if (!hasNext) throw new NoSuchElementException(s"exhausted WET stream $path")
+        val header = readHeader()
         val lines = header.split("\r\n|\n")
         if (!lines.headOption.exists(_.startsWith("WARC/"))) fail(
           s"expected WARC/<version> record start, got '${lines.headOption.getOrElse("")}'")
@@ -86,54 +141,73 @@ object Warc {
           if (i < 0) None else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
         }.toMap
         val len = hs.getOrElse("content-length", fail("missing Content-Length")).toLong
-        // content starts after the blank line; cut EXACTLY len bytes
-        val contentStart = afterBlankLine(bytes, hdrEnd)
-        if (contentStart + len > bytes.length) fail(
-          s"Content-Length $len overruns the stream (${bytes.length - contentStart} left)")
-        val text = new String(bytes, contentStart, len.toInt, "UTF-8")
-        pos = contentStart + len.toInt
-        skipBlank() // the inter-record blank lines (2 CRLFs by spec, tolerant)
+        if (len < 0 || len > Int.MaxValue - 8)
+          fail(s"Content-Length $len outside the 2 GiB single-record bound")
+        val content = in.readNBytes(len.toInt)
+        pos += content.length
+        if (content.length < len) fail(
+          s"Content-Length $len overruns the stream (${content.length} left)")
+        skipBlank()
         WetRecord(
           hs.getOrElse("warc-target-uri", null),
           hs.getOrElse("warc-date", null),
           hs.getOrElse("warc-identified-content-language", null),
-          text)
+          new String(content, "UTF-8"))
+      }
+      /** Header block: bytes up to (excluding) the first LFLF or CRLFCRLF
+        * terminator, detected by a rolling 4-byte window as bytes arrive —
+        * same first-match semantics as the old whole-array scan (a mixed
+        * `\n\r\n` run matches neither, by design; the Content-Length
+        * overrun check keeps that dialect a loud failure, not a silent
+        * mis-frame). */
+      private def readHeader(): String = {
+        val buf = new java.io.ByteArrayOutputStream(512)
+        var last4 = 0
+        while (true) {
+          val b = read1()
+          if (b < 0) fail("record header without blank-line terminator")
+          buf.write(b)
+          if (buf.size > MaxHeaderBytes) fail(
+            s"record header exceeds $MaxHeaderBytes bytes without a blank-line terminator")
+          last4 = (last4 << 8) | b
+          if ((last4 & 0xFFFF) == 0x0A0A)
+            return new String(buf.toByteArray, 0, buf.size - 2, "UTF-8")
+          if (last4 == 0x0D0A0D0A)
+            return new String(buf.toByteArray, 0, buf.size - 4, "UTF-8")
+        }
+        throw new IllegalStateException("unreachable")
       }
     }
-
-  /** Byte index of the first CRLFCRLF or LFLF header terminator at/after
-    * `from`, or −1. Returns the index where the terminator STARTS. */
-  private def indexOfBlankLine(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i < b.length - 1) {
-      if (b(i) == '\n' && b(i + 1) == '\n') return i
-      if (i < b.length - 3 && b(i) == '\r' && b(i + 1) == '\n' &&
-        b(i + 2) == '\r' && b(i + 3) == '\n') return i
-      i += 1
-    }
-    -1
-  }
-
-  private def afterBlankLine(b: Array[Byte], at: Int): Int =
-    if (b(at) == '\r') at + 4 else at + 2
 
   /**
    * Encode `(uri, date, lang, text)` rows as standard WET conversion
    * records — the round-trip half the gate uses, and a usable delivery
    * format for WET-consuming downstream pipelines. One record string per
    * row (Content-Length in UTF-8 BYTES, computed codegen'd via
-   * `octet_length`); the text writer's row separator supplies the final
-   * newline of the two blank lines between records. Task-local file
-   * rolling like every exporter here.
+   * `octet_length`), carrying the ISO 28500-mandatory `WARC-Record-ID`
+   * as a deterministic URI-derived `urn:uuid` (md5 of the URI folded
+   * into UUID shape — same input, same id, so re-exports are
+   * byte-stable). Records end with text + CRLF and the text writer's
+   * row separator is pinned to CRLF, so consecutive records are
+   * separated by the spec's TWO CRLFs — not the mixed `\r\n` + `\n`
+   * a default-lineSep writer would emit, which strict external WET
+   * consumers may reject. Task-local file rolling like every exporter
+   * here.
    */
   def writeWet(df: DataFrame, dir: String, uriCol: String, dateCol: String,
       langCol: String, textCol: String, maxRecordsPerShard: Int,
       compression: Option[String] = Some("gzip")): Unit = {
     require(maxRecordsPerShard > 0, s"maxRecordsPerShard must be positive: $maxRecordsPerShard")
     val crlf = lit("\r\n")
+    val m = md5(col(uriCol).cast("string"))
+    val recordId = concat(lit("<urn:uuid:"),
+      substring(m, 1, 8), lit("-"), substring(m, 9, 4), lit("-"),
+      substring(m, 13, 4), lit("-"), substring(m, 17, 4), lit("-"),
+      substring(m, 21, 12), lit(">"))
     val rec = concat(
       lit("WARC/1.0"), crlf,
       lit("WARC-Type: conversion"), crlf,
+      lit("WARC-Record-ID: "), recordId, crlf,
       lit("WARC-Target-URI: "), col(uriCol), crlf,
       lit("WARC-Date: "), col(dateCol), crlf,
       when(col(langCol).isNotNull,
@@ -144,6 +218,7 @@ object Warc {
       crlf,
       col(textCol), crlf)
     val w = df.select(rec.as("value")).write.mode("overwrite")
+      .option("lineSep", "\r\n")
       .option("maxRecordsPerFile", maxRecordsPerShard.toLong.toString)
     compression.fold(w)(c => w.option("compression", c)).text(dir)
   }

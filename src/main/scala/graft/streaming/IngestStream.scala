@@ -82,23 +82,26 @@ object IngestStream {
 
   /** Open a WET (Common Crawl) file stream: newly landed `.warc.wet.gz`
     * files parse byte-exactly ([[graft.io.Warc]] — same partition-wise
-    * framing as the batch reader, which Structured Streaming permits on a
-    * typed map) into `(uri, date, lang, text)` micro-batches. Compose with
-    * [[dedupToStore]] (idCol = `uri`) for the literal continuously-arriving
-    * crawl: files land → parse → LSH dedup against the archive →
-    * exactly-once store append. `binaryFile` is a supported streaming
-    * source; one task per gzip member, the format's parallelism ceiling
-    * either way. */
+    * incremental framing as the batch reader, which Structured Streaming
+    * permits on a typed map) into `(uri, date, lang, text)` micro-batches.
+    * Compose with [[dedupToStore]] (idCol = `uri`) for the literal
+    * continuously-arriving crawl: files land → parse → LSH dedup against
+    * the archive → exactly-once store append. `binaryFile` is a supported
+    * streaming source used for file TRACKING only — pruned to `path`, so
+    * contents stream through [[graft.io.Warc.parseFiles]]'s O(record)
+    * framer instead of materializing per-file (real ~1 GB-inflated crawl
+    * shards would OOM the whole-file route); one task per gzip member,
+    * the format's parallelism ceiling either way. */
   def readWetDocs(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val stream = spark.readStream.format("binaryFile")
+    val paths = spark.readStream.format("binaryFile")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       // binaryFile's fixed schema must still be declared for streaming
       .schema("path string, modificationTime timestamp, length long, content binary")
       .load(dir)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
-    graft.io.Warc.parsePartitions(stream).toDF("uri", "wdate", "lang", "text")
+      .select(col("path")).as[String]
+    graft.io.Warc.parseFiles(paths).toDF("uri", "wdate", "lang", "text")
   }
 }
