@@ -86,6 +86,51 @@ object Queries {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
+  /** SQL twin of [[synthC4Docs]] (a CTE named `c4`), used by the
+    * `text_c4_clean` oracle. */
+  private val synthC4Sql =
+    """c4 AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE concat_ws(chr(10),
+      |    'Sentence one for doc ' || doc_id || ' has plenty of words' ||
+      |      CASE WHEN doc_id % 11 = 0 THEN ' {.' ELSE '.' END,
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN 'This filler is Lorem Ipsum placeholder content.'
+      |         ELSE 'Sentence two for doc ' || doc_id || ' also ends well!' END,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'no terminal punctuation line'
+      |      WHEN 1 THEN 'Tiny line.'
+      |      WHEN 2 THEN 'Please enable JavaScript to continue browsing.'
+      |      ELSE 'A third full sentence keeps this document alive?' END,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN '   Padded sentence four still counts after trimming.   ' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'Fifth sentence gives margin.' END)
+      |  END AS text FROM documents)""".stripMargin
+
+  /** Hostile multi-line fixture for the `text_c4_clean` gate: every rule
+    * has rows that live and die by it — terminal punctuation, word count,
+    * the javascript line rule, the `lorem ipsum`/`{` document rules, trim
+    * before matching, the surviving-line floor, and NULL text (shared by
+    * the Spark gate and — re-derived in SQL — its oracle). */
+  private def synthC4Docs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val l1 = concat(lit("Sentence one for doc "), id, lit(" has plenty of words"),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit(" {.")).otherwise(lit(".")))
+    val l2 = when(pmod(col("doc_id"), lit(13)) === 0,
+        lit("This filler is Lorem Ipsum placeholder content."))
+      .otherwise(concat(lit("Sentence two for doc "), id, lit(" also ends well!")))
+    val l3 = when(pmod(col("doc_id"), lit(4)) === 0, lit("no terminal punctuation line"))
+      .when(pmod(col("doc_id"), lit(4)) === 1, lit("Tiny line."))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        lit("Please enable JavaScript to continue browsing."))
+      .otherwise(lit("A third full sentence keeps this document alive?"))
+    val l4 = when(pmod(col("doc_id"), lit(3)) === 0,
+      lit("   Padded sentence four still counts after trimming.   "))
+    val l5 = when(pmod(col("doc_id"), lit(3)) === 0, lit("Fifth sentence gives margin."))
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(17)) === 0, lit(null).cast("string"))
+        .otherwise(concat_ws("\n", l1, l2, l3, l4, l5)).as("text"))
+  }
+
   /** Exact-dedup corpus selection (the `pipeline_corpus_select` capstone,
     * shared by the sampled variant): fingerprint-dedup winners ∩ token-length
     * filter ∩ language-ID agreement, composed purely from library operators. */
@@ -915,6 +960,10 @@ object Queries {
       ext.Urls.filterBlockedDomains(synthUrls(s, d), "url", blocked)
         .select("doc_id", "url")
     }),
+    // C4 line-level cleaning over the hostile multi-line fixture; every
+    // line/document rule mirrored verbatim in the DuckDB oracle
+    "text_c4_clean" -> ((s, d) =>
+      TextAnalysis.c4Clean(synthC4Docs(s, d), minLinesPerDoc = 3)),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
@@ -2273,6 +2322,20 @@ object Queries {
         |       len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))::DOUBLE / len(tk) AS stopword_ratio,
         |       len(tk) < 30 AS short_doc
         |  FROM t""".stripMargin,
+    "text_c4_clean" ->
+      s"""WITH $synthC4Sql,
+         |t AS (SELECT doc_id, lower(text) AS lt,
+         |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l ->
+         |          (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+         |             OR ends_with(l, '"'))
+         |          AND len(regexp_split_to_array(l, '\\s+')) >= 3
+         |          AND NOT contains(lower(l), 'javascript')) AS kept
+         |   FROM c4)
+         |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+         |       len(kept) AS n_lines_kept
+         |  FROM t
+         | WHERE len(kept) >= 3 AND NOT contains(lt, 'lorem ipsum')
+         |   AND NOT contains(lt, '{')""".stripMargin,
     "text_url_canonicalize" ->
       s"""WITH $synthUrlSql,
          |nf AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),

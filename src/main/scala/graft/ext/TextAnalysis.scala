@@ -149,6 +149,52 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
+  /**
+   * C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the rules
+   * every public web-corpus pipeline applies between WET parse and
+   * dedup; cf. `/root/reference` has no text stage, this is the
+   * beyond-reference crawl surface):
+   *
+   * LINE rules (applied to `\n`-split, trimmed lines):
+   *  - keep only lines ending in a terminal punctuation mark
+   *    (`terminalPunct`, default `. ! ? "`);
+   *  - keep only lines with at least `minWordsPerLine` whitespace words;
+   *  - drop lines containing any `dropLineSubstrings` entry
+   *    (case-insensitive; default the C4 "javascript" rule).
+   * DOCUMENT rules:
+   *  - drop documents whose lowercased FULL text contains any
+   *    `dropDocSubstrings` entry (defaults: C4's "lorem ipsum"
+   *    boilerplate marker and `{` code/js marker);
+   *  - drop documents with fewer than `minLinesPerDoc` surviving lines
+   *    (C4 uses a sentence count; the line form is the common variant).
+   * NULL-text documents drop on both engines (every predicate is
+   * three-valued NULL there).
+   *
+   * Output: `(id, clean_text, n_lines_kept)` — surviving lines rejoined
+   * with `\n`. Entirely codegen'd split/filter/rejoin array functions
+   * (the [[normalize]] shape): per-row map, no shuffle, linear at any
+   * corpus size; every rule mirrors verbatim in the DuckDB oracle so the
+   * whole filter is hash-gated.
+   */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minWordsPerLine: Int = 3, minLinesPerDoc: Int = 5,
+      terminalPunct: Seq[String] = Seq(".", "!", "?", "\""),
+      dropLineSubstrings: Seq[String] = Seq("javascript"),
+      dropDocSubstrings: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1: $minWordsPerLine")
+    require(minLinesPerDoc >= 1, s"minLinesPerDoc must be >= 1: $minLinesPerDoc")
+    require(terminalPunct.nonEmpty, "terminalPunct must list at least one mark")
+    val kept = filter(transform(split(col(textCol), "\n"), l => trim(l)), l =>
+      terminalPunct.map(p => l.endsWith(p)).reduce(_ || _) &&
+        size(split(l, "\\s+")) >= minWordsPerLine &&
+        dropLineSubstrings.map(s => !lower(l).contains(s)).foldLeft(lit(true))(_ && _))
+    docs.select(col(idCol), kept.as("__kept"), lower(col(textCol)).as("__lt"))
+      .filter(size(col("__kept")) >= minLinesPerDoc &&
+        dropDocSubstrings.map(s => !col("__lt").contains(s)).foldLeft(lit(true))(_ && _))
+      .select(col(idCol), array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).as("n_lines_kept"))
+  }
+
   /** Intra-document repetition score — the repeated-n-gram quality rule
     * (boilerplate and degenerate text show high duplicate-gram ratios):
     * `dup_gram_ratio = 1 − distinct_grams / total_grams` over word
