@@ -952,6 +952,20 @@ object Queries {
         ext.Urls.urlHost(col("url")).as("host"),
         ext.Urls.registrableDomainApprox(ext.Urls.urlHost(col("url"))).as("domain"))
     }),
+    // PSL-exact registrable domain: longest public-suffix rule wins via
+    // the exploded dot-suffix equi-join over DISTINCT hosts; the approx
+    // (last-two-labels) column rides along to pin where they diverge
+    // (news…example.co.uk -> example.co.uk vs the approx's co.uk)
+    "text_url_domain_psl" -> ((s, d) => {
+      import s.implicits._
+      val psl = Seq("com", "org", "net", "uk", "co.uk", "org.uk", "au",
+        "com.au", "edu.au", "de").toDF("suffix")
+      val hosts = synthUrls(s, d).select(col("doc_id"),
+        ext.Urls.urlHost(col("url")).as("host"))
+      ext.Urls.registrableDomainPsl(hosts, "host", psl)
+        .select(col("doc_id"), col("host"), col("domain"),
+          ext.Urls.registrableDomainApprox(col("host")).as("domain_approx"))
+    }),
     // domain blocklist filter: host == domain or any subdomain; blocklist
     // broadcast, corpus un-shuffled
     "text_url_filter_blocked" -> ((s, d) => {
@@ -2384,6 +2398,32 @@ object Queries {
          |            ELSE string_split(h.host, '.')[-2] || '.' || string_split(h.host, '.')[-1]
          |            END AS domain
          |  FROM k JOIN h ON k.doc_id = h.doc_id""".stripMargin,
+    "text_url_domain_psl" ->
+      s"""WITH $synthUrlSql,
+         |h AS (SELECT doc_id, lower(CASE WHEN starts_with(a, '[')
+         |                THEN regexp_extract(a, '^(\\[[^\\]]*\\])', 1)
+         |                ELSE split_part(a, ':', 1) END) AS host
+         |        FROM (SELECT doc_id, regexp_extract(url,
+         |                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS a FROM u) ha),
+         |psl(suffix) AS (VALUES ('com'),('org'),('net'),('uk'),('co.uk'),
+         |                       ('org.uk'),('au'),('com.au'),('edu.au'),('de')),
+         |e AS (SELECT DISTINCT host FROM h),
+         |p AS (SELECT host, string_split(host, '.') AS parts,
+         |             len(string_split(host, '.')) AS n FROM e),
+         |x0 AS (SELECT host, parts, n, unnest(generate_series(1, n)) AS i FROM p),
+         |x AS (SELECT host, n - i + 1 AS k,
+         |             array_to_string(parts[i:n], '.') AS suf FROM x0),
+         |b AS (SELECT x.host, max(x.k) AS k FROM x JOIN psl ON x.suf = psl.suffix
+         |       GROUP BY x.host),
+         |m AS (SELECT p.host, p.parts, p.n, coalesce(b.k, 1) AS k
+         |        FROM p LEFT JOIN b USING (host)),
+         |d AS (SELECT host, CASE WHEN n > k
+         |               THEN array_to_string(parts[n-k:n], '.') END AS domain FROM m)
+         |SELECT h.doc_id, h.host, d.domain,
+         |       CASE WHEN len(string_split(h.host, '.')) <= 2 THEN h.host
+         |            ELSE string_split(h.host, '.')[-2] || '.' ||
+         |                 string_split(h.host, '.')[-1] END AS domain_approx
+         |  FROM h JOIN d USING (host)""".stripMargin,
     "text_url_filter_blocked" ->
       s"""WITH $synthUrlSql,
          |h AS (SELECT doc_id, url, lower(CASE WHEN starts_with(a, '[')

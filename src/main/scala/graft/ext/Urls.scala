@@ -122,6 +122,49 @@ object Urls {
       .foldLeft(lit(false))(_ || _)
 
   /**
+   * EXACT registrable domain against a caller-supplied public-suffix list
+   * (the data dependency [[registrableDomainApprox]] documents away): for
+   * each host, the longest PSL suffix matching on a label boundary wins,
+   * and the registrable domain is that suffix plus one more label —
+   * `news.bbc.co.uk` with `co.uk` listed → `bbc.co.uk`, where the
+   * last-two-labels approximation wrongly says `co.uk`. Hosts matching no
+   * rule fall back to the PSL's implicit default rule (the bare TLD is
+   * the suffix); a host that IS a public suffix (or a single label, or
+   * empty) has no registrable domain → null.
+   *
+   * `psl` is one lowercase `suffix` column (plain rules; feed wildcard
+   * expansions as materialized rows if the deployment needs them).
+   * Returns `df` plus an `out` column.
+   *
+   * Scale shape: hosts are DISTINCT'd first (crawl hosts dedup massively),
+   * each distinct host explodes into its ≤ #labels dot-suffixes and
+   * EQUI-joins the list — the same shape as [[filterBlockedDomains]], so
+   * the full ~10k-rule public list shuffles or broadcasts fine — then one
+   * max-per-host aggregation picks the longest rule and the mapping joins
+   * back on the host key. No nested-loop anywhere.
+   */
+  def registrableDomainPsl(df: DataFrame, hostCol: String, psl: DataFrame,
+      out: String = "domain"): DataFrame = {
+    val hosts = df.select(col(hostCol).as("__host")).distinct()
+    def parts = split(col("__host"), "\\.")
+    val exploded = hosts.select(col("__host"),
+        explode(transform(sequence(lit(1), size(parts)),
+          i => struct(array_join(slice(parts, i, size(parts)), ".").as("suf"),
+            (size(parts) - i + 1).as("k")))).as("__s"))
+      .select(col("__host"), col("__s.suf").as("__suf"), col("__s.k").as("__k"))
+    val best = exploded.join(psl.select(lower(col("suffix")).as("__suf")), Seq("__suf"))
+      .groupBy("__host").agg(max("__k").as("__k"))
+    val mapped = hosts.join(best, Seq("__host"), "left")
+      .select(col("__host"), coalesce(col("__k"), lit(1)).as("__k"))
+      .select(col("__host"),
+        when(size(parts) > col("__k"),
+          array_join(slice(parts, size(parts) - col("__k"), col("__k") + 1), "."))
+          .as("__dom"))
+    df.join(mapped, df(hostCol) === mapped("__host"), "left")
+      .drop("__host").withColumnRenamed("__dom", out)
+  }
+
+  /**
    * Drop rows whose URL's host is a blocked domain or any subdomain of
    * one. `blocked` is one `domain` column (lowercase registrable domains);
    * matching is "some label-boundary suffix of the host equals a blocked

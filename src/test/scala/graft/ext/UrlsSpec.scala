@@ -93,4 +93,23 @@ class UrlsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L, 5L, 8L), s"blocklist semantics: $kept")
   }
+
+  test("registrableDomainPsl: longest rule wins; defaults and no-domain cases") {
+    val psl = Seq("com", "uk", "co.uk", "com.au").toDF("suffix")
+    val hosts = Seq(
+      (1L, "news.bbc.co.uk"),   // co.uk (2 labels) beats uk -> bbc.co.uk
+      (2L, "bbc.co.uk"),        // -> bbc.co.uk
+      (3L, "co.uk"),            // IS a public suffix -> null
+      (4L, "a.b.example.com"),  // com -> example.com
+      (5L, "shop.com.au"),      // com.au -> shop.com.au
+      (6L, "example.xyz"),      // unlisted TLD: default rule -> example.xyz
+      (7L, "xyz"),              // bare unlisted TLD -> null
+      (8L, "")).toDF("id", "host")
+    val out = Urls.registrableDomainPsl(hosts, "host", psl)
+      .select("id", "domain").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("bbc.co.uk"), 2L -> Some("bbc.co.uk"), 3L -> None,
+      4L -> Some("example.com"), 5L -> Some("shop.com.au"),
+      6L -> Some("example.xyz"), 7L -> None, 8L -> None), s"psl domains: $out")
+  }
 }
