@@ -1367,8 +1367,11 @@ object Queries {
         (cnt("table") > cnt("row")).cast("int").as("label"))
       val feats = Classifier.hashedFeatures(doc, "doc_id", "text", 128)
         .join(labeled, Seq("doc_id"))
-      val m = Classifier.trainLogistic(feats, "label", steps = 40,
-        learningRate = 0.3, samplePermille = 0, optimizer = "adam")
+      // IRLS: 5 Newton iterations instead of the r16 40-step Adam
+      // schedule — same floor with margin, ~7x fewer sequential jobs
+      // (the gate's cost is per-step job overhead, not data)
+      val m = Classifier.trainLogistic(feats, "label", steps = 6,
+        learningRate = 0.3, samplePermille = 0, optimizer = "newton")
       val viol = if (m.trainAccuracy >= 0.95) Seq.empty[(String, Double)]
         else Seq(("train_accuracy_below_floor", m.trainAccuracy))
       viol.toDF("check", "value")

@@ -76,6 +76,25 @@ class ClassifierSpec extends AnyFunSuite {
     assert(a.trainLogLoss == b.trainLogLoss)
   }
 
+  test("newton (IRLS) fits the toy corpus in 4 steps and beats adam's loss") {
+    val feats = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 32)
+      .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
+    val model = Classifier.trainLogistic(feats, "label", steps = 4,
+      learningRate = 0.3, optimizer = "newton")
+    Dedup.unpersistAll()
+    assert(model.trainAccuracy == 1.0,
+      s"separable corpus must fit in 3 newton iterations: ${model.trainAccuracy}")
+    assert(model.trainLogLoss < 0.1, s"newton loss: ${model.trainLogLoss}")
+    // the dim² guard: high-dim hashing models must refuse the gram path
+    val wide = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 4096)
+      .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
+    val e = intercept[IllegalArgumentException](
+      Classifier.trainLogistic(wide, "label", steps = 4, learningRate = 0.3,
+        optimizer = "newton"))
+    Dedup.unpersistAll()
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("training accuracy is partitioning-stable") {
     def acc(parts: Int): Double = {
       val c = toyCorpus.repartition(parts)

@@ -29,11 +29,12 @@ object ClassifierTune {
       val t1 = System.nanoTime()
       val pm = 0 // auto — the gate's setting
       val t2 = System.nanoTime()
-      for (steps <- Seq(32, 40); lr <- Seq(0.3)) {
+      for ((steps, opt) <- Seq((40, "adam"), (8, "newton"), (6, "newton"), (4, "newton"));
+           lr <- Seq(0.3)) {
         val ts = System.nanoTime()
         val m = Classifier.trainLogistic(feats, "label", steps = steps,
-          learningRate = lr, samplePermille = pm, optimizer = "adam")
-        println(f"[tune:$tag] steps=$steps lr=$lr%.2f pm=$pm train=${(System.nanoTime() - ts) / 1e9}%.2f acc=${m.trainAccuracy}%.4f loss=${m.trainLogLoss}%.4f")
+          learningRate = lr, samplePermille = pm, optimizer = opt)
+        println(f"[tune:$tag] steps=$steps opt=$opt lr=$lr%.2f pm=$pm train=${(System.nanoTime() - ts) / 1e9}%.2f acc=${m.trainAccuracy}%.4f loss=${m.trainLogLoss}%.4f")
       }
       val t3 = System.nanoTime()
       Dedup.unpersistAll()
