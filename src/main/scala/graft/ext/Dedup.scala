@@ -111,19 +111,52 @@ object Dedup {
   private def jaccardFromCount(c: Column, sza: Column, szb: Column): Column =
     c.cast("double") / (sza + szb - c).cast("double")
 
+  /** Default candidate-pair budget for [[bucketPairs]]: 10⁸ expansions is
+    * far above any blocking scheme working as designed at gate/smoke
+    * scales, and far below the ~n² a degenerated scheme (mis-threshold,
+    * collapsed keys) would silently pay before anyone noticed. */
+  val DefaultPairBudget: Long = 100000000L
+
   /**
    * All id pairs `(doc_a < doc_b)` sharing a key: group ids per key (ONE
    * shuffle) and expand pairs inside each posting list with higher-order
    * functions — no self-join, so the (expensive) upstream plan that produced
    * `(key, id)` is computed once instead of twice. Buckets here are
    * blocking-scheme buckets (prefix shingles, LSH bands, SimHash segments),
-   * which are small by construction; a pathologically hot bucket would
-   * signal the blocking scheme itself needs tuning (more bands / longer
-   * prefixes), not this expansion.
+   * which are small by construction; a pathologically hot bucket signals
+   * the blocking scheme itself needs tuning (more bands / longer prefixes,
+   * a tighter threshold), not this expansion.
+   *
+   * Which is what `pairBudget` enforces: before ANY pair exists, one cheap
+   * aggregation over the (persisted) posting lists estimates the exact
+   * candidate-expansion count `Σ |bucket|·(|bucket|−1)/2` and REFUSES
+   * loudly — with the estimate, the hottest bucket, and the knobs to turn
+   * — when it exceeds the budget. A mis-tuned wide-threshold run thus
+   * fails in seconds instead of discovering its ~n² output by paying for
+   * it (the r16 30× probe showed the output-bound regime is real: pair
+   * output grew ~900× across two decades). `pairBudget = 0` opts out.
+   * The grouped frame is persisted (released by [[unpersistAll]]), so the
+   * estimate costs one small agg job, not a second shuffle of `keyed`.
    */
-  def bucketPairs(keyed: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val expanded = keyed.groupBy(keyCol).agg(array_sort(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+  def bucketPairs(keyed: DataFrame, keyCol: String, idCol: String,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
+    require(pairBudget >= 0, s"pairBudget must be >= 0 (0 = no budget): $pairBudget")
+    val grouped = persistTracked(
+      keyed.groupBy(keyCol).agg(array_sort(collect_set(col(idCol))).as("ids"))
+        .filter(size(col("ids")) > 1))
+    if (pairBudget > 0) {
+      val sz = size(col("ids")).cast("long")
+      val est = grouped.agg(coalesce(sum(sz * (sz - 1L)), lit(0L)).as("twice"),
+        coalesce(max(sz), lit(0L)).as("hot"), count(lit(1)).as("nb")).head()
+      val pairs = est.getLong(0) / 2
+      require(pairs <= pairBudget,
+        s"bucketPairs: blocking scheme would expand ~$pairs candidate pairs " +
+          s"(budget $pairBudget; hottest bucket ${est.getLong(1)} ids across " +
+          s"${est.getLong(2)} multi-id buckets) — tighten the threshold, widen " +
+          s"the blocking (more bands / longer prefixes), or raise/disable the " +
+          s"budget (pairBudget = 0) if the output really is wanted")
+    }
+    val expanded = grouped
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
@@ -147,12 +180,14 @@ object Dedup {
    * all keyed on shingle/doc id; no cross join anywhere.
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     // the sets feed candidate generation AND both verify sides — persist so
     // the shingling subtree runs once, not three times
     val sets = persistTracked(hashedShingleSets(docs, idCol, textCol, n))
     val exploded = sets.select(col(idCol), explode(col("hs")).as("s"))
-    verifyPairs(bucketPairs(dfRankedPrefixes(exploded, idCol, threshold), "s", idCol),
+    verifyPairs(bucketPairs(dfRankedPrefixes(exploded, idCol, threshold), "s", idCol,
+        pairBudget),
       sets, idCol, threshold)
   }
 

@@ -562,7 +562,8 @@ object Similarity {
    * per row, one narrow map, no shuffle.
    */
   def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bands: Int = 12, rowsPerBand: Int = 12, seed: Long = 42L): DataFrame = {
+      bands: Int = 12, rowsPerBand: Int = 12, seed: Long = 42L,
+      pairBudget: Long = graft.ext.Dedup.DefaultPairBudget): DataFrame = {
     require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62,
       s"bands/rowsPerBand must be positive (rowsPerBand <= 62): $bands x $rowsPerBand")
     val firstRow = emb.select(col(vecCol)).limit(1).collect()
@@ -582,7 +583,7 @@ object Similarity {
     val bandKeys = org.apache.spark.sql.graftx.VectorFunctions.sign_band_keys(
       col("v"), planes, bands, rowsPerBand)
     val keyed = u.select(col("id"), explode(bandKeys).as("bucket"))
-    val candidates = graft.ext.Dedup.bucketPairs(keyed, "bucket", "id")
+    val candidates = graft.ext.Dedup.bucketPairs(keyed, "bucket", "id", pairBudget)
     // Verification fetches both vectors per candidate pair. The candidate
     // set is the BIG side (buckets × pairs, many× the corpus), so joining it
     // against the corpus with the default strategy shuffles millions of

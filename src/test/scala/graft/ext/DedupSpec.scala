@@ -396,6 +396,35 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("pair budget: degenerated blocking refuses BEFORE pair formation, with the estimate") {
+    // a collapsed band key (every id in one bucket) — the mis-threshold /
+    // broken-clock shape: 200 ids = 19900 candidate pairs
+    val hot = (1L to 200L).map(i => (1, i)).toDF("k", "id")
+    val e = intercept[IllegalArgumentException](
+      Dedup.bucketPairs(hot, "k", "id", pairBudget = 1000L))
+    assert(e.getMessage.contains("19900"), e.getMessage)
+    assert(e.getMessage.contains("budget 1000"), e.getMessage)
+    assert(e.getMessage.contains("200 ids"), e.getMessage) // hottest bucket
+    // at/under budget: proceeds and the output is complete
+    assert(Dedup.bucketPairs(hot, "k", "id", pairBudget = 19900L).count() == 19900L)
+    // opt-out: pairBudget = 0 skips the estimate entirely
+    assert(Dedup.bucketPairs(hot, "k", "id", pairBudget = 0L).count() == 19900L)
+    // the guard reaches the public wide-threshold formers: an LSH pair
+    // search over clone vectors (everything collides in every band)
+    // refuses with the same loud message instead of expanding
+    val clones = (1L to 100L).map(i => (i, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.cosinePairsLsh(clones, "vec_id", "embedding", 0.45,
+        pairBudget = 500L).count())
+    assert(e2.getMessage.contains("candidate pairs"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.jaccardPairs(
+        (1L to 80L).map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.1, pairBudget = 100L))
+    assert(e3.getMessage.contains("candidate pairs"), e3.getMessage)
+    Dedup.unpersistAll()
+  }
+
   test("duplicateSpans: islands merge, disjoint spans stay split, within-doc repeats don't mark") {
     val corpus = Seq(
       (1L, "a b c d M N e f g h"), // shares "a b c d" with 2 and "e f g h" with 3
