@@ -95,9 +95,26 @@ object Bench {
     // from the r14 round record. A full (non-subset) run writes
     // BENCH_LOCAL.json in the cwd so the complete per-query map survives in
     // the repo regardless of stdout truncation. Subset runs don't overwrite it.
+    // ... but never DOWNGRADE the record: the r16 driver pass (runs: 1)
+    // overwrote the committed median-of-3 round record in the working tree.
+    // A single run refuses to replace a multi-run record and lands in
+    // BENCH_LOCAL_single.json instead; multi-run records always win.
     if (only.isEmpty) {
-      try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LOCAL.json"), line + "\n")
-      catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json not written: $e") }
+      val target = java.nio.file.Path.of("BENCH_LOCAL.json")
+      val existingRuns =
+        try {
+          if (java.nio.file.Files.exists(target))
+            "\"runs\":(\\d+)".r.findFirstMatchIn(
+              java.nio.file.Files.readString(target)).map(_.group(1).toInt).getOrElse(1)
+          else 0
+        } catch { case _: Exception => 0 }
+      val dest = if (runs == 1 && existingRuns > 1) {
+        System.err.println(s"[bench] BENCH_LOCAL.json holds a runs=$existingRuns record; " +
+          "this runs=1 result goes to BENCH_LOCAL_single.json instead")
+        java.nio.file.Path.of("BENCH_LOCAL_single.json")
+      } else target
+      try java.nio.file.Files.writeString(dest, line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] $dest not written: $e") }
     }
     spark.stop()
   }

@@ -1253,7 +1253,7 @@ final class TableStore(spark: SparkSession, root: String,
     // tighter containsNull/nullable flags than the parquet round-trip of
     // the same data, and mixed-nullability footers merge cleanly — only a
     // VALUE-type change poisons the table
-    def checkDrift(): Unit = checkAppendDrift(table, df)
+    def checkDrift(lenient: Boolean = false): Unit = checkAppendDrift(table, df, lenient)
     if (!pointerMode) {
       val lock = acquireWriteLock(table, "append", waitMs = appendLockWaitMs)
       try {
@@ -1272,7 +1272,7 @@ final class TableStore(spark: SparkSession, root: String,
       // if a racing rewrite replaces the table before our commit, the
       // append lands ON TOP of the new state (the manifest is re-read under
       // the lock), which is the append-after-rewrite linearization.
-      checkDrift() // advisory pre-check: fail BEFORE the expensive data write
+      checkDrift(lenient = true) // advisory pre-check: fail BEFORE the expensive data write
       val dir = new Path(tablePath(table))
       if (!fs.exists(dir)) fs.mkdirs(dir)
       val gen = new Path(dir, s"_gen-${nonce()}")
@@ -1301,17 +1301,23 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** ADDITIVE-only schema guard shared by the append paths (see the
     * [[append]] comment block for the full rationale): a new column reads
-    * as NULL for old rows, a VALUE-type change poisons the table. */
-  private def checkAppendDrift(table: String, df: DataFrame): Unit = if (exists(table)) {
-    // a CONCURRENT writer's mkdirs/in-flight write can make the table
-    // momentarily "exist" as an empty or markers-pending dir that no read
-    // resolves (observed: the advisory pre-lock check racing a first
-    // pointer-mode append). The check is a guard, not a gate: on an
-    // unreadable transient state, skip — the decisive invocation under the
-    // writer lock sees settled state, and a genuinely broken table fails
-    // the read/write itself, loudly, right after
+    * as NULL for old rows, a VALUE-type change poisons the table.
+    *
+    * `lenient` is for the pointer-mode ADVISORY pre-lock invocations only:
+    * a CONCURRENT writer's mkdirs/in-flight write can make the table
+    * momentarily "exist" as an empty or markers-pending dir that no read
+    * resolves (observed: the advisory pre-lock check racing a first
+    * pointer-mode append). There — and only there — an unreadable
+    * transient state skips the check, because a DECISIVE re-check runs
+    * under the writer lock right after. The decisive invocations (rename
+    * mode, and pointer mode under the lock) must PROPAGATE read failures:
+    * they have no second check behind them, and appending into a table
+    * whose state cannot be read deepens whatever is wrong before the
+    * failure finally surfaces at some distant read. */
+  private def checkAppendDrift(table: String, df: DataFrame,
+      lenient: Boolean = false): Unit = if (exists(table)) {
     val current = try readEvolved(table).schema catch {
-      case scala.util.control.NonFatal(_) => return
+      case scala.util.control.NonFatal(_) if lenient => return
     }
     val drifted = df.schema.flatMap { f =>
       current.find(_.name == f.name).collect {
@@ -1389,16 +1395,23 @@ final class TableStore(spark: SparkSession, root: String,
     val k = sanitizeIdemKey(key)
     if (idempotentKeyCommitted(table, k)) return false
     if (pointerMode) {
-      checkAppendDrift(table, df) // advisory: fail before the data write
+      checkAppendDrift(table, df, lenient = true) // advisory: fail before the data write
       val dir = new Path(tablePath(table))
       if (!fs.exists(dir)) fs.mkdirs(dir)
       val gen = new Path(dir, s"_gen-idem-$k.${nonce()}")
       df.write.mode("overwrite").parquet(gen.toString)
       writeStats(gen)
+      beforeAppendCommit(table) // test seam: the pre-check -> lock window
       val lock = acquireWriteLock(table, "appendIdempotent", waitMs = appendLockWaitMs)
       try {
         val prev = currentManifest(table).map(_._2).getOrElse(Nil)
-        if (prev.exists(_._2.startsWith(s"_gen-idem-$k."))) {
+        // decisive under-lock re-check must see BOTH key records: the
+        // manifest's keyed gen dirs AND the `_idem.<k>` markers — a
+        // concurrent same-key commit followed by a compaction (which
+        // retires keyed gen dirs into markers) between our fast pre-check
+        // and this lock acquisition would otherwise slip a duplicate in
+        if (prev.exists(_._2.startsWith(s"_gen-idem-$k.")) ||
+            fs.exists(new Path(tablePath(table), s"_idem.$k"))) {
           fs.delete(gen, true) // lost the key race — the batch is already in
           return false
         }

@@ -1336,6 +1336,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.generations("t").size == 2)
   }
 
+  test("pointer appendIdempotent: key retired to a marker DURING the pre-check->lock window is honored") {
+    // the ADVICE-r16 race: a concurrent same-key commit lands and a
+    // compaction retires it into an `_idem.<k>` marker between this
+    // writer's fast pre-check and its lock acquisition — the under-lock
+    // re-check must see the marker (not only manifest gen-dir names) or
+    // the replayed batch commits a duplicate
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ptr-idem-race").toString, CommitMode.Pointer)
+    store.append("t", Seq((0, "seed")).toDF("k", "v"))
+    store.beforeAppendCommit = { t =>
+      store.beforeAppendCommit = _ => ()
+      // simulate the concurrent commit + compaction: the key exists only
+      // as a marker file, not as any manifest gen-dir name
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(store.tablePath("t"), "_idem.b0")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, false)
+      try out.write("graft-idem v1\nkey\tb0".getBytes("UTF-8")) finally out.close()
+    }
+    try assert(!store.appendIdempotent("t", Seq((1, "dup")).toDF("k", "v"), "b0"),
+      "replay against a marker-retired key must be a no-op")
+    finally store.beforeAppendCommit = _ => ()
+    assert(store.read("t").as[(Int, String)].collect().toSet == Set((0, "seed")),
+      "the marker-retired key's batch must not re-append")
+  }
+
   test("racing appendIdempotent writers with the SAME key: exactly one commits") {
     // the pointer-mode arbitration path: both writers pass the fast key
     // check, both write private gen dirs, the key re-check under the writer
