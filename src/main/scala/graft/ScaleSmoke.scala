@@ -36,6 +36,9 @@ object ScaleSmoke {
     if (args.contains("stress")) { // iterate on the stress section alone
       storeStress(spark, out); println("[scale] DONE (stress only)"); spark.stop(); return
     }
+    if (args.contains("crawl")) { // iterate on the crawl capstone alone
+      crawlPipeline(spark); println("[scale] DONE (crawl only)"); spark.stop(); return
+    }
     import spark.implicits._
 
     // ---- build replicated inputs (ids perturbed so keys stay unique) ----
@@ -698,11 +701,159 @@ object ScaleSmoke {
     truth.unpersist(); gTruth.unpersist()
 
     storeStress(spark, out)
+    crawlPipeline(spark)
 
     println(s"[scale] pair/cluster counts: lsh=$lsh simhash=$sh clusters=$cc " +
       s"cosine@0.9=$cp cosine_wide@0.9=$cpw range_pairs=$rj asof_rows=$aj")
     println("[scale] DONE")
     spark.stop()
+  }
+
+  /**
+   * End-to-end crawl-pipeline capstone: the literal continuously-arriving
+   * crawl, composed ONLY from shipped operators — WET shards land per
+   * wave → `readWetDocs` byte-exact streaming parse → URL canonicalize +
+   * blocklist suffix-join filter (the per-batch `prepare` hook) → LSH
+   * dedup against the persisted, GROWING index → exactly-once batchId-
+   * keyed store append — and the survivors JSONL-exported at the end.
+   * Six waves drain through ONE resumable checkpoint (each drain picks up
+   * only the newly-landed shards); the store's `autoCompactFiles` bound
+   * is sized so the growing index is observed compacting MID-RUN, and the
+   * final survivor set is `require`d equal (both directions) to the batch
+   * grow loop run over the same waves in the same order.
+   *
+   * Wave content: every wave re-crawls the full ~5 k-doc corpus under
+   * fresh per-wave URLs — 1/4 on blocked hosts (including the userinfo
+   * bypass shape), the rest dups of the archive except the d%5 "novel
+   * page" variants (doc text + the next doc's text), which survive wave 0
+   * and then dedup against the grown index in waves 1–5.
+   */
+  private def crawlPipeline(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ext.{Dedup, Urls}
+    // prefer the 30x (sf3) replica corpus when a prior BuildScaled left it
+    // in /tmp — ~150k docs/wave, the "real shard sizes" regime — falling
+    // back to sf0.1 (~5k docs/wave) so the section always runs
+    val base =
+      if (new java.io.File("/tmp/graft_sf3/documents.parquet").exists()) "/tmp/graft_sf3"
+      else "/root/testdata/sf0.1"
+    println(s"[scale] crawl corpus: $base")
+    val out = "/tmp/graft_crawl"
+    // fresh state per run: append sinks + checkpoints accumulate otherwise
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val hfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(outPath, true)
+
+    val docs0 = io.Tables.load(spark, base, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    // "novel page" text = this doc + the next doc's text: ~0.5 jaccard vs
+    // either component (survives the archive probe), identical across waves
+    // (later waves dedup against the grown index)
+    val novel = docs0.join(
+      docs0.select((col("doc_id") - 1).as("doc_id"), col("text").as("__next")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        concat_ws(" ", col("text"), coalesce(col("__next"), lit("tail page"))).as("__novel"))
+    val nDocs = docs0.count()
+
+    def waveDf(w: Int) = novel.select(
+      when(pmod(col("doc_id"), lit(8)) === 3,
+        concat(lit(s"http://sub.blocked.example/w$w/"), col("doc_id")))
+      .when(pmod(col("doc_id"), lit(8)) === 5, // the userinfo bypass shape
+        concat(lit(s"http://x:y@Blocked.Example/w$w/"), col("doc_id")))
+      .otherwise(concat(lit(s"HTTPS://W$w.Crawl.Example:443/doc/"), col("doc_id"),
+        lit("?utm_source=crawl&id="), col("doc_id"))).as("uri"),
+      lit("2024-01-01T00:00:00Z").as("wdate"), lit("en").as("lang"),
+      when(pmod(col("doc_id"), lit(5)) === 0, col("__novel"))
+        .otherwise(col("text")).as("text"))
+
+    val blocked = Seq("blocked.example").toDF("domain")
+    def prepare(b: org.apache.spark.sql.DataFrame) =
+      Urls.filterBlockedDomains(b, "uri", blocked)
+        .withColumn("uri", Urls.canonicalizeUrl(col("uri")))
+
+    // archive ids share the batch id column's STRING type (one sets table)
+    val archive = docs0.select(
+      concat(lit("urn:archive:"), col("doc_id")).as("uri"), col("text"))
+    val store = new graft.store.TableStore(spark, s"$out/store",
+      graft.store.CommitMode.Pointer, autoCompactFiles = 20)
+    time(s"crawl: build archive LSH index ($nDocs docs)") {
+      Dedup.buildLshIndex(store, "crawl_idx", archive, "uri", "text")
+      Dedup.unpersistAll()
+    }
+    val idx = Dedup.loadLshIndex(store, "crawl_idx")
+
+    val waves = 6
+    var streamWall = 0.0
+    var bucketFiles = List.empty[Long]
+    for (w <- 0 until waves) {
+      time(s"crawl: land wave $w WET shards") {
+        // shards/wave must stay <= maxFilesPerTrigger so each wave drains
+        // as ONE micro-batch — the batch oracle below replays wave-sized
+        // dedup steps, and a wave split across micro-batches would grow
+        // the index MID-wave (within-wave dups would then legitimately
+        // collapse in streaming but survive the whole-wave oracle step)
+        graft.io.Warc.writeWet(waveDf(w), s"$out/wet_in/wave$w",
+          "uri", "wdate", "lang", "text",
+          maxRecordsPerShard = math.max(1000, (nDocs / 32).toInt))
+      }
+      val t0 = System.nanoTime()
+      // one resumable checkpoint across all drains: each AvailableNow pass
+      // processes only the newly-landed wave
+      graft.streaming.IngestStream.dedupToStore(
+        graft.streaming.IngestStream.readWetDocs(spark, s"$out/wet_in/*",
+          maxFilesPerTrigger = 64),
+        store, idx, "uri", "text", 0.8, "crawl_surv", grow = true,
+        checkpoint = Some(s"$out/ck"), prepare = prepare(_))
+        .awaitTermination()
+      streamWall += (System.nanoTime() - t0) / 1e9
+      bucketFiles ::= store.read("crawl_idx_buckets").inputFiles.length.toLong
+    }
+    val parsed = waves * nDocs
+    val survivors = store.read("crawl_surv")
+    val sCount = survivors.count()
+    println(f"[scale]   crawl: $parsed docs through parse+filter+dedup+append in " +
+      f"$streamWall%.1f s = ${parsed / streamWall}%.0f docs/s sustained; " +
+      f"$sCount survivors; bucket files per wave ${bucketFiles.reverse.mkString(" -> ")}")
+    // the auto-compaction trigger must have been OBSERVED mid-run: the
+    // growing bucket table's manifest file count decreased at least once
+    val compacted = bucketFiles.reverse.sliding(2).exists(p => p.last < p.head)
+    require(compacted,
+      s"autoCompactFiles=20 never triggered mid-run: files ${bucketFiles.reverse}")
+
+    // batch oracle: the SAME waves in the same order through the batch grow
+    // loop (no auto-compaction — results must be invariant to layout)
+    val bStore = new graft.store.TableStore(spark, s"$out/store_oracle",
+      graft.store.CommitMode.Pointer)
+    time("crawl: batch-oracle grow loop (6 waves)") {
+      Dedup.buildLshIndex(bStore, "crawl_idx", archive, "uri", "text")
+      val bIdx = Dedup.loadLshIndex(bStore, "crawl_idx")
+      for (w <- 0 until waves) {
+        val batch = prepare(graft.io.Warc.readWet(spark, s"$out/wet_in/wave$w"))
+        val surv = graft.ext.Caches.trackCheckpoint(
+          Dedup.dedupeAgainstLshIndex(bStore, bIdx, batch, "uri", "text", 0.8))
+        bStore.append("crawl_surv", surv.select("uri", "text"))
+        Dedup.appendToLshIndex(bStore, bIdx, surv, "uri", "text")
+        Dedup.unpersistAll()
+      }
+    }
+    val bSurv = bStore.read("crawl_surv")
+    val onlyS = survivors.select("uri").exceptAll(bSurv.select("uri")).count()
+    val onlyB = bSurv.select("uri").exceptAll(survivors.select("uri")).count()
+    require(onlyS == 0 && onlyB == 0,
+      s"streaming survivors diverge from the batch grow loop: +$onlyS/-$onlyB")
+    // wave 0 must contribute the novel pages (d%5, minus blocked overlap);
+    // later waves must contribute ~nothing (everything near-dups the grown
+    // index) — the numbers that make "grow worked" concrete
+    require(sCount > 0 && sCount < nDocs,
+      s"survivor count $sCount out of range (0, $nDocs)")
+
+    time("crawl: JSONL export of survivors") {
+      graft.io.Export.jsonlShards(survivors, s"$out/export",
+        maxRecordsPerShard = 2000, compression = Some("gzip"))
+    }
+    val back = graft.io.Export.readJsonl(spark, s"$out/export", survivors.schema).count()
+    require(back == sCount, s"JSONL export round-trip lost rows: $back != $sCount")
   }
 
   /** Store concurrency stress, runnable standalone

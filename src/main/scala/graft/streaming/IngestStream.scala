@@ -45,9 +45,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object IngestStream {
 
+  /** `prepare` runs on each micro-batch BEFORE dedup — the hook for the
+    * batch-side cleaning stages that cannot run on the unbounded stream
+    * (e.g. [[graft.ext.Urls.filterBlockedDomains]], whose suffix join +
+    * distinct is a batch aggregation): files land → parse → prepare →
+    * LSH dedup → exactly-once append. Identity by default. */
   def dedupToStore(stream: DataFrame, store: TableStore, index: Dedup.LshIndex,
       idCol: String, textCol: String, threshold: Double, sink: String,
-      grow: Boolean = false, checkpoint: Option[String] = None): StreamingQuery = {
+      grow: Boolean = false, checkpoint: Option[String] = None,
+      prepare: DataFrame => DataFrame = identity): StreamingQuery = {
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // survivors feed the sink append AND (under grow) the index append —
@@ -55,7 +61,8 @@ object IngestStream {
         // tracked so the per-batch release below actually frees the blocks
         // (Dataset.unpersist on a checkpointed frame is a silent no-op)
         val survivors = graft.ext.Caches.trackCheckpoint(
-          Dedup.dedupeAgainstLshIndex(store, index, batch, idCol, textCol, threshold))
+          Dedup.dedupeAgainstLshIndex(store, index, prepare(batch), idCol, textCol,
+            threshold))
         store.appendIdempotent(sink, survivors, s"stream-$batchId")
         if (grow) Dedup.appendToLshIndex(store, index, survivors, idCol, textCol,
           idempotencyKey = Some(s"stream-$batchId"))
