@@ -131,6 +131,65 @@ object Queries {
         .otherwise(concat_ws("\n", l1, l2, l3, l4, l5)).as("text"))
   }
 
+  /** SQL twin of [[synthGopherDocs]] (a CTE named `g`), used by the
+    * `text_gopher_quality` oracle. */
+  private val synthGopherSql =
+    """g AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 19 = 0 THEN NULL
+      |       WHEN doc_id % 17 = 0 THEN 'Tiny.'
+      |       ELSE concat_ws(chr(10),
+      |    CASE WHEN doc_id % 3 = 0 THEN 'zzz qqq 123 9876 xyzzy plugh wibble wobble flarn quux blorp snarf'
+      |         ELSE 'The quality of doc ' || doc_id || ' should be fine with that measure.' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'gibberish continues apace without small common glue terms anywhere sadly'
+      |         WHEN doc_id % 7 = 0 THEN '• bullet item one for doc ' || doc_id
+      |         ELSE 'Words continue to flow for doc ' || doc_id || ' and they have value.' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'more nonsense words parade past meaning nothing useful today'
+      |         WHEN doc_id % 7 = 0 THEN '• second bullet line here'
+      |         WHEN doc_id % 13 = 0 THEN '#### ### ## # more #hash #noise ###'
+      |         ELSE 'A further line keeps the document healthy.' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'this trailing thought just drifts away...'
+      |         WHEN doc_id % 29 = 0 THEN '12 34 56 78 90 11 22 33 44 55' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'and so does this one...' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'Repeated filler line for the dup rule.' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'Repeated filler line for the dup rule.' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'Repeated filler line for the dup rule.' END)
+      |  END AS text FROM documents)""".stripMargin
+
+  /** Hostile fixture for the `text_gopher_quality` gate: per-rule deciders —
+    * stopword-free gibberish (d%3), bullet-heavy (d%7), ellipsis-trailing
+    * lines (d%5), hash-symbol noise (d%13), numeric non-alpha words (d%29),
+    * triplicated lines (d%11), a one-word doc (d%17), NULL text (d%19) —
+    * built from the same deterministic arithmetic as [[synthGopherSql]]. */
+  private def synthGopherDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val id = did.cast("string")
+    val gib = pmod(did, lit(3)) === 0
+    val l1 = when(gib,
+        lit("zzz qqq 123 9876 xyzzy plugh wibble wobble flarn quux blorp snarf"))
+      .otherwise(concat(lit("The quality of doc "), id,
+        lit(" should be fine with that measure.")))
+    val l2 = when(gib,
+        lit("gibberish continues apace without small common glue terms anywhere sadly"))
+      .when(pmod(did, lit(7)) === 0, concat(lit("• bullet item one for doc "), id))
+      .otherwise(concat(lit("Words continue to flow for doc "), id,
+        lit(" and they have value.")))
+    val l3 = when(gib, lit("more nonsense words parade past meaning nothing useful today"))
+      .when(pmod(did, lit(7)) === 0, lit("• second bullet line here"))
+      .when(pmod(did, lit(13)) === 0, lit("#### ### ## # more #hash #noise ###"))
+      .otherwise(lit("A further line keeps the document healthy."))
+    val l4 = when(pmod(did, lit(5)) === 0, lit("this trailing thought just drifts away..."))
+      .when(pmod(did, lit(29)) === 0, lit("12 34 56 78 90 11 22 33 44 55"))
+    val l4b = when(pmod(did, lit(5)) === 0, lit("and so does this one..."))
+    val dup = lit("Repeated filler line for the dup rule.")
+    val l5 = when(pmod(did, lit(11)) === 0, dup)
+    val l6 = when(pmod(did, lit(11)) === 0, dup)
+    val l7 = when(pmod(did, lit(11)) === 0, dup)
+    Tables.load(s, d, "documents").select(did,
+      when(pmod(did, lit(19)) === 0, lit(null).cast("string"))
+        .when(pmod(did, lit(17)) === 0, lit("Tiny."))
+        .otherwise(concat_ws("\n", l1, l2, l3, l4, l4b, l5, l6, l7)).as("text"))
+  }
+
   /** Exact-dedup corpus selection (the `pipeline_corpus_select` capstone,
     * shared by the sampled variant): fingerprint-dedup winners ∩ token-length
     * filter ∩ language-ID agreement, composed purely from library operators. */
@@ -978,6 +1037,12 @@ object Queries {
     // line/document rule mirrored verbatim in the DuckDB oracle
     "text_c4_clean" -> ((s, d) =>
       TextAnalysis.c4Clean(synthC4Docs(s, d), minLinesPerDoc = 3)),
+    // Gopher/MassiveText doc-level quality rules over the hostile fixture;
+    // thresholds tightened (minWords 10, bullet frac 0.5) so every rule has
+    // fixture rows that live and die by it — mirrored in the oracle's keep
+    "text_gopher_quality" -> ((s, d) =>
+      TextAnalysis.gopherQuality(synthGopherDocs(s, d),
+        minWords = 10, maxBulletLineFrac = 0.5)),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
@@ -2353,6 +2418,55 @@ object Queries {
          |  FROM t
          | WHERE len(kept) >= 3 AND NOT contains(lt, 'lorem ipsum')
          |   AND NOT contains(lt, '{')""".stripMargin,
+    "text_gopher_quality" ->
+      s"""WITH $synthGopherSql,
+         |t AS (SELECT doc_id, text,
+         |        list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS w,
+         |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |                    l -> len(l) > 0) AS l
+         |   FROM g),
+         |m AS (SELECT doc_id,
+         |   len(w) AS n_words,
+         |   CASE WHEN len(w) > 0
+         |        THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+         |   END AS mean_word_len,
+         |   CASE WHEN len(w) > 0
+         |        THEN (length(text) - length(replace(text, '#', '')))::DOUBLE / len(w)
+         |   END AS hash_word_ratio,
+         |   CASE WHEN len(w) > 0
+         |        THEN ((length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE / len(w)
+         |   END AS ellipsis_word_ratio,
+         |   CASE WHEN len(l) > 0
+         |        THEN len(list_filter(l, x -> starts_with(x, '•') OR starts_with(x, '‣')
+         |               OR starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / len(l)
+         |   END AS bullet_line_frac,
+         |   CASE WHEN len(l) > 0
+         |        THEN len(list_filter(l, x -> ends_with(x, '...')
+         |               OR ends_with(x, '…')))::DOUBLE / len(l)
+         |   END AS ellipsis_line_frac,
+         |   CASE WHEN len(w) > 0
+         |        THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w)
+         |   END AS alpha_word_frac,
+         |   len(list_filter(['the','be','to','of','and','that','have','with'],
+         |       s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stop_hits,
+         |   CASE WHEN len(l) > 0
+         |        THEN 1.0 - len(list_distinct(l))::DOUBLE / len(l)
+         |   END AS dup_line_frac,
+         |   CASE WHEN len(l) > 0
+         |        THEN list_sum(list_transform(l, x ->
+         |               CASE WHEN len(list_filter(l, y -> y = x)) > 1
+         |                    THEN length(x) ELSE 0 END))::DOUBLE
+         |             / list_sum(list_transform(l, x -> length(x)))::DOUBLE
+         |   END AS dup_line_char_frac
+         |  FROM t)
+         |SELECT *,
+         |       (n_words >= 10 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+         |        AND bullet_line_frac <= 0.5 AND ellipsis_line_frac <= 0.3
+         |        AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+         |        AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2) AS keep
+         |  FROM m""".stripMargin,
     "text_url_canonicalize" ->
       s"""WITH $synthUrlSql,
          |nf AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),

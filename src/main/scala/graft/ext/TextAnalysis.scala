@@ -195,6 +195,110 @@ object TextAnalysis {
         size(col("__kept")).as("n_lines_kept"))
   }
 
+  /**
+   * Gopher/MassiveText document-level quality rules (Rae et al. 2021,
+   * Appendix A — the doc-level sibling of [[c4Clean]]'s line rules; the
+   * other filter set every public web-corpus pipeline cites). Emits the
+   * measured metrics plus a `keep` verdict so callers can filter, audit
+   * thresholds, or re-score without re-reading text:
+   *
+   *  - `n_words` in `[minWords, maxWords]` (whitespace words, empties
+   *    dropped — the split regex is shared with the oracles);
+   *  - `mean_word_len` in `[minMeanWordLen, maxMeanWordLen]`;
+   *  - `hash_word_ratio` / `ellipsis_word_ratio` ≤ `maxSymbolRatio`
+   *    (`#` occurrences and literal `...` occurrences per word — the
+   *    Gopher "symbol-to-word ratio" pair);
+   *  - `bullet_line_frac` ≤ `maxBulletLineFrac` (trimmed non-empty lines
+   *    starting with a `bulletMarkers` entry),
+   *    `ellipsis_line_frac` ≤ `maxEllipsisLineFrac` (lines ending `...`
+   *    or `…`);
+   *  - `alpha_word_frac` ≥ `minAlphaWordFrac` (words containing at least
+   *    one `[A-Za-z]` character);
+   *  - `stop_hits` ≥ `minStopwordHits` (how many of the Gopher stopword
+   *    list — the, be, to, of, and, that, have, with — appear as
+   *    lowercased words);
+   *  - `dup_line_frac` ≤ `maxDupLineFrac` (1 − distinct/total non-empty
+   *    lines) and `dup_line_char_frac` ≤ `maxDupLineCharFrac` (fraction
+   *    of line characters inside lines occurring more than once — the
+   *    MassiveText repetition rule; the within-doc O(lines²) membership
+   *    count is per-row array math, lines-per-doc-bounded, no shuffle).
+   *
+   * NULL text yields NULL metrics and a NULL `keep` (three-valued logic
+   * is identical in Spark and DuckDB, so the oracle mirrors verbatim).
+   * Pure per-row array expressions — no shuffle, no UDF; the word/line
+   * arrays live in their own multi-referenced projection so
+   * CollapseProject cannot re-inline the split per metric. The wide
+   * 11-metric expression tree costs ~2.5 s of ONE-TIME plan compilation
+   * (measured: 2.69 s at 500 docs vs 3.24 s at 5 000 — the marginal
+   * per-row cost is ~0.1 ms and text-length-bound), which amortizes to
+   * zero at corpus scale. Defaults are the published Gopher thresholds.
+   */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      bulletMarkers: Seq[String] = Seq("•", "‣", "-", "*"),
+      maxBulletLineFrac: Double = 0.9, maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      gopherStopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopwordHits: Int = 2,
+      maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, s"bad word bounds: $minWords..$maxWords")
+    require(bulletMarkers.nonEmpty, "bulletMarkers must be non-empty")
+    require(gopherStopwords.nonEmpty, "gopherStopwords must be non-empty")
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => length(l) > 0)
+    val arr = docs.select(col(idCol), col(textCol).as("__t"),
+      words.as("__w"), lines.as("__l"))
+    val w = col("__w"); val l = col("__l")
+    val nW = size(w).cast("double"); val nL = size(l).cast("double")
+    val m = arr.select(
+      col(idCol),
+      size(w).as("n_words"),
+      when(size(w) > 0,
+        aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x).cast("double") / nW)
+        .as("mean_word_len"),
+      when(size(w) > 0,
+        (length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))).cast("double") / nW)
+        .as("hash_word_ratio"),
+      when(size(w) > 0,
+        ((length(col("__t")) - length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / 3)
+          .cast("double") / nW)
+        .as("ellipsis_word_ratio"),
+      when(size(l) > 0,
+        size(filter(l, x => bulletMarkers.map(b => x.startsWith(b)).reduce(_ || _)))
+          .cast("double") / nL)
+        .as("bullet_line_frac"),
+      when(size(l) > 0,
+        size(filter(l, x => x.endsWith("...") || x.endsWith("…"))).cast("double") / nL)
+        .as("ellipsis_line_frac"),
+      when(size(w) > 0,
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / nW)
+        .as("alpha_word_frac"),
+      size(filter(typedLit(gopherStopwords),
+        s => array_contains(transform(w, x => lower(x)), s))).as("stop_hits"),
+      when(size(l) > 0, lit(1.0) - size(array_distinct(l)).cast("double") / nL)
+        .as("dup_line_frac"),
+      when(size(l) > 0,
+        aggregate(transform(l, x =>
+            when(size(filter(l, y => y === x)) > 1, length(x)).otherwise(lit(0))),
+          lit(0), (a, x) => a + x).cast("double") /
+          aggregate(transform(l, x => length(x)), lit(0), (a, x) => a + x)
+            .cast("double"))
+        .as("dup_line_char_frac"))
+    m.withColumn("keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen &&
+        col("hash_word_ratio") <= maxSymbolRatio &&
+        col("ellipsis_word_ratio") <= maxSymbolRatio &&
+        col("bullet_line_frac") <= maxBulletLineFrac &&
+        col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+        col("alpha_word_frac") >= minAlphaWordFrac &&
+        col("stop_hits") >= minStopwordHits &&
+        col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_line_char_frac") <= maxDupLineCharFrac)
+  }
+
   /** Intra-document repetition score — the repeated-n-gram quality rule
     * (boilerplate and degenerate text show high duplicate-gram ratios):
     * `dup_gram_ratio = 1 − distinct_grams / total_grams` over word
