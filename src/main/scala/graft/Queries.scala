@@ -1047,6 +1047,11 @@ object Queries {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    // top-2-gram character fraction (the remaining MassiveText repetition
+    // rule); one (doc, gram) shuffle + max(struct) argmax, total-order
+    // tie-break mirrored by the oracle's ROW_NUMBER
+    "text_repetition_topgram" -> ((s, d) =>
+      TextAnalysis.repetitionTopGram(docs(s, d))),
     // corpus-unigram surprisal (model-free perplexity stand-in); gated at 6
     // decimals — ln and float-sum order differ by ulps across libms
     "text_surprisal" -> ((s, d) =>
@@ -2708,6 +2713,22 @@ object Queries {
         |       round(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
         |  FROM g, n
         | ORDER BY tfidf DESC, token LIMIT 100""".stripMargin,
+    "text_repetition_topgram" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
+        |g AS (SELECT doc_id, length(array_to_string(tk, ' ')) AS chars,
+        |             unnest(list_transform(generate_series(1, len(tk) - 1),
+        |               i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |        FROM t WHERE len(tk) >= 2),
+        |c AS (SELECT doc_id, chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id, chars, gram, cnt,
+        |             row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+        |        FROM c)
+        |SELECT d.doc_id, r.gram AS top_gram,
+        |       coalesce(r.cnt, 0) AS top_gram_count,
+        |       coalesce(r.cnt * length(r.gram) / r.chars::DOUBLE, 0.0)
+        |         AS top_gram_char_frac
+        |  FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
         |g AS (SELECT doc_id,

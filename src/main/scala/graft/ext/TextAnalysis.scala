@@ -305,6 +305,66 @@ object TextAnalysis {
     * `n`-grams WITH multiplicity. Documents shorter than `n` tokens score 0
     * (their whole text is the single gram). Exact int-over-int double
     * division both engines compute bit-identically; pure per-row map. */
+  /**
+   * Top-n-gram character fraction — the remaining MassiveText repetition
+   * rule ([[gopherQuality]] covers the line-level pair; Rae et al. 2021
+   * filter docs where the most frequent word 2/3/4-gram covers too many
+   * characters, the "same phrase hammered over and over" signal that
+   * [[repetition]]'s distinct-gram ratio under-reports when ONE gram
+   * dominates):
+   *
+   *   `top_gram_char_frac = count(top gram) · length(top gram) /
+   *    length(single-spaced token join)`
+   *
+   * The top gram per doc is picked by `(count, length, gram)` descending —
+   * a total order, so the winner (and the hash-gated output) is identical
+   * on any engine/partitioning. Docs with fewer than `n` tokens emit
+   * count 0 / NULL gram / fraction 0.0 (nothing repeats — the rule cannot
+   * fire).
+   *
+   * Scale shape: gram counting is ONE shuffle on `(doc, gram)` — the same
+   * layout a 10⁹-doc corpus wants (per-doc array math would be O(grams²)
+   * per row and hostage to one pathological document); the per-doc argmax
+   * is a `max(struct)` aggregation, and the left join back to the doc
+   * spine is keyed by id. No driver state. Like [[gopherQuality]], the
+   * multi-stage plan costs ~2.9 s of one-time compile/scheduling
+   * (measured 2.95 s at 500 docs vs 3.54 s at 5 000 — ~1.5 M grams/s
+   * marginal throughput), amortizing to zero at corpus scale.
+   */
+  def repetitionTopGram(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val t = tokens(col(textCol))
+    val toks = docs.select(col(idCol), t.as("__tk"), size(t).as("__nt"),
+      length(array_join(t, " ")).as("__chars"))
+    // explode a PLAIN sequence and slice per exploded row: exploding a
+    // HOF-built gram array inline pays the large data-independent overhead
+    // the decontaminate/repetition tuning found, and every non-generator
+    // expression in the explode projection re-evaluates PER OUTPUT ROW —
+    // so __chars (a full-array join) is computed before the generator
+    val grams = toks
+      .filter(col("__nt") >= n)
+      .select(col(idCol), col("__tk"), col("__chars"),
+        explode(sequence(lit(1), col("__nt") - (n - 1))).as("__i"))
+      .select(col(idCol), col("__chars"),
+        array_join(slice(col("__tk"), col("__i"), lit(n)), " ").as("gram"))
+    val top = grams
+      .groupBy(col(idCol), col("__chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("__chars"))
+      .agg(max(struct(col("cnt"), length(col("gram")).as("len"), col("gram")))
+        .as("__top"))
+      .select(col(idCol),
+        col("__top.gram").as("top_gram"),
+        col("__top.cnt").as("top_gram_count"),
+        ((col("__top.cnt") * col("__top.len")).cast("double") /
+          col("__chars").cast("double")).as("top_gram_char_frac"))
+    docs.select(col(idCol)).join(top, Seq(idCol), "left")
+      .select(col(idCol), col("top_gram"),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        coalesce(col("top_gram_char_frac"), lit(0.0)).as("top_gram_char_frac"))
+  }
+
   def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")

@@ -29,6 +29,25 @@ class TextMultimodalSpec extends AnyFunSuite {
       (1L, 7, 3, 1.0 - 3.0 / 7), (2L, 2, 2, 0.0), (3L, 1, 1, 0.0)))
   }
 
+  test("repetitionTopGram: argmax with total-order tie-break; short/NULL docs emit zero") {
+    val df = Seq(
+      // "a b" x3 of 6 bigrams; chars = len("a b a b a b c d") = 15
+      (1L, "a b a b a b c d"),
+      // tie on count (every bigram once): longest wins, then gram desc —
+      // bigrams: "xx yy", "yy z", "z xx" -> len 5 beats len 4s
+      (2L, "xx yy z xx"),
+      (3L, "single"),                 // 1 token < n -> zero row
+      (4L, null.asInstanceOf[String]) // NULL text -> zero row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionTopGram(df).orderBy("doc_id")
+      .as[(Long, Option[String], Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a b"), 3L, 3.0 * 3 / 15),
+      (2L, Some("xx yy"), 1L, 5.0 / 10),
+      (3L, None, 0L, 0.0),
+      (4L, None, 0L, 0.0)), got.toString)
+  }
+
   test("chunkWindows: overlapping windows cover every token; short tail kept") {
     // 7 tokens, chunk 3, stride 2 → starts 0,2,4,6 → lengths 3,3,3,1
     val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
