@@ -131,6 +131,83 @@ object Queries {
         .otherwise(concat_ws("\n", l1, l2, l3, l4, l5)).as("text"))
   }
 
+  /** The `text_c4_clean` rule chain as reusable CTEs (`ct`, `cc`) over a
+    * source relation with `(doc_id, text)` — shared by the standalone gate
+    * and the `pipeline_clean_corpus` capstone so the SQL twin of
+    * [[graft.ext.TextAnalysis.c4Clean]] cannot fork. */
+  private def c4CleanSql(src: String): String =
+    s"""ct AS (SELECT doc_id, lower(text) AS lt,
+       |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l ->
+       |          (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+       |             OR ends_with(l, '"'))
+       |          AND len(regexp_split_to_array(l, '\\s+')) >= 3
+       |          AND NOT contains(lower(l), 'javascript')) AS kept
+       |   FROM $src),
+       |cc AS (SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+       |              len(kept) AS n_lines_kept
+       |         FROM ct
+       |        WHERE len(kept) >= 3 AND NOT contains(lt, 'lorem ipsum')
+       |          AND NOT contains(lt, '{'))""".stripMargin
+
+  /** The `text_gopher_quality` metric chain as reusable CTEs (`gt`, `gm`)
+    * over a source relation with `(doc_id, text)`; `stopsSql` is the
+    * DuckDB list literal for the stopword set (the operator's
+    * `gopherStopwords` parameter). Shared by the standalone gate and the
+    * capstone so the SQL twin of
+    * [[graft.ext.TextAnalysis.gopherQuality]] cannot fork. */
+  private def gopherMetricsSql(src: String,
+      stopsSql: String = "['the','be','to','of','and','that','have','with']"): String =
+    s"""gt AS (SELECT doc_id, text,
+       |        list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS w,
+       |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                    l -> len(l) > 0) AS l
+       |   FROM $src),
+       |gm AS (SELECT doc_id,
+       |   len(w) AS n_words,
+       |   CASE WHEN len(w) > 0
+       |        THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+       |   END AS mean_word_len,
+       |   CASE WHEN len(w) > 0
+       |        THEN (length(text) - length(replace(text, '#', '')))::DOUBLE / len(w)
+       |   END AS hash_word_ratio,
+       |   CASE WHEN len(w) > 0
+       |        THEN ((length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE / len(w)
+       |   END AS ellipsis_word_ratio,
+       |   CASE WHEN len(l) > 0
+       |        THEN len(list_filter(l, x -> starts_with(x, '•') OR starts_with(x, '‣')
+       |               OR starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / len(l)
+       |   END AS bullet_line_frac,
+       |   CASE WHEN len(l) > 0
+       |        THEN len(list_filter(l, x -> ends_with(x, '...')
+       |               OR ends_with(x, '…')))::DOUBLE / len(l)
+       |   END AS ellipsis_line_frac,
+       |   CASE WHEN len(w) > 0
+       |        THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w)
+       |   END AS alpha_word_frac,
+       |   len(list_filter($stopsSql,
+       |       s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stop_hits,
+       |   CASE WHEN len(l) > 0
+       |        THEN 1.0 - len(list_distinct(l))::DOUBLE / len(l)
+       |   END AS dup_line_frac,
+       |   CASE WHEN len(l) > 0
+       |        THEN list_sum(list_transform(l, x ->
+       |               CASE WHEN len(list_filter(l, y -> y = x)) > 1
+       |                    THEN length(x) ELSE 0 END))::DOUBLE
+       |             / list_sum(list_transform(l, x -> length(x)))::DOUBLE
+       |   END AS dup_line_char_frac
+       |  FROM gt)""".stripMargin
+
+  /** The gate's `keep` conjunction (minWords 10, bullet frac 0.5, all
+    * other thresholds the Gopher defaults) — shared verbatim by the
+    * standalone gate and the capstone's filter. */
+  private val gopherKeepSql =
+    """(n_words >= 10 AND n_words <= 100000
+      |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |        AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+      |        AND bullet_line_frac <= 0.5 AND ellipsis_line_frac <= 0.3
+      |        AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+      |        AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)""".stripMargin
+
   /** SQL twin of [[synthGopherDocs]] (a CTE named `g`), used by the
     * `text_gopher_quality` oracle. */
   private val synthGopherSql =
@@ -1043,6 +1120,32 @@ object Queries {
     "text_gopher_quality" -> ((s, d) =>
       TextAnalysis.gopherQuality(synthGopherDocs(s, d),
         minWords = 10, maxBulletLineFrac = 0.5)),
+    // the cleaning-stage capstone: C4 line rules → Gopher doc rules →
+    // exact fingerprint dedup over a corpus doubled with a shifted-id
+    // replica (so the dedup stage is load-bearing: every survivor is the
+    // min-id member of its content class); each stage's SQL twin is the
+    // factored CTE chain the standalone gates share
+    "pipeline_clean_corpus" -> ((s, d) => {
+      val base = synthC4Docs(s, d)
+      val corpus = base.unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      // cc feeds BOTH the gopher metrics and the survivor join — cache it
+      // so the c4 split/filter subtree computes once (Bench/Verify release
+      // via Caches.unpersistAll after the query)
+      val cc = graft.ext.Caches.track(
+        TextAnalysis.c4Clean(corpus, minLinesPerDoc = 3)
+          .select(col("doc_id"), col("clean_text")))
+      val gk = TextAnalysis.gopherQuality(
+          cc.select(col("doc_id"), col("clean_text").as("text")),
+          minWords = 10, maxBulletLineFrac = 0.5,
+          gopherStopwords = Seq("sentence", "doc", "for", "this"))
+        .filter(col("keep")).select("doc_id")
+      val kept = cc.join(gk, "doc_id")
+      Dedup.exact(
+          kept.withColumn("fp", Dedup.contentFingerprint(col("clean_text"))),
+          Seq("fp"), "doc_id")
+        .select("doc_id", "clean_text")
+    }),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
@@ -2411,67 +2514,29 @@ object Queries {
         |  FROM t""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,
-         |t AS (SELECT doc_id, lower(text) AS lt,
-         |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l ->
-         |          (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
-         |             OR ends_with(l, '"'))
-         |          AND len(regexp_split_to_array(l, '\\s+')) >= 3
-         |          AND NOT contains(lower(l), 'javascript')) AS kept
-         |   FROM c4)
-         |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
-         |       len(kept) AS n_lines_kept
-         |  FROM t
-         | WHERE len(kept) >= 3 AND NOT contains(lt, 'lorem ipsum')
-         |   AND NOT contains(lt, '{')""".stripMargin,
+         |${c4CleanSql("c4")}
+         |SELECT doc_id, clean_text, n_lines_kept FROM cc""".stripMargin,
     "text_gopher_quality" ->
       s"""WITH $synthGopherSql,
-         |t AS (SELECT doc_id, text,
-         |        list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS w,
-         |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-         |                    l -> len(l) > 0) AS l
-         |   FROM g),
-         |m AS (SELECT doc_id,
-         |   len(w) AS n_words,
-         |   CASE WHEN len(w) > 0
-         |        THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
-         |   END AS mean_word_len,
-         |   CASE WHEN len(w) > 0
-         |        THEN (length(text) - length(replace(text, '#', '')))::DOUBLE / len(w)
-         |   END AS hash_word_ratio,
-         |   CASE WHEN len(w) > 0
-         |        THEN ((length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE / len(w)
-         |   END AS ellipsis_word_ratio,
-         |   CASE WHEN len(l) > 0
-         |        THEN len(list_filter(l, x -> starts_with(x, '•') OR starts_with(x, '‣')
-         |               OR starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / len(l)
-         |   END AS bullet_line_frac,
-         |   CASE WHEN len(l) > 0
-         |        THEN len(list_filter(l, x -> ends_with(x, '...')
-         |               OR ends_with(x, '…')))::DOUBLE / len(l)
-         |   END AS ellipsis_line_frac,
-         |   CASE WHEN len(w) > 0
-         |        THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w)
-         |   END AS alpha_word_frac,
-         |   len(list_filter(['the','be','to','of','and','that','have','with'],
-         |       s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stop_hits,
-         |   CASE WHEN len(l) > 0
-         |        THEN 1.0 - len(list_distinct(l))::DOUBLE / len(l)
-         |   END AS dup_line_frac,
-         |   CASE WHEN len(l) > 0
-         |        THEN list_sum(list_transform(l, x ->
-         |               CASE WHEN len(list_filter(l, y -> y = x)) > 1
-         |                    THEN length(x) ELSE 0 END))::DOUBLE
-         |             / list_sum(list_transform(l, x -> length(x)))::DOUBLE
-         |   END AS dup_line_char_frac
-         |  FROM t)
-         |SELECT *,
-         |       (n_words >= 10 AND n_words <= 100000
-         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |        AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
-         |        AND bullet_line_frac <= 0.5 AND ellipsis_line_frac <= 0.3
-         |        AND alpha_word_frac >= 0.8 AND stop_hits >= 2
-         |        AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2) AS keep
-         |  FROM m""".stripMargin,
+         |${gopherMetricsSql("g")}
+         |SELECT *, $gopherKeepSql AS keep
+         |  FROM gm""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH $synthC4Sql,
+         |corpus AS (SELECT doc_id, text FROM c4
+         |           UNION ALL SELECT doc_id + 100000, text FROM c4),
+         |${c4CleanSql("corpus")},
+         |gsrc AS (SELECT doc_id, clean_text AS text FROM cc),
+         |${gopherMetricsSql("gsrc", "['sentence','doc','for','this']")},
+         |gkeep AS (SELECT doc_id FROM gm WHERE $gopherKeepSql),
+         |kept AS (SELECT cc.doc_id, cc.clean_text FROM cc JOIN gkeep USING (doc_id)),
+         |fp AS (SELECT doc_id,
+         |              md5(array_to_string(list_sort(list_distinct(
+         |                regexp_split_to_array(clean_text, '\\s+'))), ' ')) AS fp
+         |         FROM kept),
+         |win AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
+         |SELECT k.doc_id, k.clean_text
+         |  FROM kept k JOIN win USING (doc_id)""".stripMargin,
     "text_url_canonicalize" ->
       s"""WITH $synthUrlSql,
          |nf AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
