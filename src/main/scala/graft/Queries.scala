@@ -208,6 +208,17 @@ object Queries {
       |        AND alpha_word_frac >= 0.8 AND stop_hits >= 2
       |        AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)""".stripMargin
 
+  /** The userinfo/IPv6-aware host-extraction CTE (`h`) over the `u` URL
+    * fixture — shared by all three URL oracles so the host semantics (the
+    * r16 advisory's userinfo-bypass fix) cannot fork across mirrors.
+    * `extra` threads passthrough columns (e.g. `", url"`). */
+  private def urlHostSql(extra: String = ""): String =
+    s"""h AS (SELECT doc_id$extra, lower(CASE WHEN starts_with(a, '[')
+       |                THEN regexp_extract(a, '^(\\[[^\\]]*\\])', 1)
+       |                ELSE split_part(a, ':', 1) END) AS host
+       |        FROM (SELECT doc_id$extra, regexp_extract(url,
+       |                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS a FROM u) ha)""".stripMargin
+
   /** SQL twin of [[synthGopherDocs]] (a CTE named `g`), used by the
     * `text_gopher_quality` oracle. */
   private val synthGopherSql =
@@ -2571,11 +2582,7 @@ object Queries {
          |               NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
          |                    OR starts_with(p, 'fbclid=') OR p = 'gclid' OR p = 'fbclid')) AS kept
          |        FROM q),
-         |h AS (SELECT doc_id, lower(CASE WHEN starts_with(a, '[')
-         |                THEN regexp_extract(a, '^(\\[[^\\]]*\\])', 1)
-         |                ELSE split_part(a, ':', 1) END) AS host
-         |        FROM (SELECT doc_id, regexp_extract(url,
-         |                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS a FROM u) ha)
+         |${urlHostSql()}
          |SELECT k.doc_id, k.url,
          |       CASE WHEN query IS NULL THEN base
          |            WHEN len(kept) = 0 THEN base
@@ -2587,11 +2594,7 @@ object Queries {
          |  FROM k JOIN h ON k.doc_id = h.doc_id""".stripMargin,
     "text_url_domain_psl" ->
       s"""WITH $synthUrlSql,
-         |h AS (SELECT doc_id, lower(CASE WHEN starts_with(a, '[')
-         |                THEN regexp_extract(a, '^(\\[[^\\]]*\\])', 1)
-         |                ELSE split_part(a, ':', 1) END) AS host
-         |        FROM (SELECT doc_id, regexp_extract(url,
-         |                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS a FROM u) ha),
+         |${urlHostSql()},
          |psl(suffix) AS (VALUES ('com'),('org'),('net'),('uk'),('co.uk'),
          |                       ('org.uk'),('au'),('com.au'),('edu.au'),('de')),
          |e AS (SELECT DISTINCT host FROM h),
@@ -2613,11 +2616,7 @@ object Queries {
          |  FROM h JOIN d USING (host)""".stripMargin,
     "text_url_filter_blocked" ->
       s"""WITH $synthUrlSql,
-         |h AS (SELECT doc_id, url, lower(CASE WHEN starts_with(a, '[')
-         |                THEN regexp_extract(a, '^(\\[[^\\]]*\\])', 1)
-         |                ELSE split_part(a, ':', 1) END) AS host
-         |        FROM (SELECT doc_id, url, regexp_extract(url,
-         |                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS a FROM u) ha)
+         |${urlHostSql(", url")}
          |SELECT doc_id, url FROM h
          | WHERE NOT (host = 'example.com' OR host LIKE '%.example.com'
          |            OR host = 'tracker.net' OR host LIKE '%.tracker.net')""".stripMargin,

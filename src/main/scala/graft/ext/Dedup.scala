@@ -135,15 +135,22 @@ object Dedup {
    * fails in seconds instead of discovering its ~n² output by paying for
    * it (the r16 30× probe showed the output-bound regime is real: pair
    * output grew ~900× across two decades). `pairBudget = 0` opts out.
-   * The grouped frame is persisted (released by [[unpersistAll]]), so the
-   * estimate costs one small agg job, not a second shuffle of `keyed`.
+   * When the budget is active the grouped frame is persisted (released by
+   * [[unpersistAll]]), so the estimate costs one small agg job, not a
+   * second shuffle of `keyed`; under the opt-out there is a single
+   * consumer and nothing is cached.
    */
   def bucketPairs(keyed: DataFrame, keyCol: String, idCol: String,
       pairBudget: Long = DefaultPairBudget): DataFrame = {
     require(pairBudget >= 0, s"pairBudget must be >= 0 (0 = no budget): $pairBudget")
-    val grouped = persistTracked(
-      keyed.groupBy(keyCol).agg(array_sort(collect_set(col(idCol))).as("ids"))
-        .filter(size(col("ids")) > 1))
+    // persist only when the budget check adds a second consumer: under the
+    // opt-out (pairBudget = 0) the grouped frame has exactly one reader,
+    // and those are precisely the intentionally-huge expansions where a
+    // MEMORY_AND_DISK copy of the posting lists is pure overhead
+    val grouped0 = keyed.groupBy(keyCol)
+      .agg(array_sort(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val grouped = if (pairBudget > 0) persistTracked(grouped0) else grouped0
     if (pairBudget > 0) {
       val sz = size(col("ids")).cast("long")
       val est = grouped.agg(coalesce(sum(sz * (sz - 1L)), lit(0L)).as("twice"),

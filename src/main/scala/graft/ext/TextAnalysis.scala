@@ -184,13 +184,18 @@ object TextAnalysis {
     require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1: $minWordsPerLine")
     require(minLinesPerDoc >= 1, s"minLinesPerDoc must be >= 1: $minLinesPerDoc")
     require(terminalPunct.nonEmpty, "terminalPunct must list at least one mark")
+    // the substring rules are case-INSENSITIVE: only the text side is
+    // lowered in the expressions, so the entries must lower here or a
+    // caller's "JavaScript" would silently never match
+    val dropLine = dropLineSubstrings.map(_.toLowerCase)
+    val dropDoc = dropDocSubstrings.map(_.toLowerCase)
     val kept = filter(transform(split(col(textCol), "\n"), l => trim(l)), l =>
       terminalPunct.map(p => l.endsWith(p)).reduce(_ || _) &&
         size(split(l, "\\s+")) >= minWordsPerLine &&
-        dropLineSubstrings.map(s => !lower(l).contains(s)).foldLeft(lit(true))(_ && _))
+        dropLine.map(s => !lower(l).contains(s)).foldLeft(lit(true))(_ && _))
     docs.select(col(idCol), kept.as("__kept"), lower(col(textCol)).as("__lt"))
       .filter(size(col("__kept")) >= minLinesPerDoc &&
-        dropDocSubstrings.map(s => !col("__lt").contains(s)).foldLeft(lit(true))(_ && _))
+        dropDoc.map(s => !col("__lt").contains(s)).foldLeft(lit(true))(_ && _))
       .select(col(idCol), array_join(col("__kept"), "\n").as("clean_text"),
         size(col("__kept")).as("n_lines_kept"))
   }
@@ -223,8 +228,11 @@ object TextAnalysis {
    *    MassiveText repetition rule; the within-doc O(lines²) membership
    *    count is per-row array math, lines-per-doc-bounded, no shuffle).
    *
-   * NULL text yields NULL metrics and a NULL `keep` (three-valued logic
-   * is identical in Spark and DuckDB, so the oracle mirrors verbatim).
+   * NULL text yields NULL metrics and a definitively FALSE `keep` (the
+   * stopword count is 0, not NULL — a filter over the non-null stopword
+   * literal — and `0 >= minStopwordHits` anchors the conjunction at
+   * false whenever `minStopwordHits >= 1`; three-valued logic is
+   * identical in Spark and DuckDB, so the oracle mirrors verbatim).
    * Pure per-row array expressions — no shuffle, no UDF; the word/line
    * arrays live in their own multi-referenced projection so
    * CollapseProject cannot re-inline the split per metric. The wide

@@ -154,14 +154,23 @@ object Urls {
       .select(col("__host"), col("__s.suf").as("__suf"), col("__s.k").as("__k"))
     val best = exploded.join(psl.select(lower(col("suffix")).as("__suf")), Seq("__suf"))
       .groupBy("__host").agg(max("__k").as("__k"))
+    // the internal frames never touch `df`, so their fixed temp names are
+    // safe — but the final join lands two columns ON df, so those are
+    // collision-probed against the caller's schema (the Dedup.exact
+    // convention: a hardcoded name would silently drop a caller column)
+    val taken = df.columns.toSet
+    require(!taken.contains(out),
+      s"output column '$out' already exists on the input frame")
+    val hc = Iterator.from(0).map(i => s"__pslhost$i").find(!taken(_)).get
+    val dc = Iterator.from(0).map(i => s"__psldom$i").find(!taken(_)).get
     val mapped = hosts.join(best, Seq("__host"), "left")
       .select(col("__host"), coalesce(col("__k"), lit(1)).as("__k"))
-      .select(col("__host"),
+      .select(col("__host").as(hc),
         when(size(parts) > col("__k"),
           array_join(slice(parts, size(parts) - col("__k"), col("__k") + 1), "."))
-          .as("__dom"))
-    df.join(mapped, df(hostCol) === mapped("__host"), "left")
-      .drop("__host").withColumnRenamed("__dom", out)
+          .as(dc))
+    df.join(mapped, df(hostCol) === mapped(hc), "left")
+      .drop(hc).withColumnRenamed(dc, out)
   }
 
   /**

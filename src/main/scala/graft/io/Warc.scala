@@ -81,6 +81,14 @@ object Warc {
         hp.getFileSystem(conf.value).open(hp), 1 << 16)
       val in = if (p.endsWith(Gz))
         new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
+      // the frame iterator closes `in` at exhaustion / framing failure, but
+      // a consumer that stops early (limit(), a downstream error, a task
+      // kill) abandons it mid-file — close at task end so fds / object-store
+      // connections cannot leak across queries (close() is idempotent)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: java.io.IOException => () }
+      }
       parseWetInputStream(p, in)
     })
   }
@@ -140,13 +148,15 @@ object Warc {
           val i = l.indexOf(':')
           if (i < 0) None else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
         }.toMap
-        val len = hs.getOrElse("content-length", fail("missing Content-Length")).toLong
+        val lenStr = hs.getOrElse("content-length", fail("missing Content-Length"))
+        val len = lenStr.toLongOption.getOrElse(
+          fail(s"unparseable Content-Length '$lenStr'"))
         if (len < 0 || len > Int.MaxValue - 8)
           fail(s"Content-Length $len outside the 2 GiB single-record bound")
         val content = in.readNBytes(len.toInt)
         pos += content.length
         if (content.length < len) fail(
-          s"Content-Length $len overruns the stream (${content.length} left)")
+          s"Content-Length $len overruns the stream (only ${content.length} bytes remained)")
         skipBlank()
         WetRecord(
           hs.getOrElse("warc-target-uri", null),
