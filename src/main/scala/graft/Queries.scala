@@ -131,6 +131,50 @@ object Queries {
         .otherwise(concat_ws("\n", l1, l2, l3, l4, l5)).as("text"))
   }
 
+  /** SQL twin of [[synthParaDocs]] (a CTE named `pd`), used by the
+    * `dedup_paragraphs_global` oracle. */
+  private val synthParaSql =
+    """pd AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE concat_ws(chr(10),
+      |    'Subscribe to the newsletter today.',
+      |    CASE WHEN doc_id % 13 = 0 THEN NULL
+      |         ELSE 'Unique insight ' || translate(doc_id::VARCHAR, '0123456789', 'abcdefghij') || ' appears once.' END,
+      |    '',
+      |    'Shared footer for group ' || translate((doc_id % 10)::VARCHAR, '0123456789', 'abcdefghij') || ' here.',
+      |    CASE WHEN doc_id % 7 = 0 THEN 'Echo line for doc ' || translate(doc_id::VARCHAR, '0123456789', 'abcdefghij') || ' repeats.' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'Echo line for doc ' || translate(doc_id::VARCHAR, '0123456789', 'abcdefghij') || ' repeats.' END,
+      |    'Release 123 of series ' || (doc_id % 3) || ' shipped.',
+      |    '   ')
+      |  END AS text FROM documents)""".stripMargin
+
+  /** Hostile fixture for the `dedup_paragraphs_global` gate: a global
+    * boilerplate line (every doc), per-group shared footers, per-doc unique
+    * lines (ids spelled in LETTERS so digit folding cannot collide them),
+    * within-doc echoes, a digit-folding collision line ("Release 123" ≡
+    * "Release 000" everywhere), blank/whitespace-only lines, NULL-text
+    * docs, and `%13` docs made ENTIRELY of corpus-duplicated lines so the
+    * empty-document drop is exercised. Mirrored verbatim in
+    * [[synthParaSql]]. */
+  private def synthParaDocs(s: SparkSession, d: String): DataFrame = {
+    val uid = translate(col("doc_id").cast("string"), "0123456789", "abcdefghij")
+    val gid = translate(pmod(col("doc_id"), lit(10)).cast("string"), "0123456789", "abcdefghij")
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(17)) === 0, lit(null).cast("string"))
+        .otherwise(concat_ws("\n",
+          lit("Subscribe to the newsletter today."),
+          when(pmod(col("doc_id"), lit(13)) === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("Unique insight "), uid, lit(" appears once."))),
+          lit(""),
+          concat(lit("Shared footer for group "), gid, lit(" here.")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("Echo line for doc "), uid, lit(" repeats."))),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("Echo line for doc "), uid, lit(" repeats."))),
+          concat(lit("Release 123 of series "), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(" shipped.")),
+          lit("   "))).as("text"))
+  }
+
   /** The `text_c4_clean` rule chain as reusable CTEs (`ct`, `cc`) over a
     * source relation with `(doc_id, text)` — shared by the standalone gate
     * and the `pipeline_clean_corpus` capstone so the SQL twin of
@@ -1435,6 +1479,11 @@ object Queries {
         Dedup.duplicateSpans(doc, "doc_id", "text", n = 8), "doc_id", "text")
         .select("doc_id", "clean_text")
     }),
+    // CCNet cross-corpus paragraph dedup: first occurrence of each
+    // normalized paragraph survives, documents reassembled, emptied docs
+    // dropped — over the hostile boilerplate/echo/digit-fold fixture
+    "dedup_paragraphs_global" -> ((s, d) =>
+      Dedup.dedupParagraphsGlobal(synthParaDocs(s, d), "doc_id", "text")),
     // dup clusters: transitive closure over the exact Jaccard pairs, each
     // cluster labeled by its minimum doc id (the canonical keeper)
     "dedup_clusters" -> ((s, d) =>
@@ -3051,6 +3100,28 @@ object Queries {
          |       CASE WHEN d.doc_id IN (SELECT doc_id FROM sp)
          |            THEN coalesce(c.ct, '') ELSE d.text END AS clean_text
          |  FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id""".stripMargin,
+    // the full CCNet chain in SQL: split/trim/drop-blank lines, digit-fold
+    // normalization, ROW_NUMBER first-occurrence (the Spark side's
+    // min(struct(doc, pos)) — identical winner: (doc_id, pos) is a total
+    // order), position-ordered reassembly, emptied docs dropped
+    "dedup_paragraphs_global" ->
+      s"""WITH $synthParaSql,
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM pd
+         |        WHERE text IS NOT NULL),
+         |p0 AS (SELECT doc_id, i - 1 AS pos, trim(l[i]) AS para
+         |         FROM ls, unnest(range(1, len(l) + 1)) AS t(i)
+         |        WHERE len(trim(l[i])) > 0),
+         |r AS (SELECT doc_id, pos, para, row_number() OVER (
+         |               PARTITION BY lower(regexp_replace(para, '[0-9]', '0', 'g'))
+         |               ORDER BY doc_id, pos) AS rn
+         |        FROM p0),
+         |g AS (SELECT doc_id,
+         |             string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos) AS clean_text,
+         |             count(CASE WHEN rn = 1 THEN 1 END) AS n_paras_kept,
+         |             count(*) AS n_paras_total
+         |        FROM r GROUP BY doc_id)
+         |SELECT doc_id, clean_text, n_paras_kept, n_paras_total
+         |  FROM g WHERE n_paras_kept >= 1""".stripMargin,
     "dedup_minhash_lsh" -> jaccardPairsSql, // verified-exact output; recall ≈ 0.9998 at t=0.8 (see Dedup)
     // brute-force containment over all pairs (the prefix×full-index plan
     // must reproduce it exactly)

@@ -999,4 +999,62 @@ object Dedup {
             i >= b("span_start") && i <= b("span_end"))))))
       .drop("__sps")
   }
+
+  /**
+   * CCNet-style cross-corpus paragraph dedup (Wenzek et al. 2020 §3.1 —
+   * the per-PARAGRAPH hash dedup every public crawl pipeline runs between
+   * WET parse and document-level dedup; boilerplate like cookie banners
+   * and share buttons repeats across billions of pages while the articles
+   * around it are unique, so document-level dedup cannot touch it): split
+   * each document into paragraphs (lines), hash a normalized form
+   * (lowercased, digits folded to `0` — so "Version 123" and "Version 456"
+   * of the same template collapse, per CCNet's normalization intent), and
+   * keep exactly the FIRST occurrence of each normalized paragraph in the
+   * corpus — the `(idCol, position)`-minimal one, a total order, so the
+   * survivor set is deterministic on any partitioning. Later occurrences
+   * are dropped whether they sit in other documents or repeat inside the
+   * same one. Documents are reassembled from their surviving paragraphs;
+   * a document whose every paragraph was seen earlier vanishes (CCNet's
+   * empty-document drop). NULL-text and all-blank documents vanish at the
+   * explode; whitespace-only lines are dropped (layout, not content).
+   *
+   * Plan shape — no pair join, no window over the corpus:
+   *   1. `posexplode` lines, trim, drop blanks (narrow);
+   *   2. winner per normalized-hash via `min(struct(id, pos))` — an
+   *      AGGREGATION with map-side partial combine, so a boilerplate line
+   *      occurring in 10^9 documents costs each map task one struct, not
+   *      a 10^9-row sorted partition (the window-rank formulation would);
+   *   3. shuffle join back on the hash to flag survivors — the hot key
+   *      joins 1 winner row to many, which AQE's skew split handles;
+   *   4. one `groupBy(id)` reassembles text in position order.
+   * Grouping is on `xxhash64` of the normalized paragraph — exact modulo
+   * 64-bit collisions, the [[hashedShingleSets]] contract.
+   *
+   * Returns `(idCol, outCol, n_paras_kept, n_paras_total)`.
+   */
+  def dedupParagraphsGlobal(docs: DataFrame, idCol: String, textCol: String,
+      outCol: String = "clean_text"): DataFrame = {
+    // persisted: the exploded/normalized paragraph frame feeds BOTH the
+    // winner aggregation and the flag join — uncached, each consumer
+    // re-runs the split/explode/hash subtree from the source scan (the
+    // house convention for double-consumed exploded frames; released by
+    // [[unpersistAll]])
+    val paras = persistTracked(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__p0")))
+      .select(col(idCol), col("__pos"), trim(col("__p0")).as("__p"))
+      .filter(length(col("__p")) > 0)
+      .withColumn("__k", xxhash64(lower(regexp_replace(col("__p"), "[0-9]", "0")))))
+    val winners = paras.groupBy("__k")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+    val flagged = paras.join(winners, Seq("__k"))
+      .withColumn("__keep", struct(col(idCol), col("__pos")) === col("__w"))
+    flagged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__p"), col("__keep")))).as("__a"))
+      .select(col(idCol),
+        array_join(transform(filter(col("__a"), x => x("__keep")), x => x("__p")), "\n")
+          .as(outCol),
+        size(filter(col("__a"), x => x("__keep"))).as("n_paras_kept"),
+        size(col("__a")).as("n_paras_total"))
+      .filter(col("n_paras_kept") >= 1)
+  }
 }
