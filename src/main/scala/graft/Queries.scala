@@ -252,6 +252,15 @@ object Queries {
       |        AND alpha_word_frac >= 0.8 AND stop_hits >= 2
       |        AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)""".stripMargin
 
+  /** The corpus-unigram surprisal CTEs (`tok`, `f`, `n`) over `documents` —
+    * shared by the `text_surprisal` oracle and the `pipeline_ccnet_buckets`
+    * capstone so the score formula cannot fork across mirrors. */
+  private val surprisalCtes =
+    """tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |               FROM documents),
+      |f AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+      |n AS (SELECT sum(f) AS n FROM f)""".stripMargin
+
   /** The userinfo/IPv6-aware host-extraction CTE (`h`) over the `u` URL
     * fixture — shared by all three URL oracles so the host semantics (the
     * r16 advisory's userinfo-bypass fix) cannot fork across mirrors.
@@ -1216,6 +1225,23 @@ object Queries {
       TextAnalysis.unigramSurprisal(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_surprisal"), 6).as("avg_surprisal"))),
+    // CCNet head/middle/tail (Wenzek et al. 2020 §3.3): per-LANGUAGE
+    // surprisal terciles via groupQuantileBins — one global cut would rank
+    // languages by LM fit, not documents within a language
+    "pipeline_ccnet_buckets" -> ((s, d) => {
+      val dd = docs(s, d)
+      val scored = TextAnalysis.unigramSurprisal(dd, "doc_id", "text")
+        .select(col("doc_id"), round(col("avg_surprisal"), 6).as("avg_surprisal"))
+      // the scored frame feeds BOTH the per-language threshold aggregation
+      // and the bin-assignment join — cache it so the multi-shuffle
+      // surprisal subtree computes once (released via Caches.unpersistAll)
+      val j = graft.ext.Caches.track(
+        dd.select(col("doc_id"), col("lang")).join(scored, Seq("doc_id")))
+      Sampling.groupQuantileBins(j, "lang", "avg_surprisal", 3)
+        .select(col("doc_id"), col("lang"), col("avg_surprisal"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")), col("bin"))
+            .as("bucket"))
+    }),
     // cross-corpus novelty: fraction of each doc's distinct trigrams unseen
     // in the reference slice (every tenth doc) — the data-mixing signal;
     // NULL-text docs pre-filtered (no grams to score)
@@ -2855,14 +2881,26 @@ object Queries {
         |  FROM g""".stripMargin,
     // corpus-unigram surprisal: avg ln(N/freq) per doc, rounded to 6
     "text_surprisal" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
-        |               FROM documents),
-        |f AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
-        |n AS (SELECT sum(f) AS n FROM f)
+      s"""WITH $surprisalCtes
         |SELECT tok.doc_id, count(*) AS n_tokens,
         |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
         |  FROM tok JOIN f USING (w), n
         | GROUP BY tok.doc_id""".stripMargin,
+    // CCNet §3.3 head/middle/tail: per-LANGUAGE surprisal terciles — the
+    // same quantile_cont formula the sampling_quantile_bins gate proved
+    // bit-identical to Spark's interpolated percentile; values ON a
+    // threshold fall LOWER (strict >), the groupQuantileBins contract
+    "pipeline_ccnet_buckets" ->
+      s"""WITH $surprisalCtes,
+        |sc AS (SELECT tok.doc_id,
+        |              round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
+        |         FROM tok JOIN f USING (w), n GROUP BY tok.doc_id),
+        |j AS (SELECT d.doc_id, d.lang, sc.avg_surprisal FROM documents d JOIN sc USING (doc_id)),
+        |thr AS (SELECT lang, quantile_cont(avg_surprisal, [1.0/3, 2.0/3]) AS th
+        |          FROM j GROUP BY lang)
+        |SELECT j.doc_id, j.lang, j.avg_surprisal,
+        |       (['head','middle','tail'])[1 + len(list_filter(thr.th, x -> j.avg_surprisal > x))] AS bucket
+        |  FROM j LEFT JOIN thr USING (lang)""".stripMargin,
     // the trainer's first argmax round, re-derived: char symbols + '</w>',
     // adjacent pairs weighted by word occurrences, (count DESC, l, r) order
     "text_bpe_first_merge" ->

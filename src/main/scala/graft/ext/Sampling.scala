@@ -326,6 +326,48 @@ object Sampling {
   }
 
   /**
+   * Per-GROUP equal-frequency discretization — [[quantileBins]] with the
+   * thresholds computed within each `groupCol` partition of the corpus:
+   * the CCNet bucketing step (Wenzek et al. 2020 §3.3 — documents split
+   * into head/middle/tail by per-LANGUAGE perplexity terciles, because one
+   * global cut would just rank languages by their LM fit rather than rank
+   * documents within a language). Same contract as [[quantileBins]],
+   * spelled identically in the SQL oracle: per-group thresholds are the
+   * exact interpolated `percentile(valueCol, i/k)` (≡ DuckDB
+   * `quantile_cont`), `bin = 1 + #{thresholds strictly below the value}`,
+   * values exactly ON a threshold fall in the LOWER bin, NULL values get
+   * a NULL bin. Rows whose group is NULL also get a NULL bin (they have
+   * no threshold row; CCNet's analog is "language unidentified — not
+   * bucketed").
+   *
+   * Plan: ONE grouped aggregation computes every group's `k−1` thresholds
+   * (the frame is group-cardinality-sized — languages, domains — so it
+   * broadcasts), a broadcast LEFT join lands them back, and bin assignment
+   * is the same codegen-friendly sum-of-`when`s projection. The corpus
+   * never shuffles. Exact `percentile` buffers each group's values per
+   * partition — at the 100 TB scale pass `approx = true`
+   * (`percentile_approx`, constant memory, the [[groupQuantileFilter]]
+   * trade).
+   */
+  def groupQuantileBins(df: DataFrame, groupCol: String, valueCol: String, k: Int,
+      binCol: String = "bin", approx: Boolean = false): DataFrame = {
+    require(k >= 2, s"need at least 2 bins: $k")
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val thrFn = if (approx)
+      s"percentile_approx(`$valueCol`, array(${probs.mkString(",")}), 10000)"
+    else s"percentile(`$valueCol`, array(${probs.mkString(",")}))"
+    val thr = freshCol(df, "__gqthr")
+    val thresholds = df.groupBy(col(groupCol)).agg(expr(thrFn).as(thr))
+    val binExpr = probs.indices
+      .map(i => when(col(valueCol) > element_at(col(thr), i + 1), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.join(broadcast(thresholds), Seq(groupCol), "left")
+      .withColumn(binCol,
+        when(col(valueCol).isNull || col(thr).isNull, lit(null)).otherwise(binExpr))
+      .drop(thr)
+  }
+
+  /**
    * Temperature-based mixture sampling — the multilingual/multi-domain
    * re-balancing rule from the XLM/mT5 line of work: sample domain `d` with
    * probability `p_d ∝ n_d^α`, flattening the natural distribution so

@@ -86,6 +86,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(approx == approx.sorted && approx.head == 1 && approx.last == 4)
   }
 
+  test("groupQuantileBins: per-group cuts, ties fall lower, NULL value/group bins NULL") {
+    // group a: 1..90 (terciles at 30⅔ / 60⅓ → 30 rows per bin);
+    // group b: 1000..1002 only — its OWN cuts, untouched by a's range
+    val rows = (1 to 90).map(v => (Some("a"), Some(v.toDouble))) ++
+      Seq(1000.0, 1001.0, 1002.0).map(v => (Some("b"), Some(v))) :+
+      ((Some("a"), Option.empty[Double])) :+ ((Option.empty[String], Some(5.0)))
+    val got = Sampling.groupQuantileBins(rows.toDF("g", "v"), "g", "v", 3)
+    val aCounts = got.filter($"g" === "a" && $"v".isNotNull).groupBy("bin").count()
+      .as[(Int, Long)].collect().toMap
+    assert(aCounts == Map(1 -> 30L, 2 -> 30L, 3 -> 30L))
+    // b's terciles sit between its three values (1000.66… / 1001.33…) →
+    // exactly one row per bin, cut from b's OWN range, not a's
+    val bBins = got.filter($"g" === "b").orderBy("v").select("bin").as[Int].collect().toSeq
+    assert(bBins == Seq(1, 2, 3))
+    assert(got.filter($"v".isNull).select("bin").head().isNullAt(0))
+    assert(got.filter($"g".isNull).select("bin").head().isNullAt(0))
+    // group column with the default bin name colliding is refused upstream
+    // by freshCol (same machinery as quantileBins) — bin lands as a new col
+    assert(got.columns.toSeq == Seq("g", "v", "bin"))
+  }
+
   test("negativePairs: deterministic, partitioning-invariant, self excluded, ids from corpus") {
     val ids = (0L until 50L).toDF("id")
     def draw(df: org.apache.spark.sql.DataFrame) =
