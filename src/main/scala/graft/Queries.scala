@@ -1225,6 +1225,16 @@ object Queries {
       TextAnalysis.unigramSurprisal(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_surprisal"), 6).as("avg_surprisal"))),
+    // Stupid-Backoff bigram surprisal under a reference-slice LM (every
+    // tenth doc, the novelty convention) — the count-table form of the
+    // CCNet perplexity filter; 6 decimals like every ln-based gate
+    "text_bigram_surprisal" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.bigramSurprisal(dd,
+          dd.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_surprisal"), 6).as("avg_surprisal"))
+    }),
     // CCNet head/middle/tail (Wenzek et al. 2020 §3.3): per-LANGUAGE
     // surprisal terciles via groupQuantileBins — one global cut would rank
     // languages by LM fit, not documents within a language
@@ -2886,6 +2896,29 @@ object Queries {
         |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
         |  FROM tok JOIN f USING (w), n
         | GROUP BY tok.doc_id""".stripMargin,
+    // Stupid Backoff re-derived: bigram count over unigram-context count
+    // when the reference saw the pair, else alpha * add-one unigram;
+    // identical CAST/paren structure so the doubles match bit-for-bit
+    "text_bigram_surprisal" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |db AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |         FROM d, unnest(range(1, len(t))) AS u(i)
+        |        WHERE len(t) >= 2),
+        |rb AS (SELECT w1, w2, count(*) AS cb FROM db WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+        |f AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(t) AS w FROM d WHERE doc_id % 10 = 0) rt GROUP BY w),
+        |nv AS (SELECT sum(c) AS n, count(*) AS v FROM f),
+        |sc AS (SELECT db.doc_id,
+        |              CASE WHEN rb.cb IS NOT NULL
+        |                   THEN CAST(rb.cb AS DOUBLE) / CAST(f1.c AS DOUBLE)
+        |                   ELSE 0.4 * (CAST(coalesce(f2.c, 0) + 1 AS DOUBLE)
+        |                               / CAST(nv.n + nv.v AS DOUBLE)) END AS s
+        |         FROM db LEFT JOIN rb ON db.w1 = rb.w1 AND db.w2 = rb.w2
+        |                 LEFT JOIN f f1 ON db.w1 = f1.w
+        |                 LEFT JOIN f f2 ON db.w2 = f2.w, nv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(s)), 6) AS avg_surprisal
+        |  FROM sc GROUP BY doc_id""".stripMargin,
     // CCNet §3.3 head/middle/tail: per-LANGUAGE surprisal terciles — the
     // same quantile_cont formula the sampling_quantile_bins gate proved
     // bit-identical to Spark's interpolated percentile; values ON a

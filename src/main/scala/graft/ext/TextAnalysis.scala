@@ -501,6 +501,72 @@ object TextAnalysis {
         avg(log(col("__n").cast("double") / col("__f").cast("double"))).as("avg_surprisal"))
   }
 
+  /**
+   * Reference-corpus BIGRAM surprisal with Stupid Backoff (Brants et al.
+   * 2007, "Large Language Models in Machine Translation" — the smoothing
+   * built for web-scale count tables precisely because it needs no
+   * discounting statistics, only raw counts): score each document's
+   * adjacent token pairs under a bigram model counted from `reference` —
+   * `s(w2|w1) = c(w1 w2) / c(w1)` when the reference saw the bigram, else
+   * the backed-off add-one unigram `α · (c(w2)+1) / (N+V)` (the +1/+V
+   * floor keeps out-of-vocabulary tokens finite where pure Stupid Backoff
+   * leaves them undefined). One order up from [[unigramSurprisal]]: word
+   * salad built FROM common words ("the of and is the") scores high here
+   * and low there — this is the shape of CCNet's LM-perplexity filter
+   * with the LM expressed as a count table instead of model weights.
+   *
+   * Plan: reference unigram/bigram grouped counts (vocab-sized frames —
+   * broadcast-hinted when small), scalar `(N, V)` as a one-row broadcast,
+   * the document bigram stream left-joined against both count frames, one
+   * per-doc aggregation. Bigram formation explodes a PLAIN `sequence` and
+   * indexes the token array per emitted row (the [[repetitionTopGram]]
+   * generator discipline — a HOF-built pair array exploded inline pays
+   * the large data-independent Generate overhead). Every shuffle is keyed
+   * on a gram or the doc id; nothing driver-side; nothing quadratic.
+   *
+   * Documents with fewer than 2 tokens have no bigrams and are absent
+   * from the output (the `unnest` convention, like [[unigramSurprisal]]).
+   * Returns `(idCol, n_bigrams, avg_surprisal)` where `avg_surprisal =
+   * avg(−ln s)`; callers gating against another engine should round it
+   * (ln/summation order differ by ulps across libms).
+   */
+  def bigramSurprisal(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val t = tokens(col(textCol))
+      df.select(keep :+ t.as("__tk") :+ size(t).as("__nt"): _*)
+        .filter(col("__nt") >= 2)
+        .select(keep :+ col("__tk") :+
+          explode(sequence(lit(1), col("__nt") - 1)).as("__i"): _*)
+        .select(keep :+ element_at(col("__tk"), col("__i")).as("__w1") :+
+          element_at(col("__tk"), col("__i") + 1).as("__w2"): _*)
+    }
+    // both reference count frames are gram-cardinality-sized (far below
+    // the corpus) and the unigram frame is consumed three times (totals +
+    // two join sides) — cached so the reference text scans once per shape
+    val freq = Caches.track(
+      reference.select(explode(tokens(col(textCol))).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as("__c")))
+    val refBg = bigrams(reference, Nil)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    val totals = freq.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    val s = when(col("__cb").isNotNull,
+        col("__cb").cast("double") / col("__c1").cast("double"))
+      .otherwise(lit(alpha) *
+        ((coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__n") + col("__v")).cast("double")))
+    bigrams(docs, Seq(col(idCol)))
+      .join(graft.ops.Ops.hintIfSmall(refBg), Seq("__w1", "__w2"), "left_outer")
+      .join(graft.ops.Ops.hintIfSmall(
+        freq.select(col("__w").as("__w1"), col("__c").as("__c1"))), Seq("__w1"), "left_outer")
+      .join(graft.ops.Ops.hintIfSmall(
+        freq.select(col("__w").as("__w2"), col("__c").as("__c2"))), Seq("__w2"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log(s)).as("avg_surprisal"))
+  }
+
   def noveltyScores(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     // both shingle frames materialized BEFORE explode — Generate re-evaluates

@@ -23,6 +23,8 @@ class PlanSweepSpec extends AnyFunSuite {
     *    frame — same scalar shape as text_tfidf's N;
     *  - text_surprisal: the corpus token total N is the same one-row
     *    broadcast scalar;
+    *  - text_bigram_surprisal: the reference-LM totals (N, V) are the same
+    *    one-row broadcast scalar attached to the bigram stream;
     *  - pipeline_ccnet_buckets: embeds the surprisal chain, so it carries
     *    the same one-row token-total broadcast;
     *  - text_ce_diff: the (N_raw, N_target, V) smoothing totals are one
@@ -33,7 +35,8 @@ class PlanSweepSpec extends AnyFunSuite {
     *    the same one-row broadcast scalar. */
   private val broadcastAllPairsByDesign =
     Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature",
-      "text_surprisal", "pipeline_ccnet_buckets", "text_ce_diff",
+      "text_surprisal", "text_bigram_surprisal", "pipeline_ccnet_buckets",
+      "text_ce_diff",
       "sampling_quantile_bins", "sampling_negative_pairs",
       // hard negatives ranks the same brute-force broadcast query×corpus
       // scan as sim_topk (minus the cluster-mate anti-join)

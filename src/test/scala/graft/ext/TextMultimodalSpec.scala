@@ -350,6 +350,36 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2) // the rare-token doc is more surprising
   }
 
+  test("bigramSurprisal: exact Stupid-Backoff math across seen/backoff/OOV; short docs absent") {
+    // reference tokens: a b | a c -> c(a)=2 c(b)=1 c(c)=1, N=4 V=3;
+    // reference bigrams: (a,b)=1, (a,c)=1
+    val ref = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b"),   // seen bigram: s = cb/c(a) = 1/2
+      (11L, "b a"),   // unseen, a in vocab: s = 0.4*(2+1)/(4+3)
+      (12L, "a z"),   // unseen, z OOV:      s = 0.4*(0+1)/(4+3)
+      (13L, "a b c"), // mixed: ln2 then (b,c) unseen -> 0.4*(1+1)/7
+      (14L, "a"),     // one token: no bigrams, absent
+      (15L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L))
+    assert(got(10L) == ((1L, math.log(2.0))))
+    assert(math.abs(got(11L)._2 - -math.log(0.4 * 3 / 7)) < 1e-12)
+    assert(math.abs(got(12L)._2 - -math.log(0.4 / 7)) < 1e-12)
+    assert(got(13L)._1 == 2L &&
+      math.abs(got(13L)._2 - (math.log(2.0) - math.log(0.4 * 2 / 7)) / 2) < 1e-12)
+    // word salad FROM common words is what the bigram order catches: "b a"
+    // backs off (surprising) where unigram surprisal scores it like "a b"
+    assert(got(11L)._2 > got(10L)._2)
+    // alpha=1 removes the backoff penalty scalar but not the backoff itself
+    val a1 = TextAnalysis.bigramSurprisal(docs, ref, "doc_id", "text", alpha = 1.0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(a1(11L) - -math.log(3.0 / 7)) < 1e-12)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bigramSurprisal(docs, ref, "doc_id", "text", alpha = 0.0))
+  }
+
   test("bpeTrain learns Sennrich's classic merge order; bpeSegment reassembles words") {
     // 5x low, 2x lower, 6x newest, 3x widest — the paper's worked example.
     // Pair counts: (e,s)=(s,t)=(t,</w>)=9 tie -> lexicographic left wins.
