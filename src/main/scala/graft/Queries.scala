@@ -1347,6 +1347,10 @@ object Queries {
     // IEEE-correctly-rounded point, so the oracle derives identical rates)
     "sampling_temperature" -> ((s, d) =>
       Sampling.temperatureSample(docs(s, d), "lang", "doc_id", alpha = 0.5, budget = 150L)),
+    // the pre-training corpus shuffle: one deterministic hash permutation,
+    // strided over 8 shards — same shard/pos on any engine or partitioning
+    "sampling_shuffle_shards" -> ((s, d) =>
+      Sampling.shuffleToShards(docs(s, d).select("doc_id"), "doc_id", 8)),
     // equal-frequency discretization: order-price deciles; thresholds are
     // exact interpolated percentiles (≡ quantile_cont) and on-threshold
     // values fall LOWER — boundary-safe here because 2-decimal price gaps
@@ -2836,6 +2840,14 @@ object Queries {
          |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
          |  FROM documents d JOIN r USING (lang)
          | WHERE CAST(${duckIdHash("doc_id")} % 1000000 AS DOUBLE) < rate * 1000000""".stripMargin,
+    // the seeded hash is idHash("<id>:<seed>") — spelled as the same md5
+    // construction with the ':0' literal concatenated before hashing
+    "sampling_shuffle_shards" ->
+      s"""SELECT doc_id, (rn - 1) % 8 AS shard, (rn - 1) // 8 AS pos_in_shard
+         |  FROM (SELECT doc_id, row_number() OVER (ORDER BY
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15) AS BIGINT),
+         |          doc_id) AS rn
+         |          FROM documents) x""".stripMargin,
     "sampling_stratified_quotas" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM (
          |  SELECT d.*, q.quota, row_number() OVER (PARTITION BY d.lang

@@ -409,4 +409,53 @@ object Sampling {
       .filter((idHash(col(idCol)) % 1000000L).cast("double") < col(rate) * 1000000.0)
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  /**
+   * Deterministic global corpus shuffle with strided shard assignment —
+   * the "shuffle the corpus once, then stream shards in order" step every
+   * pre-training run performs before sequence packing (gradient quality
+   * degrades measurably when adjacent training examples correlate; a
+   * corpus sorted by crawl source or URL is maximally correlated). Rows
+   * are permuted by `(idHash("<id>:<seed>"), id)` — a total order, so the
+   * SAME permutation materializes on any engine, any partitioning, any
+   * run; `df.orderBy(rand())` would re-deal per run and per retry, making
+   * a resumed training job see a different epoch order than the one it
+   * checkpointed under.
+   *
+   * Output adds `shard = ordinal % numShards` and `pos_in_shard =
+   * ordinal / numShards`. Strided (mod) rather than block (div) striping
+   * so shard sizes balance to within one row even when `n % numShards ≠ 0`
+   * — with block striping the last shard runs short, and data loaders that
+   * zip shards round-robin starve early. Each shard is itself a uniform
+   * hash-ordered slice of the corpus, so any shard prefix is an unbiased
+   * corpus sample (the property epoch-partial training relies on).
+   *
+   * Scale shape: the permutation is [[graft.ops.Ops.globalOrdinals]] — a
+   * range-partitioned distributed sort on the hash, never an
+   * `Exchange SinglePartition` — and shard/pos are pure per-row
+   * projections on the ordinal. Writing shards afterwards is
+   * `.repartition(col("shard"))` + the [[graft.io.Export]] sinks; within
+   * a shard, `pos_in_shard` IS the read order. EAGER like
+   * `globalOrdinals` (two ordinal jobs at call time).
+   *
+   * `idCol` must be unique and non-NULL (the usual doc-id contract): NULL
+   * hashes and duplicate ids would leave `(hash, id)` a partial order and
+   * the assignment partition-boundary-dependent; `globalOrdinals`' total-
+   * order requirement is load-bearing here.
+   */
+  def shuffleToShards(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 0L, numParts: Int = 32): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val h = freshCol(df, "__shufhash")
+    val ord = freshCol(df, "__shuford")
+    val hashed = df.withColumn(h,
+      idHash(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))))
+    graft.ops.Ops.globalOrdinals(hashed, Seq(col(h).asc, col(idCol).asc),
+        numParts, ord)
+      .select(df.columns.toIndexedSeq.map(col) :+
+        (col(ord) % numShards).as("shard") :+
+        // `div`, not `/`: Column./ is floating division (a Double column),
+        // and past 2^53 rows doubles stop holding exact ordinals
+        expr(s"`$ord` div $numShards").as("pos_in_shard"): _*)
+  }
 }

@@ -276,4 +276,37 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.temperatureSample(df, "dom", "id", alpha = 0.5, budget = 0L))
   }
+
+  test("shuffleToShards: exact md5 permutation, balanced strides, seed and partitioning contracts") {
+    def md5Ord(id: Long, seed: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    val expect = ids.sortBy(id => (md5Ord(id, 0L), id)).zipWithIndex
+      .map { case (id, i) => id -> ((i.toLong % 8, i.toLong / 8)) }.toMap
+    val got = Sampling.shuffleToShards(docs.select("doc_id"), "doc_id", 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect) // the reference permutation, independently derived
+    // strided striping: shard sizes balanced within one row
+    val sizes = got.values.groupBy(_._1).view.mapValues(_.size).values.toSet
+    assert(sizes.size <= 2 && (sizes.max - sizes.min) <= 1, s"sizes=$sizes")
+    // per-shard positions are contiguous 0..size-1 (the stream read order)
+    got.values.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (0L until rows.size).toSeq, s"shard $sh")
+    }
+    // partitioning-invariant (orderBy(rand()) would fail both of these)
+    val repart = Sampling.shuffleToShards(
+        docs.select("doc_id").repartition(7), "doc_id", 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(repart == got)
+    // a different seed deals a genuinely different permutation
+    val reseed = Sampling.shuffleToShards(docs.select("doc_id"), "doc_id", 8, seed = 1L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(reseed != got)
+    intercept[IllegalArgumentException](
+      Sampling.shuffleToShards(docs.select("doc_id"), "doc_id", 0))
+  }
 }
