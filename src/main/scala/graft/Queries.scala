@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 
-import graft.ext.{Classifier, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Classifier, Dedup, Graphs, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.Ops
 import graft.proc.SqlStepRegistry
@@ -1530,6 +1530,20 @@ object Queries {
       Dedup.connectedComponents(
         Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.8), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))),
+    // PageRank over the per-user event-type transition graph (the host-graph
+    // centrality prior of crawl curation, exercised on the fixture's only
+    // natural digraph); 10 fixed rounds, weights = transition counts; ranks
+    // rounded at 6 (keyed-sum order differs by ulps across engines)
+    "graph_pagerank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = events(s, d)
+        .select(col("event_type"), lead("event_type", 1).over(w).as("__next"))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("src"), col("__next").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      Graphs.pageRank(trans, "src", "dst", iterations = 10, weightCol = Some("w"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
     // near-superset pairs (containment vs the smaller set) — catches
     // truncated/boilerplate-wrapped copies Jaccard under-scores
@@ -2138,6 +2152,39 @@ object Queries {
        |  SELECT src AS node, src AS label FROM e
        |  UNION
        |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node)""".stripMargin
+
+  /** `graph_pagerank` oracle: the 10 PageRank rounds unrolled as chained
+    * MATERIALIZED CTEs (the `text_bpe_merges` fixpoint technique) — each
+    * round recomputes dangling mass, in-edge contributions, and the
+    * damped update with the SAME IEEE double arithmetic as the operator
+    * (explicit DOUBLE casts; `(1.0 − 0.85)` left as a subtraction so both
+    * engines evaluate the identical ulp). */
+  private val pageRankSql: String = {
+    val head =
+      """WITH s AS (SELECT event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |             FROM events),
+        |e AS (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
+        |        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        |t AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn)""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      val p = i - 1
+      s"""d$p AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+         |          FROM r$p WHERE node NOT IN (SELECT src FROM t)),
+         |c$p AS (SELECT t.dst AS node, sum(r$p.rank * t.p) AS c
+         |          FROM r$p JOIN t ON r$p.node = t.src GROUP BY t.dst),
+         |r$i AS MATERIALIZED (SELECT nodes.node,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |         + CAST(0.85 AS DOUBLE) * (coalesce(c$p.c, CAST(0 AS DOUBLE)) + d$p.dm / nn.n) AS rank
+         |         FROM nodes CROSS JOIN nn CROSS JOIN d$p
+         |         LEFT JOIN c$p ON nodes.node = c$p.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT node, round(rank, 6) AS rank FROM r10"
+  }
 
   private val dedupClustersSql =
     s"""$clusterCtes
@@ -3216,6 +3263,7 @@ object Queries {
          |        FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, containment FROM c WHERE containment >= 0.9""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
+    "graph_pagerank" -> pageRankSql,
     "dedup_simhash" ->
       // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical
       // to Dedup.md5TokenHash), per-bit majority vote, hamming ≤ 3 pairs

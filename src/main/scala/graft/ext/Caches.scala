@@ -62,6 +62,13 @@ private[graft] object Caches {
     ck
   }
 
+  /** Record an ALREADY-checkpointed frame for release by [[unpersistAll]] —
+    * for iterative builders that truncate lineage round over round, release
+    * dead rounds eagerly themselves, and need only the surviving final
+    * round covered ([[releaseCheckpoint]] is idempotent, so a frame both
+    * released manually and registered here is safe). */
+  def registerCheckpoint(df: DataFrame): DataFrame = { ckBuf += df; df }
+
   private val checkpointed =
     new java.util.concurrent.ConcurrentHashMap[Long, scala.collection.mutable.ArrayBuffer[DataFrame]]()
 
