@@ -1094,6 +1094,12 @@ object Queries {
           datediff(col("day").cast("date"), col("cohort_day").cast("date")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // first-touch conversion funnel view -> click -> purchase within 7 days
+    // of each user's first view; per-step match timestamps ride the hash
+    "events_funnel" -> ((s, d) =>
+      graft.ext.Events.funnel(events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), windowSeconds = 604800L)
+        .withColumnRenamed("user", "user_id")),
     "json_extract_props" -> ((s, d) =>
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
@@ -2645,6 +2651,28 @@ object Queries {
         |UNION ALL SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props) FROM events""".stripMargin,
     "json_extract_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    // first-touch funnel: the same greedy min-filter chain; step k+1
+    // strictly after step k, no later than first-view + 7 days
+    "events_funnel" ->
+      """WITH f AS (SELECT user_id, event_type, ts FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS ts_1 FROM f
+        |        WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.ts_1, min(f.ts) AS ts_2
+        |         FROM s1 LEFT JOIN f ON f.user_id = s1.user_id
+        |              AND f.event_type = 'click' AND f.ts > s1.ts_1
+        |              AND f.ts <= s1.ts_1 + INTERVAL 604800 SECOND
+        |        GROUP BY s1.user_id, s1.ts_1),
+        |s3 AS (SELECT s2.user_id, s2.ts_1, s2.ts_2, min(f.ts) AS ts_3
+        |         FROM s2 LEFT JOIN f ON f.user_id = s2.user_id
+        |              AND f.event_type = 'purchase' AND f.ts > s2.ts_2
+        |              AND f.ts <= s2.ts_1 + INTERVAL 604800 SECOND
+        |        GROUP BY s2.user_id, s2.ts_1, s2.ts_2)
+        |SELECT user_id, ts_1, ts_2, ts_3,
+        |       1 + (CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END) AS steps_completed,
+        |       ts_3 IS NOT NULL AS converted
+        |  FROM s3""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(text, '\s+')) AS n_tokens,
