@@ -439,6 +439,53 @@ object ScaleSmoke {
       require(rounds < 25, s"star contraction took $rounds rounds on the 1M path")
     }
 
+    // distributed PageRank (the gate's graph takes the driver fast path;
+    // 3M edges forces the round loop). A 3-regular circulant digraph has
+    // the exact uniform stationary distribution — every round must return
+    // it unchanged, so ANY drift is an operator bug, not convergence slack
+    time("PageRank, 1M-node 3-regular circulant, 10 rounds") {
+      val n = 1000000L
+      val ids = spark.range(n)
+      val edges = Seq(1L, 7L, 42L).map(k =>
+        ids.select(col("id").as("src"), ((col("id") + k) % n).as("dst")))
+        .reduce(_ unionAll _)
+      val dev = graft.ext.Graphs.pageRank(edges, "src", "dst", iterations = 10)
+        .agg(max(abs(col("rank") - lit(1.0 / n))), sum(col("rank")))
+        .as[(Double, Double)].head()
+      graft.ext.Dedup.unpersistAll()
+      println(f"[scale]   circulant: max |rank - 1/n| = ${dev._1}%.3e, mass = ${dev._2}%.9f")
+      require(dev._1 < 1e-12, s"uniform fixed point drifted: ${dev._1}")
+      require(math.abs(dev._2 - 1.0) < 1e-9, s"rank mass leaked: ${dev._2}")
+    }
+    // hub-and-spoke: 1M leaves -> one hub -> all leaves. The grouped
+    // contribution sum lands 1M in-edges on ONE dst key (the map-side
+    // combine / skew shape a real host graph's mega-hub produces), and by
+    // symmetry the whole system reduces to an exact 2-variable scalar
+    // recurrence the distributed ranks must reproduce
+    time("PageRank, 1M-leaf hub graph, 10 rounds") {
+      val n = 1000001L // leaves 0..999999, hub = 1000000
+      val leaves = spark.range(n - 1)
+      val edges = leaves.select(col("id").as("src"), lit(n - 1).as("dst"))
+        .unionAll(leaves.select(lit(n - 1).as("src"), col("id").as("dst")))
+      val ranks = graft.ext.Graphs.pageRank(edges, "src", "dst", iterations = 10)
+      val (hub, leafMin, leafMax, mass) = ranks.agg(
+        max(when(col("node") === (n - 1), col("rank"))),
+        min(when(col("node") =!= (n - 1), col("rank"))),
+        max(when(col("node") =!= (n - 1), col("rank"))),
+        sum(col("rank"))).as[(Double, Double, Double, Double)].head()
+      graft.ext.Dedup.unpersistAll()
+      var (h, r) = (1.0 / n, 1.0 / n) // the same update, collapsed by symmetry
+      for (_ <- 1 to 10) {
+        val (h2, r2) = (0.15 / n + 0.85 * (n - 1) * r, 0.15 / n + 0.85 * h / (n - 1))
+        h = h2; r = r2
+      }
+      println(f"[scale]   hub: rank $hub%.6f (recurrence $h%.6f), leaf $leafMin%.3e..$leafMax%.3e, mass $mass%.9f")
+      require(math.abs(hub - h) < 1e-6, s"hub rank $hub vs scalar recurrence $h")
+      require(math.abs(leafMin - r) < 1e-12 && math.abs(leafMax - r) < 1e-12,
+        s"leaf ranks must be uniform at $r: $leafMin..$leafMax")
+      require(math.abs(mass - 1.0) < 1e-9, s"rank mass leaked: $mass")
+    }
+
     // ---- similarity at 20k vectors ----
     val cp = time("cosine pairs 20k vectors") {
       val n = graft.ext.Similarity.cosinePairs(bigEmb, "vec_id", "embedding", 0.9).count()
