@@ -1231,6 +1231,10 @@ object Queries {
       TextAnalysis.unigramSurprisal(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_surprisal"), 6).as("avg_surprisal"))),
+    // BM25 top-25 for a fixed three-term query — rounded-score ranking so
+    // the selected SET is engine-independent at the cutoff
+    "text_bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), "fast hash join", topK = 25)),
     // Stupid-Backoff bigram surprisal under a reference-slice LM (every
     // tenth doc, the novelty convention) — the count-table form of the
     // CCNet perplexity filter; 6 decimals like every ln-based gate
@@ -2983,6 +2987,25 @@ object Queries {
         |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
         |  FROM tok JOIN f USING (w), n
         | GROUP BY tok.doc_id""".stripMargin,
+    // BM25 re-derived with IEEE-identical arithmetic: long ops stay long
+    // until the first 0.5 add; avgdl is one double division of exact
+    // integer sum/count; Lucene +1 idf; rounded-score ranking at the cutoff
+    "text_bm25_search" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |st AS (SELECT count(*) AS n,
+        |              CAST(sum(len(t)) AS DOUBLE) / count(len(t)) AS avgdl FROM d),
+        |p AS (SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+        |        FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM d) x
+        |       WHERE w IN ('fast', 'hash', 'join') GROUP BY doc_id, w),
+        |f AS (SELECT w, count(*) AS df FROM p GROUP BY w),
+        |sc AS (SELECT p.doc_id,
+        |              ln((CAST(st.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+        |              * (p.tf * CAST(2.2 AS DOUBLE))
+        |              / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * p.dl / st.avgdl)) AS s
+        |         FROM p JOIN f USING (w), st)
+        |SELECT doc_id, round(sum(s), 6) AS score
+        |  FROM sc GROUP BY doc_id
+        | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     // Stupid Backoff re-derived: bigram count over unigram-context count
     // when the reference saw the pair, else alpha * add-one unigram;
     // identical CAST/paren structure so the doubles match bit-for-bit

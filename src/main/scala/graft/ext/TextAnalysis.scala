@@ -133,6 +133,68 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * BM25 document ranking for one query (Robertson & Zaragoza 2009; the
+   * Lucene `+1` idf variant, which keeps every term's idf positive where
+   * classic BM25 goes negative past df > N/2) — the lexical side of
+   * retrieval: the standard counterpart to [[Similarity]]'s embedding
+   * search, and the usual first-stage candidate generator for lexical
+   * hard-negative mining (BM25 negatives are the DPR paper's own choice).
+   *
+   *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *   idf(t)   = ln( (N − df + 0.5) / (df + 0.5) + 1 )
+   *
+   * with `dl` the document's token count, `avgdl` its mean over documents
+   * WITH text, and `N` the corpus document count (NULL-text documents
+   * count toward `N` — they are real, merely empty — but not toward
+   * `avgdl`, and can never match). Query terms
+   * are deduplicated: BM25 term saturation models repeated DOCUMENT
+   * occurrences; a repeated QUERY word is conventionally one term.
+   *
+   * Returns the `topK` `(idCol, score)` rows by `round(score, 6)`
+   * descending, id ascending — ROUNDED ranking, because raw double scores
+   * differ across engines in ulps (ln/avg/sum order), and a tie at the
+   * cutoff would otherwise make the selected SET engine-dependent, not
+   * just the order.
+   *
+   * Scale shape: the corpus explodes its tokens ONCE and the
+   * `isin(query terms)` filter applies BEFORE the `(doc, term)` shuffle,
+   * so only matching postings move; `df` aggregates from the same
+   * filtered stream; `N` and `avgdl` are a one-row broadcast; the final
+   * top-k is Spark's TakeOrdered (per-partition heaps, no global sort).
+   */
+  def bm25(docs: DataFrame, query: String, idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25 parameters out of range: k1=$k1 b=$b")
+    require(topK > 0, s"topK must be positive: $topK")
+    val qTerms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25 query has no terms")
+    // avgdl as ONE double division over exact integer sum/count — an
+    // incremental double `avg` would differ across engines in ulps and
+    // avgdl multiplies into every score
+    val tl = size(tokens(col(textCol)))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      (sum(tl).cast("double") / count(tl)).as("__avgdl"))
+    val postings = docs
+      .select(col(idCol), size(tokens(col(textCol))).as("__dl"),
+        explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isin(qTerms: _*))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"), min(col("__dl")).as("__dl"))
+    val df = postings.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val scored = postings.join(graft.ops.Ops.hintIfSmall(df), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)) *
+          (col("__tf") * lit(k1 + 1.0)).cast("double") /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("score"))
+    scored.orderBy(col("score").desc, col(idCol).asc).limit(topK)
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * normalization-stable document signature (token order and duplication
     * insensitive). Useful as a cheap exact-dedup key at scale. */

@@ -380,6 +380,42 @@ class TextMultimodalSpec extends AnyFunSuite {
       TextAnalysis.bigramSurprisal(docs, ref, "doc_id", "text", alpha = 0.0))
   }
 
+  test("bm25: exact formula, saturation, length normalization, ties, query dedup") {
+    val corpus = Seq((1L, "x x y"), (2L, "x z"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // N=3 (null doc counts), avgdl = (3+2)/2 = 2.5 (null doc does not)
+    val idfX = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(tf: Long, dl: Long) =
+      idfX * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5))
+    val got = TextAnalysis.bm25(corpus, "x q", topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L)) // q unseen anywhere; doc 3 cannot match
+    assert(got(1L) == math.rint(s(2, 3) * 1e6) / 1e6)
+    assert(got(2L) == math.rint(s(1, 2) * 1e6) / 1e6)
+    // query-term dedup: "x x" scores identically to "x"
+    val once = TextAnalysis.bm25(corpus, "x", topK = 10).as[(Long, Double)].collect().toMap
+    val twice = TextAnalysis.bm25(corpus, "x x", topK = 10).as[(Long, Double)].collect().toMap
+    assert(once == twice)
+    // saturation: doubling tf far less than doubles the score (k1 finite)...
+    assert(got(1L) < 2 * got(2L) * s(1, 3) / s(1, 2)) // tf 2 vs 1 at equal length
+    // ...and k1=0 collapses the tf term entirely: score == idf for ANY tf
+    val k0 = TextAnalysis.bm25(corpus, "x", k1 = 0.0, topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(k0(1L) == k0(2L) && k0(1L) == math.rint(idfX * 1e6) / 1e6)
+    // b=0 removes length normalization: same tf => same score despite dl
+    val b0 = TextAnalysis.bm25(Seq((1L, "x a a a a a a"), (2L, "x b")).toDF("doc_id", "text"),
+      "x", b = 0.0, topK = 10).as[(Long, Double)].collect().toMap
+    assert(b0(1L) == b0(2L))
+    // deterministic cutoff: three identical docs, topK=2 keeps the lower ids
+    val ties = TextAnalysis.bm25(
+      Seq((7L, "x"), (5L, "x"), (9L, "x")).toDF("doc_id", "text"), "x", topK = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(ties == Set(5L, 7L))
+    intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "  "))
+    intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", b = 1.5))
+    intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
+  }
+
   test("bpeTrain learns Sennrich's classic merge order; bpeSegment reassembles words") {
     // 5x low, 2x lower, 6x newest, 3x widest — the paper's worked example.
     // Pair counts: (e,s)=(s,t)=(t,</w>)=9 tie -> lexicographic left wins.
