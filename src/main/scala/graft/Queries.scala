@@ -41,6 +41,17 @@ object Queries {
   private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
   private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
+  /** Per-user event-type transition digraph, weights = transition counts —
+    * the fixture's natural graph, shared by the `graph_*` gates. */
+  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_type"), lead("event_type", 1).over(w).as("__next"))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("src"), col("__next").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
   /** SQL twin of [[synthUrls]] (a CTE named `u`), used by both
     * `text_url_*` oracles. */
   private val synthUrlSql =
@@ -1544,14 +1555,16 @@ object Queries {
     // centrality prior of crawl curation, exercised on the fixture's only
     // natural digraph); 10 fixed rounds, weights = transition counts; ranks
     // rounded at 6 (keyed-sum order differs by ulps across engines)
-    "graph_pagerank" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = events(s, d)
-        .select(col("event_type"), lead("event_type", 1).over(w).as("__next"))
-        .filter(col("__next").isNotNull)
-        .groupBy(col("event_type").as("src"), col("__next").as("dst"))
-        .agg(count(lit(1)).cast("double").as("w"))
-      Graphs.pageRank(trans, "src", "dst", iterations = 10, weightCol = Some("w"))
+    "graph_pagerank" -> ((s, d) =>
+      Graphs.pageRank(eventTransitions(s, d), "src", "dst", iterations = 10,
+          weightCol = Some("w"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))),
+    // TrustRank over the same digraph: teleport pinned to two seed types —
+    // the seeded host-trust variant (link farms off the seed cone rank 0)
+    "graph_trustrank" -> ((s, d) => {
+      val seeds = { import s.implicits._; Seq("view", "signup").toDF("etype") }
+      Graphs.trustRank(eventTransitions(s, d), "src", "dst", seeds, "etype",
+          iterations = 10, weightCol = Some("w"))
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
@@ -2163,13 +2176,15 @@ object Queries {
        |  UNION
        |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node)""".stripMargin
 
-  /** `graph_pagerank` oracle: the 10 PageRank rounds unrolled as chained
-    * MATERIALIZED CTEs (the `text_bpe_merges` fixpoint technique) — each
-    * round recomputes dangling mass, in-edge contributions, and the
-    * damped update with the SAME IEEE double arithmetic as the operator
-    * (explicit DOUBLE casts; `(1.0 − 0.85)` left as a subtraction so both
-    * engines evaluate the identical ulp). */
-  private val pageRankSql: String = {
+  /** `graph_pagerank` / `graph_trustrank` oracles: the 10 rank rounds
+    * unrolled as chained MATERIALIZED CTEs (the `text_bpe_merges` fixpoint
+    * technique) — each round recomputes dangling mass, in-edge
+    * contributions, and the damped update with the SAME IEEE double
+    * arithmetic as the operator (explicit DOUBLE casts; `(1.0 − 0.85)`
+    * left as a subtraction so both engines evaluate the identical ulp;
+    * uniform teleport spelled as DIVISIONS by n, seeded teleport as
+    * MULTIPLICATIONS by tp — matching the two code paths exactly). */
+  private def rankSql(seeds: Option[Seq[String]]): String = {
     val head =
       """WITH s AS (SELECT event_type,
         |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
@@ -2179,21 +2194,42 @@ object Queries {
         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
         |t AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn)""".stripMargin
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""".stripMargin
+    val init = seeds match {
+      case None =>
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn)"
+      case Some(ss) =>
+        val list = ss.map(x => s"'$x'").mkString(", ")
+        s"""sn AS (SELECT CAST(count(*) AS DOUBLE) AS sn FROM nodes WHERE node IN ($list)),
+           |tp AS MATERIALIZED (SELECT node, CASE WHEN node IN ($list)
+           |        THEN CAST(1.0 AS DOUBLE) / sn ELSE CAST(0 AS DOUBLE) END AS tp
+           |        FROM nodes, sn),
+           |r0 AS MATERIALIZED (SELECT node, tp AS rank FROM tp)""".stripMargin
+    }
     val rounds = (1 to 10).map { i =>
       val p = i - 1
-      s"""d$p AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
-         |          FROM r$p WHERE node NOT IN (SELECT src FROM t)),
-         |c$p AS (SELECT t.dst AS node, sum(r$p.rank * t.p) AS c
-         |          FROM r$p JOIN t ON r$p.node = t.src GROUP BY t.dst),
-         |r$i AS MATERIALIZED (SELECT nodes.node,
-         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-         |         + CAST(0.85 AS DOUBLE) * (coalesce(c$p.c, CAST(0 AS DOUBLE)) + d$p.dm / nn.n) AS rank
-         |         FROM nodes CROSS JOIN nn CROSS JOIN d$p
-         |         LEFT JOIN c$p ON nodes.node = c$p.node)""".stripMargin
+      val shared =
+        s"""d$p AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+           |          FROM r$p WHERE node NOT IN (SELECT src FROM t)),
+           |c$p AS (SELECT t.dst AS node, sum(r$p.rank * t.p) AS c
+           |          FROM r$p JOIN t ON r$p.node = t.src GROUP BY t.dst),""".stripMargin
+      val update = seeds match {
+        case None =>
+          s"""r$i AS MATERIALIZED (SELECT nodes.node,
+             |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             |         + CAST(0.85 AS DOUBLE) * (coalesce(c$p.c, CAST(0 AS DOUBLE)) + d$p.dm / nn.n) AS rank
+             |         FROM nodes CROSS JOIN nn CROSS JOIN d$p
+             |         LEFT JOIN c$p ON nodes.node = c$p.node)""".stripMargin
+        case Some(_) =>
+          s"""r$i AS MATERIALIZED (SELECT tp.node,
+             |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tp.tp
+             |         + CAST(0.85 AS DOUBLE) * (coalesce(c$p.c, CAST(0 AS DOUBLE)) + d$p.dm * tp.tp) AS rank
+             |         FROM tp CROSS JOIN d$p
+             |         LEFT JOIN c$p ON tp.node = c$p.node)""".stripMargin
+      }
+      s"$shared\n$update"
     }.mkString(",\n")
-    s"$head,\n$rounds\nSELECT node, round(rank, 6) AS rank FROM r10"
+    s"$head,\n$init,\n$rounds\nSELECT node, round(rank, 6) AS rank FROM r10"
   }
 
   private val dedupClustersSql =
@@ -3314,7 +3350,8 @@ object Queries {
          |        FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, containment FROM c WHERE containment >= 0.9""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
-    "graph_pagerank" -> pageRankSql,
+    "graph_pagerank" -> rankSql(None),
+    "graph_trustrank" -> rankSql(Some(Seq("view", "signup"))),
     "dedup_simhash" ->
       // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical
       // to Dedup.md5TokenHash), per-bit majority vote, hamming ≤ 3 pairs

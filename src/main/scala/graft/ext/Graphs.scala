@@ -70,23 +70,7 @@ object Graphs {
       localEdgeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 0, s"iterations must be non-negative: $iterations")
     require(damping >= 0.0 && damping <= 1.0, s"damping out of [0,1]: $damping")
-    val dtS = edges.schema(edges.schema.fieldIndex(srcCol)).dataType
-    val dtD = edges.schema(edges.schema.fieldIndex(dstCol)).dataType
-    require(dtS == dtD,
-      s"pageRank endpoint columns must share one id type: $srcCol is $dtS, $dstCol is $dtD")
-    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    // the cleaned edge list is the one frame EVERY derived frame (nodes,
-    // transitions, dangling) re-reads — cached so an expensive edge
-    // derivation upstream (a window over an event log, a parsed crawl)
-    // computes once, not once per consumer
-    val e = Caches.track(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
-        .filter(col("__src").isNotNull && col("__dst").isNotNull && col("__w") > 0.0))
-    // transition probabilities: parallel edges merged, then w / outw(src)
-    val merged = e.groupBy("__src", "__dst").agg(sum("__w").as("__w"))
-    val outW = merged.groupBy("__src").agg(sum("__w").as("__ow"))
-    val trans = Caches.track(merged.join(outW, "__src")
-      .select(col("__src"), col("__dst"), (col("__w") / col("__ow")).as("__p")))
+    val trans = transitions(edges, srcCol, dstCol, weightCol)
     // small-graph fast path (the [[Dedup.connectedComponents]] gate, same
     // rationale): when the MERGED edge list fits driver memory, 10–20
     // distributed rounds of checkpoint + broadcast machinery cost ~5× the
@@ -99,9 +83,7 @@ object Graphs {
     // both paths to the same ranks).
     if (trans.count() <= localEdgeLimit)
       return localPageRank(trans, iterations, damping)
-    val nodes = Caches.track(
-      e.select(col("__src").as("node")).union(e.select(col("__dst").as("node")))
-        .distinct())
+    val nodes = nodeSpine(trans)
     // nodes without out-edges: their rank teleports uniformly each round
     val dangling = Caches.track(
       nodes.join(trans.select(col("__src").as("node")), Seq("node"), "left_anti"))
@@ -130,6 +112,102 @@ object Graphs {
     Caches.registerCheckpoint(ranks) // the survivor releases with unpersistAll
   }
 
+  /**
+   * TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank with the
+   * teleport concentrated on a curated SEED set instead of spread
+   * uniformly — trust flows outward from hand-vetted hosts, so link farms
+   * far from any seed rank near zero however densely they cite each
+   * other. The crawl-curation companion to [[pageRank]]: uniform ranks
+   * say "important", seeded ranks say "reachable from what we trust".
+   *
+   *   rank'(v) = (1−d)·tp(v) + d·( Σ in-contrib + danglingMass·tp(v) )
+   *   tp(v)    = 1/|S ∩ V| for seed nodes present in the graph, else 0
+   *
+   * Ranks start AT `tp` and dangling mass teleports to the seeds, so the
+   * distribution stays stochastic (sums to exactly 1) every round. Seeds
+   * not present in the graph are ignored (they can neither receive nor
+   * forward trust); at least one seed must be a graph node. Same edge
+   * hygiene, fast-path gate, per-round truncation, and driver-scalar
+   * budget as [[pageRank]] — the seed membership column rides the cached
+   * node spine, costing one broadcast semi-join at build.
+   */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int = 20,
+      damping: Double = 0.85, weightCol: Option[String] = None,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be non-negative: $iterations")
+    require(damping >= 0.0 && damping <= 1.0, s"damping out of [0,1]: $damping")
+    val seedSet = Caches.track(seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull).distinct())
+    val trans = transitions(edges, srcCol, dstCol, weightCol)
+    if (trans.count() <= localEdgeLimit) {
+      // graph-member filtering happens inside against the collected spine
+      val localSeeds = seedSet.collect().map(_.get(0)).toSet
+      return localRankLoop(trans, iterations, damping, Some(localSeeds))
+    }
+    val nodes = nodeSpine(trans)
+    val dangling = Caches.track(
+      nodes.join(trans.select(col("__src").as("node")), Seq("node"), "left_anti"))
+    val sN: Long = nodes.join(seedSet, Seq("node"), "left_semi").count()
+    require(sN > 0, "trustRank: no seed is a node of the graph — nothing to teleport to")
+    // the teleport column rides the cached spine: 1/|S∩V| on seeds, 0 off
+    val spine = Caches.track(nodes
+      .join(seedSet.select(col("node"), lit(1).as("__isSeed")), Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("__isSeed").isNotNull, lit(1.0 / sN)).otherwise(lit(0.0)).as("__tp")))
+    val hasDangling = !dangling.isEmpty
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var ranks = truncate(spine.select(col("node"), col("__tp").as("rank")))
+    for (_ <- 1 to iterations) {
+      val dm: Double =
+        if (!hasDangling) 0.0
+        else ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contrib = ranks.join(trans, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") * col("__p")).as("__c"))
+      val next = truncate(spine.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__tp") +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(dm) * col("__tp")))
+            .as("rank")))
+      Caches.releaseCheckpoint(ranks)
+      ranks = next
+    }
+    Caches.registerCheckpoint(ranks)
+  }
+
+  /** Cleaned, merged, out-weight-normalized transition list — cached
+    * hash-partitioned on `__src` so every rank round's join reuses the
+    * layout and only the (smaller) rank side exchanges. The cleaned edge
+    * frame itself is also cached: an expensive edge derivation upstream
+    * (a window over an event log, a parsed crawl) computes once, not once
+    * per consumer. */
+  private def transitions(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String]): DataFrame = {
+    val dtS = edges.schema(edges.schema.fieldIndex(srcCol)).dataType
+    val dtD = edges.schema(edges.schema.fieldIndex(dstCol)).dataType
+    require(dtS == dtD,
+      s"graph endpoint columns must share one id type: $srcCol is $dtS, $dstCol is $dtD")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = Caches.track(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull && col("__w") > 0.0))
+    val merged = e.groupBy("__src", "__dst").agg(sum("__w").as("__w"))
+    val outW = merged.groupBy("__src").agg(sum("__w").as("__ow"))
+    Caches.track(merged.join(outW, "__src")
+      .select(col("__src"), col("__dst"), (col("__w") / col("__ow")).as("__p"))
+      .repartition(col("__src")))
+  }
+
+  /** Distinct node set of a transition list (every node appears in it —
+    * dropped-edge endpoints are not nodes). */
+  private def nodeSpine(trans: DataFrame): DataFrame = Caches.track(
+    trans.select(col("__src").as("node"))
+      .union(trans.select(col("__dst").as("node"))).distinct())
+
   /** Driver-side rank loop over a collected transition list (the
     * small-graph fast path of [[pageRank]]). Same update formula, same
     * IEEE double operations; edges iterate in a SORTED order so the
@@ -138,7 +216,16 @@ object Graphs {
     * across engines round them, as the update's own compounding demands
     * anyway). */
   private def localPageRank(trans: DataFrame,
-      iterations: Int, damping: Double): DataFrame = {
+      iterations: Int, damping: Double): DataFrame =
+    localRankLoop(trans, iterations, damping, None)
+
+  /** The shared driver loop: uniform teleport when `seeds` is None —
+    * arithmetic kept EXACTLY as the distributed uniform loop spells it
+    * (`(1−d)/n` and `dm/n` as divisions; multiplying by a reciprocal
+    * instead differs in ulps and the gate hashes ride on parity) —
+    * seed-set teleport ([[trustRank]] semantics) when Some. */
+  private def localRankLoop(trans: DataFrame, iterations: Int,
+      damping: Double, seeds: Option[Set[Any]]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = trans.sparkSession
@@ -158,14 +245,26 @@ object Graphs {
       .sortBy(e => (e._1, e._2))
     val hasOut = edges.map(_._1).toSet
     val danglingIdx = (0 until n).filterNot(hasOut).toArray
-    var rank = Array.fill(n)(1.0 / n)
+    val tp: Array[Double] = seeds match {
+      case None => Array.fill(n)(1.0 / n) // uniform init doubles as teleport
+      case Some(s) =>
+        val inGraph = nodeArr.count(s.contains)
+        require(inGraph > 0,
+          "trustRank: no seed is a node of the graph — nothing to teleport to")
+        nodeArr.map(nd => if (s.contains(nd)) 1.0 / inGraph else 0.0)
+    }
+    var rank = tp.clone()
     for (_ <- 1 to iterations) {
       var dm = 0.0
       danglingIdx.foreach(i => dm += rank(i))
       val contrib = new Array[Double](n)
       edges.foreach { case (s, d, p) => contrib(d) += rank(s) * p }
-      rank = Array.tabulate(n)(i =>
-        (1.0 - damping) / n + damping * (contrib(i) + dm / n))
+      rank = seeds match {
+        case None => Array.tabulate(n)(i =>
+          (1.0 - damping) / n + damping * (contrib(i) + dm / n))
+        case Some(_) => Array.tabulate(n)(i =>
+          (1.0 - damping) * tp(i) + damping * (contrib(i) + dm * tp(i)))
+      }
     }
     val rows: java.util.List[Row] = java.util.Arrays.asList(
       nodeArr.zip(rank).map { case (nd, r) => Row(nd, r) }: _*)

@@ -96,6 +96,80 @@ class GraphsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graphs.pageRank(dirty, "s", "t", 1, 1.5))
   }
 
+  /** The TrustRank scalar reference: teleport on the seed set only. */
+  private def referenceTrust(edges: Seq[(String, String, Double)],
+      seeds: Set[String], iterations: Int, d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val inGraph = nodes.count(seeds)
+    val tp = nodes.map(v => v -> (if (seeds(v)) 1.0 / inGraph else 0.0)).toMap
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val byDst = edges.groupBy(_._2)
+    var rank = tp
+    for (_ <- 1 to iterations) {
+      val dm = nodes.filterNot(outW.contains).map(rank).sum
+      rank = nodes.map { v =>
+        val in = byDst.getOrElse(v, Nil)
+          .map { case (u, _, w) => rank(u) * w / outW(u) }.sum
+        v -> ((1 - d) * tp(v) + d * (in + dm * tp(v)))
+      }.toMap
+    }
+    rank
+  }
+
+  private def runTrust(edges: Seq[(String, String, Double)], seeds: Seq[String],
+      iterations: Int, localLimit: Long = 1000000L): Map[String, Double] = {
+    val df = edges.toDF("s", "t", "w")
+    val sf = seeds.toDF("h")
+    val got = Graphs.trustRank(df, "s", "t", sf, "h", iterations, 0.85,
+        Some("w"), localEdgeLimit = localLimit)
+      .as[(String, Double)].collect().toMap
+    Caches.unpersistAll()
+    got
+  }
+
+  test("trustRank: seeded teleport matches the scalar reference; mass conserved; trust is local") {
+    // a,b,c,d linked; e<->f is a 'link farm' unreachable from the seeds
+    val edges = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+      ("b", "c", 1.0), ("d", "a", 2.0), ("e", "f", 1.0), ("f", "e", 1.0))
+    for (iters <- Seq(0, 1, 7)) {
+      val got = runTrust(edges, Seq("a"), iters)
+      assertClose(got, referenceTrust(edges, Set("a"), iters, 0.85))
+      assert(math.abs(got.values.sum - 1.0) < 1e-12, s"iters=$iters mass leak")
+    }
+    val got = runTrust(edges, Seq("a"), 7)
+    // the farm cites only itself and no seed reaches it: rank EXACTLY zero
+    assert(got("e") == 0.0 && got("f") == 0.0)
+    // d has no in-edges and is no seed: zero too; the seed side holds all mass
+    assert(got("d") == 0.0 && got("a") > 0.2)
+    // iterations=0 returns the teleport vector itself
+    assert(runTrust(edges, Seq("a"), 0) ==
+      Map("a" -> 1.0, "b" -> 0.0, "c" -> 0.0, "d" -> 0.0, "e" -> 0.0, "f" -> 0.0))
+  }
+
+  test("trustRank: dangling mass teleports to seeds; off-graph seeds ignored; no-seed errors") {
+    // c is dangling — its mass must flow back to the seed, not uniformly
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0))
+    val got = runTrust(edges, Seq("a"), 5)
+    assertClose(got, referenceTrust(edges, Set("a"), 5, 0.85))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // a seed absent from the graph changes nothing (|S ∩ V| basis)
+    assert(runTrust(edges, Seq("a", "zz"), 5) == got)
+    // two seeds split the teleport
+    assertClose(runTrust(edges, Seq("a", "b"), 4),
+      referenceTrust(edges, Set("a", "b"), 4, 0.85))
+    intercept[IllegalArgumentException](runTrust(edges, Seq("zz"), 3))
+    intercept[IllegalArgumentException](runTrust(edges, Seq("zz"), 3, localLimit = 0L))
+  }
+
+  test("trustRank: distributed path (localEdgeLimit=0) agrees with the local fast path") {
+    val edges = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+      ("b", "c", 1.0), ("d", "a", 2.0), ("e", "f", 1.0), ("f", "e", 1.0))
+    val dist = runTrust(edges, Seq("a", "d"), 6, localLimit = 0L)
+    val local = runTrust(edges, Seq("a", "d"), 6)
+    assert(dist.keySet == local.keySet)
+    dist.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-12, s"$k differs") }
+  }
+
   test("pageRank: partitioning-invariant and deterministic across runs") {
     val edges = (0 until 40).map(i => (s"n${i % 10}", s"n${(i * 7 + 3) % 10}", 1.0 + i % 3))
     val a = run(edges, 8)
