@@ -1372,6 +1372,11 @@ object Queries {
     // strided over 8 shards — same shard/pos on any engine or partitioning
     "sampling_shuffle_shards" -> ((s, d) =>
       Sampling.shuffleToShards(docs(s, d).select("doc_id"), "doc_id", 8)),
+    // exactly-100 weighted sample (Efraimidis-Spirakis keys over the
+    // portable id hash), length-proportional odds under a firm budget
+    "sampling_weighted_k" -> ((s, d) =>
+      Sampling.weightedSampleK(docs(s, d), "doc_id", "n_chars", 100)
+        .select("doc_id", "lang", "n_chars")),
     // equal-frequency discretization: order-price deciles; thresholds are
     // exact interpolated percentiles (≡ quantile_cont) and on-threshold
     // values fall LOWER — boundary-safe here because 2-decimal price gaps
@@ -2955,6 +2960,17 @@ object Queries {
          |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
          |  FROM documents d JOIN r USING (lang)
          | WHERE CAST(${duckIdHash("doc_id")} % 1000000 AS DOUBLE) < rate * 1000000""".stripMargin,
+    // ES keys re-derived: hash-uniform u strictly inside (0,1), ln(u)/w,
+    // rounded-key ranking with id tiebreak for an engine-independent cutoff
+    "sampling_weighted_k" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |         round(ln((CAST(${duckIdHash("doc_id")} % 1000000 AS DOUBLE) + 0.5)
+         |                  / 1000000.0) / CAST(n_chars AS DOUBLE), 9) AS k
+         |    FROM documents
+         |   WHERE doc_id IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+         |     AND NOT isnan(CAST(n_chars AS DOUBLE))) x
+         | ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
     // the seeded hash is idHash("<id>:<seed>") — spelled as the same md5
     // construction with the ':0' literal concatenated before hashing
     "sampling_shuffle_shards" ->

@@ -411,6 +411,45 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement, exactly `k` rows (Efraimidis &
+   * Spirakis 2006): each row draws key `ln(u)/w` from its deterministic
+   * hash-uniform `u ∈ (0,1)` and the `k` LARGEST keys win — the classic
+   * one-pass weighted reservoir, here rank-ordered so it is deterministic
+   * and engine-portable like every sampler in this module.
+   * [[weightedFraction]] keeps each row independently (output SIZE is
+   * binomial); this returns exactly `k` — the "pick exactly 10 k docs,
+   * quality-proportional" curation call, where inclusion odds scale with
+   * `weightCol` but the budget is firm.
+   *
+   * Determinism contract (mirrored in the SQL twin): `u = (idHash(id) mod
+   * 10^6 + 0.5) / 10^6` (the +0.5 keeps u strictly inside (0,1) — ln(0)
+   * is −∞), key = `ln(u)/w`, ranking by `round(key, 9)` descending then
+   * id ascending — ROUNDED ranking because `ln` differs across libms in
+   * ulps and a cutoff tie would otherwise make the selected SET
+   * engine-dependent ([[graft.ext.TextAnalysis.bm25]]'s cutoff rule).
+   * Rows with NULL, NaN, zero, or negative weight are excluded (they have
+   * no sampling odds — and NaN needs saying: Spark and DuckDB both order
+   * NaN ABOVE every number, so `> 0` alone would let a NaN weight through
+   * to a NaN key); NULL ids have no hash and are excluded with them.
+   *
+   * Scale shape: one per-row projection + Spark's TakeOrdered top-k
+   * (per-partition heaps) — no global sort, no shuffle beyond the k-row
+   * result. Returns the input columns unchanged.
+   */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val key = freshCol(df, "__eskey")
+    val u = (idHash(col(idCol)) % 1000000L + lit(0.5)) / lit(1000000.0)
+    df.filter(col(idCol).isNotNull && col(weightCol).cast("double") > 0.0 &&
+        !isnan(col(weightCol).cast("double")))
+      .withColumn(key, round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col(key).desc, col(idCol).asc)
+      .limit(k)
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
+  /**
    * Deterministic global corpus shuffle with strided shard assignment —
    * the "shuffle the corpus once, then stream shards in order" step every
    * pre-training run performs before sequence packing (gradient quality

@@ -277,6 +277,42 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.temperatureSample(df, "dom", "id", alpha = 0.5, budget = 0L))
   }
 
+  test("weightedSampleK: exact ES selection, firm k, weight-scale invariance, hygiene") {
+    def md5Hash(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // the reference selection, independently derived (same rounded ranking)
+    val rows = docs.select("doc_id", "n_chars").as[(Long, Long)].collect().toSeq
+    def key(id: Long, w: Double) =
+      math.rint(math.log((md5Hash(id) % 1000000L + 0.5) / 1000000.0) / w * 1e9) / 1e9
+    val expect = rows.filter(_._2 > 0)
+      .sortBy { case (id, w) => (-key(id, w.toDouble), id) }.take(50).map(_._1).toSet
+    val got = Sampling.weightedSampleK(docs, "doc_id", "n_chars", 50)
+      .select("doc_id").as[Long].collect()
+    assert(got.length == 50 && got.toSet == expect)
+    // uniform weight scaling preserves the ES ranking: identical sample
+    val scaled = Sampling.weightedSampleK(
+        docs.withColumn("w2", col("n_chars") * 1000.0), "doc_id", "w2", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scaled == got.toSet)
+    // extreme weights force inclusion: ln(u)/1e9 always beats ln(u)/0.001
+    val forced = (1L to 5L).map((_, 1e9)) ++ (6L to 30L).map((_, 0.001))
+    val fGot = Sampling.weightedSampleK(forced.toDF("id", "w"), "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(fGot == (1L to 5L).toSet)
+    // NULL / zero / negative weights and NULL ids carry no odds
+    val dirty = Seq((1L, 10.0), (2L, 0.0), (3L, -4.0),
+        (4L, Double.NaN), (5L, 10.0)).toDF("id", "w")
+      .union(Seq((0L, 0.0)).toDF("id", "w")
+        .select(lit(null).cast("long").as("id"), lit(10.0).as("w")))
+    val dGot = Sampling.weightedSampleK(dirty, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(dGot == Set(1L, 5L))
+    intercept[IllegalArgumentException](Sampling.weightedSampleK(dirty, "id", "w", 0))
+  }
+
   test("shuffleToShards: exact md5 permutation, balanced strides, seed and partitioning contracts") {
     def md5Ord(id: Long, seed: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
