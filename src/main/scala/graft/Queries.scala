@@ -1242,6 +1242,13 @@ object Queries {
       TextAnalysis.unigramSurprisal(docs(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_surprisal"), 6).as("avg_surprisal"))),
+    // vocabulary drift between the en and de slices: smoothed unigram KL
+    // both ways + Jensen-Shannon — the text-side PSI
+    "text_vocab_divergence" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.vocabDivergence(
+        dd.filter(col("lang") === "en"), dd.filter(col("lang") === "de"))
+    }),
     // BM25 top-25 for a fixed three-term query — rounded-score ranking so
     // the selected SET is engine-independent at the cutoff
     "text_bm25_search" -> ((s, d) =>
@@ -3039,6 +3046,26 @@ object Queries {
         |       round(avg(ln(CAST(n.n AS DOUBLE) / CAST(f.f AS DOUBLE))), 6) AS avg_surprisal
         |  FROM tok JOIN f USING (w), n
         | GROUP BY tok.doc_id""".stripMargin,
+    // smoothed-unigram divergence re-derived: add-one over the UNION
+    // vocabulary, long adds before the one double division per term
+    "text_vocab_divergence" ->
+      """WITH ca AS (SELECT w, count(*) AS c FROM (
+        |        SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |          FROM documents WHERE lang = 'en') x GROUP BY w),
+        |cb AS (SELECT w, count(*) AS c FROM (
+        |        SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |          FROM documents WHERE lang = 'de') x GROUP BY w),
+        |j AS (SELECT coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+        |        FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |t AS (SELECT sum(cca) AS na, sum(ccb) AS nb, count(*) AS v FROM j),
+        |pq AS (SELECT CAST(cca + 1 AS DOUBLE) / (na + v) AS p,
+        |              CAST(ccb + 1 AS DOUBLE) / (nb + v) AS q
+        |         FROM j, t)
+        |SELECT round(sum(p * ln(p / q)), 6) AS kl_ab,
+        |       round(sum(q * ln(q / p)), 6) AS kl_ba,
+        |       round((sum(p * ln(p / ((p + q) / 2.0)))
+        |              + sum(q * ln(q / ((p + q) / 2.0)))) / 2.0, 6) AS js
+        |  FROM pq""".stripMargin,
     // BM25 re-derived with IEEE-identical arithmetic: long ops stay long
     // until the first 0.5 add; avgdl is one double division of exact
     // integer sum/count; Lucene +1 idf; rounded-score ranking at the cutoff

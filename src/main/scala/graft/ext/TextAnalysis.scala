@@ -195,6 +195,43 @@ object TextAnalysis {
     scored.orderBy(col("score").desc, col(idCol).asc).limit(topK)
   }
 
+  /**
+   * Vocabulary divergence between two corpora: smoothed unigram KL both
+   * ways plus Jensen–Shannon — the text-side drift monitor next to
+   * [[Profiling]]'s numeric PSI (a new crawl snapshot whose JS against
+   * the previous one jumps has changed register, language mix, or
+   * boilerplate long before any downstream metric says so; Wenzek et al.
+   * use exactly this distributional lens for corpus QA).
+   *
+   * Distributions are add-one smoothed over the UNION vocabulary:
+   * `p(w) = (c_a(w)+1) / (N_a+V)` — both sides defined everywhere, so KL
+   * is finite even for disjoint vocabularies. `JS = (KL(P‖M)+KL(Q‖M))/2`
+   * with `M = (P+Q)/2`, bounded by ln 2, symmetric — the one to alert on.
+   *
+   * One row out `(kl_ab, kl_ba, js)`, rounded at 6 (Σ p·ln terms — sum
+   * order and libm ulps differ across engines). Plan: two token-count
+   * aggregations full-outer joined on the token (vocab-sized, not
+   * corpus-sized), totals as one broadcast row, ONE final aggregation.
+   */
+  def vocabDivergence(a: DataFrame, b: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, cc: String) =
+      df.select(explode(tokens(col(textCol))).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as(cc))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__w"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      count(lit(1)).as("__v"))
+    val p = (col("__ca") + lit(1L)).cast("double") / (col("__na") + col("__v"))
+    val q = (col("__cb") + lit(1L)).cast("double") / (col("__nb") + col("__v"))
+    val m = (p + q) / lit(2.0)
+    joined.crossJoin(broadcast(tot))
+      .agg(round(sum(p * log(p / q)), 6).as("kl_ab"),
+        round(sum(q * log(q / p)), 6).as("kl_ba"),
+        round((sum(p * log(p / m)) + sum(q * log(q / m))) / lit(2.0), 6).as("js"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * normalization-stable document signature (token order and duplication
     * insensitive). Useful as a cheap exact-dedup key at scale. */

@@ -18,6 +18,8 @@ class PlanSweepSpec extends AnyFunSuite {
     *    attached to every token group (a scalar, not a table);
     *  - text_bm25_search: the (N, avgdl) corpus stats are the same one-row
     *    broadcast scalar attached to the postings;
+    *  - text_vocab_divergence: the (Na, Nb, V) smoothing totals are one
+    *    broadcast row attached to the vocab-sized joined counts;
     *  - join_salted_skew: the dim side fans out across the tiny salt range
     *    (rows × 8) before the keyed join — the salting expansion itself;
     *  - sampling_temperature: the weight normalizer Σ n_d^α is a single
@@ -38,7 +40,7 @@ class PlanSweepSpec extends AnyFunSuite {
   private val broadcastAllPairsByDesign =
     Set("sim_topk", "text_tfidf", "join_salted_skew", "sampling_temperature",
       "text_surprisal", "text_bigram_surprisal", "text_bm25_search",
-      "pipeline_ccnet_buckets", "text_ce_diff",
+      "text_vocab_divergence", "pipeline_ccnet_buckets", "text_ce_diff",
       "sampling_quantile_bins", "sampling_negative_pairs",
       // hard negatives ranks the same brute-force broadcast query×corpus
       // scan as sim_topk (minus the cluster-mate anti-join)

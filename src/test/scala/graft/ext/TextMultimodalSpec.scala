@@ -416,6 +416,34 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
   }
 
+  test("vocabDivergence: exact smoothed KL/JS; zero on identical corpora; JS symmetric and bounded") {
+    // a: x x y (Na=3), b: x z (Nb=2); union vocab {x,y,z} V=3
+    // p = (2+1)/6, (1+1)/6, (0+1)/6; q = (1+1)/5, (0+1)/5, (1+1)/5
+    val a = Seq((1L, "x x"), (2L, "y")).toDF("doc_id", "text")
+    val b = Seq((3L, "x z")).toDF("doc_id", "text")
+    val p = Seq(3.0 / 6, 2.0 / 6, 1.0 / 6)
+    val q = Seq(2.0 / 5, 1.0 / 5, 2.0 / 5)
+    def kl(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (pi, qi) => pi * math.log(pi / qi) }.sum
+    val js = (kl(p, p.zip(q).map(t => (t._1 + t._2) / 2)) +
+      kl(q, p.zip(q).map(t => (t._1 + t._2) / 2))) / 2
+    val got = TextAnalysis.vocabDivergence(a, b).as[(Double, Double, Double)].head()
+    assert(math.abs(got._1 - kl(p, q)) < 1e-6 && math.abs(got._2 - kl(q, p)) < 1e-6)
+    assert(math.abs(got._3 - js) < 1e-6)
+    assert(got._3 >= 0 && got._3 <= math.log(2.0) + 1e-12) // JS in [0, ln 2]
+    // identical corpora: every divergence exactly zero
+    val same = TextAnalysis.vocabDivergence(a, a).as[(Double, Double, Double)].head()
+    assert(same == ((0.0, 0.0, 0.0)))
+    // JS is symmetric; the KLs swap
+    val rev = TextAnalysis.vocabDivergence(b, a).as[(Double, Double, Double)].head()
+    assert(rev._3 == got._3 && rev._1 == got._2 && rev._2 == got._1)
+    // disjoint vocabularies stay finite (the add-one point)
+    val dis = TextAnalysis.vocabDivergence(
+      Seq((1L, "x")).toDF("doc_id", "text"), Seq((2L, "z")).toDF("doc_id", "text"))
+      .as[(Double, Double, Double)].head()
+    assert(dis._1 > 0 && java.lang.Double.isFinite(dis._1) && dis._3 <= math.log(2.0))
+  }
+
   test("bpeTrain learns Sennrich's classic merge order; bpeSegment reassembles words") {
     // 5x low, 2x lower, 6x newest, 3x widest — the paper's worked example.
     // Pair counts: (e,s)=(s,t)=(t,</w>)=9 tie -> lexicographic left wins.
