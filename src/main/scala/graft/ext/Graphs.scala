@@ -141,8 +141,12 @@ object Graphs {
       .filter(col("node").isNotNull).distinct())
     val trans = transitions(edges, srcCol, dstCol, weightCol)
     if (trans.count() <= localEdgeLimit) {
-      // graph-member filtering happens inside against the collected spine
-      val localSeeds = seedSet.collect().map(_.get(0)).toSet
+      // collect only seeds ∩ graph BEFORE the driver hop: the graph being
+      // small says nothing about the seed LIST's size (a million-host trust
+      // file against a toy graph must not land on the driver)
+      val members = nodeSpine(trans)
+      val localSeeds = seedSet.join(members, Seq("node"), "left_semi")
+        .collect().map(_.get(0)).toSet
       return localRankLoop(trans, iterations, damping, Some(localSeeds))
     }
     val nodes = nodeSpine(trans)
