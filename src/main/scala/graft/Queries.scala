@@ -1664,6 +1664,13 @@ object Queries {
       val e = emb(s, d)
       Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // distributed Lloyd's k-means (3 recenter rounds + final assignment) —
+    // the cluster structure behind SemDeDup-style pruning and
+    // cluster-balanced sampling; every round is one codegen'd assignment
+    // map + one partial-aggregating recenter, k*dim doubles to the driver.
+    // Oracle unrolls the identical rounds as chained CTEs (kmeansSql).
+    "sim_kmeans_clusters" -> ((s, d) =>
+      ext.Clustering.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3)),
     // distributed quality-classifier training (fastText-shape logistic
     // regression, hashing-trick features — one aggregation job per step,
     // O(dim) to the driver): the label is a text-DERIVABLE property
@@ -2247,6 +2254,44 @@ object Queries {
   private val dedupClustersSql =
     s"""$clusterCtes
        |SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
+  /** `sim_kmeans_clusters` oracle: the Lloyd rounds of
+    * [[graft.ext.Clustering.kmeansAssign]] unrolled as chained MATERIALIZED
+    * CTEs (the `rankSql` fixpoint technique). Each round mirrors the
+    * operator's determinism contract exactly: cost = `round(|c|^2 - 2*v.c,
+    * scale)` with ties to the lowest cluster id (`list_sum` and
+    * `list_dot_product` are the same sequential left-to-right folds as the
+    * driver-side |c|^2 loop and the codegen'd `centroid_dots`), recentered
+    * means rounded to `scale` decimals BEFORE the next round, empty clusters
+    * keeping their previous centroid via the coalesce. */
+  private def kmeansSql(k: Int, iters: Int, scale: Int): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    def assignCte(name: String, centTable: String) =
+      s"""$name AS (SELECT vec_id, c FROM (
+         |  SELECT e.vec_id, p.c,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           round(list_sum(list_transform(p.v, x -> x * x))
+         |                 - list_dot_product(e.v, p.v) * 2.0, $scale), p.c) AS rn
+         |  FROM e CROSS JOIN $centTable p) t WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""${assignCte(s"a$i", s"c$p")},
+         |m$i AS (SELECT a.c, u.idx, round(avg(u.x), $scale) AS m
+         |          FROM a$i a JOIN (SELECT vec_id, unnest(v) AS x,
+         |                                  generate_subscripts(v, 1) AS idx FROM e) u
+         |            ON a.vec_id = u.vec_id
+         |         GROUP BY a.c, u.idx),
+         |c$i AS MATERIALIZED (SELECT p.c, coalesce(n.v, p.v) AS v
+         |         FROM c$p p LEFT JOIN (SELECT c, list(m ORDER BY idx) AS v
+         |                                 FROM m$i GROUP BY c) n ON p.c = n.c)""".stripMargin
+    }.mkString(",\n")
+    val fin = assignCte("af", s"c$iters")
+    s"$head,\n$rounds,\n$fin\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM af"
+  }
 
   /** The engine's 60-bit portable id hash ([[Sampling.idHash]]) spelled in
     * DuckDB — bit-identical to Spark's `conv(substring(md5(..),1,15),16,10)`. */
@@ -3492,6 +3537,7 @@ object Queries {
         |                       generate_subscripts(embedding, 1) AS idx
         |                  FROM embeddings) t) s""".stripMargin,
     "sim_topk" -> bruteForceTopKSql,
+    "sim_kmeans_clusters" -> kmeansSql(8, 3, 6),
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "sim_ann_ivf_persisted" -> bruteForceTopKSql, // persisted index, same exact point
     "sim_ann_ivf_persisted_grow" -> bruteForceTopKSql, // grown index, same exact point
