@@ -1671,6 +1671,15 @@ object Queries {
     // Oracle unrolls the identical rounds as chained CTEs (kmeansSql).
     "sim_kmeans_clusters" -> ((s, d) =>
       ext.Clustering.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3)),
+    // cluster-balanced curation: cap every k-means cluster's contribution at
+    // the same per-cluster sample (deterministic (idHash, id) order) — the
+    // topic-flattening composition the SemDeDup/data-mixing recipes run
+    // between clustering and training-set assembly. Composes the two gated
+    // primitives; the oracle chains their oracles the same way.
+    "sampling_cluster_balanced" -> ((s, d) =>
+      Sampling.stratified(
+        ext.Clustering.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3),
+        "cluster", "vec_id", 25)),
     // distributed quality-classifier training (fastText-shape logistic
     // regression, hashing-trick features — one aggregation job per step,
     // O(dim) to the driver): the label is a text-DERIVABLE property
@@ -2264,7 +2273,7 @@ object Queries {
     * driver-side |c|^2 loop and the codegen'd `centroid_dots`), recentered
     * means rounded to `scale` decimals BEFORE the next round, empty clusters
     * keeping their previous centroid via the coalesce. */
-  private def kmeansSql(k: Int, iters: Int, scale: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, scale: Int): (String, String) = {
     val head =
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          |       FROM embeddings WHERE embedding IS NOT NULL),
@@ -2290,7 +2299,24 @@ object Queries {
          |                                 FROM m$i GROUP BY c) n ON p.c = n.c)""".stripMargin
     }.mkString(",\n")
     val fin = assignCte("af", s"c$iters")
-    s"$head,\n$rounds,\n$fin\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM af"
+    (s"$head,\n$rounds,\n$fin", "af")
+  }
+
+  private def kmeansSql(k: Int, iters: Int, scale: Int): String = {
+    val (ctes, af) = kmeansCtes(k, iters, scale)
+    s"$ctes\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM $af"
+  }
+
+  /** `sampling_cluster_balanced` oracle: the k-means rounds plus the
+    * stratified per-cluster top-`n` in the engine's `(idHash, id)` order. */
+  private def kmeansBalancedSql(k: Int, iters: Int, scale: Int, n: Int): String = {
+    val (ctes, af) = kmeansCtes(k, iters, scale)
+    s"""$ctes
+       |SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, CAST(c AS BIGINT) AS cluster,
+       |         row_number() OVER (PARTITION BY c
+       |           ORDER BY ${duckIdHash("vec_id")}, vec_id) AS rn
+       |  FROM $af) x WHERE rn <= $n""".stripMargin
   }
 
   /** The engine's 60-bit portable id hash ([[Sampling.idHash]]) spelled in
@@ -3538,6 +3564,7 @@ object Queries {
         |                  FROM embeddings) t) s""".stripMargin,
     "sim_topk" -> bruteForceTopKSql,
     "sim_kmeans_clusters" -> kmeansSql(8, 3, 6),
+    "sampling_cluster_balanced" -> kmeansBalancedSql(8, 3, 6, 25),
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "sim_ann_ivf_persisted" -> bruteForceTopKSql, // persisted index, same exact point
     "sim_ann_ivf_persisted_grow" -> bruteForceTopKSql, // grown index, same exact point
