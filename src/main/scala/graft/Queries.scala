@@ -1371,6 +1371,14 @@ object Queries {
     // corpus-assembly primitive (bucket-prefix plan, no global-order window)
     "sampling_budget_select" -> ((s, d) =>
       Sampling.budgetSelect(docs(s, d), "doc_id", "n_chars", 60000L)),
+    // data-constrained mixing (Muennighoff et al. 2023): repeat each domain
+    // to its char budget — whole epochs for every doc, then a deterministic
+    // budget-walk partial epoch; es/zh have no budget → dropped. en exceeds
+    // its corpus many-fold (multi-epoch), de/fr exercise the other regimes.
+    "sampling_repeat_to_budget" -> ((s, d) =>
+      Sampling.repeatToBudget(docs(s, d), "lang", "doc_id", "n_chars",
+        Map("en" -> 1500000L, "de" -> 150000L, "fr" -> 10000L))
+        .select(col("doc_id"), col("lang"), col("epoch"))),
     // temperature-flattened language mixing (α = 0.5 → sqrt weights, the
     // IEEE-correctly-rounded point, so the oracle derives identical rates)
     "sampling_temperature" -> ((s, d) =>
@@ -3071,6 +3079,25 @@ object Queries {
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |    FROM documents) x
          | WHERE cum <= 60000""".stripMargin,
+    // whole epochs via integer div/mod on exact long totals; the partial
+    // epoch is the budget-select walk per domain at epoch = nfull
+    "sampling_repeat_to_budget" ->
+      s"""WITH b(lang, budget) AS (VALUES ('en', 1500000), ('de', 150000), ('fr', 10000)),
+         |tot AS (SELECT lang, sum(CAST(n_chars AS BIGINT)) AS total
+         |          FROM documents GROUP BY lang),
+         |e AS (SELECT b.lang, CAST(CAST(b.budget AS BIGINT) // t.total AS BIGINT) AS nfull,
+         |             CAST(CAST(b.budget AS BIGINT) % t.total AS BIGINT) AS leftover
+         |        FROM b JOIN tot t ON b.lang = t.lang WHERE t.total > 0)
+         |SELECT d.doc_id, d.lang, CAST(u.ep AS BIGINT) AS epoch
+         |  FROM documents d JOIN e ON d.lang = e.lang, unnest(range(e.nfull)) AS u(ep)
+         |UNION ALL
+         |SELECT doc_id, lang, CAST(nfull AS BIGINT) AS epoch FROM (
+         |  SELECT d.doc_id, d.lang, e.nfull, e.leftover,
+         |         sum(CAST(d.n_chars AS BIGINT)) OVER (PARTITION BY d.lang
+         |           ORDER BY ${duckIdHash("doc_id")}, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM documents d JOIN e ON d.lang = e.lang) x
+         | WHERE cum <= leftover""".stripMargin,
     "stream_distinct_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "text_tfidf" ->

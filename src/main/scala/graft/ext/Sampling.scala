@@ -221,6 +221,58 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Data-constrained corpus assembly (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): when a domain's token budget
+    * EXCEEDS its corpus, repeat the corpus — whole epochs first, then a
+    * deterministic partial epoch filling the remainder. Each `budgets`
+    * domain contributes `budget div total` full epochs (every doc, epochs
+    * `0 .. full-1`) plus one partial epoch (`epoch = full`) chosen by
+    * [[budgetSelect]]'s `(idHash, id)`-prefix walk over the leftover
+    * budget — so repeated-data mixes ("4 epochs of wiki, 1.3 of books")
+    * are reproducible on any engine or partitioning. Domains absent from
+    * `budgets` are dropped; a zero-total domain contributes nothing.
+    *
+    * Scale shape: totals are one #domains-row agg; the full-epoch fan-out
+    * is a broadcast join + a plain `sequence` explode (output-sized, never
+    * shuffled); the partial epoch runs one bucket-prefix [[budgetSelect]]
+    * per domain — `budgets` is bounded operator config (the
+    * [[stratifiedQuotas]] contract), so the per-domain loop is a bounded
+    * number of small aggs, not data-driven driver work. */
+  def repeatToBudget(df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      budgets: Map[String, Long], bucketBits: Int = 12): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    budgets.foreach { case (k, v) => require(v >= 0, s"budget for domain '$k' must be non-negative: $v") }
+    require(!df.columns.contains("epoch"), "input already has an 'epoch' column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = budgets.keys.toSeq.sorted
+    val totals = df.filter(col(groupCol).isin(keys: _*))
+      .groupBy(col(groupCol))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("__tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = keys.flatMap { d =>
+      val tot = totals.getOrElse(d, 0L)
+      if (tot <= 0L) None
+      else Some((d, budgets(d) / tot, budgets(d) % tot))
+    }
+    val ep = freshCol(df, "__epoch")
+    val fullDomains = plan.filter(_._2 > 0).map { case (d, full, _) => (d, full) }
+    val fullPart = if (fullDomains.isEmpty) None else {
+      val fdf = broadcast(fullDomains.toDF(groupCol, "__full"))
+      Some(df.join(fdf, groupCol)
+        .withColumn(ep, explode(sequence(lit(0L), col("__full") - 1)))
+        .drop("__full"))
+    }
+    val partials = plan.filter(_._3 > 0).map { case (d, full, leftover) =>
+      budgetSelect(df.filter(col(groupCol) === d), idCol, weightCol, leftover, bucketBits)
+        .withColumn(ep, lit(full))
+    }
+    val parts = fullPart.toSeq ++ partials
+    val out = parts.reduceOption(_ unionByName _)
+      .getOrElse(df.limit(0).withColumn(ep, lit(0L)))
+    out.select(df.columns.toIndexedSeq.map(col) :+ col(ep).cast("long").as("epoch"): _*)
+  }
+
   /** Quality-quantile selection: keep rows whose `scoreCol` is at or above
     * their `groupCol` group's `q`-quantile — "keep the best ~(1−q) of every
     * language/domain", the per-group form of quality filtering (a fixed

@@ -208,6 +208,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(ref.nonEmpty && ref.size < docs.count())
   }
 
+  test("repeatToBudget: whole epochs + budget-walk partial, hand-checked per domain") {
+    val en = docs.filter(col("lang") === "en")
+    val enTotal = en.agg(sum(col("n_chars"))).head().getLong(0)
+    val budget = enTotal * 2 + enTotal / 3 // 2 full epochs + a partial
+    val got = Sampling.repeatToBudget(docs, "lang", "doc_id", "n_chars",
+      Map("en" -> budget)).select("doc_id", "epoch").as[(Long, Long)].collect()
+    val nEn = en.count()
+    // every en doc appears at epochs 0 and 1
+    assert(got.count(_._2 == 0L) == nEn && got.count(_._2 == 1L) == nEn)
+    // the partial epoch is exactly budgetSelect over the leftover
+    val expectPartial = Sampling.budgetSelect(en, "doc_id", "n_chars", budget % enTotal)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._2 == 2L).map(_._1).toSet == expectPartial)
+    assert(got.forall(_._2 <= 2L))
+    // non-budgeted languages contribute nothing
+    val langs = Sampling.repeatToBudget(docs, "lang", "doc_id", "n_chars",
+      Map("en" -> 100L)).select("lang").distinct().as[String].collect()
+    assert(langs.forall(_ == "en"))
+  }
+
+  test("repeatToBudget edge cases: zero budget, exact multiple, validation") {
+    val de = docs.filter(col("lang") === "de")
+    val deTotal = de.agg(sum(col("n_chars"))).head().getLong(0)
+    // zero budget → domain contributes nothing
+    assert(Sampling.repeatToBudget(docs, "lang", "doc_id", "n_chars",
+      Map("de" -> 0L)).count() == 0L)
+    // exact multiple → whole epochs only, no partial
+    val exact = Sampling.repeatToBudget(docs, "lang", "doc_id", "n_chars",
+      Map("de" -> deTotal * 3)).select("epoch").as[Long].collect()
+    assert(exact.length == de.count() * 3 && exact.forall(_ < 3L))
+    intercept[IllegalArgumentException](
+      Sampling.repeatToBudget(docs, "lang", "doc_id", "n_chars", Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.repeatToBudget(docs, "lang", "doc_id", "n_chars", Map("en" -> -1L)))
+    intercept[IllegalArgumentException](
+      Sampling.repeatToBudget(docs.withColumn("epoch", lit(1)), "lang", "doc_id",
+        "n_chars", Map("en" -> 10L)))
+  }
+
   test("budgetSelect edge budgets: zero keeps nothing, total keeps everything") {
     val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
     assert(Sampling.budgetSelect(docs, "doc_id", "n_chars", 0L).count() == 0L)
