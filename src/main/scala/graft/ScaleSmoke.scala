@@ -39,6 +39,9 @@ object ScaleSmoke {
     if (args.contains("crawl")) { // iterate on the crawl capstone alone
       crawlPipeline(spark); println("[scale] DONE (crawl only)"); spark.stop(); return
     }
+    if (args.contains("kmeans")) { // iterate on the k-means section alone
+      kmeansSmoke(spark); println("[scale] DONE (kmeans only)"); spark.stop(); return
+    }
     import spark.implicits._
 
     // ---- build replicated inputs (ids perturbed so keys stay unique) ----
@@ -486,6 +489,8 @@ object ScaleSmoke {
       require(math.abs(mass - 1.0) < 1e-9, s"rank mass leaked: $mass")
     }
 
+    kmeansSmoke(spark)
+
     // ---- similarity at 20k vectors ----
     val cp = time("cosine pairs 20k vectors") {
       val n = graft.ext.Similarity.cosinePairs(bigEmb, "vec_id", "embedding", 0.9).count()
@@ -775,6 +780,39 @@ object ScaleSmoke {
    * page" variants (doc text + the next doc's text), which survive wave 0
    * and then dedup against the grown index in waves 1–5.
    */
+  /** Distributed k-means at 1M vectors — the gate's 500-row fixture can't
+    * show the distributed shape, so this forces it on a corpus with an EXACT
+    * expected answer (not an inertia tolerance): 8 axis-aligned blobs at
+    * pairwise distance 10·√2 with ≤ 0.06 jitter, seeds (the 8 lowest ids =
+    * ids 0..7) landing one per blob. Nearest-centroid assignment must then
+    * recover the planted blob partition perfectly — seed-round AND after two
+    * Lloyd rounds (the true partition is a fixed point of the recenter), so
+    * any impurity is an operator bug. Driver state stays the 8×16 matrix. */
+  private def kmeansSmoke(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    time("k-means, 1M vectors / 8 planted blobs, 2 Lloyd rounds") {
+      val dim = 16
+      val n = 1000000L
+      val ids = spark.range(n).repartition(32)
+      val vecs = ids.select(col("id").as("vec_id"), array((0 until dim).map { i =>
+        (when(col("id") % 8 === (i % 8), lit(10.0)).otherwise(lit(0.0)) +
+          (col("id") * 31 + i) % 7 * lit(0.01)).cast("double")
+      }: _*).as("embedding"))
+      val assigned = graft.ext.Clustering.kmeansAssign(
+        vecs, "vec_id", "embedding", k = 8, iters = 2)
+      val (pairs, clusters, rows) = assigned
+        .withColumn("blob", col("vec_id") % 8)
+        .agg(count_distinct(struct(col("blob"), col("cluster"))),
+          count_distinct(col("cluster")), count(lit(1)))
+        .as[(Long, Long, Long)].head()
+      graft.ext.Dedup.unpersistAll()
+      println(s"[scale]   k-means: $rows rows, $clusters clusters, $pairs (blob, cluster) pairs (expect 8/8)")
+      require(rows == n, s"every vector must be assigned: $rows")
+      require(clusters == 8L && pairs == 8L,
+        s"planted blob partition not recovered: $clusters clusters, $pairs pairs")
+    }
+  }
+
   private def crawlPipeline(spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
     import graft.ext.{Dedup, Urls}
