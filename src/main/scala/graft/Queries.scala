@@ -1253,6 +1253,11 @@ object Queries {
     // the selected SET is engine-independent at the cutoff
     "text_bm25_search" -> ((s, d) =>
       TextAnalysis.bm25(docs(s, d), "fast hash join", topK = 25)),
+    // PMI collocation mining (Church & Hanks): top-40 bigrams by rounded
+    // PMI at min pair count 5 — the multi-word-unit discovery step of
+    // vocabulary curation; rounded-rank + (w1, w2) tiebreak at the cutoff
+    "text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d), minCount = 5L, topK = 40)),
     // Stupid-Backoff bigram surprisal under a reference-slice LM (every
     // tenth doc, the novelty convention) — the count-table form of the
     // CCNet perplexity filter; 6 decimals like every ln-based gate
@@ -3183,6 +3188,24 @@ object Queries {
         |SELECT doc_id, round(sum(s), 6) AS score
         |  FROM sc GROUP BY doc_id
         | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // PMI re-derived with the identical division tree: (c12/nb) /
+    // ((c1/nu) * (c2/nu)), exact long totals divided once, round 6
+    "text_collocations" ->
+      """WITH d AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM d) x GROUP BY w),
+        |bg AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2, count(*) AS pair_count
+        |         FROM d, unnest(range(1, len(t))) AS u(i)
+        |        WHERE len(t) >= 2 GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(pair_count) AS BIGINT) FROM bg) AS nb,
+        |               (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu)
+        |SELECT w1, w2, pair_count,
+        |       round(ln((CAST(pair_count AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |                ((CAST(u1.c AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |                 (CAST(u2.c AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+        |  FROM bg JOIN uni u1 ON bg.w1 = u1.w
+        |          JOIN uni u2 ON bg.w2 = u2.w, tot
+        | WHERE pair_count >= 5
+        | ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
     // Stupid Backoff re-derived: bigram count over unigram-context count
     // when the reference saw the pair, else alpha * add-one unigram;
     // identical CAST/paren structure so the doubles match bit-for-bit

@@ -666,6 +666,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), avg(-log(s)).as("avg_surprisal"))
   }
 
+  /**
+   * PMI collocation extraction (Church & Hanks 1990) — the phrase-mining
+   * step of tokenizer/vocabulary curation: bigrams that co-occur far more
+   * than their unigram frequencies predict ("new york", "ground truth")
+   * surface as multi-word units worth protecting in a vocabulary, while
+   * high-count low-PMI pairs are just frequent-word adjacency.
+   * `pmi = ln( (c12/N_bi) / ((c1/N_uni)·(c2/N_uni)) )` with `minCount`
+   * pruning the long unreliable tail (the classic Church–Hanks caveat:
+   * PMI of a count-1 pair is pure noise).
+   *
+   * Determinism contract (the bm25 cutoff rule): scores are IEEE-identical
+   * across engines — totals as exact long sums divided ONCE, the same
+   * division tree both sides — and the top-k ranks by `(round(pmi, 6)
+   * desc, w1, w2)`, a total order, so the selected SET is engine-
+   * independent at the cutoff. Scale shape: both count frames are
+   * gram-cardinality-sized (never corpus-sized), `minCount` filters the
+   * bigram frame BEFORE its joins, totals travel as one broadcast row,
+   * and the top-k is a TakeOrdered heap — no global sort.
+   */
+  def collocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(topK > 0, s"topK must be positive: $topK")
+    val t = tokens(col(textCol))
+    // unigram counts consumed three times (totals + two join sides)
+    val uni = Caches.track(
+      docs.select(explode(t).as("__w")).groupBy("__w").agg(count(lit(1)).as("__c")))
+    val bg = docs.select(t.as("__tk"), size(t).as("__nt"))
+      .filter(col("__nt") >= 2)
+      .select(col("__tk"), explode(sequence(lit(1), col("__nt") - 1)).as("__i"))
+      .select(element_at(col("__tk"), col("__i")).as("w1"),
+        element_at(col("__tk"), col("__i") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val totals = bg.agg(sum(col("pair_count")).as("__nb"))
+      .crossJoin(uni.agg(sum(col("__c")).as("__nu")))
+    val pmi = log(
+      (col("pair_count").cast("double") / col("__nb").cast("double")) /
+        ((col("__c1").cast("double") / col("__nu").cast("double")) *
+          (col("__c2").cast("double") / col("__nu").cast("double"))))
+    bg.filter(col("pair_count") >= minCount)
+      .join(graft.ops.Ops.hintIfSmall(
+        uni.select(col("__w").as("w1"), col("__c").as("__c1"))), Seq("w1"))
+      .join(graft.ops.Ops.hintIfSmall(
+        uni.select(col("__w").as("w2"), col("__c").as("__c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   def noveltyScores(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     // both shingle frames materialized BEFORE explode — Generate re-evaluates

@@ -416,6 +416,36 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
   }
 
+  test("collocations: exact PMI, minCount pruning, rounded-rank cutoff, null hygiene") {
+    // corpus: "a b" x3, "a c" x2, "b b", plus a null doc.
+    // Unigrams: a=5, b=5, c=2; bigrams: (a,b)=3, (a,c)=2, (b,b)=1
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "a c"), (6L, "b b"), (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // nu = 12 tokens, nb = 6 bigrams
+    def pmi(c12: Long, c1: Long, c2: Long) =
+      math.rint(math.log((c12 / 6.0) / ((c1 / 12.0) * (c2 / 12.0))) * 1e6) / 1e6
+    val got = TextAnalysis.collocations(corpus, minCount = 2L, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+    // (b,b) pruned at minCount=2; both survivors carry the hand-derived PMI
+    assert(got.map(r => (r._1, r._2)).toSet == Set(("a", "b"), ("a", "c")))
+    val byPair = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(byPair(("a", "b")) == ((3L, pmi(3, 5, 5))))
+    assert(byPair(("a", "c")) == ((2L, pmi(2, 5, 2))))
+    // rarer pair has higher PMI (the Church–Hanks point)
+    assert(byPair(("a", "c"))._2 > byPair(("a", "b"))._2)
+    // cutoff: topK=1 keeps the higher-PMI pair
+    val top1 = TextAnalysis.collocations(corpus, minCount = 2L, topK = 1)
+      .as[(String, String, Long, Double)].collect()
+    assert(top1.map(r => (r._1, r._2)).toSeq == Seq(("a", "c")))
+    // PMI ties rank by (w1, w2): two pairs with identical counts everywhere
+    val tied = TextAnalysis.collocations(
+      Seq((1L, "p q"), (2L, "p q"), (3L, "r s"), (4L, "r s")).toDF("doc_id", "text"),
+      minCount = 2L, topK = 1).as[(String, String, Long, Double)].collect()
+    assert(tied.map(r => (r._1, r._2)).toSeq == Seq(("p", "q")))
+    intercept[IllegalArgumentException](TextAnalysis.collocations(corpus, minCount = 0L))
+    intercept[IllegalArgumentException](TextAnalysis.collocations(corpus, topK = 0))
+  }
+
   test("vocabDivergence: exact smoothed KL/JS; zero on identical corpora; JS symmetric and bounded") {
     // a: x x y (Na=3), b: x z (Nb=2); union vocab {x,y,z} V=3
     // p = (2+1)/6, (1+1)/6, (0+1)/6; q = (1+1)/5, (0+1)/5, (1+1)/5
