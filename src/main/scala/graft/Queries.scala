@@ -1592,6 +1592,14 @@ object Queries {
           iterations = 10, weightCol = Some("w"))
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
+    // HITS hubs & authorities over the same digraph — the directory-vs-
+    // content link prior (PageRank says "important", HITS says which nodes
+    // POINT WELL vs which are POINTED AT well); 10 rounds, L1-normalized
+    "graph_hits" -> ((s, d) =>
+      Graphs.hits(eventTransitions(s, d), "src", "dst", iterations = 10,
+          weightCol = Some("w"))
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
     // near-superset pairs (containment vs the smaller set) — catches
     // truncated/boilerplate-wrapped copies Jaccard under-scores
@@ -2276,6 +2284,46 @@ object Queries {
   private val dedupClustersSql =
     s"""$clusterCtes
        |SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
+  /** `graph_hits` oracle: the 10 HITS rounds unrolled as chained
+    * MATERIALIZED CTEs over the same transition digraph as `rankSql` (raw
+    * merged weights, NOT out-normalized — HITS propagates endorsement, not
+    * a walk). Each round mirrors the operator's arithmetic exactly: grouped
+    * `sum(score·w)`, an L1 total, `coalesce(c, 0)/total` with the
+    * zero-total collapse as a CASE. */
+  private def hitsSql(rounds: Int): String = {
+    val head =
+      """WITH s AS (SELECT event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |             FROM events),
+        |e AS MATERIALIZED (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
+        |        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS hub FROM nodes, nn)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""ar$i AS (SELECT e.dst AS node, sum(h$p.hub * e.w) AS c
+         |           FROM h$p JOIN e ON h$p.node = e.src GROUP BY e.dst),
+         |at$i AS (SELECT coalesce(sum(c), CAST(0 AS DOUBLE)) AS t FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT nodes.node,
+         |         CASE WHEN at$i.t = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE coalesce(ar$i.c, CAST(0 AS DOUBLE)) / at$i.t END AS authority
+         |         FROM nodes CROSS JOIN at$i LEFT JOIN ar$i ON nodes.node = ar$i.node),
+         |hr$i AS (SELECT e.src AS node, sum(a$i.authority * e.w) AS c
+         |           FROM a$i JOIN e ON a$i.node = e.dst GROUP BY e.src),
+         |ht$i AS (SELECT coalesce(sum(c), CAST(0 AS DOUBLE)) AS t FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT nodes.node,
+         |         CASE WHEN ht$i.t = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE coalesce(hr$i.c, CAST(0 AS DOUBLE)) / ht$i.t END AS hub
+         |         FROM nodes CROSS JOIN ht$i LEFT JOIN hr$i ON nodes.node = hr$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$body
+       |SELECT h$rounds.node, round(h$rounds.hub, 6) AS hub,
+       |       round(a$rounds.authority, 6) AS authority
+       |  FROM h$rounds JOIN a$rounds ON h$rounds.node = a$rounds.node""".stripMargin
+  }
 
   /** `sim_kmeans_clusters` oracle: the Lloyd rounds of
     * [[graft.ext.Clustering.kmeansAssign]] unrolled as chained MATERIALIZED
@@ -3516,6 +3564,7 @@ object Queries {
     "dedup_clusters" -> dedupClustersSql,
     "graph_pagerank" -> rankSql(None),
     "graph_trustrank" -> rankSql(Some(Seq("view", "signup"))),
+    "graph_hits" -> hitsSql(10),
     "dedup_simhash" ->
       // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical
       // to Dedup.md5TokenHash), per-bit majority vote, hamming ≤ 3 pairs

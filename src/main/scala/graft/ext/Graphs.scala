@@ -183,22 +183,110 @@ object Graphs {
     Caches.registerCheckpoint(ranks)
   }
 
-  /** Cleaned, merged, out-weight-normalized transition list — cached
-    * hash-partitioned on `__src` so every rank round's join reuses the
-    * layout and only the (smaller) rank side exchanges. The cleaned edge
-    * frame itself is also cached: an expensive edge derivation upstream
-    * (a window over an event log, a parsed crawl) computes once, not once
-    * per consumer. */
-  private def transitions(edges: DataFrame, srcCol: String, dstCol: String,
+  /**
+   * HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+   * hyperlinked environment") — the other classic link prior next to
+   * [[pageRank]]: PageRank asks where a random surfer concentrates; HITS
+   * separates DIRECTORY-like nodes (hubs: point at many good authorities)
+   * from CONTENT-like nodes (authorities: pointed at by many good hubs).
+   * For crawl curation, hub scores surface link lists/sitemaps while
+   * authority scores surface the documents worth fetching.
+   *
+   * Per round (mutual reinforcement, authorities first):
+   *
+   *   a'(v) = Σ_{(u,v)∈E} h(u)·w(u,v),  a ← a' / Σ_v a'(v)
+   *   h'(u) = Σ_{(u,v)∈E} a(v)·w(u,v),  h ← h' / Σ_u h'(u)
+   *
+   * Normalization is L1 (not Kleinberg's L2): one exact sum + one
+   * division is the determinism contract every rank loop here holds
+   * (an sqrt in the loop compounds ulp drift the oracle can't mirror),
+   * and either norm converges to the same principal-eigenvector
+   * DIRECTION — only the reported scale differs (L1 scores read as mass
+   * shares). Hub mass starts uniform at 1/n; `iterations = 0` returns it
+   * with authorities all zero (nothing propagated yet). Edges merge
+   * additively over parallel edges and are NOT out-normalized — HITS
+   * propagates raw endorsement, not a stochastic walk. The zero-total
+   * branch is defensive only: with ≥ 1 merged edge both L1 totals are
+   * provably positive every round (every positive-authority node is some
+   * edge's dst, every positive-hub node some edge's src), so no real
+   * input reaches the collapse.
+   *
+   * Scale shape: same budget as [[pageRank]] — one keyed join + grouped
+   * sum per direction per round, per-round lineage truncation, the edge
+   * list cached once, and TWO driver scalars per round (the L1 totals,
+   * one double each, from distributed aggregations). Small graphs take
+   * the same `localEdgeLimit` driver fast path (spec-pinned equal to the
+   * distributed loop). Returns `(node, hub, authority)`.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 20, weightCol: Option[String] = None,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be non-negative: $iterations")
+    val merged = mergedEdges(edges, srcCol, dstCol, weightCol)
+    if (merged.count() <= localEdgeLimit)
+      return localHits(merged, iterations)
+    val nodes = nodeSpine(merged)
+    val n: Long = nodes.count()
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var hub = truncate(nodes.select(col("node"), lit(1.0 / n).as("hub")))
+    var auth = truncate(nodes.select(col("node"), lit(0.0).as("authority")))
+    for (_ <- 1 to iterations) {
+      val aRaw = hub.join(merged, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node")).agg(sum(col("hub") * col("__w")).as("__c"))
+      val aSum = aRaw.agg(coalesce(sum("__c"), lit(0.0))).head().getDouble(0)
+      val aNext = truncate(nodes.join(aRaw, Seq("node"), "left_outer")
+        .select(col("node"),
+          (if (aSum == 0.0) lit(0.0)
+           else coalesce(col("__c"), lit(0.0)) / lit(aSum)).as("authority")))
+      Caches.releaseCheckpoint(auth)
+      auth = aNext
+      val hRaw = auth.join(merged, col("node") === col("__dst"))
+        .groupBy(col("__src").as("node")).agg(sum(col("authority") * col("__w")).as("__c"))
+      val hSum = hRaw.agg(coalesce(sum("__c"), lit(0.0))).head().getDouble(0)
+      val hNext = truncate(nodes.join(hRaw, Seq("node"), "left_outer")
+        .select(col("node"),
+          (if (hSum == 0.0) lit(0.0)
+           else coalesce(col("__c"), lit(0.0)) / lit(hSum)).as("hub")))
+      Caches.releaseCheckpoint(hub)
+      hub = hNext
+    }
+    Caches.registerCheckpoint(hub)
+    Caches.registerCheckpoint(auth)
+    hub.join(auth, Seq("node"))
+  }
+
+  /** Shared edge hygiene: NULL endpoints and non-positive weights dropped,
+    * endpoint types required to match, the cleaned frame cached (an
+    * expensive upstream edge derivation computes once, not per consumer). */
+  private def cleanedEdges(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String]): DataFrame = {
     val dtS = edges.schema(edges.schema.fieldIndex(srcCol)).dataType
     val dtD = edges.schema(edges.schema.fieldIndex(dstCol)).dataType
     require(dtS == dtD,
       s"graph endpoint columns must share one id type: $srcCol is $dtS, $dstCol is $dtD")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val e = Caches.track(
+    Caches.track(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
         .filter(col("__src").isNotNull && col("__dst").isNotNull && col("__w") > 0.0))
+  }
+
+  /** Parallel-merged raw edge list for [[hits]] — additive weights, no
+    * stochastic normalization — cached hash-partitioned on `__src`. */
+  private def mergedEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String]): DataFrame = {
+    val e = cleanedEdges(edges, srcCol, dstCol, weightCol)
+    Caches.track(e.groupBy("__src", "__dst").agg(sum("__w").as("__w"))
+      .repartition(col("__src")))
+  }
+
+  /** Cleaned, merged, out-weight-normalized transition list — cached
+    * hash-partitioned on `__src` so every rank round's join reuses the
+    * layout and only the (smaller) rank side exchanges. */
+  private def transitions(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String]): DataFrame = {
+    val e = cleanedEdges(edges, srcCol, dstCol, weightCol)
     val merged = e.groupBy("__src", "__dst").agg(sum("__w").as("__w"))
     val outW = merged.groupBy("__src").agg(sum("__w").as("__ow"))
     Caches.track(merged.join(outW, "__src")
@@ -272,6 +360,46 @@ object Graphs {
     }
     val rows: java.util.List[Row] = java.util.Arrays.asList(
       nodeArr.zip(rank).map { case (nd, r) => Row(nd, r) }: _*)
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Driver-side HITS loop (the small-graph fast path of [[hits]]): same
+    * update and L1 normalization, edges iterated in sorted order so the
+    * floating sums never depend on collect order. */
+  private def localHits(merged: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = merged.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("node", merged.schema("__src").dataType),
+      StructField("hub", DoubleType, nullable = false),
+      StructField("authority", DoubleType, nullable = false)))
+    val collected = merged.collect()
+    val nodeArr: Array[Any] =
+      collected.flatMap(r => Seq(r.get(0), r.get(1))).distinct.sortBy(_.toString)
+    val n = nodeArr.length
+    if (n == 0)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    val idx = nodeArr.zipWithIndex.toMap
+    val edges = collected
+      .map(r => (idx(r.get(0)), idx(r.get(1)), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2))
+    var hub = Array.fill(n)(1.0 / n)
+    var auth = new Array[Double](n)
+    for (_ <- 1 to iterations) {
+      val aRaw = new Array[Double](n)
+      edges.foreach { case (s, d, w) => aRaw(d) += hub(s) * w }
+      var aSum = 0.0
+      aRaw.foreach(aSum += _)
+      auth = if (aSum == 0.0) new Array[Double](n) else aRaw.map(_ / aSum)
+      val hRaw = new Array[Double](n)
+      edges.foreach { case (s, d, w) => hRaw(s) += auth(d) * w }
+      var hSum = 0.0
+      hRaw.foreach(hSum += _)
+      hub = if (hSum == 0.0) new Array[Double](n) else hRaw.map(_ / hSum)
+    }
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      nodeArr.indices.map(i => Row(nodeArr(i), hub(i), auth(i))): _*)
     spark.createDataFrame(rows, outSchema)
   }
 }

@@ -185,4 +185,83 @@ class GraphsSpec extends AnyFunSuite {
     // anything past ulp scale means the assignment depended on layout
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"$k differs") }
   }
+
+  /** Independent scalar HITS — textbook loop over in-memory maps, L1
+    * normalization, sharing no code with the operator. */
+  private def referenceHits(edges: Seq[(String, String, Double)],
+      iterations: Int): Map[String, (Double, Double)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to iterations) {
+      val aRaw = nodes.map(v =>
+        v -> edges.filter(_._2 == v).map { case (u, _, w) => hub(u) * w }.sum).toMap
+      val aSum = aRaw.values.sum
+      auth = if (aSum == 0.0) nodes.map(_ -> 0.0).toMap
+        else aRaw.view.mapValues(_ / aSum).toMap
+      val hRaw = nodes.map(u =>
+        u -> edges.filter(_._1 == u).map { case (_, v, w) => auth(v) * w }.sum).toMap
+      val hSum = hRaw.values.sum
+      hub = if (hSum == 0.0) nodes.map(_ -> 0.0).toMap
+        else hRaw.view.mapValues(_ / hSum).toMap
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  private def runHits(edges: Seq[(String, String, Double)], iterations: Int,
+      localLimit: Long = 1000000L): Map[String, (Double, Double)] = {
+    val got = Graphs.hits(edges.toDF("s", "t", "w"), "s", "t", iterations,
+        Some("w"), localEdgeLimit = localLimit)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    Caches.unpersistAll()
+    got
+  }
+
+  test("hits matches the scalar reference on a hub/authority asymmetric digraph") {
+    // d1 is a pure directory (points at everything), c1/c2 pure content,
+    // m both links and is linked — the shape HITS exists to separate
+    val edges = Seq(("d1", "c1", 1.0), ("d1", "c2", 1.0), ("d1", "m", 1.0),
+      ("m", "c1", 2.0), ("m", "c2", 1.0))
+    for (iters <- Seq(0, 1, 3, 10)) {
+      val want = referenceHits(edges, iters)
+      val got = runHits(edges, iters)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, (h, a)) =>
+        assert(math.abs(h - want(k)._1) < 1e-12, s"hub $k at $iters iters")
+        assert(math.abs(a - want(k)._2) < 1e-12, s"auth $k at $iters iters")
+      }
+    }
+    // the separation itself: m's weight-2 endorsement makes it the top hub;
+    // d1 hubs too but is NO authority (nothing links it); c1 out-ranks c2
+    // as authority (heavier in-weight)
+    val r = runHits(edges, 10)
+    assert(r("m")._1 == r.values.map(_._1).max && r("d1")._2 == 0.0)
+    assert(r("d1")._1 > 0.0)
+    assert(r("c1")._2 > r("c2")._2)
+    assert(r("c1")._1 == 0.0 && r("c2")._1 == 0.0) // pure content: no out-edges
+    // both L1 norms hold after every round
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("hits: distributed and local paths agree; parallel edges merge; iterations = 0") {
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("a", "c", 0.5), ("b", "a", 2.0))
+    val local = runHits(edges, 8)
+    val dist = runHits(edges, 8, localLimit = 0L)
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - dist(k)._1) < 1e-12 && math.abs(a - dist(k)._2) < 1e-12, k)
+    }
+    // parallel edges merge additively: (a,b,1)+(a,b,1) ≡ (a,b,2)
+    val dup = runHits(Seq(("a", "b", 1.0), ("a", "b", 1.0), ("b", "a", 1.0)), 5)
+    val mrg = runHits(Seq(("a", "b", 2.0), ("b", "a", 1.0)), 5)
+    dup.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - mrg(k)._1) < 1e-12 && math.abs(a - mrg(k)._2) < 1e-12, k)
+    }
+    // iterations = 0: uniform hub mass, nothing propagated yet
+    val zero = runHits(edges, 0)
+    assert(zero.values.forall { case (h, a) => h == 1.0 / 3 && a == 0.0 })
+    intercept[IllegalArgumentException](runHits(edges, -1))
+  }
 }
