@@ -1156,6 +1156,11 @@ object Queries {
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    // winnowing (Schleimer et al., the MOSS selection): min-hash of every
+    // 4-gram window over positional 5-gram md5 hashes, rightmost ties —
+    // ~2/(w+1) of grams stored, any shared >= k+w-1-token run still caught
+    "text_winnow_fingerprints" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(docs(s, d), k = 5, window = 4)),
     // URL hygiene (the RefinedWeb/C4 step after crawl ingest): URLs
     // synthesized deterministically from doc_id to cover every
     // canonicalization case — mixed-case scheme/host, default and
@@ -2982,6 +2987,22 @@ object Queries {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
         |  FROM documents""".stripMargin,
+    // winnowing re-derived: positional 5-gram md5 hashes, struct-min over
+    // each 4-window (rightmost tie via -pos), final-partial-window rule
+    "text_winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |             CAST('0x' || substr(md5(array_to_string(
+        |               t[CAST(i AS INT):CAST(i AS INT) + 4], chr(1))), 1, 15) AS BIGINT) AS h
+        |        FROM d, unnest(range(1, len(t) - 3)) AS u(i)
+        |       WHERE len(t) >= 5),
+        |s AS (SELECT doc_id, pos,
+        |             count(*) OVER (PARTITION BY doc_id) AS m,
+        |             min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS best
+        |        FROM g)
+        |SELECT DISTINCT doc_id, CAST(-(best.np) AS BIGINT) AS pos, best.h AS gram_hash
+        |  FROM s WHERE pos >= least(4, m) - 1""".stripMargin,
     "pipeline_corpus_select" -> corpusSelectSql,
     "pipeline_corpus_sample" ->
       s"""SELECT * FROM (

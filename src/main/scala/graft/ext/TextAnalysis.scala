@@ -240,6 +240,62 @@ object TextAnalysis {
       col(idCol),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fingerprint"))
 
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+   * SIGMOD — the MOSS algorithm): from each document's positional k-gram
+   * hash sequence, keep the MINIMUM hash of every `window` consecutive
+   * grams, rightmost position on ties ("robust winnowing"). The guarantee
+   * the paper proves: any shared substring of at least `k + window − 1`
+   * tokens is caught by at least one shared fingerprint, while only
+   * ~`2/(window+1)` of grams are stored — the storage/recall dial between
+   * full positional grams ([[Dedup.duplicateSpans]], every gram) and one
+   * whole-doc signature ([[fingerprint]]).
+   *
+   * Portability contract: the gram hash is the 60-bit md5 form
+   * ([[Dedup.md5TokenHash]] applied to the ``-joined gram string),
+   * and tie-breaking rides a `(hash, −pos)` struct min — both
+   * reproducible bit-identically in SQL, so the gate hashes the full
+   * selection. Docs with fewer than `k` tokens (including NULL text)
+   * yield no fingerprints; docs with fewer than `window` grams yield the
+   * single all-gram minimum (the final partial window).
+   *
+   * Scale shape: gram hashing is one narrow codegen'd projection; the
+   * sliding min is a per-document ordered window — per-task input is one
+   * document's grams (KB-scale), the [[Dedup.duplicateSpans]] discipline,
+   * never a corpus-wide order. Returns `(id, pos, gram_hash)` distinct.
+   */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame = {
+    require(k >= 1, s"gram size must be positive: $k")
+    require(window >= 1, s"winnowing window must be positive: $window")
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col(textCol))
+    val gram = (i: Column) => conv(substring(md5(concat_ws("\u0001",
+      (0 until k).map(j => element_at(col("__tk"), i + lit(j + 1))): _*)), 1, 15), 16, 10)
+      .cast("long")
+    // materialized BEFORE the explode: Generate re-evaluates its child per
+    // emitted element, so an inline HOF-built array re-runs every gram's md5
+    // per output row (the decontaminate/IVF deferred-eval trap)
+    val gramArrays = Caches.track(docs
+      .select(col(idCol), t.as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col(idCol),
+        transform(sequence(lit(0), size(col("__tk")) - k), gram).as("__gh")))
+    // the per-doc gram count rides the array size — a second (unordered)
+    // count window over the same partition would add its own sort/exchange
+    val grams = gramArrays
+      .select(col(idCol), size(col("__gh")).as("__m"),
+        posexplode(col("__gh")).as(Seq("pos", "h")))
+    val slide = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    grams
+      .withColumn("__best", min(struct(col("h"), (-col("pos")).as("np"))).over(slide))
+      .filter(col("pos") >= least(lit(window), col("__m")) - 1)
+      .select(col(idCol), (-col("__best.np")).cast("long").as("pos"),
+        col("__best.h").as("gram_hash"))
+      .distinct()
+  }
+
   /** Canonical text normalization for dedup/fingerprint pre-processing:
     * lowercase, non-alphanumerics to spaces, whitespace runs collapsed,
     * edges trimmed. Patterns are shared Java-regex/RE2 syntax so the DuckDB

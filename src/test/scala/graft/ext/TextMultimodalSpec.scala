@@ -416,6 +416,53 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
   }
 
+  test("winnowFingerprints: coverage, shared-run guarantee, rightmost ties, short docs") {
+    // window coverage: consecutive selected positions can never gap by more
+    // than `window` (every window of grams contributes its min)
+    val doc = (1 to 60).map(i => s"t${i % 17}").mkString(" ")
+    val fp = TextAnalysis.winnowFingerprints(
+      Seq((1L, doc)).toDF("doc_id", "text"), k = 5, window = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(fp.nonEmpty)
+    fp.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 - a._2 <= 4, s"coverage gap ${a._2}->${b._2}")
+      case _ =>
+    }
+    // the paper's guarantee: docs sharing a run of >= k + w - 1 tokens
+    // share at least one fingerprint HASH
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // 8 >= 5 + 4 - 1
+    val a = s"alpha beta gamma $shared delta"
+    val b = s"$shared omega psi chi phi"
+    val two = TextAnalysis.winnowFingerprints(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), k = 5, window = 4)
+      .as[(Long, Long, Long)].collect()
+    val h1 = two.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = two.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared 8-token run must share a fingerprint")
+    // identical grams everywhere: rightmost tie wins, so the selection is
+    // exactly positions w-1 .. m-1
+    val same = TextAnalysis.winnowFingerprints(
+      Seq((1L, Seq.fill(10)("x").mkString(" "))).toDF("doc_id", "text"), k = 2, window = 3)
+      .as[(Long, Long, Long)].collect().map(_._2).sorted
+    assert(same.toSeq == (2L to 8L)) // m = 9 grams, positions 2..8
+    // < k tokens (and NULL) yield nothing; k <= tokens < k+w-1 yields the
+    // single all-gram minimum
+    val shorts = TextAnalysis.winnowFingerprints(
+      Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "a b c d e f"))
+        .toDF("doc_id", "text"), k = 5, window = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(!shorts.exists(r => r._1 == 1L || r._1 == 2L))
+    assert(shorts.count(_._1 == 3L) == 1) // 2 grams, one partial window
+    // deterministic under repartitioning
+    val docsDf = graft.io.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val x = TextAnalysis.winnowFingerprints(docsDf).as[(Long, Long, Long)].collect().toSet
+    val y = TextAnalysis.winnowFingerprints(docsDf.repartition(13))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(x == y && x.nonEmpty)
+    intercept[IllegalArgumentException](TextAnalysis.winnowFingerprints(docsDf, k = 0))
+    intercept[IllegalArgumentException](TextAnalysis.winnowFingerprints(docsDf, window = 0))
+  }
+
   test("collocations: exact PMI, minCount pruning, rounded-rank cutoff, null hygiene") {
     // corpus: "a b" x3, "a c" x2, "b b", plus a null doc.
     // Unigrams: a=5, b=5, c=2; bigrams: (a,b)=3, (a,c)=2, (b,b)=1
