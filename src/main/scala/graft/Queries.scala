@@ -1156,6 +1156,9 @@ object Queries {
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    // per-doc Shannon char entropy: the gibberish/base64/binary-junk
+    // detector of crawl quality filtering (prose sits in a narrow band)
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(docs(s, d))),
     // winnowing (Schleimer et al., the MOSS selection): min-hash of every
     // 4-gram window over positional 5-gram md5 hashes, rightmost ties —
     // ~2/(w+1) of grams stored, any shared >= k+w-1-token run still caught
@@ -2987,6 +2990,16 @@ object Queries {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
         |  FROM documents""".stripMargin,
+    // H = ln(L) - (sum c*ln c)/L over exact integer counts, one division
+    "text_char_entropy" ->
+      """WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |                  unnest(regexp_split_to_array(text, '')) AS ch
+        |             FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |g AS (SELECT doc_id, len, ch, count(*) AS c FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id, round(ln(CAST(len AS DOUBLE))
+        |         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(len AS DOUBLE),
+        |         6) AS entropy
+        |  FROM g GROUP BY doc_id, len""".stripMargin,
     // winnowing re-derived: positional 5-gram md5 hashes, struct-min over
     // each 4-window (rightmost tie via -pos), final-partial-window rule
     "text_winnow_fingerprints" ->

@@ -232,6 +232,36 @@ object TextAnalysis {
         round((sum(p * log(p / m)) + sum(q * log(q / m))) / lit(2.0), 6).as("js"))
   }
 
+  /**
+   * Per-document Shannon character entropy — the cheap gibberish/binary
+   * detector of crawl quality filtering: natural prose sits in a narrow
+   * entropy band (~2–4.5 nats depending on script), base64/hex blobs and
+   * compressed junk spike high, single-character spam collapses to ~0.
+   * Computed as `H = ln(L) − (Σ c·ln c)/L` over exact integer character
+   * counts — one division at the end, the [[unigramSurprisal]] arithmetic
+   * discipline — rounded to 6 (Σ order and libm ulps differ across
+   * engines). Empty and NULL texts are absent from the output. NB both
+   * engines split per UTF-16-unit/codepoint respectively — identical on
+   * BMP text; a corpus with astral-plane characters (emoji) would count
+   * them differently, the standard JVM-string caveat.
+   *
+   * Scale shape: one explode + two partial-aggregating groupBys keyed on
+   * the doc id — no window, no corpus-wide order.
+   */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), length(col(textCol)).cast("long").as("__len"),
+        explode(split(col(textCol), "")).as("__ch"))
+      .groupBy(col(idCol), col("__len"), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__len"))
+      .agg(round(
+        log(col("__len").cast("double")) -
+          sum(col("__c").cast("double") * log(col("__c").cast("double"))) /
+            col("__len").cast("double"), 6).as("entropy"))
+      .select(col(idCol), col("entropy"))
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * normalization-stable document signature (token order and duplication
     * insensitive). Useful as a cheap exact-dedup key at scale. */

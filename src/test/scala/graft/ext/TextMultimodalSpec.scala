@@ -416,6 +416,20 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
   }
 
+  test("charEntropy: hand-derived values, degenerate and absent docs") {
+    val got = TextAnalysis.charEntropy(
+      Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, ""),
+        (5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .as[(Long, Double)].collect().toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.keySet == Set(1L, 2L, 3L)) // empty and NULL absent
+    assert(got(1L) == r6(math.log(2))) // ln4 - (2ln2 + 2ln2)/4
+    assert(got(2L) == 0.0) // single repeated char
+    assert(got(3L) == r6(math.log(4))) // uniform over 4 chars = max
+    // ordering: uniform beats skewed beats constant
+    assert(got(3L) > got(1L) && got(1L) > got(2L))
+  }
+
   test("winnowFingerprints: coverage, shared-run guarantee, rightmost ties, short docs") {
     // window coverage: consecutive selected positions can never gap by more
     // than `window` (every window of grams contributes its min)
