@@ -47,7 +47,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "pipeline_hard_negatives",
       // PSI drift attaches the two one-row count totals to the bins-row
       // spine — the same broadcast-scalar shape
-      "profile_psi_drift")
+      "profile_psi_drift",
+      // PMI attaches the one-row (N_bi, N_uni) totals to the (pruned)
+      // bigram-count frame — the same broadcast-scalar shape
+      "text_collocations")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
