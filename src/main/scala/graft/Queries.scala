@@ -2241,17 +2241,24 @@ object Queries {
     * left as a subtraction so both engines evaluate the identical ulp;
     * uniform teleport spelled as DIVISIONS by n, seeded teleport as
     * MULTIPLICATIONS by tp — matching the two code paths exactly). */
+  /** Shared transition-digraph CTEs (`s`, `e`, `nodes`, `nn`) for the graph
+    * oracles — ONE text, so `graph_pagerank`/`graph_trustrank`/`graph_hits`
+    * provably rank the same graph (a tie-break fix applied to one cannot
+    * silently diverge the others). */
+  private val graphHeadSql =
+    """WITH s AS (SELECT event_type,
+      |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |             FROM events),
+      |e AS MATERIALIZED (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
+      |        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""".stripMargin
+
   private def rankSql(seeds: Option[Seq[String]]): String = {
     val head =
-      """WITH s AS (SELECT event_type,
-        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-        |             FROM events),
-        |e AS (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
-        |        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
-        |t AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
-        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""".stripMargin
+      s"""$graphHeadSql,
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+         |t AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src))""".stripMargin
     val init = seeds match {
       case None =>
         "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn)"
@@ -2301,14 +2308,8 @@ object Queries {
     * zero-total collapse as a CASE. */
   private def hitsSql(rounds: Int): String = {
     val head =
-      """WITH s AS (SELECT event_type,
-        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-        |             FROM events),
-        |e AS MATERIALIZED (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
-        |        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS hub FROM nodes, nn)""".stripMargin
+      s"""$graphHeadSql,
+         |h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / n AS hub FROM nodes, nn)""".stripMargin
     val body = (1 to rounds).map { i =>
       val p = i - 1
       s"""ar$i AS (SELECT e.dst AS node, sum(h$p.hub * e.w) AS c

@@ -783,7 +783,7 @@ object ScaleSmoke {
   /** Distributed k-means at 1M vectors — the gate's 500-row fixture can't
     * show the distributed shape, so this forces it on a corpus with an EXACT
     * expected answer (not an inertia tolerance): 8 axis-aligned blobs at
-    * pairwise distance 10·√2 with ≤ 0.06 jitter, seeds (the 8 lowest ids =
+    * pairwise distance 20 (each blob pins TWO dims — b and b+8 — at 10, so two blobs differ in four) with ≤ 0.06 jitter, seeds (the 8 lowest ids =
     * ids 0..7) landing one per blob. Nearest-centroid assignment must then
     * recover the planted blob partition perfectly — seed-round AND after two
     * Lloyd rounds (the true partition is a fixed point of the recenter), so

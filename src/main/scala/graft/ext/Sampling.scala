@@ -243,6 +243,9 @@ object Sampling {
     require(budgets.nonEmpty, "budgets must be non-empty")
     budgets.foreach { case (k, v) => require(v >= 0, s"budget for domain '$k' must be non-negative: $v") }
     require(!df.columns.contains("epoch"), "input already has an 'epoch' column")
+    require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"budgets are keyed by string domains, but column '$groupCol' is " +
+        s"${df.schema(groupCol).dataType.simpleString}")
     val spark = df.sparkSession
     import spark.implicits._
     val keys = budgets.keys.toSeq.sorted
@@ -256,14 +259,20 @@ object Sampling {
       else Some((d, budgets(d) / tot, budgets(d) % tot))
     }
     val ep = freshCol(df, "__epoch")
+    val fullCol = freshCol(df, "__full")
     val fullDomains = plan.filter(_._2 > 0).map { case (d, full, _) => (d, full) }
     val fullPart = if (fullDomains.isEmpty) None else {
-      val fdf = broadcast(fullDomains.toDF(groupCol, "__full"))
+      val fdf = broadcast(fullDomains.toDF(groupCol, fullCol))
       Some(df.join(fdf, groupCol)
-        .withColumn(ep, explode(sequence(lit(0L), col("__full") - 1)))
-        .drop("__full"))
+        .withColumn(ep, explode(sequence(lit(0L), col(fullCol) - 1)))
+        .drop(fullCol))
     }
-    val partials = plan.filter(_._3 > 0).map { case (d, full, leftover) =>
+    // the partial epoch runs for EVERY planned domain, leftover 0 included:
+    // budgetSelect(0) keeps exactly the zero-weight (idHash, id)-prefix
+    // docs (cum stays 0 <= 0), which is what the oracle's cum <= leftover
+    // walk selects — skipping the walk on leftover == 0 would silently
+    // drop those docs from the final epoch
+    val partials = plan.map { case (d, full, leftover) =>
       budgetSelect(df.filter(col(groupCol) === d), idCol, weightCol, leftover, bucketBits)
         .withColumn(ep, lit(full))
     }

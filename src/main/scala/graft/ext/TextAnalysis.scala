@@ -779,12 +779,14 @@ object TextAnalysis {
     // unigram counts consumed three times (totals + two join sides)
     val uni = Caches.track(
       docs.select(explode(t).as("__w")).groupBy("__w").agg(count(lit(1)).as("__c")))
-    val bg = docs.select(t.as("__tk"), size(t).as("__nt"))
+    // cached: consumed twice (the N_bi total and the ranked path) — without
+    // it the corpus-wide bigram explode + groupBy runs once per consumer
+    val bg = Caches.track(docs.select(t.as("__tk"), size(t).as("__nt"))
       .filter(col("__nt") >= 2)
       .select(col("__tk"), explode(sequence(lit(1), col("__nt") - 1)).as("__i"))
       .select(element_at(col("__tk"), col("__i")).as("w1"),
         element_at(col("__tk"), col("__i") + 1).as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count")))
     val totals = bg.agg(sum(col("pair_count")).as("__nb"))
       .crossJoin(uni.agg(sum(col("__c")).as("__nu")))
     val pmi = log(

@@ -228,6 +228,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(langs.forall(_ == "en"))
   }
 
+  test("repeatToBudget: exact-multiple budgets still run the leftover-0 partial walk") {
+    // zero-weight docs whose (idHash, id) prefix precedes any positive
+    // weight stay selectable at leftover 0 (cum stays 0 <= 0) — the
+    // oracle's cum <= leftover walk keeps them, so skipping the partial
+    // pass on leftover == 0 would silently diverge
+    val rows = (1L to 12L).map(i => (i, "d", if (i % 3 == 0) 0L else 10L + i))
+    val df = rows.toDF("id", "dom", "w")
+    val total = rows.map(_._3).sum
+    val got = Sampling.repeatToBudget(df, "dom", "id", "w", Map("d" -> total * 2))
+      .select("id", "epoch").as[(Long, Long)].collect()
+    assert(got.count(_._2 == 0L) == 12 && got.count(_._2 == 1L) == 12)
+    val expectPartial = Sampling.budgetSelect(df, "id", "w", 0L)
+      .select("id").as[Long].collect().toSet
+    assert(got.filter(_._2 == 2L).map(_._1).toSet == expectPartial)
+  }
+
   test("repeatToBudget edge cases: zero budget, exact multiple, validation") {
     val de = docs.filter(col("lang") === "de")
     val deTotal = de.agg(sum(col("n_chars"))).head().getLong(0)
