@@ -1608,6 +1608,12 @@ object Queries {
           weightCol = Some("w"))
         .select(col("node"), round(col("hub"), 6).as("hub"),
           round(col("authority"), 6).as("authority"))),
+    // synchronous label propagation over the same digraph's undirected view
+    // — the host-graph community pass of crawl curation; 5 fixed rounds,
+    // max-weight/min-label argmax, output is exact strings (no rounding)
+    "graph_communities" -> ((s, d) =>
+      Graphs.labelPropagation(eventTransitions(s, d), "src", "dst",
+        iterations = 5, weightCol = Some("w"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
     // near-superset pairs (containment vs the smaller set) — catches
     // truncated/boilerplate-wrapped copies Jaccard under-scores
@@ -2332,6 +2338,39 @@ object Queries {
        |SELECT h$rounds.node, round(h$rounds.hub, 6) AS hub,
        |       round(a$rounds.authority, 6) AS authority
        |  FROM h$rounds JOIN a$rounds ON h$rounds.node = a$rounds.node""".stripMargin
+  }
+
+  /** `graph_communities` oracle: the synchronous label-propagation rounds
+    * of [[graft.ext.Graphs.labelPropagation]] unrolled as chained
+    * MATERIALIZED CTEs over the same transition digraph. The undirected
+    * view mirrors the operator's construction EXACTLY (each merged
+    * directed edge seen from both endpoints then re-merged — so a
+    * self-loop's weight doubles in its own view, and a u→v plus v→u pair
+    * collapse additively); per round, per-label vote sums (exact — the
+    * weights are integer counts) and the max-weight / min-label argmax as
+    * a `row_number` pick. Labels are node ids (strings): no floats ever
+    * reach the output, so the gate hashes exactly with no rounding. */
+  private def lpaSql(rounds: Int): String = {
+    val head =
+      s"""$graphHeadSql,
+         |und AS MATERIALIZED (SELECT node, nbr, sum(w) AS w FROM (
+         |         SELECT src AS node, dst AS nbr, w FROM e
+         |         UNION ALL SELECT dst AS node, src AS nbr, w FROM e)
+         |       GROUP BY node, nbr),
+         |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""v$i AS (SELECT u.node, l.label, sum(u.w) AS wsum
+         |          FROM und u JOIN l$p l ON u.nbr = l.node
+         |         GROUP BY u.node, l.label),
+         |l$i AS MATERIALIZED (SELECT node, label FROM (
+         |         SELECT node, label, row_number() OVER (PARTITION BY node
+         |                  ORDER BY wsum DESC, label ASC) AS rn FROM v$i)
+         |       WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$body
+       |SELECT node, label AS community FROM l$rounds""".stripMargin
   }
 
   /** `sim_kmeans_clusters` oracle: the Lloyd rounds of
@@ -3600,6 +3639,7 @@ object Queries {
     "graph_pagerank" -> rankSql(None),
     "graph_trustrank" -> rankSql(Some(Seq("view", "signup"))),
     "graph_hits" -> hitsSql(10),
+    "graph_communities" -> lpaSql(5),
     "dedup_simhash" ->
       // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical
       // to Dedup.md5TokenHash), per-bit majority vote, hamming ≤ 3 pairs

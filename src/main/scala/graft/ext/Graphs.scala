@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -255,6 +256,134 @@ object Graphs {
     Caches.registerCheckpoint(hub)
     Caches.registerCheckpoint(auth)
     hub.join(auth, Seq("node"))
+  }
+
+  /**
+   * Synchronous label propagation (Raghavan, Albert & Kumara 2007) —
+   * community detection over the UNDIRECTED view of an edge list. Every
+   * node starts labeled with its own id; each round, every node adopts
+   * the label carrying the largest total edge weight among its
+   * neighbors' CURRENT labels, ties broken by the smallest label. After
+   * a few rounds, densely connected regions converge onto one label —
+   * the near-linear-time community pass RefinedWeb-style pipelines run
+   * over host graphs to group near-duplicate sources, and the grouping
+   * step above [[Dedup.connectedComponents]] when "reachable" is too
+   * coarse (a single stray link merges two components; LPA keeps them
+   * apart unless the cross-links outweigh the internal ones).
+   *
+   * Deterministic by construction, unlike the textbook's random-order
+   * asynchronous sweep: updates are synchronous (all nodes flip on the
+   * round boundary from the previous round's labels) and the tie-break
+   * is total (max weight, then min label), so the result is a pure
+   * function of the graph — the property the cross-engine oracle gate
+   * rides on. Integer-valued weights (counts) keep the per-label sums
+   * exact in doubles, so the argmax itself is partitioning-invariant;
+   * fractional weights can land ulp-close and then the argmax may
+   * legitimately differ across summation orders. Synchronous LPA can
+   * oscillate on bipartite-ish structures (the classic two-coloring
+   * flip) — the fixed `iterations` bounds that by contract; callers
+   * wanting a fixpoint pick small graphs' diameters or post-check.
+   *
+   * Directed edges are symmetrized additively (u→v weight w contributes
+   * w to BOTH endpoints' views; parallel edges merge first, so a u→v
+   * plus a v→u edge yield the same undirected weight in both views).
+   * Self-loops vote for the node's own current label. NULL endpoints and
+   * non-positive weights drop ([[cleanedEdges]]).
+   *
+   * Scale shape: one round = one keyed join (labels × undirected edges
+   * on the neighbor id) + one grouped sum on (node, label) + one
+   * per-node argmax (window over the node key — same key as the grouped
+   * sum, so AQE coalesces the two into adjacent stages without an extra
+   * exchange). The undirected edge list materializes ONCE, cached
+   * hash-partitioned on the join key; labels are lineage-truncated per
+   * round exactly as [[pageRank]]'s ranks. NO driver scalar at all in
+   * the loop — label propagation has no global mass to re-balance.
+   * Returns `(node, community)`; `community` keeps the node-id type.
+   *
+   * Small-graph fast path below `localEdgeLimit` UNDIRECTED edges (the
+   * [[pageRank]] gate, same rationale); tie-breaks there compare labels
+   * via their natural `Comparable` order, which for strings is UTF-16
+   * code-unit order — identical to the engines' UTF-8 binary order on
+   * BMP text, divergent only for supplementary-plane ids (same caveat
+   * class as [[localPageRank]]'s sorted collect).
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, weightCol: Option[String] = None,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be non-negative: $iterations")
+    val merged = mergedEdges(edges, srcCol, dstCol, weightCol)
+    // undirected neighbor view: each merged directed edge seen from both
+    // endpoints, re-merged so u→v + v→u collapse to one neighbor weight
+    val und = Caches.track(
+      merged.select(col("__src").as("node"), col("__dst").as("__nbr"), col("__w"))
+        .unionAll(merged.select(col("__dst").as("node"), col("__src").as("__nbr"),
+          col("__w")))
+        .groupBy("node", "__nbr").agg(sum("__w").as("__w"))
+        .repartition(col("__nbr")))
+    if (und.count() <= localEdgeLimit)
+      return localLabelPropagation(und, iterations)
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    // every node has ≥1 undirected edge (dropped-edge endpoints are not
+    // nodes), so the per-round argmax already covers the whole spine
+    var labels = truncate(und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("__label")))
+    for (_ <- 1 to iterations) {
+      val votes = und.join(labels.select(col("node").as("__ln"), col("__label")),
+          col("__nbr") === col("__ln"))
+        .groupBy(col("node"), col("__label")).agg(sum("__w").as("__wsum"))
+      val pick = Window.partitionBy("node")
+        .orderBy(col("__wsum").desc, col("__label").asc)
+      val next = truncate(votes
+        .withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1).select(col("node"), col("__label")))
+      Caches.releaseCheckpoint(labels)
+      labels = next
+    }
+    Caches.registerCheckpoint(labels)
+    labels.select(col("node"), col("__label").as("community"))
+  }
+
+  /** Driver-side LPA loop (the small-graph fast path of
+    * [[labelPropagation]]): same synchronous update and max-weight /
+    * min-label tie-break, edges iterated in sorted order so the
+    * per-label sums never depend on collect order. */
+  private def localLabelPropagation(und: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = und.sparkSession
+    val idType = und.schema("node").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("community", idType)))
+    val collected = und.collect()
+    val nodeArr: Array[Any] = collected.map(_.get(0)).distinct.sortBy(_.toString)
+    if (nodeArr.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    val idx = nodeArr.zipWithIndex.toMap
+    val edges = collected
+      .map(r => (idx(r.get(0)), idx(r.get(1)), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2))
+    @inline def labelLt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    var labels: Array[Any] = nodeArr.clone()
+    for (_ <- 1 to iterations) {
+      val votes = Array.fill(nodeArr.length)(
+        scala.collection.mutable.LinkedHashMap.empty[Any, Double])
+      edges.foreach { case (v, nbr, w) =>
+        val m = votes(v)
+        m.update(labels(nbr), m.getOrElse(labels(nbr), 0.0) + w)
+      }
+      labels = Array.tabulate(nodeArr.length) { v =>
+        // max weight, then min label — votes is never empty (≥1 edge/node)
+        votes(v).reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && labelLt(b._1, a._1))) b else a
+        }._1
+      }
+    }
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      nodeArr.indices.map(i => Row(nodeArr(i), labels(i))): _*)
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Shared edge hygiene: NULL endpoints and non-positive weights dropped,

@@ -244,6 +244,66 @@ class GraphsSpec extends AnyFunSuite {
     assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  private def runLpa(edges: Seq[(String, String, Double)], iterations: Int,
+      localLimit: Long = 1000000L): Map[String, String] = {
+    val got = Graphs.labelPropagation(edges.toDF("s", "t", "w"), "s", "t",
+        iterations, Some("w"), localEdgeLimit = localLimit)
+      .as[(String, String)].collect().toMap
+    Caches.unpersistAll()
+    got
+  }
+
+  test("labelPropagation: planted two-triangle graph resolves into two communities across a weak bridge") {
+    // two weight-3 triangles joined by a single weight-1 bridge c—d: LPA
+    // must keep them apart (connectedComponents would merge them) and the
+    // hand-traced sync dynamics reach the {a,b,c}→a, {d,e,f}→d fixpoint
+    // by round 3
+    val tri = Seq(("a", "b", 3.0), ("b", "c", 3.0), ("c", "a", 3.0),
+      ("d", "e", 3.0), ("e", "f", 3.0), ("f", "d", 3.0), ("c", "d", 1.0))
+    val got = runLpa(tri, 5)
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d"))
+    // iterations=0: every node keeps its own label
+    assert(runLpa(tri, 0) == tri.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> v).toMap)
+  }
+
+  test("labelPropagation: distributed path (localEdgeLimit=0) agrees with the local fast path") {
+    val tri = Seq(("a", "b", 3.0), ("b", "c", 3.0), ("c", "a", 3.0),
+      ("d", "e", 3.0), ("e", "f", 3.0), ("f", "d", 3.0), ("c", "d", 1.0))
+    for (iters <- Seq(1, 2, 5))
+      assert(runLpa(tri, iters, localLimit = 0L) == runLpa(tri, iters),
+        s"paths diverge at $iters rounds")
+  }
+
+  test("labelPropagation: min-label tie-break; symmetrization merges direction pairs additively") {
+    // a 4-cycle with uniform weights is all ties: round 1 each node takes
+    // the min neighbor label, and the tie-break must be identical on both
+    // paths (this is the determinism the oracle gate rides on)
+    val square = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "a", 1.0))
+    val one = runLpa(square, 1)
+    assert(one == Map("a" -> "b", "b" -> "a", "c" -> "b", "d" -> "a"))
+    assert(runLpa(square, 1, localLimit = 0L) == one)
+    // u→v weight 2, v→u weight 2, and both directions at weight 1 apiece
+    // all produce the same undirected view — identical communities
+    val base = Seq(("x", "y", 2.0), ("y", "z", 1.0))
+    val flip = Seq(("y", "x", 2.0), ("y", "z", 1.0))
+    val both = Seq(("x", "y", 1.0), ("y", "x", 1.0), ("y", "z", 1.0))
+    assert(runLpa(base, 3) == runLpa(flip, 3))
+    assert(runLpa(base, 3) == runLpa(both, 3))
+  }
+
+  test("labelPropagation: edge hygiene drops NULLs and non-positive weights; invalid iterations error") {
+    val dirty = Seq((null, "b", 1.0), ("a", null, 1.0), ("a", "b", 0.0),
+      ("x", "y", 1.0)).toDF("s", "t", "w")
+    val got = Graphs.labelPropagation(dirty, "s", "t", 3, Some("w"))
+      .as[(String, String)].collect().toMap
+    Caches.unpersistAll()
+    assert(got.keySet == Set("x", "y"))
+    intercept[IllegalArgumentException](
+      Graphs.labelPropagation(dirty, "s", "t", -1))
+  }
+
   test("hits: distributed and local paths agree; parallel edges merge; iterations = 0") {
     val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
       ("a", "c", 0.5), ("b", "a", 2.0))
