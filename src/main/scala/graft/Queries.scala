@@ -1079,6 +1079,14 @@ object Queries {
     "profile_events" -> ((s, d) =>
       ext.Profiling.profile(events(s, d),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
+    // robust per-group outlier screen: modified z-score (median/MAD,
+    // Iglewicz–Hoaglin k=3.5) — immune to the masking that mean/stddev
+    // z-scores suffer on the value column's heavy right tail
+    "profile_outliers_mad" -> ((s, d) =>
+      ext.Profiling.madOutliers(events(s, d), Seq("event_type"), "value",
+          carryCols = Seq("event_id"), k = 3.5)
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(col("robust_z"), 6).as("robust_z"))),
     // equi-width value histogram: scalar min/max pass, then one grouped
     // count on the computed bin — at most `bins` partials per partition
     "profile_histogram" -> ((s, d) =>
@@ -2875,6 +2883,21 @@ object Queries {
         |       round(quantile_cont(value, 0.50), 6) AS p50,
         |       round(quantile_cont(value, 0.75), 6) AS p75
         |  FROM events GROUP BY event_type""".stripMargin,
+    // same interpolated-median parity as agg_value_percentiles
+    // (quantile_cont ≡ Spark percentile); the arithmetic is spelled in the
+    // operator's exact order — (0.6745·(x−med))/mad — and mad=0 groups drop
+    "profile_outliers_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id, e.value, m.med,
+        |             abs(e.value - m.med) AS dev
+        |        FROM events e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |        FROM d GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.value,
+        |       round(0.6745 * (d.value - d.med) / s.mad, 6) AS robust_z
+        |  FROM d JOIN s USING (event_type)
+        | WHERE s.mad > 0 AND abs(0.6745 * (d.value - d.med) / s.mad) > 3.5""".stripMargin,
     "profile_events" ->
       """SELECT 'event_id' AS col_name, count(*) AS n_rows, count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM events
         |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id) FROM events

@@ -136,6 +136,52 @@ object Profiling {
         ((p - q) * log(p / q)).as("psi_contrib"))
   }
 
+  /**
+   * Robust outlier detection via the modified z-score (Iglewicz & Hoaglin
+   * 1993): per group, `robust_z = 0.6745·(x − median) / MAD` with
+   * `MAD = median(|x − median|)`, flagging rows where `|robust_z| > k`
+   * (their recommended k = 3.5). The profiling pass mean/stddev z-scores
+   * cannot be: on the heavy-tailed value distributions training corpora
+   * actually have, the outliers themselves inflate the stddev until
+   * nothing is three sigmas out (masking), while the median/MAD pair has
+   * a 50% breakdown point — the standard anomaly screen between ingest
+   * and aggregation.
+   *
+   * Returns the flagged rows as `keyCols :+ (idCols…) :+ value :+
+   * robust_z` — the caller picks which identifying columns ride along.
+   * Groups whose MAD is zero (a majority-constant column) are excluded:
+   * every deviation there is infinitely many MADs out, which is a
+   * data-shape report ([[profile]]'s n_distinct), not a per-row score.
+   * NULL and NaN values never flag (NaN comparisons are false).
+   *
+   * Plan: two grouped aggregations on the key (exact `percentile`, whose
+   * per-group value-count map is bounded by VALUE CARDINALITY — fine for
+   * the fixed-precision measures this targets; unbounded-cardinality
+   * doubles at 100 TB should screen with `approx_percentile` instead)
+   * plus two broadcast joins of the tiny per-group median/MAD tables back
+   * onto the corpus — the corpus itself never shuffles, and the filter
+   * stays one codegen'd projection over the scan.
+   */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      carryCols: Seq[String] = Nil, k: Double = 3.5): DataFrame = {
+    require(k > 0.0, s"k must be positive: $k")
+    require(keyCols.nonEmpty, "madOutliers needs at least one group column")
+    val v = exact(valueCol).cast("double")
+    val keys = keyCols.map(exact)
+    val med = df.groupBy(keys: _*)
+      .agg(expr(s"percentile(`${valueCol.replace("`", "``")}`, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(v - col("__med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    val z = lit(0.6745) * (v - col("__med")) / col("__mad")
+    dev.join(broadcast(mad.filter(col("__mad") > 0.0)), keyCols)
+      .withColumn("__z", z)
+      .filter(abs(col("__z")) > lit(k))
+      .select((keyCols ++ carryCols).map(exact) ++
+        Seq(exact(valueCol), col("__z").as("robust_z")): _*)
+  }
+
   /** Sketch-based profile for scales where exact `count(DISTINCT)` /
     * `percentile` are infeasible: HyperLogLog++ distinct estimates per key
     * column and approximate percentiles per numeric column, one aggregation

@@ -310,6 +310,35 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(viaInf == 0.0, s"non-finite rows must drop out cleanly: $viaInf")
   }
 
+  test("Profiling.madOutliers: flags by modified z-score; stddev masking resisted; mad=0 groups drop") {
+    // group g: 19 values tightly around 10 plus one wild point. Interpolated
+    // med = 11, MAD = 1 -> the 100 scores 0.6745*89/1 = 60.0, everything
+    // else < 3.5. A mean/stddev z-score on the same data drags the mean to
+    // 14.5 — one more wild point and it would mask; median/MAD don't move.
+    val g = (Seq.fill(9)(9.0) ++ Seq.fill(10)(11.0) ++ Seq(100.0))
+      .zipWithIndex.map { case (v, i) => ("g", s"r$i", v) }
+    // group c is majority-constant: MAD = 0, so even its deviant row must
+    // NOT flag (the group drops entirely rather than scoring ±Inf)
+    val c = Seq(("c", "c0", 5.0), ("c", "c1", 5.0), ("c", "c2", 5.0), ("c", "c3", 99.0))
+    val df = (g ++ c).toDF("k", "id", "value")
+    val got = Profiling.madOutliers(df, Seq("k"), "value", carryCols = Seq("id"))
+      .as[(String, String, Double, Double)].collect()
+    assert(got.map(_._2).toSet == Set("r19"))
+    val z = got.head._4
+    assert(math.abs(z - 0.6745 * 89.0 / 1.0) < 1e-9, s"robust z: $z")
+    // negative outliers flag on |z|; k tightens/loosens the screen
+    val neg = (g :+ (("g", "lo", -80.0))).toDF("k", "id", "value")
+    val both = Profiling.madOutliers(neg, Seq("k"), "value", carryCols = Seq("id"))
+      .as[(String, String, Double, Double)].collect()
+    assert(both.map(_._2).toSet == Set("r19", "lo"))
+    assert(both.find(_._2 == "lo").get._4 < 0.0)
+    assert(Profiling.madOutliers(df, Seq("k"), "value", Seq("id"), k = 100.0).isEmpty)
+    intercept[IllegalArgumentException](
+      Profiling.madOutliers(df, Seq("k"), "value", Nil, k = 0.0))
+    intercept[IllegalArgumentException](
+      Profiling.madOutliers(df, Nil, "value"))
+  }
+
   test("Profiling.approxProfile: sketch estimates track exact answers on fixtures") {
     val ev = graft.io.Tables.load(spark, graft.TestSpark.Sf0001, "events")
     val rows = Profiling.approxProfile(ev, Seq("user_id", "event_type"), Seq("value"))
