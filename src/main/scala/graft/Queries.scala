@@ -1119,6 +1119,11 @@ object Queries {
       graft.ext.Events.funnel(events(s, d), "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"), windowSeconds = 604800L)
         .withColumnRenamed("user", "user_id")),
+    // contiguous 3-step path mining over per-user timelines (PrefixSpan's
+    // n-gram core): occurrence + distinct-user support, min 20 occurrences
+    "events_frequent_paths" -> ((s, d) =>
+      graft.ext.Events.frequentPaths(events(s, d), "user_id", "event_type",
+        "ts", "event_id", length = 3, minSupport = 20L)),
     "json_extract_props" -> ((s, d) =>
       events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
@@ -2928,6 +2933,18 @@ object Queries {
         |         + (CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END) AS steps_completed,
         |       ts_3 IS NOT NULL AS converted
         |  FROM s3""".stripMargin,
+    // same (ts, event_id) tie order as the transition digraph; support
+    // filter on total occurrences, distinct-user support rides along
+    "events_frequent_paths" ->
+      """WITH s AS (SELECT user_id, event_type AS step_1,
+        |         lead(event_type, 1) OVER w AS step_2,
+        |         lead(event_type, 2) OVER w AS step_3
+        |    FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step_1, step_2, step_3, count(*) AS n_occurrences,
+        |       count(DISTINCT user_id) AS n_users
+        |  FROM s WHERE step_3 IS NOT NULL
+        | GROUP BY 1, 2, 3 HAVING count(*) >= 20""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(text, '\s+')) AS n_tokens,

@@ -72,4 +72,53 @@ object Events {
         .reduce(_ + _).as("steps_completed") :+
       stepCols.last.isNotNull.as("converted"): _*)
   }
+
+  /**
+   * Frequent contiguous event paths: every length-`length` run of
+   * consecutive events in each user's timeline, counted across the log —
+   * the "what do users actually DO around this feature" sequence-mining
+   * query (the contiguous-n-gram core of PrefixSpan-style mining, which
+   * is what product funnels get built FROM: [[funnel]] checks a
+   * hypothesized path, this surfaces the paths worth hypothesizing).
+   *
+   * Support is reported both ways sequence miners need it:
+   * `n_occurrences` (every sliding occurrence counts — a user looping
+   * view→click→view ten times contributes ten) and `n_users` (distinct
+   * users whose timeline contains the path at least once — the
+   * PrefixSpan support notion, immune to one obsessive user). The
+   * `minSupport` threshold filters on OCCURRENCES; pick the stricter
+   * per-user reading from `n_users` downstream.
+   *
+   * Ordering within a user is `(tsCol, tieCol)` — the tie column makes
+   * simultaneous events deterministic (same contract as the transition
+   * digraph the `graph_*` operators consume; an undetermined tie order
+   * would make path counts depend on partitioning).
+   *
+   * Scale shape: ONE window shuffle on the user key builds the leads
+   * (each row carries `length − 1` following types — no per-user arrays,
+   * a billion-event user streams through their sorted partition), then
+   * ONE grouped count on the path tuple with map-side partial
+   * aggregation; at most `|event types|^length` groups ever shuffle.
+   * The threshold filter sits above the aggregation (it must see total
+   * counts), which is already the minimal plan.
+   */
+  def frequentPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, length: Int,
+      minSupport: Long = 1L): DataFrame = {
+    require(length >= 2, s"a path needs at least 2 steps: $length")
+    require(minSupport >= 1, s"minSupport must be at least 1: $minSupport")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val stepCols = (1 to length).map { i =>
+      (if (i == 1) col(typeCol) else lead(col(typeCol), i - 1).over(w))
+        .as(s"step_$i")
+    }
+    val names = (1 to length).map(i => s"step_$i")
+    events.select(col(userCol).as("__u") +: stepCols: _*)
+      .filter(col(s"step_$length").isNotNull) // runs crossing the timeline end
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__u")).as("n_users"))
+      .filter(col("n_occurrences") >= minSupport)
+  }
 }

@@ -92,4 +92,59 @@ class EventsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Events.funnel(df, "u", "t", "w", Seq("a"), 0L))
   }
+
+  private def runPaths(rows: Seq[(Long, Long, String, String)], length: Int,
+      minSupport: Long = 1L): Map[Seq[String], (Long, Long)] = {
+    val df = rows.map { case (u, id, t, w) => (u, id, t, ts(w)) }
+      .toDF("u", "id", "t", "w")
+    Events.frequentPaths(df, "u", "t", "w", "id", length, minSupport)
+      .collect().map { r =>
+        (0 until length).map(r.getString) ->
+          ((r.getLong(length), r.getLong(length + 1)))
+      }.toMap
+  }
+
+  test("frequentPaths: sliding occurrences vs distinct-user support; timeline ends close runs") {
+    // user 1 loops a->b three times (a b a b a b): the a->b bigram occurs 3
+    // times but contributes ONE user; user 2 fires a->b once
+    val rows = (1 to 6).map(i =>
+      (1L, i.toLong, if (i % 2 == 1) "a" else "b", s"2024-01-01 10:00:0$i")) ++
+      Seq((2L, 1L, "a", "2024-01-01 11:00:00"), (2L, 2L, "b", "2024-01-01 11:00:01"))
+    val got = runPaths(rows, 2)
+    assert(got(Seq("a", "b")) == ((4L, 2L)))
+    assert(got(Seq("b", "a")) == ((2L, 1L)))
+    // no wrap-around: user 1's trailing b and user 2's trailing b end runs
+    assert(got.keySet == Set(Seq("a", "b"), Seq("b", "a")))
+    // trigrams (4 sliding windows over user 1's six events): a b a x2, b a b x2
+    val tri = runPaths(rows, 3)
+    assert(tri == Map(Seq("a", "b", "a") -> ((2L, 1L)),
+      Seq("b", "a", "b") -> ((2L, 1L))))
+    // support threshold filters on occurrences
+    assert(runPaths(rows, 2, minSupport = 3L).keySet == Set(Seq("a", "b")))
+  }
+
+  test("frequentPaths: timestamp ties resolve by the tie column; users never cross; validation") {
+    // two simultaneous events ordered by id: the path is a->b, never b->a
+    val tied = Seq((1L, 1L, "a", "2024-01-01 10:00:00"),
+      (1L, 2L, "b", "2024-01-01 10:00:00"))
+    assert(runPaths(tied, 2) == Map(Seq("a", "b") -> ((1L, 1L))))
+    // consecutive events of DIFFERENT users never form a path
+    val split = Seq((1L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 2L, "b", "2024-01-01 10:00:01"))
+    assert(runPaths(split, 2).isEmpty)
+    // partitioning-invariant counts
+    val rows = (0 until 200).map(i =>
+      ((i % 7).toLong, i.toLong, Seq("a", "b", "c")(i % 3), f"2024-01-01 ${10 + i / 60}%02d:00:${i % 60}%02d"))
+    val a = runPaths(rows, 3)
+    val b = {
+      val df = rows.map { case (u, id, t, w) => (u, id, t, ts(w)) }
+        .toDF("u", "id", "t", "w").repartition(13)
+      Events.frequentPaths(df, "u", "t", "w", "id", 3, 1L)
+        .collect().map(r => (0 until 3).map(r.getString) -> ((r.getLong(3), r.getLong(4)))).toMap
+    }
+    assert(a == b)
+    val df = tied.map { case (u, id, t, w) => (u, id, t, ts(w)) }.toDF("u", "id", "t", "w")
+    intercept[IllegalArgumentException](Events.frequentPaths(df, "u", "t", "w", "id", 1))
+    intercept[IllegalArgumentException](Events.frequentPaths(df, "u", "t", "w", "id", 2, 0L))
+  }
 }
