@@ -1167,6 +1167,15 @@ object Queries {
         .select("doc_id", "lang", "n_chars", "n_tokens")
     }),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    // configurable wordlist screen (the UT1/Dolma toxicity-list stage):
+    // exact-token match on the shared tokenizer, keep = ratio <= 5%
+    "text_lexicon_screen" -> ((s, d) => {
+      val lex = { import s.implicits._
+        Seq("slow", "merge", "filter").toDF("word") }
+      TextAnalysis.lexiconScreen(docs(s, d), lex, maxRatio = 0.05)
+        .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+          round(col("blocked_ratio"), 6).as("blocked_ratio"), col("keep"))
+    }),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     // per-doc Shannon char entropy: the gibberish/base64/binary-junk
@@ -2959,6 +2968,19 @@ object Queries {
         |       len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x)))::DOUBLE / len(tk) AS stopword_ratio,
         |       len(tk) < 30 AS short_doc
         |  FROM t""".stripMargin,
+    // keep decision on the UNROUNDED ratio in both engines — an exact
+    // small-integer division, bit-identical; round(6) only for display
+    "text_lexicon_screen" ->
+      """WITH lex AS (SELECT DISTINCT lower(w) AS w
+        |               FROM (VALUES ('slow'), ('merge'), ('filter')) t(w)),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tk
+        |          FROM documents),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tokens, count(lex.w) AS n_blocked
+        |          FROM tok t LEFT JOIN lex ON t.tk = lex.w GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_blocked,
+        |       round(n_blocked::DOUBLE / n_tokens, 6) AS blocked_ratio,
+        |       n_blocked::DOUBLE / n_tokens <= 0.05 AS keep
+        |  FROM agg""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,
          |${c4CleanSql("c4")}

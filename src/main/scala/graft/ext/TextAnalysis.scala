@@ -61,6 +61,49 @@ object TextAnalysis {
       (size(t) < minTokens).as("short_doc"))
   }
 
+  /**
+   * Lexicon screen: per-document blocked-token accounting against a
+   * configurable wordlist — the UT1/"bad words" filter stage every public
+   * crawl pipeline runs between language ID and dedup (Dolma's and
+   * RefinedWeb's toxicity wordlists, C4's Sec. 2.2 blocklist). Matching is
+   * exact-token on the lowercased whitespace tokenization ([[tokens]], the
+   * oracle-mirrored tokenizer); the lexicon arrives as a DATAFRAME column,
+   * not a literal array, so a multi-100k-entry production list broadcasts
+   * once (~MBs) instead of being inlined into the plan text — the same
+   * config-not-code posture as [[Urls.filterBlockedDomains]]. Entries are
+   * lowercased and de-duplicated before the join (a doubled lexicon entry
+   * must not double-count a hit).
+   *
+   * Returns one row per document: `(id, n_tokens, n_blocked,
+   * blocked_ratio, keep)` with `keep = blocked_ratio <= maxRatio` — the
+   * report form rather than the filtered corpus, so callers can audit the
+   * boundary before dropping (filter on `keep` to materialize the clean
+   * corpus). The ratio is an exact small-integer division: bit-identical
+   * across engines, no rounding needed for the decision column.
+   *
+   * Plan: ONE pass — explode the lowercased tokens, LEFT broadcast-join
+   * the lexicon, one grouped count per doc (`n_tokens = count(*)`,
+   * `n_blocked = count(matched)`, both map-side combined). The only
+   * shuffle moves two longs per document. The empty-string token quirk of
+   * `split` (an empty text yields one "" token) matches the oracle's
+   * `regexp_split_to_array` exactly, as everywhere else in this module.
+   */
+  def lexiconScreen(docs: DataFrame, lexicon: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      wordCol: String = "word", maxRatio: Double = 0.05): DataFrame = {
+    require(maxRatio >= 0.0, s"maxRatio must be non-negative: $maxRatio")
+    val lex = lexicon.select(lower(col(wordCol)).as("__lw"))
+      .filter(col("__lw").isNotNull && col("__lw") =!= "").distinct()
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .join(broadcast(lex), col("__w") === col("__lw"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), count(col("__lw")).as("n_blocked"))
+      .select(col(idCol), col("n_tokens"), col("n_blocked"),
+        (col("n_blocked").cast("double") / col("n_tokens")).as("blocked_ratio"),
+        (col("n_blocked").cast("double") / col("n_tokens") <= lit(maxRatio))
+          .as("keep"))
+  }
+
   /** Marker words for the n-gram/stopword language-ID heuristic. Scores are
     * marker-token counts; prediction is the argmax with a fixed tie-break
     * order (en, de, fr, es, zh). */

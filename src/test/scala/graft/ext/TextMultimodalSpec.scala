@@ -17,6 +17,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(q._2 == 2.0 / 6.0) // "the" twice
   }
 
+  test("lexiconScreen: exact lowercased token match, dup entries collapse, boundary keeps") {
+    val docs = Seq(
+      (1L, "BAD bad word here"),        // 2/4 blocked -> drop
+      (2L, "clean text only here"),     // 0/4 -> keep
+      (3L, "badness is not bad word"),  // substring "badness" no; token "bad" yes: 1/5
+      (4L, "one bad in twenty tokens of perfectly ordinary filler text that keeps going on and on and on yes forever")) // 1/20 = 0.05 boundary -> keep
+      .toDF("doc_id", "text")
+    // doubled lexicon entry and mixed case must not change counts
+    val lex = Seq("bad", "BAD", "Bad").toDF("word")
+    val got = TextAnalysis.lexiconScreen(docs, lex, maxRatio = 0.05)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, false)))
+    assert(got(2L) == ((4L, 0L, 0.0, true)))
+    // "badness" is not a token match; "bad" is
+    assert(got(3L) == ((5L, 1L, 0.2, false)))
+    // exactly at maxRatio: keep (<=)
+    assert(got(4L)._1 == 20L && got(4L)._2 == 1L && got(4L)._4)
+    // empty lexicon screens nothing out
+    val none = TextAnalysis.lexiconScreen(docs, Seq.empty[String].toDF("word"))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(none.forall(r => r._3 == 0L && r._5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lexiconScreen(docs, lex, maxRatio = -0.1))
+  }
+
   test("repetition: duplicate trigrams raise the ratio; short docs score 0") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // 7 trigrams, 3 distinct (abc,bca,cab)
