@@ -142,6 +142,73 @@ object Queries {
         .otherwise(concat_ws("\n", l1, l2, l3, l4, l5)).as("text"))
   }
 
+  /** Injected mojibake suffix shared VERBATIM by [[synthEncodingDocs]] and
+    * [[synthEncodingSql]] (interpolated into both, so the two fixtures
+    * cannot fork): double-encoded accents (`Ã©`×3, `Ã¯`), a cp1252 dash
+    * triple (`â€”`), and one `Â`-pair mark — 6 signature hits per
+    * injection. */
+  private val encMojiSuffix = " CafÃ© rÃ©sumÃ© â€” naÃ¯ve Â· moji"
+
+  /** SQL twin of [[synthEncodingDocs]] (a CTE named `enc`), used by the
+    * `text_encoding_screen` oracle. Control/replacement characters enter
+    * via `chr()` so the SQL text itself stays printable. */
+  private val synthEncodingSql =
+    s"""enc AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE concat(text,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$encMojiSuffix' ELSE '' END,
+       |    CASE WHEN doc_id % 5 = 0 THEN ' bad' || chr(65533) || 'bytes' || chr(65533) ELSE '' END,
+       |    CASE WHEN doc_id % 7 = 0 THEN ' ctl' || chr(7) || chr(146) || 'x' ELSE '' END,
+       |    CASE WHEN doc_id % 11 = 0 THEN chr(9) || chr(10) || 'tab and newline stay clean' ELSE '' END)
+       |  END AS text FROM documents)""".stripMargin
+
+  /** Hostile fixture for the `text_encoding_screen` gate: real corpus text
+    * (signal counts must be zero on clean prose) plus deterministic
+    * injections — mojibake signatures (d%3), U+FFFD replacement chars
+    * (d%5), C0+C1 control chars (d%7), tab/newline that must NOT count
+    * (d%11), and NULL text (d%23) for the three-valued verdict. */
+  private def synthEncodingDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    def inj(m: Int, suffix: String) =
+      when(pmod(did, lit(m)) === 0, lit(suffix)).otherwise(lit(""))
+    Tables.load(s, d, "documents").select(did,
+      when(pmod(did, lit(23)) === 0, lit(null).cast("string"))
+        .otherwise(concat(col("text"),
+          inj(3, encMojiSuffix),
+          inj(5, " bad\uFFFDbytes\uFFFD"),
+          inj(7, " ctl\u0007\u0092x"),
+          inj(11, "\t\ntab and newline stay clean"))).as("text"))
+  }
+
+  /** SQL twin of [[synthNfcDocs]] (a CTE named `nfc`), used by the
+    * `text_nfc_normalize` oracle. Combining marks enter via `chr()`. */
+  private val synthNfcSql =
+    """nfc AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE concat(text,
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' decomposed' ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN ' ze' || chr(775) || chr(803) || ' reorder' ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN ' café precomposed' ELSE '' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN ' A' || chr(778) || ' ring' ELSE '' END)
+      |  END AS text FROM documents)""".stripMargin
+
+  /** Fixture for the `text_nfc_normalize` gate: real corpus text (must
+    * pass through unchanged) plus deterministic injections — a decomposed
+    * `e`+U+0301 that composes to `é` (d%3), an out-of-canonical-order
+    * combining pair dot-above(ccc 230)+dot-below(ccc 220) that must reorder
+    * AND compose (d%5), already-precomposed text that must NOT change
+    * (d%7), `A`+U+030A composing to `Å` (d%11), and NULL text (d%19). */
+  private def synthNfcDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    def inj(m: Int, suffix: String) =
+      when(pmod(did, lit(m)) === 0, lit(suffix)).otherwise(lit(""))
+    Tables.load(s, d, "documents").select(did,
+      when(pmod(did, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(col("text"),
+          inj(3, " cafe\u0301 decomposed"),
+          inj(5, " ze\u0307\u0323 reorder"),
+          inj(7, " caf\u00E9 precomposed"),
+          inj(11, " A\u030A ring"))).as("text"))
+  }
+
   /** SQL twin of [[synthParaDocs]] (a CTE named `pd`), used by the
     * `dedup_paragraphs_global` oracle. */
   private val synthParaSql =
@@ -1175,6 +1242,21 @@ object Queries {
       TextAnalysis.lexiconScreen(docs(s, d), lex, maxRatio = 0.05)
         .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
           round(col("blocked_ratio"), 6).as("blocked_ratio"), col("keep"))
+    }),
+    // encoding-damage screen (the ftfy/CCNet stage between WET parse and
+    // quality filtering): U+FFFD replacement chars, raw C0/C1 controls, and
+    // double-encoding mojibake signatures counted exactly over the hostile
+    // fixture; keep = zero signals, NULL text -> NULL verdict
+    "text_encoding_screen" -> ((s, d) =>
+      TextAnalysis.encodingScreen(synthEncodingDocs(s, d))),
+    // Unicode NFC normalization (the repair step after the encoding
+    // screen, before fingerprint/dedup): the codegen'd JDK-Normalizer
+    // expression vs DuckDB's utf8proc nfc_normalize — two independent
+    // implementations of the same Unicode algorithm, hash-compared
+    "text_nfc_normalize" -> ((s, d) => {
+      val nfcCol = TextAnalysis.nfcNormalize(col("text"))
+      synthNfcDocs(s, d).select(col("doc_id"), nfcCol.as("nfc_text"),
+        length(nfcCol).as("n_chars_nfc"), (nfcCol =!= col("text")).as("changed"))
     }),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -2981,6 +3063,28 @@ object Queries {
         |       round(n_blocked::DOUBLE / n_tokens, 6) AS blocked_ratio,
         |       n_blocked::DOUBLE / n_tokens <= 0.05 AS keep
         |  FROM agg""".stripMargin,
+    // signal counts are length deltas over replace()/regexp_replace() with
+    // the SAME pattern/signature strings the operator uses (interpolated
+    // from TextAnalysis, so the mirrors cannot fork); keep compares exact
+    // integer sums — no rounding anywhere
+    "text_encoding_screen" -> {
+      val moji = TextAnalysis.MojibakeSignatures.map(sig =>
+        s"(length(text) - length(replace(text, '$sig', ''))) // ${sig.length}")
+        .mkString(" + ")
+      s"""WITH $synthEncodingSql,
+         |m AS (SELECT doc_id, length(text) AS n_chars,
+         |  CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_replacement,
+         |  CAST(length(text) - length(regexp_replace(text, '${TextAnalysis.ControlCharClass}', '', 'g')) AS BIGINT) AS n_control,
+         |  CAST($moji AS BIGINT) AS n_mojibake FROM enc)
+         |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+         |       n_replacement + n_control + n_mojibake <= 0 AS keep FROM m""".stripMargin
+    },
+    "text_nfc_normalize" ->
+      s"""WITH $synthNfcSql
+         |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+         |       length(nfc_normalize(text)) AS n_chars_nfc,
+         |       nfc_normalize(text) <> text AS changed
+         |  FROM nfc""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,
          |${c4CleanSql("c4")}

@@ -104,6 +104,75 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /**
+   * Mojibake signatures: the character sequences UTF-8 bytes turn into when
+   * a document was decoded as Latin-1/cp1252 somewhere upstream and
+   * re-encoded (the damage ftfy exists to undo — `é` becomes `Ã©`, a right
+   * single quote becomes `â€™`). A fixed, documented marker set, the
+   * [[LangMarkers]] posture: common Latin-1 accented letters double-encoded
+   * (`Ã` + continuation) plus the cp1252 punctuation triples (`â€` + mark)
+   * and `Â` + printable-punctuation pairs. No signature is a substring of
+   * another (asserted at use), so per-signature occurrence counts add up
+   * without double-counting; none contains a C0/C1 control character, so
+   * the mojibake and control counts never overlap either.
+   */
+  val MojibakeSignatures: Seq[String] = Seq(
+    "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§", "Ã³", "Ã¡", "Ã­", "Ãº", "Ã¯",
+    "â€™", "â€œ", "â€“", "â€”", "â€¦", "Â·", "Â°", "Â«", "Â»")
+
+  /** C0/C1 control characters except whitespace (`\t`, `\n`, `\r`): raw
+    * control bytes in decoded text mean encoding damage or binary junk.
+    * `\x` hex escapes denote code points identically in Java regex and
+    * RE2/DuckDB, so the SAME pattern string serves both engines. */
+  val ControlCharClass: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /**
+   * Encoding-damage screen: per-document detection of text that arrived
+   * through a broken decode — the cleaning stage between WET parse and
+   * quality filtering that every public crawl pipeline runs (CCNet drops
+   * non-UTF-8 pages; ftfy repairs double-encoded ones; C4 inherits both).
+   * Three independent, exactly-countable signals:
+   *  - `n_replacement` — U+FFFD replacement characters, the decoder's own
+   *    "this byte sequence was invalid" marker;
+   *  - `n_control` — C0/C1 control characters excluding `\t`/`\n`/`\r`
+   *    ([[ControlCharClass]]); prose never contains them, binary junk and
+   *    Latin-1-decoded UTF-8 continuation bytes (U+0080–U+009F) do;
+   *  - `n_mojibake` — occurrences of the [[MojibakeSignatures]] double-
+   *    encoding markers.
+   *
+   * Returns the REPORT `(id, n_chars, n_replacement, n_control,
+   * n_mojibake, keep)` with `keep = (n_replacement + n_control +
+   * n_mojibake) <= maxSignals` — an exact integer comparison, bit-identical
+   * cross-engine (the [[lexiconScreen]] audit-before-drop posture). NULL
+   * text yields NULL metrics and a NULL verdict (three-valued logic, the
+   * [[gopherQuality]] convention).
+   *
+   * Plan: ONE codegen'd projection, zero shuffles, zero UDFs. Counts are
+   * length deltas — `length(t) - length(replace(t, sig))` divided by the
+   * signature's length, and one `regexp_replace` strip for the control
+   * class — so no explode and no per-char work leaves the row.
+   */
+  def encodingScreen(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxSignals: Int = 0): DataFrame = {
+    require(maxSignals >= 0, s"maxSignals must be non-negative: $maxSignals")
+    require(MojibakeSignatures.combinations(2).forall {
+      case Seq(a, b) => !a.contains(b) && !b.contains(a)
+    }, "MojibakeSignatures must be substring-free to count without overlap")
+    val t = col(textCol)
+    def sigCount(sig: String): Column =
+      ((length(t) - length(replace(t, lit(sig), lit("")))) / lit(sig.length))
+        .cast("long")
+    val nRepl = (length(t) - length(replace(t, lit("\uFFFD"), lit(""))))
+      .cast("long")
+    val nCtl = (length(t) - length(regexp_replace(t, ControlCharClass, "")))
+      .cast("long")
+    val nMoji = MojibakeSignatures.map(sigCount).reduce(_ + _)
+    docs.select(col(idCol), length(t).as("n_chars"),
+      nRepl.as("n_replacement"), nCtl.as("n_control"),
+      nMoji.as("n_mojibake"),
+      ((nRepl + nCtl + nMoji) <= lit(maxSignals.toLong)).as("keep"))
+  }
+
   /** Marker words for the n-gram/stopword language-ID heuristic. Scores are
     * marker-token counts; prediction is the argmax with a fixed tie-break
     * order (en, de, fr, es, zh). */
@@ -376,6 +445,22 @@ object TextAnalysis {
     * Pure per-row codegen'd map — no shuffle, linear at any scale. */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "), "\\s+", " "))
+
+  /**
+   * Unicode canonical normalization to NFC (or another form) — the repair
+   * step between [[encodingScreen]] and [[fingerprint]]/dedup: precomposed
+   * `é` (U+00E9) and decomposed `e` + U+0301 are the SAME text to a human
+   * and to a tokenizer, but different bytes to every hash in the pipeline;
+   * ftfy and the utf8proc-based crawl stacks normalize to NFC for exactly
+   * this reason. Spark has no built-in; this is the codegen'd
+   * [[org.apache.spark.sql.graftx.UnicodeNormalize]] expression (JDK
+   * `java.text.Normalizer`, `isNormalized` zero-copy fast path for the
+   * already-normal ASCII majority). Pure per-row map — no shuffle, linear
+   * at any scale; the DuckDB oracle's `nfc_normalize` (utf8proc) computes
+   * the identical string, so the rewrite is hash-gateable.
+   */
+  def nfcNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftx.TextFunctions.unicode_normalize(text, form)
 
   /**
    * C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the rules

@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -83,6 +83,58 @@ case class BpeMergeAdjacent(first: Expression, second: Expression, third: Expres
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/**
+ * Unicode canonical/compatibility normalization (NFC/NFD/NFKC/NFKD) — the
+ * repair step a crawl pipeline applies after encoding screening and before
+ * fingerprint/dedup (ftfy normalizes to NFC; utf8proc-based stacks do the
+ * same), so that `café` typed precomposed (U+00E9) and decomposed
+ * (`e` + U+0301) hash identically. Spark has NO built-in for this; a Scala
+ * UDF would pay serialization per row. The JDK's `java.text.Normalizer` is
+ * the reference implementation surface, called directly from codegen'd
+ * Java with an `isNormalized` fast path — already-normal text (virtually
+ * all ASCII prose) returns the INPUT UTF8String with zero allocation.
+ *
+ * `form` is a plan-time constant (validated at construction), not a child
+ * expression, so codegen inlines the enum constant.
+ */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(UnicodeNormalize.Forms(form),
+    s"form must be one of ${UnicodeNormalize.Forms.toSeq.sorted.mkString("/")}: $form")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (java.text.Normalizer.isNormalized(s, f)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val f = s"java.text.Normalizer.Form.$form"
+      s"""
+         |java.lang.String $s = $c.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized($s, $f)
+         |  ? $c
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($s, $f));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+}
+
 /** Column wrappers for the text expressions. */
 object TextFunctions {
   def bpe_merge_adjacent(symbols: Column, left: Column, right: Column): Column =
@@ -90,4 +142,7 @@ object TextFunctions {
       ExpressionUtils.expression(symbols),
       ExpressionUtils.expression(left),
       ExpressionUtils.expression(right)))
+
+  def unicode_normalize(text: Column, form: String): Column =
+    ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(text), form))
 }

@@ -137,4 +137,29 @@ class CodegenSpec extends AnyFunSuite {
     val in2 = row(syms("l", "o", "w", "</w>"), u("l"), u("o"))
     assert(strings(proj(in2).getArray(0)) == Seq("lo", "w", "</w>"))
   }
+
+  test("UnicodeNormalize codegen compiles, matches interpreted eval, composes and reorders") {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val e = UnicodeNormalize(BoundReference(0, StringType, nullable = true), "NFC")
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on janino failure
+    // decomposed e + U+0301 composes to U+00E9
+    val in = row(u("café"))
+    assert(proj(in).getUTF8String(0).toString == "caf\u00E9")
+    assert(e.eval(in).asInstanceOf[UTF8String].toString == "caf\u00E9")
+    // out-of-canonical-order marks (dot above ccc 230 before dot below ccc
+    // 220) must reorder, then the dot below composes: e -> U+1EB9 + U+0307
+    val in2 = row(u("e\u0307\u0323"))
+    assert(proj(in2).getUTF8String(0).toString == "\u1EB9\u0307")
+    // already-NFC text passes through unchanged (and eval takes the
+    // zero-copy isNormalized fast path: SAME UTF8String instance back)
+    val plain = u("plain ascii caf\u00E9")
+    assert(proj(row(plain)).getUTF8String(0).toString == plain.toString)
+    assert(e.eval(row(plain)).asInstanceOf[UTF8String] eq plain)
+    // NULL in, NULL out; bad form refused at construction
+    assert(e.eval(row(null)) == null)
+    assertThrows[IllegalArgumentException](
+      UnicodeNormalize(BoundReference(0, StringType, nullable = true), "NFX"))
+  }
 }
