@@ -154,11 +154,11 @@ object Queries {
     * via `chr()` so the SQL text itself stays printable. */
   private val synthEncodingSql =
     s"""enc AS (SELECT doc_id,
-       |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE concat(text,
-       |    CASE WHEN doc_id % 3 = 0 THEN '$encMojiSuffix' ELSE '' END,
-       |    CASE WHEN doc_id % 5 = 0 THEN ' bad' || chr(65533) || 'bytes' || chr(65533) ELSE '' END,
-       |    CASE WHEN doc_id % 7 = 0 THEN ' ctl' || chr(7) || chr(146) || 'x' ELSE '' END,
-       |    CASE WHEN doc_id % 11 = 0 THEN chr(9) || chr(10) || 'tab and newline stay clean' ELSE '' END)
+       |  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '$encMojiSuffix' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' bad' || chr(65533) || 'bytes' || chr(65533) ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' ctl' || chr(7) || chr(146) || 'x' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN chr(9) || chr(10) || 'tab and newline stay clean' ELSE '' END
        |  END AS text FROM documents)""".stripMargin
 
   /** Hostile fixture for the `text_encoding_screen` gate: real corpus text
@@ -183,11 +183,11 @@ object Queries {
     * `text_nfc_normalize` oracle. Combining marks enter via `chr()`. */
   private val synthNfcSql =
     """nfc AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE concat(text,
-      |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' decomposed' ELSE '' END,
-      |    CASE WHEN doc_id % 5 = 0 THEN ' ze' || chr(775) || chr(803) || ' reorder' ELSE '' END,
-      |    CASE WHEN doc_id % 7 = 0 THEN ' café precomposed' ELSE '' END,
-      |    CASE WHEN doc_id % 11 = 0 THEN ' A' || chr(778) || ' ring' ELSE '' END)
+      |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' decomposed' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' ze' || chr(775) || chr(803) || ' reorder' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' café precomposed' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' A' || chr(778) || ' ring' ELSE '' END
       |  END AS text FROM documents)""".stripMargin
 
   /** Fixture for the `text_nfc_normalize` gate: real corpus text (must

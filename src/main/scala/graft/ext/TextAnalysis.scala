@@ -119,6 +119,11 @@ object TextAnalysis {
   val MojibakeSignatures: Seq[String] = Seq(
     "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§", "Ã³", "Ã¡", "Ã­", "Ãº", "Ã¯",
     "â€™", "â€œ", "â€“", "â€”", "â€¦", "Â·", "Â°", "Â«", "Â»")
+  // checked ONCE at object init (the set is a constant): overlap would
+  // double-count and break the additive per-signature arithmetic
+  require(MojibakeSignatures.combinations(2).forall {
+    case Seq(a, b) => !a.contains(b) && !b.contains(a)
+  }, "MojibakeSignatures must be substring-free to count without overlap")
 
   /** C0/C1 control characters except whitespace (`\t`, `\n`, `\r`): raw
     * control bytes in decoded text mean encoding damage or binary junk.
@@ -155,9 +160,6 @@ object TextAnalysis {
   def encodingScreen(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxSignals: Int = 0): DataFrame = {
     require(maxSignals >= 0, s"maxSignals must be non-negative: $maxSignals")
-    require(MojibakeSignatures.combinations(2).forall {
-      case Seq(a, b) => !a.contains(b) && !b.contains(a)
-    }, "MojibakeSignatures must be substring-free to count without overlap")
     val t = col(textCol)
     def sigCount(sig: String): Column =
       ((length(t) - length(replace(t, lit(sig), lit("")))) / lit(sig.length))
@@ -454,8 +456,9 @@ object TextAnalysis {
    * ftfy and the utf8proc-based crawl stacks normalize to NFC for exactly
    * this reason. Spark has no built-in; this is the codegen'd
    * [[org.apache.spark.sql.graftx.UnicodeNormalize]] expression (JDK
-   * `java.text.Normalizer`, `isNormalized` zero-copy fast path for the
-   * already-normal ASCII majority). Pure per-row map — no shuffle, linear
+   * `java.text.Normalizer`; pure-ASCII rows — the corpus majority — take a
+   * zero-decode fast path, already-normal non-ASCII a zero-copy
+   * `isNormalized` one). Pure per-row map — no shuffle, linear
    * at any scale; the DuckDB oracle's `nfc_normalize` (utf8proc) computes
    * the identical string, so the rewrite is hash-gateable.
    */

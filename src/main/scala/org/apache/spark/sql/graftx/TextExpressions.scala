@@ -91,8 +91,11 @@ case class BpeMergeAdjacent(first: Expression, second: Expression, third: Expres
  * (`e` + U+0301) hash identically. Spark has NO built-in for this; a Scala
  * UDF would pay serialization per row. The JDK's `java.text.Normalizer` is
  * the reference implementation surface, called directly from codegen'd
- * Java with an `isNormalized` fast path — already-normal text (virtually
- * all ASCII prose) returns the INPUT UTF8String with zero allocation.
+ * Java with two fast paths: pure-ASCII input (one byte per code point —
+ * and ASCII is invariant under every normal form) returns the INPUT
+ * UTF8String without even decoding to UTF-16, and already-normal
+ * non-ASCII text returns it after one `isNormalized` check, so only rows
+ * that actually change pay the normalize allocation.
  *
  * `form` is a plan-time constant (validated at construction), not a child
  * expression, so codegen inlines the enum constant.
@@ -106,12 +109,19 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_normalize"
 
+  @transient private lazy val resolvedForm = java.text.Normalizer.Form.valueOf(form)
+
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
-    val s = u.toString
-    val f = java.text.Normalizer.Form.valueOf(form)
-    if (java.text.Normalizer.isNormalized(s, f)) u
-    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+    // pure-ASCII fast path with NO decode at all: one byte per code point
+    // means ASCII, and ASCII is invariant under all four normal forms —
+    // the corpus majority never leaves UTF8String
+    if (u.numBytes == u.numChars) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, resolvedForm)) u
+      else UTF8String.fromString(java.text.Normalizer.normalize(s, resolvedForm))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -119,11 +129,15 @@ case class UnicodeNormalize(child: Expression, form: String)
       val s = ctx.freshName("s")
       val f = s"java.text.Normalizer.Form.$form"
       s"""
-         |java.lang.String $s = $c.toString();
-         |${ev.value} = java.text.Normalizer.isNormalized($s, $f)
-         |  ? $c
-         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
-         |      java.text.Normalizer.normalize($s, $f));
+         |if ($c.numBytes() == $c.numChars()) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  java.lang.String $s = $c.toString();
+         |  ${ev.value} = java.text.Normalizer.isNormalized($s, $f)
+         |    ? $c
+         |    : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |        java.text.Normalizer.normalize($s, $f));
+         |}
        """.stripMargin
     })
 

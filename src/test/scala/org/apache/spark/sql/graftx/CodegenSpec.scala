@@ -157,6 +157,10 @@ class CodegenSpec extends AnyFunSuite {
     val plain = u("plain ascii caf\u00E9")
     assert(proj(row(plain)).getUTF8String(0).toString == plain.toString)
     assert(e.eval(row(plain)).asInstanceOf[UTF8String] eq plain)
+    // pure ASCII takes the no-decode fast path: identity without Normalizer
+    val ascii = u("plain ascii only")
+    assert(e.eval(row(ascii)).asInstanceOf[UTF8String] eq ascii)
+    assert(proj(row(ascii)).getUTF8String(0).toString == ascii.toString)
     // NULL in, NULL out; bad form refused at construction
     assert(e.eval(row(null)) == null)
     assertThrows[IllegalArgumentException](
