@@ -1243,6 +1243,16 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
           round(col("blocked_ratio"), 6).as("blocked_ratio"), col("keep"))
     }),
+    // multi-word blocklist phrase screen (the C4 §2.2 / Dolma boilerplate-
+    // phrase stage): anchor-pruned contiguous token-run matching against a
+    // broadcast phrase table; the doubled spelling must collapse to one
+    // entry and "no such phrase" must hit nothing
+    "text_phrase_screen" -> ((s, d) => {
+      val ph = { import s.implicits._
+        Seq("table table", "fast merge", "the line sort",
+          "  FAST   Merge ", "no such phrase").toDF("phrase") }
+      TextAnalysis.phraseScreen(docs(s, d), ph)
+    }),
     // encoding-damage screen (the ftfy/CCNet stage between WET parse and
     // quality filtering): U+FFFD replacement chars, raw C0/C1 controls, and
     // double-encoding mojibake signatures counted exactly over the hostile
@@ -3063,6 +3073,26 @@ object Queries {
         |       round(n_blocked::DOUBLE / n_tokens, 6) AS blocked_ratio,
         |       n_blocked::DOUBLE / n_tokens <= 0.05 AS keep
         |  FROM agg""".stripMargin,
+    // mirror of phraseScreen: positions via unnest(range(...)), anchor
+    // equi-join, 1-based inclusive list-slice equality for the verify
+    "text_phrase_screen" ->
+      """WITH ph0 AS (SELECT DISTINCT regexp_split_to_array(trim(lower(phrase)), '\s+') AS pt
+        |               FROM (VALUES ('table table'), ('fast merge'), ('the line sort'),
+        |                            ('  FAST   Merge '), ('no such phrase')) p(phrase)
+        |              WHERE phrase IS NOT NULL AND length(trim(phrase)) > 0),
+        |ph AS (SELECT pt, pt[1] AS anchor, CAST(len(pt) AS INT) AS plen FROM ph0),
+        |d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+        |cand AS (SELECT d.doc_id, CAST(u.i AS INT) AS i, ph.pt, ph.plen
+        |           FROM d, unnest(range(1, len(d.tk) + 1)) AS u(i)
+        |           JOIN ph ON d.tk[CAST(u.i AS INT)] = ph.anchor),
+        |hits AS (SELECT c.doc_id, count(*) AS nh
+        |           FROM cand c JOIN d USING (doc_id)
+        |          WHERE d.tk[c.i : c.i + c.plen - 1] = c.pt
+        |          GROUP BY c.doc_id)
+        |SELECT d.doc_id, len(d.tk) AS n_tokens,
+        |       CASE WHEN d.tk IS NULL THEN NULL ELSE coalesce(h.nh, 0) END AS n_phrase_hits,
+        |       CASE WHEN d.tk IS NULL THEN NULL ELSE coalesce(h.nh, 0) END <= 0 AS keep
+        |  FROM d LEFT JOIN hits h USING (doc_id)""".stripMargin,
     // signal counts are length deltas over replace()/regexp_replace() with
     // the SAME pattern/signature strings the operator uses (interpolated
     // from TextAnalysis, so the mirrors cannot fork); keep compares exact

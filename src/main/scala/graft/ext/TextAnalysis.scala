@@ -175,6 +175,60 @@ object TextAnalysis {
       ((nRepl + nCtl + nMoji) <= lit(maxSignals.toLong)).as("keep"))
   }
 
+  /**
+   * Phrase screen: per-document counting of MULTI-WORD blocklist phrases —
+   * the third member of the blocklist family ([[Urls.filterBlockedDomains]]
+   * for hosts, [[lexiconScreen]] for single tokens, this for phrases): C4's
+   * §2.2 policy list and the Dolma/RefinedWeb boilerplate phrase lists
+   * ("click here to subscribe"-class) are multi-word, and
+   * [[c4Clean]]'s inline `dropDocSubstrings` stops scaling once the list is
+   * config-sized. Phrases arrive as a DATAFRAME column (config-not-code; a
+   * multi-100k-entry list broadcasts once), are lowercased, trimmed,
+   * tokenized on the shared [[tokens]] tokenizer, and de-duplicated on the
+   * TOKEN SEQUENCE (two spellings of the same sequence count once).
+   *
+   * Matching is contiguous-token-run equality on the lowercased document
+   * tokens — sliding, so overlapping occurrences each count ("a a" occurs
+   * twice in "a a a"), and two distinct phrases matching at one position
+   * both count. Returns the audit REPORT `(id, n_tokens, n_phrase_hits,
+   * keep)` with `keep = n_phrase_hits <= maxHits` (exact integers); NULL
+   * text yields NULL metrics and a NULL verdict.
+   *
+   * Plan (the scale story): ONE posexplode of the doc tokens anchor-joined
+   * against the BROADCAST first-token column prunes the search to
+   * anchor-matching positions — only those candidates shuffle; the verify
+   * step joins candidates back to the doc-keyed token arrays (each array
+   * travels once per doc, not once per candidate) and compares one
+   * `slice` per candidate. No doc×phrase product ever forms.
+   */
+  def phraseScreen(docs: DataFrame, phrases: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      phraseCol: String = "phrase", maxHits: Int = 0): DataFrame = {
+    require(maxHits >= 0, s"maxHits must be non-negative: $maxHits")
+    val ph = phrases
+      .filter(col(phraseCol).isNotNull && length(trim(col(phraseCol))) > 0)
+      .select(tokens(trim(lower(col(phraseCol)))).as("__ptoks")).distinct()
+      .select(col("__ptoks"), element_at(col("__ptoks"), 1).as("__anchor"),
+        size(col("__ptoks")).as("__plen"))
+    // the token-array frame is consumed three times (candidate explode,
+    // verify join, output spine) — cache it once (released by
+    // [[Dedup.unpersistAll]]) instead of re-tokenizing the corpus per use
+    val toks = Caches.track(
+      docs.select(col(idCol), tokens(lower(col(textCol))).as("__toks")))
+    val cand = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tk")))
+      .join(broadcast(ph), col("__tk") === col("__anchor"))
+      .select(col(idCol), col("__pos"), col("__ptoks"), col("__plen"))
+    val hits = cand.join(toks, Seq(idCol))
+      .filter(slice(col("__toks"), col("__pos") + lit(1), col("__plen")) === col("__ptoks"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nh"))
+    toks.join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), size(col("__toks")).as("n_tokens"),
+        when(col("__toks").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("__nh"), lit(0L))).as("n_phrase_hits"))
+      .withColumn("keep", col("n_phrase_hits") <= lit(maxHits.toLong))
+  }
+
   /** Marker words for the n-gram/stopword language-ID heuristic. Scores are
     * marker-token counts; prediction is the argmax with a fixed tie-break
     * order (en, de, fr, es, zh). */
