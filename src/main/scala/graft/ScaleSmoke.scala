@@ -42,6 +42,9 @@ object ScaleSmoke {
     if (args.contains("kmeans")) { // iterate on the k-means section alone
       kmeansSmoke(spark); println("[scale] DONE (kmeans only)"); spark.stop(); return
     }
+    if (args.contains("clean")) { // iterate on the cleaning capstone alone
+      cleanPipeline(spark); println("[scale] DONE (clean only)"); spark.stop(); return
+    }
     import spark.implicits._
 
     // ---- build replicated inputs (ids perturbed so keys stay unique) ----
@@ -939,6 +942,92 @@ object ScaleSmoke {
     }
     val back = graft.io.Export.readJsonl(spark, s"$out/export", survivors.schema).count()
     require(back == sCount, s"JSONL export round-trip lost rows: $back != $sCount")
+  }
+
+  /** Cleaning-chain capstone at corpus scale, runnable standalone
+    * (`runMain graft.ScaleSmoke clean`): the full pre-dedup hygiene path —
+    * encoding-damage screen → NFC normalization → content dedup → lexicon +
+    * phrase screens — over a 4-variant corpus built from the 30× replica
+    * (when present): per source doc, a CLEAN copy, a DAMAGED copy
+    * (mojibake + U+FFFD — the screen must drop exactly these), a
+    * PRECOMPOSED copy (`á `-prefixed) and a DECOMPOSED copy
+    * (`a`+U+0301-prefixed) that are the same text in different bytes. The
+    * closed-form `require`s pin each stage: the screen keeps exactly 3n of
+    * 4n; WITHOUT NFC content dedup leaves 3 classes per distinct text
+    * (the decomposed twin escapes); WITH NFC it leaves 2 — the measured
+    * proof that normalization is load-bearing for dedup, not cosmetic.
+    * Screen totals are computed under two different partitionings and
+    * required identical (partitioning-invariance at scale). */
+  private def cleanPipeline(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.{Dedup, TextAnalysis}
+    import spark.implicits._
+    val base =
+      if (new java.io.File("/tmp/graft_sf3/documents.parquet").exists()) "/tmp/graft_sf3"
+      else "/root/testdata/sf0.1"
+    println(s"[scale] clean corpus: $base")
+    val docs0 = io.Tables.load(spark, base, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val n = docs0.count()
+    val dA = docs0.select("text").distinct().count() // distinct source texts
+
+    // 4 variants per source doc; ids disjoint by construction
+    val clean = docs0.select((col("doc_id") * 4).as("doc_id"), col("text"))
+    val damaged = docs0.select((col("doc_id") * 4 + 1).as("doc_id"),
+      concat(col("text"), lit(" CafÃ© bad\uFFFDbytes")).as("text"))
+    val precomposed = docs0.select((col("doc_id") * 4 + 2).as("doc_id"),
+      concat(lit("\u00E1 "), col("text")).as("text"))
+    val decomposed = docs0.select((col("doc_id") * 4 + 3).as("doc_id"),
+      concat(lit("a\u0301 "), col("text")).as("text"))
+    val corpus = graft.ext.Caches.track(
+      clean.union(damaged).union(precomposed).union(decomposed))
+    require(corpus.count() == 4 * n, "variant build lost rows")
+
+    // stage 1: encoding screen drops exactly the damaged variant
+    val kept = time(s"clean: encoding screen over ${4 * n} docs") {
+      val rep = TextAnalysis.encodingScreen(corpus)
+      val k = corpus.join(rep.filter(col("keep")).select("doc_id"), "doc_id")
+      val c = k.count()
+      require(c == 3 * n, s"encoding screen kept $c, expected ${3 * n}")
+      k
+    }
+
+    // stage 2+3: content dedup is wrong WITHOUT NFC and right WITH it
+    val dedupOn: DataFrame => Long = df =>
+      Dedup.exact(df.withColumn("fp", md5(col("text"))), Seq("fp"), "doc_id").count()
+    time("clean: dedup without NFC (decomposed twin escapes)") {
+      val survivors = dedupOn(kept)
+      require(survivors == 3 * dA,
+        s"pre-NFC dedup: $survivors survivors, expected ${3 * dA}")
+    }
+    val normalized = graft.ext.Caches.track(kept.select(col("doc_id"),
+      TextAnalysis.nfcNormalize(col("text")).as("text")))
+    val survivors = time("clean: NFC + dedup (twins collapse)") {
+      val s = Dedup.exact(normalized.withColumn("fp", md5(col("text"))),
+        Seq("fp"), "doc_id")
+      val c = s.count()
+      require(c == 2 * dA, s"post-NFC dedup: $c survivors, expected ${2 * dA}")
+      s
+    }
+
+    // stage 4: token/phrase screens — totals must be partitioning-invariant
+    val lex = Seq("slow", "merge").toDF("word")
+    val ph = Seq("table table", "fast merge").toDF("phrase")
+    def screenTotals(df: DataFrame): (Long, Long) = {
+      val l = TextAnalysis.lexiconScreen(df, lex)
+        .agg(sum("n_blocked")).as[Long].head()
+      val p = TextAnalysis.phraseScreen(df, ph)
+        .agg(sum("n_phrase_hits")).as[Long].head()
+      (l, p)
+    }
+    time("clean: lexicon + phrase screens, two partitionings") {
+      val a = screenTotals(survivors)
+      val b = screenTotals(survivors.repartition(7, col("doc_id")))
+      require(a == b, s"screen totals moved with partitioning: $a vs $b")
+      require(a._2 > 0, "phrase screen found nothing — fixture no longer exercises it")
+      println(s"[scale] clean: lexicon hits ${a._1}, phrase hits ${a._2} " +
+        s"over ${2 * dA} survivors")
+    }
+    Dedup.unpersistAll()
   }
 
   /** Store concurrency stress, runnable standalone
