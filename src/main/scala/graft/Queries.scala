@@ -209,6 +209,30 @@ object Queries {
           inj(11, " A\u030A ring"))).as("text"))
   }
 
+  /** SQL twin of [[synthReadabilityDocs]] (a CTE named `rd`), used by the
+    * `text_readability` oracle. */
+  private val synthReadabilitySql =
+    """rd AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '. One more sentence here. And a question?' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' trailing exclamation!!' ELSE '' END
+      |  END AS text FROM documents)""".stripMargin
+
+  /** Fixture for the `text_readability` gate: the corpus word salad has no
+    * sentence punctuation (the floor-at-1 path), so deterministic
+    * injections add multi-sentence docs (d%3), a `!!` run that must count
+    * as ONE separator (d%5), and NULL text (d%19). */
+  private def synthReadabilityDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    def inj(m: Int, suffix: String) =
+      when(pmod(did, lit(m)) === 0, lit(suffix)).otherwise(lit(""))
+    Tables.load(s, d, "documents").select(did,
+      when(pmod(did, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(col("text"),
+          inj(3, ". One more sentence here. And a question?"),
+          inj(5, " trailing exclamation!!"))).as("text"))
+  }
+
   /** SQL twin of [[synthParaDocs]] (a CTE named `pd`), used by the
     * `dedup_paragraphs_global` oracle. */
   private val synthParaSql =
@@ -1243,6 +1267,10 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
           round(col("blocked_ratio"), 6).as("blocked_ratio"), col("keep"))
     }),
+    // Flesch/Flesch-Kincaid readability (the grade-level quality prior):
+    // exact word/sentence/vowel-group counts, formulas at 6 decimals
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readability(synthReadabilityDocs(s, d))),
     // multi-word blocklist phrase screen (the C4 §2.2 / Dolma boilerplate-
     // phrase stage): anchor-pruned contiguous token-run matching against a
     // broadcast phrase table; the doubled spelling must collapse to one
@@ -1259,6 +1287,16 @@ object Queries {
     // fixture; keep = zero signals, NULL text -> NULL verdict
     "text_encoding_screen" -> ((s, d) =>
       TextAnalysis.encodingScreen(synthEncodingDocs(s, d))),
+    // the SparkSessionExtensions SQL-function path end-to-end: the SAME
+    // native expression invoked from SQL TEXT (not the Column wrapper) —
+    // proves a SQL-first deployment reaches the graftx family through
+    // spark.sql.extensions registration alone
+    "o18_sql_function_path" -> ((s, d) => {
+      synthNfcDocs(s, d).createOrReplaceTempView("sql_path_docs")
+      s.sql("""SELECT doc_id, unicode_normalize(text, 'NFC') AS nfc_text,
+              |       length(unicode_normalize(text, 'NFC')) AS n_chars_nfc
+              |  FROM sql_path_docs""".stripMargin)
+    }),
     // Unicode NFC normalization (the repair step after the encoding
     // screen, before fingerprint/dedup): the codegen'd JDK-Normalizer
     // expression vs DuckDB's utf8proc nfc_normalize — two independent
@@ -3073,6 +3111,23 @@ object Queries {
         |       round(n_blocked::DOUBLE / n_tokens, 6) AS blocked_ratio,
         |       n_blocked::DOUBLE / n_tokens <= 0.05 AS keep
         |  FROM agg""".stripMargin,
+    // readability mirror: identical split-count arithmetic and the exact
+    // formula operation order, rounded at 6 decimals on both sides
+    "text_readability" ->
+      s"""WITH $synthReadabilitySql,
+         |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk, text FROM rd),
+         |m AS (SELECT doc_id, len(tk) AS n_words,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       ELSE greatest(1, len(regexp_split_to_array(text, '[.!?]+')) - 1) END AS n_sentences,
+         |  CAST(list_sum(list_transform(tk,
+         |    w -> greatest(1, len(regexp_split_to_array(w, '[aeiouy]+')) - 1))) AS BIGINT) AS n_syllables
+         |  FROM t)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+         |    - 84.6 * (n_syllables::DOUBLE / n_words), 6) AS flesch_ease,
+         |  round(0.39 * (n_words::DOUBLE / n_sentences)
+         |    + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6) AS fk_grade
+         |  FROM m""".stripMargin,
     // mirror of phraseScreen: positions via unnest(range(...)), anchor
     // equi-join, 1-based inclusive list-slice equality for the verify
     "text_phrase_screen" ->
@@ -3114,6 +3169,11 @@ object Queries {
          |SELECT doc_id, nfc_normalize(text) AS nfc_text,
          |       length(nfc_normalize(text)) AS n_chars_nfc,
          |       nfc_normalize(text) <> text AS changed
+         |  FROM nfc""".stripMargin,
+    "o18_sql_function_path" ->
+      s"""WITH $synthNfcSql
+         |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+         |       length(nfc_normalize(text)) AS n_chars_nfc
          |  FROM nfc""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,

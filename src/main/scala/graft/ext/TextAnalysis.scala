@@ -430,6 +430,47 @@ object TextAnalysis {
             col("__len").cast("double"), 6).as("entropy"))
       .select(col(idCol), col("entropy"))
 
+  /**
+   * Readability scores (Flesch reading ease + Flesch–Kincaid grade) — the
+   * classic document-difficulty prior quality pipelines use as a feature
+   * (alongside [[gopherQuality]]'s structural rules): educational-corpus
+   * curation wants a grade-level signal, and the 1975 Flesch/Kincaid
+   * formulas are the standard deterministic one. All three inputs are
+   * exactly countable, so the gate is hash-exact at 6 decimals:
+   *  - words = the shared whitespace tokenizer;
+   *  - sentences = `[.!?]+` separator runs, floored at 1 (a fragment is
+   *    one sentence, and the formulas divide by it);
+   *  - syllables = per-word `[aeiouy]+` vowel-group count floored at 1
+   *    (the standard heuristic: "rhythm" is one syllable, not zero) —
+   *    a higher-order `transform` + `aggregate`, no explode, no shuffle.
+   *
+   * `ease = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`,
+   * `grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`
+   * (Kincaid et al. 1975). One codegen'd projection; NULL text → NULLs.
+   */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    // greatest() SKIPS nulls in both engines, so the sentence floor must
+    // not resurrect NULL text — gate it explicitly (NULL in, NULL out)
+    val nSentences = when(col(textCol).isNull, lit(null).cast("int"))
+      .otherwise(greatest(lit(1), size(split(col(textCol), "[.!?]+")) - 1))
+    val nSyllables = aggregate(
+      transform(t, w => greatest(lit(1), size(split(w, "[aeiouy]+")) - 1)),
+      lit(0), (acc, x) => acc + x)
+    val words = size(t).cast("double")
+    val sentences = nSentences.cast("double")
+    val syllables = nSyllables.cast("double")
+    docs.select(col(idCol),
+      size(t).as("n_words"),
+      nSentences.as("n_sentences"),
+      nSyllables.as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syllables / words), 6).as("flesch_ease"),
+      round(lit(0.39) * (words / sentences)
+        + lit(11.8) * (syllables / words) - lit(15.59), 6).as("fk_grade"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * normalization-stable document signature (token order and duplication
     * insensitive). Useful as a cheap exact-dedup key at scale. */

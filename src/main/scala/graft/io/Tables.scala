@@ -48,11 +48,17 @@ object Tables {
   }
 }
 
-/** Canonical SparkSession settings shared by Verify/Bench/tests. */
+/** Canonical SparkSession settings shared by Verify/Bench/tests. The
+  * graftx native expressions register as SQL functions via the standard
+  * `SparkSessionExtensions` hook, so `spark.sql("... unicode_normalize(...)")`
+  * works in every session this builder creates (a cluster deployment gets
+  * the same via `spark.sql.extensions=org.apache.spark.sql.graftx
+  * .GraftExtensions` with zero code changes). */
 object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,56 @@
+package org.apache.spark.sql.graftx
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions registration path: every SQL-registered
+  * graftx function must be callable from query TEXT in a session built by
+  * `graft.io.Sessions.builder` (which installs [[GraftExtensions]]), and
+  * mis-use must fail by name at analysis time, not opaquely at runtime. */
+class SqlExtensionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one[A](sql: String): A =
+    spark.sql(sql).collect().head.get(0).asInstanceOf[A]
+
+  test("unicode_normalize composes from SQL text") {
+    assert(one[String]("SELECT unicode_normalize('cafe\u0301', 'NFC')") == "caf\u00E9")
+    assert(one[String]("SELECT unicode_normalize('caf\u00E9', 'NFD')") == "cafe\u0301")
+  }
+
+  test("vector functions compose from SQL text") {
+    assert(one[Double](
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))") == 11.0)
+    val n = spark.sql("SELECT vector_normalize(array(3.0d, 4.0d))")
+      .collect().head.getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8))
+    assert(one[Int](
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L))") == 2)
+  }
+
+  test("hash-family functions compose from SQL text") {
+    val sh = one[Long]("SELECT simhash64(array(15L, 15L, 240L))")
+    assert(sh == one[Long]("SELECT simhash64(array(15L, 15L, 240L))")) // deterministic
+    val sig = spark.sql("SELECT minhash_signature(array(11L, 22L, 33L), 8)")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+    val merged = spark.sql(
+      "SELECT bpe_merge_adjacent(array('l', 'o', 'w'), 'l', 'o')")
+      .collect().head.getSeq[String](0)
+    assert(merged == Seq("lo", "w"))
+  }
+
+  test("mis-use fails by name: wrong arity and non-literal trailing args") {
+    val arity = intercept[Exception](
+      spark.sql("SELECT unicode_normalize('x')").collect())
+    assert(arity.getMessage.contains("unicode_normalize"))
+    val form = intercept[Exception](spark.sql(
+      "SELECT unicode_normalize('x', lower('NFC'))").collect())
+    assert(form.getMessage.contains("unicode_normalize") ||
+      form.getMessage.contains("string literal"))
+    val width = intercept[Exception](spark.sql(
+      "SELECT minhash_signature(array(1L), 1 + 1)").collect())
+    assert(width.getMessage.contains("minhash_signature") ||
+      width.getMessage.contains("integer literal"))
+  }
+}
