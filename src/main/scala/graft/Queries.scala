@@ -1293,9 +1293,13 @@ object Queries {
     // spark.sql.extensions registration alone
     "o18_sql_function_path" -> ((s, d) => {
       synthNfcDocs(s, d).createOrReplaceTempView("sql_path_docs")
-      s.sql("""SELECT doc_id, unicode_normalize(text, 'NFC') AS nfc_text,
-              |       length(unicode_normalize(text, 'NFC')) AS n_chars_nfc
-              |  FROM sql_path_docs""".stripMargin)
+      // spark.sql resolves eagerly, so the view can drop immediately —
+      // query entries must not leak state into the shared session
+      val df = s.sql("""SELECT doc_id, unicode_normalize(text, 'NFC') AS nfc_text,
+                       |       length(unicode_normalize(text, 'NFC')) AS n_chars_nfc
+                       |  FROM sql_path_docs""".stripMargin)
+      s.catalog.dropTempView("sql_path_docs")
+      df
     }),
     // Unicode NFC normalization (the repair step after the encoding
     // screen, before fingerprint/dedup): the codegen'd JDK-Normalizer

@@ -446,7 +446,13 @@ object TextAnalysis {
    *
    * `ease = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`,
    * `grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`
-   * (Kincaid et al. 1975). One codegen'd projection; NULL text → NULLs.
+   * (Kincaid et al. 1975). Two chained projections (the house two-step
+   * at [[repetition]]/[[unigramSurprisal]]): the first materializes each
+   * O(text) count ONCE, the second derives both formulas from the count
+   * columns — inlining everything into one projection re-evaluated the
+   * syllable aggregate 3× and the tokenization ~5× per row
+   * (CollapseProject keeps multiply-referenced non-cheap HOFs apart, but
+   * only if we split them ourselves). NULL text → NULLs.
    */
   def readability(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -458,17 +464,18 @@ object TextAnalysis {
     val nSyllables = aggregate(
       transform(t, w => greatest(lit(1), size(split(w, "[aeiouy]+")) - 1)),
       lit(0), (acc, x) => acc + x)
-    val words = size(t).cast("double")
-    val sentences = nSentences.cast("double")
-    val syllables = nSyllables.cast("double")
+    val words = col("n_words").cast("double")
+    val sentences = col("n_sentences").cast("double")
+    val syllables = col("n_syllables").cast("double")
     docs.select(col(idCol),
-      size(t).as("n_words"),
-      nSentences.as("n_sentences"),
-      nSyllables.as("n_syllables"),
-      round(lit(206.835) - lit(1.015) * (words / sentences)
-        - lit(84.6) * (syllables / words), 6).as("flesch_ease"),
-      round(lit(0.39) * (words / sentences)
-        + lit(11.8) * (syllables / words) - lit(15.59), 6).as("fk_grade"))
+        size(t).as("n_words"),
+        nSentences.as("n_sentences"),
+        nSyllables.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (words / sentences)
+          - lit(84.6) * (syllables / words), 6).as("flesch_ease"),
+        round(lit(0.39) * (words / sentences)
+          + lit(11.8) * (syllables / words) - lit(15.59), 6).as("fk_grade"))
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set — a

@@ -54,7 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         if (children.size != arity) throw new IllegalArgumentException(
           s"$name expects $arity arguments, got ${children.size}")
-        build(children)
+        // constructor `require`s (signature-width range, form whitelist)
+        // must also surface BY NAME: in a query using several functions a
+        // bare "requirement failed" is not attributable
+        try build(children) catch {
+          case e: IllegalArgumentException
+              if Option(e.getMessage).forall(m => !m.startsWith(name)) =>
+            throw new IllegalArgumentException(s"$name: ${e.getMessage}", e)
+        }
       }))
 }
 
