@@ -1432,6 +1432,18 @@ object Queries {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_surprisal"), 6).as("avg_surprisal"))
     }),
+    // interpolated Kneser–Ney bigram surprisal under the same reference
+    // slice — the KenLM-default smoothing CCNet's perplexity filter
+    // actually ships: backoff mass follows CONTINUATION counts (how many
+    // distinct contexts a word completes), not raw frequency; 6 decimals
+    // like every ln-based gate
+    "text_kn_bigram_ppl" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.knBigramSurprisal(dd,
+          dd.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_kn_surprisal"), 6).as("avg_kn_surprisal"))
+    }),
     // CCNet head/middle/tail (Wenzek et al. 2020 §3.3): per-LANGUAGE
     // surprisal terciles via groupQuantileBins — one global cut would rank
     // languages by LM fit, not documents within a language
@@ -1568,6 +1580,14 @@ object Queries {
     "sampling_quantile_bins" -> ((s, d) =>
       Sampling.quantileBins(orders(s, d), "o_totalprice", 10)
         .select("o_orderkey", "bin")),
+    // cross-domain score calibration (quantile normalization): per-language
+    // percent rank re-mapped onto the GLOBAL length distribution — the
+    // "make scores comparable across sources" step before mixing; percent
+    // rank via distinct-value cumsum (no per-group row sort), grid as one
+    // broadcast aggregation row
+    "sampling_quantile_normalize" -> ((s, d) =>
+      Sampling.quantileNormalize(docs(s, d), "lang", "n_chars", gridK = 100)
+        .select("doc_id", "lang", "n_chars", "calibrated")),
     // deterministic contrastive negatives: 3 hash-drawn partners per doc,
     // partner ordinal = idHash("id:j") mod n — reproducible on any engine,
     // self-collisions dropped
@@ -1855,6 +1875,12 @@ object Queries {
       val e = emb(s, d)
       Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // hybrid retrieval: a BM25 pool and a cosine pool fused by reciprocal
+    // rank (Σ 1/(60+r)) — the RAG-era lexical+vector standard; both pools
+    // rank by ROUNDED score with id tiebreak so the fused set is
+    // engine-independent, and ids link documents ↔ embeddings
+    "sim_rrf_fusion" -> ((s, d) =>
+      Similarity.hybridRrf(docs(s, d), emb(s, d), "fast hash join", 0L)),
     // distributed Lloyd's k-means (3 recenter rounds + final assignment) —
     // the cluster structure behind SemDeDup-style pruning and
     // cluster-balanced sampling; every round is one codegen'd assignment
@@ -3412,6 +3438,22 @@ object Queries {
         |       CASE WHEN o_totalprice IS NULL THEN NULL
         |            ELSE 1 + len(list_filter(t.th, x -> o_totalprice > x)) END AS bin
         |  FROM orders, t""".stripMargin,
+    // quantile normalization re-derived: percent_rank within language
+    // (ties share the min rank — DuckDB's window semantics ≡ the engine's
+    // distinct-value cumsum), global grid via quantile_cont ≡ Spark
+    // percentile, both rounds half-away-from-zero in both engines
+    "sampling_quantile_normalize" ->
+      s"""WITH b AS (SELECT doc_id, lang, n_chars FROM documents
+         |            WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         |g AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+         |               [${(0 to 100).map(i => i / 100.0).mkString(",")}]) AS grid
+         |        FROM b),
+         |pr AS (SELECT doc_id, lang, n_chars,
+         |              percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+         |         FROM b)
+         |SELECT pr.doc_id, pr.lang, pr.n_chars,
+         |       round(g.grid[CAST(round(pr.pr * 100) AS INT) + 1], 6) AS calibrated
+         |  FROM pr, g""".stripMargin,
     // same ordinal + 60-bit-hash-mod-n arithmetic, self-collisions dropped
     "sampling_negative_pairs" ->
       s"""WITH o AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS ord
@@ -3610,6 +3652,36 @@ object Queries {
         |                 LEFT JOIN f f2 ON db.w2 = f2.w, nv)
         |SELECT doc_id, count(*) AS n_bigrams,
         |       round(avg(-ln(s)), 6) AS avg_surprisal
+        |  FROM sc GROUP BY doc_id""".stripMargin,
+    // interpolated Kneser–Ney re-derived: context totals / distinct
+    // continuations / distinct contexts all from ONE grouped bigram count,
+    // the add-one continuation floor, and the identical CAST/paren
+    // structure so the doubles match bit-for-bit before round 6
+    "text_kn_bigram_ppl" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |db AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |         FROM d, unnest(range(1, len(t))) AS u(i)
+        |        WHERE len(t) >= 2),
+        |rb AS (SELECT w1, w2, count(*) AS cb FROM db WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+        |cx AS (SELECT w1, sum(cb) AS c1, count(*) AS n1f FROM rb GROUP BY w1),
+        |ct AS (SELECT w2, count(*) AS n1b FROM rb GROUP BY w2),
+        |tot AS (SELECT (SELECT count(*) FROM rb) AS b,
+        |               (SELECT count(DISTINCT w) FROM
+        |                  (SELECT unnest(t) AS w FROM d WHERE doc_id % 10 = 0) rt) AS v),
+        |sc AS (SELECT db.doc_id,
+        |              CASE WHEN cx.c1 IS NOT NULL
+        |                   THEN (greatest(CAST(coalesce(rb.cb, 0) AS DOUBLE) - 0.75, 0.0)
+        |                         + 0.75 * CAST(cx.n1f AS DOUBLE)
+        |                              * (CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+        |                                 / CAST(tot.b + tot.v AS DOUBLE)))
+        |                        / CAST(cx.c1 AS DOUBLE)
+        |                   ELSE CAST(coalesce(ct.n1b, 0) + 1 AS DOUBLE)
+        |                        / CAST(tot.b + tot.v AS DOUBLE) END AS p
+        |         FROM db LEFT JOIN rb ON db.w1 = rb.w1 AND db.w2 = rb.w2
+        |                 LEFT JOIN cx ON db.w1 = cx.w1
+        |                 LEFT JOIN ct ON db.w2 = ct.w2, tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(p)), 6) AS avg_kn_surprisal
         |  FROM sc GROUP BY doc_id""".stripMargin,
     // CCNet §3.3 head/middle/tail: per-LANGUAGE surprisal terciles — the
     // same quantile_cont formula the sampling_quantile_bins gate proved
@@ -3997,6 +4069,40 @@ object Queries {
         |                       generate_subscripts(embedding, 1) AS idx
         |                  FROM embeddings) t) s""".stripMargin,
     "sim_topk" -> bruteForceTopKSql,
+    // RRF re-derived: the bm25 CTEs with a 50-pool cut, the cosine pool
+    // against the vec_id=0 query row, both ranked by (rounded score, id),
+    // fused as CAST(1.0 AS DOUBLE)/(60+rank) sums over a full outer join
+    "sim_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |st AS (SELECT count(*) AS n,
+        |              CAST(sum(len(t)) AS DOUBLE) / count(len(t)) AS avgdl FROM d),
+        |p AS (SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+        |        FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM d) x
+        |       WHERE w IN ('fast', 'hash', 'join') GROUP BY doc_id, w),
+        |f AS (SELECT w, count(*) AS df FROM p GROUP BY w),
+        |sc AS (SELECT p.doc_id,
+        |              ln((CAST(st.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+        |              * (p.tf * CAST(2.2 AS DOUBLE))
+        |              / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * p.dl / st.avgdl)) AS s
+        |         FROM p JOIN f USING (w), st),
+        |lp AS (SELECT doc_id, round(sum(s), 6) AS score
+        |         FROM sc GROUP BY doc_id
+        |        ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        |          FROM lp),
+        |vq AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT CAST(c.vec_id AS BIGINT) AS id,
+        |              round(list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                           vq.embedding::DOUBLE[]), 6) AS cs
+        |         FROM embeddings c, vq WHERE c.vec_id <> 0),
+        |vp AS (SELECT id, cs FROM vs ORDER BY cs DESC, id LIMIT 50),
+        |vec AS (SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS vec_rank FROM vp)
+        |SELECT coalesce(lex.id, vec.id) AS id, lex.lex_rank, vec.vec_rank,
+        |       coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0.0 AS DOUBLE)) +
+        |       coalesce(CAST(1.0 AS DOUBLE) / (60 + vec.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM lex FULL JOIN vec ON lex.id = vec.id
+        | ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "sim_kmeans_clusters" -> kmeansSql(8, 3, 6),
     "sampling_cluster_balanced" -> kmeansBalancedSql(8, 3, 6, 25),
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)

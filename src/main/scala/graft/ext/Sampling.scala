@@ -387,6 +387,68 @@ object Sampling {
   }
 
   /**
+   * Cross-domain quantile normalization — map every row's score onto the
+   * GLOBAL score distribution at the row's within-domain percent rank:
+   * `calibrated = globalQuantile(percent_rank_within(group))`. This is the
+   * calibration step a mixed-corpus curation pass needs before comparing
+   * quality scores across heterogeneous sources (a "good" web page and a
+   * "good" reference-corpus page sit at the same within-source rank but on
+   * incomparable raw scales — rank-then-requantize puts them on one scale;
+   * the microarray literature calls it quantile normalization).
+   *
+   * Contract (spelled identically in the SQL oracle): within-group rank is
+   * SQL `percent_rank` — `(minRank − 1) / (n − 1)` with ties sharing the
+   * min rank, single-row groups at 0 — and the global grid is the exact
+   * interpolated `percentile(valueCol, i/gridK)` for `i = 0..gridK`
+   * (≡ DuckDB `quantile_cont`); `calibrated = round(grid[round(pr·gridK)],
+   * 6)`, both `round`s half-away-from-zero in both engines. Rows with a
+   * NULL group or NULL value are excluded (their rank is undefined; the
+   * engines also disagree on NULL sort order).
+   *
+   * Plan: percent rank is computed WITHOUT sorting each group into one
+   * task — value counts grouped by `(group, value)`, a running sum over
+   * each group's DISTINCT values (the window input is gram-sized, not
+   * corpus-sized), and a `(group, value)` join back onto the rows; the
+   * grid is one aggregation traveling as a single broadcast row, and the
+   * final calibration is a pure per-row projection. Exact `percentile`
+   * buffers values per partition — at the 100 TB scale pass
+   * `approx = true` (`percentile_approx`, constant memory, the
+   * [[quantileBins]] trade; the oracle only mirrors the exact form).
+   */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String = "calibrated", gridK: Int = 1000,
+      approx: Boolean = false): DataFrame = {
+    require(gridK >= 2, s"need at least 2 grid intervals: $gridK")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a free outCol")
+    val probs = (0 to gridK).map(i => i.toDouble / gridK)
+    val gridFn = if (approx)
+      s"percentile_approx(`$valueCol`, array(${probs.mkString(",")}), 10000)"
+    else s"percentile(`$valueCol`, array(${probs.mkString(",")}))"
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val grid = freshCol(df, "__qngrid")
+    val gridRow = base.agg(expr(gridFn).as(grid))
+    val c = freshCol(df, "__qnc")
+    val cum = freshCol(df, "__qncum")
+    val n = freshCol(df, "__qnn")
+    val pr = freshCol(df, "__qnpr")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val ranks = base.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as(c))
+      .withColumn(cum, sum(col(c)).over(w))
+      .withColumn(n, sum(col(c)).over(Window.partitionBy(col(groupCol))))
+      .withColumn(pr, when(col(n) > 1,
+          (col(cum) - col(c)).cast("double") / (col(n) - 1).cast("double"))
+        .otherwise(lit(0.0)))
+      .select(col(groupCol), col(valueCol), col(pr))
+    base.join(ranks, Seq(groupCol, valueCol))
+      .crossJoin(broadcast(gridRow))
+      .withColumn(outCol, round(element_at(col(grid),
+        round(col(pr) * gridK, 0).cast("int") + 1), 6))
+      .select(df.columns.toIndexedSeq.map(col) :+ col(outCol): _*)
+  }
+
+  /**
    * Per-GROUP equal-frequency discretization — [[quantileBins]] with the
    * thresholds computed within each `groupCol` partition of the corpus:
    * the CCNet bucketing step (Wenzek et al. 2020 §3.3 — documents split

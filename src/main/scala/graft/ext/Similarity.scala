@@ -120,6 +120,68 @@ object Similarity {
   }
 
   /**
+   * Hybrid lexical + vector retrieval fused with Reciprocal Rank Fusion
+   * (Cormack, Clarke & Büttcher 2009): rank the corpus by BM25 for a term
+   * query and by cosine against a query embedding, then score every
+   * retrieved id by `Σ 1/(k0 + rank)` over the lists that retrieved it —
+   * the standard RAG-era hybrid, robust precisely because it fuses RANKS
+   * (scale-free) rather than trying to calibrate BM25 scores against
+   * cosines. Documents and embeddings are linked by id (`docIdCol` value ≡
+   * `vecIdCol` value); the query embedding is the corpus vector at
+   * `queryVecId`, which is excluded from the candidate pool (the
+   * [[topK]] self-match convention).
+   *
+   * Determinism contract (the bm25 cutoff rule): both pools rank by their
+   * ROUNDED score (6 dp) descending with id ascending — a total order, so
+   * pool membership and ranks are engine-independent — and the fused
+   * `1/(k0+rank)` sums are IEEE-identical given identical integer ranks.
+   * Scale shape: the BM25 pool is [[TextAnalysis.bm25]]'s posting-list
+   * plan; the vector pool broadcasts ONE query row and streams the corpus
+   * once into a TakeOrdered heap (no global sort); both pools are ≤
+   * `poolK` rows before ranking, so the rank numbering and the full-outer
+   * fuse run on bounded frames. Returns `(id, lex_rank, vec_rank, rrf)`,
+   * ranks NULL where a list did not retrieve the id, top `topK` by
+   * `(rrf desc, id)`.
+   */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, query: String, queryVecId: Long,
+      docIdCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      poolK: Int = 50, k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(poolK > 0, s"poolK must be positive: $poolK")
+    require(topK > 0, s"topK must be positive: $topK")
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    // the query row is a required singleton — a silent empty/duplicate
+    // match would empty or double the vector pool, so fail loudly instead
+    val qRows = emb.filter(col(vecIdCol) === queryVecId)
+      .select(asDouble(col(vecCol)).as("__qv")).limit(2).collect()
+    require(qRows.length == 1,
+      s"query vector id $queryVecId must match exactly one embedding row, " +
+        s"found ${qRows.length}")
+    val lexPool = TextAnalysis.bm25(docs, query, docIdCol, textCol, topK = poolK)
+    val lex = graft.ops.Ops.globalOrdinals(lexPool,
+        Seq(col("score").desc, col(docIdCol).asc), 1, "__ord")
+      .select(col(docIdCol).cast("long").as("id"), (col("__ord") + 1L).as("lex_rank"))
+    val qv = broadcast(emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows(0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__qv",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))))
+    val vecPool = emb.filter(col(vecIdCol) =!= queryVecId)
+      .crossJoin(qv)
+      .select(col(vecIdCol).cast("long").as("id"),
+        round(cosine(asDouble(col(vecCol)), col("__qv")), 6).as("__cos"))
+      .orderBy(col("__cos").desc, col("id").asc).limit(poolK)
+    val vec = graft.ops.Ops.globalOrdinals(vecPool,
+        Seq(col("__cos").desc, col("id").asc), 1, "__ord")
+      .select(col("id"), (col("__ord") + 1L).as("vec_rank"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc).limit(topK)
+  }
+
+  /**
    * Train an IVF coarse quantizer: k-means centroids over a bounded,
    * deterministic sample of unit-normalized corpus vectors. The sample
    * (≤ `sampleSize` rows) is the ONLY driver-side materialization — standard

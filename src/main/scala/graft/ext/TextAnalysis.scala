@@ -986,6 +986,76 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated Kneser–Ney bigram surprisal (Kneser & Ney 1995; the
+   * smoothing KenLM ships as its default and CCNet's perplexity filter
+   * actually runs) — the principled counterpart to [[bigramSurprisal]]'s
+   * Stupid Backoff: instead of backing off to how OFTEN a word occurs, KN
+   * backs off to how many distinct CONTEXTS it follows ("Francisco" is
+   * frequent but only ever follows "San", so its continuation probability
+   * is tiny — exactly the distinction a perplexity filter wants when
+   * scoring boilerplate built from frequent-but-rigid collocations).
+   *
+   * Model, counted from `reference` and mirrored verbatim in the oracle:
+   *   - `c(w1 w2)` — bigram counts; `c(w1·) = Σ_w2 c(w1 w2)` — context
+   *     totals (the KN denominator is bigram STARTS, not unigram counts);
+   *   - `N1+(w1·)` — distinct continuations of `w1`; `N1+(·w2)` —
+   *     distinct contexts preceding `w2`; `B` — distinct bigram types;
+   *     `V` — reference vocabulary size;
+   *   - continuation probability with an add-one floor so OOV stays
+   *     finite: `Pc(w2) = (N1+(·w2) + 1) / (B + V)`;
+   *   - seen context: `P(w2|w1) = (max(c(w1 w2) − D, 0) +
+   *     D · N1+(w1·) · Pc(w2)) / c(w1·)` with discount `D`;
+   *   - unseen context (`c(w1·) = 0`): `P(w2|w1) = Pc(w2)`.
+   *
+   * Plan shape is [[bigramSurprisal]]'s: every reference statistic is a
+   * gram-cardinality frame derived from ONE grouped bigram count (cached —
+   * it feeds the context/continuation/type-total aggregations AND the
+   * document join), scalars `(B, V)` ride as a one-row broadcast, and the
+   * document bigram stream left-joins the three count frames
+   * (broadcast-hinted when small) before one per-doc aggregation — every
+   * shuffle keyed on a gram or the doc id, nothing driver-side, nothing
+   * quadratic. Docs with < 2 tokens have no bigrams and are absent (the
+   * `unnest` convention). Returns `(idCol, n_bigrams, avg_kn_surprisal)`
+   * where `avg_kn_surprisal = avg(−ln P)`; callers gating against another
+   * engine should round it (ln/summation order differ by ulps).
+   */
+  def knBigramSurprisal(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0, 1): $discount")
+    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val t = tokens(col(textCol))
+      df.select(keep :+ t.as("__tk") :+ size(t).as("__nt"): _*)
+        .filter(col("__nt") >= 2)
+        .select(keep :+ col("__tk") :+
+          explode(sequence(lit(1), col("__nt") - 1)).as("__i"): _*)
+        .select(keep :+ element_at(col("__tk"), col("__i")).as("__w1") :+
+          element_at(col("__tk"), col("__i") + 1).as("__w2"): _*)
+    }
+    val refBg = Caches.track(bigrams(reference, Nil)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb")))
+    val ctx = refBg.groupBy("__w1")
+      .agg(sum(col("__cb")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = refBg.groupBy("__w2").agg(count(lit(1)).as("__n1b"))
+    val totals = refBg.agg(count(lit(1)).as("__b")).crossJoin(
+      reference.select(explode(tokens(col(textCol))).as("__w"))
+        .agg(countDistinct(col("__w")).as("__v")))
+    val pc = (coalesce(col("__n1b"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__b") + col("__v")).cast("double")
+    val p = when(col("__c1").isNotNull,
+        (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - lit(discount), lit(0.0)) +
+          lit(discount) * col("__n1f").cast("double") * pc) / col("__c1").cast("double"))
+      .otherwise(pc)
+    bigrams(docs, Seq(col(idCol)))
+      .join(graft.ops.Ops.hintIfSmall(refBg), Seq("__w1", "__w2"), "left_outer")
+      .join(graft.ops.Ops.hintIfSmall(ctx), Seq("__w1"), "left_outer")
+      .join(graft.ops.Ops.hintIfSmall(cont), Seq("__w2"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log(p)).as("avg_kn_surprisal"))
+  }
+
+  /**
    * PMI collocation extraction (Church & Hanks 1990) — the phrase-mining
    * step of tokenizer/vocabulary curation: bigrams that co-occur far more
    * than their unigram frequencies predict ("new york", "ground truth")
