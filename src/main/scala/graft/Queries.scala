@@ -1888,6 +1888,14 @@ object Queries {
     // Oracle unrolls the identical rounds as chained CTEs (kmeansSql).
     "sim_kmeans_clusters" -> ((s, d) =>
       ext.Clustering.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3)),
+    // SSL-prototypes / D4 pruning (Sorscher et al. 2022; Abbas et al.
+    // 2023): drop the most prototypical quarter of every k-means cluster —
+    // points nearest their centroid carry the least marginal information
+    // once the cluster is represented; keepFraction's complement (0.25) is
+    // binary-exact so both engines cut at the identical quantile
+    "sim_prototype_prune" -> ((s, d) =>
+      ext.Clustering.prototypePrune(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 3, keepFraction = 0.75)),
     // cluster-balanced curation: cap every k-means cluster's contribution at
     // the same per-cluster sample (deterministic (idHash, id) order) — the
     // topic-flattening composition the SemDeDup/data-mixing recipes run
@@ -2596,6 +2604,25 @@ object Queries {
   private def kmeansSql(k: Int, iters: Int, scale: Int): String = {
     val (ctes, af) = kmeansCtes(k, iters, scale)
     s"$ctes\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM $af"
+  }
+
+  /** `sim_prototype_prune` oracle: the k-means rounds, the assigned
+    * cluster's cost recomputed against the FINAL centroid table (equal to
+    * the engine's `array_min` over the rounded cost vector, because the
+    * assignment IS the argmin), and the per-cluster `quantile_cont` keep
+    * threshold with a `cost >= th` value predicate. */
+  private def prototypePruneSql(k: Int, iters: Int, scale: Int, q: String): String = {
+    val (ctes, af) = kmeansCtes(k, iters, scale)
+    s"""$ctes,
+       |pc AS (SELECT $af.vec_id, CAST($af.c AS BIGINT) AS cluster,
+       |              round(list_sum(list_transform(p.v, x -> x * x))
+       |                    - list_dot_product(e.v, p.v) * 2.0, $scale) AS proto_cost
+       |         FROM $af JOIN e USING (vec_id) JOIN c$iters p ON $af.c = p.c),
+       |thr AS (SELECT cluster, quantile_cont(proto_cost, $q) AS th
+       |          FROM pc GROUP BY cluster)
+       |SELECT pc.vec_id, pc.cluster, pc.proto_cost
+       |  FROM pc JOIN thr USING (cluster)
+       | WHERE pc.proto_cost >= thr.th""".stripMargin
   }
 
   /** `sampling_cluster_balanced` oracle: the k-means rounds plus the
@@ -4104,6 +4131,7 @@ object Queries {
         |  FROM lex FULL JOIN vec ON lex.id = vec.id
         | ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "sim_kmeans_clusters" -> kmeansSql(8, 3, 6),
+    "sim_prototype_prune" -> prototypePruneSql(8, 3, 6, "0.25"),
     "sampling_cluster_balanced" -> kmeansBalancedSql(8, 3, 6, 25),
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)
     "sim_ann_ivf_persisted" -> bruteForceTopKSql, // persisted index, same exact point

@@ -35,7 +35,7 @@ object Clustering {
     * cost_c = round(|c_c|^2 - 2 * v.c_c, scale), ties to the lowest c.
     * Linear-sized expression tree (array_position of the array_min), same
     * shape as the IVF list assignment. */
-  private def assignment(v: Column, cents: Array[Array[Double]], scale: Int): Column = {
+  private def costs(v: Column, cents: Array[Array[Double]], scale: Int): Column = {
     // |c|^2 computed left-to-right on the driver — the same sequential fold
     // DuckDB's list_sum applies, so the doubles agree bitwise
     val cc = cents.map { c =>
@@ -44,9 +44,13 @@ object Clustering {
       s
     }
     val dots = org.apache.spark.sql.graftx.VectorFunctions.centroid_dots(v, cents)
-    val costs = zip_with(dots, array(cc.map(lit(_)): _*),
+    zip_with(dots, array(cc.map(lit(_)): _*),
       (d, q) => round(q - d * lit(2.0), scale))
-    (array_position(costs, array_min(costs)) - 1).cast("int")
+  }
+
+  private def assignment(v: Column, cents: Array[Array[Double]], scale: Int): Column = {
+    val cs = costs(v, cents, scale)
+    (array_position(cs, array_min(cs)) - 1).cast("int")
   }
 
   /**
@@ -57,6 +61,16 @@ object Clustering {
    */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Int = 6): DataFrame = {
+    val (base, cents) = fitCentroids(corpus, idCol, vecCol, k, iters, scale)
+    base.withColumn("cluster", assignment(col("v"), cents, scale))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** The shared Lloyd fit: project + cache the `(vec_id, v)` frame, seed
+    * from the `k` lowest ids, run `iters` assignment/recenter rounds.
+    * Returns the cached base frame and the final centroid matrix. */
+  private def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int): (DataFrame, Array[Array[Double]]) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     // cached: the normalized projection is re-read iters+1 times; without
@@ -86,7 +100,54 @@ object Clustering {
       }
       cents = next
     }
-    base.withColumn("cluster", assignment(col("v"), cents, scale))
-      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    (base, cents)
+  }
+
+  /**
+   * Prototype pruning (the SSL-prototypes rule of Sorscher et al. 2022,
+   * "Beyond neural scaling laws", applied corpus-side in D4, Abbas et al.
+   * 2023): cluster the corpus, then DROP the most prototypical points of
+   * every cluster — the ones nearest their centroid, which carry the least
+   * marginal information once the cluster is represented — and keep the
+   * `keepFraction` FARTHEST per cluster. The complement of
+   * [[Similarity.semDeDup]]-style duplicate pruning: SemDeDup removes
+   * redundancy BETWEEN near-identical points, prototype pruning removes
+   * redundancy against the cluster's center of mass.
+   *
+   * Determinism contract: assignment and cost reuse [[kmeansAssign]]'s
+   * exact recipe (seeded from the `k` lowest ids, per-round means and the
+   * `round(|c|² − 2·v·c, scale)` cost both rounded before use — the
+   * assigned cluster's cost IS `array_min` of the rounded cost vector);
+   * the per-cluster keep threshold is the exact interpolated
+   * `percentile(cost, 1 − keepFraction)` (≡ DuckDB `quantile_cont`) and
+   * the filter keeps `cost >= threshold` — a pure value predicate, no
+   * rank tie-breaking needed. Pass a `keepFraction` whose complement is
+   * binary-exact (0.75, 0.5, 0.25) when gating cross-engine: `1.0 − 0.7`
+   * is `0.30000000000000004` and a SQL literal `0.3` would disagree.
+   *
+   * Scale shape: the Lloyd fit is [[kmeansAssign]]'s (k×dim driver state);
+   * scoring is one codegen'd map; the thresholds are one per-cluster
+   * aggregation traveling as a ≤ k-row broadcast ([[Sampling
+   * .groupQuantileFilter]] — no per-cluster sort, no rank window). Output:
+   * `(vec_id, cluster, proto_cost)` for the kept rows; `proto_cost` is the
+   * rounded assignment cost (monotone in distance-to-centroid).
+   */
+  def prototypePrune(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, keepFraction: Double, scale: Int = 6): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1]: $keepFraction")
+    val (base, cents) = fitCentroids(corpus, idCol, vecCol, k, iters, scale)
+    // one projection materializes the cost vector, the next consumes it
+    // twice (argmin id + min cost) — split so CollapseProject cannot
+    // re-inline the k-dot expression per reference; the narrow scored
+    // frame is cached because the quantile filter reads it on BOTH sides
+    // (per-cluster threshold aggregation + the keep-filter probe)
+    val scored = Caches.track(base
+      .select(col("vec_id"), costs(col("v"), cents, scale).as("__cs"))
+      .select(col("vec_id"),
+        (array_position(col("__cs"), array_min(col("__cs"))) - 1).cast("long")
+          .as("cluster"),
+        array_min(col("__cs")).as("proto_cost")))
+    Sampling.groupQuantileFilter(scored, "cluster", "proto_cost", 1.0 - keepFraction)
   }
 }

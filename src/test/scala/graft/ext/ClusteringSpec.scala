@@ -74,4 +74,45 @@ class ClusteringSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Clustering.kmeansAssign(emb, "vec_id", "embedding", k = 2, iters = -1)
     }
   }
+
+  test("prototypePrune keeps the farthest fraction at the exact quantile cut") {
+    // iters = 0 pins centroids to the seeds (vecs 0, 1), so every cost is
+    // computable in plain Scala with the contract's exact arithmetic
+    val rows = (0 until 20).map { i =>
+      val inA = i % 2 == 0
+      val eps = (i % 5) * 0.01f
+      (i.toLong, if (inA) Array(10.0f + eps, eps) else Array(eps, 10.0f + eps))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def cost(v: Array[Double], c: Array[Double]): Double = {
+      val cc = c.map(x => x * x).sum
+      val dot = v.zip(c).map { case (x, y) => x * y }.sum
+      BigDecimal(cc - dot * 2.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val seeds = rows.take(2).map(_._2.map(_.toDouble))
+    val scored = rows.map { case (id, v) =>
+      val cs = seeds.map(cost(v.map(_.toDouble), _))
+      (id, cs.indexOf(cs.min).toLong, cs.min)
+    }
+    // interpolated percentile(cost, 0.5) per cluster, then cost >= threshold
+    def thr(cs: Seq[Double]): Double = {
+      val s = cs.sorted; val pos = (s.length - 1) * 0.5
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val expected = scored.groupBy(_._2).flatMap { case (_, members) =>
+      val t = thr(members.map(_._3))
+      members.filter(_._3 >= t)
+    }.toSet
+    val got = Clustering.prototypePrune(df, "vec_id", "embedding",
+        k = 2, iters = 0, keepFraction = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // keepFraction = 1 keeps every row (threshold = the cluster minimum)
+    assert(Clustering.prototypePrune(df, "vec_id", "embedding",
+      k = 2, iters = 0, keepFraction = 1.0).count() == 20)
+    intercept[IllegalArgumentException] {
+      Clustering.prototypePrune(df, "vec_id", "embedding", 2, 0, keepFraction = 0.0)
+    }
+  }
 }
