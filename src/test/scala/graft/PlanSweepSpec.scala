@@ -50,7 +50,14 @@ class PlanSweepSpec extends AnyFunSuite {
       "profile_psi_drift",
       // PMI attaches the one-row (N_bi, N_uni) totals to the (pruned)
       // bigram-count frame — the same broadcast-scalar shape
-      "text_collocations")
+      "text_collocations",
+      // Kneser–Ney attaches the one-row (B, V) type/vocab totals to the
+      // bigram stream — the same broadcast-scalar shape as its Stupid
+      // Backoff sibling
+      "text_kn_bigram_ppl",
+      // quantile normalization attaches the one-row global quantile grid
+      // for the calibration projection — the sampling_quantile_bins shape
+      "sampling_quantile_normalize")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
