@@ -1193,6 +1193,12 @@ object Queries {
           round(col("p_cur"), 6).as("p_cur"),
           round(col("psi_contrib"), 6).as("psi_contrib"))
     }),
+    // count–min sketch probe: exact top-30 tokens vs their sketch
+    // estimates — the mergeable constant-memory frequency sketch (cell-wise
+    // sum IS the merge, d×w rows at any corpus size); buckets keyed by the
+    // portable idHash so both engines address the same cells
+    "profile_cms_heavy_hitters" -> ((s, d) =>
+      ext.Profiling.cmsHeavyHitters(docs(s, d), "text")),
     // cohort retention: users grouped by first-activity day, distinct-user
     // counts per (cohort, day offset) — two key shuffles, both on user/day
     "agg_user_retention" -> ((s, d) => {
@@ -3039,6 +3045,23 @@ object Queries {
         |  FROM c, mw""".stripMargin,
     // identical edges/clamp/smoothing/contribution arithmetic; the spine
     // (range(10)) makes empty bins present on both engines
+    // CMS re-derived: ONE portable hash per term, the same affine
+    // per-row bucket derivation ((h·(2i+1)+i) mod w) on both the sketch
+    // build and the probe side, min over the depth rows
+    "profile_cms_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
+         |top AS (SELECT t, count(*) AS exact_count FROM tok GROUP BY t
+         |        ORDER BY exact_count DESC, t LIMIT 30),
+         |r AS (SELECT unnest(range(0, 4)) AS rw),
+         |th AS (SELECT ${duckIdHash("t")} % 2147483647 AS h FROM tok),
+         |sk AS (SELECT rw, (h * (rw * 2 + 1) + rw) % 1024 AS bucket, count(*) AS cnt
+         |         FROM th CROSS JOIN r GROUP BY 1, 2),
+         |tp AS (SELECT t, exact_count, ${duckIdHash("t")} % 2147483647 AS h FROM top)
+         |SELECT tp.t AS token, tp.exact_count, min(sk.cnt) AS cms_estimate
+         |  FROM tp CROSS JOIN r
+         |  JOIN sk ON sk.rw = r.rw
+         |         AND sk.bucket = (tp.h * (r.rw * 2 + 1) + r.rw) % 1024
+         | GROUP BY tp.t, tp.exact_count""".stripMargin,
     "profile_psi_drift" ->
       """WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events
         |            WHERE event_id % 2 = 0 AND value IS NOT NULL AND isfinite(CAST(value AS DOUBLE))),
