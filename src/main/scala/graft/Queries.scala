@@ -2237,6 +2237,43 @@ object Queries {
       store.read("copy")
     }),
 
+    // the count–min sketch streamed: one sketch of cells per micro-batch
+    // (maxFilesPerTrigger=1 over two staged corpus halves forces >= 2
+    // batches, require-checked), cells appended to a store table, merged
+    // at read by a plain cell-wise SUM — the sketch is distributive, so
+    // the merged result must equal the whole-corpus sketch (same oracle
+    // as the batch gate); the probe then runs against the MERGED sketch
+    "stream_cms_merge" -> ((s, d) => withStatePartitions(s, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cms")
+      val store = new graft.store.TableStore(s, s"$tmp/store")
+      val doc = docs(s, d)
+      doc.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+        .write.parquet(s"$tmp/in/h0")
+      doc.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+        .write.parquet(s"$tmp/in/h1")
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.schema(doc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/h*")
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          store.append("cms_cells", ext.Profiling.cmsSketch(
+            b.select(explode(TextAnalysis.tokens(col("text"))).as("t")), "t"))
+          (): Unit
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("stream_cms_merge did not drain within 300 s")
+      }
+      require(batches.get() >= 2,
+        s"expected >= 2 micro-batches, got ${batches.get()}")
+      val merged = store.read("cms_cells")
+        .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      ext.Profiling.cmsProbe(doc, "text", merged)
+    }),
+
     // the Misra–Gries sketch gated in its EXACT regime: capacity above the
     // corpus' distinct-token count means no counter ever decrements and no
     // merge ever shrinks, so the sketch IS `GROUP BY token / count(*)` —
@@ -2648,6 +2685,25 @@ object Queries {
   private def duckIdHash(c: String): String =
     s"CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT)"
 
+  /** Shared by `profile_cms_heavy_hitters` (batch-built sketch) and
+    * `stream_cms_merge` (micro-batch sketches merged cell-wise in the
+    * store): the sketch is distributive, so both must equal this
+    * whole-corpus reconstruction. */
+  private val cmsProbeSql =
+    s"""WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
+       |top AS (SELECT t, count(*) AS exact_count FROM tok GROUP BY t
+       |        ORDER BY exact_count DESC, t LIMIT 30),
+       |r AS (SELECT unnest(range(0, 4)) AS rw),
+       |th AS (SELECT ${duckIdHash("t")} % 2147483647 AS h FROM tok),
+       |sk AS (SELECT rw, (h * (rw * 2 + 1) + rw) % 1024 AS bucket, count(*) AS cnt
+       |         FROM th CROSS JOIN r GROUP BY 1, 2),
+       |tp AS (SELECT t, exact_count, ${duckIdHash("t")} % 2147483647 AS h FROM top)
+       |SELECT tp.t AS token, tp.exact_count, min(sk.cnt) AS cms_estimate
+       |  FROM tp CROSS JOIN r
+       |  JOIN sk ON sk.rw = r.rw
+       |         AND sk.bucket = (tp.h * (r.rw * 2 + 1) + r.rw) % 1024
+       | GROUP BY tp.t, tp.exact_count""".stripMargin
+
   /** Oracle for `pipeline_corpus_select`, shared by the sampled variant. */
   private val corpusSelectSql =
     s"""WITH $langScoreCtes,
@@ -3048,20 +3104,10 @@ object Queries {
     // CMS re-derived: ONE portable hash per term, the same affine
     // per-row bucket derivation ((h·(2i+1)+i) mod w) on both the sketch
     // build and the probe side, min over the depth rows
-    "profile_cms_heavy_hitters" ->
-      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
-         |top AS (SELECT t, count(*) AS exact_count FROM tok GROUP BY t
-         |        ORDER BY exact_count DESC, t LIMIT 30),
-         |r AS (SELECT unnest(range(0, 4)) AS rw),
-         |th AS (SELECT ${duckIdHash("t")} % 2147483647 AS h FROM tok),
-         |sk AS (SELECT rw, (h * (rw * 2 + 1) + rw) % 1024 AS bucket, count(*) AS cnt
-         |         FROM th CROSS JOIN r GROUP BY 1, 2),
-         |tp AS (SELECT t, exact_count, ${duckIdHash("t")} % 2147483647 AS h FROM top)
-         |SELECT tp.t AS token, tp.exact_count, min(sk.cnt) AS cms_estimate
-         |  FROM tp CROSS JOIN r
-         |  JOIN sk ON sk.rw = r.rw
-         |         AND sk.bucket = (tp.h * (r.rw * 2 + 1) + r.rw) % 1024
-         | GROUP BY tp.t, tp.exact_count""".stripMargin,
+    "profile_cms_heavy_hitters" -> cmsProbeSql,
+    // the streamed sketch is cell-wise-sum distributive, so the merged
+    // micro-batch sketch IS the whole-corpus sketch — same oracle
+    "stream_cms_merge" -> cmsProbeSql,
     "profile_psi_drift" ->
       """WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events
         |            WHERE event_id % 2 = 0 AND value IS NOT NULL AND isfinite(CAST(value AS DOUBLE))),

@@ -270,12 +270,27 @@ object Profiling {
    */
   def cmsHeavyHitters(docs: DataFrame, textCol: String,
       depth: Int = 4, width: Int = 1024, topK: Int = 30): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1: $topK")
     val tok = Caches.track(
       docs.select(explode(TextAnalysis.tokens(col(textCol))).as("__t")))
+    probeTop(tok, cmsSketch(tok, "__t", depth, width), depth, width, topK)
+  }
+
+  /** [[cmsHeavyHitters]] against a PREBUILT sketch (e.g. one merged
+    * cell-wise from shard or micro-batch sketches — the merge is a plain
+    * `groupBy(row, bucket).sum(cnt)` because the sketch is distributive):
+    * exact top-`topK` terms of `docs` joined with their estimates from
+    * `sketch`. The sketch must have been built with the same
+    * `depth`/`width`. */
+  def cmsProbe(docs: DataFrame, textCol: String, sketch: DataFrame,
+      depth: Int = 4, width: Int = 1024, topK: Int = 30): DataFrame =
+    probeTop(docs.select(explode(TextAnalysis.tokens(col(textCol))).as("__t")),
+      sketch, depth, width, topK)
+
+  private def probeTop(tok: DataFrame, sketch: DataFrame,
+      depth: Int, width: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
     val top = tok.groupBy(col("__t")).agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("__t").asc).limit(topK)
-    val sketch = cmsSketch(tok, "__t", depth, width)
     top.select(col("__t"), col("exact_count"),
         (Sampling.idHash(col("__t")) % 2147483647L).as("__h"),
         explode(sequence(lit(0), lit(depth - 1))).as("row"))

@@ -46,6 +46,18 @@ class CmsSketchSpec extends AnyFunSuite {
     assert(probe.forall { case (_, exact, est) => est >= exact })
   }
 
+  test("cell-wise sum of shard sketches equals the whole-corpus sketch") {
+    def tok(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), "\\s+")).as("t"))
+    val full = Profiling.cmsSketch(tok(docs), "t", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Profiling.cmsSketch(tok(docs.filter($"doc_id" % 2 === 0)), "t", 4, 64)
+      .unionByName(Profiling.cmsSketch(tok(docs.filter($"doc_id" % 2 === 1)), "t", 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
+
   test("parameter bounds") {
     val tok = docs.select(explode(split(col("text"), "\\s+")).as("t"))
     intercept[IllegalArgumentException] { Profiling.cmsSketch(tok, "t", depth = 0) }
