@@ -2255,10 +2255,13 @@ object Queries {
       val batches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.schema(doc.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/h*")
-        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        .writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
           batches.incrementAndGet()
-          store.append("cms_cells", ext.Profiling.cmsSketch(
-            b.select(explode(TextAnalysis.tokens(col("text"))).as("t")), "t"))
+          // batchId-keyed so a replayed micro-batch cannot double-count
+          // cells (the IngestStream exactly-once discipline)
+          store.appendIdempotent("cms_cells", ext.Profiling.cmsSketch(
+            b.select(explode(TextAnalysis.tokens(col("text"))).as("t")), "t"),
+            s"cms-$batchId")
           (): Unit
         }
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -2684,6 +2687,23 @@ object Queries {
     * DuckDB — bit-identical to Spark's `conv(substring(md5(..),1,15),16,10)`. */
   private def duckIdHash(c: String): String =
     s"CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  /** The BM25 scoring CTE chain (`d/st/p/f/sc`) shared verbatim by the
+    * `text_bm25_search` oracle and the `sim_rrf_fusion` lexical pool — one
+    * copy so a formula correction cannot silently diverge between them. */
+  private val bm25Ctes =
+    """d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |st AS (SELECT count(*) AS n,
+      |              CAST(sum(len(t)) AS DOUBLE) / count(len(t)) AS avgdl FROM d),
+      |p AS (SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+      |        FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM d) x
+      |       WHERE w IN ('fast', 'hash', 'join') GROUP BY doc_id, w),
+      |f AS (SELECT w, count(*) AS df FROM p GROUP BY w),
+      |sc AS (SELECT p.doc_id,
+      |              ln((CAST(st.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+      |              * (p.tf * CAST(2.2 AS DOUBLE))
+      |              / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * p.dl / st.avgdl)) AS s
+      |         FROM p JOIN f USING (w), st)""".stripMargin
 
   /** Shared by `profile_cms_heavy_hitters` (batch-built sketch) and
     * `stream_cms_merge` (micro-batch sketches merged cell-wise in the
@@ -3693,18 +3713,7 @@ object Queries {
     // until the first 0.5 add; avgdl is one double division of exact
     // integer sum/count; Lucene +1 idf; rounded-score ranking at the cutoff
     "text_bm25_search" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-        |st AS (SELECT count(*) AS n,
-        |              CAST(sum(len(t)) AS DOUBLE) / count(len(t)) AS avgdl FROM d),
-        |p AS (SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
-        |        FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM d) x
-        |       WHERE w IN ('fast', 'hash', 'join') GROUP BY doc_id, w),
-        |f AS (SELECT w, count(*) AS df FROM p GROUP BY w),
-        |sc AS (SELECT p.doc_id,
-        |              ln((CAST(st.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
-        |              * (p.tf * CAST(2.2 AS DOUBLE))
-        |              / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * p.dl / st.avgdl)) AS s
-        |         FROM p JOIN f USING (w), st)
+      s"""WITH $bm25Ctes
         |SELECT doc_id, round(sum(s), 6) AS score
         |  FROM sc GROUP BY doc_id
         | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
@@ -4169,18 +4178,7 @@ object Queries {
     // against the vec_id=0 query row, both ranked by (rounded score, id),
     // fused as CAST(1.0 AS DOUBLE)/(60+rank) sums over a full outer join
     "sim_rrf_fusion" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-        |st AS (SELECT count(*) AS n,
-        |              CAST(sum(len(t)) AS DOUBLE) / count(len(t)) AS avgdl FROM d),
-        |p AS (SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
-        |        FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM d) x
-        |       WHERE w IN ('fast', 'hash', 'join') GROUP BY doc_id, w),
-        |f AS (SELECT w, count(*) AS df FROM p GROUP BY w),
-        |sc AS (SELECT p.doc_id,
-        |              ln((CAST(st.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
-        |              * (p.tf * CAST(2.2 AS DOUBLE))
-        |              / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * p.dl / st.avgdl)) AS s
-        |         FROM p JOIN f USING (w), st),
+      s"""WITH $bm25Ctes,
         |lp AS (SELECT doc_id, round(sum(s), 6) AS score
         |         FROM sc GROUP BY doc_id
         |        ORDER BY score DESC, doc_id LIMIT 50),

@@ -110,7 +110,7 @@ object Clustering {
    * every cluster — the ones nearest their centroid, which carry the least
    * marginal information once the cluster is represented — and keep the
    * `keepFraction` FARTHEST per cluster. The complement of
-   * [[Similarity.semDeDup]]-style duplicate pruning: SemDeDup removes
+   * [[Similarity.semanticDedup]]-style duplicate pruning: SemDeDup removes
    * redundancy BETWEEN near-identical points, prototype pruning removes
    * redundancy against the cluster's center of mass.
    *

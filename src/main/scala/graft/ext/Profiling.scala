@@ -291,13 +291,17 @@ object Profiling {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val top = tok.groupBy(col("__t")).agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("__t").asc).limit(topK)
+    // LEFT join + coalesce: the sketch is sparse (absent cell ≡ 0), and a
+    // probed term the sketched corpus never saw must estimate 0 over its
+    // empty cells — an inner join would drop it (all cells empty) or min
+    // over only the collision-occupied subset (a wrong overestimate)
     top.select(col("__t"), col("exact_count"),
         (Sampling.idHash(col("__t")) % 2147483647L).as("__h"),
         explode(sequence(lit(0), lit(depth - 1))).as("row"))
       .withColumn("bucket",
         (col("__h") * (col("row") * 2 + 1) + col("row")) % width)
-      .join(sketch, Seq("row", "bucket"))
+      .join(sketch, Seq("row", "bucket"), "left_outer")
       .groupBy(col("__t").as("token"), col("exact_count"))
-      .agg(min(col("cnt")).as("cms_estimate"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 }

@@ -425,7 +425,11 @@ object Sampling {
     val gridFn = if (approx)
       s"percentile_approx(`$valueCol`, array(${probs.mkString(",")}), 10000)"
     else s"percentile(`$valueCol`, array(${probs.mkString(",")}))"
-    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    // cached: the filtered corpus is consumed three times (grid
+    // aggregation, the (group, value) count aggregation, and the join-back
+    // probe side) — the bigramSurprisal multi-consumer convention
+    val base = Caches.track(
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull))
     val grid = freshCol(df, "__qngrid")
     val gridRow = base.agg(expr(gridFn).as(grid))
     val c = freshCol(df, "__qnc")

@@ -948,18 +948,27 @@ object TextAnalysis {
    * avg(−ln s)`; callers gating against another engine should round it
    * (ln/summation order differ by ulps across libms).
    */
+  /** Adjacent-token bigram stream `(keep..., __w1, __w2)` — the shared
+    * explode discipline of both bigram LMs: a PLAIN `sequence` exploded and
+    * indexed per emitted row (the [[repetitionTopGram]] generator rule — a
+    * HOF-built pair array exploded inline pays the large data-independent
+    * Generate overhead); docs with < 2 tokens emit nothing. */
+  private def bigramPairs(df: DataFrame, textCol: String,
+      keep: Seq[Column]): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(keep :+ t.as("__tk") :+ size(t).as("__nt"): _*)
+      .filter(col("__nt") >= 2)
+      .select(keep :+ col("__tk") :+
+        explode(sequence(lit(1), col("__nt") - 1)).as("__i"): _*)
+      .select(keep :+ element_at(col("__tk"), col("__i")).as("__w1") :+
+        element_at(col("__tk"), col("__i") + 1).as("__w2"): _*)
+  }
+
   def bigramSurprisal(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
-    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val t = tokens(col(textCol))
-      df.select(keep :+ t.as("__tk") :+ size(t).as("__nt"): _*)
-        .filter(col("__nt") >= 2)
-        .select(keep :+ col("__tk") :+
-          explode(sequence(lit(1), col("__nt") - 1)).as("__i"): _*)
-        .select(keep :+ element_at(col("__tk"), col("__i")).as("__w1") :+
-          element_at(col("__tk"), col("__i") + 1).as("__w2"): _*)
-    }
+    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      bigramPairs(df, textCol, keep)
     // both reference count frames are gram-cardinality-sized (far below
     // the corpus) and the unigram frame is consumed three times (totals +
     // two join sides) — cached so the reference text scans once per shape
@@ -1023,16 +1032,7 @@ object TextAnalysis {
       textCol: String, discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"KN discount must be in (0, 1): $discount")
-    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val t = tokens(col(textCol))
-      df.select(keep :+ t.as("__tk") :+ size(t).as("__nt"): _*)
-        .filter(col("__nt") >= 2)
-        .select(keep :+ col("__tk") :+
-          explode(sequence(lit(1), col("__nt") - 1)).as("__i"): _*)
-        .select(keep :+ element_at(col("__tk"), col("__i")).as("__w1") :+
-          element_at(col("__tk"), col("__i") + 1).as("__w2"): _*)
-    }
-    val refBg = Caches.track(bigrams(reference, Nil)
+    val refBg = Caches.track(bigramPairs(reference, textCol, Nil)
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb")))
     val ctx = refBg.groupBy("__w1")
       .agg(sum(col("__cb")).as("__c1"), count(lit(1)).as("__n1f"))
@@ -1040,13 +1040,19 @@ object TextAnalysis {
     val totals = refBg.agg(count(lit(1)).as("__b")).crossJoin(
       reference.select(explode(tokens(col(textCol))).as("__w"))
         .agg(countDistinct(col("__w")).as("__v")))
-    val pc = (coalesce(col("__n1b"), lit(0L)) + lit(1L)).cast("double") /
-      (col("__b") + col("__v")).cast("double")
+    // an empty reference (B + V = 0) would make Pc = 1/0 = Infinity and
+    // every document would silently score −Infinity — fail loudly instead;
+    // the guard branch is never taken on non-degenerate input, so the
+    // value expression the oracle mirrors is untouched
+    val pc = when(col("__b") + col("__v") === 0, raise_error(lit(
+        "knBigramSurprisal: empty reference (no bigrams, no vocabulary)")))
+      .otherwise((coalesce(col("__n1b"), lit(0L)) + lit(1L)).cast("double") /
+        (col("__b") + col("__v")).cast("double"))
     val p = when(col("__c1").isNotNull,
         (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - lit(discount), lit(0.0)) +
           lit(discount) * col("__n1f").cast("double") * pc) / col("__c1").cast("double"))
       .otherwise(pc)
-    bigrams(docs, Seq(col(idCol)))
+    bigramPairs(docs, textCol, Seq(col(idCol)))
       .join(graft.ops.Ops.hintIfSmall(refBg), Seq("__w1", "__w2"), "left_outer")
       .join(graft.ops.Ops.hintIfSmall(ctx), Seq("__w1"), "left_outer")
       .join(graft.ops.Ops.hintIfSmall(cont), Seq("__w2"), "left_outer")

@@ -45,4 +45,15 @@ class KneserNeySpec extends AnyFunSuite {
     val out = score("x y")
     assert(math.abs(out.head._3 - -math.log(1.0 / 6.0)) < 1e-9)
   }
+
+  test("an empty reference fails loudly instead of scoring -Infinity") {
+    val e = intercept[Exception] {
+      TextAnalysis.knBigramSurprisal(
+          Seq((1L, "a b")).toDF("doc_id", "text"),
+          Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+    }
+    assert(e.getMessage.contains("empty reference") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty reference")))
+  }
 }
