@@ -1199,6 +1199,12 @@ object Queries {
     // portable idHash so both engines address the same cells
     "profile_cms_heavy_hitters" -> ((s, d) =>
       ext.Profiling.cmsHeavyHitters(docs(s, d), "text")),
+    // Zipf's-law fit over the top-100 token frequencies: OLS of ln(freq)
+    // on ln(rank) as EXPLICIT sums (n·Σxy−Σx·Σy over n·Σx²−(Σx)²) so both
+    // engines run the same arithmetic shape; ranks/counts are exact ints,
+    // stats rounded at 6 (the ln/sum-order contract)
+    "profile_zipf_fit" -> ((s, d) =>
+      ext.Profiling.zipfFit(docs(s, d), "text")),
     // cohort retention: users grouped by first-activity day, distinct-user
     // counts per (cohort, day offset) — two key shuffles, both on user/day
     "agg_user_retention" -> ((s, d) => {
@@ -3128,6 +3134,32 @@ object Queries {
     // the streamed sketch is cell-wise-sum distributive, so the merged
     // micro-batch sketch IS the whole-corpus sketch — same oracle
     "stream_cms_merge" -> cmsProbeSql,
+    // identical explicit-sums OLS over the same (ln rank, ln count) points:
+    // row_number() with the (count DESC, token ASC) total order ≡ the
+    // Spark side's globalOrdinals numbering; ln of exact integers on both
+    // engines, derived stats rounded at 6
+    "profile_zipf_fit" ->
+      """WITH cnt AS (SELECT w, count(*) AS c FROM (
+        |         SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |           FROM documents) t GROUP BY w),
+        |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 100),
+        |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        |         FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+        |                 FROM top) rr),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |        FROM xy)
+        |SELECT n AS n_ranks,
+        |       round((CAST(n AS DOUBLE)*sxy - sx*sy)
+        |             / (CAST(n AS DOUBLE)*sxx - sx*sx), 6) AS zipf_slope,
+        |       round((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy)
+        |                    / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
+        |             / CAST(n AS DOUBLE), 6) AS zipf_intercept,
+        |       round(((CAST(n AS DOUBLE)*sxy - sx*sy)
+        |              * (CAST(n AS DOUBLE)*sxy - sx*sy))
+        |             / ((CAST(n AS DOUBLE)*sxx - sx*sx)
+        |                * (CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS zipf_r2
+        |  FROM s""".stripMargin,
     "profile_psi_drift" ->
       """WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events
         |            WHERE event_id % 2 = 0 AND value IS NOT NULL AND isfinite(CAST(value AS DOUBLE))),

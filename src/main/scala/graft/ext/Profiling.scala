@@ -304,4 +304,61 @@ object Profiling {
       .groupBy(col("__t").as("token"), col("exact_count"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  /**
+   * Zipf's-law fit over the corpus token-frequency distribution — the
+   * classic one-number corpus diagnostic (Zipf 1949; Piantadosi 2014
+   * surveys why natural text sits near slope −1): OLS of `ln(frequency)`
+   * on `ln(rank)` over the `topRanks` most frequent whitespace tokens.
+   * Outputs ONE row `(n_ranks, zipf_slope, zipf_intercept, zipf_r2)`.
+   * A healthy natural-language corpus fits slope ≈ −1 with high R²;
+   * boilerplate-heavy or template-generated corpora flatten the head
+   * (slope → 0) or break linearity (R² drops) — which makes the fit a
+   * cheap drift/quality tripwire next to [[psiDrift]].
+   *
+   * Scale shape: the token count is one map-side-combined `groupBy`
+   * (vocabulary-sized output at any corpus size); the top-`topRanks` cut
+   * is a TakeOrdered heap (never a full sort); ranks are numbered over the
+   * ≤`topRanks` bounded frame via `Ops.globalOrdinals` (the RRF-pool
+   * convention — no corpus-sized single-partition exchange anywhere); the
+   * fit reduces the ≤`topRanks` (x, y) points in one aggregation. The OLS
+   * terms are EXPLICIT sums (`n·Σxy − Σx·Σy` over `n·Σx² − (Σx)²`) rather
+   * than `regr_slope`, so the oracle mirrors the exact arithmetic shape —
+   * engine-internal covariance updates never enter the comparison; ranks
+   * and counts are exact integers so both engines take `ln` of identical
+   * doubles, and the derived stats are rounded at 6 decimals (the
+   * established ln/summation-order contract).
+   */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+      topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 3, s"zipfFit needs >= 3 ranks for a fit: $topRanks")
+    val cnt = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val top = cnt.orderBy(col("__c").desc, col("__w").asc).limit(topRanks)
+    val xy = graft.ops.Ops.globalOrdinals(top,
+        Seq(col("__c").desc, col("__w").asc), 1, "__ord")
+      .select(log((col("__ord") + 1L).cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    val s = xy.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("__n").cast("double")
+    val covn = n * col("__sxy") - col("__sx") * col("__sy")
+    val varx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vary = n * col("__syy") - col("__sy") * col("__sy")
+    // a degenerate head (all topRanks counts identical → varY = 0, or a
+    // single rank → varX = 0) has no meaningful fit — fail loudly rather
+    // than emit NaN/Infinity rows a downstream gate would hash
+    val guarded = when(varx === 0.0 || vary === 0.0, raise_error(lit(
+        "zipfFit: degenerate frequency head (zero rank or frequency " +
+          "variance) — no Zipf fit exists")))
+      .otherwise(covn / varx)
+    s.select(col("__n").as("n_ranks"),
+      round(guarded, 6).as("zipf_slope"),
+      round((col("__sy") - (covn / varx) * col("__sx")) / n, 6)
+        .as("zipf_intercept"),
+      round((covn * covn) / (varx * vary), 6).as("zipf_r2"))
+  }
 }
