@@ -1576,6 +1576,13 @@ object Queries {
     // IEEE-correctly-rounded point, so the oracle derives identical rates)
     "sampling_temperature" -> ((s, d) =>
       Sampling.temperatureSample(docs(s, d), "lang", "doc_id", alpha = 0.5, budget = 150L)),
+    // UniMax budget waterfall (Chung et al. 2023): budget 700 docs, 2-epoch
+    // cap — at the sf0.01 distribution the two smallest languages take full
+    // capacity and the rest sit at the common waterline, so both branches
+    // of the closed form are exercised and hash-gated
+    "sampling_unimax" -> ((s, d) =>
+      Sampling.unimaxAllocation(docs(s, d), "lang", budget = 700.0,
+        maxEpochs = 2.0)),
     // the pre-training corpus shuffle: one deterministic hash permutation,
     // strided over 8 shards — same shard/pos on any engine or partitioning
     "sampling_shuffle_shards" -> ((s, d) =>
@@ -3675,6 +3682,33 @@ object Queries {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |    FROM documents d JOIN e ON d.lang = e.lang) x
          | WHERE cum <= leftover""".stripMargin,
+    // identical waterfall closed form: ascending-capacity rank + running
+    // sum, the prefix `fits` predicate, whole-frame (k*, P_k*) sums, and
+    // the same CASE allocation — capacities are integral doubles at
+    // maxEpochs 2.0, so the comparison is exact on both engines
+    "sampling_unimax" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents
+        |              WHERE lang IS NOT NULL GROUP BY lang),
+        |st AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) * 2.0 AS cap
+        |         FROM cnt),
+        |wn AS (SELECT lang, n_docs, cap,
+        |              row_number() OVER (ORDER BY cap, lang) AS r,
+        |              sum(cap) OVER (ORDER BY cap, lang) AS p,
+        |              count(*) OVER () AS l
+        |         FROM st),
+        |ft AS (SELECT *, cap * (l - r) <= 700.0 - p AS fits FROM wn),
+        |ks AS (SELECT *,
+        |              sum(CASE WHEN fits THEN 1 ELSE 0 END) OVER () AS k,
+        |              sum(CASE WHEN fits THEN cap ELSE 0.0 END) OVER () AS pk
+        |         FROM ft)
+        |SELECT lang, n_docs, round(cap, 6) AS capacity,
+        |       round(CASE WHEN fits THEN cap
+        |                  ELSE (700.0 - pk) / CAST(l - k AS DOUBLE) END, 6)
+        |         AS alloc_docs,
+        |       round(CASE WHEN fits THEN cap
+        |                  ELSE (700.0 - pk) / CAST(l - k AS DOUBLE) END
+        |             / CAST(n_docs AS DOUBLE), 6) AS epochs
+        |  FROM ks""".stripMargin,
     "stream_distinct_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "text_tfidf" ->

@@ -624,4 +624,64 @@ object Sampling {
         // and past 2^53 rows doubles stop holding exact ordinals
         expr(s"`$ord` div $numShards").as("pos_in_shard"): _*)
   }
+
+  /**
+   * UniMax language-budget allocation (Chung et al. 2023): spread a total
+   * training budget of `budget` document units across languages as
+   * UNIFORMLY as possible, capping every language at `maxEpochs` passes
+   * over its corpus — the multilingual mixing rule that replaced
+   * temperature sampling for mT5-class pretraining (temperature still
+   * over-samples head languages and epoch-starves the tail; UniMax gives
+   * every language the same budget unless its cap binds first).
+   *
+   * The paper's greedy waterfall (ascending by capacity, each language
+   * takes `min(cap, remaining/langs_left)`) has a closed form because
+   * capacity is sorted ascending: a language takes its FULL capacity
+   * `c_r = n_r · maxEpochs` iff `c_r · (L − r) ≤ B − P_r` (with `P_r` the
+   * running capacity sum and `r` its 1-based rank) — and that predicate is
+   * a PREFIX property (if rank r fails, every later rank fails too, since
+   * later capacities are ≥ and the residual shrinks by exactly one share
+   * per row). Everything after the prefix sits at the common waterline
+   * `(B − P_{k*}) / (L − k*)` where `k*` is the prefix length. So the
+   * whole allocation is four window functions over the LANGUAGE-cardinality
+   * frame (rank, running sum, and two whole-frame sums) — bounded metadata
+   * (≤ a few hundred rows for any real corpus), never a corpus-sized
+   * exchange; the per-language counts are one map-side-combined `groupBy`.
+   *
+   * Output: `(lang, n_docs, capacity, alloc_docs, epochs)` — `alloc_docs`
+   * the budget share in document units, `epochs = alloc/n` the per-language
+   * pass count a sampler (e.g. [[repeatToBudget]]) executes; doubles
+   * rounded at 6. NULL group keys are excluded (no language, no budget
+   * line). A language can never exceed `maxEpochs` and the allocation
+   * total is exactly `min(budget, Σ capacity)` up to float addition.
+   */
+  def unimaxAllocation(df: DataFrame, langCol: String, budget: Double,
+      maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val counts = df.filter(col(langCol).isNotNull)
+      .groupBy(col(langCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__cap", col("n_docs").cast("double") * lit(maxEpochs))
+    // ascending capacity with the lang tiebreak is the waterfall's total
+    // order; all four analytics share one ≤L-row window frame
+    val byCap = Window.orderBy(col("__cap").asc, col(langCol).asc)
+    val whole = byCap.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val staged = counts
+      .withColumn("__r", row_number().over(byCap))
+      .withColumn("__p", sum(col("__cap")).over(byCap))
+      .withColumn("__l", count(lit(1)).over(whole))
+      .withColumn("__fits",
+        col("__cap") * (col("__l") - col("__r")) <= lit(budget) - col("__p"))
+      .withColumn("__k", sum(when(col("__fits"), 1L).otherwise(0L)).over(whole))
+      .withColumn("__pk",
+        sum(when(col("__fits"), col("__cap")).otherwise(0.0)).over(whole))
+    val alloc = when(col("__fits"), col("__cap"))
+      .otherwise((lit(budget) - col("__pk")) /
+        (col("__l") - col("__k")).cast("double"))
+    staged.select(col(langCol), col("n_docs"),
+      round(col("__cap"), 6).as("capacity"),
+      round(alloc, 6).as("alloc_docs"),
+      round(alloc / col("n_docs").cast("double"), 6).as("epochs"))
+  }
 }
