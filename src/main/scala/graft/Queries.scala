@@ -996,6 +996,30 @@ object Queries {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    // TPC-H Q5 shape: local-supplier revenue per nation for one region-year —
+    // the classic 6-table join-reorder/broadcast exercise. The fact join
+    // (lineitem × orders) shuffles on the order key; customer, supplier,
+    // nation, and region are all broadcast dims, and the "local" condition
+    // (c_nationkey = s_nationkey) rides the supplier broadcast join
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)))
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      li(s, d).join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "join_enrich_orders" -> ((s, d) =>
       orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -3009,6 +3033,20 @@ object Queries {
         | GROUP BY l_orderkey, o_orderdate, o_orderpriority
         | ORDER BY revenue DESC, l_orderkey
         | LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY n_name
+        | ORDER BY revenue DESC, n_name""".stripMargin,
     "join_enrich_orders" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |  FROM orders JOIN customer ON o_custkey = c_custkey
