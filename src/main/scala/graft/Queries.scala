@@ -142,6 +142,44 @@ object Queries {
         .otherwise(concat_ws("\n", l1, l2, l3, l4, l5)).as("text"))
   }
 
+  /** Injected multi-script suffixes shared VERBATIM by [[synthScriptDocs]]
+    * and [[synthScriptSql]] (interpolated into both, so the fixtures cannot
+    * fork): a CJK run, a Cyrillic word, a Greek triple, a Katakana word,
+    * and the classic homoglyph spoof — Latin "paypal" with two Cyrillic а
+    * (U+0430), the shape a script-purity screen exists to catch. */
+  private val scrCjk = " 数据处理流水线"
+  private val scrCyr = " данные"
+  private val scrGreek = " αβγ"
+  private val scrKana = " データ"
+  private val scrHomoglyph = " pаypаl"
+
+  /** SQL twin of [[synthScriptDocs]] (a CTE named `sm`), used by the
+    * `text_script_profile` oracle. */
+  private val synthScriptSql =
+    s"""sm AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '$scrCjk' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '$scrCyr' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '$scrGreek' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN '$scrKana' ELSE '' END ||
+       |    CASE WHEN doc_id % 17 = 0 THEN '$scrHomoglyph' ELSE '' END
+       |  END AS text FROM documents)""".stripMargin
+
+  /** Hostile fixture for the `text_script_profile` gate: the all-ASCII
+    * corpus text with multi-script suffixes injected by doc-id class (plus
+    * NULL rows), so dominance, purity, the n_scripts mix counter, and every
+    * injected class are all exercised and hash-gated. */
+  private def synthScriptDocs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(13)) === 0, lit(null).cast("string"))
+        .otherwise(concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(scrCjk)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(scrCyr)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(scrGreek)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit(scrKana)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0, lit(scrHomoglyph)).otherwise(lit("")))
+        ).as("text"))
+
   /** Injected mojibake suffix shared VERBATIM by [[synthEncodingDocs]] and
     * [[synthEncodingSql]] (interpolated into both, so the two fixtures
     * cannot fork): double-encoded accents (`Ã©`×3, `Ã¯`), a cp1252 dash
@@ -1323,6 +1361,12 @@ object Queries {
     // fixture; keep = zero signals, NULL text -> NULL verdict
     "text_encoding_screen" -> ((s, d) =>
       TextAnalysis.encodingScreen(synthEncodingDocs(s, d))),
+    // Unicode-script composition over the hostile multi-script fixture:
+    // per-class character counts, the n_scripts mix counter, alphabetical
+    // tie-broken dominance, and the purity ratio — the screen that catches
+    // the injected Cyrillic-а homoglyph spoof language ID misses
+    "text_script_profile" -> ((s, d) =>
+      TextAnalysis.scriptProfile(synthScriptDocs(s, d))),
     // the SparkSessionExtensions SQL-function path end-to-end: the SAME
     // native expression invoked from SQL TEXT (not the Column wrapper) —
     // proves a SQL-first deployment reaches the graftx family through
@@ -3386,6 +3430,34 @@ object Queries {
          |  CAST($moji AS BIGINT) AS n_mojibake FROM enc)
          |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
          |       n_replacement + n_control + n_mojibake <= 0 AS keep FROM m""".stripMargin
+    },
+    // class counts are the SAME length-delta expressions over the SAME
+    // literal-endpoint character classes (interpolated from
+    // TextAnalysis.ScriptRanges, so the mirrors cannot fork); dominance is
+    // the same alphabetical-priority CASE, purity the same rounded ratio
+    "text_script_profile" -> {
+      val classes = TextAnalysis.ScriptRanges :+ ("digit" -> "[0-9]")
+      val counts = classes.map { case (n, cls) =>
+        s"length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS $n"
+      }.mkString(",\n         |  ")
+      val letters = TextAnalysis.ScriptRanges.map(_._1)
+      val dom = letters.map(n => s"WHEN $n = mx THEN '$n'").mkString(" ")
+      val nScripts = letters.map(n => s"(CASE WHEN $n > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $synthScriptSql,
+         |c AS (SELECT doc_id, length(text) AS n_chars,
+         |  $counts
+         |  FROM sm WHERE text IS NOT NULL),
+         |m AS (SELECT *, greatest(${letters.mkString(", ")}) AS mx,
+         |             ${letters.mkString(" + ")} AS sl FROM c)
+         |SELECT doc_id, n_chars, ${classes.map(_._1).mkString(", ")},
+         |       n_chars - sl - digit AS other,
+         |       $nScripts AS n_scripts,
+         |       CASE WHEN mx > 0 THEN CASE $dom END END AS dominant_script,
+         |       CASE WHEN sl > 0
+         |            THEN round(CAST(mx AS DOUBLE) / CAST(sl AS DOUBLE), 6)
+         |       END AS script_purity
+         |  FROM m""".stripMargin
     },
     "text_nfc_normalize" ->
       s"""WITH $synthNfcSql

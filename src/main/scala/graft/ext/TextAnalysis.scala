@@ -13,6 +13,70 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** Unicode-script codepoint ranges for [[scriptProfile]], ALPHABETICAL by
+    * name (the dominant-script tiebreak order). Each class is a regex
+    * character class whose endpoints are LITERAL characters (compile-time
+    * `\uXXXX`), so the identical string parses the same under Java regex
+    * (Spark) and RE2 (DuckDB) — no engine-specific `\p{script=}` /
+    * `\x{...}` syntax enters the comparison. Coarse BMP blocks by design:
+    * this is a composition screen, not a full Unicode property database. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "arabic" -> "[؀-ۿ]",
+    "cjk" -> "[一-鿿]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "hangul" -> "[가-힯]",
+    "kana" -> "[぀-ヿ]",
+    "latin" -> "[A-Za-z]")
+
+  /**
+   * Per-document Unicode-script composition — the mixed-script screen every
+   * multilingual crawl pipeline runs before language ID can be trusted:
+   * script-confusable spam ("pаypаl" with a Cyrillic а), template pages
+   * that glue CJK boilerplate onto Latin bodies, and encoding damage all
+   * show up as letters from MORE THAN ONE script in one document, which
+   * n-gram language ID happily misclassifies instead of flagging.
+   *
+   * Per doc: the character count of each [[ScriptRanges]] class plus
+   * `digit`, the residue `other` (punctuation/whitespace/everything else),
+   * `n_scripts` (how many letter scripts appear at all), the dominant
+   * script (most letters; alphabetical tiebreak; NULL when no letters),
+   * and `script_purity` = dominant letters / all letters (NULL when no
+   * letters) — filter `script_purity < τ` or `n_scripts > 1` to quarantine.
+   *
+   * Each class count is `length(text) − length(regexp_replace(text, class,
+   * ''))` — a pure codegen'd per-row projection (the [[normalize]] family's
+   * shape): no shuffle, no UDF, linear at any corpus size, and the exact
+   * expression the oracle mirrors. NULL text rows are excluded (no
+   * characters to profile).
+   */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val classes = ScriptRanges :+ ("digit" -> "[0-9]")
+    val counted = docs.filter(t.isNotNull).select(
+      col(idCol) +: length(t).as("n_chars") +:
+        classes.map { case (n, cls) =>
+          (length(t) - length(regexp_replace(t, lit(cls), lit("")))).as(n)
+        }: _*)
+    val letters = ScriptRanges.map(_._1)
+    val sumLetters = letters.map(col).reduce(_ + _)
+    val maxC = greatest(letters.map(col): _*)
+    // coalesce of otherwise-less whens = first alphabetical class at the max
+    val dominant = coalesce(
+      letters.map(n => when(col(n) === maxC && maxC > 0, lit(n))): _*)
+    val nScripts = letters.map(n => when(col(n) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    counted.select(
+      (col(idCol) +: col("n_chars") +: classes.map(c => col(c._1))) :+
+        (col("n_chars") - sumLetters - col("digit")).as("other") :+
+        nScripts.as("n_scripts") :+
+        dominant.as("dominant_script") :+
+        when(sumLetters > 0,
+          round(maxC.cast("double") / sumLetters.cast("double"), 6))
+          .as("script_purity"): _*)
+  }
+
   /** Whitespace tokenizer shared by all ops (and mirrored by the DuckDB
     * oracles as `regexp_split_to_array(text, '\s+')`). */
   def tokens(text: Column): Column = split(text, "\\s+")
