@@ -58,6 +58,35 @@ class UnimaxSpec extends AnyFunSuite {
     }
   }
 
+  test("property: closed form equals the paper's greedy waterfall") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCounts = Gen.resize(8, Gen.nonEmptyListOf(Gen.choose(1, 500)))
+      .map(_.zipWithIndex.map { case (n, i) => (f"l$i%02d", n) })
+    val genCase = Gen.zip(genCounts, Gen.choose(1, 3000), Gen.oneOf(0.5, 1.0, 2.0, 3.0))
+    val prop = Prop.forAll(genCase) { case (langs, budget, e) =>
+      // the paper's greedy: ascending capacity, each language takes
+      // min(cap, remaining / langs_left)
+      val sorted = langs.map { case (l, n) => (l, n * e) }
+        .sortBy { case (l, c) => (c, l) }
+      var remaining = budget.toDouble
+      val want = sorted.zipWithIndex.map { case ((l, cap), i) =>
+        val share = remaining / (sorted.size - i)
+        val a = math.min(cap, share)
+        remaining -= a
+        l -> a
+      }.toMap
+      val docs = langs.flatMap { case (l, n) => (1 to n).map(i => (l, i)) }
+        .zipWithIndex.map { case ((l, _), id) => (id.toLong, l) }
+        .toDF("doc_id", "lang")
+      val got = Sampling.unimaxAllocation(docs, "lang", budget.toDouble, e)
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r._4).toMap
+      got.keySet == want.keySet &&
+        got.forall { case (l, a) => math.abs(a - want(l)) < 1e-5 }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop).passed)
+  }
+
   test("null language rows are excluded; bounds are enforced") {
     val withNull = docs.union(Seq((99L, null.asInstanceOf[String]))
       .toDF("doc_id", "lang"))
