@@ -1413,6 +1413,14 @@ object Queries {
         ext.Urls.urlHost(col("url")).as("host"),
         ext.Urls.registrableDomainApprox(ext.Urls.urlHost(col("url"))).as("domain"))
     }),
+    // host-level keep/drop statistics (the RefinedWeb per-host stage): one
+    // codegen'd projection + ONE map-side-combined groupBy on the host;
+    // pooled stopword ratio keeps every number an exact integer division
+    "text_url_host_stats" -> ((s, d) =>
+      ext.Urls.hostStats(
+        synthUrls(s, d).join(docs(s, d).select(col("doc_id"), col("text")),
+          Seq("doc_id")),
+        "url", "text")),
     // PSL-exact registrable domain: longest public-suffix rule wins via
     // the exploded dot-suffix equi-join over DISTINCT hosts; the approx
     // (last-two-labels) column rides along to pin where they diverge
@@ -3539,6 +3547,27 @@ object Queries {
          |            ELSE string_split(h.host, '.')[-2] || '.' || string_split(h.host, '.')[-1]
          |            END AS domain
          |  FROM k JOIN h ON k.doc_id = h.doc_id""".stripMargin,
+    // identical host extraction (the shared h CTE), identical tokenizer and
+    // stopword list as text_quality, the same pooled integer divisions
+    "text_url_host_stats" ->
+      s"""WITH $synthUrlSql,
+         |${urlHostSql()},
+         |q AS (SELECT h.host, len(regexp_split_to_array(d.text, '\\s+')) AS nt,
+         |             len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+         |                 x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x))) AS ns
+         |        FROM h JOIN documents d USING (doc_id)
+         |       WHERE d.text IS NOT NULL AND h.host <> ''),
+         |g AS (SELECT host, count(*) AS n_docs,
+         |             CAST(sum(CASE WHEN nt < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |             CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |             CAST(sum(ns) AS BIGINT) AS total_stopwords
+         |        FROM q GROUP BY host)
+         |SELECT host, n_docs, n_short,
+         |       CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_ratio,
+         |       total_tokens,
+         |       CAST(total_stopwords AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS stopword_ratio,
+         |       CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) <= 0.5 AS keep
+         |  FROM g""".stripMargin,
     "text_url_domain_psl" ->
       s"""WITH $synthUrlSql,
          |${urlHostSql()},

@@ -196,4 +196,48 @@ object Urls {
       .select(col("__u")).distinct()
     df.join(hitUrls, df(urlCol) === hitUrls("__u"), "left_anti")
   }
+
+  /**
+   * Host-level corpus statistics — the aggregation RefinedWeb-class
+   * pipelines run to make PER-HOST keep/drop decisions (a host whose pages
+   * are mostly near-empty or stopword-free is boilerplate/spam wholesale;
+   * judging it page-by-page both misses the pattern and wastes the
+   * downstream budget). Per host: document count, short-document count and
+   * ratio (`n_tokens < minTokens`, the [[TextAnalysis.quality]] flag),
+   * total token mass, the host-pooled stopword ratio, and
+   * `keep = short_ratio ≤ maxShortRatio`.
+   *
+   * The stopword ratio is pooled (`Σ stopwords / Σ tokens`), not an average
+   * of per-doc ratios: pooling weighs pages by length AND keeps every
+   * number an exact integer-over-integer division — bit-identical across
+   * engines with no rounding contract (the [[TextAnalysis.quality]]
+   * convention). Scale shape: one per-row codegen'd projection (host
+   * extraction + two token counts), then ONE map-side-combined `groupBy` on
+   * the host — host-cardinality output at any corpus size, no second
+   * shuffle, no window. Rows with NULL text or no extractable host carry no
+   * signal and are excluded.
+   */
+  def hostStats(docs: DataFrame, urlCol: String, textCol: String,
+      minTokens: Int = 30, maxShortRatio: Double = 0.5): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
+    require(maxShortRatio >= 0.0 && maxShortRatio <= 1.0,
+      s"maxShortRatio must be in [0, 1]: $maxShortRatio")
+    val t = TextAnalysis.tokens(col(textCol))
+    val sw = typedLit(TextAnalysis.Stopwords)
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(urlHost(col(urlCol)).as("host"), size(t).as("__nt"),
+        size(filter(t, x => array_contains(sw, x))).as("__ns"))
+      .filter(col("host") =!= "")
+    val shortRatio = col("n_short").cast("double") / col("n_docs").cast("double")
+    base.groupBy(col("host")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__nt") < minTokens, 1L).otherwise(0L)).as("n_short"),
+        sum(col("__nt").cast("long")).as("total_tokens"),
+        sum(col("__ns").cast("long")).as("total_stopwords"))
+      .select(col("host"), col("n_docs"), col("n_short"),
+        shortRatio.as("short_ratio"), col("total_tokens"),
+        (col("total_stopwords").cast("double") /
+          col("total_tokens").cast("double")).as("stopword_ratio"),
+        (shortRatio <= maxShortRatio).as("keep"))
+  }
 }

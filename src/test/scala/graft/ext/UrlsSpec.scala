@@ -112,4 +112,30 @@ class UrlsSpec extends AnyFunSuite {
       4L -> Some("example.com"), 5L -> Some("shop.com.au"),
       6L -> Some("example.xyz"), 7L -> None, 8L -> None), s"psl domains: $out")
   }
+
+  test("hostStats: pooled per-host ratios, userinfo grouping, keep cut") {
+    val docs = Seq(
+      // spam.net: 2 docs, both short (3 and 2 tokens), zero stopwords
+      (1L, "http://spam.net/a", "buy cheap now"),
+      (2L, "http://SPAM.net:80/b", "click here"),
+      // good.org: 2 docs — a long one (30 tokens, 8 stopwords) and a short
+      // one; the userinfo URL must still group under good.org
+      (3L, "https://good.org/1", ("the and of to in is it for" + " word" * 22).trim),
+      (4L, "https://u:p@Good.ORG/2", "a tiny page"),
+      // no extractable host / NULL text: excluded entirely
+      (5L, "not a url 5", "some text"),
+      (6L, "http://good.org/3", null.asInstanceOf[String])
+    ).toDF("doc_id", "url", "text")
+    val out = Urls.hostStats(docs, "url", "text")
+      .as[(String, Long, Long, Double, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("spam.net", "good.org"))
+    val spam = out("spam.net")
+    assert(spam == (("spam.net", 2L, 2L, 1.0, 5L, 0.0, false)))
+    val good = out("good.org")
+    assert(good._2 == 2L && good._3 == 1L && good._4 == 0.5)
+    assert(good._5 == 33L) // 30 + 3 tokens
+    assert(good._6 == 9.0 / 33.0) // 8 stopwords + "a", exact division
+    assert(good._7) // short_ratio 0.5 <= 0.5 keeps
+  }
 }
