@@ -401,6 +401,50 @@ object Queries {
       |f AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
       |n AS (SELECT sum(f) AS n FROM f)""".stripMargin
 
+  /** The URL-canonicalization CTE chain (`nf/pf/lw/np/q/k`) over the `u`
+    * fixture — shared by the `text_url_canonicalize` oracle and the
+    * `dedup_url_canonical` dedup key, so the five-step canonicalization
+    * mirror cannot fork between them. */
+  private val canonicalUrlCtes =
+    """nf AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u),
+      |pf AS (SELECT doc_id, url, nofrag,
+      |              regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+      |              regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1) AS uinfo,
+      |              regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS hostport
+      |         FROM nf),
+      |lw AS (SELECT doc_id, url,
+      |              CASE WHEN scheme = '' THEN nofrag
+      |                   ELSE lower(scheme) || '://' || uinfo || lower(hostport) ||
+      |                        substring(nofrag,
+      |                          length(scheme) + 3 + length(uinfo) + length(hostport) + 1)
+      |              END AS lowered
+      |         FROM pf),
+      |np AS (SELECT doc_id, url,
+      |              regexp_replace(
+      |                regexp_replace(lowered,
+      |                  '^(http://(?:[^/?#]*@)?(?:\[[^\]]*\]|[^/?#:]*)):80([/?#].*)?$', '\1\2'),
+      |                '^(https://(?:[^/?#]*@)?(?:\[[^\]]*\]|[^/?#:]*)):443([/?#].*)?$', '\1\2') AS noport
+      |         FROM lw),
+      |q AS (SELECT doc_id, url,
+      |             CASE WHEN instr(noport, '?') > 0
+      |                  THEN substring(noport, 1, instr(noport, '?') - 1)
+      |                  ELSE noport END AS base,
+      |             CASE WHEN instr(noport, '?') > 0
+      |                  THEN substring(noport, instr(noport, '?') + 1)
+      |                  ELSE NULL END AS query
+      |        FROM np),
+      |k AS (SELECT doc_id, url, base, query,
+      |             list_filter(string_split(query, '&'), p ->
+      |               NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+      |                    OR starts_with(p, 'fbclid=') OR p = 'gclid' OR p = 'fbclid')) AS kept
+      |        FROM q)""".stripMargin
+
+  /** The final canonical-URL expression over the `k` CTE (same sharing). */
+  private val canonicalUrlExpr =
+    """CASE WHEN query IS NULL THEN base
+      |            WHEN len(kept) = 0 THEN base
+      |            ELSE base || '?' || array_to_string(kept, '&') END""".stripMargin
+
   /** The userinfo/IPv6-aware host-extraction CTE (`h`) over the `u` URL
     * fixture — shared by all three URL oracles so the host semantics (the
     * r16 advisory's userinfo-bypass fix) cannot fork across mirrors.
@@ -1732,6 +1776,15 @@ object Queries {
 
     // ---- dedup (§2.12) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), Seq("lang", "source"), "doc_id")),
+    // canonical-URL dedup — the FIRST dedup stage of every crawl pipeline
+    // (one fetch per canonical page identity, before any content hashing):
+    // Dedup.exact keyed on canonicalizeUrl, so tracking-param/fragment/
+    // case/port variants of one page collapse to the lowest doc_id
+    "dedup_url_canonical" -> ((s, d) => {
+      val u = synthUrls(s, d)
+        .withColumn("__curl", ext.Urls.canonicalizeUrl(col("url")))
+      Dedup.exact(u, Seq("__curl"), "doc_id").drop("__curl")
+    }),
     "dedup_fingerprint" -> ((s, d) => {
       // content-based exact dedup: one cheap shuffle on the md5 fingerprint
       // of the sorted distinct token set (the scale-friendly first pass
@@ -3505,48 +3558,26 @@ object Queries {
          |  FROM kept k JOIN win USING (doc_id)""".stripMargin,
     "text_url_canonicalize" ->
       s"""WITH $synthUrlSql,
-         |nf AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
-         |pf AS (SELECT doc_id, url, nofrag,
-         |              regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
-         |              regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1) AS uinfo,
-         |              regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS hostport
-         |         FROM nf),
-         |lw AS (SELECT doc_id, url,
-         |              CASE WHEN scheme = '' THEN nofrag
-         |                   ELSE lower(scheme) || '://' || uinfo || lower(hostport) ||
-         |                        substring(nofrag,
-         |                          length(scheme) + 3 + length(uinfo) + length(hostport) + 1)
-         |              END AS lowered
-         |         FROM pf),
-         |np AS (SELECT doc_id, url,
-         |              regexp_replace(
-         |                regexp_replace(lowered,
-         |                  '^(http://(?:[^/?#]*@)?(?:\\[[^\\]]*\\]|[^/?#:]*)):80([/?#].*)?$$', '\\1\\2'),
-         |                '^(https://(?:[^/?#]*@)?(?:\\[[^\\]]*\\]|[^/?#:]*)):443([/?#].*)?$$', '\\1\\2') AS noport
-         |         FROM lw),
-         |q AS (SELECT doc_id, url,
-         |             CASE WHEN instr(noport, '?') > 0
-         |                  THEN substring(noport, 1, instr(noport, '?') - 1)
-         |                  ELSE noport END AS base,
-         |             CASE WHEN instr(noport, '?') > 0
-         |                  THEN substring(noport, instr(noport, '?') + 1)
-         |                  ELSE NULL END AS query
-         |        FROM np),
-         |k AS (SELECT doc_id, url, base, query,
-         |             list_filter(string_split(query, '&'), p ->
-         |               NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
-         |                    OR starts_with(p, 'fbclid=') OR p = 'gclid' OR p = 'fbclid')) AS kept
-         |        FROM q),
+         |$canonicalUrlCtes,
          |${urlHostSql()}
          |SELECT k.doc_id, k.url,
-         |       CASE WHEN query IS NULL THEN base
-         |            WHEN len(kept) = 0 THEN base
-         |            ELSE base || '?' || array_to_string(kept, '&') END AS canonical,
+         |       $canonicalUrlExpr AS canonical,
          |       h.host,
          |       CASE WHEN len(string_split(h.host, '.')) <= 2 THEN h.host
          |            ELSE string_split(h.host, '.')[-2] || '.' || string_split(h.host, '.')[-1]
          |            END AS domain
          |  FROM k JOIN h ON k.doc_id = h.doc_id""".stripMargin,
+    // the SAME shared canonicalization CTEs as text_url_canonicalize; the
+    // survivor rule is min(doc_id) per canonical key (the dedup_exact
+    // row_number contract — one row per id makes them identical)
+    "dedup_url_canonical" ->
+      s"""WITH $synthUrlSql,
+         |$canonicalUrlCtes,
+         |cu AS (SELECT doc_id, url,
+         |       $canonicalUrlExpr AS curl
+         |         FROM k),
+         |win AS (SELECT min(doc_id) AS doc_id FROM cu GROUP BY curl)
+         |SELECT cu.doc_id, cu.url FROM cu JOIN win USING (doc_id)""".stripMargin,
     // identical host extraction (the shared h CTE), identical tokenizer and
     // stopword list as text_quality, the same pooled integer divisions
     "text_url_host_stats" ->
