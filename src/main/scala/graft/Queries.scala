@@ -1241,6 +1241,11 @@ object Queries {
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cdist"))
     }),
+    // rolling volume anomaly: per-type daily counts z-scored against the
+    // trailing 7-day baseline (current day excluded); integer window sums
+    // make every derived double bit-identical cross-engine
+    "ts_volume_anomaly" -> ((s, d) =>
+      ext.TimeSeries.rollingVolumeAnomaly(events(s, d), "event_type", "ts")),
     // temporal regularization: sparse per-user signup days resampled to each
     // user's dense day grid, totals forward-filled — one window pass, no
     // fabricated-grid join (TimeSeries.dailyGridFill)
@@ -3245,6 +3250,39 @@ object Queries {
         |       round(cume_dist() OVER w, 6) AS cdist
         |  FROM pu
         |WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id)""".stripMargin,
+    // same dense grid + the same integer rolling sums over ROWS BETWEEN 7
+    // PRECEDING AND 1 PRECEDING; the derived mean/var/z expressions mirror
+    // the operator's shape exactly (exact-integer inputs -> identical IEEE
+    // doubles, rounding is display-only; the anomaly flag compares the
+    // UNROUNDED z)
+    "ts_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |         count(*) AS c FROM events GROUP BY 1, 2),
+        |span AS (SELECT k, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |           FROM span),
+        |g AS (SELECT g.k, g.day, coalesce(d.c, 0) AS c
+        |        FROM grid g LEFT JOIN daily d ON g.k = d.k AND g.day = d.day),
+        |w AS (SELECT k, day, c,
+        |        count(*) OVER win AS n,
+        |        CAST(coalesce(sum(c) OVER win, 0) AS BIGINT) AS sx,
+        |        CAST(coalesce(sum(c * c) OVER win, 0) AS BIGINT) AS sxx
+        |      FROM g WINDOW win AS (PARTITION BY k ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT *, CAST(n * sxx - sx * sx AS DOUBLE)
+        |               / CAST(n * n AS DOUBLE) AS vr,
+        |             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+        |        FROM w)
+        |SELECT k AS event_type, day, c AS n_events, n AS baseline_days,
+        |       CASE WHEN n > 0 THEN round(mean, 6) END AS baseline_mean,
+        |       CASE WHEN n >= 3 AND vr > 0 THEN round(sqrt(vr), 6) END AS baseline_std,
+        |       CASE WHEN n >= 3 AND vr > 0
+        |            THEN round((CAST(c AS DOUBLE) - mean) / sqrt(vr), 6) END AS z_score,
+        |       CASE WHEN n >= 3 AND vr > 0
+        |            THEN abs((CAST(c AS DOUBLE) - mean) / sqrt(vr)) >= 2.0
+        |            ELSE FALSE END AS anomaly
+        |  FROM v""".stripMargin,
     "ts_resample_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,

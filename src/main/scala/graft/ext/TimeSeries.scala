@@ -90,4 +90,61 @@ object TimeSeries {
         else when(col(day) === col(dayCol), col(m)).as(m)
       }: _*)
   }
+
+  /**
+   * Rolling volume-anomaly detection — the ops tripwire a continuously-fed
+   * pipeline runs on its OWN throughput: per key (source, event type,
+   * host…), each day's event count is z-scored against the TRAILING
+   * `windowDays`-day baseline (current day excluded — today must not damp
+   * its own anomaly), flagging `|z| ≥ zThreshold`. A crawler source going
+   * dark, a log loop double-feeding, or an ingest backlog draining all
+   * show up here days before they show up in corpus statistics.
+   *
+   * Numeric contract: the inputs are exact integer day-counts, the rolling
+   * statistics are integer window sums (`n`, `Σx`, `Σx²` — exact in ANY
+   * accumulation order, unlike floating sums), and every derived double
+   * (`mean = Σx/n`, `var = (n·Σx² − (Σx)²)/n²`, `z`) is the same IEEE
+   * expression shape the oracle mirrors — bit-identical cross-engine with
+   * no rounding contract needed (rounding on the emitted stats is for
+   * display). Days with fewer than `minBaseline` trailing days or zero
+   * baseline variance emit NULL stats and `anomaly = false` (no baseline,
+   * no verdict).
+   *
+   * Scale shape: one map-side-combined `groupBy(key, day)` (day-cardinality
+   * output per key), the [[dailyGridFill]] single-shuffle densification
+   * (absent days are REAL zero-count days for a volume series), then ONE
+   * Window operator computing all three rolling sums over the same frame —
+   * two key shuffles total, output one row per (key, day) at any event
+   * volume.
+   */
+  def rollingVolumeAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7, minBaseline: Int = 3,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2: $windowDays")
+    require(minBaseline >= 2 && minBaseline <= windowDays,
+      s"minBaseline must be in [2, windowDays]: $minBaseline")
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val daily = events.groupBy(col(keyCol),
+        date_trunc("DAY", col(tsCol)).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("__c"))
+    val dense = dailyGridFill(daily, keyCol, "day", Nil)
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val w = Window.partitionBy(keyCol).orderBy(col("day"))
+      .rowsBetween(-windowDays, -1)
+    val staged = dense
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__c")).over(w))
+      .withColumn("__sxx", sum(col("__c") * col("__c")).over(w))
+    val mean = col("__sx").cast("double") / col("__n").cast("double")
+    val varN = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double") / (col("__n") * col("__n")).cast("double")
+    val z = (col("__c").cast("double") - mean) / sqrt(varN)
+    val ok = col("__n") >= minBaseline && varN > 0.0
+    staged.select(col(keyCol), col("day"), col("__c").as("n_events"),
+      col("__n").as("baseline_days"),
+      when(col("__n") > 0, round(mean, 6)).as("baseline_mean"),
+      when(ok, round(sqrt(varN), 6)).as("baseline_std"),
+      when(ok, round(z, 6)).as("z_score"),
+      when(ok, abs(z) >= zThreshold).otherwise(lit(false)).as("anomaly"))
+  }
 }
