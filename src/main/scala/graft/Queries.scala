@@ -1102,6 +1102,21 @@ object Queries {
         .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q18 shape (large-volume orders): the HAVING aggregation IS the
+    // carried value, so the big-order set joins back once instead of
+    // re-aggregating lineitem; quantities are integral doubles, so the sum
+    // is exact in any accumulation order and the > cut cannot flap
+    "q18_large_orders" -> ((s, d) => {
+      val big = li(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 280.0)
+      orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
     "join_enrich_orders" -> ((s, d) =>
       orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -1781,6 +1796,11 @@ object Queries {
 
     // ---- dedup (§2.12) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), Seq("lang", "source"), "doc_id")),
+    // cross-source contamination matrix: distinct trigram-shingle overlap
+    // + Jaccard per source pair — the mixing-governance report; gram-keyed
+    // self-join bounded at #sources^2 fan-out per gram
+    "dedup_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(docs(s, d), "source", "doc_id", "text")),
     // canonical-URL dedup — the FIRST dedup stage of every crawl pipeline
     // (one fetch per canonical page identity, before any content hashing):
     // Dedup.exact keyed on canonicalizeUrl, so tracking-param/fragment/
@@ -3157,6 +3177,14 @@ object Queries {
         |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         | GROUP BY n_name
         | ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |               FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 280)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |  FROM orders JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        | LIMIT 100""".stripMargin,
     "join_enrich_orders" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -3605,6 +3633,25 @@ object Queries {
          |            ELSE string_split(h.host, '.')[-2] || '.' || string_split(h.host, '.')[-1]
          |            END AS domain
          |  FROM k JOIN h ON k.doc_id = h.doc_id""".stripMargin,
+    // string trigrams stand in for the operator's hashed shingles (set
+    // semantics identical modulo 64-bit collisions — the decontaminate
+    // contract); jaccard is the exact integer division, unrounded
+    "dedup_source_overlap" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS tk
+        |             FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, source,
+        |             CASE WHEN len(tk) >= 3
+        |                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+        |                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |                  ELSE [array_to_string(tk, ' ')] END AS sh
+        |        FROM t),
+        |sg AS (SELECT DISTINCT source AS src, unnest(sh) AS g FROM s),
+        |tot AS (SELECT src, count(*) AS t FROM sg GROUP BY src),
+        |cm AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_common
+        |         FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2)
+        |SELECT source_a, source_b, ta.t AS n_grams_a, tb.t AS n_grams_b, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(ta.t + tb.t - n_common AS DOUBLE) AS jaccard
+        |  FROM cm JOIN tot ta ON source_a = ta.src JOIN tot tb ON source_b = tb.src""".stripMargin,
     // the SAME shared canonicalization CTEs as text_url_canonicalize; the
     // survivor rule is min(doc_id) per canonical key (the dedup_exact
     // row_number contract — one row per id makes them identical)

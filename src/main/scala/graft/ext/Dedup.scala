@@ -77,6 +77,51 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Cross-source contamination matrix — the data-governance report a
+   * multi-source corpus needs before mixing: for every overlapping source
+   * pair, how many distinct n-gram shingles they share and the Jaccard of
+   * their shingle sets. High off-diagonal mass means two "independent"
+   * sources are re-crawls/mirrors of each other — double-weighting one
+   * corpus while claiming diversity (and silently leaking one source's
+   * held-out split into another's train split).
+   *
+   * Pipeline: hashed shingle sets ([[hashedShingleSets]], persisted before
+   * the explode — the Generate re-evaluation trap), distinct
+   * `(source, gram)` pairs, then a gram-keyed self-join with `src_a <
+   * src_b`: per gram the fan-out is bounded by #sources², so the join is
+   * shingle-keyed shuffle work, never corpus × corpus. Totals are
+   * source-cardinality and broadcast back. Jaccard is an exact
+   * integer-over-integer division (bit-identical cross-engine, the
+   * [[jaccard]] contract). Only overlapping pairs are emitted — an absent
+   * pair IS the zero. NULL-text docs contribute no grams.
+   */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1: $n")
+    val nn = docs.filter(col(textCol).isNotNull)
+    val sh = persistTracked(hashedShingleSets(nn, idCol, textCol, n))
+    val sg = persistTracked(
+      sh.join(nn.select(col(idCol), col(sourceCol).as("__srca")), Seq(idCol))
+        .select(col("__srca"), explode(col("hs")).as("__g")).distinct())
+    val totals = sg.groupBy(col("__srca")).agg(count(lit(1)).as("__tot"))
+    val b = sg.toDF("__srcb", "__gb")
+    val common = sg.join(b,
+        col("__g") === col("__gb") && col("__srca") < col("__srcb"))
+      .groupBy(col("__srca"), col("__srcb")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(graft.ops.Ops.hintIfSmall(totals), Seq("__srca"))
+      .withColumnRenamed("__tot", "__ta")
+      .join(graft.ops.Ops.hintIfSmall(
+        totals.toDF("__srcb", "__tb")), Seq("__srcb"))
+      .select(col("__srca").as("source_a"), col("__srcb").as("source_b"),
+        col("__ta").as("n_grams_a"), col("__tb").as("n_grams_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("__ta") + col("__tb") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Exact Jaccard over two distinct shingle arrays — integer-over-integer
     * division, bit-identical with the DuckDB oracle's
     * `len(list_intersect)/len(list_distinct(a||b))`. */
