@@ -1325,6 +1325,10 @@ object Queries {
     // portable idHash so both engines address the same cells
     "profile_cms_heavy_hitters" -> ((s, d) =>
       ext.Profiling.cmsHeavyHitters(docs(s, d), "text")),
+    // one-row corpus data card: counts/cardinalities/mass/dup rate, every
+    // number an exact integer or exact integer division — no rounding
+    "profile_corpus_card" -> ((s, d) =>
+      ext.Profiling.corpusCard(docs(s, d))),
     // Zipf's-law fit over the top-100 token frequencies: OLS of ln(freq)
     // on ln(rank) as EXPLICIT sums (n·Σxy−Σx·Σy over n·Σx²−(Σx)²) so both
     // engines run the same arithmetic shape; ranks/counts are exact ints,
@@ -3350,6 +3354,33 @@ object Queries {
     // the streamed sketch is cell-wise-sum distributive, so the merged
     // micro-batch sketch IS the whole-corpus sketch — same oracle
     "stream_cms_merge" -> cmsProbeSql,
+    // identical counts/cardinalities/divisions; the fingerprint is the
+    // repo-wide contentFingerprint formula (the dedup_fingerprint mirror)
+    "profile_corpus_card" ->
+      """WITH s AS (SELECT text,
+        |       CASE WHEN text IS NOT NULL
+        |            THEN len(regexp_split_to_array(text, '\s+')) END AS nt,
+        |       lang, source,
+        |       md5(array_to_string(list_sort(list_distinct(
+        |         regexp_split_to_array(text, '\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |a AS (SELECT count(*) AS n_docs,
+        |             count(*) - count(text) AS n_null_text,
+        |             count(DISTINCT lang) AS n_langs,
+        |             count(DISTINCT source) AS n_sources,
+        |             CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |             CAST(sum(CASE WHEN nt < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |             count(DISTINCT fp) AS n_distinct_fingerprints
+        |        FROM s)
+        |SELECT *,
+        |       CAST(total_tokens AS DOUBLE)
+        |         / CAST(n_docs - n_null_text AS DOUBLE) AS mean_tokens,
+        |       CAST(n_short AS DOUBLE)
+        |         / CAST(n_docs - n_null_text AS DOUBLE) AS short_frac,
+        |       CAST(n_docs - n_null_text - n_distinct_fingerprints AS DOUBLE)
+        |         / CAST(n_docs - n_null_text AS DOUBLE) AS dup_frac
+        |  FROM a""".stripMargin,
     // identical explicit-sums OLS over the same (ln rank, ln count) points:
     // row_number() with the (count DESC, token ASC) total order ≡ the
     // Spark side's globalOrdinals numbering; ln of exact integers on both

@@ -306,6 +306,48 @@ object Profiling {
   }
 
   /**
+   * One-row corpus data card — the summary block of a dataset card
+   * (Gebru et al. 2021's datasheets; every public corpus release ships
+   * one): document/null counts, language and source cardinalities, token
+   * and character mass, mean document length, the short-document fraction,
+   * and the exact-duplicate rate by content fingerprint. One aggregation
+   * pass over the corpus (the count-distincts expand the pass by a
+   * constant factor — a card is computed once per release, not per query);
+   * every emitted number is an exact integer or an exact
+   * integer-over-integer division, so the card is bit-identical across
+   * engines with no rounding contract.
+   *
+   * NULL-text documents count toward `n_docs`/`n_null_text` but contribute
+   * no tokens, no fingerprint, and are excluded from the per-document
+   * denominators (a document with no text has no length to average).
+   */
+  def corpusCard(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      sourceCol: String = "source", minTokens: Int = 30): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
+    val t = col(textCol)
+    val nt = when(t.isNotNull, size(TextAnalysis.tokens(t)))
+    val staged = docs.select(t.as("__t"), nt.as("__nt"),
+      col(langCol).as("__lang"), col(sourceCol).as("__src"),
+      graft.ext.Dedup.contentFingerprint(t).as("__fp"))
+    val agg = staged.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - count(col("__t"))).as("n_null_text"),
+      countDistinct(col("__lang")).as("n_langs"),
+      countDistinct(col("__src")).as("n_sources"),
+      sum(col("__nt").cast("long")).as("total_tokens"),
+      sum(length(col("__t")).cast("long")).as("total_chars"),
+      sum(when(col("__nt") < minTokens, 1L).otherwise(0L)).as("n_short"),
+      countDistinct(col("__fp")).as("n_distinct_fingerprints"))
+    val nText = (col("n_docs") - col("n_null_text")).cast("double")
+    agg.select(col("*"),
+      (col("total_tokens").cast("double") / nText).as("mean_tokens"),
+      (col("n_short").cast("double") / nText).as("short_frac"),
+      ((col("n_docs") - col("n_null_text") - col("n_distinct_fingerprints"))
+        .cast("double") / nText).as("dup_frac"))
+  }
+
+  /**
    * Zipf's-law fit over the corpus token-frequency distribution — the
    * classic one-number corpus diagnostic (Zipf 1949; Piantadosi 2014
    * surveys why natural text sits near slope −1): OLS of `ln(frequency)`
