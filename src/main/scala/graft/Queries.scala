@@ -1549,6 +1549,10 @@ object Queries {
     }),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
+    // per-doc top-3 TF-IDF keywords: rank on the ROUNDED score (the tfidf
+    // determinism contract), one doc-partitioned window
+    "text_keywords_per_doc" -> ((s, d) =>
+      TextAnalysis.keywordsPerDoc(docs(s, d))),
     // repeated-trigram quality rule (boilerplate/degenerate-text signal)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
     // top-2-gram character fraction (the remaining MassiveText repetition
@@ -4007,6 +4011,22 @@ object Queries {
         |       round(term_freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
         |  FROM g, n
         | ORDER BY tfidf DESC, token LIMIT 100""".stripMargin,
+    // identical tf/df derivation and ln ratio; row_number over the same
+    // (rounded tfidf DESC, token) per-doc total order
+    "text_keywords_per_doc" ->
+      """WITH dt AS (SELECT doc_id, tok AS token, count(*) AS tf FROM (
+        |        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |          FROM documents) t GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS doc_freq FROM dt GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |sc AS (SELECT dt.doc_id, dt.token, dt.tf, df.doc_freq,
+        |              round(CAST(dt.tf AS DOUBLE)
+        |                    * ln(CAST(nd AS DOUBLE) / CAST(df.doc_freq AS DOUBLE)), 6) AS tfidf
+        |         FROM dt JOIN df USING (token), n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY tfidf DESC, token) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, doc_freq, tfidf
+        |  FROM rk WHERE rank <= 3""".stripMargin,
     "text_repetition_topgram" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents),
         |g AS (SELECT doc_id, length(array_to_string(tk, ' ')) AS chars,

@@ -366,6 +366,41 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document keyword extraction: the top-`k` TF-IDF terms of EACH
+   * document (`tf · ln(N / df)` — [[tfidf]]'s corpus-level weighting turned
+   * per-doc), the standard tagging/routing/summarization signal a corpus
+   * pipeline attaches to every document. Ranking is by
+   * `(round(tfidf, 6) desc, token asc)` per doc — rounding BEFORE ranking
+   * makes the cut deterministic across engines (the [[tfidf]] contract).
+   *
+   * Scale shape: one `(doc, token)` groupBy (map-side combined), the
+   * token-keyed join against the vocabulary-sized df frame, the 1-row `N`
+   * broadcast, then ONE window partitioned by doc — per-task state is one
+   * document's distinct terms. No driver state, no corpus-sized single
+   * partition anywhere.
+   */
+  def keywordsPerDoc(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("__n"))
+    val dt = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = dt.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val scored = dt.join(graft.ops.Ops.hintIfSmall(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("__n").cast("double") / col("doc_freq").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"),
+        col("doc_freq"), col("tfidf"))
+  }
+
+  /**
    * BM25 document ranking for one query (Robertson & Zaragoza 2009; the
    * Lucene `+1` idf variant, which keeps every term's idf positive where
    * classic BM25 goes negative past df > N/2) — the lexical side of

@@ -57,7 +57,9 @@ class PlanSweepSpec extends AnyFunSuite {
       "text_kn_bigram_ppl",
       // quantile normalization attaches the one-row global quantile grid
       // for the calibration projection — the sampling_quantile_bins shape
-      "sampling_quantile_normalize")
+      "sampling_quantile_normalize",
+      // per-doc keywords attach the same one-row N broadcast as text_tfidf
+      "text_keywords_per_doc")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
