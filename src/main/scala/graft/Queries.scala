@@ -1724,6 +1724,13 @@ object Queries {
     // IEEE-correctly-rounded point, so the oracle derives identical rates)
     "sampling_temperature" -> ((s, d) =>
       Sampling.temperatureSample(docs(s, d), "lang", "doc_id", alpha = 0.5, budget = 150L)),
+    // per-language winsorization of n_chars to the [0.05, 0.95] quantile
+    // band: rows kept, leverage capped; thresholds are one per-group
+    // percentile agg broadcast back, the clamp a pure projection
+    "sampling_winsorize" -> ((s, d) =>
+      Sampling.winsorize(docs(s, d), "lang", "n_chars", loQ = 0.05, hiQ = 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("winsorized"), col("winsorized_clipped"))),
     // UniMax budget waterfall (Chung et al. 2023): budget 700 docs, 2-epoch
     // cap — at the sf0.01 distribution the two smallest languages take full
     // capacity and the rest sit at the common waterline, so both branches
@@ -3972,6 +3979,20 @@ object Queries {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |    FROM documents d JOIN e ON d.lang = e.lang) x
          | WHERE cum <= leftover""".stripMargin,
+    // same per-group quantile_cont thresholds, same clamp and clipped flag
+    // (the raw comparison, not the rounded value); NULL values pass through
+    "sampling_winsorize" ->
+      """WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+        |                    quantile_cont(n_chars, 0.95) AS hi
+        |               FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |       CASE WHEN n_chars IS NOT NULL
+        |            THEN round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6)
+        |       END AS winsorized,
+        |       CASE WHEN n_chars IS NOT NULL
+        |            THEN CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi
+        |            ELSE FALSE END AS winsorized_clipped
+        |  FROM documents d JOIN thr ON d.lang = thr.lang""".stripMargin,
     // identical waterfall closed form: ascending-capacity rank + running
     // sum, the prefix `fits` predicate, whole-frame (k*, P_k*) sums, and
     // the same CASE allocation — capacities are integral doubles at

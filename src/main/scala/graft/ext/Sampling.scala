@@ -310,6 +310,49 @@ object Sampling {
   }
 
   /**
+   * Per-group winsorization — clamp a numeric column to its group's
+   * `[loQ, hiQ]` quantile band, the standard feature-preprocessing step
+   * before means/regressions meet heavy-tailed signals (lengths, scores,
+   * latencies): unlike dropping outliers ([[groupQuantileFilter]]'s cut),
+   * winsorizing keeps the ROW and caps its leverage. Output: the input
+   * plus `<outCol>` (the clamped value, rounded at 6 — the thresholds are
+   * interpolated percentiles, the one place engine ulps can enter) and
+   * `<outCol>_clipped` (whether the raw value fell outside the band).
+   *
+   * Scale shape: one exact-percentile aggregation per group (the
+   * [[groupQuantileFilter]] contract — group-cardinality output) broadcast
+   * back onto the rows; the clamp itself is a pure codegen'd projection.
+   * NULL values pass through unclamped (`NULL` in, `NULL` out, not
+   * clipped); `approx` switches to `percentile_approx` for the
+   * constant-memory path at extreme group cardinalities.
+   */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double = 0.01, hiQ: Double = 0.99, approx: Boolean = false,
+      outCol: String = "winsorized"): DataFrame = {
+    require(loQ >= 0.0 && hiQ <= 1.0 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1: [$loQ, $hiQ]")
+    require(!df.columns.contains(outCol) && !df.columns.contains(outCol + "_clipped"),
+      s"output column '$outCol'(_clipped) already exists on the input frame")
+    def thrFn(q: Double) = if (approx)
+      s"percentile_approx(`$valueCol`, $q, 10000)"
+    else s"percentile(`$valueCol`, $q)"
+    val lo = freshCol(df, "__wlo")
+    val hi = freshCol(df, "__whi")
+    val thresholds = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(thrFn(loQ)).as(lo), expr(thrFn(hiQ)).as(hi))
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(thresholds), Seq(groupCol))
+      // explicit NULL guard: least/greatest SKIP nulls in both engines, so
+      // without it a NULL value would silently "clamp" to the lo threshold
+      .withColumn(outCol,
+        when(v.isNotNull, round(least(greatest(v, col(lo)), col(hi)), 6)))
+      .withColumn(outCol + "_clipped",
+        when(v.isNotNull, v < col(lo) || v > col(hi)).otherwise(lit(false)))
+      .drop(lo, hi)
+  }
+
+  /**
    * Deterministic contrastive negative sampling: for every anchor row, `k`
    * pseudo-random partner rows drawn uniformly from the corpus — the
    * negative-pair generator of contrastive embedding training (word2vec

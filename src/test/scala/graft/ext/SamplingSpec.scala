@@ -400,4 +400,24 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.shuffleToShards(docs.select("doc_id"), "doc_id", 0))
   }
+
+  test("winsorize clamps to per-group quantile bands; NULLs pass through") {
+    // group g: values 1..10 — quantile_cont thresholds lo(0.1) = 1.9,
+    // hi(0.9) = 9.1 (linear interpolation over the sorted 10 values)
+    val df = ((1 to 10).map(v => ("g", Some(v))) :+ (("g", None: Option[Int])))
+      .toDF("grp", "v")
+    val out = Sampling.winsorize(df, "grp", "v", loQ = 0.1, hiQ = 0.9)
+      .as[(String, Option[Int], Option[Double], Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(out(Some(1)) == ((Some(1.9), true)))
+    assert(out(Some(10)) == ((Some(9.1), true)))
+    assert(out(Some(5)) == ((Some(5.0), false)))
+    assert(out(Some(2)) == ((Some(2.0), false))) // exactly inside the band
+    assert(out(None) == ((None, false))) // NULL in, NULL out, not clipped
+    intercept[IllegalArgumentException](
+      Sampling.winsorize(df, "grp", "v", loQ = 0.5, hiQ = 0.5))
+    intercept[IllegalArgumentException](
+      Sampling.winsorize(df.withColumnRenamed("v", "winsorized"),
+        "grp", "winsorized"))
+  }
 }
