@@ -1117,6 +1117,100 @@ object Queries {
         .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
         .limit(100)
     }),
+    // TPC-H Q6 shape (forecast-revenue change): the pure scan-side query —
+    // every predicate pushes to the parquet reader, no join, one global
+    // decimal sum. Decimal(18,2)×Decimal(18,2) sums land on DECIMAL(38,4)
+    // in both engines, so the raw decimal compares exactly (q3/q5 pattern)
+    "q6_forecast_revenue" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).as("revenue"))),
+    // TPC-H Q10 shape (returned items): one quarter of orders, only
+    // R-flagged lines, revenue per customer, top 20 — fact×fact shuffle
+    // join on the order key, customer and nation ride broadcasts
+    "q10_returned_items" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.of(1996, 4, 1, 0, 0)))
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      li(s, d).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q13 shape (customer order-count distribution): the classic
+    // left-outer + double aggregation — zero-order customers MUST appear
+    // in the c_count=0 bucket, which is exactly what the outer join
+    // preserves and an inner join would silently drop
+    "q13_order_count_distribution" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+    // TPC-H Q14 shape (promo-revenue share): one month of lineitem against
+    // the part dim (broadcast), CASE-gated revenue ratio; the division
+    // happens on DOUBLES cast from exact decimal sums, so both engines
+    // perform the identical IEEE op on identical operands
+    "q14_promo_effect" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val rev = price * (lit(BigDecimal(1)) - disc)
+      li(s, d)
+        .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 3, 1, 0, 0)) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.of(1996, 4, 1, 0, 0)))
+        .join(broadcast(Tables.load(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(BigDecimal(0)))).cast("double") /
+          sum(rev).cast("double"), 6).as("promo_share"))
+    }),
+    // TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three disjunct
+    // brand/size/quantity branches over the part join — the classic
+    // "OR does not kill pushdown" exercise: the common l_partkey join key
+    // still hashes, and the disjunction evaluates post-join in codegen
+    "q19_discounted_revenue" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val branch =
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10.0, 30.0)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20.0, 40.0))
+      li(s, d)
+        .join(broadcast(Tables.load(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("revenue"))
+    }),
+    // TPC-H Q22 shape (idle balances): customers above the positive-balance
+    // average with NO RECENT orders (none since 2001), per nation. The
+    // scalar cutoff is an EXACT decimal sum cast to double ONCE (identical
+    // IEEE division both engines — no ulp flap at the > boundary),
+    // broadcast as a one-row frame; the no-recent-order test is a
+    // left-anti join against the date-pruned order scan, never NOT IN
+    "q22_idle_balances" -> ((s, d) => {
+      val c = customer(s, d)
+      val cutoff = broadcast(c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("cutoff")))
+      val recent = orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(2001, 1, 1, 0, 0)))
+      c.crossJoin(cutoff).filter(col("c_acctbal") > col("cutoff"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("totacctbal"))
+    }),
     "join_enrich_orders" -> ((s, d) =>
       orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -1272,6 +1366,17 @@ object Queries {
           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
             .as("total_value"))
       graft.ext.TimeSeries.dailyGridFill(daily, "user_id", "day", Seq("total_value"))
+    }),
+    // truncated-kernel EWMA (8 taps, alpha 0.3) over per-user daily value
+    // totals — the smoothed-trend signal; one window pass, coefficients an
+    // IEEE product chain the oracle folds to bit-identically
+    "ts_ewma_daily" -> ((s, d) => {
+      val daily = events(s, d).groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("tv"))
+      graft.ext.TimeSeries.truncatedEwma(daily, "user_id", "day", "tv")
+        .select(col("user_id"), col("day"),
+          round(col("tv").cast("double"), 2).as("daily_value"),
+          round(col("ewma"), 6).as("ewma"))
     }),
     "distinct_counts" -> ((s, d) =>
       events(s, d).agg(
@@ -1978,6 +2083,74 @@ object Queries {
     "graph_communities" -> ((s, d) =>
       Graphs.labelPropagation(eventTransitions(s, d), "src", "dst",
         iterations = 5, weightCol = Some("w"))),
+    // per-node triangle participation over the part co-occurrence graph
+    // (parts sharing an order, support >= 2) — the dense-neighborhood
+    // clustering prior. Pair formation is per-order (<= 13 parts/order in
+    // the fixture → <= 78 pairs), never all-pairs; the triangle pass is
+    // degree-oriented so hub parts cannot explode the wedge join
+    "graph_triangles" -> ((s, d) => {
+      // cached: the distinct projection feeds BOTH self-join sides — uncached
+      // it would scan + exchange lineitem twice
+      val op = graft.ext.Caches.track(
+        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+      val pairs = op.select(col("ok"), col("pk").as("pa"))
+        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graphs.triangleCounts(pairs, "pa", "pb")
+    }),
+    // first-order Markov transition matrix of user behavior: lead() within
+    // each user's (ts, event_id)-ordered stream, then (src,dst) counts and
+    // per-source probabilities — the behavioral prior behind session
+    // simulation and next-event models; one window pass + one agg
+    "events_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+        .filter(col("dst_type").isNotNull)
+        .groupBy(col("event_type").as("src_type"), col("dst_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prob", round(col("cnt").cast("double") /
+          sum("cnt").over(Window.partitionBy("src_type")), 6))
+    }),
+    // market-basket association over per-user event-type sets: support /
+    // confidence / lift per ordered type pair. The pair join runs on the
+    // DISTINCT (user, type) projection — fan-out bounded by the type
+    // vocabulary per user, not event volume — and the per-type support
+    // frame broadcasts (it is vocabulary-sized by construction)
+    "events_basket_lift" -> ((s, d) => {
+      // cached: the distinct (user, type) projection feeds the user count,
+      // the support frame, and both pair-join sides — four consumers
+      val ut = graft.ext.Caches.track(
+        events(s, d).select(col("user_id"), col("event_type")).distinct())
+      val n = ut.select(countDistinct("user_id").as("n"))
+      val supp = ut.groupBy("event_type").agg(count(lit(1)).as("s1"))
+      ut.select(col("user_id"), col("event_type").as("ta"))
+        .join(ut.select(col("user_id"), col("event_type").as("tb")), "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("supp_ab"))
+        .join(broadcast(supp.select(col("event_type").as("ta"), col("s1").as("supp_a"))), "ta")
+        .join(broadcast(supp.select(col("event_type").as("tb"), col("s1").as("supp_b"))), "tb")
+        .crossJoin(broadcast(n))
+        .select(col("ta"), col("tb"), col("supp_ab"), col("supp_a"), col("supp_b"),
+          round(col("supp_ab").cast("double") / col("supp_a"), 6).as("confidence"),
+          round(col("supp_ab").cast("double") * col("n") /
+            (col("supp_a") * col("supp_b")), 6).as("lift"))
+    }),
+    // gaps-and-islands: maximal runs of consecutive active DAYS per user
+    // (the classic day - row_number() constant-group trick) — streak
+    // detection for engagement/retention cohorts; one window pass, one agg
+    "window_gap_islands" -> ((s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("island_start"), max("day").as("island_end"),
+          count(lit(1)).as("n_days"))
+        .select("user_id", "island_start", "island_end", "n_days")
+    }),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id", "text", 3, 64, 16, 0.8)),
     // near-superset pairs (containment vs the smaller set) — catches
     // truncated/boilerplate-wrapped copies Jaccard under-scores
@@ -2621,6 +2794,29 @@ object Queries {
       |  SELECT e2.src, r.label FROM e e2 JOIN reach r ON e2.dst = r.node),
       |cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)""".stripMargin
 
+  /** `ts_ewma_daily` oracle: the identical truncated-kernel EWMA
+    * ([[graft.ext.TimeSeries.truncatedEwma]] at alpha=0.3, 8 taps) with the
+    * coefficient chain computed HERE by the same IEEE product chain and
+    * interpolated as shortest-roundtrip literals (Double.toString), so both
+    * engines evaluate bit-identical tap sums. */
+  private val ewmaDailySql: String = {
+    val coefs = Array.iterate(0.3, 8)(_ * (1.0 - 0.3))
+    def tap(j: Int) = if (j == 0) "x" else s"lag(x, $j) OVER w"
+    val num = (0 until 8).map(j =>
+      s"(CASE WHEN ${tap(j)} IS NOT NULL THEN ${tap(j)} * ${coefs(j)} ELSE 0.0 END)")
+      .mkString(" + ")
+    val den = (0 until 8).map(j =>
+      s"(CASE WHEN ${tap(j)} IS NOT NULL THEN ${coefs(j)} ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+       |                      sum(CAST(value AS DECIMAL(18,2))) AS tv
+       |                 FROM events GROUP BY 1, 2),
+       |l AS (SELECT user_id, day, CAST(tv AS DOUBLE) AS x FROM daily)
+       |SELECT user_id, day, round(x, 2) AS daily_value,
+       |       round(($num) / ($den), 6) AS ewma
+       |  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY day)""".stripMargin
+  }
+
   private val bruteForceTopKSql =
     """SELECT query_id, neighbor_id FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3200,6 +3396,59 @@ object Queries {
         |  JOIN customer ON o_custkey = c_custkey
         | ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         | LIMIT 100""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+        |  FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |   AND l_discount BETWEEN 0.05 AND 0.07
+        |   AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY c_custkey, c_name, c_acctbal, n_name
+        | ORDER BY revenue DESC, c_custkey
+        | LIMIT 20""".stripMargin,
+    "q13_order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |   GROUP BY c_custkey) x
+        | GROUP BY c_count
+        | ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |         6) AS promo_share
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |    OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |    OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_idle_balances" ->
+      """WITH cut AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cutoff
+        |               FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+        |  FROM customer, cut
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | WHERE c_acctbal > cutoff
+        |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        | GROUP BY n_name""".stripMargin,
     "join_enrich_orders" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -4470,6 +4719,55 @@ object Queries {
     "graph_trustrank" -> rankSql(Some(Seq("view", "signup"))),
     "graph_hits" -> hitsSql(10),
     "graph_communities" -> lpaSql(5),
+    // degree-oriented wedge closure mirrored step for step: canonical a<b
+    // edges with support >= 2, (degree,id)-orientation, wedge self-join at
+    // the smallest corner, closing-edge probe, 3-corner count union
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+        |             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.b ELSE e.a END AS v,
+        |             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN db.dg ELSE da.dg END AS dv
+        |        FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        |w AS (SELECT x.u, x.v AS v1, y.v AS v2 FROM o x JOIN o y ON x.u = y.u
+        |       WHERE x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v)),
+        |t AS (SELECT w.u, w.v1, w.v2 FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v)
+        |SELECT node, count(*) AS triangles FROM (
+        |  SELECT u AS node FROM t UNION ALL SELECT v1 FROM t UNION ALL SELECT v2 FROM t)
+        | GROUP BY node""".stripMargin,
+    "events_markov_transitions" ->
+      """WITH t AS (SELECT event_type AS src_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |             FROM events),
+        |c AS (SELECT src_type, dst_type, count(*) AS cnt FROM t
+        |       WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, cnt,
+        |       round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src_type), 6) AS prob
+        |  FROM c""".stripMargin,
+    "events_basket_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+        |s AS (SELECT event_type, count(*) AS s1 FROM ut GROUP BY 1),
+        |p AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS supp_ab
+        |        FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ta, tb, supp_ab, sa.s1 AS supp_a, sb.s1 AS supp_b,
+        |       round(CAST(supp_ab AS DOUBLE) / sa.s1, 6) AS confidence,
+        |       round(CAST(supp_ab AS DOUBLE) * n.n / (sa.s1 * sb.s1), 6) AS lift
+        |  FROM p JOIN s sa ON p.ta = sa.event_type
+        |         JOIN s sb ON p.tb = sb.event_type, n""".stripMargin,
+    "window_gap_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |        FROM days)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |       count(*) AS n_days
+        |  FROM g GROUP BY user_id, grp""".stripMargin,
+    "ts_ewma_daily" -> ewmaDailySql,
     "dedup_simhash" ->
       // full SimHash pipeline in SQL: 60-bit md5-prefix token hash (identical
       // to Dedup.md5TokenHash), per-bit majority vote, hamming ≤ 3 pairs

@@ -389,6 +389,115 @@ object Graphs {
   /** Shared edge hygiene: NULL endpoints and non-positive weights dropped,
     * endpoint types required to match, the cleaned frame cached (an
     * expensive upstream edge derivation computes once, not per consumer). */
+  /**
+   * Per-node triangle participation counts over an undirected simple graph
+   * — the local clustering signal behind link-farm/spam-cluster priors
+   * (dense co-citation neighborhoods triangle-close; organic link
+   * neighborhoods mostly don't) and the community-density complement to
+   * [[labelPropagation]].
+   *
+   * Algorithm: degree-oriented wedge closure (Cohen 2009 / Suri &
+   * Vassilvitskii 2011, the MapReduce-era standard). Edges are
+   * canonicalized (self-loops dropped, parallel edges collapsed, `a < b`),
+   * then oriented from the (degree, id)-SMALLER endpoint to the larger —
+   * a total order, so every triangle is enumerated exactly once as a
+   * wedge at its smallest corner plus one closing-edge probe. The
+   * orientation is the scale guarantee: out-degree under it is bounded by
+   * O(√m) on any graph (a node keeps only neighbors of even-higher
+   * degree), so the wedge join materializes O(m^1.5) rows worst-case
+   * instead of the Σdeg² a hub explodes to under id-ordering — a star
+   * graph produces ZERO wedges at its center this way.
+   *
+   * Scale shape: two keyed joins (degree attach), one self-join keyed on
+   * the wedge corner, one closure join keyed on the (v,w) pair, one
+   * grouped count — all shuffle-partitioned on node/pair keys, nothing on
+   * the driver. Returns `(node, triangles)` with one row per node that
+   * participates in at least one triangle.
+   *
+   * When the canonical edge set has at most `localEdgeLimit` rows the
+   * triangle pass runs driver-side over sorted adjacency intersections
+   * instead (the [[pageRank]] small-graph gate — one distributed job for
+   * the canonicalization, then zero further stages; the distributed pass
+   * is 6 keyed exchanges of near-empty frames on such graphs, pure stage
+   * overhead); `0` forces the distributed path (spec-pinned equal).
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    val e0 = cleanedEdges(edges, srcCol, dstCol, None)
+      .filter(col("__src") =!= col("__dst"))
+    // cached: the canonical edge set feeds the degree pass, the orientation
+    // attach, and (reoriented) the closure probe — without it the caller's
+    // possibly-expensive edge derivation would re-run three times
+    val und = Caches.track(e0.select(least(col("__src"), col("__dst")).as("a"),
+      greatest(col("__src"), col("__dst")).as("b")).distinct())
+    if (und.count() <= localEdgeLimit) return localTriangles(und)
+    val deg = Caches.track(und.select(col("a").as("node")).unionAll(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("dg")))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge u→v with v's (deg, id) kept for the wedge total order
+    // cached: referenced three times (both wedge sides + the closure probe)
+    val oriented = Caches.track(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv")))
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("dv1") < col("dv2") || (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+    // (deg,id)-ordered (v1,v2) means a closing edge is oriented v1→v2
+    val tri = wedges.join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v1")))
+      .unionAll(tri.select(col("v2")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Small-graph fast path for [[triangleCounts]]: sorted-adjacency
+    * intersection over the collected canonical edge set (node ids mapped
+    * to dense indices, so no ordering is required of the id type —
+    * triangle membership is orientation-free). O(Σ deg(u)·deg(v)) over
+    * edges, bounded by the caller's `localEdgeLimit`. */
+  private def localTriangles(und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = und.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("node", und.schema("a").dataType),
+      StructField("triangles", LongType, nullable = false)))
+    val collected = und.collect()
+    val nodeArr: Array[Any] = collected.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+    if (nodeArr.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    val idx = nodeArr.zipWithIndex.toMap
+    val adjB = Array.fill(nodeArr.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    collected.foreach { r =>
+      val (i, j) = (idx(r.get(0)), idx(r.get(1)))
+      adjB(i) += j; adjB(j) += i
+    }
+    val adj = adjB.map(_.sorted.toArray)
+    val tri = new Array[Long](nodeArr.length)
+    // enumerate each triangle once as i < j < k (dense-index order): for
+    // every edge (i, j) walk the sorted intersection of their adjacencies
+    collected.foreach { r =>
+      val (a, b) = (idx(r.get(0)), idx(r.get(1)))
+      val (i, j) = if (a < b) (a, b) else (b, a)
+      var (p, q) = (0, 0)
+      val (ai, aj) = (adj(i), adj(j))
+      while (p < ai.length && q < aj.length) {
+        if (ai(p) < aj(q)) p += 1
+        else if (ai(p) > aj(q)) q += 1
+        else { val k = ai(p); if (k > j) { tri(i) += 1; tri(j) += 1; tri(k) += 1 }; p += 1; q += 1 }
+      }
+    }
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      nodeArr.indices.filter(tri(_) > 0).map(i => Row(nodeArr(i), tri(i))): _*)
+    spark.createDataFrame(rows, outSchema)
+  }
+
   private def cleanedEdges(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String]): DataFrame = {
     val dtS = edges.schema(edges.schema.fieldIndex(srcCol)).dataType

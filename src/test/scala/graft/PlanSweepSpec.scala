@@ -59,7 +59,13 @@ class PlanSweepSpec extends AnyFunSuite {
       // for the calibration projection — the sampling_quantile_bins shape
       "sampling_quantile_normalize",
       // per-doc keywords attach the same one-row N broadcast as text_tfidf
-      "text_keywords_per_doc")
+      "text_keywords_per_doc",
+      // basket lift attaches the one-row user-count N (the lift
+      // denominator's corpus size) — the same broadcast-scalar shape
+      "events_basket_lift",
+      // the q22 cutoff is a one-row broadcast scalar (exact positive-
+      // balance average) attached to every customer row
+      "q22_idle_balances")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

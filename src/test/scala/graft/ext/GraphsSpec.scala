@@ -324,4 +324,59 @@ class GraphsSpec extends AnyFunSuite {
     assert(zero.values.forall { case (h, a) => h == 1.0 / 3 && a == 0.0 })
     intercept[IllegalArgumentException](runHits(edges, -1))
   }
+
+  private def runTriangles(edges: Seq[(String, String)],
+      localLimit: Long = 1000000L): Map[String, Long] = {
+    val got = Graphs.triangleCounts(edges.toDF("s", "t"), "s", "t", localLimit)
+      .as[(String, Long)].collect().toMap
+    Caches.unpersistAll()
+    got
+  }
+
+  /** Independent brute force: all node triples tested against the
+    * canonical undirected edge set. */
+  private def referenceTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } { m(a) += 1; m(b) += 1; m(c) += 1 }
+    m.toMap
+  }
+
+  test("triangleCounts: K4, star, square, self-loops and parallel edges") {
+    // K4: every node participates in C(3,2) = 3 triangles
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d"); if a < b) yield (a, b)
+    assert(runTriangles(k4) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // a star closes no triangles (and its hub must not explode the wedge join)
+    assert(runTriangles(Seq(("hub", "x"), ("hub", "y"), ("hub", "z"))).isEmpty)
+    // a 4-cycle without diagonals closes none
+    assert(runTriangles(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))).isEmpty)
+    // self-loops dropped, parallel/reversed duplicates collapse: one triangle
+    val messy = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"))
+    assert(runTriangles(messy) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangleCounts: distributed path (localEdgeLimit=0) agrees with the local fast path") {
+    val k4plus = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d"), ("x", "y"))
+    assert(runTriangles(k4plus, localLimit = 0L) == runTriangles(k4plus))
+    assert(runTriangles(k4plus) ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 1L, "f" -> 1L))
+  }
+
+  test("property: triangleCounts equals brute-force triple enumeration on random graphs") {
+    import org.scalacheck.{Test => SCTest, Prop, Gen}
+    val nodeGen = Gen.chooseNum(0, 11).map(i => s"n$i")
+    val edgesGen = Gen.listOfN(30, Gen.zip(nodeGen, nodeGen))
+    val prop = Prop.forAll(edgesGen) { es =>
+      runTriangles(es) == referenceTriangles(es) &&
+        runTriangles(es, localLimit = 0L) == referenceTriangles(es)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop).passed)
+  }
 }
