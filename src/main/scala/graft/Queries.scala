@@ -1211,6 +1211,90 @@ object Queries {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("totacctbal"))
     }),
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations by ship year — the two-role nation-dim exercise (the same
+    // dim joins twice under different keys); the OR couples the two
+    // role filters so it evaluates post-join, on broadcast-joined rows
+    "q7_volume_shipping" -> ((s, d) => {
+      val nat = Tables.load(s, d, "nation")
+      val n1 = nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nat.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      li(s, d)
+        .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.of(1998, 1, 1, 0, 0)))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("revenue"))
+    }),
+    // TPC-H Q8 shape (national market share): one supplier nation's share
+    // of a region+part-type market by order year — CASE-gated revenue
+    // ratio per group, sums exact decimal, the division on cast doubles
+    "q8_market_share" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val rev = price * (lit(BigDecimal(1)) - disc)
+      val p = Tables.load(s, d, "part").filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      val nat = Tables.load(s, d, "nation")
+      val n2 = nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      li(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(1995, 1, 1, 0, 0)) &&
+            col("o_orderdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.load(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(BigDecimal(0)))).cast("double") /
+          sum(rev).cast("double"), 6).as("mkt_share"))
+    }),
+    // TPC-H Q15 shape (top supplier): quarter revenue per supplier, the
+    // argmax selected by an exact-decimal equality against a broadcast
+    // one-row max — never a global sort; the revenue agg is cache-tracked
+    // (it feeds both the max and the final filter)
+    "q15_top_supplier" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val rev = graft.ext.Caches.track(
+        li(s, d)
+          .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+            col("l_shipdate") < lit(java.time.LocalDateTime.of(1996, 4, 1, 0, 0)))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("total_revenue")))
+      val mx = broadcast(rev.agg(max(col("total_revenue")).as("mx")))
+      rev.crossJoin(mx).filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.load(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+    // TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    // average decorrelated into a grouped cutoff frame joined back — the
+    // cutoff is (0.2·Σqty)/n on INTEGRAL-double sums (exact in any
+    // accumulation order), so the < boundary cannot ulp-flap
+    "q17_small_quantity_revenue" -> ((s, d) => {
+      val bp = Tables.load(s, d, "part")
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val l = graft.ext.Caches.track(
+        li(s, d).join(broadcast(bp), col("l_partkey") === col("p_partkey")))
+      val cut = l.groupBy(col("l_partkey").as("pk"))
+        .agg((lit(0.2) * sum(col("l_quantity")) / count(lit(1))).as("cutoff"))
+      l.join(cut, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("cutoff"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+    }),
     "join_enrich_orders" -> ((s, d) =>
       orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -2236,6 +2320,16 @@ object Queries {
       val e = emb(s, d)
       Similarity.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // retrieval-eval harness: NDCG@10 per query with label relevance over
+    // the exact brute-force ranking — the embedding-space quality metric;
+    // discount weights and IDCG prefix sums are JVM-computed literals
+    // shared verbatim with the oracle (no transcendental re-derivation)
+    "sim_retrieval_ndcg" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.retrievalNdcg(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", 10)
+        .select(col("query_id"), round(col("ndcg"), 6).as("ndcg"))
+    }),
     // hybrid retrieval: a BM25 pool and a cosine pool fused by reciprocal
     // rank (Σ 1/(60+r)) — the RAG-era lexical+vector standard; both pools
     // rank by ROUNDED score with id tiebreak so the fused set is
@@ -2815,6 +2909,32 @@ object Queries {
        |SELECT user_id, day, round(x, 2) AS daily_value,
        |       round(($num) / ($den), 6) AS ewma
        |  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY day)""".stripMargin
+  }
+
+  /** `sim_retrieval_ndcg` oracle: the identical brute-force ranking +
+    * DCG/IDCG arithmetic with the discount weights and IDCG prefix sums
+    * interpolated from [[graft.ext.Similarity.ndcgWeights]] — both engines
+    * index the SAME literal doubles, no engine re-derives a log. */
+  private val ndcgSql: String = {
+    val (w, i) = graft.ext.Similarity.ndcgWeights(10)
+    val wLit = w.mkString("[", ", ", "]")
+    val iLit = i.mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding
+       |             FROM embeddings WHERE vec_id < 20),
+       |sc AS (SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+       |              list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+       |              CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel
+       |         FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+       |top AS (SELECT query_id, qlabel, rel,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |          FROM sc QUALIFY rnk <= 10),
+       |d AS (SELECT query_id, qlabel,
+       |             sum(CAST(rel AS DOUBLE) * ($wLit)[rnk]) AS dcg
+       |        FROM top GROUP BY 1, 2),
+       |lc AS (SELECT label AS qlabel, count(*) AS lcnt FROM embeddings GROUP BY 1)
+       |SELECT query_id,
+       |       round(CASE WHEN lcnt > 1 THEN dcg / ($iLit)[CAST(LEAST(lcnt - 1, 10) AS INT)] END, 6) AS ndcg
+       |  FROM d JOIN lc USING (qlabel)""".stripMargin
   }
 
   private val bruteForceTopKSql =
@@ -3449,6 +3569,60 @@ object Queries {
         |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         | GROUP BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |   AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        | GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                 ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |             6) AS mkt_share
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |                    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |               FROM lineitem
+        |              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |              GROUP BY 1),
+        |mx AS (SELECT max(total_revenue) AS m FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue
+        |  FROM rev, mx JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE total_revenue = m""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |             FROM lineitem JOIN part ON l_partkey = p_partkey
+        |            WHERE p_brand = 'Brand#13'),
+        |cut AS (SELECT l_partkey AS pk, 0.2 * sum(l_quantity) / count(*) AS cutoff
+        |          FROM l GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |  FROM l JOIN cut ON l_partkey = pk
+        | WHERE l_quantity < cutoff""".stripMargin,
     "join_enrich_orders" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -4865,6 +5039,7 @@ object Queries {
         |                       generate_subscripts(embedding, 1) AS idx
         |                  FROM embeddings) t) s""".stripMargin,
     "sim_topk" -> bruteForceTopKSql,
+    "sim_retrieval_ndcg" -> ndcgSql,
     // RRF re-derived: the bm25 CTEs with a 50-pool cut, the cosine pool
     // against the vec_id=0 query row, both ranked by (rounded score, id),
     // fused as CAST(1.0 AS DOUBLE)/(60+rank) sums over a full outer join

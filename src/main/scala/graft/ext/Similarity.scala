@@ -120,6 +120,62 @@ object Similarity {
   }
 
   /**
+   * Retrieval-quality evaluation: NDCG@k per query over label relevance —
+   * the standard eval-harness metric for an embedding space (is the
+   * neighborhood of each vector actually its class?), run the way a
+   * retrieval eval runs: brute-force exact ranking (the [[topK]] plan
+   * shape — broadcast query set, corpus streams once, no shuffle of the
+   * corpus), binary relevance = label match, `NDCG = DCG / IDCG` with
+   * `DCG = Σ rel_i / log2(i+1)` over the top `k` and `IDCG` the ideal
+   * prefix at `min(R, k)` ones, `R` = the query's same-label corpus
+   * candidates (self excluded — queries are corpus members by the topK
+   * convention). Queries whose label has no other member emit NULL (no
+   * ideal ranking exists, and 0 would be indistinguishable from a real
+   * all-miss).
+   *
+   * Determinism contract: ranks use the (cos DESC, id ASC) total order;
+   * the `1/log2(i+1)` discount weights and their IDCG prefix sums are
+   * computed HERE as JVM doubles and embedded as array literals indexed
+   * by rank — an oracle interpolating the same values never re-derives a
+   * transcendental, so engine libm differences cannot flap the gate.
+   * Returns `(query_id, ndcg)` (ndcg unrounded; callers round for gates).
+   */
+  def retrievalNdcg(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000]: $k")
+    import org.apache.spark.sql.graftx.VectorFunctions.vec_normalize
+    val (wArr, iArr) = ndcgWeights(k)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      vec_normalize(col(vecCol)).as("qv"), col(labelCol).as("qlabel")))
+    // cached for the same BroadcastHashJoin fan-out reason as topK
+    val c = Caches.track(corpus.select(col(idCol).as("neighbor_id"),
+      vec_normalize(col(vecCol)).as("cv"), col(labelCol).as("clabel")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qlabel"),
+        dot(col("qv"), col("cv")).as("cos"), col("neighbor_id"),
+        (col("clabel") === col("qlabel")).cast("int").as("rel"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val top = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val dcg = top.groupBy("query_id", "qlabel")
+      .agg(sum(col("rel").cast("double") *
+        element_at(array(wArr.map(lit): _*), col("rnk"))).as("dcg"))
+    val labelCounts = broadcast(c.groupBy(col("clabel").as("qlabel"))
+      .agg(count(lit(1)).as("lcnt")))
+    dcg.join(labelCounts, Seq("qlabel"))
+      .select(col("query_id"), when(col("lcnt") > 1, col("dcg") /
+        element_at(array(iArr.map(lit): _*),
+          least(col("lcnt") - 1, lit(k.toLong)).cast("int"))).as("ndcg"))
+  }
+
+  /** The rank-discount weights `1/log2(i+1)` for i = 1..k and their prefix
+    * sums (the IDCG table) — shared verbatim with gate oracles so both
+    * engines index the SAME literal doubles. */
+  def ndcgWeights(k: Int): (Seq[Double], Seq[Double]) = {
+    val w = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    (w, w.scanLeft(0.0)(_ + _).tail)
+  }
+
+  /**
    * Hybrid lexical + vector retrieval fused with Reciprocal Rank Fusion
    * (Cormack, Clarke & Büttcher 2009): rank the corpus by BM25 for a term
    * query and by cosine against a query embedding, then score every

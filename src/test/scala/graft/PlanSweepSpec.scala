@@ -65,7 +65,13 @@ class PlanSweepSpec extends AnyFunSuite {
       "events_basket_lift",
       // the q22 cutoff is a one-row broadcast scalar (exact positive-
       // balance average) attached to every customer row
-      "q22_idle_balances")
+      "q22_idle_balances",
+      // the q15 argmax is a one-row broadcast scalar (max revenue)
+      // attached to the supplier-revenue frame
+      "q15_top_supplier",
+      // the NDCG eval ranks the same brute-force broadcast query×corpus
+      // scan as sim_topk (that exact ranking IS the metric's ground truth)
+      "sim_retrieval_ndcg")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -38,6 +38,35 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got.groupBy(_._1).forall(_._2.length == 3))
   }
 
+  test("retrievalNdcg: hand-computed DCG/IDCG, min(R,k) ideal, NULL on singleton labels") {
+    // 2D vectors at controlled angles from the (1,0) query; labels plant
+    // the relevance pattern rel = (1, 0, 1) at ranks 1..3
+    val rows = Seq(
+      (0L, Array(1f, 0f), "A"), (1L, Array(1f, 0.01f), "A"),
+      (2L, Array(1f, 0.1f), "B"), (3L, Array(1f, 0.3f), "A"),
+      (4L, Array(0f, 1f), "B"), (5L, Array(-1f, 0f), "A"),
+      (6L, Array(0.5f, 0.5f), "C")) // unique label: no ideal ranking exists
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalNdcg(df, df.filter(col("vec_id").isin(0, 6)),
+        "vec_id", "embedding", "label", 3)
+      .as[(Long, Option[Double])].collect().toMap
+    val (w, i) = Similarity.ndcgWeights(3)
+    // query 0 (label A, R=3): top-3 = ids 1 (A), 2 (B), 3 (A) → rel 1,0,1
+    val want = (w(0) + w(2)) / i(2)
+    assert(math.abs(got(0L).get - want) < 1e-12)
+    assert(got(6L).isEmpty) // singleton label → NULL, not 0
+    // k larger than the corpus: ranks cap at the candidate count, IDCG at min(R,k)
+    val gotWide = Similarity.retrievalNdcg(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", 10)
+      .as[(Long, Option[Double])].collect().toMap
+    val (w10, i10) = Similarity.ndcgWeights(10)
+    // all 6 candidates ranked: A-labels 1,3,5 sit at ranks 1,3,6 (cos desc)
+    val want10 = (w10(0) + w10(2) + w10(5)) / i10(2) // R=3 → ideal prefix 3
+    assert(math.abs(gotWide(0L).get - want10) < 1e-12)
+    intercept[IllegalArgumentException](
+      Similarity.retrievalNdcg(df, df, "vec_id", "embedding", "label", 0))
+  }
+
   test("ANN (IVF, kmeans coarse quantizer) recall ≥ 0.6 vs exact top-5 at nprobe=6/16") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.topK(emb, q, "vec_id", "embedding", 5)
