@@ -1462,6 +1462,85 @@ object Queries {
           round(col("tv").cast("double"), 2).as("daily_value"),
           round(col("ewma"), 6).as("ewma"))
     }),
+    // lag-1 autocorrelation of per-type daily event counts (over OBSERVED
+    // days — the lag is the previous observation, not the previous
+    // calendar day): Pearson r from six exact INTEGER sums, so every
+    // derived double is the same IEEE expression both engines compute
+    "ts_autocorr_daily" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pairs = daily.withColumn("y", lag(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+      val g = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      g.select(col("event_type"), col("n").as("n_pairs"),
+        when(dx > 0.0 && dy > 0.0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("autocorr"))
+    }),
+    // Lorenz/Pareto revenue concentration by customer decile: the global
+    // rank comes from Ops.globalOrdinals (range partition + zipWithIndex —
+    // NO single-partition exchange at any scale), deciles are INTEGER
+    // arithmetic on that ordinal, and only the 10-row decile frame sees a
+    // window; shares divide doubles cast from exact decimal sums
+    "window_pareto_deciles" -> ((s, d) => {
+      val rev = orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val tot = broadcast(rev.agg(sum(col("rev")).as("total"), count(lit(1)).as("n")))
+      val ord = graft.ops.Ops.globalOrdinals(rev,
+        Seq(col("rev").desc, col("o_custkey")), 8, "ord")
+      val dec = ord.crossJoin(tot)
+        .withColumn("decile", expr("CAST(ord * 10 DIV n AS INT) + 1"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"),
+          first(col("total")).as("total"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.select(col("decile"), col("n_customers"),
+        round(col("drev").cast("double") / col("total").cast("double"), 6).as("rev_share"),
+        round(sum(col("drev")).over(w).cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+    }),
+    // Gini coefficient of order value per market segment via the rank
+    // formula G = (2Σi·x − (n+1)Σx)/(nΣx) with x ascending — all-integer
+    // cents arithmetic (exact in any accumulation order; Σi·x stays under
+    // 2^63 past sf1 — document before pushing to ~10^9-row segments)
+    "agg_gini_segments" -> ((s, d) => {
+      val j = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
+      j.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sx"), sum(col("i") * col("cents")).as("six"))
+        .select(col("c_mktsegment"), col("n"),
+          round((lit(2.0) * col("six").cast("double") -
+              (col("n") + 1).cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("sx").cast("double")), 6).as("gini"))
+    }),
+    // conversion lag: per-user first purchase AFTER the first view, exact
+    // microsecond arithmetic (unix_micros ≡ epoch_us), interpolated
+    // percentiles over the integral lags — one row out
+    "events_conversion_lag" -> ((s, d) => {
+      val ev = events(s, d)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .join(fv, "user_id").filter(col("ts") > col("first_view"))
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(unix_micros(col("ts").cast("timestamp"))).as("mb"))
+        .select((col("mb") - unix_micros(col("first_view").cast("timestamp"))).as("lag_us"))
+      def pct(q: Double, nm: String) =
+        round(expr(s"percentile(lag_us, $q)") / 1000000.0, 6).as(nm)
+      lags.agg(count(lit(1)).as("n_converted"), pct(0.25, "p25_s"),
+        pct(0.5, "p50_s"), pct(0.75, "p75_s"), pct(0.9, "p90_s"))
+    }),
     "distinct_counts" -> ((s, d) =>
       events(s, d).agg(
         countDistinct(col("user_id")).as("n_users"),
@@ -2183,6 +2262,21 @@ object Queries {
         .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
       Graphs.triangleCounts(pairs, "pa", "pb")
+    }),
+    // common-neighbor link prediction over the same co-occurrence graph:
+    // distance-2 non-edges scored by shared-neighbor count + neighborhood
+    // Jaccard — exact integer ratios, wedge join keyed on the center
+    "graph_link_prediction" -> ((s, d) => {
+      val op = graft.ext.Caches.track(
+        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+      val pairs = op.select(col("ok"), col("pk").as("pa"))
+        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graphs.linkPrediction(pairs, "pa", "pb", minCommon = 2)
+        .select(col("node_a"), col("node_b"), col("cn"),
+          round(col("jaccard"), 6).as("jaccard"))
     }),
     // first-order Markov transition matrix of user behavior: lead() within
     // each user's (ts, event_id)-ordered stream, then (src,dst) counts and
@@ -2910,6 +3004,17 @@ object Queries {
        |       round(($num) / ($den), 6) AS ewma
        |  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY day)""".stripMargin
   }
+
+  /** Shared co-occurrence-graph CTEs (`graph_triangles` /
+    * `graph_link_prediction`): parts sharing an order, support ≥ 2,
+    * canonical `a < b`, plus node degrees — ONE text so the two gates'
+    * edge derivations cannot fork. */
+  private val partCoocCtes =
+    """op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT x.pk AS a, y.pk AS b FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT node, count(*) AS dg FROM (
+      |          SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)""".stripMargin
 
   /** `sim_retrieval_ndcg` oracle: the identical brute-force ranking +
     * DCG/IDCG arithmetic with the discount weights and IDCG prefix sums
@@ -4897,11 +5002,7 @@ object Queries {
     // edges with support >= 2, (degree,id)-orientation, wedge self-join at
     // the smallest corner, closing-edge probe, 3-corner count union
     "graph_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT x.pk AS a, y.pk AS b FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
-        |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (SELECT node, count(*) AS dg FROM (
-        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      s"""WITH $partCoocCtes,
         |o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.a ELSE e.b END AS u,
         |             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN e.b ELSE e.a END AS v,
         |             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b) THEN db.dg ELSE da.dg END AS dv
@@ -4912,6 +5013,79 @@ object Queries {
         |SELECT node, count(*) AS triangles FROM (
         |  SELECT u AS node FROM t UNION ALL SELECT v1 FROM t UNION ALL SELECT v2 FROM t)
         | GROUP BY node""".stripMargin,
+    // distance-2 non-edges scored by shared-neighbor count + neighborhood
+    // Jaccard — the same symmetric-adjacency wedge join and exact integer
+    // ratio as Graphs.linkPrediction
+    "graph_link_prediction" ->
+      s"""WITH $partCoocCtes,
+        |adj AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+        |cn AS (SELECT v1.y AS v, v2.y AS w, count(*) AS cn
+        |         FROM adj v1 JOIN adj v2 ON v1.x = v2.x AND v1.y < v2.y
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT cn.v, cn.w, cn.cn FROM cn
+        |         LEFT JOIN e ON cn.v = e.a AND cn.w = e.b
+        |        WHERE e.a IS NULL)
+        |SELECT v AS node_a, w AS node_b, cn,
+        |       round(CAST(cn AS DOUBLE) / (da.dg + db.dg - cn), 6) AS jaccard
+        |  FROM ne JOIN deg da ON v = da.node JOIN deg db ON w = db.node""".stripMargin,
+    "ts_autocorr_daily" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |                 FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, x,
+        |             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |        FROM daily),
+        |g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |        FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |             AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |       END AS autocorr
+        |  FROM g""".stripMargin,
+    "window_pareto_deciles" ->
+      """WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |               FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total, count(*) AS n FROM rev),
+        |o AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) - 1 AS ord
+        |        FROM rev),
+        |d AS (SELECT CAST(ord * 10 // n AS INT) + 1 AS decile,
+        |             count(*) AS n_customers, sum(rev) AS drev
+        |        FROM o, t GROUP BY 1)
+        |SELECT decile, n_customers,
+        |       round(CAST(drev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS rev_share,
+        |       round(CAST(sum(drev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |             / CAST(total AS DOUBLE), 6) AS cum_share
+        |  FROM d, t""".stripMargin,
+    "agg_gini_segments" ->
+      """WITH j AS (SELECT c_mktsegment, o_orderkey,
+        |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |             FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment, cents,
+        |             row_number() OVER (PARTITION BY c_mktsegment
+        |                 ORDER BY cents, o_orderkey) AS i
+        |        FROM j)
+        |SELECT c_mktsegment, count(*) AS n,
+        |       round((2.0 * CAST(sum(i * cents) AS DOUBLE)
+        |              - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |             / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)), 6) AS gini
+        |  FROM r GROUP BY 1""".stripMargin,
+    "events_conversion_lag" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events
+        |             WHERE event_type = 'view' GROUP BY 1),
+        |lg AS (SELECT e.user_id,
+        |              min(epoch_us(e.ts)) - epoch_us(first_view) AS lag_us
+        |         FROM events e JOIN fv USING (user_id)
+        |        WHERE e.event_type = 'purchase' AND e.ts > first_view
+        |        GROUP BY e.user_id, first_view)
+        |SELECT count(*) AS n_converted,
+        |       round(quantile_cont(lag_us, 0.25) / 1000000.0, 6) AS p25_s,
+        |       round(quantile_cont(lag_us, 0.5) / 1000000.0, 6) AS p50_s,
+        |       round(quantile_cont(lag_us, 0.75) / 1000000.0, 6) AS p75_s,
+        |       round(quantile_cont(lag_us, 0.9) / 1000000.0, 6) AS p90_s
+        |  FROM lg""".stripMargin,
     "events_markov_transitions" ->
       """WITH t AS (SELECT event_type AS src_type,
         |                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type

@@ -456,6 +456,53 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /**
+   * Common-neighbor link prediction over an undirected simple graph: for
+   * every NON-adjacent pair at distance 2, the shared-neighbor count and
+   * the neighborhood Jaccard `cn / (deg(a) + deg(b) − cn)` — the two
+   * classic exact link-prediction scores (Liben-Nowell & Kleinberg 2003;
+   * the Adamic–Adar variant needs per-degree log weights, a
+   * transcendental both engines would have to re-derive — deliberately
+   * not offered in gated form). The crawl-curation use: predicted links
+   * over a host/part co-occurrence graph surface near-duplicate
+   * neighborhoods and recommendation candidates before any model runs.
+   *
+   * Scale shape: one symmetric-adjacency self-join keyed on the wedge
+   * CENTER (candidate pairs exist only where a shared neighbor does — no
+   * all-pairs), one grouped count, one anti-join against the edge set,
+   * two degree attaches. The wedge join materializes Σ deg(x)² rows —
+   * unlike [[triangleCounts]] no orientation can prune it, because BOTH
+   * endpoints of a candidate pair need the full count; `minCommon` cuts
+   * the OUTPUT (default 2 keeps only pairs with real evidence), and a
+   * hub-heavy graph deserves a degree cap upstream (the same posture as
+   * the band-cardinality guards in `Ops.assertBandCardinality`). All
+   * scores are exact integer ratios — deterministic on any partitioning.
+   * Returns `(node_a, node_b, cn, jaccard)` with `node_a < node_b`.
+   */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int = 2): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    val e0 = cleanedEdges(edges, srcCol, dstCol, None)
+      .filter(col("__src") =!= col("__dst"))
+    val und = Caches.track(e0.select(least(col("__src"), col("__dst")).as("a"),
+      greatest(col("__src"), col("__dst")).as("b")).distinct())
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b"), col("a")))
+    val cn = adj.select(col("x"), col("y").as("v"))
+      .join(adj.select(col("x"), col("y").as("w")), Seq("x"))
+      .filter(col("v") < col("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    val cand = cn.join(und, cn("v") === und("a") && cn("w") === und("b"), "left_anti")
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    cand
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+      .join(deg.select(col("node").as("w"), col("dg").as("dw")), "w")
+      .select(col("v").as("node_a"), col("w").as("node_b"), col("cn"),
+        (col("cn").cast("double") / (col("dv") + col("dw") - col("cn"))).as("jaccard"))
+  }
+
   /** Small-graph fast path for [[triangleCounts]]: sorted-adjacency
     * intersection over the collected canonical edge set (node ids mapped
     * to dense indices, so no ordering is required of the id type —

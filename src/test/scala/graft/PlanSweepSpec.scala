@@ -71,7 +71,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "q15_top_supplier",
       // the NDCG eval ranks the same brute-force broadcast query×corpus
       // scan as sim_topk (that exact ranking IS the metric's ground truth)
-      "sim_retrieval_ndcg")
+      "sim_retrieval_ndcg",
+      // the Pareto total/count is a one-row broadcast scalar attached to
+      // the ranked customer-revenue frame
+      "window_pareto_deciles")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -369,6 +369,55 @@ class GraphsSpec extends AnyFunSuite {
       Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 1L, "f" -> 1L))
   }
 
+  private def runLinkPred(edges: Seq[(String, String)], minCommon: Int = 1)
+      : Map[(String, String), (Long, Double)] = {
+    val got = Graphs.linkPrediction(edges.toDF("s", "t"), "s", "t", minCommon)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (a, b, cn, j) => (a, b) -> (cn, j) }.toMap
+    Caches.unpersistAll()
+    got
+  }
+
+  test("linkPrediction: distance-2 non-edges only, exact cn and jaccard") {
+    // square a-b-c-d: diagonals (a,c) and (b,d) share BOTH corners
+    val sq = runLinkPred(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    assert(sq == Map(("a", "c") -> (2L, 1.0), ("b", "d") -> (2L, 1.0)))
+    // path a-b-c: one shared neighbor, deg(a)=deg(c)=1 → jaccard 1/(1+1-1)
+    assert(runLinkPred(Seq(("a", "b"), ("b", "c"))) == Map(("a", "c") -> (1L, 1.0)))
+    // minCommon prunes: the path pair has cn=1 < 2
+    assert(runLinkPred(Seq(("a", "b"), ("b", "c")), minCommon = 2).isEmpty)
+    // existing edges are never candidates: a triangle predicts nothing
+    assert(runLinkPred(Seq(("a", "b"), ("b", "c"), ("a", "c"))).isEmpty)
+    // star hub: all leaf pairs share exactly the hub
+    val star = runLinkPred(Seq(("h", "x"), ("h", "y"), ("h", "z")))
+    assert(star.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(star.values.forall(_ == (1L, 1.0)))
+    intercept[IllegalArgumentException](runLinkPred(Seq(("a", "b")), minCommon = 0))
+  }
+
+  test("property: linkPrediction equals brute-force scoring on random graphs") {
+    import org.scalacheck.{Test => SCTest, Prop, Gen}
+    val nodeGen = Gen.chooseNum(0, 9).map(i => s"n$i")
+    val edgesGen = Gen.listOfN(20, Gen.zip(nodeGen, nodeGen))
+    val prop = Prop.forAll(edgesGen) { es =>
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => if (e._1 < e._2) e else e.swap).distinct
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val want = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        a = nodes(i); b = nodes(j)
+        if !adj(a).contains(b)
+        cn = (adj(a) & adj(b)).size
+        if cn >= 1
+      } yield (a, b) -> (cn.toLong,
+        cn.toDouble / (adj(a).size + adj(b).size - cn))).toMap
+      runLinkPred(und) == want
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop).passed)
+  }
+
   test("property: triangleCounts equals brute-force triple enumeration on random graphs") {
     import org.scalacheck.{Test => SCTest, Prop, Gen}
     val nodeGen = Gen.chooseNum(0, 11).map(i => s"n$i")
