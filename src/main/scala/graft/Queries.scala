@@ -1483,6 +1483,30 @@ object Queries {
       g.select(col("event_type"), col("n").as("n_pairs"),
         when(dx > 0.0 && dy > 0.0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("autocorr"))
     }),
+    // day-of-week-adjusted volume anomaly: each day's count z-scored
+    // against its type's SAME-WEEKDAY profile (population stats, current
+    // day included) — the seasonal complement to ts_volume_anomaly's
+    // trailing window; all-integer sums make every double the same IEEE
+    // expression both engines compute
+    "ts_seasonal_anomaly" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow", expr("weekday(day)"))
+      val g = Window.partitionBy("event_type", "dow")
+      val staged = daily
+        .withColumn("n", count(lit(1)).over(g))
+        .withColumn("sx", sum(col("x")).over(g))
+        .withColumn("sxx", sum(col("x") * col("x")).over(g))
+      val mean = col("sx").cast("double") / col("n").cast("double")
+      val varN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("n") * col("n")).cast("double")
+      val z = (col("x").cast("double") - mean) / sqrt(varN)
+      val ok = col("n") >= 2 && varN > 0.0
+      staged.select(col("event_type"), col("day"), col("x").as("n_events"),
+        col("dow"), col("n").as("dow_days"),
+        when(ok, round(z, 6)).as("z_score"))
+    }),
     // Lorenz/Pareto revenue concentration by customer decile: the global
     // rank comes from Ops.globalOrdinals (range partition + zipWithIndex —
     // NO single-partition exchange at any scale), deciles are INTEGER
@@ -1631,6 +1655,21 @@ object Queries {
 
     // ---- text analysis (§2.12) ----
     "text_token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    // lexical diversity: type/token ratio + hapax fraction per document —
+    // the vocabulary-richness quality signal (template/boilerplate text
+    // scores low TTR, spam keyword-stuffing scores high hapax); one
+    // (doc, token) shuffle, exact integer ratios
+    "text_lexical_diversity" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id").agg(
+          sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"))
+    }),
     // capstone pipeline: the actual training-corpus selection pass —
     // fingerprint-dedup winners ∩ length filter ∩ language-ID agreement,
     // composed purely from the library's operators
@@ -2437,6 +2476,14 @@ object Queries {
     // Oracle unrolls the identical rounds as chained CTEs (kmeansSql).
     "sim_kmeans_clusters" -> ((s, d) =>
       ext.Clustering.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3)),
+    // supervised nearest-centroid (Rocchio) confusion matrix — the
+    // embedding-space separability eval: per-label rounded mean centroids,
+    // every vector re-assigned by the kmeans cost recipe, (label,
+    // predicted) counts out; label-sorted centroid rows make the
+    // first-min tie-break ≡ ORDER BY cost, label
+    "sim_centroid_confusion" -> ((s, d) =>
+      ext.Clustering.nearestLabelCentroid(emb(s, d), "vec_id", "embedding", "label")
+        .groupBy("label", "predicted").agg(count(lit(1)).as("n"))),
     // SSL-prototypes / D4 pruning (Sorscher et al. 2022; Abbas et al.
     // 2023): drop the most prototypical quarter of every k-means cluster —
     // points nearest their centroid carry the least marginal information
@@ -4054,6 +4101,17 @@ object Queries {
         |       len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_bpe
         |  FROM documents""".stripMargin,
+    "text_lexical_diversity" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |    FROM documents) t GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |        FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+        |  FROM g""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars_obs,
         |                  regexp_split_to_array(text, '\s+') AS tk FROM documents)
@@ -5045,6 +5103,22 @@ object Queries {
         |                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |       END AS autocorr
         |  FROM g""".stripMargin,
+    // weekday(day) in Spark is 0=Monday; DuckDB's isodow is 1=Monday → −1
+    "ts_seasonal_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |                 FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, x, CAST(isodow(day) - 1 AS INT) AS dow FROM daily),
+        |g AS (SELECT event_type, day, x, dow,
+        |             count(*) OVER w AS n, sum(x) OVER w AS sx,
+        |             sum(x * x) OVER w AS sxx
+        |        FROM d2 WINDOW w AS (PARTITION BY event_type, dow))
+        |SELECT event_type, day, x AS n_events, dow, n AS dow_days,
+        |       CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE)
+        |                            / CAST(n * n AS DOUBLE) > 0.0
+        |            THEN round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE)), 6)
+        |       END AS z_score
+        |  FROM g""".stripMargin,
     "window_pareto_deciles" ->
       """WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |               FROM orders GROUP BY 1),
@@ -5238,6 +5312,23 @@ object Queries {
         |  FROM lex FULL JOIN vec ON lex.id = vec.id
         | ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "sim_kmeans_clusters" -> kmeansSql(8, 3, 6),
+    // per-label rounded mean centroids + the kmeans assignment recipe
+    // (round(|c|²−2·v·c, 6) argmin, ties to the lowest label)
+    "sim_centroid_confusion" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |       FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |m AS (SELECT label AS c, u.idx, round(avg(u.x), 6) AS m
+        |        FROM (SELECT label, unnest(v) AS x,
+        |                     generate_subscripts(v, 1) AS idx FROM e) u
+        |       GROUP BY 1, 2),
+        |cent AS MATERIALIZED (SELECT c, list(m ORDER BY idx) AS v FROM m GROUP BY c),
+        |a AS (SELECT vec_id, label, c AS predicted FROM (
+        |  SELECT e.vec_id, e.label, p.c,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           round(list_sum(list_transform(p.v, x -> x * x))
+        |                 - list_dot_product(e.v, p.v) * 2.0, 6), p.c) AS rn
+        |    FROM e CROSS JOIN cent p) t WHERE rn = 1)
+        |SELECT label, predicted, count(*) AS n FROM a GROUP BY 1, 2""".stripMargin,
     "sim_prototype_prune" -> prototypePruneSql(8, 3, 6, "0.25"),
     "sampling_cluster_balanced" -> kmeansBalancedSql(8, 3, 6, 25),
     "sim_ann_ivf" -> bruteForceTopKSql, // full-probe IVF ≡ brute force (see queries)

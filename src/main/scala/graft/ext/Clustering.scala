@@ -66,6 +66,41 @@ object Clustering {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
   }
 
+  /**
+   * Supervised nearest-centroid classification (Rocchio): per-label mean
+   * centroids, every vector re-assigned to its nearest label centroid —
+   * the standard embedding-space QUALITY EVAL (how linearly separable are
+   * the labels? which pairs confuse?), feeding the confusion-matrix gate.
+   *
+   * Determinism contract = [[kmeansAssign]]'s recipe verbatim: per-label
+   * per-dimension means round to `scale` decimals BEFORE use, assignment
+   * costs `round(|c|² − 2·v·c, scale)` round before the argmin, ties to
+   * the lowest LABEL (the centroid matrix rows are label-sorted, so
+   * array_position's first-min ≡ ORDER BY cost, label). Driver state is
+   * the label-vocabulary × dim centroid matrix — bounded metadata.
+   * Returns `(vec_id, label, predicted)`.
+   */
+  def nearestLabelCentroid(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, scale: Int = 6): DataFrame = {
+    val base = Caches.track(corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && col("label").isNotNull))
+    val means = base.select(col("label"), posexplode(col("v")).as(Seq("idx", "x")))
+      .groupBy("label", "idx").agg(round(avg("x"), scale).as("m"))
+      .collect()
+    require(means.nonEmpty, "cannot build label centroids from an empty corpus")
+    val labels = means.map(_.getLong(0)).distinct.sorted
+    val dim = means.map(_.getInt(1)).max + 1
+    val lidx = labels.zipWithIndex.toMap
+    val cents = Array.ofDim[Double](labels.length, dim)
+    means.foreach(r => cents(lidx(r.getLong(0)))(r.getInt(1)) = r.getDouble(2))
+    base.withColumn("pidx", assignment(col("v"), cents, scale))
+      .select(col("vec_id"), col("label"),
+        element_at(array(labels.map(lit(_)): _*), col("pidx") + 1).as("predicted"))
+  }
+
   /** The shared Lloyd fit: project + cache the `(vec_id, v)` frame, seed
     * from the `k` lowest ids, run `iters` assignment/recenter rounds.
     * Returns the cached base frame and the final centroid matrix. */

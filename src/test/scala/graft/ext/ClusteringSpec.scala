@@ -115,4 +115,27 @@ class ClusteringSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Clustering.prototypePrune(df, "vec_id", "embedding", 2, 0, keepFraction = 0.0)
     }
   }
+
+  test("nearestLabelCentroid: separable labels classify perfectly, an outlier crosses") {
+    import org.apache.spark.sql.functions.col
+    // label 0 around (0,0), label 1 around (10,10); id 99 is labeled 0 but
+    // sits ON the label-1 blob — the one predicted crossing
+    val rows = Seq(
+      (1L, Array(0.0, 0.1), 0L), (2L, Array(0.1, 0.0), 0L), (3L, Array(-0.1, 0.0), 0L),
+      (11L, Array(10.0, 10.1), 1L), (12L, Array(10.1, 10.0), 1L), (13L, Array(9.9, 10.0), 1L),
+      (99L, Array(10.0, 10.0), 0L))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Clustering.nearestLabelCentroid(df, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Caches.unpersistAll()
+    assert(got.size == 7)
+    assert(got(99L) == (0L, 1L)) // true label 0, predicted 1
+    assert(got.filter(_._1 != 99L).forall { case (_, (l, p)) => l == p })
+    // determinism: repartitioned input yields the identical assignment
+    val got2 = Clustering.nearestLabelCentroid(df.repartition(7, col("vec_id")),
+        "vec_id", "embedding", "label")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Caches.unpersistAll()
+    assert(got2 == got)
+  }
 }
