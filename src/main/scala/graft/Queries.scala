@@ -1532,8 +1532,9 @@ object Queries {
     }),
     // Gini coefficient of order value per market segment via the rank
     // formula G = (2Σi·x − (n+1)Σx)/(nΣx) with x ascending — all-integer
-    // cents arithmetic (exact in any accumulation order; Σi·x stays under
-    // 2^63 past sf1 — document before pushing to ~10^9-row segments)
+    // cents arithmetic, Σi·x accumulated in DECIMAL(38,0) (a 30× probe
+    // overflowed the long accumulator at ~2×10¹⁹; DuckDB mirrors with
+    // HUGEINT — both exact in any accumulation order)
     "agg_gini_segments" -> ((s, d) => {
       val j = orders(s, d)
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -1542,7 +1543,8 @@ object Queries {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
       j.withColumn("i", row_number().over(w).cast("long"))
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"),
-          sum(col("cents")).as("sx"), sum(col("i") * col("cents")).as("six"))
+          sum(col("cents")).as("sx"),
+          sum(col("i").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)")).as("six"))
         .select(col("c_mktsegment"), col("n"),
           round((lit(2.0) * col("six").cast("double") -
               (col("n") + 1).cast("double") * col("sx").cast("double")) /
@@ -5142,7 +5144,7 @@ object Queries {
         |                 ORDER BY cents, o_orderkey) AS i
         |        FROM j)
         |SELECT c_mktsegment, count(*) AS n,
-        |       round((2.0 * CAST(sum(i * cents) AS DOUBLE)
+        |       round((2.0 * CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE)
         |              - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
         |             / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)), 6) AS gini
         |  FROM r GROUP BY 1""".stripMargin,
