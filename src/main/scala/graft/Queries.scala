@@ -1550,6 +1550,47 @@ object Queries {
               (col("n") + 1).cast("double") * col("sx").cast("double")) /
             (col("n").cast("double") * col("sx").cast("double")), 6).as("gini"))
     }),
+    // linear multi-touch attribution: each purchase's credit split equally
+    // across the DISTINCT touch types (view/click) seen in its user's
+    // 7 prior days — credits are 1/k with k ≤ 2, so every credit is an
+    // exact binary fraction and the sums are exact in any order
+    "events_attribution_linear" -> ((s, d) => {
+      val ev = events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"), col("ts").as("cts"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("touch_type"), col("ts").as("tts"))
+      val j = conv.join(touch, Seq("user_id"))
+        .filter(col("tts") < col("cts") &&
+          col("tts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+        .select(col("conv_id"), col("touch_type")).distinct()
+      j.withColumn("credit",
+          lit(1.0) / count(lit(1)).over(Window.partitionBy("conv_id")))
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_conversions"), round(sum("credit"), 6).as("credit"))
+    }),
+    // RFM segmentation: per-user recency/frequency/monetary quartile codes
+    // via three chained global quantile-bin passes (Sampling.quantileBins —
+    // exact interpolated thresholds, ties fall lower); recency in exact
+    // microseconds from the corpus max, monetary an exact decimal sum
+    "events_rfm_segments" -> ((s, d) => {
+      val ev = events(s, d)
+      val mx = broadcast(ev.agg(max(unix_micros(col("ts").cast("timestamp"))).as("mx")))
+      val rfm = ev.groupBy("user_id").agg(
+        max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("m"))
+      val base = rfm.crossJoin(mx)
+        .select(col("user_id"), (col("mx") - col("last_us")).as("r_us"), col("f"), col("m"))
+      val binned = Sampling.quantileBins(
+        Sampling.quantileBins(
+          Sampling.quantileBins(base, "r_us", 4, "r_bin"),
+          "f", 4, "f_bin"),
+        "m", 4, "m_bin")
+      binned.select(col("user_id"), col("r_bin"), col("f_bin"), col("m_bin"),
+        concat(col("r_bin").cast("string"), col("f_bin").cast("string"),
+          col("m_bin").cast("string")).as("segment"))
+    }),
     // conversion lag: per-user first purchase AFTER the first view, exact
     // microsecond arithmetic (unix_micros ≡ epoch_us), interpolated
     // percentiles over the integral lags — one row out
@@ -2287,6 +2328,15 @@ object Queries {
     "graph_communities" -> ((s, d) =>
       Graphs.labelPropagation(eventTransitions(s, d), "src", "dst",
         iterations = 5, weightCol = Some("w"))),
+    // multi-source BFS trust distance over the same digraph: minimum hop
+    // count from the seed cone, capped at 4 rounds (TrustRank's discrete
+    // cousin — "how many referrals from trusted?"); integer output, the
+    // fixed round count is the determinism contract
+    "graph_bfs_distance" -> ((s, d) => {
+      val seeds = { import s.implicits._; Seq("view", "signup").toDF("etype") }
+      Graphs.seededDistances(eventTransitions(s, d), "src", "dst",
+        seeds, "etype", rounds = 4)
+    }),
     // per-node triangle participation over the part co-occurrence graph
     // (parts sharing an order, support >= 2) — the dense-neighborhood
     // clustering prior. Pair formation is per-order (<= 13 parts/order in
@@ -3147,6 +3197,24 @@ object Queries {
       |        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""".stripMargin
+
+  /** `graph_bfs_distance` oracle: the BFS rounds unrolled as chained
+    * min-union CTEs over the SAME `graphHeadSql` transition graph. */
+  private def bfsSql(seeds: Seq[String], rounds: Int): String = {
+    val list = seeds.map(x => s"'$x'").mkString(", ")
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d$p
+         |  UNION ALL
+         |  SELECT e.dst AS node, d$p.dist + 1 AS dist FROM d$p JOIN e ON d$p.node = e.src) t
+         | GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphHeadSql,
+       |d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node IN ($list)),
+       |$steps
+       |SELECT node, dist FROM d$rounds""".stripMargin
+  }
 
   private def rankSql(seeds: Option[Seq[String]]): String = {
     val head =
@@ -5058,6 +5126,37 @@ object Queries {
     "graph_trustrank" -> rankSql(Some(Seq("view", "signup"))),
     "graph_hits" -> hitsSql(10),
     "graph_communities" -> lpaSql(5),
+    "graph_bfs_distance" -> bfsSql(Seq("view", "signup"), 4),
+    "events_attribution_linear" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS cts
+        |                FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_type AS touch_type, ts AS tts
+        |            FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT DISTINCT conv_id, touch_type
+        |        FROM conv JOIN touch USING (user_id)
+        |       WHERE tts < cts AND tts >= cts - INTERVAL 7 DAY),
+        |c AS (SELECT conv_id, touch_type,
+        |             CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY conv_id) AS credit
+        |        FROM j)
+        |SELECT touch_type, count(*) AS n_conversions, round(sum(credit), 6) AS credit
+        |  FROM c GROUP BY 1""".stripMargin,
+    "events_rfm_segments" ->
+      """WITH rfm AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS f,
+        |                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m
+        |               FROM events GROUP BY 1),
+        |mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+        |w AS (SELECT user_id, mx - last_us AS r_us, f, m FROM rfm, mx),
+        |tr AS (SELECT quantile_cont(r_us, [0.25, 0.5, 0.75]) AS t FROM w),
+        |tf AS (SELECT quantile_cont(f, [0.25, 0.5, 0.75]) AS t FROM w),
+        |tm AS (SELECT quantile_cont(m, [0.25, 0.5, 0.75]) AS t FROM w),
+        |b AS (SELECT user_id,
+        |             1 + len(list_filter(tr.t, x -> r_us > x)) AS r_bin,
+        |             1 + len(list_filter(tf.t, x -> f > x)) AS f_bin,
+        |             1 + len(list_filter(tm.t, x -> m > x)) AS m_bin
+        |        FROM w, tr, tf, tm)
+        |SELECT user_id, r_bin, f_bin, m_bin,
+        |       CAST(r_bin AS VARCHAR) || CAST(f_bin AS VARCHAR) || CAST(m_bin AS VARCHAR) AS segment
+        |  FROM b""".stripMargin,
     // degree-oriented wedge closure mirrored step for step: canonical a<b
     // edges with support >= 2, (degree,id)-orientation, wedge self-join at
     // the smallest corner, closing-edge probe, 3-corner count union

@@ -457,6 +457,77 @@ object Graphs {
   }
 
   /**
+   * Multi-source BFS: the minimum DIRECTED hop count from any seed node,
+   * capped at `rounds` — the "trust distance" prior of seeded crawl
+   * curation ([[trustRank]]'s discrete cousin: TrustRank weights by
+   * damped mass, hop distance answers "how many referrals separate this
+   * node from the trusted set"). Nodes unreachable within `rounds` hops
+   * are ABSENT from the result (their distance is unknown at this cap,
+   * not infinite — a fixed round count is what makes the gate/oracle
+   * deterministic, the [[pageRank]] convention).
+   *
+   * Scale shape: one keyed join + one map-side-combined min per round
+   * over the FULL known-distance frontier (|V|-bounded rows, lineage
+   * truncated per round — the label-propagation shape); edges stay
+   * cache-partitioned on `__src` across rounds. Same `localEdgeLimit`
+   * driver fast path as the rank trio, spec-pinned equal. Returns
+   * `(node, dist)`, seeds at 0.
+   */
+  def seededDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative: $rounds")
+    val seedSet = Caches.track(seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull).distinct())
+    val merged = mergedEdges(edges, srcCol, dstCol, None)
+    val members = nodeSpine(merged)
+    val inGraph = Caches.track(seedSet.join(members, Seq("node"), "left_semi"))
+    if (merged.count() <= localEdgeLimit) {
+      val localSeeds = inGraph.collect().map(_.get(0)).toSet
+      return localDistances(merged, localSeeds, rounds)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var dist = truncate(inGraph.select(col("node"), lit(0).as("dist")))
+    for (_ <- 1 to rounds) {
+      val step = dist.join(merged, col("node") === col("__src"))
+        .select(col("__dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = truncate(dist.unionAll(step).groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist
+  }
+
+  /** Driver-side BFS for [[seededDistances]] under `localEdgeLimit`. */
+  private def localDistances(merged: DataFrame, seeds: Set[Any],
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = merged.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("node", merged.schema("__src").dataType),
+      StructField("dist", IntegerType, nullable = false)))
+    val adj = merged.collect().groupBy(_.get(0))
+      .view.mapValues(_.map(_.get(1))).toMap
+    val dist = scala.collection.mutable.Map.empty[Any, Int]
+    seeds.foreach(s => dist(s) = 0)
+    var frontier: Set[Any] = seeds
+    var r = 1
+    while (r <= rounds && frontier.nonEmpty) {
+      val next = for {
+        u <- frontier; v <- adj.getOrElse(u, Array.empty[Any])
+        if !dist.contains(v)
+      } yield v
+      next.foreach(v => dist(v) = r)
+      frontier = next
+      r += 1
+    }
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      dist.toSeq.map { case (n, d) => Row(n, d) }: _*)
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /**
    * Common-neighbor link prediction over an undirected simple graph: for
    * every NON-adjacent pair at distance 2, the shared-neighbor count and
    * the neighborhood Jaccard `cn / (deg(a) + deg(b) − cn)` — the two

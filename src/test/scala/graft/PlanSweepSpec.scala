@@ -74,7 +74,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "sim_retrieval_ndcg",
       // the Pareto total/count is a one-row broadcast scalar attached to
       // the ranked customer-revenue frame
-      "window_pareto_deciles")
+      "window_pareto_deciles",
+      // RFM chains three quantile-bin passes, each attaching its one-row
+      // broadcast threshold grid, plus the corpus-max recency scalar
+      "events_rfm_segments")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -369,6 +369,32 @@ class GraphsSpec extends AnyFunSuite {
       Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 1L, "f" -> 1L))
   }
 
+  private def runBfs(edges: Seq[(String, String)], seeds: Seq[String],
+      rounds: Int, localLimit: Long = 1000000L): Map[String, Int] = {
+    val got = Graphs.seededDistances(edges.toDF("s", "t"), "s", "t",
+        seeds.toDF("n"), "n", rounds, localLimit)
+      .as[(String, Int)].collect().toMap
+    Caches.unpersistAll()
+    got
+  }
+
+  test("seededDistances: directed hops, round cap, multi-seed min, dist/local parity") {
+    // a -> b -> c -> d, plus x -> a (x is upstream of the seed, unreachable)
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "a"))
+    assert(runBfs(chain, Seq("a"), 4) == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    // round cap: d is absent at rounds = 2 (unknown, not infinite)
+    assert(runBfs(chain, Seq("a"), 2) == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    // multi-seed: min over seeds; seed not in the graph contributes nothing
+    assert(runBfs(chain, Seq("a", "c", "zzz"), 4) ==
+      Map("a" -> 0, "b" -> 1, "c" -> 0, "d" -> 1))
+    // rounds = 0: seeds only
+    assert(runBfs(chain, Seq("a"), 0) == Map("a" -> 0))
+    // distributed path (localEdgeLimit = 0) agrees with the driver fast path
+    assert(runBfs(chain, Seq("a", "c"), 3, localLimit = 0L) ==
+      runBfs(chain, Seq("a", "c"), 3))
+    intercept[IllegalArgumentException](runBfs(chain, Seq("a"), -1))
+  }
+
   private def runLinkPred(edges: Seq[(String, String)], minCommon: Int = 1)
       : Map[(String, String), (Long, Double)] = {
     val got = Graphs.linkPrediction(edges.toDF("s", "t"), "s", "t", minCommon)
