@@ -1483,6 +1483,49 @@ object Queries {
       g.select(col("event_type"), col("n").as("n_pairs"),
         when(dx > 0.0 && dy > 0.0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("autocorr"))
     }),
+    // COUNT(DISTINCT) under ROLLUP: distinct users per (type, day) with
+    // both subtotal levels — each grouping set re-aggregates the distinct
+    // set (no sketch), the expand-then-aggregate plan Spark partials
+    "agg_distinct_rollup" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id"))
+        .rollup("event_type", "day")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))),
+    // retention/survival curve: fraction of users still active >= k days
+    // after their first event, at every realized lifetime k — exact
+    // integer suffix sums over the (tiny, day-span-bounded) lifetime
+    // histogram; the windowed cumulative runs on <= 31 rows by design
+    "events_survival_retention" -> ((s, d) => {
+      val span = events(s, d).groupBy("user_id")
+        .agg(datediff(max(col("ts").cast("date")), min(col("ts").cast("date"))).as("m"))
+      val hist = span.groupBy("m").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("m").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist.select(col("m").as("k"), sum(col("cnt")).over(w).as("survivors"),
+          round(sum(col("cnt")).over(w).cast("double") /
+            sum(col("cnt")).over(tot), 6).as("fraction"))
+    }),
+    // per-node degree/strength/reciprocity over the transition digraph —
+    // the graph's shape card (hubs, sinks, mutual-loop density); counts
+    // and integral-double weight sums, exact in any order
+    "graph_degree_stats" -> ((s, d) => {
+      val e = graft.ext.Caches.track(eventTransitions(s, d))
+      val out = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
+      val in = e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_deg"), sum("w").as("in_w"))
+      val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("n_reciprocal"))
+      out.join(in, Seq("node"), "full_outer").join(recip, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("out_w"), lit(0.0)).as("out_w"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("in_w"), lit(0.0)).as("in_w"),
+          coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+    }),
     // day-of-week-adjusted volume anomaly: each day's count z-scored
     // against its type's SAME-WEEKDAY profile (population stats, current
     // day included) — the seasonal complement to ts_volume_anomaly's
@@ -5204,6 +5247,32 @@ object Queries {
         |                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |       END AS autocorr
         |  FROM g""".stripMargin,
+    "agg_distinct_rollup" ->
+      """SELECT event_type, day, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events) t
+        | GROUP BY ROLLUP (event_type, day)""".stripMargin,
+    "events_survival_retention" ->
+      """WITH span AS (SELECT user_id,
+        |                     date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS m
+        |                FROM events GROUP BY 1),
+        |h AS (SELECT m, count(*) AS cnt FROM span GROUP BY 1)
+        |SELECT m AS k,
+        |       CAST(sum(cnt) OVER (ORDER BY m DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS survivors,
+        |       round(CAST(sum(cnt) OVER (ORDER BY m DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |             / CAST(sum(cnt) OVER () AS DOUBLE), 6) AS fraction
+        |  FROM h""".stripMargin,
+    "graph_degree_stats" ->
+      s"""$graphHeadSql,
+        |o AS (SELECT src AS node, count(*) AS out_deg, sum(w) AS out_w FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS in_deg, sum(w) AS in_w FROM e GROUP BY 1),
+        |r AS (SELECT e.src AS node, count(*) AS n_reciprocal
+        |        FROM e WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+        |       GROUP BY 1)
+        |SELECT n.node, coalesce(out_deg, 0) AS out_deg, coalesce(out_w, 0.0) AS out_w,
+        |       coalesce(in_deg, 0) AS in_deg, coalesce(in_w, 0.0) AS in_w,
+        |       coalesce(n_reciprocal, 0) AS n_reciprocal
+        |  FROM nodes n LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+        |       LEFT JOIN r USING (node)""".stripMargin,
     // weekday(day) in Spark is 0=Monday; DuckDB's isodow is 1=Monday → −1
     "ts_seasonal_anomaly" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
