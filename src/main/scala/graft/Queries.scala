@@ -1295,6 +1295,192 @@ object Queries {
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2)
           .as("avg_yearly"))
     }),
+    // TPC-H Q2 shape (min-cost supplier): groupwise-min correlated subquery
+    // decorrelated into a window min — the fixture has no partsupp, so the
+    // part×supplier "catalog" is DERIVED from lineitem (unit cost = min
+    // observed l_extendedprice/l_quantity per pair; identical IEEE division
+    // both engines). One shuffle builds the catalog, the window min rides
+    // the same partkey partitioning; all dims broadcast
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val sup = Tables.load(s, d, "supplier")
+      val nat = Tables.load(s, d, "nation")
+      val eur = sup
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cat = li(s, d)
+        .join(broadcast(eur.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val w = Window.partitionBy("l_partkey")
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_size").isin(15, 25, 35) && col("p_type").isin("LARGE", "SMALL"))
+        .select("p_partkey")
+      cat.withColumn("best", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("best"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+        .limit(100)
+    }),
+    // TPC-H Q4 shape (priority checking): EXISTS decorrelated to a
+    // left-semi join with a NON-EQUI residual (the fixture has no
+    // commit/receipt dates, so "late" = shipped >60 days after the order
+    // date); the semi join still hashes on the order key, the residual
+    // evaluates per matched pair — no nested loop
+    "q4_priority_late_ship" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(1996, 7, 1, 0, 0)) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.of(1996, 10, 1, 0, 0)))
+      o.join(li(s, d).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // TPC-H Q9 shape (product-type profit by nation/year): 4-way join with
+    // a LIKE part filter, profit = revenue − cost where cost is a
+    // retail-price proxy (no partsupp supplycost in the fixture — 0.8·
+    // p_retailprice·qty, documented). Both sums stay EXACT decimal through
+    // the agg; the subtraction and 0.8 scale happen ONCE per group on cast
+    // doubles (identical IEEE ops both engines — no rounding needed)
+    "q9_nation_profit" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice").cast("decimal(18,2)").as("retail"))
+      li(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.load(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(price * (lit(BigDecimal(1)) - disc)).cast("double") -
+          lit(0.8) * sum(col("retail") * col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // TPC-H Q11 shape (important stock values): per-part value vs a GLOBAL
+    // scalar threshold — the scalar is an exact decimal sum divided once
+    // on doubles (mean-relative, so the gate is non-degenerate at every
+    // SF), broadcast as a one-row frame against the cache-tracked value
+    // aggregation that feeds both sides
+    "q11_important_values" -> ((s, d) => {
+      val sup = Tables.load(s, d, "supplier")
+        .join(broadcast(Tables.load(s, d, "nation")
+          .filter(col("n_name").isin("NATION_5", "NATION_6", "NATION_7", "NATION_8"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val value = graft.ext.Caches.track(
+        li(s, d)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value")))
+      val cut = broadcast(value.agg(
+        (lit(1.5) * sum(col("value")).cast("double") / count(lit(1))).as("cutoff")))
+      // the exact decimal sum drives the cutoff compare and the sort; the
+      // OUTPUT is round(CAST(sum AS DOUBLE), native scale) — wide-decimal
+      // (38,2) dumps have hash-mismatched at the driver even when locally
+      // bit-identical (r3 forensics), rounded doubles never have
+      value.crossJoin(cut)
+        .filter(col("value").cast("double") > col("cutoff"))
+        .select(col("l_partkey"), round(col("value").cast("double"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+    // TPC-H Q12 shape (late lines by class): CASE-gated dual counts per
+    // line class (the fixture has no shipmode — l_returnflag stands in),
+    // the "late" residual is the same non-equi ship-vs-order-date test as
+    // q4; counts via count(CASE) so both engines emit BIGINT (DuckDB
+    // sum(int) would widen to HUGEINT and hash-mismatch)
+    "q12_late_lines_by_flag" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)))
+        .join(li(s, d).select("l_orderkey", "l_returnflag", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(hi, 1)).as("high_line_count"),
+          count(when(!hi, 1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // TPC-H Q16 shape (supplier variety by part attrs): COUNT DISTINCT per
+    // attribute triple with a NOT-IN supplier exclusion — the exclusion is
+    // a broadcast left-anti (keys non-null by construction, so NOT IN ≡
+    // anti join); the part/supplier relation is DERIVED from lineitem
+    // (no partsupp in the fixture)
+    "q16_supplier_variety" -> ((s, d) => {
+      val excluded = Tables.load(s, d, "supplier")
+        .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#15" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 23, 36, 45, 49, 50))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      li(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // TPC-H Q20 shape (bulk suppliers): the nested IN chain — suppliers in
+    // a nation set whose (supplier, part) shipped volume of a LIKE-filtered
+    // part family crossed a HAVING threshold in a year; the inner agg
+    // shrinks to distinct suppkeys BEFORE the semi join, dims broadcast
+    "q20_bulk_suppliers" -> ((s, d) => {
+      val reds = Tables.load(s, d, "part")
+        .filter(col("p_name").like("red%")).select("p_partkey")
+      val bulky = li(s, d)
+        .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)))
+        .join(broadcast(reds), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 25.0)
+        .select("l_suppkey").distinct()
+      Tables.load(s, d, "supplier")
+        .join(broadcast(Tables.load(s, d, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_15"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(bulky, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_suppkey"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // EXISTS + NOT-EXISTS self-join pair — "my line shipped late AND the
+    // order had another supplier AND no other supplier shipped after me",
+    // decorrelated to a left-semi then a left-anti on the order key with
+    // non-equi residuals; the late test is ship > order date + 45 days
+    // (no receipt/commit dates in the fixture)
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val lines = li(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val base = lines
+        .join(orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      val l2 = lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = lines.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
+        col("l_shipdate").as("sd3"))
+      base
+        .join(l2, col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3") &&
+          col("sd3") > col("l_shipdate"), "left_anti")
+        .join(broadcast(Tables.load(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     "join_enrich_orders" -> ((s, d) =>
       orders(s, d).filter(Ops.datePredicate("o_orderdate", OrdFrom, OrdTo))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -3868,6 +4054,98 @@ object Queries {
         |   AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         | GROUP BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH cat AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |   WHERE r_name = 'EUROPE'
+        |   GROUP BY 1, 2),
+        |win AS (SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS best FROM cat)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+        |  FROM win JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE unit_cost = best
+        |   AND p_size IN (15, 25, 35) AND p_type IN ('LARGE', 'SMALL')
+        | ORDER BY s_acctbal DESC, p_partkey, s_name
+        | LIMIT 100""".stripMargin,
+    "q4_priority_late_ship" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |  FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |   AND EXISTS (SELECT 1 FROM lineitem
+        |                WHERE l_orderkey = o_orderkey
+        |                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |       - 0.8 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS profit
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE p_name LIKE '%widget%'
+        | GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q11_important_values" ->
+      """WITH val AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |   WHERE n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8')
+        |   GROUP BY 1)
+        |SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS value FROM val
+        | WHERE CAST(value AS DOUBLE) > 1.5 * (SELECT CAST(sum(value) AS DOUBLE) / count(*) FROM val)
+        | ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_late_lines_by_flag" ->
+      """SELECT l_returnflag,
+        |       count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+        |   AND p_size IN (1, 9, 14, 23, 36, 45, 49, 50)
+        |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        | GROUP BY 1, 2, 3
+        | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_bulk_suppliers" ->
+      """SELECT s_name, s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name IN ('NATION_3','NATION_7','NATION_11','NATION_15')
+        |   AND s_suppkey IN (
+        |     SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE p_name LIKE 'red%'
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |      GROUP BY l_suppkey, l_partkey
+        |     HAVING sum(l_quantity) > 25)
+        | ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |  FROM lineitem l1
+        |  JOIN orders ON l1.l_orderkey = o_orderkey
+        |  JOIN supplier ON l1.l_suppkey = s_suppkey
+        | WHERE o_orderstatus = 'F'
+        |   AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |   AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_shipdate > l1.l_shipdate)
+        | GROUP BY s_name
+        | ORDER BY numwait DESC, s_name
+        | LIMIT 20""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
         |                    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue

@@ -77,7 +77,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "window_pareto_deciles",
       // RFM chains three quantile-bin passes, each attaching its one-row
       // broadcast threshold grid, plus the corpus-max recency scalar
-      "events_rfm_segments")
+      "events_rfm_segments",
+      // the q11 cutoff is a one-row broadcast scalar (mean-relative value
+      // threshold) attached to the per-part value frame — the q22 shape
+      "q11_important_values")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
