@@ -2752,6 +2752,17 @@ object Queries {
           "vec_id", "embedding", "label", 10)
         .select(col("query_id"), round(col("ndcg"), 6).as("ndcg"))
     }),
+    // margin-based bitext mining (LASER/CCMatrix): mutual-NN pairs across
+    // an even/odd split of the embedding corpus (the two "languages"),
+    // ratio-margin scored over top-4 neighborhood means — the hub-robust
+    // criterion for mining aligned translation pairs; the means sum exact
+    // integer micro-cosines so no accumulation order can flap the gate
+    "sim_bitext_margin" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bitextMarginMine(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4)
+    }),
     // hybrid retrieval: a BM25 pool and a cosine pool fused by reciprocal
     // rank (Σ 1/(60+r)) — the RAG-era lexical+vector standard; both pools
     // rank by ROUNDED score with id tiebreak so the fused set is
@@ -5745,6 +5756,25 @@ object Queries {
     "sim_topk" -> bruteForceTopKSql,
     "sim_retrieval_ndcg" -> ndcgSql,
     // RRF re-derived: the bm25 CTEs with a 50-pool cut, the cosine pool
+    "sim_bitext_margin" ->
+      """WITH av AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS v
+        |              FROM embeddings WHERE vec_id % 2 = 0),
+        |bv AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS v
+        |         FROM embeddings WHERE vec_id % 2 = 1),
+        |c AS (SELECT a_id, b_id, list_cosine_similarity(av.v, bv.v) AS cos FROM av, bv),
+        |r AS (SELECT a_id, b_id, cos,
+        |             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn_b
+        |        FROM c),
+        |da AS (SELECT a_id, sum(CAST(round(cos * 1000000.0) AS BIGINT)) AS ma
+        |         FROM r WHERE rn_a <= 4 GROUP BY 1),
+        |db AS (SELECT b_id, sum(CAST(round(cos * 1000000.0) AS BIGINT)) AS mb
+        |         FROM r WHERE rn_b <= 4 GROUP BY 1)
+        |SELECT r.a_id, r.b_id,
+        |       round(round(cos, 6) * 8000000.0 / CAST(ma + mb AS DOUBLE), 6) AS margin
+        |  FROM r JOIN da ON r.a_id = da.a_id JOIN db ON r.b_id = db.b_id
+        | WHERE rn_a = 1 AND rn_b = 1
+        | ORDER BY margin DESC, r.a_id""".stripMargin,
     // against the vec_id=0 query row, both ranked by (rounded score, id),
     // fused as CAST(1.0 AS DOUBLE)/(60+rank) sums over a full outer join
     "sim_rrf_fusion" ->

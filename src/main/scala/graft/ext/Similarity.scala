@@ -238,6 +238,135 @@ object Similarity {
   }
 
   /**
+   * Margin-based bitext mining (the LASER/CCMatrix parallel-corpus
+   * criterion, Artetxe & Schwenk 2019): candidate pairs are MUTUAL nearest
+   * neighbors across the two sides, scored by the ratio margin
+   * `cos(x,y) / ((mean top-k cos of x in B + mean top-k cos of y in A)/2)`
+   * — the margin discounts hubs (vectors close to everything), which a raw
+   * cosine cut cannot, and is the standard filter for mining aligned
+   * sentence/document pairs for translation training data.
+   *
+   * Returns `(a_id, b_id, margin)` for every mutual-NN1 pair, margin
+   * rounded to 6, ordered margin DESC with `a_id` tiebreak. No threshold is
+   * applied here — thresholding is a caller policy (and a gate with a cut
+   * would flap on the boundary ulp); the margin column is the cut key.
+   *
+   * Determinism contract (the oracle mirrors every step): ranks use the
+   * (cos DESC, id ASC) total order; the top-k means are summed as EXACT
+   * integer micro-cosines (`round(cos·1e6)::long`) so the denominator is
+   * associativity-free in any accumulation order, and the single ratio is
+   * one double division + round(…, 6) — identical IEEE ops both engines.
+   *
+   * Plan shape: side B broadcasts (the [[topK]] contract — side A streams
+   * once, never shuffles for scoring), the scored pair frame is cached and
+   * projected NARROW (ids + cos, 24 bytes/row at any dimension) before the
+   * two rank windows. This brute-force pair source is exact and right when
+   * one side fits a broadcast (the usual mining shape: a query batch
+   * against a corpus shard); for two huge sides swap the pair source for
+   * the IVF-routed pool ([[annSearchIvf]] / [[cosinePairsRouted]]) — the
+   * margin algebra downstream of `scored` is pair-source-independent.
+   */
+  def bitextMarginMine(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // raw-cosine form (dot / (norm·norm)), NOT normalize-then-dot: the
+    // rounded VALUE is compared against DuckDB's list_cosine_similarity
+    // (the sim_rrf_fusion precedent), so the arithmetic must match it
+    // spread side A across the session's full parallelism BEFORE the pair
+    // grid forms: a small parquet side arrives as 1–2 input splits, and the
+    // broadcast join's output parallelism IS the stream side's — without
+    // this the |A|×|B| scoring runs on one task (measured 8 s → 1.4 s at
+    // 1 M pairs). One exchange of |A| narrow rows, negligible at any size
+    val pa = a.select(col(idCol).cast("long").as("a_id"), asDouble(col(vecCol)).as("av"))
+      .repartition(a.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__na", norm(col("av")))
+    val pb = broadcast(
+      b.select(col(idCol).cast("long").as("b_id"), asDouble(col(vecCol)).as("bv"))
+        .withColumn("__nb", norm(col("bv"))))
+    val scored = Caches.track(pa.crossJoin(pb)
+      .select(col("a_id"), col("b_id"),
+        (dot(col("av"), col("bv")) / (col("__na") * col("__nb"))).as("cos")))
+    val wA = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    val wB = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))
+    val ranked = Caches.track(scored
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_b", row_number().over(wB)))
+    val micro = round(col("cos") * lit(1e6), 0).cast("long")
+    val da = ranked.filter(col("rn_a") <= k).groupBy("a_id").agg(sum(micro).as("__ma"))
+    val db = ranked.filter(col("rn_b") <= k).groupBy("b_id").agg(sum(micro).as("__mb"))
+    ranked.filter(col("rn_a") === 1 && col("rn_b") === 1)
+      .join(da, "a_id").join(db, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(round(col("cos"), 6) * lit(2.0 * k * 1e6) /
+          (col("__ma") + col("__mb")).cast("double"), 6).as("margin"))
+      .orderBy(col("margin").desc, col("a_id"))
+  }
+
+  /** IVF-pooled top-k WITH scores (`query_id`, `neighbor_id`, `cos`,
+    * `rnk` ≤ k) — [[annTopK]]'s probe plan, but keeping the cosine and NOT
+    * excluding id-equal pairs (bitext sides are separate id spaces; a
+    * same-id pair across sides is a legitimate candidate). */
+  private def ivfPoolScored(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int, sampleSize: Int,
+      seed: Long): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, nlist, sampleSize, seed)
+    val c = Caches.track(unitized(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .withColumn("list", listAssignment(col("cv"), cents)))
+    val scored = broadcast(probes(cents, queries, idCol, vecCol, nprobe)).join(c, Seq("list"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /**
+   * [[bitextMarginMine]]'s 100 TB path: the same mutual-NN1 + ratio-margin
+   * algebra, but candidate pools come from TWO IVF probes (index B / probe
+   * with A, and index A / probe with B) instead of the exact |A|×|B| grid —
+   * exactly how CCMatrix runs the criterion (margins over FAISS k-NN lists,
+   * Schwenk et al. 2021). Each side's corpus shuffles once on small `list`
+   * keys; nothing all-pairs forms at any size. At full probe
+   * (`nprobe = nlist`) the pools are exhaustive and the result coincides
+   * with the exact operator (spec-pinned); at partial probe it trades
+   * recall for the probe fraction like every IVF path here.
+   *
+   * The A→B and B→A cosines of one pair are bit-identical (commutative
+   * per-element products of the same unitized vectors, same accumulation
+   * order), so the two pools agree on every shared pair's score and the
+   * mutual-NN1 test cannot flap between directions.
+   */
+  def bitextMarginMinePooled(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, nlist: Int = 16, nprobe: Int = 6,
+      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ab = Caches.track(
+      ivfPoolScored(b, a, idCol, vecCol, k, nlist, nprobe, sampleSize, seed)
+        .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+          col("cos"), col("rnk").as("rn_a")))
+    val ba = Caches.track(
+      ivfPoolScored(a, b, idCol, vecCol, k, nlist, nprobe, sampleSize, seed)
+        .select(col("query_id").as("b_id"), col("neighbor_id").as("a_id"),
+          col("cos").as("cos_ba"), col("rnk").as("rn_b")))
+    val ma = ab.groupBy("a_id")
+      .agg(sum(round(col("cos") * lit(1e6), 0).cast("long")).as("__ma"),
+        count(lit(1)).as("__ka"))
+    val mb = ba.groupBy("b_id")
+      .agg(sum(round(col("cos_ba") * lit(1e6), 0).cast("long")).as("__mb"),
+        count(lit(1)).as("__kb"))
+    // denominator = (mean_a + mean_b) / 2 over the ACTUAL pool sizes (a
+    // partial probe can return < k candidates; dividing by a fixed k would
+    // inflate margins of under-filled pools)
+    ab.filter(col("rn_a") === 1)
+      .join(ba.filter(col("rn_b") === 1).select("a_id", "b_id"),
+        Seq("a_id", "b_id"), "left_semi")
+      .join(ma, "a_id").join(mb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(round(col("cos"), 6) * lit(2.0 * 1e6) /
+          (col("__ma").cast("double") / col("__ka") +
+            col("__mb").cast("double") / col("__kb")), 6).as("margin"))
+      .orderBy(col("margin").desc, col("a_id"))
+  }
+
+  /**
    * Train an IVF coarse quantizer: k-means centroids over a bounded,
    * deterministic sample of unit-normalized corpus vectors. The sample
    * (≤ `sampleSize` rows) is the ONLY driver-side materialization — standard

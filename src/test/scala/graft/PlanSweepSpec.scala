@@ -80,7 +80,11 @@ class PlanSweepSpec extends AnyFunSuite {
       "events_rfm_segments",
       // the q11 cutoff is a one-row broadcast scalar (mean-relative value
       // threshold) attached to the per-part value frame — the q22 shape
-      "q11_important_values")
+      "q11_important_values",
+      // bitext mining scores the brute-force broadcast A×B pair grid (the
+      // sim_topk shape: one side broadcasts, the other streams once) — the
+      // documented exact baseline; huge-side callers swap in the IVF pool
+      "sim_bitext_margin")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

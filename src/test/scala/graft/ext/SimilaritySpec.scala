@@ -38,6 +38,68 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got.groupBy(_._1).forall(_._2.length == 3))
   }
 
+  test("bitextMarginMine: mutual-NN1 pairs only, margin matches brute force") {
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val got = Similarity.bitextMarginMine(a, b, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // brute-force re-derivation on the driver
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val va = vecs(a); val vb = vecs(b)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val c = for { (ai, av) <- va; (bi, bv) <- vb } yield (ai, bi, cos(av, bv))
+    def top(byKey: Array[(Long, Long, Double)], key: ((Long, Long, Double)) => Long,
+        other: ((Long, Long, Double)) => Long) =
+      byKey.groupBy(key).view.mapValues(
+        _.sortBy(r => (-r._3, other(r))).take(4).map(r =>
+          math.round(r._3 * 1e6)).sum).toMap
+    val ma = top(c, _._1, _._2); val mb = top(c, _._2, _._1)
+    val nnA = c.groupBy(_._1).view.mapValues(_.minBy(r => (-r._3, r._2))).toMap
+    val nnB = c.groupBy(_._2).view.mapValues(_.minBy(r => (-r._3, r._1))).toMap
+    val expect = nnA.values.filter(r => nnB(r._2) == r).map { r =>
+      val m = BigDecimal(math.round(r._3 * 1e6) / 1e6 * 8e6 / (ma(r._1) + mb(r._2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r._1, r._2, m)
+    }.toSet
+    assert(got.toSet == expect,
+      s"got ${got.length} pairs, expect ${expect.size}; diff ${(got.toSet -- expect).take(3)}")
+    // ordering: margin DESC, a_id tiebreak
+    assert(got.toSeq == got.toSeq.sortBy(r => (-r._3, r._1)))
+  }
+
+  test("bitextMarginMinePooled: full probe ≡ exact grid; partial probe keeps recall") {
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val exact = Similarity.bitextMarginMine(a, b, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Double)].collect()
+    Dedup.unpersistAll()
+    val full = Similarity.bitextMarginMinePooled(a, b, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 8)
+      .as[(Long, Long, Double)].collect()
+    Dedup.unpersistAll()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    assert(full.map(r => (r._1, r._2)).toSet == exactPairs,
+      "full-probe pooled mutual-NN1 set diverged from the exact grid")
+    val em = exact.map(r => (r._1, r._2) -> r._3).toMap
+    full.foreach { r =>
+      assert(math.abs(r._3 - em((r._1, r._2))) < 1e-4,
+        s"pair (${r._1},${r._2}): pooled margin ${r._3} vs exact ${em((r._1, r._2))}")
+    }
+    val part = Similarity.bitextMarginMinePooled(a, b, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    Dedup.unpersistAll()
+    val recall = part.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"partial-probe (3/8) recall $recall below floor")
+  }
+
   test("retrievalNdcg: hand-computed DCG/IDCG, min(R,k) ideal, NULL on singleton labels") {
     // 2D vectors at controlled angles from the (1,0) query; labels plant
     // the relevance pattern rel = (1, 0, 1) at ranks 1..3
