@@ -45,6 +45,9 @@ object ScaleSmoke {
     if (args.contains("clean")) { // iterate on the cleaning capstone alone
       cleanPipeline(spark); println("[scale] DONE (clean only)"); spark.stop(); return
     }
+    if (args.contains("bitext")) { // iterate on the bitext-mining section alone
+      bitextSmoke(spark); println("[scale] DONE (bitext only)"); spark.stop(); return
+    }
     import spark.implicits._
 
     // ---- build replicated inputs (ids perturbed so keys stay unique) ----
@@ -814,6 +817,50 @@ object ScaleSmoke {
       require(clusters == 8L && pairs == 8L,
         s"planted blob partition not recovered: $clusters clusters, $pairs pairs")
     }
+  }
+
+  /** Pooled bitext mining at replica scale: 30k×30k sides via two IVF
+    * probes (the exact grid would form 900M pairs), with the pool's NN1
+    * recall measured against brute force on a deterministic query sample —
+    * the probe-quality contract every IVF path here carries. */
+  private def bitextSmoke(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val base =
+      if (new java.io.File("/tmp/graft_sf3/embeddings.parquet").exists()) "/tmp/graft_sf3"
+      else "/root/testdata/sf0.1"
+    println(s"[scale] bitext corpus: $base")
+    val emb = io.Tables.load(spark, base, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val (na, nb) = (a.count(), b.count())
+    val mined = time(s"bitext pooled margin mine ${na}x$nb (nlist=64, nprobe=16)") {
+      val m = ext.Similarity.bitextMarginMinePooled(a, b, "vec_id", "embedding",
+        k = 4, nlist = 64, nprobe = 16)
+      val n = m.count()
+      ext.Dedup.unpersistAll()
+      n
+    }
+    require(mined > 0 && mined <= math.min(na, nb),
+      s"mutual-NN1 pair count $mined outside (0, ${math.min(na, nb)}]")
+    println(s"[scale]   mutual pairs: $mined (${"%.1f".format(100.0 * mined / na)}% of side A)")
+    // pool quality: NN1 recall vs brute force on a deterministic ~1/60
+    // sample of side A (annTopK IS the pool the miner drinks from)
+    val sample = a.filter(xxhash64(col("vec_id")) % 60 === 0)
+    val ns = sample.count()
+    val exact1 = time(s"exact NN1 for $ns sampled queries (brute force)") {
+      ext.Similarity.topK(b, sample, "vec_id", "embedding", 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    ext.Dedup.unpersistAll()
+    val pooled1 = time("pooled NN1 for the same sample (nprobe=16/64)") {
+      ext.Similarity.annTopK(b, sample, "vec_id", "embedding", 1,
+          nlist = 64, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    ext.Dedup.unpersistAll()
+    val recall = exact1.intersect(pooled1).size.toDouble / exact1.size
+    println(s"[scale]   pool NN1 recall@quarter-probe: ${"%.3f".format(recall)}")
+    require(recall >= 0.9, s"pool NN1 recall $recall below the 0.9 floor")
   }
 
   private def crawlPipeline(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -89,6 +89,80 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /**
+   * Bounded per-group top-k of `(id, score)` pairs under the engine-wide
+   * `(score DESC, id ASC)` total order — the map-side-combining form of the
+   * `row_number().over(partitionBy(group).orderBy(score.desc, id))` top-k
+   * window. The window shuffles EVERY scored candidate row to its group's
+   * reducer (225 M rows for a 30k×30k quarter-probe pair pool); this buffer
+   * holds k pairs per group and partially aggregates before the exchange,
+   * so the shuffle moves ≤ k rows per (group × map partition) instead.
+   * Fixed-size arrays, in-place insertion — no per-row allocation on the
+   * hot path; results are arrival-order-independent because the comparator
+   * is a total order (exact doubles, id tiebreak).
+   */
+  final class TopKPairsAggregator(k: Int)
+      extends Aggregator[(Long, Double), (Array[Long], Array[Double]), Seq[(Long, Double)]] {
+    require(k >= 1, s"k must be >= 1: $k")
+
+    // (c1, i1) strictly better than (c2, i2) under (score DESC, id ASC)
+    private def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+      c1 > c2 || (c1 == c2 && i1 < i2)
+
+    override def zero: (Array[Long], Array[Double]) = (Array.empty, Array.empty)
+
+    override def reduce(b: (Array[Long], Array[Double]),
+        v: (Long, Double)): (Array[Long], Array[Double]) = {
+      val (ids, cs) = b
+      val n = ids.length
+      if (n < k) {
+        // grow (only the first k inserts allocate): insert in sorted place
+        var p = 0
+        while (p < n && better(cs(p), ids(p), v._2, v._1)) p += 1
+        val nids = new Array[Long](n + 1); val ncs = new Array[Double](n + 1)
+        System.arraycopy(ids, 0, nids, 0, p); System.arraycopy(cs, 0, ncs, 0, p)
+        nids(p) = v._1; ncs(p) = v._2
+        System.arraycopy(ids, p, nids, p + 1, n - p)
+        System.arraycopy(cs, p, ncs, p + 1, n - p)
+        (nids, ncs)
+      } else if (!better(v._2, v._1, cs(n - 1), ids(n - 1))) b
+      else {
+        // beats the current worst: shift down in place, no allocation
+        var p = 0
+        while (p < n && better(cs(p), ids(p), v._2, v._1)) p += 1
+        var i = n - 1
+        while (i > p) { ids(i) = ids(i - 1); cs(i) = cs(i - 1); i -= 1 }
+        ids(p) = v._1; cs(p) = v._2
+        b
+      }
+    }
+
+    override def merge(a: (Array[Long], Array[Double]),
+        b: (Array[Long], Array[Double])): (Array[Long], Array[Double]) = {
+      val n = math.min(k, a._1.length + b._1.length)
+      val ids = new Array[Long](n); val cs = new Array[Double](n)
+      var ia = 0; var ib = 0; var o = 0
+      while (o < n) {
+        val takeA = ib >= b._1.length || (ia < a._1.length &&
+          !better(b._2(ib), b._1(ib), a._2(ia), a._1(ia)))
+        if (takeA) { ids(o) = a._1(ia); cs(o) = a._2(ia); ia += 1 }
+        else { ids(o) = b._1(ib); cs(o) = b._2(ib); ib += 1 }
+        o += 1
+      }
+      (ids, cs)
+    }
+
+    override def finish(b: (Array[Long], Array[Double])): Seq[(Long, Double)] =
+      b._1.indices.map(i => (b._1(i), b._2(i)))
+
+    override def bufferEncoder: Encoder[(Array[Long], Array[Double])] =
+      Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
   /** Approximate corpus-wide frequent tokens: explode → ONE sketch pass →
     * `(token, est_count)` rows, descending. `capacity` bounds both memory
     * and error (`n_tokens/(capacity+1)`); see [[FrequentItemsSketch]]. */

@@ -314,8 +314,20 @@ object Similarity {
       .withColumn("list", listAssignment(col("cv"), cents)))
     val scored = broadcast(probes(cents, queries, idCol, vecCol, nprobe)).join(c, Seq("list"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // bounded map-side top-k, NOT a rank window: with corpus-sized query
+    // sides the probe join emits |Q|·(nprobe/nlist)·|C| scored rows (225 M
+    // at 30k×30k quarter-probe), and a window would shuffle ALL of them to
+    // per-query reducers; the aggregator partially combines to ≤ k pairs
+    // per (query × map partition) before the exchange (measured 196 s →
+    // 119 s on the 30k×30k bitext smoke, identical results — the comparator
+    // is the same (cos DESC, id ASC) total order; the residual cost is the
+    // 2×225 M dim-64 dot evaluations themselves)
+    val topk = udaf(new Aggregators.TopKPairsAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p._1").as("neighbor_id"),
+        col("__p._2").as("cos"), (col("__pos") + 1).as("rnk"))
   }
 
   /**

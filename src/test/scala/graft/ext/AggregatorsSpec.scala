@@ -18,6 +18,23 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 5L, "b" -> 3L, "c" -> 3L))
   }
 
+  test("TopKPairsAggregator: (score DESC, id ASC) order, ties to lower id, k bound, any partitioning") {
+    val rows = Seq(
+      (1L, 10L, 0.5), (1L, 3L, 0.9), (1L, 7L, 0.9), (1L, 2L, 0.9),
+      (1L, 5L, 0.1), (1L, 9L, 0.7),
+      (2L, 4L, 0.2)) // under-filled group: fewer rows than k
+    val topk = udaf(new Aggregators.TopKPairsAggregator(4))
+    // run under several partitionings: merge order must not matter
+    Seq(1, 3, 7).foreach { parts =>
+      val got = rows.toDF("g", "id", "s").repartition(parts)
+        .groupBy("g").agg(topk(col("id"), col("s")).as("tk"))
+        .as[(Long, Seq[(Long, Double)])].collect().toMap
+      assert(got(1L) == Seq((2L, 0.9), (3L, 0.9), (7L, 0.9), (9L, 0.7)),
+        s"parts=$parts: ${got(1L)}")
+      assert(got(2L) == Seq((4L, 0.2)), s"parts=$parts under-filled group")
+    }
+  }
+
   test("FrequentItemsSketch: MG bounds hold vs exact counts on the fixture corpus") {
     val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val n = toks.count()
