@@ -164,26 +164,34 @@ object Warc {
           hs.getOrElse("warc-identified-content-language", null),
           new String(content, "UTF-8"))
       }
-      /** Header block: bytes up to (excluding) the first LFLF or CRLFCRLF
-        * terminator, detected by a rolling 4-byte window as bytes arrive —
-        * same first-match semantics as the old whole-array scan (a mixed
-        * `\n\r\n` run matches neither, by design; the Content-Length
-        * overrun check keeps that dialect a loud failure, not a silent
-        * mis-frame). */
+      /** Header block: bytes up to (excluding) the first BLANK LINE, where
+        * a line is blank when its content is empty (`\n`) or exactly one
+        * carriage return (`\r\n`) — line-aware, so MIXED terminator
+        * dialects (`\n\r\n`, `\r\n\n`) frame correctly too. The previous
+        * rolling-window form only matched uniform LFLF / CRLFCRLF and
+        * could swallow the next record's header on a mixed run, leaving
+        * mis-framing to the (not guaranteed) Content-Length overrun check;
+        * line-aware blank detection closes that by construction. Header
+        * lines keep their own terminators — the `\r\n|\n` split upstream
+        * normalizes them. */
       private def readHeader(): String = {
         val buf = new java.io.ByteArrayOutputStream(512)
-        var last4 = 0
+        var lineBytes = 0 // content bytes on the current line (the '\n' excluded)
+        var crOnly = false // current line content is exactly one '\r'
         while (true) {
           val b = read1()
           if (b < 0) fail("record header without blank-line terminator")
           buf.write(b)
           if (buf.size > MaxHeaderBytes) fail(
             s"record header exceeds $MaxHeaderBytes bytes without a blank-line terminator")
-          last4 = (last4 << 8) | b
-          if ((last4 & 0xFFFF) == 0x0A0A)
-            return new String(buf.toByteArray, 0, buf.size - 2, "UTF-8")
-          if (last4 == 0x0D0A0D0A)
-            return new String(buf.toByteArray, 0, buf.size - 4, "UTF-8")
+          if (b == '\n') {
+            if (lineBytes == 0 || crOnly) // blank line: "\n" or "\r\n"
+              return new String(buf.toByteArray, 0, buf.size - lineBytes - 1, "UTF-8")
+            lineBytes = 0; crOnly = false
+          } else {
+            lineBytes += 1
+            crOnly = lineBytes == 1 && b == '\r'
+          }
         }
         throw new IllegalStateException("unreachable")
       }

@@ -49,6 +49,20 @@ class WarcStreamSpec extends AnyFunSuite {
     assert(lastUri == s"urn:synth:${n - 1}")
   }
 
+  test("mixed header-terminator dialects frame correctly (line-aware blank detection)") {
+    // one stream, four records, four different blank-line spellings:
+    // CRLF+CRLF, LF+LF, LF+CRLF (the old rolling-window miss), CRLF+LF
+    def rec(i: Int, lineEnd: String, blank: String): String =
+      s"WARC/1.0${lineEnd}WARC-Target-URI: urn:mix:$i${lineEnd}" +
+        s"Content-Length: 5$lineEnd$blank" + s"body$i" + "\r\n\r\n"
+    val s = rec(0, "\r\n", "\r\n") + rec(1, "\n", "\n") +
+      rec(2, "\n", "\r\n") + rec(3, "\r\n", "\n")
+    val got = Warc.parseWetInputStream("synthetic:mixed",
+      new java.io.ByteArrayInputStream(s.getBytes("UTF-8"))).toList
+    assert(got.map(_.uri) == (0 to 3).map(i => s"urn:mix:$i").toList)
+    assert(got.map(_.text) == (0 to 3).map(i => s"body$i").toList)
+  }
+
   test("framer failures are loud with inflated-byte offsets; stream is closed") {
     // truncated mid-content: Content-Length overrun with path:offset
     val good = "WARC/1.0\r\nWARC-Target-URI: u:1\r\nContent-Length: 10\r\n\r\nshort"
