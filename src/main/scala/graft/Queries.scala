@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 
-import graft.ext.{Classifier, Dedup, Graphs, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Classifier, Dedup, Eval, Graphs, Multimodal, Privacy, Sampling, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.Ops
 import graft.proc.SqlStepRegistry
@@ -3212,7 +3212,61 @@ object Queries {
     // banding; violations (missed planted pairs) must be empty
     "mm_image_near_dup" -> ((s, d) =>
       Multimodal.imageNearDupRoundTrip(s,
-        orders(s, d).filter(col("o_orderkey") <= 24).select(col("o_orderkey").as("id"))))
+        orders(s, d).filter(col("o_orderkey") <= 24).select(col("o_orderkey").as("id")))),
+
+    // ---- evaluation metrics (Eval — §2.12 measurement family) ----
+    // exact ROC AUC of event value as a purchase score: midranks via the
+    // distributed globalOrdinals numbering (NO single-partition sort)
+    "eval_auc_purchase" -> ((s, d) =>
+      Eval.aucBinary(events(s, d), col("value"),
+        col("event_type") === "purchase", col("event_id"))),
+    // reliability bins of the max-normalized value against purchase —
+    // bit-deterministic bin edges, exact decimal score sums
+    "eval_calibration_bins" -> ((s, d) =>
+      Eval.calibrationBins(events(s, d), col("value"),
+        col("event_type") === "purchase", bins = 10)),
+    // chance-corrected agreement of the n-gram language-ID heuristic
+    // against the gold lang column — the labeler-acceptance metric
+    "eval_langid_kappa" -> ((s, d) => {
+      val pred = TextAnalysis.langId(docs(s, d)).select(col("doc_id"), col("pred_lang"))
+      val j = pred.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Eval.cohensKappa(j, col("pred_lang"), col("lang"))
+    }),
+
+    // ---- privacy screens (Privacy — §2.12 release-gate family) ----
+    // k-anonymity + l-diversity stats over the (segment, nation) quasi-
+    // identifier with the acctbal-thousands bucket as the sensitive value
+    "privacy_k_anon_stats" -> ((s, d) =>
+      Privacy.anonymityStats(customer(s, d), Seq("c_mktsegment", "c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long"), k = 10, l = 3)),
+    // enforcement: suppress quasi-identifiers of rows in groups below k
+    "privacy_suppress_k" -> ((s, d) =>
+      Privacy.suppressBelowK(
+        customer(s, d).select("c_custkey", "c_mktsegment", "c_nationkey"),
+        Seq("c_mktsegment", "c_nationkey"), k = 12)
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "grp_n", "suppressed")),
+
+    // ---- fuzzy record linkage (native Jaro–Winkler comparator) ----
+    // census-style blocked name linkage over deterministic pseudo-names
+    // (Knuth-hashed custkey digits → letters) and their perturbed variants
+    // (identity / char drop / adjacent swap / last-char replace by id%4);
+    // the gate cross-checks the codegen'd JaroWinkler kernel against
+    // DuckDB's independent implementation over every blocked pair
+    "dedup_name_linkage" -> ((s, d) => {
+      val base = customer(s, d).select(col("c_custkey").as("id"),
+        translate(lpad(pmod(col("c_custkey") * lit(2654435761L), lit(100000000L))
+          .cast("string"), 8, "0"), "0123456789", "abcdefghij").as("name"))
+      val variants = base.select(col("id"),
+        when(col("id") % 4 === 0, col("name"))
+          .when(col("id") % 4 === 1,
+            concat(substring(col("name"), 1, 2), substring(col("name"), 4, 8)))
+          .when(col("id") % 4 === 2,
+            concat(substring(col("name"), 1, 3), substring(col("name"), 5, 1),
+              substring(col("name"), 4, 1), substring(col("name"), 6, 8)))
+          .otherwise(concat(substring(col("name"), 1, 7), lit("z"))).as("name"))
+      Dedup.linkNamesJaroWinkler(base, variants, "id", "name", "id", "name",
+        threshold = 0.84, blockChars = 2)
+    })
   )
 
   // =========================================================================
@@ -5864,7 +5918,86 @@ object Queries {
     // planted perceptual-twin pairs must all be found → violations empty
     "mm_image_near_dup" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
-        |  FROM orders WHERE FALSE""".stripMargin
+        |  FROM orders WHERE FALSE""".stripMargin,
+    // Mann–Whitney midrank AUC: tie group at cumulative count `cum` with n
+    // members occupies ranks (cum−n+1)..cum, so 2·Σ(pos midranks) =
+    // Σ np·(2·cum−n+1); the division happens once, in double
+    "eval_auc_purchase" ->
+      """WITH g AS (SELECT value AS s, count(*) AS n,
+        |                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        |             FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |o AS (SELECT s, n, np, sum(n) OVER (ORDER BY s) AS cum FROM g),
+        |t AS (SELECT sum(CAST(np AS HUGEINT) * (2 * cum - n + 1)) AS r2,
+        |             CAST(sum(np) AS BIGINT) AS p,
+        |             CAST(sum(n - np) AS BIGINT) AS nn
+        |        FROM o)
+        |SELECT p AS n_pos, nn AS n_neg,
+        |       round((CAST(r2 AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1))
+        |             / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+        |  FROM t""".stripMargin,
+    "eval_calibration_bins" ->
+      """WITH mx AS (SELECT max(value) AS m FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT least(greatest(CAST(floor(value / m * 10) AS INT), 0), 9) AS bin,
+        |             CAST(value AS DECIMAL(18,2)) AS v,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |        FROM events, mx WHERE value IS NOT NULL)
+        |SELECT bin, count(*) AS n,
+        |       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             / (SELECT m FROM mx), 6) AS mean_score,
+        |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+        |  FROM b GROUP BY 1""".stripMargin,
+    "eval_langid_kappa" ->
+      s"""WITH $langScoreCtes,
+         |pred AS (SELECT doc_id, $predLangCase AS pred_lang FROM sc),
+         |j AS (SELECT p.pred_lang AS pl, d.lang AS gl
+         |        FROM pred p JOIN documents d USING (doc_id)
+         |       WHERE p.pred_lang IS NOT NULL AND d.lang IS NOT NULL),
+         |tot AS (SELECT count(*) AS n,
+         |               sum(CASE WHEN pl = gl THEN 1 ELSE 0 END) AS diag
+         |          FROM j),
+         |rm AS (SELECT pl AS lab, count(*) AS c FROM j GROUP BY 1),
+         |cm AS (SELECT gl AS lab, count(*) AS c FROM j GROUP BY 1),
+         |pe AS (SELECT coalesce(sum(CAST(rm.c AS HUGEINT) * cm.c), 0) AS sp
+         |         FROM rm JOIN cm USING (lab))
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+         |       round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+         |       round((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+         |               - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |             / (1.0 - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+         |  FROM tot, pe""".stripMargin,
+    "privacy_k_anon_stats" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_distinct,
+        |       count(*) >= 10 AS k_anonymous,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS l_diverse
+        |  FROM customer GROUP BY 1, 2""".stripMargin,
+    "privacy_suppress_k" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS grp_n
+        |             FROM customer GROUP BY 1, 2)
+        |SELECT c_custkey,
+        |       CASE WHEN grp_n < 12 THEN '*' ELSE c.c_mktsegment END AS c_mktsegment,
+        |       CASE WHEN grp_n < 12 THEN '*' ELSE CAST(c.c_nationkey AS VARCHAR) END AS c_nationkey,
+        |       grp_n, grp_n < 12 AS suppressed
+        |  FROM customer c JOIN g USING (c_mktsegment, c_nationkey)""".stripMargin,
+    // independent-implementation cross-check of the codegen'd JaroWinkler
+    // kernel: DuckDB's comparator over every blocked candidate pair
+    "dedup_name_linkage" ->
+      """WITH nm AS (SELECT c_custkey AS id,
+        |       translate(lpad(CAST((c_custkey * 2654435761) % 100000000 AS VARCHAR), 8, '0'),
+        |                 '0123456789', 'abcdefghij') AS name
+        |         FROM customer),
+        |v AS (SELECT id, CASE CAST(id % 4 AS INT)
+        |        WHEN 0 THEN name
+        |        WHEN 1 THEN substr(name, 1, 2) || substr(name, 4, 8)
+        |        WHEN 2 THEN substr(name, 1, 3) || substr(name, 5, 1) || substr(name, 4, 1) || substr(name, 6, 8)
+        |        ELSE substr(name, 1, 7) || 'z' END AS name FROM nm),
+        |l AS (SELECT id AS id_a, name AS name_a, substr(name, 1, 2) AS blk FROM nm),
+        |r AS (SELECT id AS id_b, name AS name_b, substr(name, 1, 2) AS blk FROM v)
+        |SELECT id_a, id_b, name_a, name_b,
+        |       round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |  FROM l JOIN r USING (blk)
+        | WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.84""".stripMargin
     // every gated query has an oracle: the approximate ops are gated at their
     // exact operating points (sim_ann_ivf at full probe, dedup_minhash_lsh
     // verified-exact) with the approximate points covered by specs

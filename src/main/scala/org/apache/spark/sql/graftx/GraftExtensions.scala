@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
     register(ext, "bpe_merge_adjacent", 3,
       { case Seq(s, l, r) => BpeMergeAdjacent(s, l, r) })
+    register(ext, "jaro_winkler", 2, { case Seq(a, b) => JaroWinkler(a, b) })
   }
 
   private def register(ext: SparkSessionExtensions, name: String, arity: Int,

@@ -84,7 +84,13 @@ class PlanSweepSpec extends AnyFunSuite {
       // bitext mining scores the brute-force broadcast A×B pair grid (the
       // sim_topk shape: one side broadcasts, the other streams once) — the
       // documented exact baseline; huge-side callers swap in the IVF pool
-      "sim_bitext_margin")
+      "sim_bitext_margin",
+      // calibration attaches the one-row broadcast score-max (the bin
+      // normalizer) to every scored row — the q22 scalar shape
+      "eval_calibration_bins",
+      // kappa combines two one-row aggregate frames (totals × expected-
+      // agreement sum) — broadcast scalars, never data-proportional
+      "eval_langid_kappa")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

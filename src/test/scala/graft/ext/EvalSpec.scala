@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("aucBinary: hand-computed values, including midranks for ties") {
+    // perfect separation
+    val perfect = Seq((1.0, false, 1L), (2.0, false, 2L), (3.0, true, 3L), (4.0, true, 4L))
+      .toDF("s", "y", "id")
+    val p = Eval.aucBinary(perfect, col("s"), col("y"), col("id")).head()
+    assert(p.getAs[Long]("n_pos") == 2 && p.getAs[Long]("n_neg") == 2)
+    assert(p.getAs[Double]("auc") == 1.0)
+
+    // perfectly inverted
+    val inv = Eval.aucBinary(perfect, col("s"), !col("y"), col("id")).head()
+    assert(inv.getAs[Double]("auc") == 0.0)
+
+    // ties across classes: scores 1,2,2,3 with labels 0,0,1,1.
+    // ranks: 1, midrank 2.5, midrank 2.5, 4 → R+ = 2.5 + 4 = 6.5,
+    // AUC = (6.5 − 2·3/2) / (2·2) = 3.5/4 = 0.875
+    val tied = Seq((1.0, false, 1L), (2.0, false, 2L), (2.0, true, 3L), (3.0, true, 4L))
+      .toDF("s", "y", "id")
+    val t = Eval.aucBinary(tied, col("s"), col("y"), col("id")).head()
+    assert(t.getAs[Double]("auc") == 0.875)
+
+    // all-tied scores → AUC exactly 0.5 regardless of labels
+    val flat = Seq((7.0, false, 1L), (7.0, true, 2L), (7.0, false, 3L), (7.0, true, 4L))
+      .toDF("s", "y", "id")
+    assert(Eval.aucBinary(flat, col("s"), col("y"), col("id"))
+      .head().getAs[Double]("auc") == 0.5)
+
+    // null scores are excluded, not counted in either class
+    val withNull = Seq((Some(1.0), false, 1L), (None, true, 2L), (Some(2.0), true, 3L))
+      .toDF("s", "y", "id")
+    val n = Eval.aucBinary(withNull, col("s"), col("y"), col("id")).head()
+    assert(n.getAs[Long]("n_pos") == 1 && n.getAs[Long]("n_neg") == 1)
+    assert(n.getAs[Double]("auc") == 1.0)
+  }
+
+  test("calibrationBins: bin edges, clamping, exact means") {
+    // max = 10 → score = v/10; v=10 lands in the clamped top bin
+    val df = Seq((1.0, false), (1.5, false), (5.0, true), (10.0, true))
+      .toDF("v", "y")
+    val bins = Eval.calibrationBins(df, col("v"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Int]("bin")).toSeq == Seq(1, 5, 9))
+    val b1 = bins(0)
+    assert(b1.getAs[Long]("n") == 2)
+    // mean_score = ((1.0+1.5)/2)/10 = 0.125
+    assert(b1.getAs[Double]("mean_score") == 0.125)
+    assert(b1.getAs[Double]("frac_pos") == 0.0)
+    assert(bins(2).getAs[Double]("frac_pos") == 1.0)
+    assert(bins(2).getAs[Double]("mean_score") == 1.0)
+  }
+
+  test("cohensKappa: textbook 2x2 case and degenerate perfect agreement") {
+    // cells: (a,a)=45 (a,b)=15 (b,a)=5 (b,b)=35 → pred margins a=60 b=40,
+    // gold margins a=50 b=50, diag=80 → p_o=0.8,
+    // p_e=(60·50+40·50)/10000=0.5, κ=(0.8−0.5)/(1−0.5)=0.6
+    val tb = Seq.fill(45)(("a", "a")) ++ Seq.fill(15)(("a", "b")) ++
+      Seq.fill(5)(("b", "a")) ++ Seq.fill(35)(("b", "b"))
+    val k = Eval.cohensKappa(tb.toDF("p", "g"), col("p"), col("g")).head()
+    assert(k.getAs[Long]("n") == 100)
+    assert(k.getAs[Double]("p_observed") == 0.8)
+    assert(k.getAs[Double]("p_expected") == 0.5)
+    assert(k.getAs[Double]("kappa") == 0.6)
+
+    // perfect agreement → κ = 1
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("p", "g")
+    assert(Eval.cohensKappa(perfect, col("p"), col("g"))
+      .head().getAs[Double]("kappa") == 1.0)
+
+    // null labels excluded; the surviving single cell saturates chance
+    // agreement (p_e = 1) → κ is undefined and surfaces as NULL
+    val withNull = Seq((Some("a"), Some("a")), (None, Some("a")), (Some("b"), None))
+      .toDF("p", "g")
+    val nk = Eval.cohensKappa(withNull, col("p"), col("g")).head()
+    assert(nk.getAs[Long]("n") == 1)
+    assert(nk.isNullAt(nk.fieldIndex("kappa")))
+  }
+}

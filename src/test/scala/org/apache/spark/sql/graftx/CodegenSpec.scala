@@ -166,4 +166,44 @@ class CodegenSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       UnicodeNormalize(BoundReference(0, StringType, nullable = true), "NFX"))
   }
+
+  test("JaroWinkler codegen compiles, matches interpreted eval and the DuckDB reference values") {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val e = JaroWinkler(BoundReference(0, StringType, nullable = true),
+      BoundReference(1, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on janino failure
+    def jw(a: String, b: String): Double = {
+      val in = row(u(a), u(b))
+      val c = proj(in).getDouble(0)
+      assert(c == e.eval(in).asInstanceOf[Double], s"codegen != eval for ($a,$b)")
+      c
+    }
+    // every expected value below was probed from DuckDB's
+    // jaro_winkler_similarity — the independent implementation the
+    // dedup_name_linkage oracle compares against
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-15)
+    assert(math.abs(jw("hello", "h") - 0.76) < 1e-15)
+    // crate/trace: no common prefix → no boost even though jaro > 0.7
+    assert(math.abs(jw("crate", "trace") - 0.7333333333333334) < 1e-15)
+    // below the 0.7 boost threshold: common prefix must NOT boost
+    assert(math.abs(jw("aaabbb", "aaaccc") - 0.6666666666666666) < 1e-15)
+    // ODD half-transposition count truncates (integer division): a 3-cycle
+    // in the matched sequence gives t = 3/2 = 1, not 1.5
+    assert(math.abs(jw("xyzaaaaa", "yzxaaaaa") - 0.9583333333333334) < 1e-15)
+    // match window floor(max/2)-1: length-2 swaps cannot match at all
+    assert(jw("ab", "ba") == 0.0)
+    // empty-either → 0 (DuckDB semantics, NOT the both-empty=1 variant)
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // code points, not UTF-16 units: astral pair compares as one character
+    assert(jw("a😀b", "a😀b") == 1.0)
+    // NULL propagation
+    assert(e.eval(row(null, u("x"))) == null)
+    assert(e.eval(row(u("x"), null)) == null)
+  }
 }
