@@ -3214,6 +3214,34 @@ object Queries {
       Multimodal.imageNearDupRoundTrip(s,
         orders(s, d).filter(col("o_orderkey") <= 24).select(col("o_orderkey").as("id")))),
 
+    // MRR@10 beside NDCG@10: reciprocal rank of each query's FIRST
+    // same-label neighbor in the same cosine ranking (0 when none ranks)
+    "sim_retrieval_mrr" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.retrievalMrr(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", 10)
+    }),
+    // one-sided CUSUM level-shift chart per event type: the sequential
+    // change detector for sustained small feed shifts the per-day z-score
+    // misses; exact integer deviations via n-scaling, closed-form
+    // prefix-sum/running-min windows (never the raw recursion)
+    "ts_cusum_shift" -> ((s, d) =>
+      graft.ext.TimeSeries.cusumShift(events(s, d), "event_type", "ts",
+        slackPerDay = 2L, threshold = 5.0)),
+    // degree assortativity of the part co-occurrence graph (the
+    // graph_triangles/link-prediction fixture): one exact-integer Pearson
+    // over edge-endpoint degrees
+    "graph_assortativity" -> ((s, d) => {
+      val op = graft.ext.Caches.track(
+        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+      val pairs = op.select(col("ok"), col("pk").as("pa"))
+        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graphs.degreeAssortativity(pairs, "pa", "pb")
+    }),
+
     // ---- evaluation metrics (Eval — §2.12 measurement family) ----
     // exact ROC AUC of event value as a purchase score: midranks via the
     // distributed globalOrdinals numbering (NO single-partition sort)
@@ -5919,6 +5947,69 @@ object Queries {
     "mm_image_near_dup" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
         |  FROM orders WHERE FALSE""".stripMargin,
+    // first same-label hit in the shared ndcg ranking CTEs → 1/rank
+    "sim_retrieval_mrr" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding
+        |             FROM embeddings WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |              list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |              CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel
+        |         FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+        |top AS (SELECT query_id, rel,
+        |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |          FROM sc QUALIFY rnk <= 10),
+        |fr AS (SELECT query_id, min(rnk) AS r FROM top WHERE rel = 1 GROUP BY 1)
+        |SELECT q.query_id, coalesce(round(1.0 / r, 6), 0.0) AS rr
+        |  FROM q LEFT JOIN fr USING (query_id)""".stripMargin,
+    // closed-form CUSUM: P_i − min(0, min prefix P) over n-scaled integer
+    // deviations; generate_series densifies gap days to real zeros
+    "ts_cusum_shift" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |                      count(*) AS x
+        |                 FROM events GROUP BY 1, 2),
+        |g AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |        FROM (SELECT k, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1)),
+        |f AS (SELECT g.k, g.day, coalesce(x, 0) AS x
+        |        FROM g LEFT JOIN daily ON g.k = daily.k AND g.day = daily.day),
+        |t AS (SELECT k, day, x,
+        |             count(*) OVER (PARTITION BY k) AS n,
+        |             sum(x) OVER (PARTITION BY k) AS sx
+        |        FROM f),
+        |c AS (SELECT k, day, x, n,
+        |             sum(CAST(n AS HUGEINT) * x - sx - n * 2)
+        |               OVER (PARTITION BY k ORDER BY day) AS cum
+        |        FROM t),
+        |m AS (SELECT k, day, x, n, cum,
+        |             least(min(cum) OVER (PARTITION BY k ORDER BY day), 0) AS mp
+        |        FROM c)
+        |SELECT k AS event_type, day, x AS n_events,
+        |       round(CAST(cum - mp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+        |       CAST(cum - mp AS DOUBLE) > 5.0 * n AS shift_alarm
+        |  FROM m""".stripMargin,
+    // Newman degree assortativity over the co-occurrence graph: numerator
+    // and denominator each ONE exact HUGEINT cast to double once
+    "graph_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
+        |        ON a.ok = b.ok AND a.pk < b.pk
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT DISTINCT least(pa, pb) AS a, greatest(pa, pb) AS b FROM e0),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |         GROUP BY 1),
+        |j AS (SELECT da.dg AS dj, db.dg AS dk
+        |        FROM und JOIN deg da ON und.a = da.node
+        |                 JOIN deg db ON und.b = db.node),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) * 2 AS m2,
+        |             sum(CAST(dj AS HUGEINT) + dk) AS sj,
+        |             sum(2 * CAST(dj AS HUGEINT) * dk) AS sjk,
+        |             sum(CAST(dj AS HUGEINT) * dj + CAST(dk AS HUGEINT) * dk) AS sj2
+        |        FROM j)
+        |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+        |       CASE WHEN m2 * sj2 - sj * sj = 0 THEN NULL
+        |            ELSE round(CAST(m2 * sjk - sj * sj AS DOUBLE)
+        |                       / CAST(m2 * sj2 - sj * sj AS DOUBLE), 6) END AS assortativity
+        |  FROM s""".stripMargin,
     // Mann–Whitney midrank AUC: tie group at cumulative count `cum` with n
     // members occupies ranks (cum−n+1)..cum, so 2·Σ(pos midranks) =
     // Σ np·(2·cum−n+1); the division happens once, in double

@@ -574,6 +574,54 @@ object Graphs {
         (col("cn").cast("double") / (col("dv") + col("dw") - col("cn"))).as("jaccard"))
   }
 
+  /**
+   * Degree assortativity (Newman 2002): the Pearson correlation of endpoint
+   * degrees across undirected edges — the one-number structure diagnostic
+   * separating social-style graphs (positive: hubs link hubs) from
+   * web/biology-style ones (negative: hubs link leaves); a crawl-derived
+   * link or co-occurrence graph whose assortativity flips between
+   * snapshots changed its growth regime, which is a data-quality tripwire
+   * the per-node degree card cannot see.
+   *
+   * Computed on the canonical undirected distinct edge set, each edge
+   * counted in BOTH orientations (the standard symmetrization — makes the
+   * j and k margins identical):
+   * `r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)` with M = 2·|E|.
+   * Every sum is an exact integer in DECIMAL(38,0) (degree² sums overflow
+   * longs near 10⁹ edges on hub-heavy graphs), the numerator and
+   * denominator each collapse to ONE exact integer cast to double, so the
+   * single division is the only float op — engine-portable at round 6. A
+   * degree-regular graph has zero variance → NULL, not a divide-by-zero.
+   *
+   * Scale shape: degrees from one groupBy over the exploded endpoints,
+   * joined back onto edges by node key (shuffle joins — the degree table
+   * is node-sized, deliberately NOT broadcast), one scalar aggregate out.
+   */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = cleanedEdges(edges, srcCol, dstCol, None)
+      .filter(col("__src") =!= col("__dst"))
+    val und = Caches.track(e0.select(least(col("__src"), col("__dst")).as("a"),
+      greatest(col("__src"), col("__dst")).as("b")).distinct())
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val dec = "decimal(38,0)"
+    val sums = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+      .agg((count(lit(1)) * 2).cast(dec).as("__m2"),
+        sum((col("da") + col("db")).cast(dec)).as("__sj"),
+        sum(lit(2).cast(dec) * col("da") * col("db")).as("__sjk"),
+        sum(col("da").cast(dec) * col("da") + col("db").cast(dec) * col("db"))
+          .as("__sj2"))
+    val num = col("__m2") * col("__sjk") - col("__sj") * col("__sj")
+    val den = col("__m2") * col("__sj2") - col("__sj") * col("__sj")
+    sums.select((col("__m2") / 2).cast("long").as("n_edges"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("assortativity"))
+  }
+
   /** Small-graph fast path for [[triangleCounts]]: sorted-adjacency
     * intersection over the collected canonical edge set (node ids mapped
     * to dense indices, so no ordering is required of the id type —

@@ -167,6 +167,40 @@ object Similarity {
           least(col("lcnt") - 1, lit(k.toLong)).cast("int"))).as("ndcg"))
   }
 
+  /**
+   * Mean-reciprocal-rank inputs: the reciprocal rank `1/rank` of each
+   * query's FIRST same-label neighbor within its cosine top-k (0.0 when
+   * no relevant neighbor ranks that high) — the first-hit retrieval
+   * metric reported beside NDCG on every embedding benchmark (MTEB/BEIR
+   * report both: NDCG grades the whole ranking, RR only the first hit a
+   * user actually clicks). Per-query rows so the caller averages at
+   * whatever grain it reports; the division is one exact `1/integer`.
+   *
+   * Same plan shape as [[retrievalNdcg]] (broadcast query side, cached
+   * normalized corpus, one per-query rank window) — the scored frame is
+   * query-partitioned so the window never single-partitions.
+   */
+  def retrievalMrr(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000]: $k")
+    import org.apache.spark.sql.graftx.VectorFunctions.vec_normalize
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      vec_normalize(col(vecCol)).as("qv"), col(labelCol).as("qlabel")))
+    val c = Caches.track(corpus.select(col(idCol).as("neighbor_id"),
+      vec_normalize(col(vecCol)).as("cv"), col(labelCol).as("clabel")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        dot(col("qv"), col("cv")).as("cos"), col("neighbor_id"),
+        (col("clabel") === col("qlabel")).cast("int").as("rel"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val first = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k && col("rel") === 1)
+      .groupBy("query_id").agg(min("rnk").as("__r"))
+    q.select("query_id").join(first, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(round(lit(1.0) / col("__r"), 6), lit(0.0)).as("rr"))
+  }
+
   /** The rank-discount weights `1/log2(i+1)` for i = 1..k and their prefix
     * sums (the IDCG table) — shared verbatim with gate oracles so both
     * engines index the SAME literal doubles. */

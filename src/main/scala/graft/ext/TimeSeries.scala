@@ -193,4 +193,53 @@ object TimeSeries {
       when(ok, round(z, 6)).as("z_score"),
       when(ok, abs(z) >= zThreshold).otherwise(lit(false)).as("anomaly"))
   }
+
+  /**
+   * One-sided CUSUM level-shift detection (Page 1954) over per-key daily
+   * event counts — the sequential change-point chart that catches a
+   * SUSTAINED small upward shift [[rollingVolumeAnomaly]]'s per-day
+   * z-score cannot (a +20 % feed that never exceeds 2σ on any single day
+   * accumulates here linearly until it alarms). The classical recursion
+   * `S_i = max(0, S_{i−1} + x_i − μ − slack)` is NOT window-expressible,
+   * but its closed form IS: `S_i = P_i − min(0, min_{j≤i} P_j)` where
+   * `P` is the running sum of deviations — one cumulative-sum window plus
+   * one running-min window, both partitioned by key.
+   *
+   * Exactness: deviations are scaled by the key's day count n so they stay
+   * INTEGRAL (`n·x_i − Σx − n·slack`), accumulated in DECIMAL(38,0)
+   * (n·n·x can pass 2⁶³ on year-scale history of a hot key); the single
+   * division by n happens once at output. μ is the key's own full-window
+   * mean, making this the retrospective (offline) chart — the standard
+   * fit when screening a finished corpus window for feed shifts.
+   *
+   * Scale shape: one groupBy(key, day) on the raw events, then the
+   * [[dailyGridFill]] densification (gap days must be REAL zero-count
+   * days or a dead feed looks stable), then key-partitioned windows over
+   * day-count-sized frames — never an unpartitioned window, never a
+   * corpus-sized frame per task.
+   */
+  def cusumShift(events: DataFrame, keyCol: String, tsCol: String,
+      slackPerDay: Long = 2L, threshold: Double = 5.0): DataFrame = {
+    require(slackPerDay >= 0, s"slackPerDay must be >= 0: $slackPerDay")
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val daily = events.groupBy(col(keyCol),
+        date_trunc("DAY", col(tsCol)).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("__x"))
+    val dense = dailyGridFill(daily, keyCol, "day", Nil)
+      .withColumn("__x", coalesce(col("__x"), lit(0L)))
+    val whole = Window.partitionBy(keyCol)
+    val run = Window.partitionBy(keyCol).orderBy(col("day"))
+    val staged = dense
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__sx", sum(col("__x")).over(whole))
+      .withColumn("__cum", sum((col("__n") * col("__x") - col("__sx") -
+        col("__n") * slackPerDay).cast("decimal(38,0)")).over(run))
+      .withColumn("__mp", least(min(col("__cum")).over(run),
+        lit(0).cast("decimal(38,0)")))
+    val s = col("__cum") - col("__mp") // the scaled CUSUM statistic, exact
+    staged.select(col(keyCol), col("day"), col("__x").as("n_events"),
+      round(s.cast("double") / col("__n").cast("double"), 6).as("cusum"),
+      (s.cast("double") > lit(threshold) * col("__n").cast("double"))
+        .as("shift_alarm"))
+  }
 }

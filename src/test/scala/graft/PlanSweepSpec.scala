@@ -72,6 +72,8 @@ class PlanSweepSpec extends AnyFunSuite {
       // the NDCG eval ranks the same brute-force broadcast query×corpus
       // scan as sim_topk (that exact ranking IS the metric's ground truth)
       "sim_retrieval_ndcg",
+      // MRR ranks the identical broadcast query×corpus scan as NDCG
+      "sim_retrieval_mrr",
       // the Pareto total/count is a one-row broadcast scalar attached to
       // the ranked customer-revenue frame
       "window_pareto_deciles",

@@ -454,4 +454,27 @@ class GraphsSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop).passed)
   }
+
+  test("degreeAssortativity: hand-computed values, regular-graph NULL, input hygiene") {
+    import spark.implicits._
+    def run(es: Seq[(String, String)]): (Long, Option[Double]) = {
+      val r = Graphs.degreeAssortativity(es.toDF("s", "d"), "s", "d").head()
+      Caches.unpersistAll()
+      (r.getAs[Long]("n_edges"),
+        if (r.isNullAt(r.fieldIndex("assortativity"))) None
+        else Some(r.getAs[Double]("assortativity")))
+    }
+    // star K1,3: every edge pairs the hub (deg 3) with a leaf (deg 1) —
+    // perfect anticorrelation
+    assert(run(Seq(("h", "a"), ("h", "b"), ("h", "c"))) == (3L, Some(-1.0)))
+    // triangle + pendant: degrees a=3 b=2 c=2 d=1; by the exact sums
+    // M=8 Σj=18 Σjk=38 Σj²=44 → r = (8·38−324)/(8·44−324) = −20/28
+    assert(run(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")))
+      == (4L, Some(-0.714286)))
+    // cycle: degree-regular → zero variance → NULL, never divide-by-zero
+    assert(run(Seq(("a", "b"), ("b", "c"), ("c", "a"))) == (3L, None))
+    // self-loops and duplicate/reversed edges collapse before counting
+    assert(run(Seq(("h", "a"), ("a", "h"), ("h", "h"), ("h", "b"), ("h", "c")))
+      == (3L, Some(-1.0)))
+  }
 }

@@ -129,6 +129,35 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Similarity.retrievalNdcg(df, df, "vec_id", "embedding", "label", 0))
   }
 
+  test("retrievalMrr: first-hit ranks, zero when nothing relevant ranks in top-k") {
+    // same angle-controlled fixture as the NDCG spec
+    val rows = Seq(
+      (0L, Array(1f, 0f), "A"), (1L, Array(1f, 0.01f), "A"),
+      (2L, Array(1f, 0.1f), "B"), (3L, Array(1f, 0.3f), "A"),
+      (4L, Array(0f, 1f), "B"), (5L, Array(-1f, 0f), "A"),
+      (6L, Array(0.5f, 0.5f), "C"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalMrr(df, df.filter(col("vec_id").isin(0, 2, 6)),
+        "vec_id", "embedding", "label", 3)
+      .as[(Long, Double)].collect().toMap
+    graft.ext.Dedup.unpersistAll()
+    // query 0 (A): rank-1 neighbor is id 1 (A) → rr = 1
+    assert(got(0L) == 1.0)
+    // query 2 (B): top-3 by cos desc = 1 (A), 3 (A), 0 (A)... id 4 (B)
+    // ranks below 3 → rr = 0; singleton-label query 6 likewise 0
+    assert(got(2L) == 0.0)
+    assert(got(6L) == 0.0)
+    // wider k lets query 2 reach its first B: the full cos-desc ranking is
+    // 1, 0, 3, 6, 4, 5 — first B (id 4) at rank 5 → rr = 0.2 exactly
+    val wide = Similarity.retrievalMrr(df, df.filter(col("vec_id") === 2),
+        "vec_id", "embedding", "label", 6)
+      .as[(Long, Double)].collect().toMap
+    graft.ext.Dedup.unpersistAll()
+    assert(wide(2L) == 0.2)
+    intercept[IllegalArgumentException](
+      Similarity.retrievalMrr(df, df, "vec_id", "embedding", "label", 0))
+  }
+
   test("ANN (IVF, kmeans coarse quantizer) recall ≥ 0.6 vs exact top-5 at nprobe=6/16") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.topK(emb, q, "vec_id", "embedding", 5)
