@@ -48,6 +48,9 @@ object ScaleSmoke {
     if (args.contains("bitext")) { // iterate on the bitext-mining section alone
       bitextSmoke(spark); println("[scale] DONE (bitext only)"); spark.stop(); return
     }
+    if (args.contains("eval")) { // iterate on the eval/linkage/cusum section alone
+      evalSmoke(spark); println("[scale] DONE (eval only)"); spark.stop(); return
+    }
     import spark.implicits._
 
     // ---- build replicated inputs (ids perturbed so keys stay unique) ----
@@ -759,6 +762,7 @@ object ScaleSmoke {
     truth.unpersist(); gTruth.unpersist()
 
     storeStress(spark, out)
+    evalSmoke(spark)
     crawlPipeline(spark)
 
     println(s"[scale] pair/cluster counts: lsh=$lsh simhash=$sh clusters=$cc " +
@@ -786,6 +790,99 @@ object ScaleSmoke {
    * page" variants (doc text + the next doc's text), which survive wave 0
    * and then dedup against the grown index in waves 1–5.
    */
+  /**
+   * The late-r17 measurement/linkage family at 1M–12M rows — three scale
+   * invariants the sf0.01 gates cannot exercise:
+   *
+   *   1. LINKAGE: 500 k base names × 500 k perturbed variants, blocked on
+   *      a 4-character prefix (10⁴ blocks) so the candidate space is ~25 M
+   *      pairs instead of the 250 G cross product. Every planted twin's
+   *      Jaro–Winkler clears 0.9 by construction (identical / drop-6th /
+   *      swap-7-8 / replace-last perturbations, all prefix-preserving), so
+   *      recall of the twin set must be EXACTLY 500 k — a miss means the
+   *      blocking or the kernel broke, not noise.
+   *   2. AUC: 12 M rows, 1000-way tied scores (the midrank path under
+   *      maximal tie pressure). The statistic must be BIT-IDENTICAL across
+   *      different input partitionings — globalOrdinals' contract that a
+   *      row's rank never depends on where it lands — and sit on the
+   *      planted side of 0.5.
+   *   3. CUSUM: 1000 keys × 365 daily points (the chart frame at
+   *      year-scale history), volume doubled on keys 0..9 for the last 90
+   *      days. The alarmed-key set must be exactly {0..9} and every alarm
+   *      day inside the shifted window.
+   */
+  private def evalSmoke(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+
+    time("jaro-winkler linkage, 500k x 500k names, 4-char blocks") {
+      val n = 500000L
+      def names(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+        translate(lpad(pmod(col("id") * 2654435761L, lit(1000000000000L))
+          .cast("string"), 12, "0"), "0123456789", "abcdefghij").as("name"))
+      val base = names(spark.range(n).repartition(32).toDF("id"))
+      val variants = names(spark.range(n).repartition(32).toDF("id")).select(col("id"),
+        when(col("id") % 4 === 0, col("name"))
+          .when(col("id") % 4 === 1, // drop the 6th char (prefix preserved)
+            concat(substring(col("name"), 1, 5), substring(col("name"), 7, 12)))
+          .when(col("id") % 4 === 2, // swap chars 7 and 8
+            concat(substring(col("name"), 1, 6), substring(col("name"), 8, 1),
+              substring(col("name"), 7, 1), substring(col("name"), 9, 12)))
+          .otherwise(concat(substring(col("name"), 1, 11), lit("z"))).as("name"))
+      val pairs = graft.ext.Dedup.linkNamesJaroWinkler(
+        base, variants, "id", "name", "id", "name",
+        threshold = 0.9, blockChars = 4)
+      val (nPairs, nTwins) = pairs.agg(count(lit(1)),
+        sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L)))
+        .as[(Long, Long)].head()
+      println(s"[scale]   linkage: $nPairs pairs >= 0.9, $nTwins planted twins (expect $n)")
+      require(nTwins == n, s"planted twin recall must be exact: $nTwins of $n")
+    }
+
+    time("exact AUC, 12M rows, 1000-way score ties, partitioning-invariant") {
+      val n = 12000000L
+      def scored(parts: Int) = spark.range(n).repartition(parts)
+        .select(col("id"),
+          pmod(col("id") * 2654435761L, lit(1000L)).as("s"),
+          // positives concentrate at high scores: planted separation
+          (pmod(col("id") * 1099511627L, lit(1000L)) <
+            (lit(150L) + when(pmod(col("id") * 2654435761L, lit(1000L)) >= 500,
+              500L).otherwise(0L))).as("y"))
+      val a = graft.ext.Eval.aucBinary(scored(32), col("s"), col("y"), col("id"))
+        .as[(Long, Long, Double)].head()
+      val b = graft.ext.Eval.aucBinary(scored(7), col("s"), col("y"), col("id"))
+        .as[(Long, Long, Double)].head()
+      println(s"[scale]   auc: ${a._3} over ${a._1} pos / ${a._2} neg " +
+        s"(repartition(7) run: ${b._3})")
+      require(a == b, s"AUC must be partitioning-invariant: $a vs $b")
+      require(a._1 + a._2 == n, "every row classified")
+      require(a._3 > 0.6 && a._3 < 0.9, s"planted separation direction lost: ${a._3}")
+    }
+
+    time("CUSUM, 1000 keys x 365 days, 10 planted +100% shifts") {
+      // one synthetic event per (key, day, unit): 30/day baseline,
+      // 60/day on keys < 10 from day 275 on
+      val grid = spark.range(1000L * 365).repartition(32)
+        .select((col("id") % 1000).as("k"), (col("id") / 1000).as("d"))
+      val events = grid.select(col("k"), col("d"),
+          explode(sequence(lit(1), when(col("k") < 10 && col("d") >= 275, 60)
+            .otherwise(30))).as("u"))
+        .select(concat(lit("key"), col("k")).as("event_type"),
+          expr("timestampadd(DAY, CAST(d AS INT), TIMESTAMP'2024-01-01 12:00:00')")
+            .as("ts"))
+      val res = graft.ext.TimeSeries.cusumShift(events, "event_type", "ts",
+        slackPerDay = 5L, threshold = 40.0)
+      val alarmedKeys = res.filter(col("shift_alarm"))
+        .select("event_type").distinct().as[String].collect().toSet
+      val earlyAlarms = res.filter(col("shift_alarm") &&
+        col("day") < lit("2024-10-02").cast("timestamp_ntz")).count()
+      println(s"[scale]   cusum: alarmed keys = ${alarmedKeys.size} " +
+        s"(expect 10), pre-shift alarms = $earlyAlarms (expect 0)")
+      require(alarmedKeys == (0 until 10).map(i => s"key$i").toSet,
+        s"alarm set wrong: $alarmedKeys")
+      require(earlyAlarms == 0, s"$earlyAlarms alarms before the planted shift")
+    }
+  }
+
   /** Distributed k-means at 1M vectors — the gate's 500-row fixture can't
     * show the distributed shape, so this forces it on a corpus with an EXACT
     * expected answer (not an inertia tolerance): 8 axis-aligned blobs at
