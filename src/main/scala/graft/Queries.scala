@@ -2031,7 +2031,8 @@ object Queries {
       // spark.sql resolves eagerly, so the view can drop immediately —
       // query entries must not leak state into the shared session
       val df = s.sql("""SELECT doc_id, unicode_normalize(text, 'NFC') AS nfc_text,
-                       |       length(unicode_normalize(text, 'NFC')) AS n_chars_nfc
+                       |       length(unicode_normalize(text, 'NFC')) AS n_chars_nfc,
+                       |       round(jaro_winkler(substring(text, 1, 8), 'martha'), 6) AS jw_probe
                        |  FROM sql_path_docs""".stripMargin)
       s.catalog.dropTempView("sql_path_docs")
       df
@@ -4715,7 +4716,8 @@ object Queries {
     "o18_sql_function_path" ->
       s"""WITH $synthNfcSql
          |SELECT doc_id, nfc_normalize(text) AS nfc_text,
-         |       length(nfc_normalize(text)) AS n_chars_nfc
+         |       length(nfc_normalize(text)) AS n_chars_nfc,
+         |       round(jaro_winkler_similarity(substr(text, 1, 8), 'martha'), 6) AS jw_probe
          |  FROM nfc""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,
