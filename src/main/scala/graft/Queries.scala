@@ -3215,6 +3215,41 @@ object Queries {
       Multimodal.imageNearDupRoundTrip(s,
         orders(s, d).filter(col("o_orderkey") <= 24).select(col("o_orderkey").as("id")))),
 
+    // k-NN majority-vote classification: exact cosine top-5 votes with
+    // the (votes DESC, label ASC) deterministic tie-break
+    "sim_knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", 5)
+    }),
+    // Theil T inequality per market segment beside the Gini gate: exact
+    // integer cents, per-row (x·n/Σx)·ln(x·n/Σx) terms, one grouped sum
+    "agg_theil_index" -> ((s, d) => {
+      val j = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val tot = j.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sx"))
+      val r = col("cents").cast("double") * col("n").cast("double") /
+        col("sx").cast("double")
+      j.join(broadcast(tot), Seq("c_mktsegment"))
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("n")).as("n"),
+          round(sum(r * log(r)) / max(col("n")).cast("double"), 6).as("theil"))
+    }),
+    // Kendall τ-a rank agreement between the token-count and char-count
+    // orderings of each language's top-50 longest docs — the cheap-vs-
+    // expensive scorer swap test; pairs form only WITHIN the bounded head
+    "eval_kendall_tau" -> ((s, d) => {
+      val scored = docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_obs"))
+      Eval.rankAgreement(scored, col("lang"), col("n_chars_obs"),
+          col("n_tokens"), col("doc_id"), head = 50)
+        .withColumnRenamed("grp", "lang")
+    }),
     // MRR@10 beside NDCG@10: reciprocal rank of each query's FIRST
     // same-label neighbor in the same cosine ranking (0 when none ranks)
     "sim_retrieval_mrr" -> ((s, d) => {
@@ -5949,6 +5984,54 @@ object Queries {
     "mm_image_near_dup" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
         |  FROM orders WHERE FALSE""".stripMargin,
+    // exact top-5 votes, (votes DESC, label ASC) pick — the ndcg CTE shape
+    "sim_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS gold, embedding
+        |             FROM embeddings WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, q.gold, c.vec_id AS neighbor_id, c.label AS clabel,
+        |              list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        |         FROM q JOIN embeddings c ON q.query_id <> c.vec_id),
+        |top AS (SELECT query_id, gold, clabel,
+        |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |          FROM sc QUALIFY rnk <= 5),
+        |v AS (SELECT query_id, gold, clabel, count(*) AS votes
+        |        FROM top GROUP BY 1, 2, 3)
+        |SELECT query_id, gold, clabel AS predicted, votes, clabel = gold AS correct
+        |  FROM v QUALIFY row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, clabel) = 1""".stripMargin,
+    // identical per-row double term (x·n/Σx)·ln(...), one grouped sum
+    "agg_theil_index" ->
+      """WITH j AS (SELECT c_mktsegment,
+        |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |             FROM orders JOIN customer ON o_custkey = c_custkey),
+        |t AS (SELECT c_mktsegment, count(*) AS n, sum(cents) AS sx FROM j GROUP BY 1)
+        |SELECT j.c_mktsegment, max(n) AS n,
+        |       round(sum((CAST(cents AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE))
+        |                 * ln(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE)))
+        |             / CAST(max(n) AS DOUBLE), 6) AS theil
+        |  FROM j JOIN t USING (c_mktsegment) GROUP BY 1""".stripMargin,
+    // τ-a over the top-50-chars head per language: exact integer pair counts
+    "eval_kendall_tau" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |                  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |                  CAST(length(text) AS BIGINT) AS n_chars_obs
+        |             FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT lang, doc_id, n_tokens, n_chars_obs,
+        |             row_number() OVER (PARTITION BY lang
+        |                 ORDER BY n_chars_obs DESC, doc_id) AS r1
+        |        FROM s QUALIFY r1 <= 50),
+        |r AS (SELECT lang, r1,
+        |             row_number() OVER (PARTITION BY lang
+        |                 ORDER BY n_tokens DESC, doc_id) AS r2
+        |        FROM h),
+        |p AS (SELECT a.lang, count(*) AS n_pairs,
+        |             sum(CASE WHEN a.r2 < b.r2 THEN 1 ELSE 0 END) AS concordant
+        |        FROM r a JOIN r b ON a.lang = b.lang AND a.r1 < b.r1
+        |       GROUP BY 1)
+        |SELECT lang, n_pairs, CAST(concordant AS BIGINT) AS concordant,
+        |       CAST(n_pairs - concordant AS BIGINT) AS discordant,
+        |       round((2.0 * concordant - n_pairs) / n_pairs, 6) AS tau
+        |  FROM p""".stripMargin,
     // first same-label hit in the shared ndcg ranking CTEs → 1/rank
     "sim_retrieval_mrr" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding

@@ -109,6 +109,48 @@ object Eval {
   }
 
   /**
+   * Kendall rank agreement (τ-a) between two scorers over each group's
+   * top-`head` ranking — the metric for "does the cheap scorer order the
+   * corpus like the expensive one?" before swapping a classifier for a
+   * heuristic in a selection pipeline (rank agreement is what matters
+   * there: selection cuts on order, not on calibrated values).
+   *
+   * Both rankings are made TOTAL orders by the id tiebreak, so there are
+   * no rank ties and τ-a = (C − D) / (n(n−1)/2) over exact integer
+   * concordant/discordant counts — one division at the end.
+   *
+   * Scale shape: the head cut is one per-group rank window; the pair
+   * comparison is a self-join WITHIN the head (≤ head²/2 pairs per group,
+   * a caller-bounded constant — `head` is capped at 1000 so a group can
+   * never form an unbounded pair set; full-corpus τ would be O(n²) and is
+   * deliberately not offered).
+   */
+  def rankAgreement(df: DataFrame, group: Column, score1: Column,
+      score2: Column, id: Column, head: Int): DataFrame = {
+    require(head >= 2 && head <= 1000, s"rankAgreement: head must be in [2,1000]: $head")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("__g"), score1.as("__s1"), score2.as("__s2"),
+      id.as("__id")).filter(col("__s1").isNotNull && col("__s2").isNotNull)
+    val w1 = Window.partitionBy("__g").orderBy(col("__s1").desc, col("__id"))
+    val headDf = base.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= head)
+    val w2 = Window.partitionBy("__g").orderBy(col("__s2").desc, col("__id"))
+    val ranked = headDf.withColumn("__r2", row_number().over(w2))
+      .select(col("__g"), col("__r1"), col("__r2"))
+    val a = ranked.select(col("__g"), col("__r1").as("__i1"), col("__r2").as("__i2"))
+    val b = ranked.select(col("__g"), col("__r1").as("__j1"), col("__r2").as("__j2"))
+    a.join(b, Seq("__g")).filter(col("__i1") < col("__j1"))
+      .groupBy(col("__g").as("grp"))
+      .agg(count(lit(1)).as("__pairs"),
+        sum(when(col("__i2") < col("__j2"), 1L).otherwise(0L)).as("concordant"))
+      .select(col("grp"), col("__pairs").as("n_pairs"), col("concordant"),
+        (col("__pairs") - col("concordant")).as("discordant"),
+        round((lit(2.0) * col("concordant").cast("double") -
+            col("__pairs").cast("double")) / col("__pairs").cast("double"), 6)
+          .as("tau"))
+  }
+
+  /**
    * Cohen's kappa between a predicted and a gold label column — chance-
    * corrected agreement, the standard acceptance metric for a heuristic
    * labeler (our n-gram language ID) against reference annotations before

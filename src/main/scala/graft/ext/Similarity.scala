@@ -201,6 +201,41 @@ object Similarity {
         coalesce(round(lit(1.0) / col("__r"), 6), lit(0.0)).as("rr"))
   }
 
+  /**
+   * k-NN majority-vote classification over the embedding space — the
+   * lazy-learner baseline every labeled-corpus eval starts from (and the
+   * label-propagation step for semi-supervised corpus labeling): each
+   * query takes its exact cosine top-k (the [[topK]] plan shape) and is
+   * assigned the label with the most votes, ties broken by (votes DESC,
+   * label ASC) so the prediction is a total order in both engines.
+   * Output: (query_id, gold, predicted, votes, correct).
+   *
+   * Scale shape: broadcast query side, corpus streams once, per-query
+   * rank window, then a ≤|labels|-row vote count per query — everything
+   * after the scan is query-cardinality-sized.
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000]: $k")
+    import org.apache.spark.sql.graftx.VectorFunctions.vec_normalize
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      vec_normalize(col(vecCol)).as("qv"), col(labelCol).as("gold")))
+    val c = Caches.track(corpus.select(col(idCol).as("neighbor_id"),
+      vec_normalize(col(vecCol)).as("cv"), col(labelCol).as("clabel")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("gold"),
+        dot(col("qv"), col("cv")).as("cos"), col("neighbor_id"), col("clabel"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val votes = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("query_id", "gold", "clabel").agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("clabel"))
+    votes.withColumn("__p", row_number().over(pick)).filter(col("__p") === 1)
+      .select(col("query_id"), col("gold"), col("clabel").as("predicted"),
+        col("votes"), (col("clabel") === col("gold")).as("correct"))
+  }
+
   /** The rank-discount weights `1/log2(i+1)` for i = 1..k and their prefix
     * sums (the IDCG table) — shared verbatim with gate oracles so both
     * engines index the SAME literal doubles. */

@@ -74,6 +74,8 @@ class PlanSweepSpec extends AnyFunSuite {
       "sim_retrieval_ndcg",
       // MRR ranks the identical broadcast query×corpus scan as NDCG
       "sim_retrieval_mrr",
+      // k-NN classification votes over the same broadcast query×corpus scan
+      "sim_knn_classify",
       // the Pareto total/count is a one-row broadcast scalar attached to
       // the ranked customer-revenue frame
       "window_pareto_deciles",

@@ -58,6 +58,31 @@ class EvalSpec extends AnyFunSuite {
     assert(bins(2).getAs[Double]("mean_score") == 1.0)
   }
 
+  test("rankAgreement: perfect/reversed/mixed tau, head cut, validation") {
+    // one group, scores aligned: s2 = s1 → tau = 1
+    val aligned = Seq((1L, 40.0, 4.0), (2L, 30.0, 3.0), (3L, 20.0, 2.0), (4L, 10.0, 1.0))
+      .map { case (i, a, b) => ("g", i, a, b) }.toDF("g", "id", "s1", "s2")
+    def tau(df: org.apache.spark.sql.DataFrame, head: Int = 50): (Long, Long, Double) = {
+      val r = Eval.rankAgreement(df, col("g"), col("s1"), col("s2"), col("id"), head).head()
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("concordant"), r.getAs[Double]("tau"))
+    }
+    assert(tau(aligned) == (6L, 6L, 1.0))
+    // reversed: s2 = −s1 → tau = −1
+    val reversed = aligned.withColumn("s2", -col("s2"))
+    assert(tau(reversed) == (6L, 0L, -1.0))
+    // one swap in 4: rank2 = 1,2,4,3 → discordant pair (3,4) only →
+    // tau = (2·5 − 6)/6 = 0.666667
+    val swapped = Seq(("g", 1L, 40.0, 4.0), ("g", 2L, 30.0, 3.0),
+      ("g", 3L, 20.0, 1.0), ("g", 4L, 10.0, 2.0)).toDF("g", "id", "s1", "s2")
+    assert(tau(swapped) == (6L, 5L, 0.666667))
+    // head cut: head=2 keeps the top-2 by s1 only → 1 pair
+    assert(tau(swapped, head = 2) == (1L, 1L, 1.0))
+    intercept[IllegalArgumentException](
+      Eval.rankAgreement(aligned, col("g"), col("s1"), col("s2"), col("id"), 1))
+    intercept[IllegalArgumentException](
+      Eval.rankAgreement(aligned, col("g"), col("s1"), col("s2"), col("id"), 1001))
+  }
+
   test("cohensKappa: textbook 2x2 case and degenerate perfect agreement") {
     // cells: (a,a)=45 (a,b)=15 (b,a)=5 (b,b)=35 → pred margins a=60 b=40,
     // gold margins a=50 b=50, diag=80 → p_o=0.8,

@@ -158,6 +158,35 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
       Similarity.retrievalMrr(df, df, "vec_id", "embedding", "label", 0))
   }
 
+  test("knnClassify: majority vote, deterministic tie-break, correctness flag") {
+    // query 0's full cos-desc ranking (from the MRR spec): 1, 0, 3, 6, 4, 5
+    val rows = Seq(
+      (0L, Array(1f, 0f), "A"), (1L, Array(1f, 0.01f), "A"),
+      (2L, Array(1f, 0.1f), "B"), (3L, Array(1f, 0.3f), "A"),
+      (4L, Array(0f, 1f), "B"), (5L, Array(-1f, 0f), "A"),
+      (6L, Array(0.5f, 0.5f), "C"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // k=3 for query 2 (gold B): neighbors 1 (A), 0 (A), 3 (A) → predicted A,
+    // 3 votes, incorrect
+    val got = Similarity.knnClassify(df, df.filter(col("vec_id").isin(0, 2)),
+        "vec_id", "embedding", "label", 3)
+      .as[(Long, String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    graft.ext.Dedup.unpersistAll()
+    assert(got(2L) == ((2L, "B", "A", 3L, false)))
+    // query 0 (gold A): neighbors 1 (A), 2 (B), 3 (A) → A with 2 votes
+    assert(got(0L) == ((0L, "A", "A", 2L, true)))
+    // tie-break: query 6's cos-desc ranking is 3 (A), 2 (B), 1 (A), …;
+    // k=2 → one vote each for A and B → label ASC wins: A
+    val tied = Similarity.knnClassify(df, df.filter(col("vec_id") === 6),
+        "vec_id", "embedding", "label", 2)
+      .as[(Long, String, String, Long, Boolean)].collect().head
+    graft.ext.Dedup.unpersistAll()
+    assert(tied._3 == "A" && tied._4 == 1L && !tied._5)
+    intercept[IllegalArgumentException](
+      Similarity.knnClassify(df, df, "vec_id", "embedding", "label", 0))
+  }
+
   test("ANN (IVF, kmeans coarse quantizer) recall ≥ 0.6 vs exact top-5 at nprobe=6/16") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.topK(emb, q, "vec_id", "embedding", 5)
