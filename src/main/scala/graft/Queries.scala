@@ -3215,6 +3215,31 @@ object Queries {
       Multimodal.imageNearDupRoundTrip(s,
         orders(s, d).filter(col("o_orderkey") <= 24).select(col("o_orderkey").as("id")))),
 
+    // multinomial naive Bayes language routing: train on even doc ids,
+    // classify odd; one token-keyed model join (unseen tokens fold into
+    // the per-label constant), round-6 argmax with label tiebreak.
+    // NOTE the gate checks PARITY, not accuracy — the fixture's languages
+    // share most vocabulary by construction (only sparse marker tokens
+    // differ), so NB accuracy here is ~0.34; the separable-corpus
+    // perfect-recovery property is pinned in NbClassifySpec
+    "text_nb_classify" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.nbClassify(dd.filter(col("doc_id") % 2 === 0),
+        dd.filter(col("doc_id") % 2 === 1))
+    }),
+    // k-core peeling (5 fixed rounds, k=3) over the part co-occurrence
+    // graph — the dense-subgraph screen; fixed-round so the oracle can
+    // unroll the identical peels as chained CTEs
+    "graph_kcore" -> ((s, d) => {
+      val op = graft.ext.Caches.track(
+        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+      val pairs = op.select(col("ok"), col("pk").as("pa"))
+        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graphs.kCore(pairs, "pa", "pb", k = 3, rounds = 5)
+    }),
     // k-NN majority-vote classification: exact cosine top-5 votes with
     // the (votes DESC, label ASC) deterministic tie-break
     "sim_knn_classify" -> ((s, d) => {
@@ -3485,6 +3510,34 @@ object Queries {
     * DCG/IDCG arithmetic with the discount weights and IDCG prefix sums
     * interpolated from [[graft.ext.Similarity.ndcgWeights]] — both engines
     * index the SAME literal doubles, no engine re-derives a log. */
+  /** 5 k-core peel rounds (k=3) over the part co-occurrence graph,
+    * unrolled as chained MATERIALIZED CTEs (the bpe_merges precedent —
+    * without MATERIALIZED each round's three references to the prior
+    * round re-INLINE the whole chain, a 3⁸ plan blowup that hangs the
+    * oracle; materialized, the chain runs in 0.1 s) — each round
+    * re-derives degrees over the prior round's edge set and keeps only
+    * >= k endpoints, exactly the operator's loop. */
+  private val kcoreSql: String = {
+    val k = 3
+    val head =
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0r AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
+        |         ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT DISTINCT pa AS a, pb AS b FROM e0r)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (SELECT node, count(*) AS dg FROM (SELECT a AS node FROM e${i - 1}
+         |        UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $k),
+         |e$i AS MATERIALIZED (SELECT e${i - 1}.a, e${i - 1}.b FROM e${i - 1}
+         |        JOIN n$i x ON e${i - 1}.a = x.node
+         |        JOIN n$i y ON e${i - 1}.b = y.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      "\nSELECT node, count(*) AS degree FROM (SELECT a AS node FROM e5" +
+      "\nUNION ALL SELECT b FROM e5) GROUP BY 1"
+  }
+
   private val ndcgSql: String = {
     val (w, i) = graft.ext.Similarity.ndcgWeights(10)
     val wLit = w.mkString("[", ", ", "]")
@@ -5984,6 +6037,39 @@ object Queries {
     "mm_image_near_dup" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
         |  FROM orders WHERE FALSE""".stripMargin,
+    // add-one NB: unseen tokens fold into n·ln(T+V), so only seen pairs join
+    "text_nb_classify" ->
+      """WITH tr AS (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+        |              FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |cnt AS (SELECT lang, w, count(*) AS c FROM tr GROUP BY 1, 2),
+        |ls AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+        |pri AS (SELECT lang, count(*) AS dl FROM documents
+        |         WHERE doc_id % 2 = 0 AND text IS NOT NULL GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM tr),
+        |dt AS (SELECT count(*) AS dtot FROM documents
+        |        WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |te AS (SELECT doc_id, lang AS gold, text FROM documents
+        |        WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |tt AS (SELECT doc_id, w, count(*) AS tf FROM (
+        |         SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+        |           FROM te) GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, sum(tf) AS n FROM tt GROUP BY 1),
+        |hits AS (SELECT tt.doc_id, cnt.lang, sum(tt.tf * ln(cnt.c + 1)) AS hs
+        |           FROM tt JOIN cnt ON tt.w = cnt.w GROUP BY 1, 2),
+        |sp AS (SELECT te.doc_id, te.gold, ls.lang, pri.dl, ls.tot, nt.n
+        |         FROM te JOIN nt USING (doc_id)
+        |         CROSS JOIN ls JOIN pri ON ls.lang = pri.lang),
+        |sc AS (SELECT sp.doc_id, sp.gold, sp.lang,
+        |              round(ln(CAST(dl AS DOUBLE) / dtot)
+        |                    - n * ln(CAST(tot + v AS DOUBLE))
+        |                    + coalesce(hs, 0.0), 6) AS s
+        |         FROM sp CROSS JOIN vv CROSS JOIN dt
+        |         LEFT JOIN hits ON sp.doc_id = hits.doc_id AND sp.lang = hits.lang)
+        |SELECT doc_id, gold, lang AS predicted, lang = gold AS correct
+        |  FROM sc QUALIFY row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY s DESC, lang) = 1""".stripMargin,
+    // the identical 5 peel rounds unrolled as chained CTEs
+    "graph_kcore" -> kcoreSql,
     // exact top-5 votes, (votes DESC, label ASC) pick — the ndcg CTE shape
     "sim_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS gold, embedding

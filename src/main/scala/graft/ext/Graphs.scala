@@ -622,6 +622,50 @@ object Graphs {
         .as("assortativity"))
   }
 
+  /**
+   * k-core peeling (Seidman 1983): repeatedly remove nodes of degree < k
+   * from the undirected graph until `rounds` peel passes have run — the
+   * dense-subgraph screen on crawl/co-occurrence graphs (spam farms and
+   * boilerplate templates live in unnaturally dense cores; thin periphery
+   * is usually organic). Fixed-round rather than run-to-fixpoint so a
+   * DuckDB oracle can unroll the identical rounds as chained CTEs (the
+   * `bpeTrain`/`kmeansAssign` precedent); callers wanting the true core
+   * iterate until `n_nodes` stops shrinking — each extra call is cheap
+   * because peeling is monotone (already-peeled inputs pass through).
+   *
+   * Returns the surviving nodes with their degree in the peeled subgraph.
+   *
+   * Scale shape: each round is ONE degree aggregation + two node-keyed
+   * semi-joins over the shrinking edge set — O(rounds · |E|) total, no
+   * driver-side state at all; per-round lineage is truncated exactly like
+   * [[pageRank]]'s rank frames so `rounds` cannot compound a plan.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
+    val e0 = cleanedEdges(edges, srcCol, dstCol, None)
+      .filter(col("__src") =!= col("__dst"))
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var cur = truncate(e0.select(least(col("__src"), col("__dst")).as("a"),
+      greatest(col("__src"), col("__dst")).as("b")).distinct())
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(cur).filter(col("dg") >= k).select("node")
+      val next = truncate(cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+      Caches.releaseCheckpoint(cur)
+      cur = next
+    }
+    Caches.registerCheckpoint(cur)
+    degrees(cur).select(col("node"), col("dg").as("degree"))
+  }
+
   /** Small-graph fast path for [[triangleCounts]]: sorted-adjacency
     * intersection over the collected canonical edge set (node ids mapped
     * to dense indices, so no ordering is required of the id type —

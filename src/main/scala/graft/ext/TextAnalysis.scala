@@ -1404,4 +1404,64 @@ object TextAnalysis {
           - log((col("__fr") + lit(1L)).cast("double") / (col("__nr") + col("__v")).cast("double")))
           .as("ce_diff"))
   }
+
+  /**
+   * Multinomial naive Bayes text classification (train + apply in one
+   * plan) — the fastText-class router every corpus pipeline uses to split
+   * documents by language/domain/quality tier when the n-gram heuristic
+   * ([[langId]]) is not enough: add-one-smoothed per-label token
+   * likelihoods learned from a labeled split, argmax over
+   * `ln p(label) + Σ tf·ln p(token|label)`.
+   *
+   * The smoothing algebra keeps the plan to ONE token-keyed join: with
+   * Laplace smoothing, an UNSEEN token contributes `ln 1 − ln(T_l + V) =
+   * −ln(T_l + V)`, the same per-token constant a seen token also carries —
+   * so `score = ln(d_l/D) − n·ln(T_l + V) + Σ_seen tf·ln(c+1)` and only
+   * SEEN (doc-token, label) pairs ever join (unseen tokens fold into the
+   * `n·ln(T_l+V)` term). Scores round to 6 before the argmax and ties
+   * break label-ascending, so the prediction is a cross-engine total
+   * order (the [[langId]] determinism contract).
+   *
+   * Scale shape: the model is the vocab-sized (label, token) count frame
+   * — joined by token key, never broadcast corpus-side; the doc×label
+   * score spine is |test| × |labels| rows (labels are a broadcast
+   * handful); everything else is grouped sums with map-side combine.
+   *
+   * Output: (id, gold, predicted, correct) per test document.
+   */
+  def nbClassify(train: DataFrame, test: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "lang"): DataFrame = {
+    val tr = train.filter(col(textCol).isNotNull)
+      .select(col(labelCol).as("__l"), col(textCol).as("__txt"))
+    val trTok = tr.select(col("__l"), explode(tokens(col("__txt"))).as("__w"))
+    // the model: vocab-sized, referenced by the totals AND the score join
+    val cnt = Caches.track(trTok.groupBy("__l", "__w").agg(count(lit(1)).as("__c")))
+    val labelStats = broadcast(cnt.groupBy("__l").agg(sum("__c").as("__tot"))
+      .join(tr.groupBy("__l").agg(count(lit(1)).as("__dl")), Seq("__l")))
+    val scalars = broadcast(cnt.agg(count_distinct(col("__w")).as("__v"))
+      .crossJoin(tr.agg(count(lit(1)).as("__dtot"))))
+    val te = test.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("gold"), col(textCol).as("__txt"))
+    val teTok = Caches.track(te
+      .select(col(idCol), explode(tokens(col("__txt"))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf")))
+    val nTok = teTok.groupBy(col(idCol)).agg(sum("__tf").as("__n"))
+    val hits = teTok.join(graft.ops.Ops.hintIfSmall(cnt), Seq("__w"))
+      .groupBy(col(idCol), col("__l"))
+      .agg(sum(col("__tf").cast("double") *
+        log((col("__c") + 1).cast("double"))).as("__hs"))
+    val spine = te.select(col(idCol), col("gold"))
+      .join(nTok, Seq(idCol))
+      .crossJoin(labelStats).crossJoin(scalars)
+    val score = log(col("__dl").cast("double") / col("__dtot")) -
+      col("__n").cast("double") * log((col("__tot") + col("__v")).cast("double")) +
+      coalesce(col("__hs"), lit(0.0))
+    val scored = spine.join(hits, Seq(idCol, "__l"), "left_outer")
+      .select(col(idCol), col("gold"), col("__l"), round(score, 6).as("__s"))
+    val pick = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("__s").desc, col("__l"))
+    scored.withColumn("__r", row_number().over(pick)).filter(col("__r") === 1)
+      .select(col(idCol), col("gold"), col("__l").as("predicted"),
+        (col("__l") === col("gold")).as("correct"))
+  }
 }

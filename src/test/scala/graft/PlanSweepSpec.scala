@@ -76,6 +76,9 @@ class PlanSweepSpec extends AnyFunSuite {
       "sim_retrieval_mrr",
       // k-NN classification votes over the same broadcast query×corpus scan
       "sim_knn_classify",
+      // NB attaches the label-stats row set and the V/D scalar row as
+      // broadcast constants to the doc×label score spine
+      "text_nb_classify",
       // the Pareto total/count is a one-row broadcast scalar attached to
       // the ranked customer-revenue frame
       "window_pareto_deciles",

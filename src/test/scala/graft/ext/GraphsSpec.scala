@@ -455,6 +455,30 @@ class GraphsSpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop).passed)
   }
 
+  test("kCore: peel cascade, fixed-round semantics, monotone pass-through") {
+    import spark.implicits._
+    def run(es: Seq[(String, String)], k: Int, rounds: Int): Map[String, Long] = {
+      val r = Graphs.kCore(es.toDF("s", "d"), "s", "d", k, rounds)
+        .as[(String, Long)].collect().toMap
+      Caches.unpersistAll()
+      r
+    }
+    // triangle + pendant, k=2: one round peels the pendant AND drops the
+    // hub's degree to 2; the triangle is the 2-core
+    val triPend = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"))
+    assert(run(triPend, k = 2, rounds = 1) ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // path a-b-c-d-e, k=2: the peel CASCADES — ends first, then inward;
+    // one round is not enough, three empty it
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    assert(run(path, k = 2, rounds = 1) == Map("b" -> 1L, "c" -> 2L, "d" -> 1L))
+    assert(run(path, k = 2, rounds = 3).isEmpty)
+    // already-converged input passes through unchanged (monotone)
+    assert(run(triPend, k = 2, rounds = 8) == run(triPend, k = 2, rounds = 1))
+    intercept[IllegalArgumentException](run(path, k = 0, rounds = 1))
+    intercept[IllegalArgumentException](run(path, k = 2, rounds = 0))
+  }
+
   test("degreeAssortativity: hand-computed values, regular-graph NULL, input hygiene") {
     import spark.implicits._
     def run(es: Seq[(String, String)]): (Long, Option[Double]) = {
