@@ -3227,6 +3227,18 @@ object Queries {
       TextAnalysis.nbClassify(dd.filter(col("doc_id") % 2 === 0),
         dd.filter(col("doc_id") % 2 === 1))
     }),
+    // per-class precision/recall/F1 over the NB predictions — closes the
+    // train → apply → evaluate loop with exact integer ratios
+    "eval_nb_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val preds = TextAnalysis.nbClassify(dd.filter(col("doc_id") % 2 === 0),
+        dd.filter(col("doc_id") % 2 === 1))
+      Eval.classificationReport(preds, col("gold"), col("predicted"))
+    }),
+    // Theil–Sen robust daily-volume trend per event type: median of all
+    // pairwise day-slopes over the zero-filled day grid
+    "ts_trend_theil_sen" -> ((s, d) =>
+      graft.ext.TimeSeries.theilSenTrend(events(s, d), "event_type", "ts")),
     // k-core peeling (5 fixed rounds, k=3) over the part co-occurrence
     // graph — the dense-subgraph screen; fixed-round so the oracle can
     // unroll the identical peels as chained CTEs
@@ -3510,6 +3522,38 @@ object Queries {
     * DCG/IDCG arithmetic with the discount weights and IDCG prefix sums
     * interpolated from [[graft.ext.Similarity.ndcgWeights]] — both engines
     * index the SAME literal doubles, no engine re-derives a log. */
+  /** Shared NB scoring CTE chain (train even / score odd, add-one
+    * smoothing folded so only SEEN tokens join) — ends at
+    * `sc(doc_id, gold, lang, s)`; used by the classify gate and the
+    * per-class report gate so the two cannot fork. */
+  private val nbScoreCtes: String =
+    """tr AS (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |              FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      |cnt AS (SELECT lang, w, count(*) AS c FROM tr GROUP BY 1, 2),
+      |ls AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+      |pri AS (SELECT lang, count(*) AS dl FROM documents
+      |         WHERE doc_id % 2 = 0 AND text IS NOT NULL GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT w) AS v FROM tr),
+      |dt AS (SELECT count(*) AS dtot FROM documents
+      |        WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      |te AS (SELECT doc_id, lang AS gold, text FROM documents
+      |        WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+      |tt AS (SELECT doc_id, w, count(*) AS tf FROM (
+      |         SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |           FROM te) GROUP BY 1, 2),
+      |nt AS (SELECT doc_id, sum(tf) AS n FROM tt GROUP BY 1),
+      |hits AS (SELECT tt.doc_id, cnt.lang, sum(tt.tf * ln(cnt.c + 1)) AS hs
+      |           FROM tt JOIN cnt ON tt.w = cnt.w GROUP BY 1, 2),
+      |sp AS (SELECT te.doc_id, te.gold, ls.lang, pri.dl, ls.tot, nt.n
+      |         FROM te JOIN nt USING (doc_id)
+      |         CROSS JOIN ls JOIN pri ON ls.lang = pri.lang),
+      |sc AS (SELECT sp.doc_id, sp.gold, sp.lang,
+      |              round(ln(CAST(dl AS DOUBLE) / dtot)
+      |                    - n * ln(CAST(tot + v AS DOUBLE))
+      |                    + coalesce(hs, 0.0), 6) AS s
+      |         FROM sp CROSS JOIN vv CROSS JOIN dt
+      |         LEFT JOIN hits ON sp.doc_id = hits.doc_id AND sp.lang = hits.lang)""".stripMargin
+
   /** 5 k-core peel rounds (k=3) over the part co-occurrence graph,
     * unrolled as chained MATERIALIZED CTEs (the bpe_merges precedent —
     * without MATERIALIZED each round's three references to the prior
@@ -6039,35 +6083,50 @@ object Queries {
         |  FROM orders WHERE FALSE""".stripMargin,
     // add-one NB: unseen tokens fold into n·ln(T+V), so only seen pairs join
     "text_nb_classify" ->
-      """WITH tr AS (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
-        |              FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
-        |cnt AS (SELECT lang, w, count(*) AS c FROM tr GROUP BY 1, 2),
-        |ls AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
-        |pri AS (SELECT lang, count(*) AS dl FROM documents
-        |         WHERE doc_id % 2 = 0 AND text IS NOT NULL GROUP BY 1),
-        |vv AS (SELECT count(DISTINCT w) AS v FROM tr),
-        |dt AS (SELECT count(*) AS dtot FROM documents
-        |        WHERE doc_id % 2 = 0 AND text IS NOT NULL),
-        |te AS (SELECT doc_id, lang AS gold, text FROM documents
-        |        WHERE doc_id % 2 = 1 AND text IS NOT NULL),
-        |tt AS (SELECT doc_id, w, count(*) AS tf FROM (
-        |         SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
-        |           FROM te) GROUP BY 1, 2),
-        |nt AS (SELECT doc_id, sum(tf) AS n FROM tt GROUP BY 1),
-        |hits AS (SELECT tt.doc_id, cnt.lang, sum(tt.tf * ln(cnt.c + 1)) AS hs
-        |           FROM tt JOIN cnt ON tt.w = cnt.w GROUP BY 1, 2),
-        |sp AS (SELECT te.doc_id, te.gold, ls.lang, pri.dl, ls.tot, nt.n
-        |         FROM te JOIN nt USING (doc_id)
-        |         CROSS JOIN ls JOIN pri ON ls.lang = pri.lang),
-        |sc AS (SELECT sp.doc_id, sp.gold, sp.lang,
-        |              round(ln(CAST(dl AS DOUBLE) / dtot)
-        |                    - n * ln(CAST(tot + v AS DOUBLE))
-        |                    + coalesce(hs, 0.0), 6) AS s
-        |         FROM sp CROSS JOIN vv CROSS JOIN dt
-        |         LEFT JOIN hits ON sp.doc_id = hits.doc_id AND sp.lang = hits.lang)
-        |SELECT doc_id, gold, lang AS predicted, lang = gold AS correct
-        |  FROM sc QUALIFY row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY s DESC, lang) = 1""".stripMargin,
+      s"""WITH $nbScoreCtes
+         |SELECT doc_id, gold, lang AS predicted, lang = gold AS correct
+         |  FROM sc QUALIFY row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY s DESC, lang) = 1""".stripMargin,
+    // per-class P/R/F1 over the same NB predictions; F1 via the exact
+    // integer identity 2·tp/(n_gold + n_pred), undefined ratios NULL
+    "eval_nb_report" ->
+      s"""WITH $nbScoreCtes,
+         |pred AS (SELECT doc_id, gold, lang AS predicted
+         |           FROM sc QUALIFY row_number() OVER (PARTITION BY doc_id
+         |                 ORDER BY s DESC, lang) = 1),
+         |cells AS (SELECT gold AS g, predicted AS p, count(*) AS c
+         |            FROM pred GROUP BY 1, 2),
+         |gm AS (SELECT g AS label, CAST(sum(c) AS BIGINT) AS n_gold FROM cells GROUP BY 1),
+         |pm AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+         |tpx AS (SELECT g AS label, c AS tp FROM cells WHERE g = p)
+         |SELECT label,
+         |       coalesce(n_gold, 0) AS n_gold,
+         |       coalesce(n_pred, 0) AS n_pred,
+         |       coalesce(tp, 0) AS tp,
+         |       CASE WHEN coalesce(n_pred, 0) > 0
+         |            THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_pred, 6) END AS precision,
+         |       CASE WHEN coalesce(n_gold, 0) > 0
+         |            THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / n_gold, 6) END AS recall,
+         |       CASE WHEN coalesce(n_gold, 0) + coalesce(n_pred, 0) > 0
+         |            THEN round(2.0 * coalesce(tp, 0)
+         |                       / (coalesce(n_gold, 0) + coalesce(n_pred, 0)), 6) END AS f1
+         |  FROM gm FULL OUTER JOIN pm USING (label) LEFT JOIN tpx USING (label)""".stripMargin,
+    // identical grid fill + per-pair IEEE slope + interpolated median
+    "ts_trend_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |                      count(*) AS x
+        |                 FROM events GROUP BY 1, 2),
+        |g AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |        FROM (SELECT k, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1)),
+        |f AS (SELECT g.k, g.day, coalesce(x, 0) AS x
+        |        FROM g LEFT JOIN daily ON g.k = daily.k AND g.day = daily.day),
+        |dd AS (SELECT k, datediff('day', min(day) OVER (PARTITION BY k), day) AS d, x
+        |         FROM f),
+        |p AS (SELECT a.k, CAST(b.x - a.x AS DOUBLE) / (b.d - a.d) AS s
+        |        FROM dd a JOIN dd b ON a.k = b.k AND a.d < b.d)
+        |SELECT k AS event_type, count(*) AS n_pairs,
+        |       round(quantile_cont(s, 0.5), 6) AS slope
+        |  FROM p GROUP BY 1""".stripMargin,
     // the identical 5 peel rounds unrolled as chained CTEs
     "graph_kcore" -> kcoreSql,
     // exact top-5 votes, (votes DESC, label ASC) pick — the ndcg CTE shape

@@ -109,6 +109,48 @@ object Eval {
   }
 
   /**
+   * Per-class precision / recall / F1 from (gold, predicted) pairs — the
+   * classification report that closes the train→apply→evaluate loop
+   * around [[TextAnalysis.nbClassify]] / [[Similarity.knnClassify]]:
+   * per class, `tp`, gold support, predicted support, and the three
+   * ratios. F1 uses the integer identity `2·tp / (2·tp + fp + fn)` so
+   * every ratio is ONE exact integer division (never the P·R composite,
+   * which would compound two roundings). Classes with zero gold or zero
+   * predicted support emit NULL for the undefined ratio rather than 0
+   * (0 would be indistinguishable from a real all-miss).
+   *
+   * Scale shape: one |labels|²-cell confusion count, then label-keyed
+   * margins joined back — label-cardinality frames throughout.
+   */
+  def classificationReport(df: DataFrame, gold: Column,
+      pred: Column): DataFrame = {
+    val cells = df.select(gold.as("__g"), pred.as("__p"))
+      .filter(col("__g").isNotNull && col("__p").isNotNull)
+      .groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+    val cached = Caches.track(cells)
+    val goldM = cached.groupBy(col("__g").as("label")).agg(sum("__c").as("n_gold"))
+    val predM = cached.groupBy(col("__p").as("label")).agg(sum("__c").as("n_pred"))
+    val tp = cached.filter(col("__g") === col("__p"))
+      .select(col("__g").as("label"), col("__c").as("tp"))
+    goldM.join(predM, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_gold"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
+          .as("precision"),
+        when(col("n_gold") > 0,
+          round(col("tp").cast("double") / col("n_gold").cast("double"), 6))
+          .as("recall"),
+        when(col("n_gold") + col("n_pred") > 0,
+          round(lit(2.0) * col("tp").cast("double") /
+            (col("n_gold") + col("n_pred")).cast("double"), 6)).as("f1"))
+  }
+
+  /**
    * Kendall rank agreement (τ-a) between two scorers over each group's
    * top-`head` ranking — the metric for "does the cheap scorer order the
    * corpus like the expensive one?" before swapping a classifier for a

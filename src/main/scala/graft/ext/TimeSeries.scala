@@ -218,6 +218,53 @@ object TimeSeries {
    * day-count-sized frames — never an unpartitioned window, never a
    * corpus-sized frame per task.
    */
+  /**
+   * Theil–Sen robust trend (Theil 1950, Sen 1968): per-key slope of daily
+   * event counts as the MEDIAN of all pairwise day-to-day slopes — the
+   * volume-trend estimate that survives the outlier days (backfills,
+   * incident spikes) that wreck an OLS fit (Theil–Sen has a 29 %
+   * breakdown point; one crazy day moves OLS arbitrarily). Days number
+   * from each key's first observed day, gap days densify to real zeros
+   * ([[dailyGridFill]]), and the median interpolates via the exact
+   * `percentile` — each pairwise slope is the identical IEEE division in
+   * both engines, so the gate hashes.
+   *
+   * Scale shape: pairs form per key over the DAY GRID, not the event
+   * rows — O(days²) per key (the estimator's inherent cost; ~66 k pairs
+   * for a year), keyed shuffle only. `maxDays` refuses a grid that would
+   * square into an unreasonable pair set, pointing at the resample knob.
+   */
+  def theilSenTrend(events: DataFrame, keyCol: String, tsCol: String,
+      maxDays: Int = 5000): DataFrame = {
+    require(maxDays >= 2, s"maxDays must be >= 2: $maxDays")
+    val daily = events.groupBy(col(keyCol),
+        date_trunc("DAY", col(tsCol)).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("__x"))
+    val dense = dailyGridFill(daily, keyCol, "day", Nil)
+      .withColumn("__x", coalesce(col("__x"), lit(0L)))
+    val w = Window.partitionBy(keyCol)
+    val withD = dense
+      .withColumn("__d", datediff(col("day"), min(col("day")).over(w)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+    // the guard must be CONSUMED (a dangling projection would be pruned
+    // and the raise_error never fire) — the filter forces it per row
+    val guarded = withD.filter(
+      when(col("__n") > maxDays, raise_error(concat(lit(
+        s"theilSenTrend: key "), col(keyCol).cast("string"),
+        lit(s" spans more days than maxDays=$maxDays — the pairwise-slope " +
+          "set grows quadratically; resample to a coarser grain first"))))
+        .otherwise(lit(true)))
+    val a = guarded.select(col(keyCol), col("__d").as("__di"), col("__x").as("__xi"))
+    val b = guarded.select(col(keyCol), col("__d").as("__dj"), col("__x").as("__xj"))
+    a.join(b, Seq(keyCol)).filter(col("__di") < col("__dj"))
+      .select(col(keyCol),
+        ((col("__xj") - col("__xi")).cast("double") /
+          (col("__dj") - col("__di")).cast("double")).as("__s"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__s, 0.5)"), 6).as("slope"))
+  }
+
   def cusumShift(events: DataFrame, keyCol: String, tsCol: String,
       slackPerDay: Long = 2L, threshold: Double = 5.0): DataFrame = {
     require(slackPerDay >= 0, s"slackPerDay must be >= 0: $slackPerDay")

@@ -79,6 +79,8 @@ class PlanSweepSpec extends AnyFunSuite {
       // NB attaches the label-stats row set and the V/D scalar row as
       // broadcast constants to the doc×label score spine
       "text_nb_classify",
+      // the P/R/F1 report evaluates the same NB prediction subtree
+      "eval_nb_report",
       // the Pareto total/count is a one-row broadcast scalar attached to
       // the ranked customer-revenue frame
       "window_pareto_deciles",

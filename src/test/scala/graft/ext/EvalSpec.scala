@@ -58,6 +58,32 @@ class EvalSpec extends AnyFunSuite {
     assert(bins(2).getAs[Double]("mean_score") == 1.0)
   }
 
+  test("classificationReport: hand-computed P/R/F1, absent-class NULLs, never-predicted class") {
+    // gold a×4 (3 right, 1 → b), gold b×2 (1 right, 1 → c), gold c×1 (→ a)
+    val pairs = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "c"), ("c", "a")).toDF("g", "p")
+    val rep = Eval.classificationReport(pairs, col("g"), col("p"))
+      .collect().map(r => r.getAs[String]("label") -> r).toMap
+    val a = rep("a")
+    // a: tp=3, n_gold=4, n_pred=4 → P=0.75 R=0.75 F1=2·3/8=0.75
+    assert(a.getAs[Long]("tp") == 3 && a.getAs[Long]("n_gold") == 4 &&
+      a.getAs[Long]("n_pred") == 4)
+    assert(a.getAs[Double]("precision") == 0.75 &&
+      a.getAs[Double]("recall") == 0.75 && a.getAs[Double]("f1") == 0.75)
+    // b: tp=1, n_gold=2, n_pred=2 → 0.5 across the board
+    assert(rep("b").getAs[Double]("f1") == 0.5)
+    // c: tp=0, n_gold=1, n_pred=1 → all-zero ratios, defined (supports > 0)
+    val cRow = rep("c")
+    assert(cRow.getAs[Long]("tp") == 0 && cRow.getAs[Double]("f1") == 0.0)
+    // a label only ever PREDICTED (never gold): recall undefined → NULL
+    val skew = Seq(("x", "y"), ("x", "x")).toDF("g", "p")
+    val yRow = Eval.classificationReport(skew, col("g"), col("p"))
+      .collect().map(r => r.getAs[String]("label") -> r).toMap.apply("y")
+    assert(yRow.getAs[Long]("n_gold") == 0)
+    assert(yRow.isNullAt(yRow.fieldIndex("recall")))
+    assert(yRow.getAs[Double]("precision") == 0.0)
+  }
+
   test("rankAgreement: perfect/reversed/mixed tau, head cut, validation") {
     // one group, scores aligned: s2 = s1 → tau = 1
     val aligned = Seq((1L, 40.0, 4.0), (2L, 30.0, 3.0), (3L, 20.0, 2.0), (4L, 10.0, 1.0))
