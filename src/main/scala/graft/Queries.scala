@@ -3227,6 +3227,27 @@ object Queries {
       TextAnalysis.nbClassify(dd.filter(col("doc_id") % 2 === 0),
         dd.filter(col("doc_id") % 2 === 1))
     }),
+    // two-sample KS drift between the purchase and error value
+    // distributions: bin-free CDF max-gap on the distinct-value grid
+    "profile_ks_drift" -> ((s, d) =>
+      graft.ext.Profiling.ksStatistic(events(s, d), col("value"),
+        col("event_type") === "purchase", col("event_type") === "error")),
+    // Herfindahl–Hirschman revenue concentration per segment: exact
+    // Σcᵢ²/S² over integer customer-revenue cents — one division total
+    "agg_hhi_segments" -> ((s, d) => {
+      val cust = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum("cents").cast("decimal(38,0)").as("ci"))
+      cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("ci") * col("ci")).as("__sq"), sum("ci").as("__s"))
+        .select(col("c_mktsegment"), col("n_customers"),
+          round(col("__sq").cast("double") /
+            (col("__s").cast("double") * col("__s").cast("double")), 6).as("hhi"))
+    }),
     // per-class precision/recall/F1 over the NB predictions — closes the
     // train → apply → evaluate loop with exact integer ratios
     "eval_nb_report" -> ((s, d) => {
@@ -6111,6 +6132,33 @@ object Queries {
          |            THEN round(2.0 * coalesce(tp, 0)
          |                       / (coalesce(n_gold, 0) + coalesce(n_pred, 0)), 6) END AS f1
          |  FROM gm FULL OUTER JOIN pm USING (label) LEFT JOIN tpx USING (label)""".stripMargin,
+    // CDF max-gap on the pooled distinct-value grid, identical divisions
+    "profile_ks_drift" ->
+      """WITH g AS (SELECT value AS v,
+        |                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS cb
+        |             FROM events
+        |            WHERE value IS NOT NULL AND event_type IN ('purchase', 'error')
+        |            GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cca,
+        |             sum(cb) OVER (ORDER BY v) AS ccb FROM g),
+        |d AS (SELECT v, abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb) AS dd
+        |        FROM c, t),
+        |m AS (SELECT max(dd) AS mx FROM d)
+        |SELECT t.na AS n_a, t.nb AS n_b, round(m.mx, 6) AS ks_stat,
+        |       min(d.v) AS at_value
+        |  FROM d, m, t WHERE d.dd = m.mx GROUP BY 1, 2, 3""".stripMargin,
+    // Σcᵢ²/S² with HUGEINT squares, one double division
+    "agg_hhi_segments" ->
+      """WITH cu AS (SELECT c_mktsegment, c_custkey,
+        |                   sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS ci
+        |              FROM orders JOIN customer ON o_custkey = c_custkey
+        |             GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(CAST(sum(CAST(ci AS HUGEINT) * ci) AS DOUBLE)
+        |             / (CAST(sum(ci) AS DOUBLE) * CAST(sum(ci) AS DOUBLE)), 6) AS hhi
+        |  FROM cu GROUP BY 1""".stripMargin,
     // identical grid fill + per-pair IEEE slope + interpolated median
     "ts_trend_theil_sen" ->
       """WITH daily AS (SELECT event_type AS k, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,

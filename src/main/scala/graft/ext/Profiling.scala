@@ -403,4 +403,56 @@ object Profiling {
         .as("zipf_intercept"),
       round((covn * covn) / (varx * vary), 6).as("zipf_r2"))
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic `D = max_v |F_A(v) − F_B(v)|`
+   * between the value distributions of two row predicates — the
+   * distribution-drift test with an actual decision theory behind it
+   * (unlike [[psiDrift]]'s binned heuristic, KS is bin-free and its null
+   * distribution is known), used to compare a new corpus snapshot's
+   * feature against the reference before re-training on it.
+   *
+   * Exactness: both empirical CDFs step only at observed values, so D is
+   * attained on the distinct-value grid — per grid point the CDFs are
+   * exact integer-count divisions and the max/argmin are tie-free on
+   * identically-computed doubles. One row out: `(n_a, n_b, ks_stat,
+   * at_value)` with `at_value` the LOWEST value attaining the max.
+   *
+   * Scale contract: the cumulative pass runs over the DISTINCT-value
+   * frame in one ordered window — value-cardinality-bounded, the
+   * [[madOutliers]]/quantileNormalize posture. Continuous measures must
+   * be pre-binned/quantized; `maxDistinct` refuses loudly (with the
+   * pre-binning pointer) before a corpus-sized frame reaches the
+   * single-task sort.
+   */
+  def ksStatistic(df: DataFrame, value: org.apache.spark.sql.Column,
+      isA: org.apache.spark.sql.Column, isB: org.apache.spark.sql.Column,
+      maxDistinct: Long = 1000000L): DataFrame = {
+    require(maxDistinct >= 2, s"maxDistinct must be >= 2: $maxDistinct")
+    val base = df.select(value.cast("double").as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"),
+        when(isB, 1L).otherwise(0L).as("__b"))
+      .filter(col("__v").isNotNull && (col("__a") === 1 || col("__b") === 1))
+    val g = Caches.track(base.groupBy("__v")
+      .agg(sum("__a").as("__ca"), sum("__b").as("__cb")))
+    val tot = broadcast(g.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
+      count(lit(1)).as("__nv")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val d = Caches.track(g.crossJoin(tot)
+      .filter(when(col("__nv") > maxDistinct, raise_error(lit(
+        s"ksStatistic: more than $maxDistinct distinct values — the CDF " +
+          "grid would single-task sort a corpus-sized frame; pre-bin or " +
+          "quantize the measure first (quantileBins)")))
+        .when(col("__na") === 0 || col("__nb") === 0, raise_error(lit(
+          "ksStatistic: one sample is empty — no distribution to compare")))
+        .otherwise(lit(true)))
+      .withColumn("__d", abs(
+        sum("__ca").over(w).cast("double") / col("__na").cast("double") -
+          sum("__cb").over(w).cast("double") / col("__nb").cast("double"))))
+    val mx = broadcast(d.agg(max("__d").as("__mx")))
+    d.crossJoin(mx).filter(col("__d") === col("__mx"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        round(max("__mx"), 6).as("ks_stat"), min("__v").as("at_value"))
+  }
 }

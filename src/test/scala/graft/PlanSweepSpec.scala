@@ -81,6 +81,9 @@ class PlanSweepSpec extends AnyFunSuite {
       "text_nb_classify",
       // the P/R/F1 report evaluates the same NB prediction subtree
       "eval_nb_report",
+      // KS attaches the one-row sample totals and the one-row max-D as
+      // broadcast scalars to the distinct-value grid
+      "profile_ks_drift",
       // the Pareto total/count is a one-row broadcast scalar attached to
       // the ranked customer-revenue frame
       "window_pareto_deciles",
