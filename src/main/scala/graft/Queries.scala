@@ -41,6 +41,22 @@ object Queries {
   private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
   private def events(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
+  /** The part co-occurrence graph shared by the `graph_*` structure gates
+    * (`graph_triangles`, `graph_link_prediction`, `graph_kcore`,
+    * `graph_assortativity`) AND mirrored as one constant CTE prefix in
+    * their oracles: parts appearing together on >= 2 orders, weighted by
+    * co-order count. Cached because the self-join consumes the distinct
+    * projection twice; one builder so the gates cannot fork the fixture. */
+  private def partCoOccurrence(s: SparkSession, d: String): DataFrame = {
+    val op = graft.ext.Caches.track(
+      li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+  }
+
   /** Per-user event-type transition digraph, weights = transition counts —
     * the fixture's natural graph, shared by the `graph_*` gates. */
   private def eventTransitions(s: SparkSession, d: String): DataFrame = {
@@ -2583,26 +2599,14 @@ object Queries {
     "graph_triangles" -> ((s, d) => {
       // cached: the distinct projection feeds BOTH self-join sides — uncached
       // it would scan + exchange lineitem twice
-      val op = graft.ext.Caches.track(
-        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-      val pairs = op.select(col("ok"), col("pk").as("pa"))
-        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val pairs = partCoOccurrence(s, d)
       Graphs.triangleCounts(pairs, "pa", "pb")
     }),
     // common-neighbor link prediction over the same co-occurrence graph:
     // distance-2 non-edges scored by shared-neighbor count + neighborhood
     // Jaccard — exact integer ratios, wedge join keyed on the center
     "graph_link_prediction" -> ((s, d) => {
-      val op = graft.ext.Caches.track(
-        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-      val pairs = op.select(col("ok"), col("pk").as("pa"))
-        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val pairs = partCoOccurrence(s, d)
       Graphs.linkPrediction(pairs, "pa", "pb", minCommon = 2)
         .select(col("node_a"), col("node_b"), col("cn"),
           round(col("jaccard"), 6).as("jaccard"))
@@ -3264,13 +3268,7 @@ object Queries {
     // graph — the dense-subgraph screen; fixed-round so the oracle can
     // unroll the identical peels as chained CTEs
     "graph_kcore" -> ((s, d) => {
-      val op = graft.ext.Caches.track(
-        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-      val pairs = op.select(col("ok"), col("pk").as("pa"))
-        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val pairs = partCoOccurrence(s, d)
       Graphs.kCore(pairs, "pa", "pb", k = 3, rounds = 5)
     }),
     // k-NN majority-vote classification: exact cosine top-5 votes with
@@ -3326,13 +3324,7 @@ object Queries {
     // graph_triangles/link-prediction fixture): one exact-integer Pearson
     // over edge-endpoint degrees
     "graph_assortativity" -> ((s, d) => {
-      val op = graft.ext.Caches.track(
-        li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-      val pairs = op.select(col("ok"), col("pk").as("pa"))
-        .join(op.select(col("ok"), col("pk").as("pb")), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val pairs = partCoOccurrence(s, d)
       Graphs.degreeAssortativity(pairs, "pa", "pb")
     }),
 
@@ -6331,9 +6323,11 @@ object Queries {
          |SELECT CAST(n AS BIGINT) AS n,
          |       round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
          |       round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
-         |       round((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
-         |               - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-         |             / (1.0 - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+         |       CASE WHEN sp = CAST(n AS HUGEINT) * n THEN NULL
+         |            ELSE round((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+         |                    - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |                  / (1.0 - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         |       END AS kappa
          |  FROM tot, pe""".stripMargin,
     "privacy_k_anon_stats" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,

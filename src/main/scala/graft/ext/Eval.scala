@@ -94,6 +94,14 @@ object Eval {
       .filter(col("__v").isNotNull)
     val mx = broadcast(base.agg(max("__v").as("__mx")))
     base.crossJoin(mx)
+      // a non-positive max (dead scorer, or negative scores) makes v/max
+      // NaN or flips bin order — refuse loudly instead of silently piling
+      // NaN rows into bin 0 (the filter CONSUMES the guard so it cannot
+      // be pruned)
+      .filter(when(col("__mx").isNull || col("__mx") <= 0.0, raise_error(lit(
+        "calibrationBins: global max score is not positive — scores must " +
+          "be non-negative with at least one positive value")))
+        .otherwise(lit(true)))
       .withColumn("bin",
         least(greatest(floor(col("__v") / col("__mx") * bins).cast("int"),
           lit(0)), lit(bins - 1)))
@@ -227,8 +235,13 @@ object Eval {
         round(po, 6).as("p_observed"),
         round(peV, 6).as("p_expected"),
         // p_e = 1 (every rating pair lands in one cell by chance) makes κ
-        // 0/0-undefined — surface NULL, not an ANSI divide-by-zero
-        when(peV === 1.0, lit(null).cast("double"))
+        // 0/0-undefined — surface NULL, not an ANSI divide-by-zero. The
+        // test is the EXACT integer identity sp = n² (a double peV == 1.0
+        // comparison silently breaks past 2⁵³, and the oracle mirrors the
+        // same integer CASE so the degenerate row cannot diverge)
+        when(col("__sp") ===
+            col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"),
+          lit(null).cast("double"))
           .otherwise(round((po - peV) / (lit(1.0) - peV), 6)).as("kappa"))
   }
 }

@@ -48,14 +48,18 @@ object Privacy {
    * Enforce k-anonymity by suppression: rows whose quasi-identifier group
    * has support < k get every `qi` column generalized to `marker` (the
    * columns are cast to string to admit it). Adds `grp_n` (the original
-   * group's support) and `suppressed`. Join side is the group table —
-   * qi-domain-bounded, broadcast-sized.
+   * group's support) and `suppressed`. The group table is qi-domain-
+   * bounded, but a high-cardinality QI choice (zip × birthdate — the
+   * canonical re-identification case, exactly when suppression fires
+   * most) makes it near-row-count-sized, so the broadcast is SIZE-GATED
+   * (`Ops.hintIfSmall`) rather than forced — past the threshold it runs
+   * as a keyed shuffle join.
    */
   def suppressBelowK(df: DataFrame, qi: Seq[String], k: Int,
       marker: String = "*"): DataFrame = {
     require(qi.nonEmpty, "suppressBelowK: need at least one quasi-identifier")
     val groups = df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("grp_n"))
-    val joined = df.join(broadcast(groups), qi)
+    val joined = df.join(graft.ops.Ops.hintIfSmall(groups), qi)
     val suppressed = col("grp_n") < k
     val out = qi.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c,

@@ -1438,8 +1438,11 @@ object TextAnalysis {
     val cnt = Caches.track(trTok.groupBy("__l", "__w").agg(count(lit(1)).as("__c")))
     val labelStats = broadcast(cnt.groupBy("__l").agg(sum("__c").as("__tot"))
       .join(tr.groupBy("__l").agg(count(lit(1)).as("__dl")), Seq("__l")))
+    // V from the cached model frame, D = Σ d_l from the label-cardinality
+    // stats — neither re-scans the train corpus (the doc-count groupBy
+    // above is the one corpus pass the priors genuinely need)
     val scalars = broadcast(cnt.agg(count_distinct(col("__w")).as("__v"))
-      .crossJoin(tr.agg(count(lit(1)).as("__dtot"))))
+      .crossJoin(labelStats.agg(sum("__dl").as("__dtot"))))
     val te = test.filter(col(textCol).isNotNull)
       .select(col(idCol), col(labelCol).as("gold"), col(textCol).as("__txt"))
     val teTok = Caches.track(te

@@ -92,32 +92,6 @@ object TimeSeries {
   }
 
   /**
-   * Rolling volume-anomaly detection — the ops tripwire a continuously-fed
-   * pipeline runs on its OWN throughput: per key (source, event type,
-   * host…), each day's event count is z-scored against the TRAILING
-   * `windowDays`-day baseline (current day excluded — today must not damp
-   * its own anomaly), flagging `|z| ≥ zThreshold`. A crawler source going
-   * dark, a log loop double-feeding, or an ingest backlog draining all
-   * show up here days before they show up in corpus statistics.
-   *
-   * Numeric contract: the inputs are exact integer day-counts, the rolling
-   * statistics are integer window sums (`n`, `Σx`, `Σx²` — exact in ANY
-   * accumulation order, unlike floating sums), and every derived double
-   * (`mean = Σx/n`, `var = (n·Σx² − (Σx)²)/n²`, `z`) is the same IEEE
-   * expression shape the oracle mirrors — bit-identical cross-engine with
-   * no rounding contract needed (rounding on the emitted stats is for
-   * display). Days with fewer than `minBaseline` trailing days or zero
-   * baseline variance emit NULL stats and `anomaly = false` (no baseline,
-   * no verdict).
-   *
-   * Scale shape: one map-side-combined `groupBy(key, day)` (day-cardinality
-   * output per key), the [[dailyGridFill]] single-shuffle densification
-   * (absent days are REAL zero-count days for a volume series), then ONE
-   * Window operator computing all three rolling sums over the same frame —
-   * two key shuffles total, output one row per (key, day) at any event
-   * volume.
-   */
-  /**
    * Truncated-kernel exponentially-weighted moving average per key: at
    * each row (ordered by `orderCol` within `keyCol`),
    *
@@ -163,6 +137,32 @@ object TimeSeries {
     series.withColumn("ewma", num / den)
   }
 
+  /**
+   * Rolling volume-anomaly detection — the ops tripwire a continuously-fed
+   * pipeline runs on its OWN throughput: per key (source, event type,
+   * host…), each day's event count is z-scored against the TRAILING
+   * `windowDays`-day baseline (current day excluded — today must not damp
+   * its own anomaly), flagging `|z| ≥ zThreshold`. A crawler source going
+   * dark, a log loop double-feeding, or an ingest backlog draining all
+   * show up here days before they show up in corpus statistics.
+   *
+   * Numeric contract: the inputs are exact integer day-counts, the rolling
+   * statistics are integer window sums (`n`, `Σx`, `Σx²` — exact in ANY
+   * accumulation order, unlike floating sums), and every derived double
+   * (`mean = Σx/n`, `var = (n·Σx² − (Σx)²)/n²`, `z`) is the same IEEE
+   * expression shape the oracle mirrors — bit-identical cross-engine with
+   * no rounding contract needed (rounding on the emitted stats is for
+   * display). Days with fewer than `minBaseline` trailing days or zero
+   * baseline variance emit NULL stats and `anomaly = false` (no baseline,
+   * no verdict).
+   *
+   * Scale shape: one map-side-combined `groupBy(key, day)` (day-cardinality
+   * output per key), the [[dailyGridFill]] single-shuffle densification
+   * (absent days are REAL zero-count days for a volume series), then ONE
+   * Window operator computing all three rolling sums over the same frame —
+   * two key shuffles total, output one row per (key, day) at any event
+   * volume.
+   */
   def rollingVolumeAnomaly(events: DataFrame, keyCol: String, tsCol: String,
       windowDays: Int = 7, minBaseline: Int = 3,
       zThreshold: Double = 2.0): DataFrame = {
@@ -194,6 +194,63 @@ object TimeSeries {
       when(ok, abs(z) >= zThreshold).otherwise(lit(false)).as("anomaly"))
   }
 
+  /** Per-key daily event counts on the dense day grid with gap days as
+    * REAL zero-count days — the shared prelude of every volume-series
+    * operator here ([[cusumShift]], [[theilSenTrend]]): a dead feed must
+    * DRAIN a chart, not freeze it. Day keys are day-truncated
+    * micros-NTZ (the gate representation contract). */
+  private def zeroFilledDailyCounts(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events.groupBy(col(keyCol),
+        date_trunc("DAY", col(tsCol)).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("__x"))
+    dailyGridFill(daily, keyCol, "day", Nil)
+      .withColumn("__x", coalesce(col("__x"), lit(0L)))
+  }
+
+  /**
+   * Theil–Sen robust trend (Theil 1950, Sen 1968): per-key slope of daily
+   * event counts as the MEDIAN of all pairwise day-to-day slopes — the
+   * volume-trend estimate that survives the outlier days (backfills,
+   * incident spikes) that wreck an OLS fit (Theil–Sen has a 29 %
+   * breakdown point; one crazy day moves OLS arbitrarily). Days number
+   * from each key's first observed day, gap days densify to real zeros
+   * ([[dailyGridFill]]), and the median interpolates via the exact
+   * `percentile` — each pairwise slope is the identical IEEE division in
+   * both engines, so the gate hashes.
+   *
+   * Scale shape: pairs form per key over the DAY GRID, not the event
+   * rows — O(days²) per key (the estimator's inherent cost; ~66 k pairs
+   * for a year), keyed shuffle only. `maxDays` refuses a grid that would
+   * square into an unreasonable pair set, pointing at the resample knob.
+   */
+  def theilSenTrend(events: DataFrame, keyCol: String, tsCol: String,
+      maxDays: Int = 5000): DataFrame = {
+    require(maxDays >= 2, s"maxDays must be >= 2: $maxDays")
+    val dense = zeroFilledDailyCounts(events, keyCol, tsCol)
+    val w = Window.partitionBy(keyCol)
+    val withD = dense
+      .withColumn("__d", datediff(col("day"), min(col("day")).over(w)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+    // the guard must be CONSUMED (a dangling projection would be pruned
+    // and the raise_error never fire) — the filter forces it per row
+    val guarded = withD.filter(
+      when(col("__n") > maxDays, raise_error(concat(lit(
+        s"theilSenTrend: key "), col(keyCol).cast("string"),
+        lit(s" spans more days than maxDays=$maxDays — the pairwise-slope " +
+          "set grows quadratically; resample to a coarser grain first"))))
+        .otherwise(lit(true)))
+    val a = guarded.select(col(keyCol), col("__d").as("__di"), col("__x").as("__xi"))
+    val b = guarded.select(col(keyCol), col("__d").as("__dj"), col("__x").as("__xj"))
+    a.join(b, Seq(keyCol)).filter(col("__di") < col("__dj"))
+      .select(col(keyCol),
+        ((col("__xj") - col("__xi")).cast("double") /
+          (col("__dj") - col("__di")).cast("double")).as("__s"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(__s, 0.5)"), 6).as("slope"))
+  }
+
   /**
    * One-sided CUSUM level-shift detection (Page 1954) over per-key daily
    * event counts — the sequential change-point chart that catches a
@@ -218,62 +275,11 @@ object TimeSeries {
    * day-count-sized frames — never an unpartitioned window, never a
    * corpus-sized frame per task.
    */
-  /**
-   * Theil–Sen robust trend (Theil 1950, Sen 1968): per-key slope of daily
-   * event counts as the MEDIAN of all pairwise day-to-day slopes — the
-   * volume-trend estimate that survives the outlier days (backfills,
-   * incident spikes) that wreck an OLS fit (Theil–Sen has a 29 %
-   * breakdown point; one crazy day moves OLS arbitrarily). Days number
-   * from each key's first observed day, gap days densify to real zeros
-   * ([[dailyGridFill]]), and the median interpolates via the exact
-   * `percentile` — each pairwise slope is the identical IEEE division in
-   * both engines, so the gate hashes.
-   *
-   * Scale shape: pairs form per key over the DAY GRID, not the event
-   * rows — O(days²) per key (the estimator's inherent cost; ~66 k pairs
-   * for a year), keyed shuffle only. `maxDays` refuses a grid that would
-   * square into an unreasonable pair set, pointing at the resample knob.
-   */
-  def theilSenTrend(events: DataFrame, keyCol: String, tsCol: String,
-      maxDays: Int = 5000): DataFrame = {
-    require(maxDays >= 2, s"maxDays must be >= 2: $maxDays")
-    val daily = events.groupBy(col(keyCol),
-        date_trunc("DAY", col(tsCol)).cast("timestamp_ntz").as("day"))
-      .agg(count(lit(1)).as("__x"))
-    val dense = dailyGridFill(daily, keyCol, "day", Nil)
-      .withColumn("__x", coalesce(col("__x"), lit(0L)))
-    val w = Window.partitionBy(keyCol)
-    val withD = dense
-      .withColumn("__d", datediff(col("day"), min(col("day")).over(w)).cast("long"))
-      .withColumn("__n", count(lit(1)).over(w))
-    // the guard must be CONSUMED (a dangling projection would be pruned
-    // and the raise_error never fire) — the filter forces it per row
-    val guarded = withD.filter(
-      when(col("__n") > maxDays, raise_error(concat(lit(
-        s"theilSenTrend: key "), col(keyCol).cast("string"),
-        lit(s" spans more days than maxDays=$maxDays — the pairwise-slope " +
-          "set grows quadratically; resample to a coarser grain first"))))
-        .otherwise(lit(true)))
-    val a = guarded.select(col(keyCol), col("__d").as("__di"), col("__x").as("__xi"))
-    val b = guarded.select(col(keyCol), col("__d").as("__dj"), col("__x").as("__xj"))
-    a.join(b, Seq(keyCol)).filter(col("__di") < col("__dj"))
-      .select(col(keyCol),
-        ((col("__xj") - col("__xi")).cast("double") /
-          (col("__dj") - col("__di")).cast("double")).as("__s"))
-      .groupBy(keyCol)
-      .agg(count(lit(1)).as("n_pairs"),
-        round(expr("percentile(__s, 0.5)"), 6).as("slope"))
-  }
-
   def cusumShift(events: DataFrame, keyCol: String, tsCol: String,
       slackPerDay: Long = 2L, threshold: Double = 5.0): DataFrame = {
     require(slackPerDay >= 0, s"slackPerDay must be >= 0: $slackPerDay")
     require(threshold > 0, s"threshold must be positive: $threshold")
-    val daily = events.groupBy(col(keyCol),
-        date_trunc("DAY", col(tsCol)).cast("timestamp_ntz").as("day"))
-      .agg(count(lit(1)).as("__x"))
-    val dense = dailyGridFill(daily, keyCol, "day", Nil)
-      .withColumn("__x", coalesce(col("__x"), lit(0L)))
+    val dense = zeroFilledDailyCounts(events, keyCol, tsCol)
     val whole = Window.partitionBy(keyCol)
     val run = Window.partitionBy(keyCol).orderBy(col("day"))
     val staged = dense

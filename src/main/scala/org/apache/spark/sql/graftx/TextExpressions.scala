@@ -156,12 +156,19 @@ object UnicodeNormalize {
  * transposition penalty) boosted by up to 4 code points of common prefix
  * when the base similarity exceeds 0.7.
  *
- * Semantics pinned to the de-facto standard implementation family
- * (rapidfuzz / DuckDB's `jaro_winkler_similarity`), verified case-by-case
- * in `TextExpressionsSpec`: either side empty → 0.0; transposition count
- * is ⌊half-transpositions / 2⌋ (INTEGER division — an odd half-count
- * truncates); the prefix boost applies iff jaro > 0.7 on the computed
- * double; comparison is by Unicode code point.
+ * Semantics pinned to the standard implementation family, verified
+ * case-by-case in `CodegenSpec`: either side empty → 0.0; transposition
+ * count is ⌊half-transpositions / 2⌋ (INTEGER division — an odd
+ * half-count truncates); the prefix boost applies iff jaro > 0.7 on the
+ * computed double; comparison is by UNICODE CODE POINT (the rapidfuzz
+ * convention — 'é' is ONE edit unit). NOTE: DuckDB's
+ * `jaro_winkler_similarity` is BYTE-based (probed:
+ * `('café','cafe')` → 0.8483 there vs 0.8833 here, because the
+ * two-byte é counts twice in its lengths); the two agree exactly on
+ * ASCII — which is what the `dedup_name_linkage` oracle cross-checks —
+ * and diverge by design on multibyte text, where code-point semantics
+ * is the better linkage comparator (spec pins the café case to OUR
+ * value and documents the divergence).
  *
  * Spark ships no string-similarity comparator beyond `levenshtein`, and a
  * Scala UDF here would pay per-row boxing on the O(n·window) hot loop of

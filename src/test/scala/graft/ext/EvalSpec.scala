@@ -56,6 +56,12 @@ class EvalSpec extends AnyFunSuite {
     assert(b1.getAs[Double]("frac_pos") == 0.0)
     assert(bins(2).getAs[Double]("frac_pos") == 1.0)
     assert(bins(2).getAs[Double]("mean_score") == 1.0)
+
+    // a dead scorer (all-zero scores → max = 0) refuses loudly instead of
+    // silently piling NaN rows into bin 0
+    val dead = Seq((0.0, true), (0.0, false)).toDF("v", "y")
+    intercept[Exception](
+      Eval.calibrationBins(dead, col("v"), col("y")).collect())
   }
 
   test("classificationReport: hand-computed P/R/F1, absent-class NULLs, never-predicted class") {

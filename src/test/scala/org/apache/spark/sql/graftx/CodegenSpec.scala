@@ -180,9 +180,10 @@ class CodegenSpec extends AnyFunSuite {
       assert(c == e.eval(in).asInstanceOf[Double], s"codegen != eval for ($a,$b)")
       c
     }
-    // every expected value below was probed from DuckDB's
+    // every ASCII expected value below was probed from DuckDB's
     // jaro_winkler_similarity — the independent implementation the
-    // dedup_name_linkage oracle compares against
+    // dedup_name_linkage oracle compares against (the two kernels agree
+    // exactly on ASCII; see the non-ASCII divergence case at the end)
     assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
     assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
     assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-15)
@@ -202,6 +203,12 @@ class CodegenSpec extends AnyFunSuite {
     assert(jw("abc", "abc") == 1.0)
     // code points, not UTF-16 units: astral pair compares as one character
     assert(jw("a😀b", "a😀b") == 1.0)
+    // CODE-POINT semantics on multibyte text (the rapidfuzz convention):
+    // café/cafe = jaro (3/4+3/4+1)/3 = 5/6, boosted by prefix 3 →
+    // 5/6 + 0.3·1/6 = 0.8833…  — DuckDB's BYTE-based comparator gives
+    // 0.8483 here (the 2-byte é counts twice in its lengths); the two
+    // agree exactly on ASCII, which is all the linkage oracle compares
+    assert(math.abs(jw("café", "cafe") - (5.0 / 6 + 0.3 * (1 - 5.0 / 6))) < 1e-15)
     // NULL propagation
     assert(e.eval(row(null, u("x"))) == null)
     assert(e.eval(row(u("x"), null)) == null)
