@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
 object Bench {
   /** Full-column consumer: the `noop` v2 sink materializes every row with all
     * its columns (a write can't prune), unlike `.count()` which lets Catalyst
@@ -7,18 +8,59 @@ object Bench {
   private def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** One fresh child JVM per query (see --fork below): replays this JVM's
+    * own launch recipe (binary, -add-opens/-Xmx/-D args, classpath — sbt
+    * forks `run`, so `java.class.path` is the real classpath) with
+    * `SPARK_GRAFT_ONLY=<query>`, and scrapes the child's result line. A
+    * child that dies or prints no timing records as failed, same as an
+    * in-process query failure. */
+  private def runForked(sfDir: String, names: Seq[String], runs: Int): Unit = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq.filterNot(a => a.startsWith("-agentlib"))
+    val cp = System.getProperty("java.class.path")
+    val results: Seq[(String, Option[Double])] = names.zipWithIndex.map {
+      case (name, i) =>
+        System.err.println(s"[bench] fork ${i + 1}/${names.size}: $name")
+        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_ONLY", name)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_RUNS", runs.toString)
+        pb.environment().remove("SPARK_GRAFT_FORK")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val code = p.waitFor()
+        val timing = ("\"" + java.util.regex.Pattern.quote(name) + "\":(null|[-0-9.eE+]+)").r
+          .findFirstMatchIn(out).map(_.group(1))
+        val t = timing match {
+          case Some(v) if v != "null" && code == 0 => Some(v.toDouble)
+          case _ =>
+            System.err.println(s"[bench] fork $name FAILED (exit=$code, " +
+              s"timing=${timing.getOrElse("<absent>")})")
+            None
+        }
+        name -> t
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"runs":$runs,"forked":true,"sf":"$sfDir","total_s":$total}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_LOCAL_forked.json"), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_LOCAL_forked.json not written: $e")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // one source of session truth (graft.io.Sessions) — keeps bench plans
-    // identical to production/verify plans (AQE, timezone, nanosAsLong)
-    val spark = graft.io.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // absorb session/codegen/JIT warmup so per-query numbers reflect
-    // steady state instead of charging startup to whichever query runs first
-    SparkEntry.queries.get("s2_window_scan").foreach { fn =>
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
     // dev-only subset filter (unset for driver runs → all queries). An empty
     // or misspelled selection FAILS FAST — silently selecting zero (or fewer)
     // queries would emit a results JSON that looks like a clean run, the same
@@ -42,6 +84,28 @@ object Bench {
     val runs = args.sliding(2).collectFirst { case Array("--runs", n) => n.toInt }
       .orElse(sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)).getOrElse(1)
     require(runs >= 1, s"--runs must be >= 1: $runs")
+    // --fork (or SPARK_GRAFT_FORK=1): one FRESH JVM per query. The shared-
+    // JVM marathon charged later queries for earlier queries' heap shadow
+    // (GC pressure from a 30× run made json_extract_props read 21 s when a
+    // fresh JVM re-measures it linear — BASELINE.md forensics, r17 verdict
+    // item 5); forked numbers carry no such footnote. Forensics tool, not
+    // the driver path: ~15 s JVM+session startup per query is excluded from
+    // the timing (each child warms up before measuring) but not from
+    // wall-clock.
+    if (args.contains("--fork") ||
+        sys.env.get("SPARK_GRAFT_FORK").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+      runForked(sfDir, selected.keys.toSeq.sorted, runs)
+      return
+    }
+    // one source of session truth (graft.io.Sessions) — keeps bench plans
+    // identical to production/verify plans (AQE, timezone, nanosAsLong)
+    val spark = graft.io.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen/JIT warmup so per-query numbers reflect
+    // steady state instead of charging startup to whichever query runs first
+    SparkEntry.queries.get("s2_window_scan").foreach { fn =>
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
     def oneRun(): Map[String, Option[Double]] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE — in the JSON itself, not only on

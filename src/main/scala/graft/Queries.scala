@@ -48,11 +48,33 @@ object Queries {
     * co-order count. Cached because the self-join consumes the distinct
     * projection twice; one builder so the gates cannot fork the fixture. */
   private def partCoOccurrence(s: SparkSession, d: String): DataFrame = {
-    val op = graft.ext.Caches.track(
-      li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-    op.select(col("ok"), col("pk").as("pa"))
-      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
-      .filter(col("pa") < col("pb"))
+    // one groupBy(order) + in-row pair expansion, NOT a distinct + self-join
+    // on the order key: collect_set dedups (order, part) for free, so the
+    // whole derivation is TWO keyed shuffles (order groupBy, pair groupBy)
+    // instead of four exchanges, and the per-order fan-out is visible for a
+    // pair-budget check BEFORE the expansion shuffles anything — the r17
+    // verdict's mover for the shared triangles/link-prediction/assortativity
+    // fixture (the pair groupBy dominated the 30x marathon at 9.9x)
+    val grouped = graft.ext.Caches.track(
+      li(s, d).groupBy(col("l_orderkey").as("ok"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ids"))
+        .filter(size(col("ids")) > 1))
+    val sz = size(col("ids")).cast("long")
+    val est = grouped.agg(
+      coalesce(sum(sz * (sz - 1L)), lit(0L)).as("twice"),
+      coalesce(max(sz), lit(0L)).as("hot")).head()
+    val pairs = est.getLong(0) / 2
+    require(pairs <= graft.ext.Dedup.DefaultPairBudget,
+      s"partCoOccurrence: per-order pair expansion would form ~$pairs " +
+        s"candidate pairs (budget ${graft.ext.Dedup.DefaultPairBudget}; " +
+        s"hottest order carries ${est.getLong(1)} distinct parts) — cap " +
+        "basket size upstream before building the co-occurrence graph")
+    // ascending array_sort ⇒ every expanded struct already has pa < pb
+    grouped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
   }
@@ -1158,7 +1180,10 @@ object Queries {
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(price * (lit(BigDecimal(1)) - disc)).as("revenue"))
+        // round(CAST(sum AS DOUBLE), 4): the exact decimal sum is identical
+        // in both engines; hashing the rounded double sidesteps the wide-
+        // decimal canonicalization that forked the r17 hash (q1 pattern)
+        .agg(round(sum(price * (lit(BigDecimal(1)) - disc)).cast("double"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -2045,10 +2070,18 @@ object Queries {
     "o18_sql_function_path" -> ((s, d) => {
       synthNfcDocs(s, d).createOrReplaceTempView("sql_path_docs")
       // spark.sql resolves eagerly, so the view can drop immediately —
-      // query entries must not leak state into the shared session
+      // query entries must not leak state into the shared session.
+      // jw_probe runs on a GUARANTEED-ASCII hashed-letters projection (the
+      // dedup_name_linkage recipe), not substring(text, 1, 8): the JW
+      // kernel indexes code points where DuckDB's indexes bytes, so raw
+      // corpus heads only hash-match while they happen to be ASCII — a
+      // fixture regen with CJK/accented heads would break the gate by
+      // design (r17 advice)
       val df = s.sql("""SELECT doc_id, unicode_normalize(text, 'NFC') AS nfc_text,
                        |       length(unicode_normalize(text, 'NFC')) AS n_chars_nfc,
-                       |       round(jaro_winkler(substring(text, 1, 8), 'martha'), 6) AS jw_probe
+                       |       round(jaro_winkler(
+                       |         translate(lpad(CAST(doc_id * 2654435761 % 100000000 AS STRING), 8, '0'),
+                       |                   '0123456789', 'abcdefghij'), 'martha'), 6) AS jw_probe
                        |  FROM sql_path_docs""".stripMargin)
       s.catalog.dropTempView("sql_path_docs")
       df
@@ -2672,18 +2705,27 @@ object Queries {
     // default stays xxhash64 (Dedup.xxTokenHash)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", 3, Dedup.md5TokenHash)),
+    // gated through the ROUTER (r17 verdict: the gated plan must be the one
+    // that survives 100×): at gate scale the router picks the exact
+    // IVF-blocked path — bit-identical to cosinePairs, so the brute-force
+    // oracle applies — and past the measured crossover (20 k vectors, wide
+    // threshold) it switches to the banded-LSH scale path
     "dedup_embedding_cosine" -> ((s, d) =>
-      Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45)),
+      Similarity.cosinePairsRouted(emb(s, d), "vec_id", "embedding", 0.45)),
     // SemDeDup (Abbas et al. 2023): embedding-space near-dup groups collapsed
     // to their best member by document quality (n_chars desc, id asc tie) —
     // vec_id ≡ doc_id in the fixtures, so the quality column cross-joins the
     // two modalities; singletons pass through untouched. Exact pair recall at
     // this threshold (IVF blocking), so the brute-force recursive-CTE oracle
     // reproduces the survivor set row-for-row.
+    // ROUTED pair step (r17 verdict): exact at gate scale ⇒ the brute-force
+    // recursive-CTE oracle still reproduces the survivor set row-for-row;
+    // past the crossover the pairs come from banded LSH and the
+    // components/keep-best stages are unchanged
     "dedup_semantic_keepbest" -> ((s, d) => {
       val q = emb(s, d).join(
         docs(s, d).select(col("doc_id").as("vec_id"), col("n_chars")), Seq("vec_id"))
-      Similarity.semanticDedup(q, "vec_id", "embedding", 0.45,
+      Similarity.semanticDedupRouted(q, "vec_id", "embedding", 0.45,
         Seq(col("n_chars").desc, col("vec_id").asc))
         .select("vec_id", "label", "n_chars")
     }),
@@ -2762,9 +2804,12 @@ object Queries {
     // ratio-margin scored over top-4 neighborhood means — the hub-robust
     // criterion for mining aligned translation pairs; the means sum exact
     // integer micro-cosines so no accumulation order can flap the gate
+    // SIZE-ROUTED (r17 verdict): the exact |A|×|B| grid at gate scale —
+    // the oracle's regime, same code path — and the IVF-pooled CCMatrix
+    // composition (√n-sized quantizer, ~1/16 probe) past 20 k vectors
     "sim_bitext_margin" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.bitextMarginMine(
+      Similarity.bitextMarginMineRouted(
         e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding", k = 4)
     }),
@@ -2842,10 +2887,14 @@ object Queries {
     }),
     // hard-negative mining (DPR shape): top-5 most-similar NON-duplicates —
     // the query's cos>=0.45 cluster-mates are excluded BEFORE the rank, so
-    // every query still gets exactly k negatives
+    // every query still gets exactly k negatives. ROUTED duplicate
+    // detection + bounded map-side top-k (r17 verdict: this gate's
+    // brute-force regime was the marathon's worst scale-killer at 196×);
+    // at gate scale the router's exact branch makes it bit-identical to
+    // the brute-force oracle
     "pipeline_hard_negatives" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+      Similarity.hardNegativesRouted(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5, 0.45)
     }),
     // gated at nprobe = nlist: full-probe IVF is EXACTLY brute force (every
@@ -3378,8 +3427,35 @@ object Queries {
             concat(substring(col("name"), 1, 3), substring(col("name"), 5, 1),
               substring(col("name"), 4, 1), substring(col("name"), 6, 8)))
           .otherwise(concat(substring(col("name"), 1, 7), lit("z"))).as("name"))
+      // CORPUS-ADAPTIVE blocking (blockChars = 0 — r17 verdict: a pinned
+      // 2-char prefix saturates at 100 blocks and candidates grow ~n²).
+      // At gate scale the estimator lands on the oracle's 2-char key
+      // (1500 names → ~15 candidate pairs/row, inside the 32/row target);
+      // a bigger corpus widens the prefix instead of grinding
       Dedup.linkNamesJaroWinkler(base, variants, "id", "name", "id", "name",
-        threshold = 0.84, blockChars = 2)
+        threshold = 0.84, blockChars = 0)
+    }),
+
+    // ---- production JDBC path (S6's database analog) as a GATED entry ----
+    // the Derby-backed write→read round trip that JdbcSpec exercises,
+    // promoted into the driver's hash gate (r17 verdict): Jdbc.append
+    // batch-inserts the frame (the SqlBulkCopy analog), Jdbc.read fetches
+    // it back through the PARTITIONED parallel scan (4 key-range splits —
+    // the reference's single streaming cursor, TableCopyService.cs:140,
+    // distributed), and the result must hash-equal the parquet source
+    "o19_jdbc_roundtrip" -> ((s, d) => {
+      val home = java.nio.file.Files.createTempDirectory("graft-derby-gate")
+      System.setProperty("derby.system.home", home.toString) // derby.log → tmp
+      val cfg = graft.store.Jdbc.JdbcConfig(
+        url = s"jdbc:derby:$home/db;create=true",
+        user = "graft", password = "", // ignored by embedded Derby
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      val src = customer(s, d).filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.store.Jdbc.append(src, cfg, "t_gate_roundtrip")
+      graft.store.Jdbc.read(s, cfg, "t_gate_roundtrip",
+          splitCol = Some(("c_custkey", 1L, 200L, 4)))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     })
   )
 
@@ -3555,7 +3631,8 @@ object Queries {
       |         SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
       |           FROM te) GROUP BY 1, 2),
       |nt AS (SELECT doc_id, sum(tf) AS n FROM tt GROUP BY 1),
-      |hits AS (SELECT tt.doc_id, cnt.lang, sum(tt.tf * ln(cnt.c + 1)) AS hs
+      |hits AS (SELECT tt.doc_id, cnt.lang,
+      |                sum(CAST(round(tt.tf * ln(cnt.c + 1) * 1000000.0) AS BIGINT)) AS hsq
       |           FROM tt JOIN cnt ON tt.w = cnt.w GROUP BY 1, 2),
       |sp AS (SELECT te.doc_id, te.gold, ls.lang, pri.dl, ls.tot, nt.n
       |         FROM te JOIN nt USING (doc_id)
@@ -3563,7 +3640,7 @@ object Queries {
       |sc AS (SELECT sp.doc_id, sp.gold, sp.lang,
       |              round(ln(CAST(dl AS DOUBLE) / dtot)
       |                    - n * ln(CAST(tot + v AS DOUBLE))
-      |                    + coalesce(hs, 0.0), 6) AS s
+      |                    + CAST(coalesce(hsq, 0) AS DOUBLE) / 1000000.0, 6) AS s
       |         FROM sp CROSS JOIN vv CROSS JOIN dt
       |         LEFT JOIN hits ON sp.doc_id = hits.doc_id AND sp.lang = hits.lang)""".stripMargin
 
@@ -4223,7 +4300,7 @@ object Queries {
         |   AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -4862,7 +4939,9 @@ object Queries {
       s"""WITH $synthNfcSql
          |SELECT doc_id, nfc_normalize(text) AS nfc_text,
          |       length(nfc_normalize(text)) AS n_chars_nfc,
-         |       round(jaro_winkler_similarity(substr(text, 1, 8), 'martha'), 6) AS jw_probe
+         |       round(jaro_winkler_similarity(
+         |         translate(lpad(CAST((doc_id * 2654435761) % 100000000 AS VARCHAR), 8, '0'),
+         |                   '0123456789', 'abcdefghij'), 'martha'), 6) AS jw_probe
          |  FROM nfc""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,
@@ -6360,7 +6439,12 @@ object Queries {
         |SELECT id_a, id_b, name_a, name_b,
         |       round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
         |  FROM l JOIN r USING (blk)
-        | WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.84""".stripMargin
+        | WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.84""".stripMargin,
+    // the JDBC round trip must hand back exactly what went in — the oracle
+    // is the parquet source slice itself
+    "o19_jdbc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey <= 200""".stripMargin
     // every gated query has an oracle: the approximate ops are gated at their
     // exact operating points (sim_ann_ivf at full probe, dedup_minhash_lsh
     // verified-exact) with the approximate points covered by specs

@@ -1116,26 +1116,54 @@ object Dedup {
    *
    * Scale shape: the join is an EQUI join on the block key — no cross
    * product ever forms; pair count per block is |L_b|·|R_b|, governed by
-   * the blocking-key selectivity the caller chooses. The score column is
-   * rounded to 6 decimals (the house engine-portability contract for
-   * derived doubles).
+   * the blocking-key selectivity. A FIXED prefix length stops scaling the
+   * moment the key space saturates (the r17 verdict's `blockChars=2` find:
+   * 100 possible blocks ⇒ candidates grow ~n², 42× at 30× data), so
+   * `blockChars <= 0` selects CORPUS-ADAPTIVE blocking: starting from 2,
+   * the prefix widens until the estimated candidate count (Σ |L_b|·|R_b|,
+   * two cheap count-aggregations per probe — no pairs form) fits
+   * `targetPairsPerRow · max(|L|,|R|)`, keeping candidate volume ~linear
+   * in the corpus at any scale. Widening is the standard blocking
+   * recall trade: a true pair differing inside the first `b` characters
+   * is missed — exactly the census-blocking contract, just auto-tuned.
+   * The score column is rounded to 6 decimals (the house
+   * engine-portability contract for derived doubles).
    *
    * Output: (`id_a`, `id_b`, `name_a`, `name_b`, `jw` round 6), one row
    * per surviving pair.
    */
   def linkNamesJaroWinkler(left: DataFrame, right: DataFrame,
       idL: String, nameL: String, idR: String, nameR: String,
-      threshold: Double, blockChars: Int = 2): DataFrame = {
+      threshold: Double, blockChars: Int = 2,
+      targetPairsPerRow: Long = 32L): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"linkNamesJaroWinkler: threshold must be in [0,1]: $threshold")
-    require(blockChars >= 1,
-      s"linkNamesJaroWinkler: blockChars must be >= 1: $blockChars")
+    require(targetPairsPerRow >= 1,
+      s"linkNamesJaroWinkler: targetPairsPerRow must be >= 1: $targetPairsPerRow")
     import org.apache.spark.sql.graftx.TextFunctions.jaro_winkler
+    val chosen = if (blockChars >= 1) blockChars else {
+      def candidates(b: Int): Long = {
+        val lc = left.filter(col(nameL).isNotNull)
+          .groupBy(substring(col(nameL), 1, b).as("__blk"))
+          .agg(count(lit(1)).as("__nl"))
+        val rc = right.filter(col(nameR).isNotNull)
+          .groupBy(substring(col(nameR), 1, b).as("__blk"))
+          .agg(count(lit(1)).as("__nr"))
+        lc.join(rc, "__blk")
+          .agg(coalesce(sum(col("__nl") * col("__nr")), lit(0L))).head().getLong(0)
+      }
+      val n = math.max(left.filter(col(nameL).isNotNull).count(),
+        right.filter(col(nameR).isNotNull).count())
+      val budget = targetPairsPerRow * math.max(n, 1L)
+      // names are short; past 16 chars the prefix IS the name and widening
+      // cannot shrink candidates further — stop there regardless
+      Iterator.range(2, 17).find(b => b == 16 || candidates(b) <= budget).get
+    }
     val l = left.select(col(idL).as("id_a"), col(nameL).as("name_a"),
-      substring(col(nameL), 1, blockChars).as("__blk"))
+      substring(col(nameL), 1, chosen).as("__blk"))
       .filter(col("name_a").isNotNull)
     val r = right.select(col(idR).as("id_b"), col(nameR).as("name_b"),
-      substring(col(nameR), 1, blockChars).as("__blk"))
+      substring(col(nameR), 1, chosen).as("__blk"))
       .filter(col("name_b").isNotNull)
     l.join(r, Seq("__blk"))
       .withColumn("jw", round(jaro_winkler(col("name_a"), col("name_b")), 6))

@@ -60,6 +60,13 @@ object Eval {
         sum(col("__np").cast("decimal(38,0)") *
           (col("__lo") + col("__hi")).cast("decimal(38,0)")).as("__r2"),
         sum("__np").as("__p"), sum(col("__n") - col("__np")).as("__nn"))
+      // AUC is undefined without both classes — raise loudly (the
+      // ksStatistic posture) instead of silently dividing to NaN/Infinity
+      // (the filter CONSUMES the guard so it cannot be pruned)
+      .filter(when(col("__p").isNull || col("__p") === 0L || col("__nn") === 0L,
+        raise_error(lit("aucBinary: need at least one positive and one " +
+          "negative scored row — AUC is undefined for a single-class input")))
+        .otherwise(lit(true)))
       .select(col("__p").as("n_pos"), col("__nn").as("n_neg"),
         round((col("__r2").cast("double") -
             col("__p").cast("double") * (col("__p").cast("double") + 1)) /

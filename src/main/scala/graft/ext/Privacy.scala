@@ -54,12 +54,24 @@ object Privacy {
    * most) makes it near-row-count-sized, so the broadcast is SIZE-GATED
    * (`Ops.hintIfSmall`) rather than forced — past the threshold it runs
    * as a keyed shuffle join.
+   *
+   * NULL quasi-identifier values form their own group (exactly as the
+   * groupBy counts them) — the row join is NULL-SAFE (`<=>` per QI
+   * column), so a row with a NULL QI is suppressed or kept by its
+   * NULL-group's support instead of silently dropping out of the corpus
+   * (a plain equi-join never matches NULL, which would break the
+   * "suppression keeps the corpus size" contract — r17 advice).
    */
   def suppressBelowK(df: DataFrame, qi: Seq[String], k: Int,
       marker: String = "*"): DataFrame = {
     require(qi.nonEmpty, "suppressBelowK: need at least one quasi-identifier")
-    val groups = df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("grp_n"))
-    val joined = df.join(graft.ops.Ops.hintIfSmall(groups), qi)
+    val groups = qi.foldLeft(
+      df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("grp_n"))) {
+      (acc, c) => acc.withColumnRenamed(c, s"__g_$c")
+    }
+    val cond = qi.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    val joined = df.join(graft.ops.Ops.hintIfSmall(groups), cond)
+      .drop(qi.map(c => s"__g_$c"): _*)
     val suppressed = col("grp_n") < k
     val out = qi.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c,

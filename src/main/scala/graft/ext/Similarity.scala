@@ -1018,6 +1018,24 @@ object Similarity {
   }
 
   /**
+   * [[semanticDedup]] with the pair step behind [[cosinePairsRouted]] —
+   * the form the gate pins (r17 verdict: the gated plan must be the one
+   * that survives 100×). Below the router's exact crossover (tight
+   * threshold, or ≤ `exactMaxRows` vectors) this IS the exact operator,
+   * pair for pair; past it the near-dup pairs come from the banded LSH
+   * path (zero false positives, band-curve recall — see
+   * [[cosinePairsLsh]]) and the components/keep-best stages are unchanged.
+   */
+  def semanticDedupRouted(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, ordering: Seq[Column], nlist: Int = 16,
+      exactMaxRows: Long = 20000L): DataFrame = {
+    val pairs = cosinePairsRouted(emb, idCol, vecCol, threshold, nlist,
+      exactMaxRows = exactMaxRows)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    Dedup.keepBest(emb, clusters, idCol, ordering)
+  }
+
+  /**
    * Hard-negative mining — the contrastive-retrieval training shape (DPR,
    * Karpukhin et al. 2020: the best negatives are the most similar
    * NON-duplicates): for each query vector, the top-`k` most cosine-similar
@@ -1030,13 +1048,39 @@ object Similarity {
    * Composition: exact [[cosinePairs]] at `dupThreshold` → connected
    * components → the cluster-mate pair set (membership² within clusters —
    * tiny, size-gated broadcast); the scored query×corpus frame anti-joins
-   * the mates and ranks what's left, [[topK]]'s exact plan otherwise
-   * (broadcast queries, narrow 24-byte rank rows). EAGER like every
-   * components consumer.
+   * the mates and ranks what's left via the bounded map-side
+   * [[Aggregators.TopKPairsAggregator]] — a rank window would sort-shuffle
+   * the whole |Q|×|C| scored frame to per-query reducers, the aggregator
+   * moves ≤ k pairs per (query × map partition) under the identical
+   * (cos DESC, id ASC) total order. EAGER like every components consumer.
    */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dupThreshold: Double, nlist: Int = 16): DataFrame = {
     val pairs = cosinePairs(corpus, idCol, vecCol, dupThreshold, nlist)
+    negativesFromPairs(pairs, corpus, queries, idCol, vecCol, k)
+  }
+
+  /**
+   * [[hardNegatives]] with duplicate detection behind [[cosinePairsRouted]]
+   * — the gated form (r17 verdict: the brute-force query×corpus regime was
+   * the marathon's worst scale-killer at 196×, and the quadratic term is
+   * the wide-threshold pair search, not the |Q|×|C| scoring, which stays
+   * linear in the corpus for a bounded query set). Below the router's
+   * exact crossover this is bit-identical to [[hardNegatives]]; past it
+   * the excluded cluster-mates come from the banded LSH path (zero false
+   * positives; a band-curve-missed moderate-similarity mate can re-enter
+   * the negative pool — the documented trade).
+   */
+  def hardNegativesRouted(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dupThreshold: Double, nlist: Int = 16,
+      exactMaxRows: Long = 20000L): DataFrame = {
+    val pairs = cosinePairsRouted(corpus, idCol, vecCol, dupThreshold, nlist,
+      exactMaxRows = exactMaxRows)
+    negativesFromPairs(pairs, corpus, queries, idCol, vecCol, k)
+  }
+
+  private def negativesFromPairs(pairs: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val mates = graft.ops.Ops.hintIfSmall(
       clusters.as("a").join(clusters.as("b"), col("a.cluster") === col("b.cluster"))
@@ -1046,8 +1090,32 @@ object Similarity {
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
       .join(mates, Seq("query_id", "neighbor_id"), "left_anti")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id")
+    val topk = udaf(new Aggregators.TopKPairsAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p._1").as("neighbor_id"))
+  }
+
+  /**
+   * Size-routed bitext mining: the exact |A|×|B| grid ([[bitextMarginMine]])
+   * while both sides fit `exactMaxRows`, the IVF-pooled composition
+   * ([[bitextMarginMinePooled]]) past it — with the quantizer sized to the
+   * corpus (`nlist ≈ √n`, probe ≈ 1/16 of lists), the top-k probe regime
+   * where √n retuning genuinely pays (unlike wide-threshold pair search —
+   * the r11 probe). Below the crossover the result is bit-identical to the
+   * exact operator (same code path); past it recall follows the probe
+   * fraction and the margins use actual pool sizes.
+   */
+  def bitextMarginMineRouted(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, exactMaxRows: Long = 20000L,
+      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    val n = math.max(a.count(), b.count())
+    if (n <= exactMaxRows) bitextMarginMine(a, b, idCol, vecCol, k)
+    else {
+      val nlist = math.min(4096L, math.max(16L, math.sqrt(n.toDouble).toLong)).toInt
+      val nprobe = math.max(4, nlist / 16)
+      bitextMarginMinePooled(a, b, idCol, vecCol, k, nlist, nprobe, sampleSize, seed)
+    }
   }
 }

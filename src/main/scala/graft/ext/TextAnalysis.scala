@@ -1449,16 +1449,21 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col("__txt"))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf")))
     val nTok = teTok.groupBy(col(idCol)).agg(sum("__tf").as("__n"))
+    // seen-token evidence accumulates as EXACT long micro-nats
+    // (round(tf·ln(c+1)·1e6) per token, summed as integers) — a raw double
+    // sum is accumulation-order-dependent, and a last-ulp difference near
+    // the round-6 argmax boundary could flip a predicted label between
+    // engines (r17 advice); the oracle quantizes identically
     val hits = teTok.join(graft.ops.Ops.hintIfSmall(cnt), Seq("__w"))
       .groupBy(col(idCol), col("__l"))
-      .agg(sum(col("__tf").cast("double") *
-        log((col("__c") + 1).cast("double"))).as("__hs"))
+      .agg(sum(round(col("__tf").cast("double") *
+        log((col("__c") + 1).cast("double")) * 1e6, 0).cast("long")).as("__hsq"))
     val spine = te.select(col(idCol), col("gold"))
       .join(nTok, Seq(idCol))
       .crossJoin(labelStats).crossJoin(scalars)
     val score = log(col("__dl").cast("double") / col("__dtot")) -
       col("__n").cast("double") * log((col("__tot") + col("__v")).cast("double")) +
-      coalesce(col("__hs"), lit(0.0))
+      coalesce(col("__hsq"), lit(0L)).cast("double") / 1e6
     val scored = spine.join(hits, Seq(idCol, "__l"), "left_outer")
       .select(col(idCol), col("gold"), col("__l"), round(score, 6).as("__s"))
     val pick = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))

@@ -524,4 +524,29 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     val got = Dedup.bloomAntiJoin(big, bl, "key").select("id").as[Long].collect().toSet
     assert(got == Set(2L, 3L)) // "a" dropped; NULL-key row kept; blocklist NULL ignored
   }
+
+  test("linkNamesJaroWinkler: adaptive blocking widens with the corpus (r17 verdict)") {
+    // 40 names all sharing the 2-char prefix "aa": a pinned 2-char key puts
+    // everything in ONE block (40×40 candidates); the adaptive mode must
+    // widen until the candidate estimate fits targetPairsPerRow·n
+    val names = (0 until 40).map { i =>
+      (i.toLong, f"aa${('a' + i % 8).toChar}${('a' + i / 8).toChar}tail$i%02d")
+    }.toDF("id", "name")
+    val fixed = Dedup.linkNamesJaroWinkler(names, names, "id", "name", "id", "name",
+      threshold = 0.0, blockChars = 2)
+    assert(fixed.count() == 1600L, "precondition: 2-char blocking is one hot block")
+    // auto with a 4-pairs-per-row target: 2 chars ⇒ 40/row (too hot),
+    // 3 chars ⇒ 8 blocks of 5 ⇒ 25·... per-row 5 rows on each side ⇒ 5/row
+    // still over 4 ⇒ widens to 4 chars (40 singleton blocks ⇒ 1/row)
+    val auto = Dedup.linkNamesJaroWinkler(names, names, "id", "name", "id", "name",
+      threshold = 0.0, blockChars = 0, targetPairsPerRow = 4L)
+    val pairs = auto.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 40, s"4-char singleton blocks ⇒ self-pairs only: ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a == b })
+    // and a corpus that already fits the target keeps the caller-visible
+    // 2-char semantics (the gate's regime: auto resolves to the floor)
+    val fits = Dedup.linkNamesJaroWinkler(names, names, "id", "name", "id", "name",
+      threshold = 0.0, blockChars = 0, targetPairsPerRow = 64L)
+    assert(fits.count() == 1600L, "under-budget corpora keep the 2-char floor")
+  }
 }

@@ -42,6 +42,18 @@ class EvalSpec extends AnyFunSuite {
     assert(n.getAs[Double]("auc") == 1.0)
   }
 
+  test("aucBinary: single-class input raises instead of emitting NaN/Infinity") {
+    // AUC is undefined without both classes — the guard must fire loudly
+    // (the ksStatistic posture), never divide to NaN (r17 advice)
+    val allPos = Seq((1.0, true, 1L), (2.0, true, 2L)).toDF("s", "y", "id")
+    intercept[Exception](Eval.aucBinary(allPos, col("s"), col("y"), col("id")).head())
+    val allNeg = Seq((1.0, false, 1L), (2.0, false, 2L)).toDF("s", "y", "id")
+    intercept[Exception](Eval.aucBinary(allNeg, col("s"), col("y"), col("id")).head())
+    // empty scored input (all scores NULL) raises too, not a NULL-sum row
+    val empty = Seq((Option.empty[Double], true, 1L)).toDF("s", "y", "id")
+    intercept[Exception](Eval.aucBinary(empty, col("s"), col("y"), col("id")).head())
+  }
+
   test("calibrationBins: bin edges, clamping, exact means") {
     // max = 10 → score = v/10; v=10 lands in the clamped top bin
     val df = Seq((1.0, false), (1.5, false), (5.0, true), (10.0, true))

@@ -43,6 +43,26 @@ class PrivacySpec extends AnyFunSuite {
     assert(kept.length == 3 && kept.forall(_.getAs[String]("age") == "20s"))
   }
 
+  test("suppressBelowK: NULL quasi-identifiers form their own group and never drop rows") {
+    // two rows share a NULL zip (their group has support 2), one is a NULL
+    // singleton on (zip, age) — a plain equi-join would silently drop all
+    // three (NULL never equals NULL), shrinking the corpus (r17 advice)
+    val withNulls = Seq(
+      (Option("02139"), "20s", "flu"), (Option("02139"), "20s", "cold"),
+      (Option.empty[String], "20s", "flu"), (Option.empty[String], "20s", "cold"),
+      (Option.empty[String], "30s", "flu")
+    ).toDF("zip", "age", "dx")
+    val out = Privacy.suppressBelowK(withNulls, Seq("zip", "age"), k = 2)
+    assert(out.count() == 5) // suppression keeps the corpus size, NULL QIs included
+    // the NULL-zip 20s group has support 2 → kept (zip stays NULL as a string cast)
+    val nullKept = out.filter(!col("suppressed") && col("age") === "20s" && col("zip").isNull)
+    assert(nullKept.count() == 2)
+    // the NULL-zip 30s singleton is SUPPRESSED, not dropped
+    val nullSup = out.filter(col("suppressed")).collect()
+    assert(nullSup.length == 1 && nullSup.head.getAs[String]("zip") == "*" &&
+      nullSup.head.getAs[String]("age") == "*" && nullSup.head.getAs[Long]("grp_n") == 1)
+  }
+
   test("input validation refuses empty QI and non-positive thresholds") {
     assertThrows[IllegalArgumentException](
       Privacy.anonymityStats(records, Seq.empty, col("dx"), k = 2, l = 2))

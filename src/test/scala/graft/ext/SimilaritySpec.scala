@@ -395,4 +395,67 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     graft.ext.Dedup.unpersistAll()
     assert(got == Set(1L, 3L, 4L))
   }
+
+  test("routed gate forms equal their exact forms below the crossover (r17 verdict)") {
+    // the gated entries route through these — below the exact crossover the
+    // results must be bit-identical to the brute-force-oracle'd operators
+    val dedupRows = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f), 10L),
+      (1L, Array(1.0f, 0.0f, 0.01f), 50L),
+      (2L, Array(1.0f, 0.01f, 0.01f), 20L),
+      (3L, Array(0.0f, 1.0f, 0.0f), 5L),
+      (4L, Array(0.0f, 0.01f, 1.0f), 30L),
+      (5L, Array(0.01f, 0.0f, 1.0f), 30L))
+    val df = dedupRows.toDF("id", "vec", "quality")
+    val exactDedup = Similarity.semanticDedup(df, "id", "vec", 0.9,
+      Seq(col("quality").desc, col("id").asc), nlist = 2)
+      .select("id").as[Long].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    val routedDedup = Similarity.semanticDedupRouted(df, "id", "vec", 0.9,
+      Seq(col("quality").desc, col("id").asc), nlist = 2)
+      .select("id").as[Long].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    assert(routedDedup == exactDedup)
+
+    val queries = df.filter($"id" === 0L)
+    val exactHard = Similarity.hardNegatives(df, queries, "id", "vec", 2, 0.9, nlist = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    val routedHard = Similarity.hardNegativesRouted(df, queries, "id", "vec", 2, 0.9,
+      nlist = 2).select("neighbor_id").as[Long].collect().toSet
+    graft.ext.Dedup.unpersistAll()
+    // mates of query 0 are its cluster {1, 2}; of the rest, v3 and v5 tie
+    // near cos≈0.01 ahead of v4 (cos≈1e-4) → negatives {3, 5}
+    assert(routedHard == exactHard && routedHard == Set(3L, 5L))
+    // forcing the crossover to zero exercises the LSH dup-detection branch:
+    // still exactly k negatives per query, and LSH's zero-false-positive
+    // contract means no NON-duplicate is ever excluded (the excluded set can
+    // only shrink, so negatives stay the top-k of a superset-or-equal pool)
+    val forcedHard = Similarity.hardNegativesRouted(df, queries, "id", "vec", 2, 0.9,
+      nlist = 2, exactMaxRows = 0L).select("neighbor_id").as[Long].collect()
+    graft.ext.Dedup.unpersistAll()
+    assert(forcedHard.length == 2)
+
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val exactBitext = Similarity.bitextMarginMine(a, b, "vec_id", "embedding", k = 4)
+      .collect().map(_.toSeq).toSet
+    graft.ext.Dedup.unpersistAll()
+    val routedBitext = Similarity.bitextMarginMineRouted(a, b, "vec_id", "embedding", k = 4)
+      .collect().map(_.toSeq).toSet
+    graft.ext.Dedup.unpersistAll()
+    assert(routedBitext == exactBitext)
+    // forced pooled branch: structural sanity only (a partial probe may
+    // both lose exact pairs and promote pool-local mutual-NN1s — recall
+    // bounds for the pooled composition are pinned by the dedicated
+    // bitextMarginMinePooled spec and ScaleSmoke): sides keep their id
+    // parity and each side contributes a given id at most once
+    val forcedBitext = Similarity.bitextMarginMineRouted(a, b, "vec_id", "embedding",
+      k = 4, exactMaxRows = 0L).select("a_id", "b_id")
+      .as[(Long, Long)].collect()
+    graft.ext.Dedup.unpersistAll()
+    assert(forcedBitext.forall { case (ai, bi) => ai % 2 == 0 && bi % 2 == 1 })
+    assert(forcedBitext.map(_._1).distinct.length == forcedBitext.length)
+    assert(forcedBitext.map(_._2).distinct.length == forcedBitext.length)
+  }
 }
