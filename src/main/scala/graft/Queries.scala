@@ -2747,8 +2747,12 @@ object Queries {
       // lsh and nearDup each feed TWO contract branches — without the
       // tracked persist each reference re-runs the whole blocking+verify
       // pipeline (this query is three pair searches, not five)
+      // autoSharpen OFF: the contract certifies the DOCUMENTED 12×12 band
+      // curve (and the gate's exact-search side is only feasible below the
+      // crossover anyway — at marathon scale this gate's pair-budget
+      // refusal remains the designed behavior)
       val lsh = Similarity.trackedPersist(
-        Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45))
+        Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45, autoSharpen = false))
       val fp = lsh.exceptAll(exact)
         .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
       val nearDup = Similarity.trackedPersist(

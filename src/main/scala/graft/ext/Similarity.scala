@@ -908,17 +908,33 @@ object Similarity {
    * (more recall, more candidate cost) or `rowsPerBand` (less of both)
    * to move the knee; the bit cost is `bands × rowsPerBand` dot products
    * per row, one narrow map, no shuffle.
+   *
+   * AUTO-SHARPENING (r18, on by default): a dense corpus — clustered
+   * embeddings, replicated shards — can pack enough moderately-similar
+   * vectors into one band bucket to blow the pair budget at the caller's
+   * band shape (the r17 30× marathon refused here by design). Before
+   * expanding anything, the candidate count is ESTIMATED from per-bucket
+   * sizes (one count-aggregation, no pairs form); while it exceeds
+   * `pairBudget` the scheme escalates through sharper shapes — more bits
+   * per band fragments moderate-similarity buckets sharply, and more
+   * bands compensate the near-dup band's recall (12×12 → … → 20×28 keeps
+   * P(candidate | cos ≥ 0.99) ≥ 0.99 at every step, since
+   * p = 1−θ/π ≈ 0.955 there). Only if the SHARPEST shape still exceeds
+   * the budget does [[graft.ext.Dedup.bucketPairs]] refuse loudly — at
+   * that point the collisions are genuine near-dups and the output itself
+   * would be pair-budget-sized. Pass `autoSharpen = false` to pin the
+   * caller's exact shape (the recall-contract gate does, so its planted
+   * band curve stays the documented 12×12 one).
    */
   def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bands: Int = 12, rowsPerBand: Int = 12, seed: Long = 42L,
-      pairBudget: Long = graft.ext.Dedup.DefaultPairBudget): DataFrame = {
+      pairBudget: Long = graft.ext.Dedup.DefaultPairBudget,
+      autoSharpen: Boolean = true): DataFrame = {
     require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62,
       s"bands/rowsPerBand must be positive (rowsPerBand <= 62): $bands x $rowsPerBand")
     val firstRow = emb.select(col(vecCol)).limit(1).collect()
     require(firstRow.nonEmpty, "cosinePairsLsh: empty corpus")
     val dim = firstRow(0).getSeq[Float](0).length
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
     // cached: the unitized corpus feeds the band projection and BOTH verify
     // sides (Caches.unpersistAll releases it)
     val u = Caches.track(unitized(emb, idCol, vecCol, "id", "v"))
@@ -928,9 +944,52 @@ object Similarity {
     // a single plan reference; the previous bands x rowsPerBand inline
     // when(dot(...)) block overflowed janino's 64 KB method limit at
     // 144 planes and silently ran interpreted — the r15 ScaleSmoke find)
-    val bandKeys = org.apache.spark.sql.graftx.VectorFunctions.sign_band_keys(
-      col("v"), planes, bands, rowsPerBand)
-    val keyed = u.select(col("id"), explode(bandKeys).as("bucket"))
+    def keyedFor(b: Int, r: Int): DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val planes = Array.fill(b * r)(Array.fill(dim)(rnd.nextGaussian()))
+      val bandKeys = org.apache.spark.sql.graftx.VectorFunctions.sign_band_keys(
+        col("v"), planes, b, r)
+      u.select(col("id"), explode(bandKeys).as("bucket"))
+    }
+    // Σ c·(c−1)/2 over bucket sizes — the same estimate bucketPairs guards
+    // on, computed WITHOUT forming pairs (ids are distinct per band-bucket,
+    // so a plain count is the bucket size)
+    def estPairs(keyed: DataFrame): Long = keyed
+      .groupBy("bucket").agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
+      .head().getLong(0) / 2
+    val ladder =
+      if (!autoSharpen || pairBudget <= 0) Seq((bands, rowsPerBand))
+      else Seq((bands, rowsPerBand), (bands + 2, rowsPerBand + 4),
+        (bands + 4, rowsPerBand + 8), (bands + 6, rowsPerBand + 12),
+        (bands + 8, rowsPerBand + 16), (bands + 10, rowsPerBand + 20))
+        .map { case (b, r) => (b, math.min(r, 62)) }
+    // prefer the first rung whose estimate fits pairBudget/4 (verification
+    // cost tracks the CANDIDATE count, so aiming well under the refusal
+    // line buys real wall-clock); fall back to the first rung under the
+    // budget itself, then to the sharpest rung (bucketPairs still enforces)
+    val keyed: DataFrame =
+      if (ladder.size == 1) keyedFor(bands, rowsPerBand)
+      else {
+        val tightTarget = math.max(1L, pairBudget / 4)
+        var fallback: Option[(Int, Int, DataFrame)] = None
+        var pick: Option[(Int, Int, DataFrame)] = None
+        val it = ladder.iterator
+        while (pick.isEmpty && it.hasNext) {
+          val (b, r) = it.next()
+          val k = keyedFor(b, r)
+          val est = estPairs(k)
+          if (est <= tightTarget) pick = Some((b, r, k))
+          else if (est <= pairBudget && fallback.isEmpty) fallback = Some((b, r, k))
+        }
+        val (b, r, k) = pick.orElse(fallback).getOrElse {
+          val (lb, lr) = ladder.last; (lb, lr, keyedFor(lb, lr))
+        }
+        if (b != bands || r != rowsPerBand)
+          System.err.println(s"[graft] cosinePairsLsh: sharpened bands " +
+            s"$bands x $rowsPerBand -> $b x $r to fit the $pairBudget pair budget")
+        k
+      }
     val candidates = graft.ext.Dedup.bucketPairs(keyed, "bucket", "id", pairBudget)
     // Verification fetches both vectors per candidate pair. The candidate
     // set is the BIG side (buckets × pairs, many× the corpus), so joining it
