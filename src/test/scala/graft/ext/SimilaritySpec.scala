@@ -396,6 +396,42 @@ class SimilaritySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
     assert(got == Set(1L, 3L, 4L))
   }
 
+  test("cosinePairsLsh auto-sharpening: dense corpus proceeds on a sharper rung; pinned shape refuses") {
+    // two 50-member clusters at intra-cos ≈ 0.9: at 12×12 the band buckets
+    // hold enough cluster-mates to blow a 2000-pair budget, so the pinned
+    // shape must REFUSE (the r17 marathon behavior) while auto-sharpening
+    // escalates to a sharper rung and completes with zero false positives
+    val rnd = new scala.util.Random(7L)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(2)(unit(Array.fill(32)(rnd.nextGaussian())))
+    val rows = (0 until 100).map { i =>
+      val b = bases(i / 50)
+      val v = unit(b.zip(Array.fill(32)(rnd.nextGaussian() * 0.08))
+        .map { case (x, g) => x + g })
+      (i.toLong, v.map(_.toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    intercept[Exception](Similarity.cosinePairsLsh(df, "id", "vec", 0.8,
+      pairBudget = 2000L, autoSharpen = false).count())
+    graft.ext.Dedup.unpersistAll()
+    val sharpened = Similarity.cosinePairsLsh(df, "id", "vec", 0.8,
+      pairBudget = 2000L).as[(Long, Long)].collect()
+    graft.ext.Dedup.unpersistAll()
+    // zero false positives always: every returned pair is genuinely >= 0.8,
+    // which with this geometry means intra-cluster only
+    val byId = rows.toMap
+    assert(sharpened.nonEmpty)
+    assert(sharpened.forall { case (a, b) =>
+      val (va, vb) = (byId(a), byId(b))
+      // 0.79 margin: the operator thresholds its own double-normalized dot
+      // at 0.8; re-deriving from the float-cast fixture may differ by ulps
+      va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum >= 0.79 &&
+        (a / 50 == b / 50)
+    })
+  }
+
   test("routed gate forms equal their exact forms below the crossover (r17 verdict)") {
     // the gated entries route through these — below the exact crossover the
     // results must be bit-identical to the brute-force-oracle'd operators
