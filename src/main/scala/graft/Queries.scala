@@ -1741,6 +1741,32 @@ object Queries {
           round(sum(col("cnt")).over(w).cast("double") /
             sum(col("cnt")).over(tot), 6).as("fraction"))
     }),
+    // weekly cohort retention matrix (r18): users grouped by first-active
+    // week, each cohort's distinct-active count at every realized week
+    // offset — the cohort grid behind every retention dashboard, and the
+    // survival curve's two-dimensional refinement. Week key = epoch-days/7
+    // (integer, engine-portable); exact distinct counts + ONE rounded
+    // ratio. Scale shape: one distinct (user, week) projection, a per-user
+    // min, and two grouped counts — the matrix is (weeks × offsets)-
+    // bounded, never user-count-sized
+    "events_retention_cohorts" -> ((s, d) => {
+      val wk = floor(datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")) / lit(7.0)).cast("long")
+      // tracked: the distinct activity frame feeds the cohort derivation
+      // and the offset join; the cohort frame feeds sizes and the join
+      val ue = graft.ext.Caches.track(
+        events(s, d).select(col("user_id"), wk.as("week")).distinct())
+      val cohort = graft.ext.Caches.track(
+        ue.groupBy("user_id").agg(min("week").as("cohort_week")))
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+      ue.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("active_n"))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("retention",
+          round(col("active_n").cast("double") / col("cohort_n"), 6))
+        .select("cohort_week", "week_offset", "active_n", "cohort_n", "retention")
+    }),
     // per-node degree/strength/reciprocity over the transition digraph —
     // the graph's shape card (hubs, sinks, mutual-loop density); counts
     // and integral-double weight sums, exact in any order
@@ -2830,6 +2856,36 @@ object Queries {
     // Oracle unrolls the identical rounds as chained CTEs (kmeansSql).
     "sim_kmeans_clusters" -> ((s, d) =>
       ext.Clustering.kmeansAssign(emb(s, d), "vec_id", "embedding", k = 8, iters = 3)),
+    // cluster topic labeling (r18): name every k-means cluster by its most
+    // DISTINCTIVE terms — per-cluster term counts × ln(n_clusters /
+    // cluster_freq), the cluster-level TF-IDF — the "what is this cluster"
+    // audit between clustering and mixture/pruning decisions (SemDeDup
+    // §4-style cluster inspection at corpus scale). Scale shape: token
+    // counts partial-aggregate straight to the (cluster, token) frame
+    // (vocab×k-bounded, NEVER corpus-sized past the first combine), the
+    // cluster-frequency frame is vocab-sized and broadcasts, and the
+    // per-cluster top-3 window sorts vocab-bounded partitions
+    "sim_cluster_keywords" -> ((s, d) => {
+      val assign = ext.Clustering.kmeansAssign(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 3)
+      // tracked: the vocab×k count frame feeds the score join, the
+      // cluster-frequency agg, AND the distinct-cluster scalar — three
+      // consumers (released by Caches.unpersistAll)
+      val ct = graft.ext.Caches.track(docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id").as("vec_id"), explode(split(col("text"), "\\s+")).as("token"))
+        .join(assign, Seq("vec_id"))
+        .groupBy("cluster", "token").agg(count(lit(1)).as("tf")))
+      val cf = ct.groupBy("token").agg(count(lit(1)).as("cluster_freq"))
+      val nc = ct.select(countDistinct("cluster").as("nc"))
+      val w = Window.partitionBy("cluster").orderBy(col("score").desc, col("token"))
+      ct.join(broadcast(cf), Seq("token")).crossJoin(broadcast(nc))
+        .withColumn("score", round(col("tf").cast("double") *
+          log(col("nc").cast("double") / col("cluster_freq").cast("double")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("cluster"), col("rank"), col("token"),
+          col("tf"), col("cluster_freq"), col("score"))
+    }),
     // supervised nearest-centroid (Rocchio) confusion matrix — the
     // embedding-space separability eval: per-label rounded mean centroids,
     // every vector re-assigned by the kmeans cost recipe, (label,
@@ -3927,6 +3983,30 @@ object Queries {
   private def kmeansSql(k: Int, iters: Int, scale: Int): String = {
     val (ctes, af) = kmeansCtes(k, iters, scale)
     s"$ctes\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM $af"
+  }
+
+  /** `sim_cluster_keywords` oracle: the k-means rounds, then cluster-level
+    * TF-IDF (tf × ln(n_clusters / cluster_freq), round 6) with the
+    * (score DESC, token) per-cluster total order — the identical
+    * derivation over the identical assignment. */
+  private def clusterKeywordsSql(k: Int, iters: Int, scale: Int): String = {
+    val (ctes, af) = kmeansCtes(k, iters, scale)
+    s"""$ctes,
+       |ct AS (SELECT CAST($af.c AS BIGINT) AS cluster, tok AS token, count(*) AS tf
+       |         FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |                 FROM documents WHERE text IS NOT NULL) t
+       |         JOIN $af ON t.doc_id = $af.vec_id
+       |        GROUP BY 1, 2),
+       |cf AS (SELECT token, count(*) AS cluster_freq FROM ct GROUP BY token),
+       |ncl AS (SELECT count(DISTINCT cluster) AS nc FROM ct),
+       |sck AS (SELECT ct.cluster, ct.token, ct.tf, cf.cluster_freq,
+       |              round(CAST(ct.tf AS DOUBLE)
+       |                    * ln(CAST(nc AS DOUBLE) / CAST(cf.cluster_freq AS DOUBLE)), 6) AS score
+       |         FROM ct JOIN cf USING (token), ncl),
+       |rkk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |               ORDER BY score DESC, token) AS rank FROM sck)
+       |SELECT cluster, CAST(rank AS BIGINT) AS rank, token, tf, cluster_freq, score
+       |  FROM rkk WHERE rank <= 3""".stripMargin
   }
 
   /** `sim_prototype_prune` oracle: the k-means rounds, the assigned
@@ -5870,6 +5950,18 @@ object Queries {
         |       round(CAST(sum(cnt) OVER (ORDER BY m DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |             / CAST(sum(cnt) OVER () AS DOUBLE), 6) AS fraction
         |  FROM h""".stripMargin,
+    "events_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |         CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7.0) AS BIGINT) AS week
+        |       FROM events),
+        |ch AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_n FROM ch GROUP BY 1),
+        |act AS (SELECT ch.cohort_week, uw.week - ch.cohort_week AS week_offset,
+        |               count(DISTINCT uw.user_id) AS active_n
+        |          FROM uw JOIN ch USING (user_id) GROUP BY 1, 2)
+        |SELECT act.cohort_week, act.week_offset, act.active_n, sz.cohort_n,
+        |       round(CAST(act.active_n AS DOUBLE) / sz.cohort_n, 6) AS retention
+        |  FROM act JOIN sz USING (cohort_week)""".stripMargin,
     "graph_degree_stats" ->
       s"""$graphHeadSql,
         |o AS (SELECT src AS node, count(*) AS out_deg, sum(w) AS out_w FROM e GROUP BY 1),
@@ -6110,6 +6202,7 @@ object Queries {
         |  FROM lex FULL JOIN vec ON lex.id = vec.id
         | ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "sim_kmeans_clusters" -> kmeansSql(8, 3, 6),
+    "sim_cluster_keywords" -> clusterKeywordsSql(8, 3, 6),
     // per-label rounded mean centroids + the kmeans assignment recipe
     // (round(|c|²−2·v·c, 6) argmin, ties to the lowest label)
     "sim_centroid_confusion" ->

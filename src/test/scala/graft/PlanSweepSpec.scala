@@ -102,7 +102,11 @@ class PlanSweepSpec extends AnyFunSuite {
       "eval_calibration_bins",
       // kappa combines two one-row aggregate frames (totals × expected-
       // agreement sum) — broadcast scalars, never data-proportional
-      "eval_langid_kappa")
+      "eval_langid_kappa",
+      // cluster keywords attaches the one-row broadcast distinct-cluster
+      // count (the IDF normalizer) to the vocab×k score frame — the
+      // calibration-bins scalar shape
+      "sim_cluster_keywords")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
