@@ -2240,6 +2240,34 @@ object Queries {
     // the selected SET is engine-independent at the cutoff
     "text_bm25_search" -> ((s, d) =>
       TextAnalysis.bm25(docs(s, d), "fast hash join", topK = 25)),
+    // the PERSISTED inverted-index path (r18): build token-clustered
+    // postings + additive df + frozen stats into a temp TableStore, reload
+    // the stats from storage, search through the pruned postings scan —
+    // must be bit-identical to the in-memory bm25 (the
+    // sim_ann_ivf_persisted technique: same oracle, whole persist/load/
+    // probe pipeline hash-checked)
+    "text_bm25_index_search" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString)
+      TextAnalysis.buildTextIndex(store, "fts", docs(s, d))
+      val idx = TextAnalysis.loadTextIndex(store, "fts")
+      TextAnalysis.searchTextIndex(store, idx, "fast hash join", topK = 25)
+    }),
+    // the growing-index loop: index built on docs < 250, the rest appended
+    // as postings + df DELTAS (stats stay FROZEN — the IVF frozen-quantizer
+    // trade, Lucene's per-segment practice). The oracle reproduces exactly
+    // that contract: n/avgdl from the build slice, postings/df from the
+    // whole corpus — a lost append, a stale df sum, or an accidental stats
+    // refresh all hash-fail
+    "text_bm25_index_grow" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-bm25-grow").toString)
+      val dd = docs(s, d)
+      val built = TextAnalysis.buildTextIndex(store, "fts_g", dd.filter(col("doc_id") < 250))
+      TextAnalysis.appendToTextIndex(store, built, dd.filter(col("doc_id") >= 250))
+      val idx = TextAnalysis.loadTextIndex(store, "fts_g")
+      TextAnalysis.searchTextIndex(store, idx, "fast hash join", topK = 25)
+    }),
     // PMI collocation mining (Church & Hanks): top-40 bigrams by rounded
     // PMI at min pair count 5 — the multi-word-unit discovery step of
     // vocabulary curation; rounded-rank + (w1, w2) tiebreak at the cutoff
@@ -4048,10 +4076,14 @@ object Queries {
   /** The BM25 scoring CTE chain (`d/st/p/f/sc`) shared verbatim by the
     * `text_bm25_search` oracle and the `sim_rrf_fusion` lexical pool — one
     * copy so a formula correction cannot silently diverge between them. */
-  private val bm25Ctes =
-    """d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+  /** [[bm25Ctes]] with the STATS CTE restricted by `statsWhere` — the
+    * frozen-stats oracle for the grown persisted index (`n`/`avgdl` come
+    * from the build slice, postings from the whole corpus). Empty string
+    * = whole-corpus stats, the plain [[bm25Ctes]]. */
+  private def bm25CtesWith(statsWhere: String): String =
+    s"""d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
       |st AS (SELECT count(*) AS n,
-      |              CAST(sum(len(t)) AS DOUBLE) / count(len(t)) AS avgdl FROM d),
+      |              CAST(sum(len(t)) AS DOUBLE) / count(len(t)) AS avgdl FROM d $statsWhere),
       |p AS (SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
       |        FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM d) x
       |       WHERE w IN ('fast', 'hash', 'join') GROUP BY doc_id, w),
@@ -4061,6 +4093,8 @@ object Queries {
       |              * (p.tf * CAST(2.2 AS DOUBLE))
       |              / (p.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * p.dl / st.avgdl)) AS s
       |         FROM p JOIN f USING (w), st)""".stripMargin
+
+  private val bm25Ctes = bm25CtesWith("")
 
   /** Shared by `profile_cms_heavy_hitters` (batch-built sketch) and
     * `stream_cms_merge` (micro-batch sketches merged cell-wise in the
@@ -5495,6 +5529,18 @@ object Queries {
     // integer sum/count; Lucene +1 idf; rounded-score ranking at the cutoff
     "text_bm25_search" ->
       s"""WITH $bm25Ctes
+        |SELECT doc_id, round(sum(s), 6) AS score
+        |  FROM sc GROUP BY doc_id
+        | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // persisted index at build ≡ the in-memory operator — same oracle
+    "text_bm25_index_search" ->
+      s"""WITH $bm25Ctes
+        |SELECT doc_id, round(sum(s), 6) AS score
+        |  FROM sc GROUP BY doc_id
+        | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // grown index: FROZEN build-slice stats, whole-corpus postings/df
+    "text_bm25_index_grow" ->
+      s"""WITH ${bm25CtesWith("WHERE doc_id < 250")}
         |SELECT doc_id, round(sum(s), 6) AS score
         |  FROM sc GROUP BY doc_id
         | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,

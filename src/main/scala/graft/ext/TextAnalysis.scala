@@ -462,6 +462,120 @@ object TextAnalysis {
     scored.orderBy(col("score").desc, col(idCol).asc).limit(topK)
   }
 
+  /** Handle for a persisted inverted index: the table-name prefix plus the
+    * FROZEN corpus statistics (`n_docs`, `avgdl`) captured at build time —
+    * the BM25 analog of the IVF index's frozen quantizer. */
+  final case class TextIndex(table: String, nDocs: Long, avgdl: Double)
+
+  /**
+   * Build and persist a BM25 inverted index — the lexical member of the
+   * persisted-index family ([[Similarity.buildIndex]] for vectors,
+   * [[Dedup.buildLshIndex]] for shingles): at 100 TB you search POSTINGS,
+   * not the corpus, and the postings are written once and probed per
+   * query batch.
+   *
+   * Layout (three store tables):
+   *  - `{table}_postings` `(token, doc_id, tf, dl)` — TOKEN-CLUSTERED
+   *    ([[graft.store.TableStore.atomicOverwriteClustered]]), so the
+   *    store's manifest min/max stats on `token` let a query's `IN`
+   *    filter skip whole files, and parquet row-group stats prune inside
+   *    the rest — the text analog of the IVF probe-list scan;
+   *  - `{table}_df` `(token, df)` — the vocab-sized idf side, ADDITIVE
+   *    (appends write deltas; readers sum per token);
+   *  - `{table}_stats` one row `(n_docs, avgdl)` — the frozen normalizers.
+   *
+   * [[searchTextIndex]] over this index reproduces [[bm25]]'s ranking
+   * EXACTLY (same Lucene +1 idf tree, same one-division avgdl, same
+   * rounded-score cutoff) — pinned by the `text_bm25_index_search` gate
+   * against the in-memory operator's own DuckDB oracle.
+   */
+  def buildTextIndex(store: graft.store.TableStore, table: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numFiles: Int = 32): TextIndex = {
+    val tl = size(tokens(col(textCol)))
+    // avgdl as ONE double division over exact integer sum/count — bm25's
+    // determinism contract, frozen into the stats table
+    val st = docs.agg(count(lit(1)).as("n"),
+      (sum(tl).cast("double") / count(tl)).as("avgdl")).head()
+    val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    val postings = Caches.track(docs
+      .select(col(idCol).as("doc_id"), size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl")))
+    store.atomicOverwriteClustered(s"${table}_postings", postings, Seq("token"), numFiles)
+    store.atomicOverwrite(s"${table}_df",
+      postings.groupBy("token").agg(count(lit(1)).as("df")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    store.atomicOverwrite(s"${table}_stats", Seq((n, avgdl)).toDF("n_docs", "avgdl"))
+    TextIndex(table, n, avgdl)
+  }
+
+  /**
+   * Grow a persisted text index with new documents — postings and df
+   * DELTAS append as their own O(1)-committed generations; the existing
+   * index is never read or rewritten. The build-time `n_docs`/`avgdl`
+   * stay FROZEN (the IVF frozen-quantizer trade, and Lucene's own
+   * per-segment practice): idf and length normalization drift with the
+   * appended mass until a [[buildTextIndex]] rebuild, while matching is
+   * exact — appended documents are immediately searchable with their true
+   * tf/dl. Appended files sit outside the token-clustered layout, so
+   * file skipping loosens until the store's next compaction
+   * (`maybeAutoCompactClustered` restores it under the auto-compact knob).
+   */
+  def appendToTextIndex(store: graft.store.TableStore, index: TextIndex,
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      numFiles: Int = 32): Unit = {
+    val postings = Caches.track(batch
+      .select(col(idCol).as("doc_id"), size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl")))
+    store.append(s"${index.table}_postings", postings)
+    store.append(s"${index.table}_df",
+      postings.groupBy("token").agg(count(lit(1)).as("df")))
+    store.maybeAutoCompactClustered(s"${index.table}_postings", Seq("token"), numFiles)
+  }
+
+  /** Reload a persisted text index's frozen stats from storage. */
+  def loadTextIndex(store: graft.store.TableStore, table: String): TextIndex = {
+    val r = store.read(s"${table}_stats").head()
+    TextIndex(table, r.getAs[Long]("n_docs"), r.getAs[Double]("avgdl"))
+  }
+
+  /**
+   * BM25 search over a persisted index: the query's deduplicated terms
+   * push as an `IN` filter into BOTH store scans (token-clustered
+   * postings: manifest file skipping + row-group pruning — only matching
+   * postings are ever read), df sums the additive deltas per term, and
+   * the identical [[bm25]] score tree ranks by `round(score, 6)` DESC,
+   * id ASC. On a freshly-built index this is bit-identical to the
+   * in-memory [[bm25]]; on a grown index the frozen-stats contract above
+   * applies.
+   */
+  def searchTextIndex(store: graft.store.TableStore, index: TextIndex, query: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25 parameters out of range: k1=$k1 b=$b")
+    require(topK > 0, s"topK must be positive: $topK")
+    val qTerms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "searchTextIndex: query has no terms")
+    val post = store.read(s"${index.table}_postings")
+      .filter(col("token").isin(qTerms: _*))
+    val dfT = store.read(s"${index.table}_df")
+      .filter(col("token").isin(qTerms: _*))
+      .groupBy("token").agg(sum("df").as("__df"))
+    post.join(graft.ops.Ops.hintIfSmall(dfT), Seq("token"))
+      .select(col("doc_id"),
+        (log((lit(index.nDocs) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)).cast("double") /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(index.avgdl))))
+          .as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+  }
+
   /**
    * Vocabulary divergence between two corpora: smoothed unigram KL both
    * ways plus Jensen–Shannon — the text-side drift monitor next to

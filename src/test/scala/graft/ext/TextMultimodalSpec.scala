@@ -471,6 +471,40 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
   }
 
+  test("persisted text index: build/load/search ≡ in-memory bm25; grow keeps frozen stats") {
+    val corpus = Seq((1L, "x x y"), (2L, "x z"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-fts-spec").toString)
+    val built = TextAnalysis.buildTextIndex(store, "fts", corpus)
+    graft.ext.Dedup.unpersistAll()
+    assert(built.nDocs == 3L && built.avgdl == 2.5)
+    // reload path: the stats survive storage round-trip exactly
+    val idx = TextAnalysis.loadTextIndex(store, "fts")
+    assert(idx == built)
+    val mem = TextAnalysis.bm25(corpus, "x q", topK = 10)
+      .as[(Long, Double)].collect().toMap
+    val viaIndex = TextAnalysis.searchTextIndex(store, idx, "x q", topK = 10)
+      .as[(Long, Double)].collect().toMap
+    graft.ext.Dedup.unpersistAll()
+    assert(viaIndex == mem, "fresh index search must equal the in-memory operator")
+    // grow: appended docs are searchable with true tf/dl; stats stay frozen
+    TextAnalysis.appendToTextIndex(store, idx,
+      Seq((4L, "x x x")).toDF("doc_id", "text"))
+    graft.ext.Dedup.unpersistAll()
+    val grown = TextAnalysis.searchTextIndex(store, idx, "x", topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(grown.keySet == Set(1L, 2L, 4L))
+    // frozen contract, computed by hand: N=3, avgdl=2.5 from the BUILD
+    // slice; df(x)=3 after the append delta sums in
+    val idfX = math.log((3 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    def sc(tf: Long, dl: Long) =
+      idfX * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5))
+    assert(grown(4L) == math.rint(sc(3, 3) * 1e6) / 1e6)
+    assert(grown(1L) == math.rint(sc(2, 3) * 1e6) / 1e6) // "x x y": tf=2, dl=3
+    intercept[IllegalArgumentException](TextAnalysis.searchTextIndex(store, idx, "  "))
+  }
+
   test("charEntropy: hand-derived values, degenerate and absent docs") {
     val got = TextAnalysis.charEntropy(
       Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, ""),
