@@ -285,6 +285,42 @@ object Queries {
           inj(11, " A\u030A ring"))).as("text"))
   }
 
+  /** Fixture for the `text_html_extract` gate: corpus text wrapped in
+    * deterministic HTML with the hazards the extractor must survive —
+    * title/style head, an injected script block (d%3), an HTML comment
+    * (d%5), entity-encoded punctuation (d%7), attributes on a trailing
+    * div, and NULL html (d%19). */
+  private def synthHtmlDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    def inj(m: Int, suffix: String) =
+      when(pmod(did, lit(m)) === 0, lit(suffix)).otherwise(lit(""))
+    Tables.load(s, d, "documents").select(did,
+      when(pmod(did, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(
+          lit("<html><head><title>Doc "), did.cast("string"),
+          lit("</title><style>p{margin:0}</style></head><body><p>"),
+          col("text"),
+          inj(3, " <script type=\"text/javascript\">var x=1;</script>after script"),
+          inj(5, " <!-- hidden\ncomment -->"),
+          inj(7, " a &amp; b &lt;tag&gt;&nbsp;&#39;q&#39; &quot;w&quot;"),
+          lit("</p><div class=\"foo\">tail</div></body></html>"))).as("html"))
+  }
+
+  /** SQL twin of [[synthHtmlDocs]] (a CTE named `hx`), used by the
+    * `text_html_extract` oracle. */
+  private val synthHtmlSql =
+    """hx AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+      |    '<html><head><title>Doc ' || doc_id ||
+      |    '</title><style>p{margin:0}</style></head><body><p>' || text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' <script type="text/javascript">var x=1;</script>after script' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' <!-- hidden' || chr(10) || 'comment -->' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' a &amp; b &lt;tag&gt;&nbsp;&#39;q&#39; &quot;w&quot;' ELSE '' END ||
+      |    '</p><div class="foo">tail</div></body></html>'
+      |  END AS html FROM documents)""".stripMargin
+
   /** SQL twin of [[synthReadabilityDocs]] (a CTE named `rd`), used by the
     * `text_readability` oracle. */
   private val synthReadabilitySql =
@@ -2121,6 +2157,11 @@ object Queries {
       synthNfcDocs(s, d).select(col("doc_id"), nfcCol.as("nfc_text"),
         length(nfcCol).as("n_chars_nfc"), (nfcCol =!= col("text")).as("changed"))
     }),
+    // raw-HTML → text extraction (r18): the pre-WET crawl stage — tag /
+    // script / comment stripping + entity decode over the hostile HTML
+    // fixture, the identical regex chain running under DuckDB
+    "text_html_extract" -> ((s, d) =>
+      TextAnalysis.htmlExtract(synthHtmlDocs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     // per-doc Shannon char entropy: the gibberish/base64/binary-junk
@@ -5061,6 +5102,21 @@ object Queries {
          |         translate(lpad(CAST((doc_id * 2654435761) % 100000000 AS VARCHAR), 8, '0'),
          |                   '0123456789', 'abcdefghij'), 'martha'), 6) AS jw_probe
          |  FROM nfc""".stripMargin,
+    // the identical strip/decode/collapse chain: comments, script/style
+    // blocks (gis non-greedy), tags -> space, six literal entity replaces
+    // with &amp; LAST, whitespace collapse, trim
+    "text_html_extract" ->
+      s"""WITH $synthHtmlSql,
+        |c1 AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS t FROM hx),
+        |c2 AS (SELECT doc_id, regexp_replace(t, '<script[^>]*>.*?</script>', ' ', 'gis') AS t FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'gis') AS t FROM c2),
+        |c4x AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM c3),
+        |ce AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM c4x),
+        |cc AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM ce)
+        |SELECT doc_id, clean_text, length(clean_text) AS n_chars FROM cc""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,
          |${c4CleanSql("c4")}

@@ -807,6 +807,41 @@ object TextAnalysis {
    * corpus size; every rule mirrors verbatim in the DuckDB oracle so the
    * whole filter is hash-gated.
    */
+  /**
+   * HTML → text extraction — the stage BEFORE everything else in a crawl
+   * pipeline: raw WARC responses carry HTML, and every downstream screen
+   * (C4 lines, Gopher rules, dedup, langid) expects extracted text (the
+   * WET format [[graft.io.Warc]] ingests is exactly this step's output,
+   * which Common Crawl happens to pre-compute). Deliberately a
+   * DETERMINISTIC tag/entity pipeline, not a DOM parser: strip comments,
+   * `<script>`/`<style>` blocks (non-greedy, case-insensitive, dotall),
+   * then every remaining tag to a space; decode the six core entities
+   * (chained literal replaces with `&amp;` LAST — the usual approximation
+   * of single-pass decoding); collapse whitespace runs; trim. Every
+   * pattern is shared Java-regex/RE2 syntax (inline `(?is)` flags,
+   * non-greedy `.*?`, no lookaround, no backrefs), so the identical chain
+   * runs under DuckDB and the whole extraction hash-gates.
+   *
+   * Output: `(id, clean_text, n_chars)`; NULL html stays NULL through the
+   * chain on both engines. Pure codegen'd per-row map — no shuffle,
+   * linear at any corpus size.
+   */
+  def htmlExtract(docs: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html"): DataFrame = {
+    val noComment = regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    docs.select(col(idCol), clean.as("clean_text"),
+      length(clean).as("n_chars"))
+  }
+
   def c4Clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minWordsPerLine: Int = 3, minLinesPerDoc: Int = 5,
       terminalPunct: Seq[String] = Seq(".", "!", "?", "\""),

@@ -471,6 +471,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
   }
 
+  test("htmlExtract: tags/scripts/comments stripped, entities decoded, whitespace collapsed") {
+    val rows = Seq(
+      (1L, "<html><body><p>Hello   <b>world</b></p></body></html>"),
+      (2L, "<p>keep</p><script type=\"a\">drop this</script><SCRIPT>and this</SCRIPT>tail"),
+      (3L, "<style>p{x}</style>text <!-- gone\nacross lines --> here"),
+      (4L, "a &amp; b &lt;i&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y"),
+      (5L, "&amp;lt; stays encoded once"), // &amp; decodes LAST -> literal "&lt;"
+      (6L, null.asInstanceOf[String]))
+    val got = TextAnalysis.htmlExtract(rows.toDF("doc_id", "html"))
+      .as[(Long, String, Option[Int])].collect()
+      .map { case (k, t, n) => k -> ((t, n)) }.toMap
+    assert(got(1L) == ("Hello world", Some(11)))
+    assert(got(2L) == ("keep tail", Some(9)))
+    assert(got(3L) == ("text here", Some(9)))
+    assert(got(4L) == ("a & b <i> \"q\" 's' x y", Some(21)))
+    assert(got(5L) == ("&lt; stays encoded once", Some(23)))
+    assert(got(6L)._1 == null && got(6L)._2.isEmpty)
+  }
+
   test("persisted text index: build/load/search ≡ in-memory bm25; grow keeps frozen stats") {
     val corpus = Seq((1L, "x x y"), (2L, "x z"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
