@@ -303,6 +303,8 @@ object Queries {
           inj(3, " <script type=\"text/javascript\">var x=1;</script>after script"),
           inj(5, " <!-- hidden\ncomment -->"),
           inj(7, " a &amp; b &lt;tag&gt;&nbsp;&#39;q&#39; &quot;w&quot;"),
+          inj(4, " <a class=\"x\" href=\"https://example.com/p?id=1\">link</a>"),
+          inj(11, " <A HREF='http://other.net/q'>single</A><a href=\"\">empty</a>"),
           lit("</p><div class=\"foo\">tail</div></body></html>"))).as("html"))
   }
 
@@ -318,6 +320,11 @@ object Queries {
       |    CASE WHEN doc_id % 5 = 0 THEN ' <!-- hidden' || chr(10) || 'comment -->' ELSE '' END ||
       |    CASE WHEN doc_id % 7 = 0
       |         THEN ' a &amp; b &lt;tag&gt;&nbsp;&#39;q&#39; &quot;w&quot;' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN ' <a class="x" href="https://example.com/p?id=1">link</a>' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN ' <A HREF=' || chr(39) || 'http://other.net/q' || chr(39) ||
+      |              '>single</A><a href="">empty</a>' ELSE '' END ||
       |    '</p><div class="foo">tail</div></body></html>'
       |  END AS html FROM documents)""".stripMargin
 
@@ -2162,6 +2169,11 @@ object Queries {
     // fixture, the identical regex chain running under DuckDB
     "text_html_extract" -> ((s, d) =>
       TextAnalysis.htmlExtract(synthHtmlDocs(s, d))),
+    // outlink extraction (r18): the crawl-frontier / web-graph source —
+    // double- then single-quoted href targets in document order, empty
+    // hrefs kept (the Urls family filters downstream)
+    "text_html_links" -> ((s, d) =>
+      TextAnalysis.htmlLinks(synthHtmlDocs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     // per-doc Shannon char entropy: the gibberish/base64/binary-junk
@@ -5117,6 +5129,18 @@ object Queries {
         |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM c4x),
         |cc AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM ce)
         |SELECT doc_id, clean_text, length(clean_text) AS n_chars FROM cc""".stripMargin,
+    // double-quoted extractions first, then single-quoted — pos numbers
+    // the concatenated order, 0-based; NULL html yields no rows
+    "text_html_links" ->
+      s"""WITH $synthHtmlSql,
+        |lk AS (SELECT doc_id,
+        |         list_concat(
+        |           regexp_extract_all(html, '(?i)<a[^>]*href\\s*=\\s*"([^"]*)"', 1),
+        |           regexp_extract_all(html, '(?i)<a[^>]*href\\s*=\\s*''([^'']*)''', 1)) AS urls
+        |       FROM hx)
+        |SELECT doc_id, CAST(idx - 1 AS BIGINT) AS pos, url
+        |  FROM (SELECT doc_id, unnest(urls) AS url,
+        |               generate_subscripts(urls, 1) AS idx FROM lk) t""".stripMargin,
     "text_c4_clean" ->
       s"""WITH $synthC4Sql,
          |${c4CleanSql("c4")}

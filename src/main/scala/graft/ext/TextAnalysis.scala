@@ -842,6 +842,27 @@ object TextAnalysis {
       length(clean).as("n_chars"))
   }
 
+  /**
+   * Outlink extraction — [[htmlExtract]]'s sibling and the source of the
+   * crawl frontier and the web graph ([[Graphs.pageRank]] runs on exactly
+   * this output at corpus scale): every `<a href="...">` / `<a href='...'>`
+   * target in document order, one `(id, pos, url)` row per link.
+   * Double-quoted hrefs extract first, then single-quoted (the two capture
+   * patterns share Java-regex/RE2 syntax; `pos` numbers the concatenated
+   * order, 0-based). Empty hrefs are kept — dropping is the caller's
+   * policy, usually [[graft.ext.Urls]] canonicalization + blocklists next.
+   * Pure codegen per-row map + one posexplode; no shuffle.
+   */
+  def htmlLinks(docs: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html"): DataFrame = {
+    val dq = regexp_extract_all(col(htmlCol),
+      lit("(?i)<a[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(col(htmlCol),
+      lit("(?i)<a[^>]*href\\s*=\\s*'([^']*)'"), lit(1))
+    docs.select(col(idCol), posexplode(concat(dq, sq)).as(Seq("pos", "url")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("url"))
+  }
+
   def c4Clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minWordsPerLine: Int = 3, minLinesPerDoc: Int = 5,
       terminalPunct: Seq[String] = Seq(".", "!", "?", "\""),

@@ -490,6 +490,19 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(6L)._1 == null && got(6L)._2.isEmpty)
   }
 
+  test("htmlLinks: href targets in document order, both quote styles, empty href kept") {
+    val rows = Seq(
+      (1L, "<a href=\"https://a.com/1\">x</a> mid <A  HREF='http://b.net/2'>y</A>" +
+        "<a class=\"z\" href=\"\">e</a>"),
+      (2L, "no links here"),
+      (3L, null.asInstanceOf[String]))
+    val got = TextAnalysis.htmlLinks(rows.toDF("doc_id", "html"))
+      .as[(Long, Long, String)].collect().toSeq
+    // double-quoted hrefs number first (0, 1), single-quoted after (2)
+    assert(got.sortBy(r => (r._1, r._2)) == Seq(
+      (1L, 0L, "https://a.com/1"), (1L, 1L, ""), (1L, 2L, "http://b.net/2")))
+  }
+
   test("persisted text index: build/load/search ≡ in-memory bm25; grow keeps frozen stats") {
     val corpus = Seq((1L, "x x y"), (2L, "x z"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
