@@ -14,7 +14,8 @@ object Bench {
     * `SPARK_GRAFT_ONLY=<query>`, and scrapes the child's result line. A
     * child that dies or prints no timing records as failed, same as an
     * in-process query failure. */
-  private def runForked(sfDir: String, names: Seq[String], runs: Int): Unit = {
+  private def runForked(sfDir: String, names: Seq[String], runs: Int,
+      filtered: Boolean): Unit = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -49,12 +50,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"runs":$runs,"forked":true,"sf":"$sfDir","total_s":$total}"""
+    // "filtered" rides in the line AND gates the file write — a partial
+    // forked bench must be as unmistakable as a partial in-process one
+    // (r18 review fix: the non-fork path already refuses to persist
+    // subset runs; the forked record follows the same rule)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"runs":$runs,"forked":true,"filtered":$filtered,"sf":"$sfDir","total_s":$total}"""
     println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_LOCAL_forked.json"), line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] BENCH_LOCAL_forked.json not written: $e")
+    if (!filtered) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Path.of("BENCH_LOCAL_forked.json"), line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_LOCAL_forked.json not written: $e")
+      }
     }
   }
 
@@ -94,7 +101,7 @@ object Bench {
     // wall-clock.
     if (args.contains("--fork") ||
         sys.env.get("SPARK_GRAFT_FORK").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
-      runForked(sfDir, selected.keys.toSeq.sorted, runs)
+      runForked(sfDir, selected.keys.toSeq.sorted, runs, filtered = only.isDefined)
       return
     }
     // one source of session truth (graft.io.Sessions) — keeps bench plans

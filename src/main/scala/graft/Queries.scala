@@ -63,12 +63,18 @@ object Queries {
     val est = grouped.agg(
       coalesce(sum(sz * (sz - 1L)), lit(0L)).as("twice"),
       coalesce(max(sz), lit(0L)).as("hot")).head()
-    val pairs = est.getLong(0) / 2
-    require(pairs <= graft.ext.Dedup.DefaultPairBudget,
-      s"partCoOccurrence: per-order pair expansion would form ~$pairs " +
-        s"candidate pairs (budget ${graft.ext.Dedup.DefaultPairBudget}; " +
-        s"hottest order carries ${est.getLong(1)} distinct parts) — cap " +
-        "basket size upstream before building the co-occurrence graph")
+    // guard the PER-BASKET fan-out, not the aggregate pair total: with
+    // bounded baskets total pairs grow linearly with the corpus (that is
+    // the operator working as designed — r18 review fix: a fixed total cap
+    // would hard-fail a healthy linear computation past ~100× gate scale),
+    // while one pathological basket (a misjoined key, a collapsed order id)
+    // is the quadratic hazard worth refusing loudly
+    val hot = est.getLong(1)
+    require(hot * (hot - 1L) / 2L <= graft.ext.Dedup.DefaultPairBudget,
+      s"partCoOccurrence: the hottest order carries $hot distinct parts " +
+        s"(~${hot * (hot - 1L) / 2L} pairs from ONE basket; budget " +
+        s"${graft.ext.Dedup.DefaultPairBudget}; ~${est.getLong(0) / 2} total) — " +
+        "a basket this hot is a key-collapse symptom, not shopping behavior")
     // ascending array_sort ⇒ every expanded struct already has pa < pb
     grouped
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -2170,8 +2176,9 @@ object Queries {
     "text_html_extract" -> ((s, d) =>
       TextAnalysis.htmlExtract(synthHtmlDocs(s, d))),
     // outlink extraction (r18): the crawl-frontier / web-graph source —
-    // double- then single-quoted href targets in document order, empty
-    // hrefs kept (the Urls family filters downstream)
+    // ALL double-quoted href targets first, then single-quoted (pos is
+    // that grouped order, not raw document position); empty hrefs kept
+    // (the Urls family filters downstream)
     "text_html_links" -> ((s, d) =>
       TextAnalysis.htmlLinks(synthHtmlDocs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
@@ -2953,7 +2960,8 @@ object Queries {
       // cluster-frequency agg, AND the distinct-cluster scalar — three
       // consumers (released by Caches.unpersistAll)
       val ct = graft.ext.Caches.track(docs(s, d).filter(col("text").isNotNull)
-        .select(col("doc_id").as("vec_id"), explode(split(col("text"), "\\s+")).as("token"))
+        .select(col("doc_id").as("vec_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
         .join(assign, Seq("vec_id"))
         .groupBy("cluster", "token").agg(count(lit(1)).as("tf")))
       val cf = ct.groupBy("token").agg(count(lit(1)).as("cluster_freq"))
@@ -3586,7 +3594,9 @@ object Queries {
     // distributed), and the result must hash-equal the parquet source
     "o19_jdbc_roundtrip" -> ((s, d) => {
       val home = java.nio.file.Files.createTempDirectory("graft-derby-gate")
-      System.setProperty("derby.system.home", home.toString) // derby.log → tmp
+      // only the FIRST Derby boot reads this (derby.log → tmp); later
+      // invocations reference the db by absolute path regardless
+      System.setProperty("derby.system.home", home.toString)
       val cfg = graft.store.Jdbc.JdbcConfig(
         url = s"jdbc:derby:$home/db;create=true",
         user = "graft", password = "", // ignored by embedded Derby
@@ -3594,9 +3604,20 @@ object Queries {
       val src = customer(s, d).filter(col("c_custkey") <= 200)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       graft.store.Jdbc.append(src, cfg, "t_gate_roundtrip")
-      graft.store.Jdbc.read(s, cfg, "t_gate_roundtrip",
+      // materialize the partitioned read NOW (the 4-way key-range scan
+      // runs here), then SHUT THE DATABASE DOWN — embedded Derby keeps
+      // each booted db's page cache + threads alive for the JVM's life
+      // otherwise, and query entries must not leak state into the shared
+      // session (r18 review fix); a runs=3 marathon would accumulate
+      // three live databases. Returning the collected rows as a local
+      // relation keeps the gate's output identical.
+      val rows = graft.store.Jdbc.read(s, cfg, "t_gate_roundtrip",
           splitCol = Some(("c_custkey", 1L, 200L, 4)))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val out = s.createDataFrame(rows.collectAsList(), rows.schema)
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
+      out
     })
   )
 
@@ -4064,6 +4085,44 @@ object Queries {
   private def kmeansSql(k: Int, iters: Int, scale: Int): String = {
     val (ctes, af) = kmeansCtes(k, iters, scale)
     s"$ctes\nSELECT vec_id, CAST(c AS BIGINT) AS cluster FROM $af"
+  }
+
+  /** `dedup_name_linkage` oracle with the ADAPTIVE blocking width derived
+    * in SQL — the exact twin of [[graft.ext.Dedup.linkNamesJaroWinkler]]'s
+    * `blockChars = 0` estimator: per candidate width b, Σ|L_p|·|R_p| over
+    * matched b-char prefixes; pick the smallest b in 2..8 whose estimate
+    * fits `32·max(|L|,|R|)`, else 8 (the fixture's names are exactly 8
+    * chars, so the engine's wider fallback widths block identically). */
+  private val nameLinkageAdaptiveSql: String = {
+    val candCtes = (2 to 8).map { b =>
+      s"""cb$b AS (SELECT coalesce(sum(la.nl * ra.nr), 0) AS cand
+         |  FROM (SELECT substr(name, 1, $b) AS p, count(*) AS nl FROM nm GROUP BY 1) la
+         |  JOIN (SELECT substr(name, 1, $b) AS p, count(*) AS nr FROM v GROUP BY 1) ra
+         |    ON la.p = ra.p)""".stripMargin
+    }.mkString(",\n")
+    val chosen = (2 to 7).foldRight("8") { (b, rest) =>
+      s"CASE WHEN (SELECT cand FROM cb$b) <= bud.b THEN $b ELSE $rest END"
+    }
+    s"""WITH nm AS (SELECT c_custkey AS id,
+       |       translate(lpad(CAST((c_custkey * 2654435761) % 100000000 AS VARCHAR), 8, '0'),
+       |                 '0123456789', 'abcdefghij') AS name
+       |         FROM customer),
+       |v AS (SELECT id, CASE CAST(id % 4 AS INT)
+       |        WHEN 0 THEN name
+       |        WHEN 1 THEN substr(name, 1, 2) || substr(name, 4, 8)
+       |        WHEN 2 THEN substr(name, 1, 3) || substr(name, 5, 1) || substr(name, 4, 1) || substr(name, 6, 8)
+       |        ELSE substr(name, 1, 7) || 'z' END AS name FROM nm),
+       |$candCtes,
+       |bud AS (SELECT 32 * GREATEST((SELECT count(*) FROM nm), (SELECT count(*) FROM v)) AS b),
+       |ch AS (SELECT ($chosen) AS k FROM bud),
+       |l AS (SELECT id AS id_a, name AS name_a,
+       |             substr(name, 1, (SELECT k FROM ch)) AS blk FROM nm),
+       |r AS (SELECT id AS id_b, name AS name_b,
+       |             substr(name, 1, (SELECT k FROM ch)) AS blk FROM v)
+       |SELECT id_a, id_b, name_a, name_b,
+       |       round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+       |  FROM l JOIN r ON l.blk = r.blk
+       | WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.84""".stripMargin
   }
 
   /** `sim_cluster_keywords` oracle: the k-means rounds, then cluster-level
@@ -6646,23 +6705,15 @@ object Queries {
         |       grp_n, grp_n < 12 AS suppressed
         |  FROM customer c JOIN g USING (c_mktsegment, c_nationkey)""".stripMargin,
     // independent-implementation cross-check of the codegen'd JaroWinkler
-    // kernel: DuckDB's comparator over every blocked candidate pair
-    "dedup_name_linkage" ->
-      """WITH nm AS (SELECT c_custkey AS id,
-        |       translate(lpad(CAST((c_custkey * 2654435761) % 100000000 AS VARCHAR), 8, '0'),
-        |                 '0123456789', 'abcdefghij') AS name
-        |         FROM customer),
-        |v AS (SELECT id, CASE CAST(id % 4 AS INT)
-        |        WHEN 0 THEN name
-        |        WHEN 1 THEN substr(name, 1, 2) || substr(name, 4, 8)
-        |        WHEN 2 THEN substr(name, 1, 3) || substr(name, 5, 1) || substr(name, 4, 1) || substr(name, 6, 8)
-        |        ELSE substr(name, 1, 7) || 'z' END AS name FROM nm),
-        |l AS (SELECT id AS id_a, name AS name_a, substr(name, 1, 2) AS blk FROM nm),
-        |r AS (SELECT id AS id_b, name AS name_b, substr(name, 1, 2) AS blk FROM v)
-        |SELECT id_a, id_b, name_a, name_b,
-        |       round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
-        |  FROM l JOIN r USING (blk)
-        | WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.84""".stripMargin,
+    // kernel: DuckDB's comparator over every blocked candidate pair. The
+    // ORACLE MIRRORS THE ADAPTIVE BLOCKING ESTIMATOR (r18 review fix): the
+    // engine widens the prefix until Σ|L_p|·|R_p| fits 32·n, so a fixed
+    // 2-char oracle key would silently fork the gate the moment the corpus
+    // outgrows ~3.2 k names — instead the unrolled cb2..cb8 CTEs compute
+    // the same candidate estimates and `ch` picks the same minimal width
+    // (names are exactly 8 chars, so the engine's ≥8 fallback blocks
+    // identically to width 8), keeping the gate hash-exact at ANY SF
+    "dedup_name_linkage" -> nameLinkageAdaptiveSql,
     // the JDBC round trip must hand back exactly what went in — the oracle
     // is the parquet source slice itself
     "o19_jdbc_roundtrip" ->

@@ -974,20 +974,29 @@ object Similarity {
         val tightTarget = math.max(1L, pairBudget / 4)
         var fallback: Option[(Int, Int, DataFrame)] = None
         var pick: Option[(Int, Int, DataFrame)] = None
-        val it = ladder.iterator
+        var last: Option[(Int, Int, DataFrame)] = None
+        // the 62-bit clamp can collapse the top rungs to one shape —
+        // dedupe so a shape is never estimated twice (r18 review fix)
+        val it = ladder.distinct.iterator
         while (pick.isEmpty && it.hasNext) {
           val (b, r) = it.next()
           val k = keyedFor(b, r)
+          last = Some((b, r, k))
           val est = estPairs(k)
           if (est <= tightTarget) pick = Some((b, r, k))
           else if (est <= pairBudget && fallback.isEmpty) fallback = Some((b, r, k))
         }
-        val (b, r, k) = pick.orElse(fallback).getOrElse {
-          val (lb, lr) = ladder.last; (lb, lr, keyedFor(lb, lr))
-        }
+        val fits = pick.orElse(fallback)
+        val (b, r, k) = fits.orElse(last).get
         if (b != bands || r != rowsPerBand)
-          System.err.println(s"[graft] cosinePairsLsh: sharpened bands " +
-            s"$bands x $rowsPerBand -> $b x $r to fit the $pairBudget pair budget")
+          System.err.println(
+            if (fits.nonEmpty)
+              s"[graft] cosinePairsLsh: sharpened bands $bands x $rowsPerBand " +
+                s"-> $b x $r to fit the $pairBudget pair budget"
+            else
+              s"[graft] cosinePairsLsh: NO band shape up to $b x $r fits the " +
+                s"$pairBudget pair budget — the collisions are genuine near-dups; " +
+                "proceeding to the loud budget refusal")
         k
       }
     val candidates = graft.ext.Dedup.bucketPairs(keyed, "bucket", "id", pairBudget)

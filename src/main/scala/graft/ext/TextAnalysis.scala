@@ -846,10 +846,12 @@ object TextAnalysis {
    * Outlink extraction — [[htmlExtract]]'s sibling and the source of the
    * crawl frontier and the web graph ([[Graphs.pageRank]] runs on exactly
    * this output at corpus scale): every `<a href="...">` / `<a href='...'>`
-   * target in document order, one `(id, pos, url)` row per link.
-   * Double-quoted hrefs extract first, then single-quoted (the two capture
-   * patterns share Java-regex/RE2 syntax; `pos` numbers the concatenated
-   * order, 0-based). Empty hrefs are kept — dropping is the caller's
+   * target, one `(id, pos, url)` row per link. `pos` numbers a GROUPED
+   * order, not raw document order: ALL double-quoted hrefs first (each
+   * group in document order), then all single-quoted ones — two capture
+   * patterns in shared Java-regex/RE2 syntax, concatenated (0-based).
+   * Callers needing true document position across mixed quote styles
+   * should not rank on `pos` across the two groups. Empty hrefs are kept — dropping is the caller's
    * policy, usually [[graft.ext.Urls]] canonicalization + blocklists next.
    * Pure codegen per-row map + one posexplode; no shuffle.
    */

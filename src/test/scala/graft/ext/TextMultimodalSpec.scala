@@ -490,7 +490,7 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got(6L)._1 == null && got(6L)._2.isEmpty)
   }
 
-  test("htmlLinks: href targets in document order, both quote styles, empty href kept") {
+  test("htmlLinks: double-quoted targets number before single-quoted, empty href kept") {
     val rows = Seq(
       (1L, "<a href=\"https://a.com/1\">x</a> mid <A  HREF='http://b.net/2'>y</A>" +
         "<a class=\"z\" href=\"\">e</a>"),
