@@ -34,8 +34,14 @@ object Bench {
         val p = pb.start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val code = p.waitFor()
+        // scrape ONLY the child's final line — the results-JSON contract
+        // line. Matching anywhere in stdout would let a stray earlier line
+        // containing "<query>":<number> masquerade as the timing
+        // (r18 ADVICE fix).
+        val lastLine = out.linesIterator.filter(_.trim.nonEmpty)
+          .foldLeft("")((_, l) => l)
         val timing = ("\"" + java.util.regex.Pattern.quote(name) + "\":(null|[-0-9.eE+]+)").r
-          .findFirstMatchIn(out).map(_.group(1))
+          .findFirstMatchIn(lastLine).map(_.group(1))
         val t = timing match {
           case Some(v) if v != "null" && code == 0 => Some(v.toDouble)
           case _ =>

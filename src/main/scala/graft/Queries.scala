@@ -311,6 +311,7 @@ object Queries {
           inj(7, " a &amp; b &lt;tag&gt;&nbsp;&#39;q&#39; &quot;w&quot;"),
           inj(4, " <a class=\"x\" href=\"https://example.com/p?id=1\">link</a>"),
           inj(11, " <A HREF='http://other.net/q'>single</A><a href=\"\">empty</a>"),
+          inj(9, " <ul><li>item one here.</li><li>item two also.</li></ul>pre<br>post<BR/>end"),
           lit("</p><div class=\"foo\">tail</div></body></html>"))).as("html"))
   }
 
@@ -331,7 +332,118 @@ object Queries {
       |    CASE WHEN doc_id % 11 = 0
       |         THEN ' <A HREF=' || chr(39) || 'http://other.net/q' || chr(39) ||
       |              '>single</A><a href="">empty</a>' ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 0
+      |         THEN ' <ul><li>item one here.</li><li>item two also.</li></ul>pre<br>post<BR/>end'
+      |         ELSE '' END ||
       |    '</p><div class="foo">tail</div></body></html>'
+      |  END AS html FROM documents)""".stripMargin
+
+  /** Fixture for the `pipeline_html_clean` capstone: HTML whose BLOCK
+    * structure carries a per-rule decider for every downstream c4 line
+    * rule — two always-kept sentence paragraphs + a kept trailing div, a
+    * title line that dies on terminal punctuation AND word count, a
+    * too-short line (d%3), a `javascript` line kill (d%4), a
+    * no-terminal-punctuation line (d%5), two extra `<li>` lines (d%2), a
+    * `lorem ipsum` whole-doc kill (d%13), NULL html (d%19). Without
+    * htmlExtract's block→newline structure the whole document would be
+    * ONE line and every per-line rule would fire on the wrong unit — the
+    * seam this composition gate exists to pin. */
+  private def synthHtmlCleanDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    def inj(m: Int, suffix: String) =
+      when(pmod(did, lit(m)) === 0, lit(suffix)).otherwise(lit(""))
+    Tables.load(s, d, "documents").select(did,
+      when(pmod(did, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(
+          lit("<html><head><title>Page "), did.cast("string"),
+          lit("</title></head><body><p>Document number "), did.cast("string"),
+          lit(" opens with a full sentence.</p>"),
+          lit("<p>Another proper line follows it right here.</p>"),
+          inj(3, "<p>Too short.</p>"),
+          inj(4, "<p>This line mentions javascript so it dies.</p>"),
+          inj(5, "<p>no terminal punctuation on this line</p>"),
+          inj(2, "<ul><li>List item one stays around.</li><li>List item two stays too.</li></ul>"),
+          inj(13, "<p>Filler lorem ipsum phrase kills the whole doc.</p>"),
+          lit("<div>Trailing block also ends properly.</div></body></html>"))).as("html"))
+  }
+
+  /** SQL twin of [[synthHtmlCleanDocs]] (a CTE named `hw`), used by the
+    * `pipeline_html_clean` oracle. */
+  private val synthHtmlCleanSql =
+    """hw AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+      |    '<html><head><title>Page ' || doc_id ||
+      |    '</title></head><body><p>Document number ' || doc_id ||
+      |    ' opens with a full sentence.</p>' ||
+      |    '<p>Another proper line follows it right here.</p>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '<p>Too short.</p>' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN '<p>This line mentions javascript so it dies.</p>' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN '<p>no terminal punctuation on this line</p>' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN '<ul><li>List item one stays around.</li><li>List item two stays too.</li></ul>'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN '<p>Filler lorem ipsum phrase kills the whole doc.</p>' ELSE '' END ||
+      |    '<div>Trailing block also ends properly.</div></body></html>'
+      |  END AS html FROM documents)""".stripMargin
+
+  /** The [[graft.ext.TextAnalysis.htmlLinks]] extraction as a DuckDB list
+    * expression over an `html` column — ONE combined alternation captures
+    * the quoted token in document order, quotes stripped by substring.
+    * Shared by the `text_html_links` oracle and the `pipeline_web_graph`
+    * head so the link semantics cannot fork. */
+  private val htmlLinksListExpr =
+    """list_transform(
+      |           regexp_extract_all(html, '(?i)<a[^>]*href\s*=\s*("[^"]*"|''[^'']*'')', 1),
+      |           u -> substring(u, 2, length(u) - 2))""".stripMargin
+
+  /** Fixture for the `pipeline_web_graph` capstone: a deterministic
+    * 10-host web (`site0.example` … `site9.example`) where each document
+    * links its successor host (double-quoted), even documents add a hub
+    * link carrying a `utm_source` tracking param (single-quoted), and
+    * every fifth document repeats its first link UPPERCASED with an
+    * explicit `:80` — the canonicalizer must collapse it onto the first
+    * link's edge or the edge weights (and therefore the ranks) fork.
+    * NULL html on d%19. */
+  private def synthWebDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    def host(e: org.apache.spark.sql.Column) =
+      concat(lit("site"), pmod(e, lit(10)).cast("string"), lit(".example"))
+    Tables.load(s, d, "documents").select(did,
+      when(pmod(did, lit(19)) === 0, lit(null).cast("string"))
+        .otherwise(concat(
+          lit("<html><body><p>page "), did.cast("string"), lit("</p>"),
+          lit("<a href=\"http://"), host(did + 1), lit("/p/"), did.cast("string"),
+          lit("\">next</a>"),
+          when(pmod(did, lit(2)) === 0,
+            concat(lit(" <a href='https://"), host(did * 3 + 2), lit("/q?id="),
+              did.cast("string"), lit("&utm_source=feed'>hub</a>")))
+            .otherwise(lit("")),
+          when(pmod(did, lit(5)) === 0,
+            concat(lit(" <A HREF=\"HTTP://"), upper(host(did + 1)), lit(":80/p/"),
+              did.cast("string"), lit("\">dup</A>")))
+            .otherwise(lit("")),
+          lit("</body></html>"))).as("html"))
+  }
+
+  /** SQL twin of [[synthWebDocs]] (a CTE named `wg`). */
+  private val synthWebSql =
+    """wg AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+      |    '<html><body><p>page ' || doc_id || '</p>' ||
+      |    '<a href="http://site' || ((doc_id + 1) % 10) || '.example/p/' || doc_id ||
+      |    '">next</a>' ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ' <a href=' || chr(39) || 'https://site' || ((doc_id * 3 + 2) % 10) ||
+      |              '.example/q?id=' || doc_id || '&utm_source=feed' || chr(39) || '>hub</a>'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' <A HREF="HTTP://SITE' || ((doc_id + 1) % 10) || '.EXAMPLE:80/p/' ||
+      |              doc_id || '">dup</A>'
+      |         ELSE '' END ||
+      |    '</body></html>'
       |  END AS html FROM documents)""".stripMargin
 
   /** SQL twin of [[synthReadabilityDocs]] (a CTE named `rd`), used by the
@@ -401,6 +513,32 @@ object Queries {
             lit(" shipped.")),
           lit("   "))).as("text"))
   }
+
+  /** The [[graft.ext.TextAnalysis.htmlExtract]] chain as reusable CTEs
+    * (`hc1`..`hcc`, final relation `hcc(doc_id, clean_text)`) over a
+    * source with `(doc_id, html)` — shared by the standalone
+    * `text_html_extract` gate and the `pipeline_html_clean` capstone so
+    * the SQL twin cannot fork. Every regex is the operator's own pattern
+    * verbatim (shared Java-regex/RE2 syntax); newlines enter as chr(10)
+    * replacements because a DuckDB replacement string does not interpret
+    * escapes. */
+  private def htmlExtractSql(src: String): String =
+    s"""hc1 AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS t FROM $src),
+       |hc2 AS (SELECT doc_id, regexp_replace(t, '<script[^>]*>.*?</script>', ' ', 'gis') AS t FROM hc1),
+       |hc3 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'gis') AS t FROM hc2),
+       |hcb AS (SELECT doc_id, regexp_replace(t,
+       |          '<(?:br\\s*/?|/(?:p|div|li|ul|ol|h[1-6]|tr|table|title|blockquote|pre|section|article|header|footer))>',
+       |          chr(10), 'gi') AS t FROM hc3),
+       |hc4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM hcb),
+       |hce AS (SELECT doc_id,
+       |         replace(replace(replace(replace(replace(replace(t,
+       |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM hc4),
+       |hch AS (SELECT doc_id, regexp_replace(t, '[ \\t\\x0B\\f\\r]+', ' ', 'g') AS t FROM hce),
+       |hcn AS (SELECT doc_id, regexp_replace(t, ' *\\n *', chr(10), 'g') AS t FROM hch),
+       |hcc AS (SELECT doc_id,
+       |          trim(regexp_replace(t, '\\n+', chr(10), 'g'), ' ' || chr(10)) AS clean_text
+       |          FROM hcn)""".stripMargin
 
   /** The `text_c4_clean` rule chain as reusable CTEs (`ct`, `cc`) over a
     * source relation with `(doc_id, text)` — shared by the standalone gate
@@ -536,12 +674,12 @@ object Queries {
     * fixture — shared by all three URL oracles so the host semantics (the
     * r16 advisory's userinfo-bypass fix) cannot fork across mirrors.
     * `extra` threads passthrough columns (e.g. `", url"`). */
-  private def urlHostSql(extra: String = ""): String =
+  private def urlHostSql(extra: String = "", src: String = "u"): String =
     s"""h AS (SELECT doc_id$extra, lower(CASE WHEN starts_with(a, '[')
        |                THEN regexp_extract(a, '^(\\[[^\\]]*\\])', 1)
        |                ELSE split_part(a, ':', 1) END) AS host
        |        FROM (SELECT doc_id$extra, regexp_extract(url,
-       |                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS a FROM u) ha)""".stripMargin
+       |                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1) AS a FROM $src) ha)""".stripMargin
 
   /** SQL twin of [[synthGopherDocs]] (a CTE named `g`), used by the
     * `text_gopher_quality` oracle. */
@@ -1231,7 +1369,13 @@ object Queries {
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         // round(CAST(sum AS DOUBLE), 4): the exact decimal sum is identical
         // in both engines; hashing the rounded double sidesteps the wide-
-        // decimal canonicalization that forked the r17 hash (q1 pattern)
+        // decimal canonicalization that forked the r17 hash (q1 pattern).
+        // Documented deviation (r18 ADVICE): ORDERING is on the rounded
+        // value, so two customers whose exact revenues differ by < 5e-5
+        // tie here and break on c_custkey, where exact-decimal TPC-H
+        // ranking could order them the other way — both engines apply the
+        // identical rule, so the gate is stable; the exact sums at these
+        // SFs differ by cents, far above the rounding grain
         .agg(round(sum(price * (lit(BigDecimal(1)) - disc)).cast("double"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -2185,7 +2329,17 @@ object Queries {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     // per-doc Shannon char entropy: the gibberish/base64/binary-junk
     // detector of crawl quality filtering (prose sits in a narrow band)
-    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(docs(s, d))),
+    // the astral-plane caveat, MEASURED (r18 verdict item 7): every 23rd
+    // doc carries supplementary-plane emoji (UTF-16 surrogate pairs on the
+    // JVM). Both engines split on CODE POINTS (Java's empty-pattern split
+    // has refused to cut surrogate pairs since JDK 8; DuckDB is natively
+    // codepoint-based) and both length() functions count code points, so
+    // the gate pins agreement instead of narrating a divergence
+    "text_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(
+      docs(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(23)) === 0,
+          concat(col("text"), lit(" 😀🚀😀")))
+          .otherwise(col("text")).as("text")))),
     // winnowing (Schleimer et al., the MOSS selection): min-hash of every
     // 4-gram window over positional 5-gram md5 hashes, rightmost ties —
     // ~2/(w+1) of grams stored, any shared >= k+w-1-token run still caught
@@ -2270,6 +2424,24 @@ object Queries {
           Seq("fp"), "doc_id")
         .select("doc_id", "clean_text")
     }),
+    // the crawl-chain capstone (r18 verdict item 1): raw HTML → block-
+    // structured text extraction → C4 LINE rules → exact fingerprint dedup
+    // over a doubled corpus. The load-bearing seam is htmlExtract's
+    // block→newline contract: c4Clean splits on \n, so the pre-r19
+    // whitespace collapse degenerated every document to one line and the
+    // per-line rules fired on the wrong unit
+    "pipeline_html_clean" -> ((s, d) => {
+      val base = synthHtmlCleanDocs(s, d)
+      val corpus = base.unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"), col("html")))
+      val ex = TextAnalysis.htmlExtract(corpus)
+      val cleaned = TextAnalysis.c4Clean(
+        ex.select(col("doc_id"), col("clean_text").as("text")), minLinesPerDoc = 3)
+      Dedup.exact(
+          cleaned.withColumn("fp", Dedup.contentFingerprint(col("clean_text"))),
+          Seq("fp"), "doc_id")
+        .select("doc_id", "clean_text", "n_lines_kept")
+    }),
     "text_term_stats" -> ((s, d) => TextAnalysis.termStats(docs(s, d), k = 100)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(docs(s, d), k = 100)),
     // per-doc top-3 TF-IDF keywords: rank on the ROUNDED score (the tfidf
@@ -2326,6 +2498,20 @@ object Queries {
       val built = TextAnalysis.buildTextIndex(store, "fts_g", dd.filter(col("doc_id") < 250))
       TextAnalysis.appendToTextIndex(store, built, dd.filter(col("doc_id") >= 250))
       val idx = TextAnalysis.loadTextIndex(store, "fts_g")
+      TextAnalysis.searchTextIndex(store, idx, "fast hash join", topK = 25)
+    }),
+    // the stats-refresh lever (r18 verdict item 4): same grown index as
+    // text_bm25_index_grow, but refreshTextIndexStats recomputes n/avgdl
+    // from the postings (one narrow aggregation, no postings rewrite) —
+    // after which search must equal the in-memory bm25 over the WHOLE
+    // corpus (the plain bm25 oracle), not the frozen build-slice contract
+    "text_bm25_index_refresh" -> ((s, d) => {
+      val store = new graft.store.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-bm25-refresh").toString)
+      val dd = docs(s, d)
+      val built = TextAnalysis.buildTextIndex(store, "fts_r", dd.filter(col("doc_id") < 250))
+      TextAnalysis.appendToTextIndex(store, built, dd.filter(col("doc_id") >= 250))
+      val idx = TextAnalysis.refreshTextIndexStats(store, "fts_r")
       TextAnalysis.searchTextIndex(store, idx, "fast hash join", topK = 25)
     }),
     // PMI collocation mining (Church & Hanks): top-40 bigrams by rounded
@@ -2707,6 +2893,24 @@ object Queries {
       Graphs.pageRank(eventTransitions(s, d), "src", "dst", iterations = 10,
           weightCol = Some("w"))
         .select(col("node"), round(col("rank"), 6).as("rank"))),
+    // the crawl-frontier capstone (r18 verdict item 3): raw HTML →
+    // htmlLinks (document-order outlinks) → URL canonicalization (the
+    // UPPERCASE+:80 dup link MUST collapse onto its lowercase twin's edge)
+    // → host extraction → counted host-level edge list → PageRank. Each
+    // stage is the standalone gate's operator; the composition pins the
+    // seams between them
+    "pipeline_web_graph" -> ((s, d) => {
+      val links = TextAnalysis.htmlLinks(synthWebDocs(s, d))
+      val canon = links.select(col("doc_id"),
+        ext.Urls.canonicalizeUrl(col("url")).as("curl"))
+      val edges = canon.select(
+          concat(lit("site"), pmod(col("doc_id"), lit(10)).cast("string"),
+            lit(".example")).as("src"),
+          ext.Urls.urlHost(col("curl")).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+      Graphs.pageRank(edges, "src", "dst", iterations = 10, weightCol = Some("w"))
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
     // TrustRank over the same digraph: teleport pinned to two seed types —
     // the seeded host-trust variant (link farms off the seed cone rank 0)
     "graph_trustrank" -> ((s, d) => {
@@ -2855,6 +3059,39 @@ object Queries {
     // guard emits a violation row if the band is ever empty — without it
     // the missed_near_dup branch compares two empty sets and the recall
     // half of the contract can never fail (the round-12 vacuity).
+    // the AUTO-SHARPEN ladder, driver-certified (r18 verdict item 5): a
+    // planted dense moderate-similarity cluster (80 vectors at pairwise
+    // cos ~0.9 around the min-id embedding) blows the caller's 12×12 band
+    // shape past the explicit 4000-pair budget, so WITHOUT the escalation
+    // ladder this gate dies in bucketPairs' loud refusal — completing at
+    // all certifies the production sharpening path end-to-end. The
+    // corpus is id-capped (vec_id < 500) so the forcing geometry is
+    // SF-independent. Contract branches mirror dedup_cosine_lsh_routed:
+    // zero false positives vs the exact search at the same threshold,
+    // zero missed pairs in the planted cos >= 0.99 near-dup band (the
+    // ladder's P(candidate | near-dup) >= 0.99-per-rung design), plus the
+    // vacuity guard. Oracle: the violation set is empty.
+    "dedup_cosine_lsh_sharpen" -> ((s, d) => {
+      val e = Similarity.plantDenseCluster(
+        Similarity.plantNearDups(
+          emb(s, d).filter(col("vec_id") < 500), "vec_id", "embedding"),
+        "vec_id", "embedding")
+      val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
+      val lsh = Similarity.trackedPersist(
+        Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45,
+          pairBudget = 4000L))
+      val fp = lsh.exceptAll(exact)
+        .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
+      val nearDup = Similarity.trackedPersist(
+        Similarity.cosinePairs(e, "vec_id", "embedding", 0.99))
+      val missedNearDup = nearDup.exceptAll(lsh)
+        .select(lit("missed_near_dup").as("kind"), col("id_a"), col("id_b"))
+      val vacuous = nearDup.groupBy().agg(count(lit(1)).as("n"))
+        .filter(col("n") < 10)
+        .select(lit("vacuous_near_dup_band").as("kind"),
+          col("n").as("id_a"), lit(-1L).as("id_b"))
+      fp.unionByName(missedNearDup).unionByName(vacuous)
+    }),
     "dedup_cosine_lsh_routed" -> ((s, d) => {
       val e = Similarity.plantNearDups(emb(s, d), "vec_id", "embedding")
       val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
@@ -3595,8 +3832,14 @@ object Queries {
     "o19_jdbc_roundtrip" -> ((s, d) => {
       val home = java.nio.file.Files.createTempDirectory("graft-derby-gate")
       // only the FIRST Derby boot reads this (derby.log → tmp); later
-      // invocations reference the db by absolute path regardless
-      System.setProperty("derby.system.home", home.toString)
+      // invocations reference the db by absolute path regardless. Set it
+      // ONCE, guarded — rewriting the process-global property per
+      // invocation races concurrent gate construction and makes derby.log
+      // placement nondeterministic (r18 ADVICE fix)
+      synchronized {
+        if (System.getProperty("derby.system.home") == null)
+          System.setProperty("derby.system.home", home.toString)
+      }
       val cfg = graft.store.Jdbc.JdbcConfig(
         url = s"jdbc:derby:$home/db;create=true",
         user = "graft", password = "", // ignored by embedded Derby
@@ -3614,9 +3857,24 @@ object Queries {
       val rows = graft.store.Jdbc.read(s, cfg, "t_gate_roundtrip",
           splitCol = Some(("c_custkey", 1L, 200L, 4)))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      // the 200-row fixture collect exists for the Derby shutdown ordering
+      // below (the gate must not leak a live db into the shared session);
+      // the PRODUCTION path stays distributed — Jdbc.read returns the
+      // partitioned frame and never collects
       val out = s.createDataFrame(rows.collectAsList(), rows.schema)
       try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/db;shutdown=true")
       catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
+      // rows are materialized in the local relation — delete the shut-down
+      // DATABASE directory so a runs>=2 bench doesn't accumulate page
+      // files (r18 ADVICE fix). The parent temp dir stays: the first
+      // invocation registered it as derby.system.home, and Derby wants
+      // that directory alive for derby.log on any later boot.
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(home.resolve("db")).sorted(Comparator.reverseOrder[Path]())
+          .forEach((p: Path) => { Files.deleteIfExists(p); () })
+      } catch { case _: java.io.IOException => () }
       out
     })
   )
@@ -3931,9 +4189,32 @@ object Queries {
        |SELECT node, dist FROM d$rounds""".stripMargin
   }
 
-  private def rankSql(seeds: Option[Seq[String]]): String = {
+  /** The `pipeline_web_graph` head: htmlLinks (shared list expression) →
+    * the shared canonicalization CTEs → the shared host CTE → host-level
+    * edge list with counted weights — ending in the `e`/`nodes`/`nn`
+    * relations [[rankSql]] consumes. Every stage is the same factored SQL
+    * its standalone gate uses, so no seam can fork. */
+  private val webGraphHeadSql =
+    s"""WITH $synthWebSql,
+       |lk AS (SELECT doc_id, $htmlLinksListExpr AS urls FROM wg),
+       |u AS (SELECT doc_id, unnest(urls) AS url FROM lk),
+       |$canonicalUrlCtes,
+       |cu AS (SELECT doc_id, $canonicalUrlExpr AS url FROM k),
+       |${urlHostSql(src = "cu")},
+       |e AS MATERIALIZED (SELECT 'site' || (doc_id % 10) || '.example' AS src,
+       |        host AS dst, CAST(count(*) AS DOUBLE) AS w
+       |        FROM h GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""".stripMargin
+
+  /** PageRank/TrustRank rounds unrolled over ANY head producing CTEs
+    * `e(src, dst, w)`, `nodes(node)`, `nn(n)` — `graphHeadSql` for the
+    * event-transition gates, the web-graph head for the
+    * `pipeline_web_graph` capstone. */
+  private def rankSql(seeds: Option[Seq[String]],
+      graphHead: String = graphHeadSql): String = {
     val head =
-      s"""$graphHeadSql,
+      s"""$graphHead,
          |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
          |t AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src))""".stripMargin
     val init = seeds match {
@@ -5174,28 +5455,25 @@ object Queries {
          |                   '0123456789', 'abcdefghij'), 'martha'), 6) AS jw_probe
          |  FROM nfc""".stripMargin,
     // the identical strip/decode/collapse chain: comments, script/style
-    // blocks (gis non-greedy), tags -> space, six literal entity replaces
-    // with &amp; LAST, whitespace collapse, trim
+    // blocks (gis non-greedy), block boundaries -> newline, tags -> space,
+    // six literal entity replaces with &amp; LAST, horizontal-whitespace
+    // collapse, newline tidy, trim — factored CTEs shared with the
+    // pipeline_html_clean capstone
     "text_html_extract" ->
       s"""WITH $synthHtmlSql,
-        |c1 AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS t FROM hx),
-        |c2 AS (SELECT doc_id, regexp_replace(t, '<script[^>]*>.*?</script>', ' ', 'gis') AS t FROM c1),
-        |c3 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'gis') AS t FROM c2),
-        |c4x AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM c3),
-        |ce AS (SELECT doc_id,
-        |         replace(replace(replace(replace(replace(replace(t,
-        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM c4x),
-        |cc AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM ce)
-        |SELECT doc_id, clean_text, length(clean_text) AS n_chars FROM cc""".stripMargin,
-    // double-quoted extractions first, then single-quoted — pos numbers
-    // the concatenated order, 0-based; NULL html yields no rows
+        |${htmlExtractSql("hx")}
+        |SELECT doc_id, clean_text,
+        |       CASE WHEN clean_text IS NULL THEN NULL
+        |            WHEN length(clean_text) = 0 THEN 0
+        |            ELSE len(string_split(clean_text, chr(10))) END AS n_lines,
+        |       length(clean_text) AS n_chars FROM hcc""".stripMargin,
+    // ONE combined alternation captures the quoted token in document
+    // order (quotes included, stripped by substring) — pos is true
+    // document position across mixed quote styles; NULL html yields no
+    // rows
     "text_html_links" ->
       s"""WITH $synthHtmlSql,
-        |lk AS (SELECT doc_id,
-        |         list_concat(
-        |           regexp_extract_all(html, '(?i)<a[^>]*href\\s*=\\s*"([^"]*)"', 1),
-        |           regexp_extract_all(html, '(?i)<a[^>]*href\\s*=\\s*''([^'']*)''', 1)) AS urls
+        |lk AS (SELECT doc_id, $htmlLinksListExpr AS urls
         |       FROM hx)
         |SELECT doc_id, CAST(idx - 1 AS BIGINT) AS pos, url
         |  FROM (SELECT doc_id, unnest(urls) AS url,
@@ -5225,6 +5503,24 @@ object Queries {
          |win AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
          |SELECT k.doc_id, k.clean_text
          |  FROM kept k JOIN win USING (doc_id)""".stripMargin,
+    // htmlExtract CTEs (the text_html_extract chain verbatim) feeding the
+    // c4Clean CTEs (the text_c4_clean chain verbatim) feeding the exact-
+    // fingerprint survivor rule — each stage's SQL twin is the factored
+    // chain its standalone gate shares, so no stage can fork
+    "pipeline_html_clean" ->
+      s"""WITH $synthHtmlCleanSql,
+         |src AS (SELECT doc_id, html FROM hw
+         |        UNION ALL SELECT doc_id + 100000, html FROM hw),
+         |${htmlExtractSql("src")},
+         |c4src AS (SELECT doc_id, clean_text AS text FROM hcc),
+         |${c4CleanSql("c4src")},
+         |fp AS (SELECT doc_id,
+         |              md5(array_to_string(list_sort(list_distinct(
+         |                regexp_split_to_array(clean_text, '\\s+'))), ' ')) AS fp
+         |         FROM cc),
+         |win AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
+         |SELECT cc.doc_id, cc.clean_text, cc.n_lines_kept
+         |  FROM cc JOIN win USING (doc_id)""".stripMargin,
     "text_url_canonicalize" ->
       s"""WITH $synthUrlSql,
          |$canonicalUrlCtes,
@@ -5329,11 +5625,16 @@ object Queries {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS fingerprint
         |  FROM documents""".stripMargin,
-    // H = ln(L) - (sum c*ln c)/L over exact integer counts, one division
+    // H = ln(L) - (sum c*ln c)/L over exact integer counts, one division;
+    // the d%23 emoji injection pins codepoint-split/codepoint-length
+    // agreement across engines on supplementary-plane text
     "text_char_entropy" ->
-      """WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      """WITH ed AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 23 = 0 THEN text || ' 😀🚀😀'
+        |                   ELSE text END AS text FROM documents),
+        |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         |                  unnest(regexp_split_to_array(text, '')) AS ch
-        |             FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |             FROM ed WHERE text IS NOT NULL AND length(text) > 0),
         |g AS (SELECT doc_id, len, ch, count(*) AS c FROM c GROUP BY 1, 2, 3)
         |SELECT doc_id, round(ln(CAST(len AS DOUBLE))
         |         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(len AS DOUBLE),
@@ -5680,6 +5981,15 @@ object Queries {
     // grown index: FROZEN build-slice stats, whole-corpus postings/df
     "text_bm25_index_grow" ->
       s"""WITH ${bm25CtesWith("WHERE doc_id < 250")}
+        |SELECT doc_id, round(sum(s), 6) AS score
+        |  FROM sc GROUP BY doc_id
+        | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // grown + REFRESHED index ≡ the in-memory bm25 over the whole corpus
+    // (the same plain bm25 oracle as the fresh-index gate) — a refresh
+    // that missed the appended postings, or one that kept the frozen
+    // slice stats, hash-fails against this
+    "text_bm25_index_refresh" ->
+      s"""WITH $bm25Ctes
         |SELECT doc_id, round(sum(s), 6) AS score
         |  FROM sc GROUP BY doc_id
         | ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
@@ -6040,6 +6350,10 @@ object Queries {
          |SELECT doc_a, doc_b, containment FROM c WHERE containment >= 0.9""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
     "graph_pagerank" -> rankSql(None),
+    // the same unrolled rank rounds over the web-graph head (htmlLinks →
+    // canonicalize → host → counted edges) — stage CTEs shared with the
+    // standalone gates
+    "pipeline_web_graph" -> rankSql(None, webGraphHeadSql),
     "graph_trustrank" -> rankSql(Some(Seq("view", "signup"))),
     "graph_hits" -> hitsSql(10),
     "graph_communities" -> lpaSql(5),
@@ -6308,6 +6622,14 @@ object Queries {
          |                      WHERE m.qid = q.vec_id AND m.nid = c.vec_id)) x
          | WHERE rn <= 5""".stripMargin,
     "dedup_cosine_lsh_routed" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS id_a,
+        |       CAST(NULL AS BIGINT) AS id_b
+        |  FROM embeddings WHERE FALSE""".stripMargin,
+    // the sharpen gate's contract is the same empty violation set — the
+    // escalation itself is certified structurally (the query cannot
+    // complete without it: the fixture exceeds the explicit budget at the
+    // caller's shape, which is the loud-refusal path otherwise)
+    "dedup_cosine_lsh_sharpen" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS id_a,
         |       CAST(NULL AS BIGINT) AS id_b
         |  FROM embeddings WHERE FALSE""".stripMargin,

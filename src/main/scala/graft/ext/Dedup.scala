@@ -1142,21 +1142,31 @@ object Dedup {
       s"linkNamesJaroWinkler: targetPairsPerRow must be >= 1: $targetPairsPerRow")
     import org.apache.spark.sql.graftx.TextFunctions.jaro_winkler
     val chosen = if (blockChars >= 1) blockChars else {
+      // the probe loop runs up to 15 count-aggregations plus two counts —
+      // cache the null-filtered one-column name projections so each probe
+      // rescans a narrow cached frame instead of recomputing the callers'
+      // upstream lineage every width (r18 ADVICE fix; Caches.unpersistAll
+      // releases both)
+      val lNames = graft.ext.Caches.track(
+        left.select(col(nameL).as("__nm")).filter(col("__nm").isNotNull))
+      val rNames = graft.ext.Caches.track(
+        right.select(col(nameR).as("__nm")).filter(col("__nm").isNotNull))
       def candidates(b: Int): Long = {
-        val lc = left.filter(col(nameL).isNotNull)
-          .groupBy(substring(col(nameL), 1, b).as("__blk"))
+        val lc = lNames.groupBy(substring(col("__nm"), 1, b).as("__blk"))
           .agg(count(lit(1)).as("__nl"))
-        val rc = right.filter(col(nameR).isNotNull)
-          .groupBy(substring(col(nameR), 1, b).as("__blk"))
+        val rc = rNames.groupBy(substring(col("__nm"), 1, b).as("__blk"))
           .agg(count(lit(1)).as("__nr"))
         lc.join(rc, "__blk")
           .agg(coalesce(sum(col("__nl") * col("__nr")), lit(0L))).head().getLong(0)
       }
-      val n = math.max(left.filter(col(nameL).isNotNull).count(),
-        right.filter(col(nameR).isNotNull).count())
+      val n = math.max(lNames.count(), rNames.count())
       val budget = targetPairsPerRow * math.max(n, 1L)
       // names are short; past 16 chars the prefix IS the name and widening
-      // cannot shrink candidates further — stop there regardless
+      // cannot shrink candidates further — stop there regardless. NB for
+      // names SHORTER than a probed width, substring just returns the whole
+      // name, so widening past the corpus's max name length is a no-op by
+      // construction (the dedup_name_linkage oracle mirrors widths 2..8 and
+      // relies on its fixture's 8-char names for exactly this reason)
       Iterator.range(2, 17).find(b => b == 16 || candidates(b) <= budget).get
     }
     val l = left.select(col(idL).as("id_a"), col(nameL).as("name_a"),

@@ -70,6 +70,32 @@ object Similarity {
     df.unionByName(companions)
   }
 
+  /**
+   * Plant a DENSE moderate-similarity cluster: `m` deterministic
+   * multiplicative perturbations of the corpus's minimum-id vector at
+   * relative magnitude `mag` (pairwise cosine lands around
+   * `1/(1+mag²·0.5)` — ~0.9 at the default, far below the near-dup band
+   * but far above random), appended with ids `-1000001, -1000002, …` (no
+   * overlap with [[plantNearDups]]' `-(id+1)` companions). This is the
+   * fixture generator for the auto-sharpen certification gate: a cluster
+   * like this packs enough moderately-similar vectors into the 12×12
+   * band buckets to blow a small pair budget at the caller's shape,
+   * forcing [[cosinePairsLsh]]'s escalation ladder to engage.
+   */
+  def plantDenseCluster(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 80, mag: Double = 0.45): DataFrame = {
+    require(m > 0 && mag > 0, s"plantDenseCluster: m/mag must be positive: $m / $mag")
+    val base = broadcast(df.orderBy(col(idCol)).limit(1).select(col(vecCol).as("__b")))
+    val planted = df.sparkSession.range(m.toLong)
+      .select((lit(-1000001L) - col("id")).as(idCol), col("id").as("__i"))
+      .crossJoin(base)
+      .select(col(idCol), transform(col("__b"), (x, j) =>
+        (x.cast("double") * (lit(1.0) + lit(mag) *
+          sin((j + 1).cast("double") * (col("__i") + lit(7)).cast("double") * lit(2.39996))))
+          .cast("float")).as(vecCol))
+    df.select(col(idCol), col(vecCol)).unionByName(planted)
+  }
+
   /** Project `(idAs, unit-normalized vector)` — normalization happens ONCE
     * per row here so pairwise similarity later is a single dot product.
     * Zero-norm vectors (padding/failure artifacts) normalize to all-zeros
@@ -915,7 +941,10 @@ object Similarity {
    * band shape (the r17 30× marathon refused here by design). Before
    * expanding anything, the candidate count is ESTIMATED from per-bucket
    * sizes (one count-aggregation, no pairs form); while it exceeds
-   * `pairBudget` the scheme escalates through sharper shapes — more bits
+   * `pairBudget` the scheme escalates through sharper shapes (the
+   * caller's own shape is kept whenever its estimate fits `pairBudget`;
+   * escalating rungs aim at the tighter `pairBudget/4` so a forced
+   * escalation lands well under the refusal line) — more bits
    * per band fragments moderate-similarity buckets sharply, and more
    * bands compensate the near-dup band's recall (12×12 → … → 20×28 keeps
    * P(candidate | cos ≥ 0.99) ≥ 0.99 at every step, since
@@ -964,10 +993,15 @@ object Similarity {
         (bands + 4, rowsPerBand + 8), (bands + 6, rowsPerBand + 12),
         (bands + 8, rowsPerBand + 16), (bands + 10, rowsPerBand + 20))
         .map { case (b, r) => (b, math.min(r, 62)) }
-    // prefer the first rung whose estimate fits pairBudget/4 (verification
-    // cost tracks the CANDIDATE count, so aiming well under the refusal
-    // line buys real wall-clock); fall back to the first rung under the
-    // budget itself, then to the sharpest rung (bucketPairs still enforces)
+    // the caller's own shape WINS whenever its estimate fits pairBudget —
+    // sharpening it further would silently trade away moderate-similarity
+    // recall the caller sized for (r18 ADVICE fix: the old code escalated
+    // past a fitting caller shape toward pairBudget/4). Only once the
+    // caller's shape is over budget does the ladder engage, and THERE the
+    // tighter pairBudget/4 target applies (verification cost tracks the
+    // CANDIDATE count, so an escalating rung aims well under the refusal
+    // line); first rung under the budget itself is the fallback, then the
+    // sharpest rung (bucketPairs still enforces the hard refusal)
     val keyed: DataFrame =
       if (ladder.size == 1) keyedFor(bands, rowsPerBand)
       else {
@@ -978,13 +1012,16 @@ object Similarity {
         // the 62-bit clamp can collapse the top rungs to one shape —
         // dedupe so a shape is never estimated twice (r18 review fix)
         val it = ladder.distinct.iterator
+        var first = true
         while (pick.isEmpty && it.hasNext) {
           val (b, r) = it.next()
           val k = keyedFor(b, r)
           last = Some((b, r, k))
           val est = estPairs(k)
-          if (est <= tightTarget) pick = Some((b, r, k))
+          val target = if (first) pairBudget else tightTarget
+          if (est <= target) pick = Some((b, r, k))
           else if (est <= pairBudget && fallback.isEmpty) fallback = Some((b, r, k))
+          first = false
         }
         val fits = pick.orElse(fallback)
         val (b, r, k) = fits.orElse(last).get

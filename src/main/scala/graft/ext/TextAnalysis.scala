@@ -545,6 +545,38 @@ object TextAnalysis {
   }
 
   /**
+   * Refresh a persisted text index's stats WITHOUT touching the postings —
+   * the missing lever between [[appendToTextIndex]]'s frozen-stats drift
+   * and a full [[buildTextIndex]] rebuild (the r18 verdict's item 4): ONE
+   * aggregation over the postings recomputes `n_docs` (distinct doc ids)
+   * and `avgdl` (mean of the per-doc `dl`, as the build's one exact
+   * integer-sum/count division) and atomically rewrites only the one-row
+   * `_stats` table. The postings/df layout — the expensive, token-
+   * clustered part — is never read beyond this narrow two-column
+   * aggregation and never rewritten.
+   *
+   * Recency contract: after a refresh, scores over a grown index equal
+   * the in-memory [[bm25]] over the full corpus as of refresh time — for
+   * TOKEN-BEARING documents. A document with no tokens writes no postings
+   * and is invisible here (it can never match a query either; it would
+   * perturb only the normalizers — callers indexing corpora with empty
+   * documents who want them counted should rebuild). The
+   * `text_bm25_index_refresh` gate pins the equivalence against the
+   * whole-corpus bm25 oracle.
+   */
+  def refreshTextIndexStats(store: graft.store.TableStore, table: String): TextIndex = {
+    val perDoc = store.read(s"${table}_postings")
+      .groupBy("doc_id").agg(min("dl").as("__dl"))
+    val st = perDoc.agg(count(lit(1)).as("n"),
+      (sum(col("__dl")).cast("double") / count(col("__dl"))).as("avgdl")).head()
+    val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    store.atomicOverwrite(s"${table}_stats", Seq((n, avgdl)).toDF("n_docs", "avgdl"))
+    TextIndex(table, n, avgdl)
+  }
+
+  /**
    * BM25 search over a persisted index: the query's deduplicated terms
    * push as an `IN` filter into BOTH store scans (token-clustered
    * postings: manifest file skipping + row-group pruning — only matching
@@ -621,10 +653,13 @@ object TextAnalysis {
    * Computed as `H = ln(L) − (Σ c·ln c)/L` over exact integer character
    * counts — one division at the end, the [[unigramSurprisal]] arithmetic
    * discipline — rounded to 6 (Σ order and libm ulps differ across
-   * engines). Empty and NULL texts are absent from the output. NB both
-   * engines split per UTF-16-unit/codepoint respectively — identical on
-   * BMP text; a corpus with astral-plane characters (emoji) would count
-   * them differently, the standard JVM-string caveat.
+   * engines). Empty and NULL texts are absent from the output. Both
+   * engines split and count per CODE POINT — Java's empty-pattern split
+   * has refused to cut surrogate pairs since JDK 8, and Spark's
+   * `length()` counts code points like DuckDB's — so supplementary-plane
+   * text (emoji) hashes identically across engines; the
+   * `text_char_entropy` gate pins this with a planted emoji row rather
+   * than narrating it.
    *
    * Scale shape: one explode + two partial-aggregating groupBys keyed on
    * the doc id — no window, no corpus-wide order.
@@ -814,54 +849,76 @@ object TextAnalysis {
    * WET format [[graft.io.Warc]] ingests is exactly this step's output,
    * which Common Crawl happens to pre-compute). Deliberately a
    * DETERMINISTIC tag/entity pipeline, not a DOM parser: strip comments,
-   * `<script>`/`<style>` blocks (non-greedy, case-insensitive, dotall),
-   * then every remaining tag to a space; decode the six core entities
-   * (chained literal replaces with `&amp;` LAST — the usual approximation
-   * of single-pass decoding); collapse whitespace runs; trim. Every
+   * `<script>`/`<style>` blocks (non-greedy, case-insensitive, dotall);
+   * convert BLOCK-LEVEL boundaries to `\n` (closing `</p> </div> </li>
+   * </ul> </ol> </h1..6> </tr> </table> </title> </blockquote> </pre>
+   * </section> </article> </header> </footer>` plus `<br>`/`<br/>` — real
+   * WET extraction preserves block structure as newlines, and the very
+   * next stage every crawl pipeline runs, [[c4Clean]], keeps/drops LINES
+   * split on `\n`; a block tag carrying attributes falls through to the
+   * generic space rule, the documented approximation); then every
+   * remaining tag to a space; decode the six core entities (chained
+   * literal replaces with `&amp;` LAST — the usual approximation of
+   * single-pass decoding); collapse HORIZONTAL whitespace runs within
+   * lines (space/tab/VT/FF/CR — never `\n`); trim spaces around each
+   * newline, collapse newline runs to one, and trim the ends. Every
    * pattern is shared Java-regex/RE2 syntax (inline `(?is)` flags,
    * non-greedy `.*?`, no lookaround, no backrefs), so the identical chain
    * runs under DuckDB and the whole extraction hash-gates.
    *
-   * Output: `(id, clean_text, n_chars)`; NULL html stays NULL through the
-   * chain on both engines. Pure codegen'd per-row map — no shuffle,
-   * linear at any corpus size.
+   * Output: `(id, clean_text, n_lines, n_chars)`; NULL html stays NULL
+   * through the chain on both engines. Pure codegen'd per-row map — no
+   * shuffle, linear at any corpus size.
    */
   def htmlExtract(docs: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html"): DataFrame = {
     val noComment = regexp_replace(col(htmlCol), "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val blocks = regexp_replace(noStyle, HtmlBlockTagPattern, "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       replace(c, lit(e), lit(r))
     }
-    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    val hColl = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    val nTrim = regexp_replace(hColl, " *\n *", "\n")
+    val clean = trim(regexp_replace(nTrim, "\n+", "\n"), " \n")
     docs.select(col(idCol), clean.as("clean_text"),
+      when(clean.isNull, lit(null).cast("int"))
+        .when(length(clean) === 0, lit(0))
+        .otherwise(size(split(clean, "\n"))).as("n_lines"),
       length(clean).as("n_chars"))
   }
+
+  /** The block-boundary tags [[htmlExtract]] converts to `\n` (closing
+    * block tags, attribute-free, plus bare `<br>`/`<br/>`) — shared
+    * Java-regex/RE2 syntax so the DuckDB oracle mirrors it verbatim. */
+  val HtmlBlockTagPattern: String =
+    "(?i)<(?:br\\s*/?|/(?:p|div|li|ul|ol|h[1-6]|tr|table|title|blockquote|pre|section|article|header|footer))>"
 
   /**
    * Outlink extraction — [[htmlExtract]]'s sibling and the source of the
    * crawl frontier and the web graph ([[Graphs.pageRank]] runs on exactly
    * this output at corpus scale): every `<a href="...">` / `<a href='...'>`
-   * target, one `(id, pos, url)` row per link. `pos` numbers a GROUPED
-   * order, not raw document order: ALL double-quoted hrefs first (each
-   * group in document order), then all single-quoted ones — two capture
-   * patterns in shared Java-regex/RE2 syntax, concatenated (0-based).
-   * Callers needing true document position across mixed quote styles
-   * should not rank on `pos` across the two groups. Empty hrefs are kept — dropping is the caller's
-   * policy, usually [[graft.ext.Urls]] canonicalization + blocklists next.
+   * target, one `(id, pos, url)` row per link. `pos` is TRUE DOCUMENT
+   * ORDER across both quote styles (0-based) — ONE combined alternation
+   * captures the quoted token (`"…"` or `'…'`, quotes included) in shared
+   * Java-regex/RE2 syntax, and the surrounding quotes are stripped with a
+   * length-2 substring, so a frontier scheduler ranking on `pos` sees the
+   * position a reader of the page would (the r18 two-group concat
+   * numbered all double-quoted hrefs before any single-quoted one).
+   * Empty hrefs are kept — dropping is the caller's policy, usually
+   * [[graft.ext.Urls]] canonicalization + blocklists next.
    * Pure codegen per-row map + one posexplode; no shuffle.
    */
   def htmlLinks(docs: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html"): DataFrame = {
-    val dq = regexp_extract_all(col(htmlCol),
-      lit("(?i)<a[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
-    val sq = regexp_extract_all(col(htmlCol),
-      lit("(?i)<a[^>]*href\\s*=\\s*'([^']*)'"), lit(1))
-    docs.select(col(idCol), posexplode(concat(dq, sq)).as(Seq("pos", "url")))
+    val quoted = regexp_extract_all(col(htmlCol),
+      lit("(?i)<a[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*')"), lit(1))
+    val urls = transform(quoted, u => u.substr(lit(2), length(u) - 2))
+    docs.select(col(idCol), posexplode(urls).as(Seq("pos", "url")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("url"))
   }
 

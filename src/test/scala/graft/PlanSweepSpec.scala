@@ -106,7 +106,11 @@ class PlanSweepSpec extends AnyFunSuite {
       // cluster keywords attaches the one-row broadcast distinct-cluster
       // count (the IDF normalizer) to the vocab×k score frame — the
       // calibration-bins scalar shape
-      "sim_cluster_keywords")
+      "sim_cluster_keywords",
+      // the sharpen fixture attaches the ONE-ROW broadcast base vector to
+      // the m-row planted-cluster spine (plantDenseCluster) — a broadcast
+      // scalar, never data-proportional
+      "dedup_cosine_lsh_sharpen")
 
   test("no gated query plans a cartesian product; BNLJ only where designed") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -471,26 +471,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25(corpus, "x", topK = 0))
   }
 
-  test("htmlExtract: tags/scripts/comments stripped, entities decoded, whitespace collapsed") {
+  test("htmlExtract: tags/scripts/comments stripped, entities decoded, block tags become lines") {
     val rows = Seq(
       (1L, "<html><body><p>Hello   <b>world</b></p></body></html>"),
       (2L, "<p>keep</p><script type=\"a\">drop this</script><SCRIPT>and this</SCRIPT>tail"),
       (3L, "<style>p{x}</style>text <!-- gone\nacross lines --> here"),
       (4L, "a &amp; b &lt;i&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y"),
       (5L, "&amp;lt; stays encoded once"), // &amp; decodes LAST -> literal "&lt;"
-      (6L, null.asInstanceOf[String]))
+      (6L, null.asInstanceOf[String]),
+      // block boundaries: <br>/<BR/> and </li> each end a line; runs of
+      // blocks collapse to ONE newline, leading/trailing newlines trim
+      (7L, "a b c.<br>d e f.<BR/>g h i."),
+      (8L, "<ul><li>one two.</li><li>three four.</li></ul><div>tail here</div>"))
     val got = TextAnalysis.htmlExtract(rows.toDF("doc_id", "html"))
-      .as[(Long, String, Option[Int])].collect()
-      .map { case (k, t, n) => k -> ((t, n)) }.toMap
-    assert(got(1L) == ("Hello world", Some(11)))
-    assert(got(2L) == ("keep tail", Some(9)))
-    assert(got(3L) == ("text here", Some(9)))
-    assert(got(4L) == ("a & b <i> \"q\" 's' x y", Some(21)))
-    assert(got(5L) == ("&lt; stays encoded once", Some(23)))
-    assert(got(6L)._1 == null && got(6L)._2.isEmpty)
+      .as[(Long, String, Option[Int], Option[Int])].collect()
+      .map { case (k, t, nl, n) => k -> ((t, nl, n)) }.toMap
+    assert(got(1L) == ("Hello world", Some(1), Some(11)))
+    assert(got(2L) == ("keep\ntail", Some(2), Some(9))) // </p> ends the line
+    assert(got(3L) == ("text here", Some(1), Some(9)))
+    assert(got(4L) == ("a & b <i> \"q\" 's' x y", Some(1), Some(21)))
+    assert(got(5L) == ("&lt; stays encoded once", Some(1), Some(23)))
+    assert(got(6L)._1 == null && got(6L)._2.isEmpty && got(6L)._3.isEmpty)
+    assert(got(7L) == ("a b c.\nd e f.\ng h i.", Some(3), Some(20)))
+    assert(got(8L) == ("one two.\nthree four.\ntail here", Some(3), Some(30)))
   }
 
-  test("htmlLinks: double-quoted targets number before single-quoted, empty href kept") {
+  test("htmlLinks: pos is true document order across mixed quote styles, empty href kept") {
     val rows = Seq(
       (1L, "<a href=\"https://a.com/1\">x</a> mid <A  HREF='http://b.net/2'>y</A>" +
         "<a class=\"z\" href=\"\">e</a>"),
@@ -498,9 +504,10 @@ class TextMultimodalSpec extends AnyFunSuite {
       (3L, null.asInstanceOf[String]))
     val got = TextAnalysis.htmlLinks(rows.toDF("doc_id", "html"))
       .as[(Long, Long, String)].collect().toSeq
-    // double-quoted hrefs number first (0, 1), single-quoted after (2)
+    // a single-quoted href between two double-quoted ones keeps its
+    // document position (the r18 two-group concat numbered it last)
     assert(got.sortBy(r => (r._1, r._2)) == Seq(
-      (1L, 0L, "https://a.com/1"), (1L, 1L, ""), (1L, 2L, "http://b.net/2")))
+      (1L, 0L, "https://a.com/1"), (1L, 1L, "http://b.net/2"), (1L, 2L, "")))
   }
 
   test("persisted text index: build/load/search ≡ in-memory bm25; grow keeps frozen stats") {
