@@ -3060,26 +3060,32 @@ object Queries {
     // the missed_near_dup branch compares two empty sets and the recall
     // half of the contract can never fail (the round-12 vacuity).
     // the AUTO-SHARPEN ladder, driver-certified (r18 verdict item 5): a
-    // planted dense moderate-similarity cluster (80 vectors at pairwise
-    // cos ~0.9 around the min-id embedding) blows the caller's 12×12 band
-    // shape past the explicit 4000-pair budget, so WITHOUT the escalation
-    // ladder this gate dies in bucketPairs' loud refusal — completing at
-    // all certifies the production sharpening path end-to-end. The
-    // corpus is id-capped (vec_id < 500) so the forcing geometry is
-    // SF-independent. Contract branches mirror dedup_cosine_lsh_routed:
-    // zero false positives vs the exact search at the same threshold,
-    // zero missed pairs in the planted cos >= 0.99 near-dup band (the
-    // ladder's P(candidate | near-dup) >= 0.99-per-rung design), plus the
-    // vacuity guard. Oracle: the violation set is empty.
+    // planted dense moderate-similarity cluster (120 vectors at pairwise
+    // cos ~0.92 around the min-id embedding) blows the caller's 12×12
+    // band shape past the explicit 12000-pair budget, so WITHOUT the
+    // escalation ladder this gate dies in bucketPairs' loud refusal —
+    // completing at all certifies the production sharpening path
+    // end-to-end. The corpus is id-capped (vec_id < 500): at base SFs
+    // those are 500 independent vectors; in the 30× replica they are 17
+    // originals × 30 directionally-jittered reps whose mutual moderate
+    // similarity adds ~4–5 k sharpest-rung candidates — the 12000 budget
+    // clears that mass where the r19 marathon's first cut (4000, cluster
+    // 80) refused, while the 12×12 estimate stays cluster-dominated
+    // (≳16 k) and over budget at every SF, keeping the forcing invariant.
+    // Contract branches mirror dedup_cosine_lsh_routed: zero false
+    // positives vs the exact search at the same threshold, zero missed
+    // pairs in the planted cos >= 0.99 near-dup band (the ladder's
+    // P(candidate | near-dup) >= 0.99-per-rung design), plus the vacuity
+    // guard. Oracle: the violation set is empty.
     "dedup_cosine_lsh_sharpen" -> ((s, d) => {
       val e = Similarity.plantDenseCluster(
         Similarity.plantNearDups(
           emb(s, d).filter(col("vec_id") < 500), "vec_id", "embedding"),
-        "vec_id", "embedding")
+        "vec_id", "embedding", m = 120, mag = 0.40)
       val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
       val lsh = Similarity.trackedPersist(
         Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45,
-          pairBudget = 4000L))
+          pairBudget = 12000L))
       val fp = lsh.exceptAll(exact)
         .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
       val nearDup = Similarity.trackedPersist(
