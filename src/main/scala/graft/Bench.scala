@@ -39,7 +39,7 @@ object Bench {
         // containing "<query>":<number> masquerade as the timing
         // (r18 ADVICE fix).
         val lastLine = out.linesIterator.filter(_.trim.nonEmpty)
-          .foldLeft("")((_, l) => l)
+          .toSeq.lastOption.getOrElse("")
         val timing = ("\"" + java.util.regex.Pattern.quote(name) + "\":(null|[-0-9.eE+]+)").r
           .findFirstMatchIn(lastLine).map(_.group(1))
         val t = timing match {

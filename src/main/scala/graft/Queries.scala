@@ -3096,7 +3096,19 @@ object Queries {
         .filter(col("n") < 10)
         .select(lit("vacuous_near_dup_band").as("kind"),
           col("n").as("id_a"), lit(-1L).as("id_b"))
-      fp.unionByName(missedNearDup).unionByName(vacuous)
+      // the forcing premise, asserted at RUNTIME (r19 review fix): the
+      // gate certifies the ladder only if the caller-shape estimate
+      // actually exceeds the budget — computed from the operator's own
+      // bucketing primitive, so fixture drift that un-forces the
+      // escalation turns into a violation row instead of a silent pass
+      val est12 = Similarity.lshCandidateEstimate(e, "vec_id", "embedding")
+      val forcing = {
+        import s.implicits._
+        (if (est12 > 12000L) Seq.empty[(String, Long, Long)]
+         else Seq(("forcing_not_engaged", est12, -1L)))
+          .toDF("kind", "id_a", "id_b")
+      }
+      fp.unionByName(missedNearDup).unionByName(vacuous).unionByName(forcing)
     }),
     "dedup_cosine_lsh_routed" -> ((s, d) => {
       val e = Similarity.plantNearDups(emb(s, d), "vec_id", "embedding")
@@ -3836,18 +3848,18 @@ object Queries {
     // the reference's single streaming cursor, TableCopyService.cs:140,
     // distributed), and the result must hash-equal the parquet source
     "o19_jdbc_roundtrip" -> ((s, d) => {
-      val home = java.nio.file.Files.createTempDirectory("graft-derby-gate")
-      // only the FIRST Derby boot reads this (derby.log → tmp); later
-      // invocations reference the db by absolute path regardless. Set it
-      // ONCE, guarded — rewriting the process-global property per
-      // invocation races concurrent gate construction and makes derby.log
-      // placement nondeterministic (r18 ADVICE fix)
-      synchronized {
-        if (System.getProperty("derby.system.home") == null)
-          System.setProperty("derby.system.home", home.toString)
-      }
+      // ONE temp home for the whole JVM (lazy val — thread-safe, created
+      // once): repeated invocations used to leave one orphaned temp dir
+      // each (r19 review fix). derby.system.home is set inside the same
+      // once-guard, so derby.log placement is deterministic and the
+      // registered dir stays alive for any later boot (r18 ADVICE fix).
+      // Each invocation gets its OWN db subdirectory (deleted after
+      // shutdown below), so a runs>=3 marathon reuses the home without
+      // colliding on a database name mid-delete.
+      val home = derbyGateHome
+      val db = s"db-${java.util.UUID.randomUUID().toString.take(8)}"
       val cfg = graft.store.Jdbc.JdbcConfig(
-        url = s"jdbc:derby:$home/db;create=true",
+        url = s"jdbc:derby:$home/$db;create=true",
         user = "graft", password = "", // ignored by embedded Derby
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
       val src = customer(s, d).filter(col("c_custkey") <= 200)
@@ -3868,22 +3880,38 @@ object Queries {
       // the PRODUCTION path stays distributed — Jdbc.read returns the
       // partitioned frame and never collects
       val out = s.createDataFrame(rows.collectAsList(), rows.schema)
-      try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/db;shutdown=true")
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/$db;shutdown=true")
       catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
       // rows are materialized in the local relation — delete the shut-down
       // DATABASE directory so a runs>=2 bench doesn't accumulate page
-      // files (r18 ADVICE fix). The parent temp dir stays: the first
-      // invocation registered it as derby.system.home, and Derby wants
-      // that directory alive for derby.log on any later boot.
+      // files (r18 ADVICE fix). The shared home stays (it is
+      // derby.system.home — Derby wants it alive for derby.log). The walk
+      // stream is closed explicitly, and traversal-time errors arrive as
+      // UncheckedIOException (a RuntimeException), which must not fail a
+      // gate whose roundtrip already succeeded (r19 review fix).
       try {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
-        Files.walk(home.resolve("db")).sorted(Comparator.reverseOrder[Path]())
+        val walk = Files.walk(home.resolve(db))
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach((p: Path) => { Files.deleteIfExists(p); () })
-      } catch { case _: java.io.IOException => () }
+        finally walk.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
       out
     })
   )
+
+  /** The one Derby system home for every `o19_jdbc_roundtrip` invocation
+    * in this JVM — created once (lazy val), registered as
+    * `derby.system.home` in the same once-guard. */
+  private lazy val derbyGateHome: java.nio.file.Path = {
+    val h = java.nio.file.Files.createTempDirectory("graft-derby-gate")
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", h.toString)
+    h
+  }
 
   // =========================================================================
   // DuckDB oracles — same column names, deterministic values

@@ -973,20 +973,8 @@ object Similarity {
     // a single plan reference; the previous bands x rowsPerBand inline
     // when(dot(...)) block overflowed janino's 64 KB method limit at
     // 144 planes and silently ran interpreted — the r15 ScaleSmoke find)
-    def keyedFor(b: Int, r: Int): DataFrame = {
-      val rnd = new scala.util.Random(seed)
-      val planes = Array.fill(b * r)(Array.fill(dim)(rnd.nextGaussian()))
-      val bandKeys = org.apache.spark.sql.graftx.VectorFunctions.sign_band_keys(
-        col("v"), planes, b, r)
-      u.select(col("id"), explode(bandKeys).as("bucket"))
-    }
-    // Σ c·(c−1)/2 over bucket sizes — the same estimate bucketPairs guards
-    // on, computed WITHOUT forming pairs (ids are distinct per band-bucket,
-    // so a plain count is the bucket size)
-    def estPairs(keyed: DataFrame): Long = keyed
-      .groupBy("bucket").agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
-      .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
-      .head().getLong(0) / 2
+    def keyedFor(b: Int, r: Int): DataFrame = signBandKeyed(u, dim, b, r, seed)
+    def estPairs(keyed: DataFrame): Long = estBucketPairs(keyed)
     val ladder =
       if (!autoSharpen || pairBudget <= 0) Seq((bands, rowsPerBand))
       else Seq((bands, rowsPerBand), (bands + 2, rowsPerBand + 4),
@@ -1054,6 +1042,52 @@ object Similarity {
     candidates.join(va, "doc_a").join(vb, "doc_b")
       .filter(dot(col("va"), col("vb")) >= threshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+  }
+
+  /** Per-band bucket keys for a unitized `(id, v)` frame at shape
+    * `b × r` under `seed` — the ONE primitive [[cosinePairsLsh]]'s ladder
+    * and [[lshCandidateEstimate]] share, so an external estimate can never
+    * drift from the operator's own bucketing. `rowsPerBand` sign bits pack
+    * into a long mixed with the band ordinal (bands never collide); one
+    * codegen'd `sign_band_keys` expression — the plane matrix travels as a
+    * single plan reference (the r15 janino 64 KB find). */
+  private def signBandKeyed(u: DataFrame, dim: Int, b: Int, r: Int,
+      seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(b * r)(Array.fill(dim)(rnd.nextGaussian()))
+    val bandKeys = org.apache.spark.sql.graftx.VectorFunctions.sign_band_keys(
+      col("v"), planes, b, r)
+    u.select(col("id"), explode(bandKeys).as("bucket"))
+  }
+
+  /** Σ c·(c−1)/2 over band-bucket sizes — the same candidate estimate
+    * `bucketPairs` guards on, computed WITHOUT forming pairs (ids are
+    * distinct per band-bucket, so a plain count is the bucket size). */
+  private def estBucketPairs(keyed: DataFrame): Long = keyed
+    .groupBy("bucket").agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+    .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
+    .head().getLong(0) / 2
+
+  /**
+   * The candidate-pair estimate [[cosinePairsLsh]] would compute for
+   * `emb` at band shape `bands × rowsPerBand` under `seed` — built from
+   * the operator's OWN bucketing primitive, so the number matches the
+   * internal ladder's first-rung estimate exactly. Public so a
+   * certification gate can assert its forcing premise at runtime (the
+   * `dedup_cosine_lsh_sharpen` gate emits a violation row when the
+   * caller-shape estimate no longer exceeds the budget it was sized to
+   * blow — without this, a fixture drift would leave the ladder
+   * unexercised and the gate silently vacuous).
+   */
+  def lshCandidateEstimate(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 12, rowsPerBand: Int = 12, seed: Long = 42L): Long = {
+    require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62,
+      s"bands/rowsPerBand must be positive (rowsPerBand <= 62): $bands x $rowsPerBand")
+    val firstRow = emb.select(col(vecCol)).limit(1).collect()
+    require(firstRow.nonEmpty, "lshCandidateEstimate: empty corpus")
+    val dim = firstRow(0).getSeq[Float](0).length
+    estBucketPairs(signBandKeyed(
+      unitized(emb, idCol, vecCol, "id", "v"), dim, bands, rowsPerBand, seed))
   }
 
   /**

@@ -569,6 +569,12 @@ object TextAnalysis {
       .groupBy("doc_id").agg(min("dl").as("__dl"))
     val st = perDoc.agg(count(lit(1)).as("n"),
       (sum(col("__dl")).cast("double") / count(col("__dl"))).as("avgdl")).head()
+    // an index with zero postings has nothing to refresh FROM — the avgdl
+    // aggregate is NULL there, and silently writing (0, 0) would divide
+    // every later score by a zero normalizer; refuse loudly instead
+    require(st.getLong(0) > 0 && !st.isNullAt(1),
+      s"refreshTextIndexStats('$table'): the postings table has no " +
+        "token-bearing documents — rebuild the index instead of refreshing")
     val (n, avgdl) = (st.getLong(0), st.getDouble(1))
     val spark = perDoc.sparkSession
     import spark.implicits._
