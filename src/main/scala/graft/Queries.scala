@@ -28,6 +28,8 @@ object Queries {
   val LiTo: LocalDate = LocalDate.of(1998, 1, 7)
   private val liStartLit = "TIMESTAMP '1998-01-01 00:00:00.000'"
   private val liEndLit = "TIMESTAMP '1998-01-07 23:59:59.997'"
+  private val evStartLit = "TIMESTAMP '2024-01-05 00:00:00.000'"
+  private val evEndLit = "TIMESTAMP '2024-01-09 23:59:59.997'"
   /** orders window (CAST-AS-DATE path, P4). */
   val OrdFrom: LocalDate = LocalDate.of(1998, 3, 1)
   val OrdTo: LocalDate = LocalDate.of(1998, 3, 31)
@@ -2479,9 +2481,11 @@ object Queries {
     // sim_ann_ivf_persisted technique: same oracle, whole persist/load/
     // probe pipeline hash-checked)
     "text_bm25_index_search" -> ((s, d) => {
-      val store = new graft.store.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString)
-      TextAnalysis.buildTextIndex(store, "fts", docs(s, d))
+      // the index builds ONCE per process (fixture cache — r19 verdict
+      // item 3: build cost amortizes in production and is bench hygiene
+      // here); the gate then measures the production steady state:
+      // stats reload + the pruned postings probe, hash-checked whole
+      val store = new graft.store.TableStore(s, bm25FullIndexDir(s, d))
       val idx = TextAnalysis.loadTextIndex(store, "fts")
       TextAnalysis.searchTextIndex(store, idx, "fast hash join", topK = 25)
     }),
@@ -2492,11 +2496,12 @@ object Queries {
     // whole corpus — a lost append, a stale df sum, or an accidental stats
     // refresh all hash-fail
     "text_bm25_index_grow" -> ((s, d) => {
-      val store = new graft.store.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-bm25-grow").toString)
-      val dd = docs(s, d)
-      val built = TextAnalysis.buildTextIndex(store, "fts_g", dd.filter(col("doc_id") < 250))
-      TextAnalysis.appendToTextIndex(store, built, dd.filter(col("doc_id") >= 250))
+      // base index (docs < 250) from the per-JVM fixture cache, copied to
+      // a fresh dir; the GROW leg — the operator this gate certifies —
+      // appends the rest as postings/df deltas FRESH on every invocation
+      val store = bm25GrowStore(s, d, "graft-bm25-grow")
+      val built = TextAnalysis.loadTextIndex(store, "fts_g")
+      TextAnalysis.appendToTextIndex(store, built, docs(s, d).filter(col("doc_id") >= 250))
       val idx = TextAnalysis.loadTextIndex(store, "fts_g")
       TextAnalysis.searchTextIndex(store, idx, "fast hash join", topK = 25)
     }),
@@ -2506,13 +2511,26 @@ object Queries {
     // after which search must equal the in-memory bm25 over the WHOLE
     // corpus (the plain bm25 oracle), not the frozen build-slice contract
     "text_bm25_index_refresh" -> ((s, d) => {
-      val store = new graft.store.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-bm25-refresh").toString)
       val dd = docs(s, d)
-      val built = TextAnalysis.buildTextIndex(store, "fts_r", dd.filter(col("doc_id") < 250))
-      TextAnalysis.appendToTextIndex(store, built, dd.filter(col("doc_id") >= 250))
-      val idx = TextAnalysis.refreshTextIndexStats(store, "fts_r")
-      TextAnalysis.searchTextIndex(store, idx, "fast hash join", topK = 25)
+      // refreshTextIndexStats computes n_docs/avgdl over POSTINGS-bearing
+      // docs (the documented deviation), while the in-memory bm25 oracle
+      // counts every doc — the refresh ≡ whole-corpus-bm25 contract below
+      // therefore needs a fixture with no zero-token/NULL-text docs.
+      // Asserted HERE so a fixture change fails with this message instead
+      // of forking the gate hash like an operator bug (r19 ADVICE fix).
+      val tokenless = dd.filter(col("text").isNull ||
+        size(TextAnalysis.tokens(col("text"))) === 0).count()
+      require(tokenless == 0,
+        s"text_bm25_index_refresh: fixture grew $tokenless zero-token doc(s); " +
+          "the postings-only n/avgdl refresh makes the whole-corpus bm25 " +
+          "oracle inapplicable — see refreshTextIndexStats docs")
+      // base from the fixture cache (copy), grow + REFRESH fresh per run —
+      // the refresh lever is the operator under certification here
+      val grown = bm25GrowStore(s, d, "graft-bm25-refresh")
+      val built = TextAnalysis.loadTextIndex(grown, "fts_g")
+      TextAnalysis.appendToTextIndex(grown, built, dd.filter(col("doc_id") >= 250))
+      val idx = TextAnalysis.refreshTextIndexStats(grown, "fts_g")
+      TextAnalysis.searchTextIndex(grown, idx, "fast hash join", topK = 25)
     }),
     // PMI collocation mining (Church & Hanks): top-40 bigrams by rounded
     // PMI at min pair count 5 — the multi-word-unit discovery step of
@@ -2841,11 +2859,14 @@ object Queries {
     // short-text fuzzy matching: Levenshtein ≤ 5 over 40-char prefixes with
     // full-text length difference ≤ 5, blocked by language — the
     // in-word-edit dedup rule jaccard/minhash can't see. Length blocking is
-    // internal (width-64 buckets with adjacent-bucket probing), so a 63- vs
-    // 65-char pair is found even though the docs straddle a bucket boundary
+    // internal (minimal maxDist+1-wide buckets with adjacent-bucket
+    // probing — the r19 verdict's adaptive-blocking fix, where the optimum
+    // is the constant floor), so a boundary-straddling pair is still found
+    // and the per-band candidate slack is the contract's own ±5, not the
+    // old fixed-64 conservatism that grew ~quadratically at 30×
     "dedup_edit_distance" -> ((s, d) =>
       Dedup.editDistancePairs(docs(s, d), "doc_id", "text", Seq("lang"),
-        maxDist = 5, prefixLen = 40, bucketWidth = 64)),
+        maxDist = 5, prefixLen = 40)),
     // decontamination: docs 0-9 stand in for a benchmark set; corpus docs
     // sharing >= 2 distinct trigrams with any of them are removed
     "dedup_decontaminate" -> ((s, d) => {
@@ -2894,11 +2915,16 @@ object Queries {
           weightCol = Some("w"))
         .select(col("node"), round(col("rank"), 6).as("rank"))),
     // the crawl-frontier capstone (r18 verdict item 3): raw HTML →
-    // htmlLinks (document-order outlinks) → URL canonicalization (the
-    // UPPERCASE+:80 dup link MUST collapse onto its lowercase twin's edge)
-    // → host extraction → counted host-level edge list → PageRank. Each
-    // stage is the standalone gate's operator; the composition pins the
-    // seams between them
+    // htmlLinks (document-order outlinks) → URL canonicalization → host
+    // extraction → host-level edge list → PageRank. Edge weight is
+    // count(DISTINCT canonical url) per (src, dst) — NOT the link-row
+    // count: urlHost alone already lowercases the authority and strips the
+    // port, so a row count would collapse the fixture's UPPERCASE+:80 dup
+    // link even with canonicalizeUrl broken; under DISTINCT the dup
+    // collapses 2→1 only when canonicalization actually rewrites it, which
+    // makes the canonicalization stage falsifiable by this gate
+    // (r19 ADVICE fix). Each stage is the standalone gate's operator; the
+    // composition pins the seams between them.
     "pipeline_web_graph" -> ((s, d) => {
       val links = TextAnalysis.htmlLinks(synthWebDocs(s, d))
       val canon = links.select(col("doc_id"),
@@ -2906,8 +2932,9 @@ object Queries {
       val edges = canon.select(
           concat(lit("site"), pmod(col("doc_id"), lit(10)).cast("string"),
             lit(".example")).as("src"),
-          ext.Urls.urlHost(col("curl")).as("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+          ext.Urls.urlHost(col("curl")).as("dst"),
+          col("curl"))
+        .groupBy("src", "dst").agg(countDistinct(col("curl")).cast("double").as("w"))
       Graphs.pageRank(edges, "src", "dst", iterations = 10, weightCol = Some("w"))
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
@@ -3078,18 +3105,23 @@ object Queries {
     // P(candidate | near-dup) >= 0.99-per-rung design), plus the vacuity
     // guard. Oracle: the violation set is empty.
     "dedup_cosine_lsh_sharpen" -> ((s, d) => {
-      val e = Similarity.plantDenseCluster(
-        Similarity.plantNearDups(
-          emb(s, d).filter(col("vec_id") < 500), "vec_id", "embedding"),
-        "vec_id", "embedding", m = 120, mag = 0.40)
-      val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
+      val e = sharpenFixture(s, d)
+      // certification sides (two exact brute-force searches + the forcing
+      // estimate) come from the per-JVM fixture cache — corpus-
+      // deterministic, built once per process (r19 verdict item 3: the
+      // steady-state bench measures the OPERATOR below, not the oracle's
+      // brute-force cost; a fresh JVM still pays and certifies the build)
+      val (exactRows, nearRows, pairSchema, est12) = sharpenCert(s, d)
+      import scala.jdk.CollectionConverters._
+      val exact = s.createDataFrame(exactRows.asJava, pairSchema)
+      val nearDup = s.createDataFrame(nearRows.asJava, pairSchema)
+      // the OPERATOR under certification — the escalated LSH search runs
+      // fresh on every invocation
       val lsh = Similarity.trackedPersist(
         Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45,
           pairBudget = 12000L))
       val fp = lsh.exceptAll(exact)
         .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
-      val nearDup = Similarity.trackedPersist(
-        Similarity.cosinePairs(e, "vec_id", "embedding", 0.99))
       val missedNearDup = nearDup.exceptAll(lsh)
         .select(lit("missed_near_dup").as("kind"), col("id_a"), col("id_b"))
       val vacuous = nearDup.groupBy().agg(count(lit(1)).as("n"))
@@ -3101,11 +3133,10 @@ object Queries {
       // actually exceeds the budget — computed from the operator's own
       // bucketing primitive, so fixture drift that un-forces the
       // escalation turns into a violation row instead of a silent pass
-      val est12 = Similarity.lshCandidateEstimate(e, "vec_id", "embedding")
       val forcing = {
         import s.implicits._
         (if (est12 > 12000L) Seq.empty[(String, Long, Long)]
-         else Seq(("forcing_not_engaged", est12, -1L)))
+         else Seq(("forcing_not_engaged", est12.toLong, -1L)))
           .toDF("kind", "id_a", "id_b")
       }
       fp.unionByName(missedNearDup).unionByName(vacuous).unionByName(forcing)
@@ -3280,11 +3311,16 @@ object Queries {
         (cnt("table") > cnt("row")).cast("int").as("label"))
       val feats = Classifier.hashedFeatures(doc, "doc_id", "text", 128)
         .join(labeled, Seq("doc_id"))
-      // IRLS: 5 Newton iterations instead of the r16 40-step Adam
-      // schedule — same floor with margin, ~7x fewer sequential jobs
-      // (the gate's cost is per-step job overhead, not data)
+      // AUTO-ROUTED (r19 verdict item 5): below Classifier.NewtonAutoMaxRows
+      // the router picks IRLS (5 Newton iterations — same floor as the r16
+      // 40-step Adam schedule with ~7x fewer sequential jobs; the gate's
+      // cost is per-step job overhead, not data), and past the crossover a
+      // big corpus takes the sampled-adam O(dim)/row path instead of the
+      // dim²-gram full-batch loser the 30× fork flagged. At every driver SF
+      // the corpus is far below the bound, so the gate still certifies the
+      // Newton path; the crossover itself is spec-pinned (ClassifierSpec).
       val m = Classifier.trainLogistic(feats, "label", steps = 6,
-        learningRate = 0.3, samplePermille = 0, optimizer = "newton")
+        learningRate = 0.3, samplePermille = 0, optimizer = "auto")
       val viol = if (m.trainAccuracy >= 0.95) Seq.empty[(String, Double)]
         else Seq(("train_accuracy_below_floor", m.trainAccuracy))
       viol.toDF("check", "value")
@@ -3847,61 +3883,130 @@ object Queries {
     // it back through the PARTITIONED parallel scan (4 key-range splits —
     // the reference's single streaming cursor, TableCopyService.cs:140,
     // distributed), and the result must hash-equal the parquet source
-    "o19_jdbc_roundtrip" -> ((s, d) => {
-      // ONE temp home for the whole JVM (lazy val — thread-safe, created
-      // once): repeated invocations used to leave one orphaned temp dir
-      // each (r19 review fix). derby.system.home is set inside the same
-      // once-guard, so derby.log placement is deterministic and the
-      // registered dir stays alive for any later boot (r18 ADVICE fix).
-      // Each invocation gets its OWN db subdirectory (deleted after
-      // shutdown below), so a runs>=3 marathon reuses the home without
-      // colliding on a database name mid-delete.
-      val home = derbyGateHome
-      val db = s"db-${java.util.UUID.randomUUID().toString.take(8)}"
-      val cfg = graft.store.Jdbc.JdbcConfig(
-        url = s"jdbc:derby:$home/$db;create=true",
-        user = "graft", password = "", // ignored by embedded Derby
-        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    "o19_jdbc_roundtrip" -> ((s, d) => withDerbyGate(s) { cfg =>
       val src = customer(s, d).filter(col("c_custkey") <= 200)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       graft.store.Jdbc.append(src, cfg, "t_gate_roundtrip")
-      // materialize the partitioned read NOW (the 4-way key-range scan
-      // runs here), then SHUT THE DATABASE DOWN — embedded Derby keeps
-      // each booted db's page cache + threads alive for the JVM's life
-      // otherwise, and query entries must not leak state into the shared
-      // session (r18 review fix); a runs=3 marathon would accumulate
-      // three live databases. Returning the collected rows as a local
-      // relation keeps the gate's output identical.
-      val rows = graft.store.Jdbc.read(s, cfg, "t_gate_roundtrip",
+      // the 4-way key-range scan — the reference's single streaming cursor
+      // (TableCopyService.cs:140), distributed
+      graft.store.Jdbc.read(s, cfg, "t_gate_roundtrip",
           splitCol = Some(("c_custkey", 1L, 200L, 4)))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      // the 200-row fixture collect exists for the Derby shutdown ordering
-      // below (the gate must not leak a live db into the shared session);
-      // the PRODUCTION path stays distributed — Jdbc.read returns the
-      // partitioned frame and never collects
-      val out = s.createDataFrame(rows.collectAsList(), rows.schema)
-      try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/$db;shutdown=true")
-      catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
-      // rows are materialized in the local relation — delete the shut-down
-      // DATABASE directory so a runs>=2 bench doesn't accumulate page
-      // files (r18 ADVICE fix). The shared home stays (it is
-      // derby.system.home — Derby wants it alive for derby.log). The walk
-      // stream is closed explicitly, and traversal-time errors arrive as
-      // UncheckedIOException (a RuntimeException), which must not fail a
-      // gate whose roundtrip already succeeded (r19 review fix).
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val walk = Files.walk(home.resolve(db))
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach((p: Path) => { Files.deleteIfExists(p); () })
-        finally walk.close()
-      } catch {
-        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
-      }
-      out
+    }),
+
+    // ---- o20: the reference's CORE transaction over a real database ----
+    // windowed delete + reinsert inside ONE target transaction
+    // (TableCopyService.cs:89-170): Jdbc.overwriteWindow stages the fresh
+    // window distributed, then one coordinator txn runs DELETE … BETWEEN
+    // (day start .. day end − 3 ms) + INSERT..SELECT + COMMIT. Post-state
+    // must hash-match the a5-shaped parquet oracle. Fixture bounded to
+    // event_id <= 2000 so the gate measures the transaction, not insert
+    // volume; the fresh rows carry value + 1 so a silently-skipped
+    // delete+reinsert cannot hash-match.
+    "o20_jdbc_window_reload" -> ((s, d) => withDerbyGate(s) { cfg =>
+      val base = evJdbcBase(s, d)
+      // stale target: state loaded only through the window end (the a5 shape)
+      graft.store.Jdbc.append(base.filter(to_date(col("ts")) <= lit(EvTo)), cfg, "t_win")
+      val fresh = Ops.windowScan(base.withColumn("value", col("value") + 1),
+        "ts", EvFrom, EvTo)
+      graft.store.Jdbc.overwriteWindow(fresh, cfg, "t_win", "ts", EvFrom, EvTo)
+      graft.store.Jdbc.read(s, cfg, "t_win", splitCol = Some(("event_id", 1L, 2000L, 4)))
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // ---- o21: the reference's keyed update transaction over JDBC ----
+    // changed-key discovery (J1) + source re-fetch (J2) feed
+    // Jdbc.upsert: stage the fresh rows, then one target txn deletes the
+    // changed keys (set-based EXISTS against the stage — the 2000-literal
+    // IN batches of TableUpdateService.cs:117-128, lifted) and reinserts.
+    // Post-state must hash-match the a4-shaped parquet oracle.
+    "o21_jdbc_upsert" -> ((s, d) => withDerbyGate(s) { cfg =>
+      val base = evJdbcBase(s, d)
+      graft.store.Jdbc.append(base.filter(to_date(col("ts")) <= lit(EvTo)), cfg, "t_ups")
+      val ev = eventsWithUpdateTs(s, d).filter(col("event_id") <= 2000)
+      val changed = Ops.changedKeys(ev, "event_id", "ts", "update_ts", EvFrom, EvTo)
+      val fresh = Ops.keyedFetch(base.withColumn("value", col("value") + 1),
+        "event_id", changed)
+      graft.store.Jdbc.upsert(fresh, cfg, "t_ups", Seq("event_id"))
+      graft.store.Jdbc.read(s, cfg, "t_ups", splitCol = Some(("event_id", 1L, 2000L, 4)))
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // ---- o22: target-side stored-procedure passthrough ----
+    // the reference's sproc dispatch (StoreProcRunService.cs:16-31 runs
+    // `EXEC name @StartDateParam, @EndDateParam` on the TARGET connection):
+    // a real Derby SQL procedure (Java body — DerbyProcs.windowSummary,
+    // running INSIDE the database on the nested connection) is registered
+    // and invoked through SqlStepRegistry's `jdbc:` step kind with the
+    // window bound positionally; the gate reads the procedure's SIDE
+    // EFFECT back and hash-checks it against DuckDB computing the same
+    // window summary from the parquet source — proving the parameters
+    // arrived and the proc's write landed. Integer arithmetic only, so the
+    // twin matches bit-exactly.
+    "o22_jdbc_sproc" -> ((s, d) => withDerbyGate(s) { cfg =>
+      graft.store.Jdbc.append(events(s, d).filter(col("event_id") <= 2000)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts")), cfg, "SPROC_SRC")
+      graft.store.Jdbc.execute(cfg,
+        """CREATE TABLE SPROC_OUT("n_rows" BIGINT, "sum_ids" BIGINT)""")
+      graft.store.Jdbc.execute(cfg,
+        "CREATE PROCEDURE WINDOW_SUMMARY(IN s TIMESTAMP, IN e TIMESTAMP) " +
+          "PARAMETER STYLE JAVA LANGUAGE JAVA MODIFIES SQL DATA " +
+          "EXTERNAL NAME 'graft.store.DerbyProcs.windowSummary'")
+      val reg = new graft.proc.SqlStepRegistry(
+        Map("roll" -> "jdbc:CALL WINDOW_SUMMARY(?, ?)"))
+      reg.runJdbc("roll", EvFrom, EvTo, cfg)
+      graft.store.Jdbc.read(s, cfg, "SPROC_OUT")
     })
   )
+
+  /** events bounded to a CONSTANT slice (a gate must not grow with SF) with
+    * `ts` cast to session-TZ timestamp for the JDBC leg — value-identity
+    * under the UTC session; gate outputs re-cast to `timestamp_ntz` (the o1
+    * convention) so the driver compare sees the fixture's type. */
+  private def evJdbcBase(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("event_id") <= 2000)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+
+  /** Run `body` against a FRESH embedded-Derby database under the shared
+    * JVM-wide gate home ([[derbyGateHome]]), materialize the resulting
+    * frame as a local relation, then shut the database down and delete its
+    * directory — embedded Derby otherwise keeps every booted db's page
+    * cache + threads alive for the JVM's life, and a runs>=3 marathon must
+    * not accumulate live databases or page files (r18/r19 review fixes,
+    * factored out of o19 when o20–o22 joined). The PRODUCTION path stays
+    * distributed — Jdbc.read returns the partitioned frame and never
+    * collects; the bounded collect here exists for the shutdown ordering. */
+  private def withDerbyGate(s: SparkSession)(
+      body: graft.store.Jdbc.JdbcConfig => DataFrame): DataFrame = {
+    val home = derbyGateHome
+    val db = s"db-${java.util.UUID.randomUUID().toString.take(8)}"
+    val cfg = graft.store.Jdbc.JdbcConfig(
+      url = s"jdbc:derby:$home/$db;create=true",
+      user = "graft", password = "", // ignored by embedded Derby
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    val rows = body(cfg)
+    val out = s.createDataFrame(rows.collectAsList(), rows.schema)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/$db;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
+    // delete the shut-down DATABASE dir; the shared home stays (it is
+    // derby.system.home — Derby wants it alive for derby.log). Traversal
+    // errors arrive as UncheckedIOException and must not fail a gate whose
+    // work already succeeded (r19 review fix).
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(home.resolve(db))
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach((p: Path) => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+    }
+    out
+  }
 
   /** The one Derby system home for every `o19_jdbc_roundtrip` invocation
     * in this JVM — created once (lazy val), registered as
@@ -3911,6 +4016,100 @@ object Queries {
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", h.toString)
     h
+  }
+
+  // =========================================================================
+  // Per-JVM fixture cache (r19 verdict item 3): a handful of gates pay a
+  // corpus-DETERMINISTIC certification or index-build cost per invocation —
+  // the sharpen gate's two brute-force oracle searches, the BM25 gates'
+  // persisted-index builds — which is certification/bench hygiene, not
+  // operator cost. These helpers build that fixed side ONCE per process;
+  // the OPERATOR under test still runs fresh on every invocation and is
+  // certified against the cached sides, so results are bit-identical and a
+  // fresh JVM (the driver's Verify) still pays and certifies the full
+  // build. Entries are plain JVM values and store DIRECTORIES — never live
+  // DataFrames, so the bench's per-query `Dedup.unpersistAll` cannot
+  // invalidate them. `Bench` prewarms the selected gates' fixtures in its
+  // untimed warmup so steady-state s/q tracks operator cost.
+  // =========================================================================
+
+  private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedFixture[T <: AnyRef](key: String)(build: => T): T =
+    fixtureCache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** Build the per-process fixtures for the named gates OUTSIDE any timed
+    * region — called by `Bench`'s warmup (and harmless anywhere else). */
+  def prewarmFixtures(s: SparkSession, d: String, names: Iterable[String]): Unit = {
+    val n = names.toSet
+    if (n("text_bm25_index_search")) bm25FullIndexDir(s, d)
+    if (n("text_bm25_index_grow") || n("text_bm25_index_refresh")) bm25BaseIndexDir(s, d)
+    if (n("dedup_cosine_lsh_sharpen")) sharpenCert(s, d)
+    ()
+  }
+
+  /** The sharpen gate's planted fixture (500-vector slice + near-dup plants
+    * + a 120-vector dense cluster) — pure plan construction, rebuilt per
+    * invocation. */
+  private def sharpenFixture(s: SparkSession, d: String): DataFrame =
+    Similarity.plantDenseCluster(
+      Similarity.plantNearDups(
+        emb(s, d).filter(col("vec_id") < 500), "vec_id", "embedding"),
+      "vec_id", "embedding", m = 120, mag = 0.40)
+
+  /** The sharpen gate's corpus-deterministic CERTIFICATION sides — exact
+    * pairs at 0.45, the cos >= 0.99 near-dup band, the 12×12 forcing
+    * estimate — collected once per JVM (bounded: a few thousand id pairs).
+    * The escalated LSH search itself is NOT cached: it is the operator the
+    * gate certifies, and runs fresh against these sides every time. */
+  private def sharpenCert(s: SparkSession, d: String)
+      : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType, java.lang.Long) =
+    cachedFixture(s"sharpencert:$d") {
+      val e = sharpenFixture(s, d)
+      val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
+      val near = Similarity.cosinePairs(e, "vec_id", "embedding", 0.99)
+      val est = Similarity.lshCandidateEstimate(e, "vec_id", "embedding")
+      (exact.collect().toSeq, near.collect().toSeq, exact.schema, Long.box(est))
+    }
+
+  /** Per-process full-corpus BM25 index store ([[TextAnalysis.buildTextIndex]]
+    * over all documents, table `fts`) — read-only for the search gate. */
+  private def bm25FullIndexDir(s: SparkSession, d: String): String =
+    cachedFixture(s"bm25full:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+      TextAnalysis.buildTextIndex(new graft.store.TableStore(s, dir), "fts", docs(s, d))
+      dir
+    }
+
+  /** Per-process BASE index store (docs < 250, table `fts_g`) for the
+    * grow/refresh gates — each invocation COPIES this tree to a fresh temp
+    * dir before mutating, so the cached base stays pristine. */
+  private def bm25BaseIndexDir(s: SparkSession, d: String): String =
+    cachedFixture(s"bm25base:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-base").toString
+      TextAnalysis.buildTextIndex(new graft.store.TableStore(s, dir), "fts_g",
+        docs(s, d).filter(col("doc_id") < 250))
+      dir
+    }
+
+  /** Recursive file-tree copy (the store fixtures are small local trees;
+    * copying is milliseconds next to the Spark jobs a rebuild costs). */
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    val walk = Files.walk(src)
+    try walk.forEach { p: Path =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally walk.close()
+  }
+
+  /** A fresh mutable copy of the grow/refresh base index store. */
+  private def bm25GrowStore(s: SparkSession, d: String, prefix: String): graft.store.TableStore = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    copyTree(java.nio.file.Path.of(bm25BaseIndexDir(s, d)), dir)
+    new graft.store.TableStore(s, dir.toString)
   }
 
   // =========================================================================
@@ -4234,9 +4433,9 @@ object Queries {
        |u AS (SELECT doc_id, unnest(urls) AS url FROM lk),
        |$canonicalUrlCtes,
        |cu AS (SELECT doc_id, $canonicalUrlExpr AS url FROM k),
-       |${urlHostSql(src = "cu")},
+       |${urlHostSql(extra = ", url", src = "cu")},
        |e AS MATERIALIZED (SELECT 'site' || (doc_id % 10) || '.example' AS src,
-       |        host AS dst, CAST(count(*) AS DOUBLE) AS w
+       |        host AS dst, CAST(count(DISTINCT url) AS DOUBLE) AS w
        |        FROM h GROUP BY 1, 2),
        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""".stripMargin
@@ -7074,7 +7273,42 @@ object Queries {
     // is the parquet source slice itself
     "o19_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal
-        |  FROM customer WHERE c_custkey <= 200""".stripMargin
+        |  FROM customer WHERE c_custkey <= 200""".stripMargin,
+    // o20: the Derby post-state must equal the a5 composition — target rows
+    // outside the window + fresh (value+1) rows inside it, raw-datetime
+    // BETWEEN with the .997 day end on both sides
+    "o20_jdbc_window_reload" ->
+      s"""WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+         |                FROM events WHERE event_id <= 2000)
+         |SELECT * FROM base
+         | WHERE CAST(ts AS DATE) <= DATE '2024-01-09'
+         |   AND ts NOT BETWEEN $evStartLit AND $evEndLit
+         |UNION ALL
+         |SELECT event_id, ts, user_id, event_type, value + 1 AS value FROM base
+         | WHERE ts BETWEEN $evStartLit AND $evEndLit""".stripMargin,
+    // o21: the Derby post-state must equal the a4 composition at the same
+    // bounded slice — unchanged target rows for unchanged keys + fresh
+    // (value+1) source rows for the changed keys
+    "o21_jdbc_upsert" ->
+      s"""WITH ev AS (SELECT event_id, ts, ts + (event_id % 7) * INTERVAL 1 DAY AS update_ts
+         |              FROM events WHERE event_id <= 2000),
+         |changed AS ($changedKeysSql),
+         |base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+         |           FROM events WHERE event_id <= 2000)
+         |SELECT * FROM base
+         | WHERE CAST(ts AS DATE) <= DATE '2024-01-09'
+         |   AND event_id NOT IN (SELECT event_id FROM changed)
+         |UNION ALL
+         |SELECT event_id, ts, user_id, event_type, value + 1 AS value FROM base
+         | WHERE event_id IN (SELECT event_id FROM changed)""".stripMargin,
+    // o22: the procedure's side effect (window row count + integer key sum)
+    // recomputed from the parquet source; DuckDB's BIGINT sum widens to
+    // HUGEINT, cast back to the procedure's declared type
+    "o22_jdbc_sproc" ->
+      s"""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_ids
+         |  FROM events
+         | WHERE event_id <= 2000
+         |   AND ts BETWEEN $evStartLit AND $evEndLit""".stripMargin
     // every gated query has an oracle: the approximate ops are gated at their
     // exact operating points (sim_ann_ivf at full probe, dedup_minhash_lsh
     // verified-exact) with the approximate points covered by specs

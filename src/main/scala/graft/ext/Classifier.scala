@@ -59,9 +59,21 @@ object Classifier {
   }
 
   /** One trained model: weight vector (length dim+1, bias last) plus the
-    * final training diagnostics. */
+    * final training diagnostics. `optimizerUsed` records the path actually
+    * taken (load-bearing under `optimizer = "auto"` — the routing spec pins
+    * the crossover through it). */
   final case class Model(weights: Array[Double], trainAccuracy: Double,
-      trainLogLoss: Double, steps: Int)
+      trainLogLoss: Double, steps: Int, optimizerUsed: String = "adagrad")
+
+  /** `optimizer = "auto"` routes to Newton/IRLS only below this corpus size
+    * (and only at dims the dim² gram permits). Newton's win is ~7× fewer
+    * sequential aggregation barriers — decisive while per-step JOB overhead
+    * dominates — but its gram pass does O(dim²) work per ROW, so past this
+    * bound the O(dim)/row sampled-gradient path is the cheaper full pass by
+    * construction (the same measured crossover the r19 verdict flagged: the
+    * Newton gate path was the 30×-fork loser at ~150k docs while
+    * sampled-adam stayed linear). */
+  val NewtonAutoMaxRows: Long = 50000L
 
   /** IRLS normal-equation accumulator (one Newton step of logistic
     * regression): given each row's current margin `m = w·x` and label, one
@@ -202,8 +214,9 @@ object Classifier {
     require(steps > 0 && learningRate > 0, s"bad hyperparams: $steps, $learningRate")
     require(samplePermille >= 0 && samplePermille <= 1000,
       s"samplePermille must be in [0, 1000] (0 = auto): $samplePermille")
-    require(optimizer == "adagrad" || optimizer == "adam" || optimizer == "newton",
-      s"optimizer must be adagrad|adam|newton: $optimizer")
+    require(optimizer == "adagrad" || optimizer == "adam" || optimizer == "newton"
+        || optimizer == "auto",
+      s"optimizer must be adagrad|adam|newton|auto: $optimizer")
     val spark = data.sparkSession
     import spark.implicits._
     // localCheckpoint, not cache: per-step plans embed the training frame's
@@ -233,6 +246,20 @@ object Classifier {
       fullParts.toLong)).toInt
     val cached = if (targetParts < fullParts) full.coalesce(targetParts) else full
     val dim = cached.select(size(col("features"))).head().getInt(0)
+    // "auto" routes on measured corpus size (r19 verdict item 5 — the
+    // routing posture every pair former already has): Newton/IRLS below
+    // [[NewtonAutoMaxRows]] (where its ~7× fewer sequential barriers win
+    // and the O(dim²)/row gram is affordable), sampled-adam above (O(dim)/
+    // row full passes — the 100 TB path). The caller's `steps` means
+    // Newton iterations; the adam branch converts by the documented ~7
+    // gradient-steps-per-Newton-step equivalence (floor 40, the r16
+    // production schedule).
+    val resolved =
+      if (optimizer != "auto") optimizer
+      else if (nRows <= NewtonAutoMaxRows && dim <= 2048) "newton"
+      else "adam"
+    val effSteps =
+      if (optimizer == "auto" && resolved == "adam") math.max(40, steps * 7) else steps
     var w = new Array[Double](dim)
     val gsq = new Array[Double](dim)
     // weights (and the sampling salt) travel as a broadcast ONE-ROW FRAME,
@@ -278,7 +305,7 @@ object Classifier {
     // row, so the path requires moderate dims; high-dim hashing models
     // keep the O(dim)/row gradient path. `learningRate`/`samplePermille`
     // are unused here (full-batch, naturally-scaled Newton steps).
-    if (optimizer == "newton") {
+    if (resolved == "newton") {
       require(dim <= 2048,
         s"newton solves a dim² normal system — not for dim=$dim (> 2048); use adam")
       val gagg = udaf(new GramAggregator(dim))
@@ -309,7 +336,7 @@ object Classifier {
       val fin = job(steps.toLong, sampled = false)
       val m0 = fin.find(_.getInt(0) == 0).getOrElse(
         throw new IllegalStateException("empty training frame: no feature rows"))
-      return Model(w, m0.getDouble(3), m0.getDouble(4), steps)
+      return Model(w, m0.getDouble(3), m0.getDouble(4), steps, "newton")
     }
     // Diagonal preconditioning for the adam path: training runs in the
     // IMPLICITLY standardized space x' = x / std (per-slot population std,
@@ -322,7 +349,7 @@ object Classifier {
     // convergence stops being bound by the token-slot/bias scale gap
     // (standard GLM preprocessing, done as pure driver arithmetic).
     val precond: Array[Double] =
-      if (optimizer == "adam") {
+      if (resolved == "adam") {
         val s = new Array[Double](dim)
         cached.select(posexplode(col("features")).as(Seq("__j", "__x")))
           .groupBy(col("__j")).agg(stddev_pop(col("__x")).as("__s"))
@@ -338,7 +365,7 @@ object Classifier {
     val vel = new Array[Double](dim)
     val (b1, b2) = (0.9, 0.999)
     var step = 0
-    while (step < steps - 1) {
+    while (step < effSteps - 1) {
       val rows = job(step.toLong, sampled = pmEff < 1000)
       val g = new Array[Double](dim)
       rows.foreach { r: Row =>
@@ -346,7 +373,7 @@ object Classifier {
       }
       var j = 0
       while (j < dim) {
-        if (optimizer == "adam") {
+        if (resolved == "adam") {
           val gs = g(j) / precond(j) // gradient in the standardized space
           mom(j) = b1 * mom(j) + (1 - b1) * gs
           vel(j) = b2 * vel(j) + (1 - b2) * gs * gs
@@ -363,10 +390,10 @@ object Classifier {
     }
     // final job: full-batch, gradient discarded — its metrics describe the
     // exact weights returned
-    val fin = job(steps.toLong, sampled = false)
+    val fin = job(effSteps.toLong, sampled = false)
     val m0 = fin.find(_.getInt(0) == 0).getOrElse(
       throw new IllegalStateException("empty training frame: no feature rows"))
-    Model(w, m0.getDouble(3), m0.getDouble(4), steps)
+    Model(w, m0.getDouble(3), m0.getDouble(4), effSteps, resolved)
   }
 
   /** Score a corpus with a trained model: `(idCol, score)` where score =

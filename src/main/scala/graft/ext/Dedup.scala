@@ -825,6 +825,20 @@ object Dedup {
    * pair meets on exactly one band key (the un-expanded side's bucket), so
    * no dedup pass is needed.
    *
+   * `bucketWidth <= 0` (the default) selects the MINIMAL width
+   * `maxDist + 1`. This is where the r18 name-linkage estimator ladder
+   * degenerates (r19 verdict item 4): recall is exact at EVERY width
+   * `> maxDist` — in-contract pairs (`|Δlen| <= maxDist`) land in adjacent
+   * buckets at any such width — while the out-of-contract candidates a
+   * band admits (`|Δlen|` up to `2·bucketWidth − 1`) shrink monotonically
+   * as the width narrows. There is no recall/selectivity trade to probe:
+   * the floor is optimal for every corpus, so the "adaptive" choice is a
+   * constant, not an estimator loop. The r17-era fixed 64 was pure
+   * conservatism — at 30× it admitted ~13× the length slack the contract
+   * needs per band, which is exactly the block-population blowup the
+   * verdict measured. A caller-pinned positive width is still honored
+   * (and spec-pinned result-equivalent).
+   *
    * Scale shape: a self-equi-join on `(blockCols, length band)` — one
    * shuffle, ~3× the one-bucket candidate count, no cartesian pair scan.
    * Cost is quadratic PER (block × band), which is the contract of every
@@ -836,11 +850,12 @@ object Dedup {
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], maxDist: Int, prefixLen: Int = 64,
-      bucketWidth: Int = 64): DataFrame = {
+      bucketWidth: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(prefixLen > 0, s"prefixLen must be positive: $prefixLen")
-    require(bucketWidth > maxDist,
-      s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist): in-contract " +
+    val width = if (bucketWidth <= 0) maxDist + 1 else bucketWidth
+    require(width > maxDist,
+      s"bucketWidth ($width) must exceed maxDist ($maxDist): in-contract " +
         "pairs must span at most adjacent length buckets for the probe to find them")
     require(blockCols.nonEmpty,
       "editDistancePairs needs at least one blocking column (an unblocked " +
@@ -862,8 +877,8 @@ object Dedup {
         col(idCol).as(s"doc_$tag"),
         substring(col(textCol), 1, prefixLen).as(t),
         length(col(textCol)).cast("long").as(l)): _*)
-    val bA = floor(col(la) / lit(bucketWidth))
-    val bB = floor(col(lb) / lit(bucketWidth))
+    val bA = floor(col(la) / lit(width))
+    val bB = floor(col(lb) / lit(width))
     val a = side("a", ta, la).withColumn(band, explode(array(bA - 1, bA, bA + 1)))
     val b = side("b", tb, lb).withColumn(band, bB)
     a.join(b, blockCols :+ band)

@@ -451,7 +451,7 @@ final class TableStore(spark: SparkSession, root: String,
     * the cause. */
   private def readEntries(table: String, entries: Seq[(String, String)],
       mergeSchemas: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.col
     if (entries.isEmpty) {
       val prior = listMarkers(table).iterator
         .flatMap { case (_, p) => parseManifest(p) }
@@ -466,9 +466,24 @@ final class TableStore(spark: SparkSession, root: String,
     val (whole, parts) = entries.partition(_._1 == WholeTable)
     if (parts.isEmpty) reader.parquet(whole.map(e => s"$dir/${e._2}"): _*)
     else if (whole.isEmpty) {
-      val dfs = parts.map { case (partName, gen) =>
-        val Array(c, v) = partName.split("=", 2)
-        reader.parquet(s"$dir/$gen/$partName").withColumn(c, lit(v).cast("date"))
+      // ONE read per GENERATION, not per partition (r19 verdict item 6):
+      // each spark.read.parquet call costs a driver listing + footer pass,
+      // so a 2.4k-partition manifest used to plan 2.4k reads plus a
+      // 2.4k-deep union — pure driver round-trips. With basePath, Spark
+      // materializes the `col=value` dir as the partition column for ALL of
+      // a generation's entries in one relation; the explicit date cast
+      // keeps the previous (inference-independent) column type. Manifests
+      // span >1 generation only at the changed-partition sliver, so the
+      // remaining union is over a handful of relations.
+      val c = parts.head._1.split("=", 2)(0)
+      parts.find(_._1.split("=", 2)(0) != c).foreach { bad =>
+        throw new IllegalStateException(
+          s"read('$table'): manifest mixes partition columns '$c' and '${bad._1}'")
+      }
+      val dfs = parts.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, es) =>
+        reader.option("basePath", s"$dir/$gen")
+          .parquet(es.map { case (partName, _) => s"$dir/$gen/$partName" }: _*)
+          .withColumn(c, col(c).cast("date"))
       }
       dfs.reduce(_.unionByName(_, allowMissingColumns = mergeSchemas))
     } else throw new IllegalStateException(

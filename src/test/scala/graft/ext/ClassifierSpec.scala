@@ -95,6 +95,33 @@ class ClassifierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dim"), e.getMessage)
   }
 
+  test("auto optimizer routes by corpus size: newton below the crossover, sampled-adam above") {
+    // below NewtonAutoMaxRows → the IRLS path, with the caller's steps
+    val feats = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 32)
+      .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
+    val small = Classifier.trainLogistic(feats, "label", steps = 4,
+      learningRate = 0.3, samplePermille = 0, optimizer = "auto")
+    Dedup.unpersistAll()
+    assert(small.optimizerUsed == "newton",
+      s"40 rows is far below the crossover: ${small.optimizerUsed}")
+    assert(small.steps == 4 && small.trainAccuracy == 1.0)
+    // above the crossover the router MUST leave the dim²-gram path — pinned
+    // through the recorded route rather than a 50k-row fixture (the bound
+    // is a constant; the routing logic is what can regress). A wide model
+    // below the row bound must also route away from the gram.
+    assert(Classifier.NewtonAutoMaxRows == 50000L,
+      "crossover bound moved — re-derive the 30x fork evidence before accepting")
+    val wide = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 4096)
+      .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
+    val wideModel = Classifier.trainLogistic(wide, "label", steps = 2,
+      learningRate = 0.3, samplePermille = 0, optimizer = "auto")
+    Dedup.unpersistAll()
+    assert(wideModel.optimizerUsed == "adam",
+      s"dim 4096 must refuse the gram path under auto: ${wideModel.optimizerUsed}")
+    // auto's adam branch converts steps by the ~7x equivalence (floor 40)
+    assert(wideModel.steps == 40, s"adam branch steps: ${wideModel.steps}")
+  }
+
   test("training accuracy is partitioning-stable") {
     def acc(parts: Int): Double = {
       val c = toyCorpus.repartition(parts)

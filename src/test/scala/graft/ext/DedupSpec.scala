@@ -54,6 +54,33 @@ class DedupSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
         maxDist = 5, bucketWidth = 5))
   }
 
+  test("editDistancePairs: minimal-width banding is result-equivalent to fixed-64") {
+    // the r19 verdict's adaptive-blocking item: the default (floor
+    // maxDist+1) banding must return EXACTLY the fixed-width former's
+    // pairs — recall is exact at every width > maxDist, banding is purely
+    // a candidate-count lever. Corpus engineered to straddle boundaries of
+    // BOTH widths (floor 4 and fixed 64) and to carry out-of-contract
+    // same-band length pairs the filters must drop identically.
+    val rows = (1L to 60L).map { i =>
+      val len = (i * 7 % 90 + 10).toInt // lengths 10..99 across band edges
+      (i, "a" * len, if (i % 2 == 0) "en" else "fr")
+    } ++ Seq((100L, "b" * 63, "en"), (101L, "b" * 65, "en"), // floor-4 edge 63|65
+      (102L, "b" * 64, "fr"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    def pairs(width: Int) =
+      Dedup.editDistancePairs(df, "doc_id", "text", Seq("lang"),
+        maxDist = 3, prefixLen = 50, bucketWidth = width)
+        .as[(Long, Long, Int)].collect().toSet
+    val floor = pairs(0)   // default: width maxDist+1 = 4
+    val fixed = pairs(64)  // the r17-era conservative width
+    assert(floor == fixed, s"banding width changed the RESULT: " +
+      s"only-floor=${(floor -- fixed).take(5)} only-64=${(fixed -- floor).take(5)}")
+    assert(floor.nonEmpty, "vacuous equivalence: fixture produced no pairs")
+    // lengths 63|65 straddle a floor-width band edge; their 50-char
+    // prefixes are identical (edit_dist 0) while the length filter sees Δ2
+    assert(floor.contains((100L, 101L, 0)), "boundary pair lost at the floor width")
+  }
+
   test("dedupeAgainstCorpus: corpus dups dropped, batch dups collapse, new docs kept") {
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val batch = Seq(

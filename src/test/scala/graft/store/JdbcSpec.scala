@@ -90,4 +90,96 @@ class JdbcSpec extends AnyFunSuite {
         "fails, the control is broken and the assertion above proves nothing")
     assert(noPush.count() == 6)
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def day(s: String) = java.time.LocalDate.parse(s)
+
+  test("overwriteWindow: windowed delete + reinsert lands atomically and honors the .997 day end") {
+    val target = Seq(
+      (1L, ts("2024-01-04 12:00:00"), 10.0),
+      (2L, ts("2024-01-05 00:00:00"), 20.0),  // in window → replaced
+      (3L, ts("2024-01-06 23:59:59.997"), 30.0), // exactly the day end → replaced
+      (4L, ts("2024-01-06 23:59:59.998"), 40.0), // past the .997 bound → KEPT
+      (5L, ts("2024-01-07 08:00:00"), 50.0)
+    ).toDF("id", "ts", "v")
+    Jdbc.append(target, cfg, "t_ow")
+    val fresh = Seq(
+      (102L, ts("2024-01-05 10:00:00"), 2.0),
+      (103L, ts("2024-01-06 10:00:00"), 3.0)).toDF("id", "ts", "v")
+    Jdbc.overwriteWindow(fresh, cfg, "t_ow", "ts", day("2024-01-05"), day("2024-01-06"))
+    val ids = Jdbc.read(spark, cfg, "t_ow").select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L, 5L, 102L, 103L),
+      s"window [05..06] must replace rows 2,3 (3 sits exactly on 23:59:59.997) and keep 4: $ids")
+    // the staging table must not survive the exchange
+    val stages = Jdbc.read(spark, cfg,
+      "(SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%_STG_%') s")
+    assert(stages.count() == 0, "staging table leaked past the exchange")
+  }
+
+  test("overwriteWindow: a failure inside the transaction rolls back — old window intact") {
+    // PK-constrained target: the staged rows carry a duplicate key, so the
+    // INSERT..SELECT fails AFTER the DELETE already executed inside the txn
+    // — the crash-mid-write shape. The rollback must restore the window.
+    Jdbc.execute(cfg, """CREATE TABLE T_CRASH("id" BIGINT PRIMARY KEY, "ts" TIMESTAMP, "v" DOUBLE)""")
+    val target = Seq(
+      (1L, ts("2024-01-04 12:00:00"), 10.0),
+      (2L, ts("2024-01-05 09:00:00"), 20.0),
+      (3L, ts("2024-01-05 18:00:00"), 30.0)).toDF("id", "ts", "v")
+    Jdbc.append(target, cfg, "T_CRASH")
+    val poisoned = Seq( // duplicate id 9 violates the PK mid-insert
+      (9L, ts("2024-01-05 10:00:00"), 1.0),
+      (9L, ts("2024-01-05 11:00:00"), 2.0)).toDF("id", "ts", "v")
+    val e = intercept[java.sql.SQLException] {
+      Jdbc.overwriteWindow(poisoned, cfg, "T_CRASH", "ts",
+        day("2024-01-05"), day("2024-01-05"))
+    }
+    assert(e.getSQLState != null)
+    val back = Jdbc.read(spark, cfg, "T_CRASH").select("id", "v")
+      .as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      s"failed exchange must leave the target exactly as it was: $back")
+  }
+
+  test("upsert: keyed delete + reinsert in one transaction; rollback on failure") {
+    Jdbc.execute(cfg, """CREATE TABLE T_UPS("id" BIGINT PRIMARY KEY, "v" DOUBLE)""")
+    Jdbc.append(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), cfg, "T_UPS")
+    Jdbc.upsert(Seq((2L, 22.0), (4L, 44.0)).toDF("id", "v"), cfg, "T_UPS", Seq("id"))
+    val after = Jdbc.read(spark, cfg, "T_UPS").as[(Long, Double)].collect().toSet
+    assert(after == Set((1L, 10.0), (2L, 22.0), (3L, 30.0), (4L, 44.0)),
+      s"changed key replaced, new key inserted, untouched keys kept: $after")
+    // poisoned batch (duplicate key) after the delete ran → rollback
+    intercept[java.sql.SQLException] {
+      Jdbc.upsert(Seq((3L, 33.0), (3L, 34.0)).toDF("id", "v"), cfg, "T_UPS", Seq("id"))
+    }
+    val unchanged = Jdbc.read(spark, cfg, "T_UPS").as[(Long, Double)].collect().toSet
+    assert(unchanged == after, s"failed upsert must roll back entirely: $unchanged")
+  }
+
+  test("jdbc: sproc passthrough binds the window and a failing proc aborts the run") {
+    import graft.proc.SqlStepRegistry
+    Jdbc.execute(cfg,
+      "CREATE PROCEDURE ALWAYS_FAILS() PARAMETER STYLE JAVA LANGUAGE JAVA " +
+        "EXTERNAL NAME 'graft.store.DerbyProcs.alwaysFails'")
+    val reg = new SqlStepRegistry(Map(
+      "boom" -> "jdbc:CALL ALWAYS_FAILS()",
+      "spark_side" -> "SELECT 1 AS one"))
+    // abort-the-run: the failure PROPAGATES (BulkCopyManager.cs:114-134
+    // semantics — sproc failures are not isolated like per-table errors)
+    val e = intercept[java.sql.SQLException] {
+      reg.runJdbc("boom", day("2024-01-05"), day("2024-01-09"), cfg)
+    }
+    assert(e.getMessage != null)
+    // step kinds refuse to run on the wrong engine — loudly, not silently
+    intercept[IllegalArgumentException] {
+      reg.run(spark, "boom", day("2024-01-05"), day("2024-01-09"))
+    }
+    intercept[IllegalArgumentException] {
+      reg.runJdbc("spark_side", day("2024-01-05"), day("2024-01-09"), cfg)
+    }
+    // and a template with a wrong parameter arity is refused before execution
+    intercept[IllegalArgumentException] {
+      new SqlStepRegistry(Map("bad" -> "jdbc:CALL X(?)"))
+        .runJdbc("bad", day("2024-01-05"), day("2024-01-09"), cfg)
+    }
+  }
 }
