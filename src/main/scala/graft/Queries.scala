@@ -3311,14 +3311,16 @@ object Queries {
         (cnt("table") > cnt("row")).cast("int").as("label"))
       val feats = Classifier.hashedFeatures(doc, "doc_id", "text", 128)
         .join(labeled, Seq("doc_id"))
-      // AUTO-ROUTED (r19 verdict item 5): below Classifier.NewtonAutoMaxRows
-      // the router picks IRLS (5 Newton iterations — same floor as the r16
-      // 40-step Adam schedule with ~7x fewer sequential jobs; the gate's
-      // cost is per-step job overhead, not data), and past the crossover a
-      // big corpus takes the sampled-adam O(dim)/row path instead of the
-      // dim²-gram full-batch loser the 30× fork flagged. At every driver SF
-      // the corpus is far below the bound, so the gate still certifies the
-      // Newton path; the crossover itself is spec-pinned (ClassifierSpec).
+      // AUTO-ROUTED (r19 verdict item 5): at dim 129 (≤ the MEASURED
+      // Newton/adam crossover, Classifier.NewtonAutoMaxDim) the router
+      // picks IRLS — 5 Newton iterations, same floor as the r16 40-step
+      // Adam schedule with ~7x fewer sequential jobs — and a high-dim
+      // hashing model would take the sampled-adam O(dim)/row path. NB the
+      // r19 verdict hypothesized a corpus-SIZE crossover; the 30× fork
+      // measurement refuted it (adam 45.3 s vs newton 24.3 s at 150k rows,
+      // dim 129 — both paths are linear in rows), so auto routes on dim;
+      // the crossover is spec-pinned (ClassifierSpec) and recorded in
+      // BASELINE.md round 20.
       val m = Classifier.trainLogistic(feats, "label", steps = 6,
         learningRate = 0.3, samplePermille = 0, optimizer = "auto")
       val viol = if (m.trainAccuracy >= 0.95) Seq.empty[(String, Double)]

@@ -65,15 +65,24 @@ object Classifier {
   final case class Model(weights: Array[Double], trainAccuracy: Double,
       trainLogLoss: Double, steps: Int, optimizerUsed: String = "adagrad")
 
-  /** `optimizer = "auto"` routes to Newton/IRLS only below this corpus size
-    * (and only at dims the dim² gram permits). Newton's win is ~7× fewer
-    * sequential aggregation barriers — decisive while per-step JOB overhead
-    * dominates — but its gram pass does O(dim²) work per ROW, so past this
-    * bound the O(dim)/row sampled-gradient path is the cheaper full pass by
-    * construction (the same measured crossover the r19 verdict flagged: the
-    * Newton gate path was the 30×-fork loser at ~150k docs while
-    * sampled-adam stayed linear). */
-  val NewtonAutoMaxRows: Long = 50000L
+  /** `optimizer = "auto"` routes to Newton/IRLS at or below this feature
+    * dimension. The crossover is DIM-driven, not corpus-size-driven — both
+    * paths are linear in rows (each iteration is ONE distributed
+    * aggregation; the sampled-adam slice floors at 250‰, so its ~42-step
+    * schedule is ~10.5 full passes at any scale), so the trade is Newton's
+    * O(dim²)/row gram against adam's O(dim)/row gradient × ~10.5/5 more
+    * passes. Measured at 30× (150k rows, dim 129, 32 cores): Newton 24.3 s
+    * vs auto-sampled adam 45.3 s — equal-cost extrapolates to dim ≈ 240;
+    * 200 leaves margin. (The r19 verdict hypothesized a corpus-size
+    * crossover; the 30× fork measurement refuted it — recorded in
+    * BASELINE.md round 20.) */
+  val NewtonAutoMaxDim: Int = 200
+
+  /** Below this row count, per-step JOB overhead dominates either path, so
+    * `auto` prefers Newton's ~7× fewer sequential barriers even at dims
+    * past [[NewtonAutoMaxDim]] (still bounded by the gram's hard
+    * `dim <= 2048` guard). */
+  val NewtonSmallCorpusRows: Long = 20000L
 
   /** IRLS normal-equation accumulator (one Newton step of logistic
     * regression): given each row's current margin `m = w·x` and label, one
@@ -246,17 +255,17 @@ object Classifier {
       fullParts.toLong)).toInt
     val cached = if (targetParts < fullParts) full.coalesce(targetParts) else full
     val dim = cached.select(size(col("features"))).head().getInt(0)
-    // "auto" routes on measured corpus size (r19 verdict item 5 — the
-    // routing posture every pair former already has): Newton/IRLS below
-    // [[NewtonAutoMaxRows]] (where its ~7× fewer sequential barriers win
-    // and the O(dim²)/row gram is affordable), sampled-adam above (O(dim)/
-    // row full passes — the 100 TB path). The caller's `steps` means
-    // Newton iterations; the adam branch converts by the documented ~7
-    // gradient-steps-per-Newton-step equivalence (floor 40, the r16
-    // production schedule).
+    // "auto" routes on the MEASURED crossover (r19 verdict item 5, with the
+    // hypothesis corrected by the 30× fork measurement — see
+    // [[NewtonAutoMaxDim]]): Newton/IRLS at moderate dims or tiny corpora,
+    // sampled-adam for high-dim hashing models (O(dim)/row — the 100 TB
+    // path there). The caller's `steps` means Newton iterations; the adam
+    // branch converts by the documented ~7 gradient-steps-per-Newton-step
+    // equivalence (floor 40, the r16 production schedule).
     val resolved =
       if (optimizer != "auto") optimizer
-      else if (nRows <= NewtonAutoMaxRows && dim <= 2048) "newton"
+      else if (dim <= NewtonAutoMaxDim || (nRows <= NewtonSmallCorpusRows && dim <= 2048))
+        "newton"
       else "adam"
     val effSteps =
       if (optimizer == "auto" && resolved == "adam") math.max(40, steps * 7) else steps

@@ -975,12 +975,25 @@ object Similarity {
     // 144 planes and silently ran interpreted — the r15 ScaleSmoke find)
     def keyedFor(b: Int, r: Int): DataFrame = signBandKeyed(u, dim, b, r, seed)
     def estPairs(keyed: DataFrame): Long = estBucketPairs(keyed)
+    // Ladder recall math (P(candidate | cos >= 0.99), p = 1 − θ/π ≈ 0.955
+    // there): every rung keeps 1 − (1 − p^r)^b ≥ 0.99. The r18 ladder
+    // topped out at +10/+20 (22×32 from the 12×12 default, 0.9967); the
+    // r20 100× probe found that rung saturating on clustered corpora
+    // (200k vectors at τ=0.45 → 171M candidates of which ~0 are true
+    // pairs — sign-structure collisions, not output), so two deeper rungs
+    // follow: 40×48 (p^48 ≈ 0.110 → 0.9905) cuts a cos-0.9 bucket's
+    // collision rate ~12× over 32 bits, and 78×62 (p^62 ≈ 0.058 →
+    // 0.9903) is the 62-bit packing ceiling. Deeper rungs cost more
+    // projections per row (40×48 = 1920 dots, linear, no shuffle) but
+    // only run when every earlier rung over-budgets — the probe that
+    // engages them is still one count-aggregation per rung, no pairs.
     val ladder =
       if (!autoSharpen || pairBudget <= 0) Seq((bands, rowsPerBand))
-      else Seq((bands, rowsPerBand), (bands + 2, rowsPerBand + 4),
+      else (Seq((bands, rowsPerBand), (bands + 2, rowsPerBand + 4),
         (bands + 4, rowsPerBand + 8), (bands + 6, rowsPerBand + 12),
         (bands + 8, rowsPerBand + 16), (bands + 10, rowsPerBand + 20))
-        .map { case (b, r) => (b, math.min(r, 62)) }
+        .map { case (b, r) => (b, math.min(r, 62)) }) ++
+        Seq((math.max(bands + 28, 40), 48), (math.max(bands + 66, 78), 62))
     // the caller's own shape WINS whenever its estimate fits pairBudget —
     // sharpening it further would silently trade away moderate-similarity
     // recall the caller sized for (r18 ADVICE fix: the old code escalated

@@ -95,29 +95,31 @@ class ClassifierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dim"), e.getMessage)
   }
 
-  test("auto optimizer routes by corpus size: newton below the crossover, sampled-adam above") {
-    // below NewtonAutoMaxRows → the IRLS path, with the caller's steps
+  test("auto optimizer routes on the measured dim crossover; wide models leave the gram path") {
+    // moderate dim → the IRLS path, with the caller's steps
     val feats = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 32)
       .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
     val small = Classifier.trainLogistic(feats, "label", steps = 4,
       learningRate = 0.3, samplePermille = 0, optimizer = "auto")
     Dedup.unpersistAll()
     assert(small.optimizerUsed == "newton",
-      s"40 rows is far below the crossover: ${small.optimizerUsed}")
+      s"dim 33 is far below the crossover: ${small.optimizerUsed}")
     assert(small.steps == 4 && small.trainAccuracy == 1.0)
-    // above the crossover the router MUST leave the dim²-gram path — pinned
-    // through the recorded route rather than a 50k-row fixture (the bound
-    // is a constant; the routing logic is what can regress). A wide model
-    // below the row bound must also route away from the gram.
-    assert(Classifier.NewtonAutoMaxRows == 50000L,
-      "crossover bound moved — re-derive the 30x fork evidence before accepting")
+    // the bounds are measurement-derived constants (BASELINE.md round 20:
+    // newton 24.3 s vs sampled-adam 45.3 s at 30x/dim 129 → dim* ≈ 240);
+    // a silent move invalidates that evidence
+    assert(Classifier.NewtonAutoMaxDim == 200 &&
+      Classifier.NewtonSmallCorpusRows == 20000L,
+      "crossover bounds moved — re-derive the 30x fork evidence before accepting")
+    // a wide hashing model must route off the dim² gram even on a corpus
+    // small enough for the job-overhead carve-out (4096 > the hard 2048)
     val wide = Classifier.hashedFeatures(toyCorpus, "doc_id", "text", 4096)
       .join(toyCorpus.select("doc_id", "label"), Seq("doc_id"))
     val wideModel = Classifier.trainLogistic(wide, "label", steps = 2,
       learningRate = 0.3, samplePermille = 0, optimizer = "auto")
     Dedup.unpersistAll()
     assert(wideModel.optimizerUsed == "adam",
-      s"dim 4096 must refuse the gram path under auto: ${wideModel.optimizerUsed}")
+      s"dim 4097 must refuse the gram path under auto: ${wideModel.optimizerUsed}")
     // auto's adam branch converts steps by the ~7x equivalence (floor 40)
     assert(wideModel.steps == 40, s"adam branch steps: ${wideModel.steps}")
   }
