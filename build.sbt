@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default TZ alongside the session TZ: embedded-Derby
+  // renders java.sql.Timestamp instants through the JVM default, so the
+  // JDBC specs' wall-clock fixtures are only deterministic when both
+  // zones agree (Jdbc itself binds UTC instants and is TZ-safe — r20
+  // review; this flag keeps the TEST fixtures' wall-clock literals exact
+  // on any box)
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -2518,8 +2518,11 @@ object Queries {
       // therefore needs a fixture with no zero-token/NULL-text docs.
       // Asserted HERE so a fixture change fails with this message instead
       // of forking the gate hash like an operator bug (r19 ADVICE fix).
-      val tokenless = dd.filter(col("text").isNull ||
-        size(TextAnalysis.tokens(col("text"))) === 0).count()
+      // The count is corpus-deterministic → per-JVM cached (and prewarmed),
+      // so the timed gate region doesn't re-pay a full-corpus tokenization
+      // per run (r20 review fix — the same certification-cost class item 3
+      // moved out of the bench's steady state).
+      val tokenless: Long = bm25TokenlessCount(s, d)
       require(tokenless == 0,
         s"text_bm25_index_refresh: fixture grew $tokenless zero-token doc(s); " +
           "the postings-only n/avgdl refresh makes the whole-corpus bm25 " +
@@ -3424,9 +3427,9 @@ object Queries {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       // bounded wait: a hung stream must fail THIS query, not stall the
       // whole verify/bench harness
-      if (!q.awaitTermination(300000L)) {
+      if (!q.awaitTermination(streamDrainMs)) {
         q.stop()
-        throw new IllegalStateException("stream_windowed_counts did not drain within 300 s")
+        throw new IllegalStateException(s"stream_windowed_counts did not drain within ${streamDrainMs / 1000} s")
       }
       s.table("stream_wc").select(
         // streaming event-time is TIMESTAMP (LTZ, UTC session) — emit NTZ to
@@ -3445,9 +3448,9 @@ object Queries {
       val q = graft.streaming.EventStream.distinctKeys(stream, Seq("user_id", "event_type"))
         .writeStream.format("memory").queryName("stream_dp")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) {
+      if (!q.awaitTermination(streamDrainMs)) {
         q.stop()
-        throw new IllegalStateException("stream_distinct_pairs did not drain within 300 s")
+        throw new IllegalStateException(s"stream_distinct_pairs did not drain within ${streamDrainMs / 1000} s")
       }
       s.table("stream_dp")
     }),
@@ -3477,9 +3480,9 @@ object Queries {
         .select("click_id", "error_id")
         .writeStream.format("memory").queryName("stream_corr")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) {
+      if (!q.awaitTermination(streamDrainMs)) {
         q.stop()
-        throw new IllegalStateException("stream_correlated did not drain within 300 s")
+        throw new IllegalStateException(s"stream_correlated did not drain within ${streamDrainMs / 1000} s")
       }
       s.table("stream_corr")
     }),
@@ -3507,9 +3510,9 @@ object Queries {
           .toDF().writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        if (!q.awaitTermination(300000L)) {
+        if (!q.awaitTermination(streamDrainMs)) {
           q.stop()
-          throw new IllegalStateException("stream_sessions did not drain within 300 s")
+          throw new IllegalStateException(s"stream_sessions did not drain within ${streamDrainMs / 1000} s")
         }
       }
       drain() // the real corpus: every session behind the final watermark emits
@@ -3570,9 +3573,9 @@ object Queries {
       val q = graft.streaming.IngestStream.dedupToStore(
         graft.streaming.IngestStream.readDocs(s, in.toString),
         store, idx, "doc_id", "text", 0.8, "survivors")
-      if (!q.awaitTermination(300000L)) {
+      if (!q.awaitTermination(streamDrainMs)) {
         q.stop()
-        throw new IllegalStateException("stream_ingest_dedup did not drain within 300 s")
+        throw new IllegalStateException(s"stream_ingest_dedup did not drain within ${streamDrainMs / 1000} s")
       }
       store.read("survivors").select("doc_id", "text", "lang", "source", "n_chars")
     }),
@@ -3588,9 +3591,9 @@ object Queries {
           graft.streaming.EventStream.read(s, in.toString), watermark = "31 days")
         .writeStream.format("memory").queryName("stream_dd")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) {
+      if (!q.awaitTermination(streamDrainMs)) {
         q.stop()
-        throw new IllegalStateException("stream_dedup did not drain within 300 s")
+        throw new IllegalStateException(s"stream_dedup did not drain within ${streamDrainMs / 1000} s")
       }
       s.table("stream_dd").select(col("event_id"),
         col("ts").cast("timestamp_ntz").as("ts"),
@@ -3616,9 +3619,9 @@ object Queries {
       val q = graft.streaming.EventStream.upsertInto(stream, store, "copy", "event_id", "seq")
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) {
+      if (!q.awaitTermination(streamDrainMs)) {
         q.stop()
-        throw new IllegalStateException("stream_cdc_apply did not drain within 300 s")
+        throw new IllegalStateException(s"stream_cdc_apply did not drain within ${streamDrainMs / 1000} s")
       }
       store.read("copy")
     }),
@@ -3652,9 +3655,9 @@ object Queries {
         }
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) {
+      if (!q.awaitTermination(streamDrainMs)) {
         q.stop()
-        throw new IllegalStateException("stream_cms_merge did not drain within 300 s")
+        throw new IllegalStateException(s"stream_cms_merge did not drain within ${streamDrainMs / 1000} s")
       }
       require(batches.get() >= 2,
         s"expected >= 2 micro-batches, got ${batches.get()}")
@@ -3963,6 +3966,24 @@ object Queries {
     })
   )
 
+  /** Streaming gates' drain guard (default 300 s — generous at every driver
+    * SF; a stream that hasn't drained by then has degenerate state or
+    * quadratic output, and the guard names it instead of hanging the gate).
+    * `SPARK_GRAFT_STREAM_DRAIN_MS` raises it for scale PROBES whose output
+    * is legitimately large (the 100× replica multiplies event density and
+    * with it the correlation join's output — BASELINE.md round 20); the
+    * driver never sets it, so gate behavior is unchanged. */
+  private lazy val streamDrainMs: Long = {
+    val raw = sys.env.get("SPARK_GRAFT_STREAM_DRAIN_MS")
+    val ms = try raw.map(_.trim.toLong).getOrElse(300000L)
+    catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_DRAIN_MS must be a millisecond count: '${raw.get}'", e)
+    }
+    require(ms > 0, s"SPARK_GRAFT_STREAM_DRAIN_MS must be positive: $ms")
+    ms
+  }
+
   /** events bounded to a CONSTANT slice (a gate must not grow with SF) with
     * `ts` cast to session-TZ timestamp for the JDBC leg — value-identity
     * under the UTC session; gate outputs re-cast to `timestamp_ntz` (the o1
@@ -3989,25 +4010,33 @@ object Queries {
       url = s"jdbc:derby:$home/$db;create=true",
       user = "graft", password = "", // ignored by embedded Derby
       driver = "org.apache.derby.jdbc.EmbeddedDriver")
-    val rows = body(cfg)
-    val out = s.createDataFrame(rows.collectAsList(), rows.schema)
-    try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/$db;shutdown=true")
-    catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
-    // delete the shut-down DATABASE dir; the shared home stays (it is
-    // derby.system.home — Derby wants it alive for derby.log). Traversal
-    // errors arrive as UncheckedIOException and must not fail a gate whose
-    // work already succeeded (r19 review fix).
+    // shutdown + delete run in a FINALLY: a failing gate body must not leak
+    // a live booted database (page cache + threads) or its page files into
+    // the shared JVM — under runs>=3 a repeatedly-failing gate would
+    // otherwise accumulate three of them, the exact r18 failure mode this
+    // helper exists to prevent (r20 review fix: the old inline o19 body
+    // only cleaned up on success).
     try {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      val walk = Files.walk(home.resolve(db))
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach((p: Path) => { Files.deleteIfExists(p); () })
-      finally walk.close()
-    } catch {
-      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      val rows = body(cfg)
+      s.createDataFrame(rows.collectAsList(), rows.schema)
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$home/$db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
+      // delete the shut-down DATABASE dir; the shared home stays (it is
+      // derby.system.home — Derby wants it alive for derby.log). Traversal
+      // errors arrive as UncheckedIOException and must not fail a gate
+      // whose work already succeeded (r19 review fix).
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val walk = Files.walk(home.resolve(db))
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach((p: Path) => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
     }
-    out
   }
 
   /** The one Derby system home for every `o19_jdbc_roundtrip` invocation
@@ -4045,9 +4074,18 @@ object Queries {
     val n = names.toSet
     if (n("text_bm25_index_search")) bm25FullIndexDir(s, d)
     if (n("text_bm25_index_grow") || n("text_bm25_index_refresh")) bm25BaseIndexDir(s, d)
+    if (n("text_bm25_index_refresh")) bm25TokenlessCount(s, d)
     if (n("dedup_cosine_lsh_sharpen")) sharpenCert(s, d)
     ()
   }
+
+  /** The refresh gate's fixture premise (no zero-token/NULL-text docs),
+    * counted once per JVM — see the gate's comment. */
+  private def bm25TokenlessCount(s: SparkSession, d: String): Long =
+    cachedFixture[java.lang.Long](s"bm25tokenless:$d") {
+      Long.box(docs(s, d).filter(col("text").isNull ||
+        size(TextAnalysis.tokens(col("text"))) === 0).count())
+    }.longValue()
 
   /** The sharpen gate's planted fixture (500-vector slice + near-dup plants
     * + a 120-vector dense cluster) — pure plan construction, rebuilt per

@@ -99,18 +99,33 @@ object Jdbc {
     } finally conn.close()
   }
 
+  /** A window bound as the java.sql.Timestamp INSTANT of its UTC
+    * wall-clock. The engine's sessions pin `spark.sql.session.timeZone` to
+    * UTC, so windows are UTC wall-clock; binding `Timestamp.valueOf`
+    * (JVM-default-TZ wall-clock) instead would shift the DELETE window
+    * against the staged rows on any JVM whose default TZ isn't UTC —
+    * Spark's JDBC writer ships TimestampType as instants, and the driver
+    * renders instants and these bounds through the same default-TZ path,
+    * so instant-consistent binding is correct under ANY JVM TZ (review
+    * fix, round 20). */
+  private def utcTs(t: java.time.LocalDateTime): Timestamp =
+    Timestamp.from(t.atZone(java.time.ZoneOffset.UTC).toInstant)
+
   /** Target-side procedure passthrough — the analog of the reference's
     * `EXEC name @StartDateParam, @EndDateParam`
     * (`StoreProcRunService.cs:16-31`): executes `CALL`/`EXEC` text on the
     * TARGET connection so downstream layers built by real stored procedures
-    * still run. `sql` may carry 0 or exactly 2 `?` markers; with 2, the
-    * window bounds bind positionally as (day start of `from`, day end of
-    * `to` = next day − 3 ms — the reference's SQL Server datetime bound).
-    * Failures PROPAGATE: like the reference's sproc dispatch
+    * still run. `sql` may carry 0 or exactly 2 `?` markers (markers inside
+    * single-quoted literals don't count); with 2, the window bounds bind
+    * positionally as (day start of `from`, day end of `to` = next day −
+    * 3 ms — the reference's SQL Server datetime bound). Failures
+    * PROPAGATE: like the reference's sproc dispatch
     * (`BulkCopyManager.cs:114-134`), a failing procedure aborts the run
     * rather than being isolated per-table. */
   def call(cfg: JdbcConfig, sql: String, from: LocalDate, to: LocalDate): Int = {
-    val nParams = sql.count(_ == '?')
+    // literal-stripped arity: a '?' inside 'text?' is not a parameter
+    // marker (doubled '' quotes inside literals pair up and strip too)
+    val nParams = sql.replaceAll("'[^']*'", "").count(_ == '?')
     require(nParams == 0 || nParams == 2,
       s"Jdbc.call: expected 0 or 2 '?' window parameters, found $nParams in: $sql")
     val conn = connect(cfg)
@@ -118,8 +133,8 @@ object Jdbc {
       val st = conn.prepareCall(sql)
       try {
         if (nParams == 2) {
-          st.setTimestamp(1, Timestamp.valueOf(graft.time.Windows.dayStart(from)))
-          st.setTimestamp(2, Timestamp.valueOf(graft.time.Windows.dayEnd(to)))
+          st.setTimestamp(1, utcTs(graft.time.Windows.dayStart(from)))
+          st.setTimestamp(2, utcTs(graft.time.Windows.dayEnd(to)))
         }
         st.execute()
         st.getUpdateCount
@@ -141,8 +156,8 @@ object Jdbc {
       val del = conn.prepareStatement(
         s"DELETE FROM $table WHERE ${q(dateCol)} BETWEEN ? AND ?")
       try {
-        del.setTimestamp(1, Timestamp.valueOf(graft.time.Windows.dayStart(from)))
-        del.setTimestamp(2, Timestamp.valueOf(graft.time.Windows.dayEnd(to)))
+        del.setTimestamp(1, utcTs(graft.time.Windows.dayStart(from)))
+        del.setTimestamp(2, utcTs(graft.time.Windows.dayEnd(to)))
         del.executeUpdate()
       } finally del.close()
     }
