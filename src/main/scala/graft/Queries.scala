@@ -3213,7 +3213,8 @@ object Queries {
     // integer micro-cosines so no accumulation order can flap the gate
     // SIZE-ROUTED (r17 verdict): the exact |A|×|B| grid at gate scale —
     // the oracle's regime, same code path — and the IVF-pooled CCMatrix
-    // composition (√n-sized quantizer, ~1/16 probe) past 20 k vectors
+    // composition (4√n-list quantizer, fixed nprobe=32 — the measured
+    // r20 frontier winner, see bitextMarginMineRouted) past 20 k vectors
     "sim_bitext_margin" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bitextMarginMineRouted(
