@@ -1261,13 +1261,27 @@ object Similarity {
    * The distinction is the scale law — candidate volume per query is
    * `nprobe·n/nlist`, so a fixed fraction (`nprobe ∝ nlist`) keeps total
    * work at `f·n²` no matter how nlist is tuned, while fixed-nprobe over a
-   * `√n` quantizer is `O(n^1.5)` total. It is also the measured recall
-   * winner, not just the cheaper point: on the 30k×30k replica frontier
-   * (BitextSizingProbe, r20) the old `√n`-lists/1-16th-fraction sizing
-   * mined 43% of the exact grid's pairs at a 5.8% probe fraction, while
-   * `4√n`-lists/nprobe-32 mined 62% at 4.6% — finer lists waste less of
-   * the probe budget on far-field vectors, so the deeper quantizer wins
-   * both axes at once.
+   * `√n` quantizer is `O(n^1.5)` total — up to the 4096-list ceiling
+   * (n ≈ 1 M per side), past which the driver-trained quantizer stops
+   * deepening and the path degrades gracefully back toward `n²/128`
+   * candidate volume (still 8× under the old sizing's `n²/16`; corpora
+   * past the ceiling want a distributed-trained quantizer, which this
+   * driver-side k-means deliberately is not). It is also the measured
+   * recall winner, not just the cheaper point: on the 30k×30k replica
+   * frontier (BitextSizingProbe, r20) the old `√n`-lists/1-16th-fraction
+   * sizing mined 43% of the exact grid's pairs at a 5.8% probe fraction,
+   * while `4√n`-lists/nprobe-32 mined 62% at 4.6% — finer lists waste
+   * less of the probe budget on far-field vectors, so the deeper
+   * quantizer wins both axes at once.
+   *
+   * The training sample scales with the quantizer (`≥ 8 vectors per
+   * centroid`, capped at 32 k draws): a fixed 4096-draw sample would hand
+   * a 4096-list quantizer ONE point per centroid — random-sample
+   * centroids, not k-means — silently voiding the measured frontier.
+   * `sampleSize` is therefore a FLOOR, raised to `8·nlist` when the
+   * corpus-derived nlist outgrows it (measured at 100k×100k: the scaled
+   * sample's NN1 recall beats the fixed-4096 quantizer's, see
+   * BitextSizingProbe's `recall` mode).
    */
   def bitextMarginMineRouted(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, exactMaxRows: Long = 20000L,
@@ -1277,7 +1291,8 @@ object Similarity {
     else {
       val nlist = math.min(4096L, math.max(16L, 4L * math.sqrt(n.toDouble).toLong)).toInt
       val nprobe = math.min(nlist, 32)
-      bitextMarginMinePooled(a, b, idCol, vecCol, k, nlist, nprobe, sampleSize, seed)
+      val sample = math.min(32768, math.max(sampleSize, 8 * nlist))
+      bitextMarginMinePooled(a, b, idCol, vecCol, k, nlist, nprobe, sample, seed)
     }
   }
 }
