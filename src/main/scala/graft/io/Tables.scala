@@ -63,5 +63,17 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Size post-shuffle partitions by BYTES, not by local parallelism
+      // (optimization guide §2.2 "fewer, larger reduce partitions"): the
+      // Spark default parallelismFirst=true ignores the advisory target
+      // and re-splits every shuffle toward defaultParallelism tasks — at
+      // cluster scale that floor is harmless (partitions are bytes-bound
+      // anyway), but it exists only "to avoid perf regressions when AQE
+      // first shipped" (Spark docs recommend false). false lets AQE
+      // coalesce to the advisory size (64 MB default, untouched) on any
+      // core count, so the setting is scale-adaptive rather than tuned to
+      // local[32]. Env-overridable for A/B measurement.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.ui.enabled", "false")
 }
